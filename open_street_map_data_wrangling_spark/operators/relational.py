@@ -1,0 +1,328 @@
+"""Core relational operators — SURVEY.md §2.2 (projections/filters),
+§2.4 (aggregations), §2.7 (sorts/limits/set ops).
+
+Reference analogs: the SQLite/Mongo query notebook (counts, distinct
+users, top-k contributors, amenity distributions) and the element
+filters inside `data.py::shape_element`. Every query here is pure
+built-in Column expressions — no UDFs — so the whole plan stays inside
+whole-stage codegen.
+
+Scale notes (100 TB posture):
+* groupBy+count/sum get map-side partial aggregation from Spark
+  automatically — the shuffle carries one row per (partition, key).
+* top-k (orderBy+limit) plans as TakeOrderedAndProject: each task
+  keeps a k-row heap; no global sort.
+* countDistinct over a high-cardinality key shuffles the distinct
+  pairs; `q_approx_users` shows the HLL alternative that carries a
+  fixed-size sketch instead.
+
+Timestamp outputs are emitted as epoch-µs BIGINT (`unix_micros` /
+DuckDB `epoch_us`) so the oracle compare never depends on engine
+timestamp formatting (SURVEY.md §5.2 pitfalls).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.catalog import load_table, tags_long_table, TAGS_LONG_SQL
+
+# ---------------------------------------------------------------------------
+# §2.1 S2 — systematic sampler (reference: sample.py keeps every k-th element)
+
+
+@query(
+    "q_sample",
+    oracle="""
+        SELECT event_id, user_id, event_type, value, props,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE event_id % 20 = 0
+    """,
+    tags=("source", "sampler"),
+)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample: every 20th element by id.
+
+    Reference: sample.py islice(..., k) [T]. A modulus on a stable key
+    is fully parallel and reproducible at any scale (unlike head-N,
+    which funnels through one task).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") % 20 == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P1/P2 — filters and projections
+
+
+@query(
+    "q_filter",
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE event_type IN ('signup', 'error') AND value > 50.0
+    """,
+    tags=("filter",),
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-type filter (reference: process only node/way) as a
+    general predicate; Catalyst pushes both conjuncts into the parquet
+    scan (PushedFilters)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(
+        F.col("event_type").isin("signup", "error") & (F.col("value") > 50.0)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "q_project",
+    oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    tags=("project",),
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute projection (reference: NODE_FIELDS/WAY_FIELDS lists);
+    column pruning reaches the scan's ReadSchema."""
+    return load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — aggregations
+
+
+@query(
+    "q_count_tags",
+    oracle="SELECT event_type AS tag, count(*) AS cnt FROM events GROUP BY event_type",
+    tags=("agg",),
+)
+def q_count_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-name histogram (reference: mapparser.py::count_tags dict
+    increment) — hash aggregate with free partial/final split."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.col("event_type").alias("tag")).agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "q_count",
+    oracle="""
+        SELECT 'events' AS tbl, count(*) AS cnt FROM events
+        UNION ALL SELECT 'orders', count(*) FROM orders
+        UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        UNION ALL SELECT 'customer', count(*) FROM customer
+    """,
+    tags=("agg",),
+)
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row counts per table (reference: COUNT(*) nodes / ways)."""
+    parts = []
+    for tbl in ("events", "orders", "lineitem", "customer"):
+        parts.append(
+            load_table(spark, sf_dir, tbl).agg(
+                F.lit(tbl).alias("tbl"), F.count("*").alias("cnt")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "q_distinct_users",
+    oracle="""
+        SELECT count(DISTINCT uid) AS n_users FROM (
+            SELECT user_id AS uid FROM events
+            UNION ALL
+            SELECT o_custkey AS uid FROM orders
+        )
+    """,
+    tags=("agg", "setop"),
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct contributors across two element kinds (reference:
+    users.py set() over nodes+ways; UNION ALL + COUNT DISTINCT)."""
+    events = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("uid"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("uid"))
+    return events.unionByName(orders).agg(F.countDistinct("uid").alias("n_users"))
+
+
+@query("q_approx_users", oracle=None, tags=("agg", "sketch"))
+def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count — the 100 TB path for A3: carries a
+    fixed-size sketch through the shuffle instead of every distinct
+    key. Rows-only check (sketch estimate has no exact SQL twin)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"))
+
+
+@query(
+    "q_top_users",
+    oracle="""
+        SELECT user_id, count(*) AS cnt FROM events
+        GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 10
+    """,
+    tags=("agg", "topk"),
+)
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 contributors (reference: GROUP BY ... ORDER BY count DESC
+    LIMIT 10). Spark plans TakeOrderedAndProject — per-task k-row heap,
+    no global sort. user_id tiebreak keeps the LIMIT deterministic
+    across engines (SURVEY.md §5.2)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_onetime_users",
+    oracle="""
+        SELECT count(*) AS n_onetime FROM (
+            SELECT user_id FROM events GROUP BY user_id HAVING count(*) = 1
+        )
+    """,
+    tags=("agg",),
+)
+def q_onetime_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with exactly one contribution, then count them (nested
+    aggregation / HAVING)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") == 1)
+        .agg(F.count("*").alias("n_onetime"))
+    )
+
+
+@query(
+    "q_top_amenities",
+    oracle=f"""
+        SELECT value, count(*) AS cnt FROM ({TAGS_LONG_SQL}) tags
+        WHERE key = 'k' AND value IS NOT NULL
+        GROUP BY value ORDER BY cnt DESC, value ASC LIMIT 10
+    """,
+    tags=("agg", "topk"),
+)
+def q_top_amenities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top tag values for one key (reference: amenity distribution over
+    nodes_tags). Runs over the unpivoted tags long table."""
+    tags = tags_long_table(spark, sf_dir)
+    return (
+        tags.filter((F.col("key") == "k") & F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_stats",
+    oracle="""
+        SELECT epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+               epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us,
+               round(avg(value), 2) AS avg_value,
+               round(sum(value), 2) AS sum_value,
+               count(*) AS cnt
+        FROM events
+    """,
+    tags=("agg",),
+)
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max/avg stats (reference: timestamp range, bounding box)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count("*").alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — distinct / set ops / rollup-cube (A9, noted "free" in survey)
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("setop",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (reference: users.py set()); dropDuplicates on the key
+    pair — a shuffle on the pair with map-side partial distinct."""
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@query(
+    "q_setops",
+    oracle="""
+        SELECT 'both' AS op, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'signup'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT 'signup_only' AS op, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'signup'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    """,
+    tags=("setop",),
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT inventory row (§2.7 O5): signup-users vs
+    purchase-users."""
+    events = load_table(spark, sf_dir, "events")
+    signup = events.filter(F.col("event_type") == "signup").select("user_id")
+    purchase = events.filter(F.col("event_type") == "purchase").select("user_id")
+    both = signup.intersect(purchase).select(F.lit("both").alias("op"), "user_id")
+    only = signup.subtract(purchase).select(F.lit("signup_only").alias("op"), "user_id")
+    return both.unionByName(only)
+
+
+@query(
+    "q_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (§2.4 A9 — free via Catalyst's Expand)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("cnt")
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over order status x priority (§2.4 A9)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))

@@ -1,0 +1,80 @@
+"""SparkSession factory.
+
+Reference lifecycle (SURVEY.md §3.1 EP1): single process, single
+thread, `ET.iterparse` streaming scan. Engine equivalent: one
+SparkSession whose defaults are chosen for the Catalyst/Tungsten
+path — AQE on (runtime coalesce + skew-join split), Arrow on (any
+pandas-UDF extension op pays batch transfer, not per-row pickling),
+UTC session timezone (deterministic vs. the DuckDB oracle), and
+`nanosAsLong` so the ns-precision `events.ts` fixture column loads
+(Spark timestamps are µs — see sources/catalog.py).
+
+At 100 TB these remain correct: AQE handles post-shuffle partition
+sizing per stage, so one static `shuffle.partitions` value never has
+to be "right" for every query; the broadcast threshold keeps
+dimension joins shuffle-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# SQL (runtime-settable) conf applied both at build time and defensively
+# onto externally provided sessions (the verify driver builds its own).
+_RUNTIME_SQL_CONF: dict[str, str] = {
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as long and convert exactly (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Best-effort apply of runtime-settable SQL conf to a session we
+    did not build (e.g. the verify driver's). Never raises."""
+    for k, v in _RUNTIME_SQL_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "osmdw-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    local[N] is a single JVM: `driver_memory` is the only memory knob.
+    On a real cluster the same builder works — only master/memory conf
+    change; nothing in the engine assumes local mode.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    # Shuffle partitions sized to cores for local runs; AQE coalesces
+    # further down when maps are small, so oversizing is harmless.
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("OSMDW_SHUFFLE_PARTITIONS", cpus if cpus.isdigit() else "32")
+    )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", driver_memory or os.environ.get("OSMDW_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_SQL_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_conf(spark)

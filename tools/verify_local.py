@@ -1,0 +1,130 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every registered QuerySpec at a given sf dir and compares the
+Spark result against the DuckDB oracle: row count + sorted column
+names + order-insensitive value compare (floats with tolerance —
+stricter than the driver's hash, so passing here predicts passing
+there).
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from open_street_map_data_wrangling_spark.plans import load_all_queries
+from open_street_map_data_wrangling_spark.session import get_spark
+from open_street_map_data_wrangling_spark.sources.catalog import TABLES
+
+REL_TOL = 1e-9
+ABS_TOL = 1e-9
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):  # Row
+        return tuple(sorted((k, _norm(x)) for k, x in v.asDict().items()))
+    return v
+
+
+def _rows(cols, records):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in records]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return out
+
+
+def _cell_eq(a, b):
+    if isinstance(a, float) and isinstance(b, (int, float)):
+        return math.isclose(a, float(b), rel_tol=REL_TOL, abs_tol=ABS_TOL)
+    if isinstance(b, float) and isinstance(a, (int, float)):
+        return math.isclose(float(a), b, rel_tol=REL_TOL, abs_tol=ABS_TOL)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cell_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def compare(spark_df, duck_rel):
+    s_cols = list(spark_df.columns)
+    s_recs = [tuple(r) for r in spark_df.collect()]
+    d_cols = list(duck_rel.columns)
+    d_recs = duck_rel.fetchall()
+    errs = []
+    if sorted(s_cols) != sorted(d_cols):
+        errs.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return errs
+    if len(s_recs) != len(d_recs):
+        errs.append(f"rows: spark={len(s_recs)} duck={len(d_recs)}")
+    if errs:
+        return errs
+    sr, dr = _rows(s_cols, s_recs), _rows(d_cols, d_recs)
+    bad = 0
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        if not all(_cell_eq(x, y) for x, y in zip(a, b)):
+            bad += 1
+            if bad <= 3:
+                errs.append(f"row {i}: spark={a!r} duck={b!r}")
+    if bad:
+        errs.append(f"{bad} mismatched rows total")
+    return errs
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    names = [a for a in args if "/" not in a]
+
+    specs = load_all_queries()
+    if names:
+        specs = {k: v for k, v in specs.items() if k in names}
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    spark = get_spark("verify-local")
+    passed = failed = rows_only = 0
+    for name, spec in sorted(specs.items()):
+        t0 = time.time()
+        try:
+            df = spec.spark(spark, sf_dir)
+            if spec.oracle is None:
+                n = df.count()
+                print(f"ROWSONLY {name}: {n} rows ({time.time()-t0:.1f}s)")
+                rows_only += 1
+                continue
+            errs = compare(df, con.sql(spec.oracle))
+        except Exception as e:
+            errs = [f"EXCEPTION {type(e).__name__}: {e}"]
+        if errs:
+            failed += 1
+            print(f"FAIL {name} ({time.time()-t0:.1f}s)")
+            for e in errs[:6]:
+                print(f"   {e}")
+        else:
+            passed += 1
+            print(f"PASS {name} ({time.time()-t0:.1f}s)")
+    print(f"\n{passed} passed, {failed} failed, {rows_only} rows-only")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
