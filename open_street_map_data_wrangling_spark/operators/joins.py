@@ -1,0 +1,208 @@
+"""Join operators — SURVEY.md §2.5.
+
+Reference analogs: the SQLite `IN (subquery)` query shapes over
+`nodes_tags` (restaurant→cuisine, place_of_worship→religion), the
+parent-child joins (way ⋈ ways_nodes ⋈ nodes), and quality-check
+anti-joins. The fixture binding (FIXTURES.md §B) maps these to the
+star schema and the unpivoted tags long table.
+
+Scale notes (100 TB posture):
+* Dimensions (region, nation, customer at TPC-H ratios, literal
+  bucket tables) are broadcast — `F.broadcast` hints make it explicit
+  rather than relying on the 10 MB default threshold; no shuffle of
+  the fact side.
+* The fact-fact join (lineitem ⋈ orders) is a shuffle join on the
+  orderkey; at 100 TB both sides would be bucketed on orderkey at
+  write time so the exchange disappears — the logical plan here is
+  unchanged either way, which is the point of declaring it.
+* Semi/anti joins ship only the join key of the filtered side.
+* The range join keeps the interval side tiny (literal dim), so Spark
+  plans BroadcastNestedLoopJoin — the only safe NLJ shape at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.catalog import load_table, tags_long_table, TAGS_LONG_SQL
+
+# ---------------------------------------------------------------------------
+# J3 — flagship star join: revenue by region/nation
+
+
+@query(
+    "q_star_join",
+    oracle="""
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    tags=("join", "star", "flagship"),
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (reference: parent-child id joins over the
+    5-table relational schema, §2.5 J3). Dims broadcast; the only
+    shuffle is lineitem⋈orders on orderkey + the final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_order_lines",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderstatus
+    """,
+    tags=("join",),
+)
+def q_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child join (reference: way ⋈ ways_nodes): per-parent
+    child stats. Aggregating on the join key means AQE can reuse the
+    join's partitioning for the aggregate — one shuffle, not two."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — tag self-join (restaurant → cuisine analog)
+
+
+@query(
+    "q_restaurant_cuisine",
+    oracle=f"""
+        WITH tags AS ({TAGS_LONG_SQL})
+        SELECT t2.value AS k_value, count(*) AS cnt
+        FROM tags t1 JOIN tags t2 ON t1.id = t2.id
+        WHERE t1.key = 'event_type' AND t1.value = 'purchase' AND t2.key = 'k'
+        GROUP BY t2.value
+    """,
+    tags=("join", "selfjoin"),
+)
+def q_restaurant_cuisine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-table self-join (reference: cuisines of restaurants over
+    nodes_tags, §2.5 J1): elements tagged value='purchase' joined back
+    to their 'k' tag; distribution of k values."""
+    tags = tags_long_table(spark, sf_dir)
+    restaurants = tags.filter((F.col("key") == "event_type") & (F.col("value") == "purchase")).select("id")
+    cuisines = tags.filter(F.col("key") == "k").select("id", F.col("value").alias("k_value"))
+    return (
+        cuisines.join(restaurants, "id")
+        .groupBy("k_value")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "q_religion",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        GROUP BY c_mktsegment
+    """,
+    tags=("join", "semijoin"),
+)
+def q_religion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (reference: religion of place_of_worship elements via
+    `id IN (subquery)`, §2.5 J2): customers with an urgent order,
+    counted per segment. left_semi ships only o_custkey."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        customer.join(urgent, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q_untagged",
+    oracle="""
+        SELECT n_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY n_name
+    """,
+    tags=("join", "antijoin"),
+)
+def q_untagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join quality check (reference: ways with no name tag,
+    §2.5 J4): customers with zero orders, per nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+        SELECT b.label, count(*) AS cnt, round(avg(e.value), 2) AS avg_value
+        FROM events e
+        JOIN (VALUES ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
+                     ('high', 50.0, 75.0), ('top', 75.0, 101.0)) b(label, lo, hi)
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.label
+    """,
+    tags=("join", "rangejoin"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join (§2.5 J5): events banded into value
+    buckets via an interval dimension. The interval side is a literal
+    4-row table — broadcast nested-loop, the only NLJ shape that
+    survives scale (fact side never shuffles)."""
+    events = load_table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 50.0), ("high", 50.0, 75.0), ("top", 75.0, 101.0)],
+        "label string, lo double, hi double",
+    )
+    return (
+        events.join(
+            F.broadcast(buckets),
+            (events.value >= buckets.lo) & (events.value < buckets.hi),
+        )
+        .groupBy("label")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 2).alias("avg_value"))
+    )

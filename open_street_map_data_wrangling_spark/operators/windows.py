@@ -1,0 +1,132 @@
+"""Window-function operators — SURVEY.md §2.6.
+
+Reference analogs: `ways_nodes.position` (the ordinal the parse loop
+assigns with enumerate) and the implicit ranking in "top contributors"
+reporting; analytic frames (lag/lead/moving aggregates) extend the
+surface over the driver's `events` stream table.
+
+Scale notes: a window over `partitionBy(k).orderBy(o)` is one shuffle
+on k plus a per-partition sort — same cost shape as a groupBy, and
+skew in k is the thing to watch (AQE skew handling does not apply to
+window exchanges, so a hot user_id would need salting + two-phase
+reassembly; fixture keys are uniform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.catalog import load_table
+
+
+@query(
+    "q_ordinal",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS pos
+        FROM lineitem
+    """,
+    tags=("window",),
+)
+def q_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal reconstruction (reference: ways_nodes.position assigned
+    by enumerate during parse, §2.6 W1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select("l_orderkey", "l_linenumber", F.row_number().over(w).alias("pos"))
+
+
+@query(
+    "q_rank_users",
+    oracle="""
+        SELECT user_id, cnt, dense_rank() OVER (ORDER BY cnt DESC) AS rnk
+        FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+        QUALIFY rnk <= 5
+    """,
+    tags=("window", "rank"),
+)
+def q_rank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contributor ranking (§2.6 W2): dense_rank over contribution
+    counts, top 5 ranks (ties all kept — rank filter is deterministic
+    where LIMIT would not be)."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    w = W.orderBy(F.desc("cnt"))
+    return counts.withColumn("rnk", F.dense_rank().over(w)).filter(F.col("rnk") <= 5)
+
+
+@query(
+    "q_moving_avg",
+    oracle="""
+        SELECT event_id, user_id,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+        FROM events
+    """,
+    tags=("window", "frame"),
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the last 4 events per user (§2.6 W3).
+    event_id tiebreak keeps the frame deterministic across engines.
+    Rounded to 4 decimals: values are 2-decimal, so ≤4-row averages
+    are multiples of 0.0025 — rounding at 2 decimals would sit exactly
+    on the half boundary and tip differently per engine."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return events.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("mavg")
+    )
+
+
+@query(
+    "q_lag_lead",
+    oracle="""
+        SELECT event_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,
+               lead(event_type) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "frame"),
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics (§2.6 W3): inter-event gap per user and the
+    next event's type."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return events.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "q_running_total",
+    oracle="""
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        FROM events
+    """,
+    tags=("window", "frame"),
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) total per user — the classic prefix
+    aggregation frame."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running")
+    )
