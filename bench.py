@@ -1,0 +1,68 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is fully materialized through
+the `noop` sink — unlike count(), noop cannot let column pruning skip
+the projected work, so timings reflect real execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from open_street_map_data_wrangling_spark.plans import load_all_queries
+from open_street_map_data_wrangling_spark.session import get_spark
+
+HEADLINE = (
+    "q_star_join",
+    "q_top_users",
+    "q_moving_avg",
+    "q_sessionize",
+    "q_tumbling",
+    "q_wordcount",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_ngram",
+    "q_vec_topk",
+    "q_langid",
+    "q_mm_extract",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    specs = load_all_queries()
+    spark = get_spark("osmdw-bench", driver_memory=os.environ.get("OSMDW_DRIVER_MEM", "48g"))
+
+    # warmup: JIT/codegen + parquet footer caches
+    specs["q_top_users"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        specs[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

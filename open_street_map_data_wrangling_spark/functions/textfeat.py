@@ -1,0 +1,56 @@
+"""Shared text-feature Column builders (pure built-in expressions).
+
+Word 3-gram shingling used by the near-dup family (SURVEY.md §2.11
+X2). Both the Spark expression and its DuckDB CTE twin live here so
+the two derivations can only drift in one place.
+
+The hash family for MinHash is md5 with a seed suffix — md5 produces
+identical lowercase hex in Spark and DuckDB, so min-over-hex-strings
+is a deterministic, engine-independent min-hash (murmur/xxhash would
+be faster but are not reproducible across the two engines; at
+production scale swap HASH_EXPR for xxhash64 and drop the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def shingles_expr(text_col: str = "text") -> Column:
+    """Distinct word 3-gram shingles of a space-tokenized text column;
+    texts with <3 tokens fall back to the whole text as one shingle.
+
+    The token array is bound once via a nested lambda scope —
+    referencing `split(...)` directly inside the transform lambda
+    would re-tokenize the text for every sequence element, turning an
+    O(tokens) expression into O(tokens²) per row (measured 2-3× on
+    the whole near-dup pipeline at sf0.1). The binding trick:
+    transform over a 1-element wrapper array gives the inner lambda a
+    named reference `t` to the token array, evaluated exactly once."""
+    return F.expr(
+        f"""
+        element_at(
+          transform(array(split({text_col}, ' ')), t ->
+            array_distinct(CASE WHEN size(t) >= 3 THEN
+              transform(sequence(1, size(t) - 2),
+                i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))
+            ELSE array(concat_ws(' ', t)) END)
+          ), 1)
+        """
+    )
+
+
+# DuckDB twin: CTEs producing (doc_id, lang, sh) — one row per distinct
+# shingle per document.
+SHINGLES_SQL_CTE = """
+    toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    shing AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(t) >= 3
+                   THEN list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [array_to_string(t, ' ')] END) AS shs
+        FROM toks),
+    ex AS (SELECT doc_id, lang, unnest(shs) AS sh FROM shing)
+"""

@@ -1,0 +1,294 @@
+"""Deduplication operators — SURVEY.md §2.11 X1/X2 (driver-mandated
+training-data-pipeline extensions; the reference has no analog).
+
+Five dedup strategies over `documents`, each a plain DataFrame
+program (SURVEY.md §4.2: queries, not engine extensions):
+
+* exact        — content hash, groupBy, keep-min survivor
+* MinHash-LSH  — shingle → 8 min-hashes → 4 banded signatures →
+                 band-bucket self-join → candidate pairs
+* SimHash      — 16-bit parity fingerprint per document
+* n-gram Jaccard — exact Jaccard on shingle sets for bounded pairs
+* embedding cosine — near-dup pairs within label buckets
+
+Scale notes (100 TB posture):
+* Exact dedup shuffles once on the 256-bit hash — uniform by
+  construction, no skew.
+* LSH banding turns the quadratic all-pairs problem into equi-joins
+  on band values; the hot-bucket risk (a band value shared by m docs
+  → m² candidates) is the skew to watch — cap bucket size or salt in
+  production; AQE's skew-join split handles moderate cases.
+* The Jaccard intersection join is on individual shingles — its skew
+  is shingle document-frequency (stop-shingles); production would
+  drop shingles with df above a cutoff first (same idea as df-based
+  stopword removal).
+* md5-as-hash-family keeps the oracle honest (identical hex in both
+  engines); swap for xxhash64 when cross-engine reproducibility is
+  not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfeat import SHINGLES_SQL_CTE, shingles_expr
+from ..plans.registry import query
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+        SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY sha256(text)
+    """,
+    tags=("dedup", "extension"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (X1): content-hash groupBy; survivor = min doc_id.
+    One shuffle on the hash; at 100 TB this is the cheapest dedup and
+    the first pass before any near-dup method."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2a — MinHash + LSH candidate pairs
+
+_N_HASHES = 8
+_BANDS = 4  # rows-per-band = 2
+
+_MINHASH_COLS_SQL = ",\n               ".join(
+    f"min(md5(sh || '#{i}')) AS m{i}" for i in range(_N_HASHES)
+)
+_BAND_SQL = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {j} AS bi, md5(m{2*j} || '|' || m{2*j+1}) AS bv FROM mh"
+    for j in range(_BANDS)
+)
+
+
+@query(
+    "q_dedup_near",
+    oracle=f"""
+        WITH {SHINGLES_SQL_CTE},
+        mh AS (
+            SELECT doc_id,
+               {_MINHASH_COLS_SQL}
+            FROM ex GROUP BY doc_id),
+        bands AS ({_BAND_SQL})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "lsh", "extension"),
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (X2): 3-gram shingles → 8
+    min-hashes → 4 bands of 2 → equi-self-join on band signature.
+    The only joins are equi-joins on band values, so the all-pairs
+    O(n²) never materializes — the LSH property that makes near-dup
+    feasible at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("bi"),
+                F.md5(F.concat(F.col(f"m{2*j}"), F.lit("|"), F.col(f"m{2*j+1}"))).alias("bv"),
+            )
+            for j in range(_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2b — SimHash fingerprint
+
+_N_BITS = 16
+
+
+def _simhash_agg_cols():
+    # per-bit score: sum over tokens of (2*parity(md5 hex char i) - 1)
+    return [
+        F.sum(
+            2 * (F.ascii(F.substring(F.md5(F.col("tok")), i + 1, 1)) % 2) - 1
+        ).alias(f"s{i}")
+        for i in range(_N_BITS)
+    ]
+
+
+_SIMHASH_SCORE_SQL = ",\n               ".join(
+    f"sum(2 * (ascii(substr(md5(tok), {i + 1}, 1)) % 2) - 1) AS s{i}"
+    for i in range(_N_BITS)
+)
+_SIMHASH_FP_SQL = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_N_BITS)
+)
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        scores AS (
+            SELECT doc_id,
+               {_SIMHASH_SCORE_SQL}
+            FROM tk GROUP BY doc_id)
+        SELECT doc_id, CAST({_SIMHASH_FP_SQL} AS BIGINT) AS fingerprint
+        FROM scores
+    """,
+    tags=("dedup", "simhash", "extension"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint (X2): 16-bit majority-vote fingerprint per
+    document; bit i's token hash is the parity of the i-th md5 hex
+    char (a deterministic hash family both engines reproduce exactly).
+    Near-dups are then fingerprints at small Hamming distance —
+    exact-match buckets or rotated-band buckets, both equi-joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    scores = tk.groupBy("doc_id").agg(*_simhash_agg_cols())
+    fp = None
+    for i in range(_N_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return scores.select("doc_id", fp.cast("bigint").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# X2c — n-gram Jaccard similarity
+
+_JACCARD_MIN = 0.02
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+        WITH {SHINGLES_SQL_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM ex a JOIN ex b
+              ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= {_JACCARD_MIN}
+    """,
+    tags=("dedup", "jaccard", "extension"),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard (X2) for pairs sharing ≥1 shingle, bounded
+    to same-lang pairs: |A∩B| via a shingle equi-self-join, |A∪B| from
+    per-doc set sizes. The single division keeps float behavior
+    identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", "lang", F.explode(shingles_expr("text")).alias("sh"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(j >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2d — embedding-cosine near-dup pairs
+
+_COS_MIN = 0.3
+
+_DOT_DOUBLE = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    """Cosine similarity of two float-array columns, computed in
+    double (matches DuckDB's list_cosine_similarity on DOUBLE[])."""
+    dot = _DOT_DOUBLE.format(a=a, b=b)
+    na = _DOT_DOUBLE.format(a=a, b=a)
+    nb = _DOT_DOUBLE.format(a=b, b=b)
+    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                 AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {_COS_MIN}
+    """,
+    tags=("dedup", "embedding", "extension"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (X2): pairs within the same label
+    bucket with cosine ≥ 0.3. The label bucket is the blocking key —
+    the same role LSH bands play for text; without it the pair join
+    is quadratic. Dot products via zip_with/aggregate higher-order
+    functions — no UDF, fully codegen'd."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine_expr("a.embedding", "b.embedding")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= _COS_MIN)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,138 @@
+"""Multimodal columns — SURVEY.md §2.11 X5 (driver-mandated
+extension).
+
+Media (image/audio/video) is carried as an opaque `binary` column +
+typed metadata, the standard lakehouse layout for training data. The
+fixture universe has no real media, so the *payload* here is the
+utf-8 encoding of `documents.text` — but the Spark-side plumbing is
+the real thing: binary columns, Arrow-batched `mapInPandas`, explicit
+result schema, per-batch (not per-row) Python work.
+
+The actual codec step is stubbed (this container has no image/audio
+libs): `decode_image` raises NotImplementedError with instructions,
+and `fake_decode_meta` is the clearly-marked deterministic stand-in
+used by tests and the oracle-checked query.
+
+Scale notes: mapInPandas streams Arrow record batches through one
+Python worker per core — the payload bytes never land on the driver;
+partition sizing (`spark.sql.files.maxPartitionBytes`, or an explicit
+repartition on the id) controls batch memory, which is what matters
+when each row carries megabytes of media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.catalog import load_table
+
+# Result schema of the feature-extraction stage — explicit, so the
+# plan's schema never depends on Python introspection.
+MM_FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes int, head_byte int, content_md5 string, "
+    "fake_width int, fake_height int"
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Real media decode — NOT available in this container (no PIL /
+    cv2 / torchvision). Wire your codec here; everything downstream
+    (schema, batching, partitioning) already handles real payloads."""
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; "
+        "use fake_decode_meta for deterministic tests"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode: derives a fake (width,
+    height) from the payload bytes. Replaces decode_image in tests
+    and oracle-checked queries ONLY."""
+    head = payload[0] if payload else 0
+    return (1 + head % 64, 1 + len(payload) % 64)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per Arrow batch, vectorized metadata +
+    (fake-)decode features from the binary payload column."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        dims = payloads.map(fake_decode_meta)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "head_byte": payloads.map(lambda b: b[0] if len(b) else 0).astype("int32"),
+                "content_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                "fake_width": dims.map(lambda t: t[0]).astype("int32"),
+                "fake_height": dims.map(lambda t: t[1]).astype("int32"),
+            }
+        )
+
+
+def extract_media_features(binary_df: DataFrame) -> DataFrame:
+    """The multimodal feature-extraction operator: binary column in,
+    typed metadata out, Arrow-batched. Input needs (doc_id, payload
+    binary)."""
+    return binary_df.mapInPandas(_extract_batches, schema=MM_FEATURES_SCHEMA)
+
+
+@query(
+    "q_mm_extract",
+    oracle="""
+        SELECT doc_id,
+               length(text) AS n_bytes,
+               ascii(substr(text, 1, 1)) AS head_byte,
+               md5(text) AS content_md5,
+               1 + (ascii(substr(text, 1, 1)) % 64) AS fake_width,
+               1 + (length(text) % 64) AS fake_height
+        FROM documents
+    """,
+    tags=("multimodal", "extension", "pandas-udf"),
+)
+def q_mm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (X5): text → binary payload →
+    mapInPandas metadata/decode — the full Arrow round-trip the real
+    media pipeline uses, oracle-checked because the fake decode is
+    deterministic. (Documents are ASCII, so octet length == char
+    length lets the SQL twin exist at all.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    binary_df = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return extract_media_features(binary_df)
+
+
+@query(
+    "q_multimodal",
+    oracle="""
+        SELECT d.doc_id, d.lang, d.n_chars, e.label,
+               round(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 3)
+                 AS emb_norm
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.lang = 'en'
+    """,
+    tags=("multimodal", "extension"),
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly (X5): text metadata ⋈ vector column in
+    one relation, filtered and feature-projected — the "one training
+    sample, several modalities" join. At matched row counts this is a
+    co-partitionable equi-join (bucket both tables by id at write
+    time and it is shuffle-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0D, (acc, v) -> acc + v))"
+    )
+    return (
+        docs.filter(F.col("lang") == "en")
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select("doc_id", "lang", "n_chars", "label", F.round(norm, 3).alias("emb_norm"))
+    )

@@ -1,0 +1,140 @@
+"""Similarity search — SURVEY.md §2.11 X3 (driver-mandated extension).
+
+Approximate-nearest-neighbor over the `embeddings.embedding`
+(array<float>) column:
+
+* `q_vec_topk`  — brute-force cosine top-k: the correctness baseline.
+* `q_ann_ivf`   — IVF-style probe: assign every vector to its nearest
+  of C centroids (a tiny broadcast "codebook"), then search only the
+  query's cell. The scan cost drops from N to ~N/C per query; the
+  cell assignment is one broadcast join + window argmax, done once
+  and reusable for any number of queries.
+
+All dot products run in double via zip_with/aggregate higher-order
+functions — JVM-side, no UDFs (SURVEY.md §4.2: X3 is a DataFrame
+program, no custom strategy needed).
+
+Scale notes: at 100 TB the brute-force form stays a single broadcast
+(query vector) + per-partition top-k heap (TakeOrderedAndProject) —
+embarrassingly parallel; IVF adds a partition-pruning dimension: if
+the table is written partitioned by cell id, Catalyst prunes all
+non-probed cells at scan time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.catalog import load_table
+from .dedup import cosine_expr
+
+_QUERY_ID_TOPK = 0
+_QUERY_ID_IVF = 42
+_N_CENTROIDS = 8
+
+
+@query(
+    "q_vec_topk",
+    oracle=f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID_TOPK})
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4)
+                 AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> {_QUERY_ID_TOPK}
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                 e.vec_id ASC
+        LIMIT 10
+    """,
+    tags=("similarity", "extension", "topk"),
+)
+def q_vec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one query vector (X3 baseline).
+    The single-row query side is broadcast; the big side streams once
+    and each task keeps a 10-row heap."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_ID_TOPK).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos = cosine_expr("embedding", "q_embedding")
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_ID_TOPK)
+        .join(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+            WHERE vec_id < {_N_CENTROIDS}),
+        assign AS (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC, c.cid ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c),
+        a1 AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+        qc AS (SELECT cid FROM a1 WHERE vec_id = {_QUERY_ID_IVF}),
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID_IVF})
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4)
+                 AS cos_sim
+        FROM embeddings e
+        JOIN a1 ON e.vec_id = a1.vec_id
+        JOIN qc ON a1.cid = qc.cid
+        CROSS JOIN q
+        WHERE e.vec_id <> {_QUERY_ID_IVF}
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                 e.vec_id ASC
+        LIMIT 5
+    """,
+    tags=("similarity", "extension", "ann"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (X3 scale path): deterministic codebook = the
+    first C vectors; every vector is assigned to its nearest centroid
+    (broadcast join + window argmax), the query probes only its own
+    cell. Recall < 1 by design — the oracle replicates the same probe,
+    checking the *algorithm*, not pretending it is exact search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cos_c = cosine_expr("embedding", "cemb")
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    assign = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "cid", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    qcell = assign.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
+        F.col("cid").alias("qcid")
+    )
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos_q = cosine_expr("embedding", "q_embedding")
+    bucket = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != _QUERY_ID_IVF)
+    )
+    return (
+        bucket.join(F.broadcast(qvec))
+        .select("vec_id", cos_q.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,202 @@
+"""Text analysis — SURVEY.md §2.11 X4 (driver-mandated extension).
+
+Training-data-pipeline text operators over `documents`:
+
+* word count           — the classic explode/groupBy/top-k
+* language ID          — corpus-trained token-profile classifier
+* quality scoring      — length / stopword / digit-ratio features
+* token counting       — whitespace + BPE-ish regex segmentation
+* document fingerprint — positionally weighted rolling hash
+
+All pure built-in expressions (explode, higher-order array functions,
+regexp_extract_all) — the Python-free hot path. Ratios are computed
+with a single division so both engines produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.catalog import load_table
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is")
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "q_wordcount",
+    oracle="""
+        SELECT tok AS word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok ORDER BY cnt DESC, word ASC LIMIT 20
+    """,
+    tags=("text", "extension"),
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 word count (X4): explode → hash agg → top-k heap.
+    Partial aggregation makes the shuffle carry one row per
+    (partition, word) — vocabulary-sized, not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_langid",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        freq AS (SELECT lang, tok, count(*) AS cnt FROM tk GROUP BY lang, tok),
+        prof AS (
+            SELECT lang AS plang, tok FROM (
+                SELECT lang, tok,
+                       row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rn
+                FROM freq) WHERE rn <= 10),
+        scores AS (
+            SELECT tk.doc_id, prof.plang, count(*) AS score
+            FROM tk JOIN prof ON tk.tok = prof.tok
+            GROUP BY tk.doc_id, prof.plang),
+        best AS (
+            SELECT doc_id, plang AS predicted_lang, score FROM (
+                SELECT doc_id, plang, score,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+                FROM scores) WHERE rn = 1)
+        SELECT d.doc_id, d.lang AS true_lang, b.predicted_lang, b.score
+        FROM documents d JOIN best b ON d.doc_id = b.doc_id
+    """,
+    tags=("text", "extension", "langid"),
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID (X4): n-gram-profile heuristic — train per-language
+    token profiles (top-10 most frequent tokens per lang) on the
+    corpus itself, score each document by profile-token hits, predict
+    the argmax. The profile is tiny → broadcast; scoring is one
+    equi-join + two hash aggs. (A real system would use char n-grams
+    and out-of-corpus profiles; the operator shape is identical.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    freq = tk.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    w_prof = W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
+    prof = (
+        freq.withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("lang").alias("plang"), "tok")
+    )
+    scores = (
+        tk.join(F.broadcast(prof), "tok")
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("score"))
+    )
+    w_best = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("predicted_lang"), "score")
+    )
+    return docs.select("doc_id", F.col("lang").alias("true_lang")).join(best, "doc_id")
+
+
+@query(
+    "q_quality",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_toks,
+               length(text) AS n_chars_actual,
+               len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+                 AS stop_cnt,
+               round(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+                     * 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio,
+               round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                     / len(string_split(text, ' ')), 4) AS avg_tok_len,
+               round(0.6 * (len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+                            * 1.0 / len(string_split(text, ' ')))
+                     + 0.1 * ((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                              / len(string_split(text, ' '))), 4) AS quality
+        FROM documents
+    """,
+    tags=("text", "extension", "quality"),
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (X4): token count, stopword ratio, average
+    token length, and a linear quality score — row-local arithmetic
+    over higher-order array functions, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_cnt = F.size(F.expr(f"filter(split(text, ' '), t -> t IN ({stop_list}))"))
+    stop_ratio = stop_cnt * F.lit(1.0) / n_toks
+    avg_tok_len = (F.length("text") - (n_toks - 1)) * F.lit(1.0) / n_toks
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        F.length("text").alias("n_chars_actual"),
+        stop_cnt.alias("stop_cnt"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(avg_tok_len, 4).alias("avg_tok_len"),
+        F.round(0.6 * stop_ratio + 0.1 * avg_tok_len, 4).alias("quality"),
+    )
+
+
+@query(
+    "q_tokens",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+               len(list_distinct(string_split(text, ' '))) AS distinct_tokens
+        FROM documents
+    """,
+    tags=("text", "extension", "tokens"),
+)
+def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (X4): whitespace tokens vs a BPE-ish regex
+    segmentation (letter runs / digit runs / single punctuation) vs
+    distinct tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpe_tokens"
+        ),
+        F.size(F.array_distinct(F.split("text", " "))).alias("distinct_tokens"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               CAST(sum((ascii(substr(tok, 1, 1)) * 131 + length(tok) * 7)
+                        * CAST(power(31, (ord - 1) % 8) AS BIGINT)) AS BIGINT)
+                 AS fingerprint
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+            FROM documents)
+        GROUP BY doc_id
+    """,
+    tags=("text", "extension", "fingerprint"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (X4): positionally weighted rolling hash —
+    token feature (first-char code, length) times a 31^(pos mod 8)
+    weight, summed. Integer arithmetic end-to-end: bit-identical in
+    both engines, order-insensitive (sum), and sensitive to token
+    order (the weight), unlike a bag-of-words hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    h = F.ascii(F.substring("tok", 1, 1)) * 131 + F.length("tok") * 7
+    w = F.pow(F.lit(31.0), (F.col("pos") % 8).cast("double")).cast("bigint")
+    return tk.groupBy("doc_id").agg(
+        F.sum((h * w).cast("bigint")).cast("bigint").alias("fingerprint")
+    )

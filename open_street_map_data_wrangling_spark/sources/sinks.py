@@ -1,0 +1,55 @@
+"""Sinks — SURVEY.md §2.1 S3/S4/S5.
+
+Reference: csv.DictWriter per shaped table (S3), one JSON doc per
+element (S4), sqlite3/pymongo load (S5). Engine equivalents are the
+DataFrameWriter formats; parquet is the engine-default (columnar,
+statistics, predicate-pushdown-able on re-read).
+
+`partition_by` is the 100 TB lever: a layout partitioned on the query
+key (e.g. event date) turns full scans into partition-pruned scans;
+`bucket_by` co-locates join keys so repeated joins skip the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (reference: UnicodeDictWriter) — header on, standard
+    quoting; for interchange only (no stats, no pushdown)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (reference: the Mongo-variant dump) — one doc
+    per row; nested structs/arrays serialize naturally."""
+    df.write.mode(mode).json(path)
+
+
+def write_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    bucket_by: tuple[int, tuple[str, ...]] | None = None,
+) -> None:
+    """Managed-table sink (reference: sqlite3/pymongo load). With
+    bucket_by=(n, cols), repeated equi-joins/aggs on cols skip their
+    shuffle — the lakehouse version of the reference's DB indexes."""
+    w = df.write.mode(mode)
+    if bucket_by:
+        n, cols = bucket_by
+        w = w.bucketBy(n, *cols).sortBy(*cols)
+    w.saveAsTable(name)

@@ -1,0 +1,124 @@
+"""Structured Streaming jobs — SURVEY.md §2.9.
+
+The reference is batch-only; this module wires the *same logical
+expressions* as operators/streaming_batch.py behind `readStream`, so
+batch is the oracle for streaming (the driver rows-only checks the
+streaming path; the windowing/sessionization logic itself is
+hash-verified through the batch twins).
+
+Patterns covered:
+* file-source stream with explicit schema (no inference at scale)
+* watermark + tumbling window aggregation (late-data bound = state
+  retention bound — without it, window state grows forever)
+* watermark + dropDuplicates (stateful dedup; state keyed by id,
+  expired by the watermark)
+* session_window aggregation (gap-close semantics)
+* applyInPandasWithState custom stateful operator (per-user running
+  count) — the escape hatch when built-in stateful ops can't express
+  the semantics.
+
+All jobs are trigger-agnostic: tests drive them with
+`trigger(availableNow=True)` into a memory sink; production would use
+a continuous trigger + checkpointLocation on durable storage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Explicit source schema — streaming readers must not infer (a schema
+# change midstream is an operational event, not a silent widening).
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def events_file_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files
+    (µs timestamps — i.e. files written by this engine's sinks)."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src_dir)
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 5-minute counts per event type (q_tumbling's logic).
+    The watermark bounds both late-data acceptance and window state."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_micros("w.start").alias("win_start_us"), "event_type", "cnt")
+    )
+
+
+def sessionized_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session event counts via session_window (q_session_window's
+    logic, incremental form)."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("start_us"),
+            F.unix_micros("sw.end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+def deduped_events(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful dedup on event_id (q_stream_dedup's streaming form);
+    watermark expires dedup state so it cannot grow unboundedly."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def user_running_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count — the template for stateful logic Spark's
+    built-ins can't express (per-key model state, decayed counters,
+    online sketches)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id bigint, n_events bigint"
+    state_schema = "n bigint"
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(result: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming result to completion with availableNow into a
+    memory sink; returns the materialized table (test/demo harness)."""
+    spark = result.sparkSession
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

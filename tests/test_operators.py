@@ -1,0 +1,105 @@
+"""Unit tests on tiny literal DataFrames (FIXTURES.md §D) — fast
+iteration layer under the DuckDB-oracle differential gate."""
+
+from pyspark.sql import functions as F
+
+from open_street_map_data_wrangling_spark.functions.textfeat import shingles_expr
+from open_street_map_data_wrangling_spark.operators.dedup import cosine_expr
+from open_street_map_data_wrangling_spark.operators.multimodal import fake_decode_meta
+from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+
+def test_shingles_basic(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "text string")
+    rows = df.select(shingles_expr("text").alias("sh")).collect()
+    assert rows[0].sh == ["a b c", "b c d"]
+    assert rows[1].sh == ["x y"]  # <3 tokens -> whole text
+
+
+def test_shingles_dedup(spark):
+    df = spark.createDataFrame([("a a a a a",)], "text string")
+    rows = df.select(shingles_expr("text").alias("sh")).collect()
+    assert rows[0].sh == ["a a a"]  # distinct
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [r[0] for r in df.select(cosine_expr("a", "b")).collect()]
+    assert abs(got[0] - 1.0) < 1e-12
+    assert abs(got[1] - 0.0) < 1e-12
+
+
+def test_fake_decode_meta_deterministic():
+    assert fake_decode_meta(b"hello") == fake_decode_meta(b"hello")
+    w, h = fake_decode_meta(b"hello")
+    assert 1 <= w <= 64 and 1 <= h <= 64
+    assert fake_decode_meta(b"") == (1, 1)
+
+
+def test_sessionize_gap_logic(spark):
+    # two bursts separated by >30min must produce 2 sessions
+    from open_street_map_data_wrangling_spark.plans import QUERIES
+
+    load_all_queries()
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7),
+            (2, "2024-01-01 00:05:00", 7),
+            (3, "2024-01-01 02:00:00", 7),
+        ],
+        "event_id long, ts_s string, user_id long",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+    df.createOrReplaceTempView("_tiny_events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    flagged = df.select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.when(
+            (ts_us - F.lag(ts_us).over(w) > 30 * 60 * 1_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    n_sessions = flagged.agg(F.sum("new_session")).collect()[0][0]
+    assert n_sessions == 2
+
+
+def test_registry_complete(spark):
+    specs = load_all_queries()
+    # every oracle string references only known tables; every spec callable
+    assert len(specs) >= 45
+    for name, spec in specs.items():
+        assert name.startswith("q_")
+        assert callable(spec.spark)
+
+
+def test_clean_street_mapping(spark, sf_dir):
+    specs = load_all_queries()
+    out = specs["q_clean_street"].spark(spark, sf_dir)
+    rows = {r.p_name: r.cleaned for r in out.collect()}
+    for raw, cleaned in rows.items():
+        if raw.endswith("widget"):
+            assert cleaned.endswith("Widget")
+        if raw.endswith("bolt"):
+            assert cleaned == raw  # not in mapping -> unchanged
+
+
+def test_minhash_self_similarity(spark):
+    # identical texts must collide in every band -> always a candidate pair
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "z1 z2 z3 z4 z5")],
+        "doc_id long, text string",
+    )
+    ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
+    mh = ex.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"m{i}") for i in range(8)]
+    )
+    sigs = {r.doc_id: tuple(r[i] for i in range(1, 9)) for r in mh.collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]

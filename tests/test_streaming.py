@@ -1,0 +1,83 @@
+"""Structured Streaming tests: drive each job with availableNow into
+a memory sink and check against the batch-equivalent logic (batch is
+the oracle for streaming — SURVEY.md §2.9)."""
+
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from open_street_map_data_wrangling_spark.sources.catalog import load_table
+from open_street_map_data_wrangling_spark.streaming import (
+    deduped_events,
+    events_file_stream,
+    run_to_memory,
+    sessionized_counts,
+    tumbling_counts,
+    user_running_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, sf_dir, tmp_path_factory):
+    """Write a 300-row slice of events as a µs-timestamp parquet dir —
+    the file-source a streaming job would tail."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    events = load_table(spark, sf_dir, "events").orderBy("event_id").limit(300)
+    events.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _batch(spark, path):
+    return spark.read.parquet(path)
+
+
+def test_tumbling_stream_matches_batch(spark, stream_src):
+    stream = events_file_stream(spark, stream_src)
+    got = run_to_memory(tumbling_counts(stream), f"t_{uuid.uuid4().hex[:8]}")
+    exp = (
+        _batch(spark, stream_src)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_micros("w.start").alias("win_start_us"), "event_type", "cnt")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_dedup_stream(spark, stream_src):
+    stream = events_file_stream(spark, stream_src)
+    got = run_to_memory(
+        deduped_events(stream), f"d_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    n_src = _batch(spark, stream_src).count()
+    assert got.count() == _batch(spark, stream_src).select("event_id").distinct().count()
+    assert got.count() <= n_src
+
+
+def test_session_stream(spark, stream_src):
+    stream = events_file_stream(spark, stream_src)
+    got = run_to_memory(sessionized_counts(stream), f"s_{uuid.uuid4().hex[:8]}")
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    assert total == _batch(spark, stream_src).count()
+    # session windows must not overlap per user
+    rows = got.orderBy("user_id", "start_us").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.start_us, r.end_us))
+    for spans in by_user.values():
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_stateful_running_counts(spark, stream_src):
+    stream = events_file_stream(spark, stream_src)
+    got = run_to_memory(
+        user_running_counts(stream), f"u_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    exp = (
+        _batch(spark, stream_src).groupBy("user_id").agg(F.count("*").alias("n_events"))
+    )
+    # memory sink in update mode may hold several versions; take the max
+    final = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, exp.collect()))
