@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "similarity",
     "text",
     "multimodal",
+    "frontdoors",
 )
 
 
