@@ -1,0 +1,82 @@
+"""Scale patterns — the 100 TB levers as reusable operators.
+
+These are not fixture queries; they are the building blocks the
+SURVEY.md §4.3 posture names for surviving scale-up, packaged so any
+query in the inventory can adopt them:
+
+* salted aggregation — two-phase groupBy for skewed keys (a hot key's
+  rows split across `n_salts` partial groups, then recombined; the
+  shuffle never concentrates a hot key on one task)
+* salted skew join — explode the small side per salt so a skewed fact
+  key joins against n copies, spreading its rows over n tasks
+* two-phase distinct count — exact countDistinct without shipping
+  every (key, value) pair to one stage
+
+tests/test_scale_patterns.py proves each pattern equivalent to its
+naive form, and additionally demonstrates (with plan assertions)
+dynamic partition pruning and bucketed shuffle-free joins on written
+layouts — the two write-time levers sources/sinks.py exposes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Two-phase count per key. Phase 1 groups on (key, salt) —
+    partial counts spread a hot key over n_salts reducers; phase 2
+    recombines per key. Identical result to groupBy(key).count() for
+    any input; strictly more shuffle rows (n_salts per key), which is
+    the price of flattening the skew."""
+    salt = (F.rand(seed=42) * n_salts).cast("int").alias("__salt")
+    partial = df.select(F.col(key), salt).groupBy(key, "__salt").agg(
+        F.count("*").alias("__partial")
+    )
+    return partial.groupBy(key).agg(F.sum("__partial").alias("cnt"))
+
+
+def salted_sum(df: DataFrame, key: str, value: str, n_salts: int = 16) -> DataFrame:
+    """Two-phase sum per key (same shape as salted_count)."""
+    salt = (F.rand(seed=42) * n_salts).cast("int").alias("__salt")
+    partial = df.select(F.col(key), F.col(value), salt).groupBy(key, "__salt").agg(
+        F.sum(value).alias("__partial")
+    )
+    return partial.groupBy(key).agg(F.sum("__partial").alias(f"sum_{value}"))
+
+
+def salted_join(
+    fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8
+) -> DataFrame:
+    """Skew-resistant equi-join: fact rows get a random salt; the dim
+    side is exploded once per salt value, so a hot fact key's rows
+    land on n_salts different tasks instead of one. Equivalent to
+    fact.join(dim, key) for any input. AQE's skew-join split covers
+    moderate skew automatically; explicit salting is for the
+    pathological keys AQE cannot subdivide (a single key larger than
+    a task)."""
+    fact_s = fact.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return fact_s.join(dim_s, [key, "__salt"]).drop("__salt")
+
+
+def two_phase_distinct_count(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Exact distinct-count per key without a monolithic distinct
+    stage: dedup (key, value) pairs first (map-side partial distinct
+    applies), then count per key. Same result as
+    groupBy(key).agg(countDistinct(value))."""
+    return (
+        df.select(key, value)
+        .dropDuplicates([key, value])
+        .groupBy(key)
+        .agg(F.count("*").alias(f"n_distinct_{value}"))
+    )
+
+
+def explain_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain text as a string (plan-assertion helper)."""
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)

@@ -1,0 +1,120 @@
+"""Scale-pattern proofs (SURVEY.md §4.3): each 100 TB lever is shown
+(a) result-equivalent to its naive form and (b) — where it is a plan
+property — visible in the physical plan."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from open_street_map_data_wrangling_spark.operators.scale import (
+    explain_string,
+    salted_count,
+    salted_join,
+    salted_sum,
+    two_phase_distinct_count,
+)
+from open_street_map_data_wrangling_spark.sources.catalog import load_table
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_salted_count_equivalent(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    naive = events.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    assert _sorted(salted_count(events, "event_type")) == _sorted(naive)
+
+
+def test_salted_sum_equivalent(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    naive = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_l_quantity")
+    )
+    got = salted_sum(li, "l_returnflag", "l_quantity").withColumn(
+        "sum_l_quantity", F.round("sum_l_quantity", 2)
+    )
+    assert _sorted(got) == _sorted(naive)
+
+
+def test_salted_join_equivalent(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    naive = orders.join(customer, "c_custkey").groupBy("c_mktsegment").count()
+    got = salted_join(orders, customer, "c_custkey").groupBy("c_mktsegment").count()
+    assert _sorted(got) == _sorted(naive)
+
+
+def test_two_phase_distinct_count(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    naive = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_user_id")
+    )
+    assert _sorted(two_phase_distinct_count(events, "event_type", "user_id")) == _sorted(
+        naive
+    )
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir, tmp_path):
+    """A date-partitioned layout + a selective dim filter must produce
+    a dynamicpruning partition filter on the fact scan — the write-
+    time lever that turns full scans into partition scans at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_part")
+    orders.write.partitionBy("o_month").mode("overwrite").parquet(path)
+
+    dim_path = str(tmp_path / "months_dim")
+    orders.groupBy("o_month").count().write.mode("overwrite").parquet(dim_path)
+
+    spark.read.parquet(path).createOrReplaceTempView("dpp_fact")
+    spark.read.parquet(dim_path).createOrReplaceTempView("dpp_dim")
+    joined = spark.sql(
+        """
+        SELECT f.o_month, count(*) AS n
+        FROM dpp_fact f JOIN dpp_dim d ON f.o_month = d.o_month
+        WHERE d.count > 10
+        GROUP BY f.o_month
+        """
+    )
+    plan = explain_string(joined)
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with
+    zero Exchange operators — the bucketing lever sinks.write_table
+    exposes."""
+    # warehouse dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        customer = load_table(spark, sf_dir, "customer")
+        orders.write.bucketBy(4, "o_custkey").sortBy("o_custkey").mode(
+            "overwrite"
+        ).saveAsTable("orders_b")
+        customer.write.bucketBy(4, "c_custkey").sortBy("c_custkey").mode(
+            "overwrite"
+        ).saveAsTable("customer_b")
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = explain_string(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        n = joined.count()
+        assert n == orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
