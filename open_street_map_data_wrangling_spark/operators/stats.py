@@ -1,0 +1,181 @@
+"""Statistical & analytic breadth operators.
+
+Beyond the reference's min/max/avg report stats (§2.4 A8): exact
+percentiles, correlation/variance, ntile bucketing, first/last
+values per group, and conditional-expression coverage. All rounded at
+non-boundary precision so the two engines' last-ulp differences in
+Welford-style accumulators cannot flip a digit (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.catalog import load_table
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+    """,
+    tags=("stats", "agg"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`). At 100 TB the exact form needs a per-group
+    sort; `approx_percentile` (t-digest sketch, fixed memory) is the
+    scale path — shown rows-only in q_approx_percentiles."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query("q_approx_percentiles", oracle=None, tags=("stats", "sketch"))
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (fixed-memory per group) — the 100 TB
+    counterpart of q_percentiles; no exact SQL twin, rows-only."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5, 10000).alias("p50_approx"),
+        F.approx_percentile("value", 0.9, 10000).alias("p90_approx"),
+    )
+
+
+@query(
+    "q_corr_stats",
+    oracle="""
+        SELECT o_orderstatus,
+               round(corr(o_totalprice, epoch_us(CAST(o_orderdate AS TIMESTAMP)) / 1e15), 6)
+                 AS price_time_corr,
+               round(stddev_samp(o_totalprice), 2) AS price_sd,
+               round(var_samp(o_totalprice) / 1e6, 4) AS price_var_m,
+               count(*) AS cnt
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("stats", "agg"),
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / stddev / variance per group — the reference's
+    report never computes these; a data-quality pipeline does."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1e15)
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.corr(F.col("o_totalprice"), t), 6).alias("price_time_corr"),
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("price_sd"),
+        F.round(F.var_samp("o_totalprice") / 1e6, 4).alias("price_var_m"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "q_ntile",
+    oracle="""
+        SELECT quartile, count(*) AS cnt, round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM (
+            SELECT o_totalprice,
+                   ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+            FROM orders)
+        GROUP BY quartile
+    """,
+    tags=("stats", "window"),
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile bucketing over a global order (unique tiebreak
+    on o_orderkey keeps bucket boundaries engine-deterministic).
+    A single-partition global sort — at 100 TB replace with
+    approx-percentile cutpoints + a broadcast range join."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_first_last",
+    oracle="""
+        SELECT user_id,
+               min_by(event_type, ts_k) AS first_type,
+               max_by(event_type, ts_k) AS last_type,
+               count(*) AS cnt
+        FROM (SELECT user_id, event_type,
+                     (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) * 1000000
+                       + event_id AS ts_k
+              FROM events)
+        GROUP BY user_id
+    """,
+    tags=("stats", "agg"),
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event type per user via min_by/max_by over a
+    composite (ts, event_id) key — the shuffle-light alternative to a
+    window + row_number for endpoint extraction. The epoch is rebased
+    to the fixture's 2024-01-01 floor so the composite stays inside
+    int64 (raw epoch-µs × 10^6 would overflow)."""
+    events = load_table(spark, sf_dir, "events")
+    ts_k = (
+        (F.unix_micros("ts") - F.lit(1704067200000000)) * 1000000 + F.col("event_id")
+    ).alias("ts_k")
+    return (
+        events.select("user_id", "event_type", ts_k)
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "ts_k").alias("first_type"),
+            F.max_by("event_type", "ts_k").alias("last_type"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@query(
+    "q_conditional",
+    oracle="""
+        SELECT event_id,
+               coalesce(nullif(event_type, 'view'), 'hidden') AS vis_type,
+               CASE WHEN value >= 75 THEN 'high' WHEN value >= 25 THEN 'mid'
+                    ELSE 'low' END AS band,
+               ifnull(TRY_CAST(json_extract_string(props, '$.missing') AS INTEGER), -1)
+                 AS missing_default,
+               greatest(value, 50.0) AS v_floor50,
+               least(value, 50.0) AS v_cap50
+        FROM events
+    """,
+    tags=("stats", "conditional"),
+)
+def q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression family (§2.8): when/otherwise chains,
+    coalesce, nullif, ifnull, greatest/least — the shape_element
+    if/elif ladder as vectorized expressions."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("view")), F.lit("hidden")).alias(
+            "vis_type"
+        ),
+        F.when(F.col("value") >= 75, "high")
+        .when(F.col("value") >= 25, "mid")
+        .otherwise("low")
+        .alias("band"),
+        F.ifnull(
+            F.expr("try_cast(get_json_object(props, '$.missing') AS int)"), F.lit(-1)
+        ).alias("missing_default"),
+        F.greatest("value", F.lit(50.0)).alias("v_floor50"),
+        F.least("value", F.lit(50.0)).alias("v_cap50"),
+    )

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "text",
     "multimodal",
     "frontdoors",
+    "stats",
 )
 
 
