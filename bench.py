@@ -40,8 +40,14 @@ def main() -> None:
     specs = load_all_queries()
     spark = get_spark("osmdw-bench", driver_memory=os.environ.get("OSMDW_DRIVER_MEM", "48g"))
 
-    # warmup: JIT/codegen + parquet footer caches
-    specs["q_top_users"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warmup: run every headline plan shape once at the smallest SF —
+    # whole-stage codegen compilation, JIT, and Python-worker startup
+    # are one-time costs per plan, not per-byte throughput; timing them
+    # against sf0.1 would benchmark the JVM compiler instead of the
+    # engine.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        specs[name].spark(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

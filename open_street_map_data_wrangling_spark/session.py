@@ -72,6 +72,14 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("OSMDW_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split-size is env-tunable; measured at sf0.1: finer splits
+        # (2m) LOSE to the 128m default — task-launch overhead exceeds
+        # the scan win on MB-scale files. The default is also what a
+        # TB-scale deployment wants, so it stays.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("OSMDW_MAX_PARTITION_BYTES", "128m"),
+        )
     )
     for k, v in _RUNTIME_SQL_CONF.items():
         builder = builder.config(k, v)
