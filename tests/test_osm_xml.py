@@ -1,0 +1,123 @@
+"""OSM XML ingestion tests (SURVEY.md §2.1 S1): generate a
+deterministic synthetic extract in the reference's layout (osmosis
+indent style, FIXTURES.md §C constraints), parse it distributed, and
+run the audit/clean logic over the shaped tables."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from open_street_map_data_wrangling_spark.sources.osm_xml import parse_osm_xml
+
+N_NODES = 60
+N_WAYS = 12
+
+STREETS = [
+    "Main Street",
+    "Oak Ave",  # abbreviated -> audit hit
+    "Pine St.",  # abbreviated -> audit hit
+    "Elm Road",
+    "Birch Blvd",  # abbreviated -> audit hit
+]
+
+
+def _make_xml() -> str:
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
+    lines.append('  <bounds minlat="41.0" minlon="-81.0" maxlat="41.5" maxlon="-80.5"/>')
+    for i in range(N_NODES):
+        uid = i % 7
+        attrs = (
+            f'id="{i}" lat="{41.0 + i * 0.001:.4f}" lon="{-81.0 + i * 0.001:.4f}" '
+            f'user="user{uid}" uid="{uid}" version="1" changeset="{1000 + i}" '
+            f'timestamp="2024-01-0{1 + i % 9}T00:00:00Z"'
+        )
+        if i % 3 == 0:  # node with child tags (multi-line form)
+            lines.append(f"  <node {attrs}>")
+            lines.append(f'    <tag k="addr:street" v="{STREETS[i % len(STREETS)]}"/>')
+            if i % 6 == 0:
+                lines.append('    <tag k="amenity" v="restaurant"/>')
+                lines.append('    <tag k="cuisine" v="pizza"/>')
+            lines.append("  </node>")
+        else:  # self-closed node
+            lines.append(f"  <node {attrs}/>")
+    for w in range(N_WAYS):
+        uid = w % 5
+        lines.append(
+            f'  <way id="{10000 + w}" user="user{uid}" uid="{uid}" version="2" '
+            f'changeset="{2000 + w}" timestamp="2024-01-15T12:00:00Z">'
+        )
+        for p in range(3):  # ordered refs to existing nodes
+            lines.append(f'    <nd ref="{(w * 3 + p) % N_NODES}"/>')
+        lines.append(f'    <tag k="highway" v="residential"/>')
+        lines.append(f'    <tag k="name" v="Way {w}"/>')
+        lines.append("  </way>")
+    # a relation — must be ignored like the reference does
+    lines.append('  <relation id="99" user="user0" uid="0" version="1" changeset="3000" timestamp="2024-01-20T00:00:00Z">')
+    lines.append('    <member type="way" ref="10000" role="outer"/>')
+    lines.append("  </relation>")
+    lines.append("</osm>")
+    return "\n".join(lines) + "\n"
+
+
+@pytest.fixture(scope="module")
+def osm_tables(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("osm") / "sample.osm"
+    path.write_text(_make_xml())
+    return parse_osm_xml(spark, str(path))
+
+
+def test_counts(osm_tables):
+    assert osm_tables["nodes"].count() == N_NODES
+    assert osm_tables["ways"].count() == N_WAYS
+    assert osm_tables["ways_nodes"].count() == N_WAYS * 3
+    assert osm_tables["ways_tags"].count() == N_WAYS * 2
+
+
+def test_node_values(osm_tables):
+    r = osm_tables["nodes"].filter(F.col("id") == 3).collect()[0]
+    assert r.uid == 3 and r.user == "user3"
+    assert abs(r.lat - 41.003) < 1e-9
+
+
+def test_tag_key_split(osm_tables):
+    tags = osm_tables["nodes_tags"]
+    addr = tags.filter(F.col("key") == "street").collect()
+    assert addr and all(t.type == "addr" for t in addr)
+    amen = tags.filter(F.col("key") == "amenity").collect()
+    assert amen and all(t.type == "regular" for t in amen)
+
+
+def test_way_ordinals(osm_tables):
+    wn = osm_tables["ways_nodes"].filter(F.col("id") == 10001).orderBy("position").collect()
+    assert [r.position for r in wn] == [0, 1, 2]
+    assert [r.node_id for r in wn] == [3, 4, 5]
+
+
+def test_street_audit_over_parsed(osm_tables):
+    """The reference's audit (C1) on real parsed OSM tags: last token
+    not in the expected list -> flagged variant."""
+    expected = ("Street", "Road")
+    tags = osm_tables["nodes_tags"].filter(
+        (F.col("type") == "addr") & (F.col("key") == "street")
+    )
+    street_type = F.regexp_extract(
+        F.regexp_replace(F.col("value"), r"\.$", ""), r"([^ ]+)$", 1
+    )
+    flagged = (
+        tags.select(street_type.alias("street_type"), F.col("value"))
+        .filter(~F.col("street_type").isin(*expected))
+        .distinct()
+        .collect()
+    )
+    got = {(r.street_type, r.value) for r in flagged}
+    assert got == {("Ave", "Oak Ave"), ("St", "Pine St."), ("Blvd", "Birch Blvd")}
+
+
+def test_restaurant_cuisine_join_over_parsed(osm_tables):
+    """The reference's signature nodes_tags self-join (J1) on real
+    parsed data: cuisines of amenity=restaurant nodes."""
+    tags = osm_tables["nodes_tags"]
+    rest = tags.filter((F.col("key") == "amenity") & (F.col("value") == "restaurant")).select("id")
+    cuisine = tags.filter(F.col("key") == "cuisine").select("id", F.col("value").alias("cuisine"))
+    got = cuisine.join(rest, "id").groupBy("cuisine").count().collect()
+    assert len(got) == 1 and got[0].cuisine == "pizza" and got[0]["count"] == N_NODES // 6
