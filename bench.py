@@ -19,6 +19,9 @@ from open_street_map_data_wrangling_spark.plans import load_all_queries
 from open_street_map_data_wrangling_spark.session import get_spark
 
 HEADLINE = (
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
     "q_star_join",
     "q_top_users",
     "q_moving_avg",

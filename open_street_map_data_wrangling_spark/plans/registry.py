@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "multimodal",
     "frontdoors",
     "stats",
+    "tpch",
 )
 
 
