@@ -121,3 +121,34 @@ def test_restaurant_cuisine_join_over_parsed(osm_tables):
     cuisine = tags.filter(F.col("key") == "cuisine").select("id", F.col("value").alias("cuisine"))
     got = cuisine.join(rest, "id").groupBy("cuisine").count().collect()
     assert len(got) == 1 and got[0].cuisine == "pizza" and got[0]["count"] == N_NODES // 6
+
+
+def test_way_geometry_resolution(osm_tables):
+    """J3's way ⋈ ways_nodes ⋈ nodes geometry resolution: ordered
+    coordinates per way and a planar segment-length sum."""
+    from pyspark.sql import Window as W
+
+    wn = osm_tables["ways_nodes"]
+    nodes = osm_tables["nodes"].select("id", "lat", "lon").withColumnRenamed("id", "node_id")
+    w = W.partitionBy("id").orderBy("position")
+    seg = (
+        wn.join(nodes, "node_id")
+        .withColumn("plat", F.lag("lat").over(w))
+        .withColumn("plon", F.lag("lon").over(w))
+        .withColumn(
+            "seg_len",
+            F.sqrt(
+                (F.col("lat") - F.col("plat")) ** 2 + (F.col("lon") - F.col("plon")) ** 2
+            ),
+        )
+    )
+    lengths = {
+        r.id: r.total
+        for r in seg.groupBy("id").agg(F.sum("seg_len").alias("total")).collect()
+    }
+    assert len(lengths) == N_WAYS
+    # nodes step 0.001/0.001 per id; consecutive refs -> 2 segments of
+    # sqrt(2)*0.001 each
+    import math
+
+    assert abs(lengths[10000] - 2 * math.sqrt(2) * 0.001) < 1e-9

@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.2 layer 4.
+
+Each property generates many logical examples but executes ONE Spark
+job per hypothesis example-set (examples ride in a single DataFrame),
+keeping the suite fast. Python recomputation is the oracle.
+"""
+
+import re
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from open_street_map_data_wrangling_spark.operators.scale import salted_count
+from open_street_map_data_wrangling_spark.plans.pipeline import build_pipeline
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_spark = None
+
+
+def _get_spark():
+    # hypothesis can't take the pytest fixture per-example; cache one
+    global _spark
+    if _spark is None:
+        from open_street_map_data_wrangling_spark.session import get_spark
+
+        _spark = get_spark("osmdw-props", master="local[2]", shuffle_partitions=2)
+    return _spark
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=200))
+@settings(**_SETTINGS)
+def test_salted_count_equals_plain_count(keys):
+    """Salted two-phase aggregation ≡ plain groupBy for any key
+    distribution, including fully skewed (all rows one key)."""
+    spark = _get_spark()
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    got = {r.k: r.cnt for r in salted_count(df, "k", n_salts=4).collect()}
+    exp = {}
+    for k in keys:
+        exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.floats(0, 100, width=32)),
+        min_size=1,
+        max_size=100,
+    ),
+    thresh=st.floats(0, 100),
+)
+@settings(**_SETTINGS)
+def test_pipeline_matches_python(rows, thresh):
+    """$match/$group/$sort pipeline ≡ naive Python evaluation."""
+    spark = _get_spark()
+    df = spark.createDataFrame([(k, float(v)) for k, v in rows], "k string, v double")
+    out = build_pipeline(
+        df,
+        [
+            {"$match": {"v": {"$gte": thresh}}},
+            {"$group": {"_id": "$k", "n": {"$sum": 1}}},
+            {"$sort": {"n": -1, "_id": 1}},
+        ],
+    ).collect()
+    exp = {}
+    for k, v in rows:
+        if float(v) >= thresh:
+            exp[k] = exp.get(k, 0) + 1
+    assert {r._id: r.n for r in out} == exp
+    ns = [r.n for r in out]
+    assert ns == sorted(ns, reverse=True)
+
+
+@given(
+    gaps_min=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=50)
+)
+@settings(**_SETTINGS)
+def test_sessionize_session_count(gaps_min):
+    """For one user with inter-event gaps g_i (minutes), the 30-min
+    sessionizer must produce exactly 1 + |{g_i > 30}| sessions."""
+    spark = _get_spark()
+    ts, rows = 0, []
+    for i, g in enumerate([0] + gaps_min):
+        ts += g * 60
+        rows.append((i, ts))
+    df = spark.createDataFrame(rows, "event_id long, ts_s long").select(
+        "event_id", F.timestamp_seconds("ts_s").alias("ts"), F.lit(1).alias("user_id")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    flags = df.select(
+        F.when(
+            (ts_us - F.lag(ts_us).over(w) > 30 * 60 * 1_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("f")
+    )
+    got = flags.agg(F.sum("f")).collect()[0][0]
+    assert got == 1 + sum(1 for g in gaps_min if g > 30)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Nd"), max_codepoint=127)
+            | st.sampled_from(" -()."),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_postcode_extraction_matches_re(texts):
+    """regexp_extract('[0-9]{5}') ≡ Python re on arbitrary strings."""
+    spark = _get_spark()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, s string")
+    got = {
+        r.i: r.pc
+        for r in df.select(
+            "i", F.nullif(F.regexp_extract("s", r"([0-9]{5})", 1), F.lit("")).alias("pc")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        m = re.search(r"([0-9]{5})", t)
+        assert got[i] == (m.group(1) if m else None)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=100,
+    )
+)
+@settings(**_SETTINGS)
+def test_running_total_prefix_sums(vals):
+    """Window running total ≡ Python prefix sums (same fold order)."""
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, v double"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    got = [r.rt for r in df.select(F.sum("v").over(w).alias("rt")).orderBy("i").collect()]
+    acc, exp = 0.0, []
+    for v in vals:
+        acc += float(v)
+        exp.append(acc)
+    assert all(abs(g - e) < 1e-6 * max(1.0, abs(e)) for g, e in zip(got, exp))
