@@ -88,11 +88,11 @@ def extract_media_features(binary_df: DataFrame) -> DataFrame:
     "q_mm_extract",
     oracle="""
         SELECT doc_id,
-               length(text) AS n_bytes,
-               ascii(substr(text, 1, 1)) AS head_byte,
+               CAST(length(text) AS INTEGER) AS n_bytes,
+               CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte,
                md5(text) AS content_md5,
-               1 + (ascii(substr(text, 1, 1)) % 64) AS fake_width,
-               1 + (length(text) % 64) AS fake_height
+               CAST(1 + (ascii(substr(text, 1, 1)) % 64) AS INTEGER) AS fake_width,
+               CAST(1 + (length(text) % 64) AS INTEGER) AS fake_height
         FROM documents
     """,
     tags=("multimodal", "extension", "pandas-udf"),

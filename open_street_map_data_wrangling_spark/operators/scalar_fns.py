@@ -29,9 +29,9 @@ from ..sources.catalog import load_table
     oracle="""
         SELECT doc_id,
                upper(lang) AS lang_up,
-               length(text) AS n_len,
+               CAST(length(text) AS INTEGER) AS n_len,
                substr(text, 1, 12) AS head12,
-               len(string_split(text, ' ')) AS n_toks,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks,
                starts_with(text, 'the ') AS starts_the,
                replace(source, 'src', 'source-') AS source_long,
                trim(concat(' ', lang, ' ')) AS lang_trim,
@@ -63,12 +63,12 @@ def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_date_fns",
     oracle="""
         SELECT o_orderkey,
-               year(o_orderdate) AS yr,
-               month(o_orderdate) AS mo,
-               day(o_orderdate) AS dom,
-               isodow(o_orderdate) - 1 AS wd,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(day(o_orderdate) AS INTEGER) AS dom,
+               CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
                strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-               date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
                strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m
         FROM orders
     """,
@@ -130,12 +130,12 @@ def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_fns",
     oracle="""
         SELECT doc_id,
-               len(toks) AS n_toks,
+               CAST(len(toks) AS INTEGER) AS n_toks,
                toks[1] AS first_tok,
                list_aggregate(toks, 'min') AS min_tok,
                list_contains(toks, 'spark') AS has_spark,
                array_to_string(list_slice(toks, 1, 3), ' ') AS head3,
-               len(list_distinct(toks)) AS n_distinct_toks
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_toks
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     """,
     tags=("scalar", "array"),

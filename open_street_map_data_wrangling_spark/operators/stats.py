@@ -84,7 +84,7 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(max(o_totalprice), 2) AS hi
         FROM (
             SELECT o_totalprice,
-                   ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+                   CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
             FROM orders)
         GROUP BY quartile
     """,

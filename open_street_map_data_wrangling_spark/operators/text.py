@@ -107,9 +107,9 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_quality",
     oracle=f"""
         SELECT doc_id,
-               len(string_split(text, ' ')) AS n_toks,
-               length(text) AS n_chars_actual,
-               len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks,
+               CAST(length(text) AS INTEGER) AS n_chars_actual,
+               CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS INTEGER)
                  AS stop_cnt,
                round(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
                      * 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio,
@@ -149,9 +149,9 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tokens",
     oracle="""
         SELECT doc_id,
-               len(string_split(text, ' ')) AS ws_tokens,
-               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
-               len(list_distinct(string_split(text, ' '))) AS distinct_tokens
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS distinct_tokens
         FROM documents
     """,
     tags=("text", "extension", "tokens"),

@@ -25,7 +25,7 @@ from ..sources.catalog import load_table
     "q_ordinal",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS pos
+               CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS INTEGER) AS pos
         FROM lineitem
     """,
     tags=("window",),
@@ -41,7 +41,7 @@ def q_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_rank_users",
     oracle="""
-        SELECT user_id, cnt, dense_rank() OVER (ORDER BY cnt DESC) AS rnk
+        SELECT user_id, cnt, CAST(dense_rank() OVER (ORDER BY cnt DESC) AS INTEGER) AS rnk
         FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
         QUALIFY rnk <= 5
     """,
