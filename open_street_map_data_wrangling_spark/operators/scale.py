@@ -80,3 +80,27 @@ def explain_string(df: DataFrame, mode: str = "formatted") -> str:
     """The explain text as a string (plan-assertion helper)."""
     jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     return df._jdf.queryExecution().explainString(jmode)
+
+
+def quantile_buckets(
+    df: DataFrame, value: str, n_buckets: int = 4, accuracy: int = 10000
+) -> DataFrame:
+    """The scale path for q_ntile's global-sort quartiles: compute
+    approximate cutpoints with a fixed-memory sketch (one pass, no
+    global sort), then assign buckets via a broadcast range join.
+    Bucket sizes are approximately equal (sketch accuracy), which is
+    what a 100 TB percentile-bucketing job actually wants — ntile's
+    exact equal-splitting requires a total order that cannot scale."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.select(
+        F.approx_percentile(value, probs, accuracy).alias("cuts")
+    ).first()["cuts"]
+    bounds = [float("-inf"), *cuts, float("inf")]
+    ranges = df.sparkSession.createDataFrame(
+        [(i + 1, bounds[i], bounds[i + 1]) for i in range(n_buckets)],
+        "bucket int, lo double, hi double",
+    )
+    v = F.col(value)
+    return df.join(
+        F.broadcast(ranges), (v > F.col("lo")) & (v <= F.col("hi"))
+    ).drop("lo", "hi")

@@ -118,3 +118,29 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_quantile_buckets_approximate_quartiles(spark, sf_dir):
+    """Sketch-cutpoint bucketing ≈ ntile: every row lands in exactly
+    one bucket, buckets are value-ordered, sizes within 10% of N/4."""
+    from open_street_map_data_wrangling_spark.operators.scale import quantile_buckets
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    got = quantile_buckets(orders, "o_totalprice", 4)
+    assert got.count() == n  # total preservation: no dropped/dup rows
+    stats = (
+        got.groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    assert [r.bucket for r in stats] == [1, 2, 3, 4]
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev.hi <= cur.lo  # ordered, non-overlapping value ranges
+    for r in stats:
+        assert abs(r.cnt - n / 4) <= max(2, 0.1 * n / 4)

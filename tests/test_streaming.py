@@ -81,3 +81,36 @@ def test_stateful_running_counts(spark, stream_src):
     # memory sink in update mode may hold several versions; take the max
     final = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_stream_parquet_sink_roundtrip(spark, stream_src, tmp_path):
+    """Streaming sink coverage: stream -> transform -> parquet sink
+    with checkpoint, read back as batch and compare to batch twin."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_file_stream(spark, stream_src)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    # append mode emits only watermark-finalized windows: a subset of
+    # the batch result, never contradicting it
+    exp = {
+        (r.win_start_us, r.event_type): r.cnt
+        for r in _batch(spark, stream_src)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_micros("w.start").alias("win_start_us"), "event_type", "cnt")
+        .collect()
+    }
+    got = back.collect()
+    assert len(got) > 0
+    for r in got:
+        assert exp[(r.win_start_us, r.event_type)] == r.cnt
