@@ -213,3 +213,23 @@ def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
         parsed.getField("k").between(0, 49).alias("k_low"),
     )
+
+
+@query(
+    "q_map_explode",
+    oracle="""
+        SELECT doc_id, k, v FROM (
+            SELECT doc_id, 'lang' AS k, lang AS v FROM documents
+            UNION ALL
+            SELECT doc_id, 'source' AS k, source AS v FROM documents
+        )
+    """,
+    tags=("scalar", "map", "explode"),
+)
+def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map explode (§2.8): the open tag map unpivoted to long form —
+    explode(map) → (key, value) rows, the inverse of create_map and
+    the bridge from tag-soup columns to the join-friendly tags table."""
+    d = load_table(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return d.select("doc_id", F.explode(m).alias("k", "v"))
