@@ -111,14 +111,13 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(length(text) AS INTEGER) AS n_chars_actual,
                CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS INTEGER)
                  AS stop_cnt,
-               round(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
-                     * 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio,
-               round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
-                     / len(string_split(text, ' ')), 4) AS avg_tok_len,
-               round(0.6 * (len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
-                            * 1.0 / len(string_split(text, ' ')))
-                     + 0.1 * ((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
-                              / len(string_split(text, ' '))), 4) AS quality
+               CAST(10000 * len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+                    // len(string_split(text, ' ')) AS BIGINT) AS stop_x10k,
+               CAST(10000 * (length(text) - (len(string_split(text, ' ')) - 1))
+                    // len(string_split(text, ' ')) AS BIGINT) AS avglen_x10k,
+               CAST((6000 * len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+                     + 1000 * (length(text) - (len(string_split(text, ' ')) - 1)))
+                    // len(string_split(text, ' ')) AS BIGINT) AS quality_milli
         FROM documents
     """,
     tags=("text", "extension", "quality"),
@@ -126,22 +125,36 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (X4): token count, stopword ratio, average
     token length, and a linear quality score — row-local arithmetic
-    over higher-order array functions, zero shuffles."""
+    over higher-order array functions, zero shuffles.
+
+    Ratios are emitted integer-scaled (×10⁴ / ×10³) via exact integer
+    division: rounding a float ratio at any fixed decimal count hits
+    exact half-boundaries for some (numerator, n_toks) pairs — found
+    at sf0.1 where quality landed on 0.48625 exactly and the two
+    engines' round() tipped opposite ways."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_toks = F.size(toks)
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     stop_cnt = F.size(F.expr(f"filter(split(text, ' '), t -> t IN ({stop_list}))"))
-    stop_ratio = stop_cnt * F.lit(1.0) / n_toks
-    avg_tok_len = (F.length("text") - (n_toks - 1)) * F.lit(1.0) / n_toks
-    return docs.select(
+    chars_in_toks = F.length("text") - (n_toks - 1)
+    base = docs.select(
         "doc_id",
         n_toks.alias("n_toks"),
         F.length("text").alias("n_chars_actual"),
         stop_cnt.alias("stop_cnt"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(avg_tok_len, 4).alias("avg_tok_len"),
-        F.round(0.6 * stop_ratio + 0.1 * avg_tok_len, 4).alias("quality"),
+        chars_in_toks.cast("bigint").alias("__cit"),
+    )
+    return base.select(
+        "doc_id",
+        "n_toks",
+        "n_chars_actual",
+        "stop_cnt",
+        F.expr("10000 * CAST(stop_cnt AS BIGINT) div n_toks").alias("stop_x10k"),
+        F.expr("10000 * __cit div n_toks").alias("avglen_x10k"),
+        F.expr("(6000 * CAST(stop_cnt AS BIGINT) + 1000 * __cit) div n_toks").alias(
+            "quality_milli"
+        ),
     )
 
 
