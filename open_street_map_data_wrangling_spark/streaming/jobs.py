@@ -122,3 +122,49 @@ def run_to_memory(result: DataFrame, name: str, output_mode: str = "complete") -
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def incremental_hourly_rollup(stream: DataFrame, target_dir: str):
+    """Continuous-aggregate pattern (the 'hypertable rollup'): keep a
+    parquet table of per-(hour, event_type) counts incrementally
+    up-to-date as events stream in. Each micro-batch is partially
+    aggregated, then merged with the current rollup state for the
+    touched hours only — partition-overwrite semantics, so an hour's
+    file is rewritten only when that hour receives events.
+
+    foreachBatch is the escape hatch for sinks Spark cannot express
+    declaratively (MERGE-style upserts); the batch function receives a
+    normal DataFrame, so the merge itself is ordinary engine code.
+    Returns the StreamingQuery (caller stops it)."""
+    spark = stream.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.groupBy(
+                F.date_trunc("hour", "ts").alias("hour"), "event_type"
+            ).agg(F.count("*").alias("cnt"))
+        )
+        delta = delta.withColumn("hour_key", F.date_format("hour", "yyyyMMddHH"))
+        touched = [r.hour_key for r in delta.select("hour_key").distinct().collect()]
+        if not touched:
+            return
+        try:
+            current = spark.read.parquet(target_dir).filter(
+                F.col("hour_key").isin(touched)
+            )
+            merged = (
+                current.unionByName(delta)
+                .groupBy("hour", "hour_key", "event_type")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        except Exception:  # first batch: target does not exist yet
+            merged = delta
+        merged.write.mode("overwrite").partitionBy("hour_key").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(target_dir)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{target_dir}_ckpt")
+        .start()
+    )

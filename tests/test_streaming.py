@@ -114,3 +114,50 @@ def test_stream_parquet_sink_roundtrip(spark, stream_src, tmp_path):
     assert len(got) > 0
     for r in got:
         assert exp[(r.win_start_us, r.event_type)] == r.cnt
+
+
+def test_incremental_hourly_rollup(spark, tmp_path):
+    """Two micro-batches of events must leave the rollup equal to the
+    batch aggregate of all events seen (the continuous-aggregate
+    invariant), rewriting only touched hour partitions."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        incremental_hourly_rollup,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "rollup")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, 1, et, 1.0, "{}") for i, (ts, et) in enumerate(rows)],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+
+    mk([("2024-01-01 10:05:00", "click"), ("2024-01-01 10:20:00", "view"),
+        ("2024-01-01 11:05:00", "click")]).write.mode("overwrite").parquet(src)
+    stream = events_file_stream(spark, src)
+    q = incremental_hourly_rollup(stream, target)
+    try:
+        q.processAllAvailable()
+        # second batch touches hour 11 only (hour 10 partition untouched)
+        mk([("2024-01-01 11:30:00", "click"), ("2024-01-01 11:45:00", "view")]).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.hour_key, r.event_type): r.cnt
+        for r in spark.read.parquet(target).collect()
+    }
+    # partition-column values come back type-inferred (int)
+    assert got == {
+        (2024010110, "click"): 1,
+        (2024010110, "view"): 1,
+        (2024010111, "click"): 2,
+        (2024010111, "view"): 1,
+    }
