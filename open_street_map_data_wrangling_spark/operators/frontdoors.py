@@ -157,3 +157,38 @@ def _apply_udtf(spark: SparkSession, docs: DataFrame, shingle_udtf) -> DataFrame
         "SELECT s.doc_id, s.shingle FROM _udtf_docs, "
         "LATERAL shingle_udtf(doc_id, text) s"
     )
+
+
+@query(
+    "q_subqueries",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_big_spenders
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        )
+        GROUP BY c_mktsegment
+    """,
+    tags=("frontdoor", "subquery"),
+)
+def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + scalar subquery (the reference's SQLite
+    `IN (subquery)` family, §2.5 J2 / §4.2): Catalyst decorrelates the
+    EXISTS into a left-semi join and evaluates the scalar subquery
+    once — hand-rewriting, which the reference's notebook did
+    implicitly, is the optimizer's job here."""
+    load_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_big_spenders
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        )
+        GROUP BY c_mktsegment
+        """
+    )
