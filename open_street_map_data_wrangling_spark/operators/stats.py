@@ -179,3 +179,53 @@ def q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("value", F.lit(50.0)).alias("v_floor50"),
         F.least("value", F.lit(50.0)).alias("v_cap50"),
     )
+
+
+@query(
+    "q_profile",
+    oracle="""
+        SELECT 'event_type' AS col, count(*) AS n_rows,
+               count(*) - count(event_type) AS n_null,
+               count(DISTINCT event_type) AS n_distinct,
+               min(CAST(event_type AS VARCHAR)) AS min_str,
+               max(CAST(event_type AS VARCHAR)) AS max_str
+        FROM events
+        UNION ALL
+        SELECT 'user_id', count(*), count(*) - count(user_id),
+               count(DISTINCT user_id),
+               CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'value', count(*), count(*) - count(value),
+               count(DISTINCT value),
+               CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+        FROM events
+    """,
+    tags=("stats", "profile"),
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — the reference's audit pass generalized: one
+    row per column with null count, distinct count, and min/max
+    (stringified so heterogenous column types share a schema). One
+    scan per column here for oracle clarity; the production form
+    computes all columns in a single pass with one agg of struct
+    expressions."""
+    events = load_table(spark, sf_dir, "events")
+
+    def profile(col: str) -> DataFrame:
+        c = F.col(col)
+        return events.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c.cast("string")).alias("min_str") if col == "event_type"
+            else F.min(c).cast("string").alias("min_str"),
+            F.max(c.cast("string")).alias("max_str") if col == "event_type"
+            else F.max(c).cast("string").alias("max_str"),
+        )
+
+    out = profile("event_type")
+    for col in ("user_id", "value"):
+        out = out.unionByName(profile(col))
+    return out
