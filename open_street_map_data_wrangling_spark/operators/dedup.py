@@ -304,3 +304,100 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= _COS_MIN)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X2e — dedup clustering: connected components over candidate pairs
+
+_PAIRS_CTE = f"""
+        {SHINGLES_SQL_CTE},
+        mh AS (
+            SELECT doc_id,
+               {_MINHASH_COLS_SQL}
+            FROM ex GROUP BY doc_id),
+        bands AS ({_BAND_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+            FROM bands a JOIN bands b
+              ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+"""
+
+
+def connected_components(edges_df, nodes_df, max_iters: int = 50):
+    """Min-label propagation to a fixpoint — the iterative-algorithm
+    pattern (each round: one join + one aggregate; converges in
+    O(component diameter) rounds). localCheckpoint truncates lineage
+    so the plan does not grow with iterations — without it, round k
+    replays rounds 1..k-1. At 100 TB this is exactly GraphX/GraphFrames
+    connected components; the DataFrame form needs no extra library
+    and inherits AQE sizing each round.
+
+    edges_df: (a, b) undirected pairs; nodes_df: (n). Returns
+    (n, cluster_id = min node id in the component)."""
+    from pyspark.sql import functions as F
+
+    sym = edges_df.unionByName(
+        edges_df.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = nodes_df.select(F.col("n"), F.col("n").alias("label")).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.n)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.n == F.col("a"), "left")
+            .select(
+                "n",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "n")
+            .filter(F.col("new.label") != F.col("old.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("n", F.col("label").alias("cluster_id"))
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE
+        {_PAIRS_CTE},
+        edges AS (SELECT pa AS a, pb AS b FROM pairs
+                  UNION SELECT pb, pa FROM pairs),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT d.doc_id AS n,
+               least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    """,
+    tags=("dedup", "iterative", "extension"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering (X2 capstone): LSH candidate pairs →
+    connected components → cluster id = min doc id (which IS the
+    dedup survivor, so `SELECT DISTINCT cluster_id` is the kept set).
+    Spark runs iterative min-label propagation; the oracle computes
+    the same fixpoint via a recursive transitive-closure CTE —
+    an exact cross-engine check of an iterative algorithm."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_dedup_near(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    nodes = docs.select(F.col("doc_id").alias("n"))
+    return connected_components(pairs, nodes)
