@@ -138,3 +138,81 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+_N_PLANES = 6  # sign-LSH code width -> up to 64 buckets
+
+
+@query(
+    "q_ann_lsh",
+    oracle=f"""
+        WITH planes AS (
+            SELECT vec_id AS pid, embedding AS pemb FROM embeddings
+            WHERE vec_id < {_N_PLANES}),
+        codes AS (
+            SELECT e.vec_id,
+                   sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pemb::DOUBLE[]) > 0
+                            THEN CAST(power(2, p.pid) AS BIGINT) ELSE 0 END) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id),
+        qb AS (SELECT bucket FROM codes WHERE vec_id = {_QUERY_ID_IVF}),
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID_IVF})
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4)
+                 AS cos_sim
+        FROM embeddings e
+        JOIN codes c ON e.vec_id = c.vec_id
+        JOIN qb ON c.bucket = qb.bucket
+        CROSS JOIN q
+        WHERE e.vec_id <> {_QUERY_ID_IVF}
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                 e.vec_id ASC
+        LIMIT 5
+    """,
+    tags=("similarity", "extension", "ann", "lsh"),
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (X3 scale path, LSH variant): each vector
+    gets a {_N_PLANES}-bit code — bit i is the sign of its dot product
+    with reference vector i (deterministic 'hyperplanes' = the first
+    {_N_PLANES} vectors). The query probes only its own code bucket.
+    Same operator shape as q_ann_ivf with a cheaper, join-free code
+    assignment (no argmax): codes are a narrow map-side computation,
+    so at 100 TB bucketing is a zero-shuffle column derivation and
+    the table can be written partitioned by bucket for pruning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id") < _N_PLANES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pemb")
+    )
+    dot_expr = F.expr(
+        "aggregate(zip_with(embedding, pemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    codes = (
+        emb.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            F.when(dot_expr > 0, F.pow(F.lit(2.0), F.col("pid")).cast("bigint"))
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+    qb = codes.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
+        F.col("bucket").alias("qbucket")
+    )
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos_q = cosine_expr("embedding", "q_embedding")
+    return (
+        emb.join(codes, "vec_id")
+        .join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != _QUERY_ID_IVF)
+        .join(F.broadcast(qvec))
+        .select("vec_id", cos_q.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )

@@ -31,7 +31,7 @@ from ..sources.catalog import load_table
                round(avg(l_discount), 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
     tags=("tpch", "agg"),
@@ -42,7 +42,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp_ntz"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -68,8 +68,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
         WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
-          AND l_shipdate > TIMESTAMP '2024-06-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
@@ -83,7 +83,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    cut = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    cut = F.lit("1998-06-01 00:00:00").cast("timestamp_ntz")
     return (
         li.filter(F.col("l_shipdate") > cut)
         .join(
@@ -125,7 +125,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = (SELECT min(r_name) FROM region)
-          AND o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
+          AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY n_name
     """,
     tags=("tpch", "join", "star"),
@@ -146,7 +146,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(
             orders.filter(
                 F.col("o_orderdate")
-                >= F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+                >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
