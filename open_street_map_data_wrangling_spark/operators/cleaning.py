@@ -376,3 +376,39 @@ def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~F.col("ok"), 1)).alias("n_invalid"),
         )
     )
+
+
+@query(
+    "q_fuzzy_street",
+    oracle="""
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM (SELECT DISTINCT p_name FROM part) a
+        JOIN (SELECT DISTINCT p_name FROM part) b
+          ON regexp_extract(a.p_name, '([^ ]+)$', 1) = regexp_extract(b.p_name, '([^ ]+)$', 1)
+         AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("cleaning", "fuzzy"),
+)
+def q_fuzzy_street(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (the OSM street-variant problem beyond
+    fixed mappings): distinct names blocked on their last token (the
+    street type), paired within a block, kept when edit distance ≤ 3.
+    Blocking is what makes edit-distance dedup feasible at scale —
+    the quadratic cost is confined to blocks, and the block key is a
+    plain equi-join; levenshtein runs codegen'd in the JVM."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    last = lambda c: F.regexp_extract(c, r"([^ ]+)$", 1)
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (last(F.col("name_a")) == last(F.col("name_b")))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+    )
