@@ -103,3 +103,47 @@ def test_minhash_self_similarity(spark):
     sigs = {r.doc_id: tuple(r[i] for i in range(1, 9)) for r in mh.collect()}
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
+
+
+def test_pipeline_unwind_project_addtoset(spark):
+    from open_street_map_data_wrangling_spark.plans.pipeline import build_pipeline
+
+    df = spark.createDataFrame(
+        [("a", ["x", "y"], 1), ("b", ["x"], 2), ("a", ["z"], 3)],
+        "k string, tags array<string>, v long",
+    )
+    out = build_pipeline(
+        df,
+        [
+            {"$unwind": "$tags"},
+            {"$project": {"k": 1, "tags": 1}},
+            {"$group": {"_id": "$k", "tagset": {"$addToSet": "$tags"}, "n": {"$count": 1}}},
+            {"$sort": {"_id": 1}},
+        ],
+    ).collect()
+    got = {r._id: (sorted(r.tagset), r.n) for r in out}
+    assert got == {"a": (["x", "y", "z"], 3), "b": (["x"], 1)}
+
+
+def test_pipeline_match_operators(spark):
+    from open_street_map_data_wrangling_spark.plans.pipeline import build_pipeline
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 15.0)], "id long, v double"
+    )
+    out = build_pipeline(
+        df, [{"$match": {"v": {"$exists": True, "$lte": 10.0}}}]
+    ).collect()
+    assert [r.id for r in out] == [1]
+
+
+def test_write_table_bucketed(spark, sf_dir):
+    from open_street_map_data_wrangling_spark.sources.catalog import load_table
+    from open_street_map_data_wrangling_spark.sources.sinks import write_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    write_table(nation, "nation_b_test", bucket_by=(2, ("n_nationkey",)))
+    try:
+        assert spark.table("nation_b_test").count() == nation.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_b_test")
