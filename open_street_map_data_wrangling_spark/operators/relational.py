@@ -326,3 +326,62 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over order status x priority (§2.4 A9)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "groupingsets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators (§2.4 A9's
+    third member beyond rollup/cube): per-flag totals, per-status
+    totals, and the grand total in one Expand pass — the indicator
+    distinguishes 'NULL because aggregated over' from a data NULL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS INT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+        SELECT n_name,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+               count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    tags=("agg", "stringagg"),
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): distinct segments per
+    nation, sorted then joined — collect_set + array_sort keeps the
+    result deterministic where a bare listagg would depend on
+    partition arrival order."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.count("*").alias("n_customers"),
+        )
+    )
