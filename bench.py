@@ -32,6 +32,8 @@ HEADLINE = (
     "q_dedup_near",
     "q_dedup_ngram",
     "q_vec_topk",
+    "q_ann_ivf",
+    "q_fuzzy_street",
     "q_langid",
     "q_mm_extract",
 )

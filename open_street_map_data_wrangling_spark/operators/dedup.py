@@ -8,8 +8,11 @@ program (SURVEY.md §4.2: queries, not engine extensions):
 * MinHash-LSH  — shingle → 8 min-hashes → 4 banded signatures →
                  band-bucket self-join → candidate pairs
 * SimHash      — 16-bit parity fingerprint per document
-* n-gram Jaccard — exact Jaccard on shingle sets for bounded pairs
+* n-gram Jaccard — exact Jaccard on shingle sets (single-shuffle
+                 collect-and-pair generation)
 * embedding cosine — near-dup pairs within label buckets
+* clustering   — iterative connected components over LSH candidate
+                 pairs (survivor = min doc id per component)
 
 Scale notes (100 TB posture):
 * Exact dedup shuffles once on the 256-bit hash — uniform by

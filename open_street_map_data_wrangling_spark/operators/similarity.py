@@ -4,6 +4,8 @@ Approximate-nearest-neighbor over the `embeddings.embedding`
 (array<float>) column:
 
 * `q_vec_topk`  — brute-force cosine top-k: the correctness baseline.
+* `q_ann_lsh`   — sign-LSH probe: {code = sign bits vs reference
+  vectors} buckets, zero-shuffle assignment.
 * `q_ann_ivf`   — IVF-style probe: assign every vector to its nearest
   of C centroids (a tiny broadcast "codebook"), then search only the
   query's cell. The scan cost drops from N to ~N/C per query; the

@@ -130,3 +130,29 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running")
     )
+
+
+@query(
+    "q_percent_rank",
+    oracle="""
+        SELECT o_orderkey,
+               percent_rank() OVER w AS prank,
+               cume_dist() OVER w AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "rank"),
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist (§2.6 W2 family): relative standing of
+    each order's price within its status group. Both are exact
+    rationals of row positions — a single division, bit-identical
+    across engines (no rounding needed); the o_orderkey tiebreak makes
+    positions deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
