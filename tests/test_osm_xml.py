@@ -152,3 +152,29 @@ def test_way_geometry_resolution(osm_tables):
     import math
 
     assert abs(lengths[10000] - 2 * math.sqrt(2) * 0.001) < 1e-9
+
+
+def test_full_etl_roundtrip(spark, tmp_path_factory):
+    """EP1+EP2 end-to-end: XML -> audit -> clean -> validate -> parquet;
+    cleaned street tags must use canonical suffixes."""
+    from open_street_map_data_wrangling_spark.etl import run_osm_etl
+
+    src = tmp_path_factory.mktemp("etl") / "map.osm"
+    src.write_text(_make_xml())
+    out = str(tmp_path_factory.mktemp("etl_out"))
+    report = run_osm_etl(spark, str(src), out)
+    text = "\n".join(report)
+    assert "street-type variants flagged: 3" in text
+    assert f"wrote nodes: {N_NODES} rows" in text
+
+    tags = spark.read.parquet(f"{out}/nodes_tags.parquet")
+    streets = {
+        r.value
+        for r in tags.filter(
+            (F.col("type") == "addr") & (F.col("key") == "street")
+        ).collect()
+    }
+    assert "Oak Avenue" in streets and "Pine Street" in streets
+    assert "Oak Ave" not in streets and "Pine St." not in streets
+    # unmapped variant passes through
+    assert "Birch Boulevard" in streets or "Birch Blvd" in streets
