@@ -259,19 +259,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COS_MIN = 0.3
 
-_DOT_DOUBLE = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-    "0D, (acc, v) -> acc + v)"
-)
-
-
-def cosine_expr(a: str, b: str) -> F.Column:
-    """Cosine similarity of two float-array columns, computed in
-    double (matches DuckDB's list_cosine_similarity on DOUBLE[])."""
-    dot = _DOT_DOUBLE.format(a=a, b=b)
-    na = _DOT_DOUBLE.format(a=a, b=a)
-    nb = _DOT_DOUBLE.format(a=b, b=b)
-    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+from ..functions.vectors import cosine_expr  # noqa: E402 — shared vector helpers
 
 
 @query(

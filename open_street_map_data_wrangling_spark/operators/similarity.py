@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ..sources.catalog import load_table
-from .dedup import cosine_expr
+from ..functions.vectors import cosine_expr, dot_expr
 
 _QUERY_ID_TOPK = 0
 _QUERY_ID_IVF = 42
@@ -186,15 +186,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = emb.filter(F.col("vec_id") < _N_PLANES).select(
         F.col("vec_id").alias("pid"), F.col("embedding").alias("pemb")
     )
-    dot_expr = F.expr(
-        "aggregate(zip_with(embedding, pemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "0D, (acc, v) -> acc + v)"
-    )
+    plane_dot = dot_expr("embedding", "pemb")
     codes = (
         emb.join(F.broadcast(planes))
         .select(
             "vec_id",
-            F.when(dot_expr > 0, F.pow(F.lit(2.0), F.col("pid")).cast("bigint"))
+            F.when(plane_dot > 0, F.pow(F.lit(2.0), F.col("pid")).cast("bigint"))
             .otherwise(F.lit(0))
             .alias("bit"),
         )

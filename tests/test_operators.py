@@ -4,7 +4,7 @@ iteration layer under the DuckDB-oracle differential gate."""
 from pyspark.sql import functions as F
 
 from open_street_map_data_wrangling_spark.functions.textfeat import shingles_expr
-from open_street_map_data_wrangling_spark.operators.dedup import cosine_expr
+from open_street_map_data_wrangling_spark.functions.vectors import cosine_expr
 from open_street_map_data_wrangling_spark.operators.multimodal import fake_decode_meta
 from open_street_map_data_wrangling_spark.plans import load_all_queries
 

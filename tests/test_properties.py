@@ -158,3 +158,35 @@ def test_running_total_prefix_sums(vals):
         acc += float(v)
         exp.append(acc)
     assert all(abs(g - e) < 1e-6 * max(1.0, abs(e)) for g, e in zip(got, exp))
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=3), min_size=1, max_size=12
+        ).map(lambda toks: " ".join(toks)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_shingles_match_python(texts):
+    """shingles_expr ≡ Python reference shingler for arbitrary token
+    sequences (incl. repeats and <3-token fallback)."""
+    from open_street_map_data_wrangling_spark.functions.textfeat import shingles_expr
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, s string")
+    got = {r.i: r.sh for r in df.select("i", shingles_expr("s").alias("sh")).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        if len(toks) >= 3:
+            exp, seen = [], set()
+            for j in range(len(toks) - 2):
+                sh = " ".join(toks[j : j + 3])
+                if sh not in seen:
+                    seen.add(sh)
+                    exp.append(sh)
+        else:
+            exp = [t]
+        assert got[i] == exp
