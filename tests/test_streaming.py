@@ -161,3 +161,28 @@ def test_incremental_hourly_rollup(spark, tmp_path):
         (2024010111, "click"): 2,
         (2024010111, "view"): 1,
     }
+
+
+def test_stream_static_join(spark, stream_src):
+    """Stream-static join: a streaming fact enriched by a static
+    (broadcastable) dimension — the standard streaming enrichment
+    pattern; the static side is re-resolved per micro-batch."""
+    static_dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = events_file_stream(spark, stream_src)
+    enriched = (
+        stream.join(F.broadcast(static_dim), "event_type")
+        .groupBy("category")
+        .agg(F.count("*").alias("cnt"))
+    )
+    got = run_to_memory(enriched, f"ss_{uuid.uuid4().hex[:8]}")
+    exp = (
+        _batch(spark, stream_src)
+        .join(static_dim, "event_type")
+        .groupBy("category")
+        .agg(F.count("*").alias("cnt"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
