@@ -412,3 +412,25 @@ def q_fuzzy_street(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 3)
     )
+
+
+@query(
+    "q_regex_backref",
+    oracle="""
+        SELECT p_partkey, p_name,
+               regexp_replace(p_name, '^(\\S+) (\\S+)$', '\\2, \\1') AS flipped
+        FROM part
+    """,
+    tags=("cleaning", "regex"),
+)
+def q_regex_backref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-group backreference rewrite ('small ring' → 'ring,
+    small' — the street-name reordering trick). Dialect note the
+    oracle encodes: Java regex uses $1/$2 in the replacement, RE2
+    (DuckDB) uses \\1/\\2 — same semantics, different spelling."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_name",
+        F.regexp_replace("p_name", r"^(\S+) (\S+)$", r"$2, $1").alias("flipped"),
+    )

@@ -229,3 +229,51 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for col in ("user_id", "value"):
         out = out.unionByName(profile(col))
     return out
+
+
+@query(
+    "q_funnel",
+    oracle="""
+        WITH su AS (
+            SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS signup_us
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        pu AS (
+            SELECT e.user_id,
+                   min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS first_purchase_us
+            FROM events e JOIN su ON e.user_id = su.user_id
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= su.signup_us
+            GROUP BY e.user_id)
+        SELECT su.user_id, su.signup_us, pu.first_purchase_us,
+               pu.first_purchase_us IS NOT NULL AS converted
+        FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+    """,
+    tags=("stats", "funnel"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (batch twin of the stream-stream correlation in
+    streaming/jobs.py): per user, first signup and first purchase at
+    or after it — sequence-constrained conversion, all integer
+    epoch-µs arithmetic. Two aggregates + one equi-join; no window
+    sort needed."""
+    events = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    su = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("signup_us"))
+    )
+    pu = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_us.alias("p_us"))
+        .join(su, "user_id")
+        .filter(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("first_purchase_us"))
+    )
+    return su.join(pu, "user_id", "left").select(
+        "user_id",
+        "signup_us",
+        "first_purchase_us",
+        F.col("first_purchase_us").isNotNull().alias("converted"),
+    )

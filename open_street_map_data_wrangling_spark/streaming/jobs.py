@@ -168,3 +168,44 @@ def incremental_hourly_rollup(stream: DataFrame, target_dir: str):
         .option("checkpointLocation", f"{target_dir}_ckpt")
         .start()
     )
+
+
+def signup_purchase_correlation(stream: DataFrame) -> DataFrame:
+    """Stream-stream join: purchases matched to the same user's signup
+    within 1 hour — both sides watermarked, join condition bounded in
+    event time so state on each side is expirable (an unbounded
+    stream-stream join would accumulate state forever).
+
+    Canonical funnel/correlation shape: at 100 TB the state store
+    holds only the watermark-bounded window of each side, keyed by
+    user — size is bounded by (event rate x window), not history."""
+    signups = (
+        stream.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            F.col("event_id").alias("s_event"),
+        )
+        .withWatermark("s_ts", "30 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    return signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("s_user").alias("user_id"),
+        F.unix_micros("s_ts").alias("signup_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+        "p_value",
+    )

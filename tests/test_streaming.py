@@ -186,3 +186,36 @@ def test_stream_static_join(spark, stream_src):
         .agg(F.count("*").alias("cnt"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_stream_stream_join(spark, stream_src):
+    """Stream-stream interval join vs its batch twin."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        signup_purchase_correlation,
+    )
+
+    stream = events_file_stream(spark, stream_src)
+    got = run_to_memory(
+        signup_purchase_correlation(stream),
+        f"ssj_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    b = _batch(spark, stream_src)
+    s = b.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.col("ts").alias("s_ts")
+    )
+    p = b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"), F.col("value")
+    )
+    exp = s.join(
+        p,
+        (s.su == p.pu)
+        & (p.p_ts >= s.s_ts)
+        & (p.p_ts <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("su").alias("user_id"),
+        F.unix_micros("s_ts").alias("signup_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.col("value").alias("p_value"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
