@@ -15,7 +15,11 @@ Patterns covered:
 * session_window aggregation (gap-close semantics)
 * applyInPandasWithState custom stateful operator (per-user running
   count) — the escape hatch when built-in stateful ops can't express
-  the semantics.
+  the semantics
+* stream-stream interval join (watermarks on both sides bound the
+  join state) — signup→purchase correlation; batch twin: q_funnel
+* foreachBatch continuous aggregate (incremental_hourly_rollup) —
+  MERGE-style partition-overwrite rollup maintenance.
 
 All jobs are trigger-agnostic: tests drive them with
 `trigger(availableNow=True)` into a memory sink; production would use

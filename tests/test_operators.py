@@ -147,3 +147,25 @@ def test_write_table_bucketed(spark, sf_dir):
         assert spark.table("nation_b_test").count() == nation.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_b_test")
+
+
+def test_observe_metrics(spark, sf_dir):
+    """df.observe(): zero-extra-pass pipeline metrics (row counts,
+    value sums ride along with the action) — how a production ETL
+    monitors itself without a second scan."""
+    from pyspark.sql import Observation
+    from open_street_map_data_wrangling_spark.sources.catalog import load_table
+
+    obs = Observation("etl_metrics")
+    events = load_table(spark, sf_dir, "events")
+    out = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+        F.count(F.when(F.col("value") > 90, 1)).alias("n_high"),
+    ).filter(F.col("event_type") == "click")
+    n_clicks = out.count()
+    m = obs.get
+    assert m["n_rows"] == events.count()
+    assert m["n_high"] == events.filter(F.col("value") > 90).count()
+    assert n_clicks < m["n_rows"]
