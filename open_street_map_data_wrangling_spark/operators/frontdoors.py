@@ -192,3 +192,35 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "q_pipeline_unwind",
+    oracle="""
+        SELECT tok AS _id, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+              WHERE lang = 'en')
+        GROUP BY tok
+        ORDER BY n DESC, _id ASC
+        LIMIT 15
+    """,
+    tags=("frontdoor", "pipeline", "unwind"),
+)
+def q_pipeline_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo $unwind through the pipeline front door (≡ Catalyst
+    Generate/explode): per-token counts of English documents, with a
+    $project rename stage."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    return build_pipeline(
+        docs,
+        [
+            {"$match": {"lang": "en"}},
+            {"$project": {"doc_id": 1, "tok": "$toks"}},
+            {"$unwind": "$tok"},
+            {"$group": {"_id": "$tok", "n": {"$sum": 1}}},
+            {"$sort": {"n": -1, "_id": 1}},
+            {"$limit": 15},
+        ],
+    )

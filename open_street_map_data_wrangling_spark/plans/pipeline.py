@@ -70,7 +70,12 @@ def build_pipeline(df: DataFrame, stages: list[dict[str, Any]]) -> DataFrame:
         if op == "$match":
             df = df.filter(_match_cond(spec))
         elif op == "$project":
-            cols = [name for name, keep in spec.items() if keep]
+            cols = []
+            for name, val in spec.items():
+                if val == 1 or val is True:
+                    cols.append(F.col(name))
+                elif isinstance(val, str) and val.startswith("$"):
+                    cols.append(_ref(val).alias(name))  # rename / re-path
             df = df.select(*cols)
         elif op == "$unwind":
             field = spec[1:] if isinstance(spec, str) else spec["path"][1:]
