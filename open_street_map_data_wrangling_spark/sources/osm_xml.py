@@ -21,14 +21,16 @@ family (SURVEY.md §1.1).
 The element boundary chosen for the text splitter is "\\n  <node" /
 "\\n  <way" nesting-level-2 newlines — OSM extracts are one element
 per line at indent level 2 (both osmosis and the API emit this
-layout); parse_osm_fragments also tolerates fragments that arrive
-whole. Malformed fragments are counted, not raised (the validation
-operator C7 owns rejects).
+layout); the parser also tolerates fragments that arrive
+whole. Malformed fragments are skipped, not raised (the validation
+operator C7 owns rejects). Known limitation: a tag value containing a
+literal newline followed by exactly two spaces and '<' would split
+mid-element — osmosis/API output escapes newlines in attribute values
+(&#10;), so the layout assumption holds for real extracts.
 """
 
 from __future__ import annotations
 
-import io
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 
@@ -136,7 +138,7 @@ def _frag_iter(batches: Iterator[pd.DataFrame], want: str) -> Iterator[pd.DataFr
             kind, shaped = parsed
             tags = shaped.pop("tags")
             if kind == "node":
-                nds = shaped.pop("nd", None)
+                shaped.pop("nd", None)
                 nodes.append(shaped)
                 node_tags.extend(tags)
             else:

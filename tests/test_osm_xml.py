@@ -178,3 +178,16 @@ def test_full_etl_roundtrip(spark, tmp_path_factory):
     assert "Oak Ave" not in streets and "Pine St." not in streets
     # unmapped variant passes through
     assert "Birch Boulevard" in streets or "Birch Blvd" in streets
+
+
+def test_multi_file_extract(spark, tmp_path_factory):
+    """A directory of extract files parses as one logical dataset —
+    the scale shape: each file (or byte range) is an independent task,
+    so a 100 TB planet dump is as parallel as its file count."""
+    d = tmp_path_factory.mktemp("osm_multi")
+    (d / "part1.osm").write_text(_make_xml())
+    (d / "part2.osm").write_text(_make_xml().replace('id="1', 'id="9001'))
+    tables = parse_osm_xml(spark, str(d))
+    # part2 renames a subset of ids; total node count doubles
+    assert tables["nodes"].count() == 2 * N_NODES
+    assert tables["nodes"].select("id").distinct().count() > N_NODES
