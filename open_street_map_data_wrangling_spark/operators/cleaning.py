@@ -382,7 +382,7 @@ def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fuzzy_street",
     oracle="""
         SELECT a.p_name AS name_a, b.p_name AS name_b,
-               levenshtein(a.p_name, b.p_name) AS dist
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
         FROM (SELECT DISTINCT p_name FROM part) a
         JOIN (SELECT DISTINCT p_name FROM part) b
           ON regexp_extract(a.p_name, '([^ ]+)$', 1) = regexp_extract(b.p_name, '([^ ]+)$', 1)

@@ -333,7 +333,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
-               grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid
+               CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS INTEGER) AS gid
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
