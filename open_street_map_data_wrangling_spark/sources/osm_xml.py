@@ -170,3 +170,47 @@ def parse_osm_xml(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         )
 
     return {name: make(name) for name in _TABLE_SCHEMAS}
+
+
+def write_osm_sample(
+    spark: SparkSession, src_path: str, out_path: str, k: int = 10
+) -> int:
+    """sample.py, distributed-scan edition: keep every k-th top-level
+    element and write a well-formed sample .osm file. The scan and
+    systematic filter are distributed; assembly is driver-side because
+    a sample is small by definition (the reference's sample.osm is the
+    smoke-test input, not a dataset). Returns elements written."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    frags = read_osm_fragments(spark, src_path)
+    # stable element index in file order (driver-side assembly anyway,
+    # so the single-partition window is not a scale concern here)
+    w = W.orderBy(F.monotonically_increasing_id())
+    elems = (
+        frags.withColumn("__v", F.ltrim(F.col("value")))
+        .filter(
+            F.col("__v").startswith("node")
+            | F.col("__v").startswith("way")
+            | F.col("__v").startswith("<node")
+            | F.col("__v").startswith("<way")
+        )
+        .withColumn("__i", F.row_number().over(w))
+        .filter((F.col("__i") % k) == 1)
+        .select("value")
+    )
+    rows = [r.value for r in elems.collect()]
+    with open(out_path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n<osm version="0.6">\n')
+        for raw in rows:
+            raw = raw.strip()
+            if not raw.startswith("<"):
+                raw = "<" + raw
+            if raw.endswith("</osm>"):
+                raw = raw[: -len("</osm>")].rstrip()
+            for kind in ("node", "way"):
+                if raw.startswith(f"<{kind}") and not raw.endswith(("/>", f"</{kind}>")):
+                    raw += f"</{kind}>"
+            f.write("  " + raw + "\n")
+        f.write("</osm>\n")
+    return len(rows)

@@ -191,3 +191,18 @@ def test_multi_file_extract(spark, tmp_path_factory):
     # part2 renames a subset of ids; total node count doubles
     assert tables["nodes"].count() == 2 * N_NODES
     assert tables["nodes"].select("id").distinct().count() > N_NODES
+
+
+def test_write_osm_sample_roundtrip(spark, tmp_path_factory):
+    """S2 faithful form: sampled .osm file is well-formed and
+    re-parseable; every 10th element kept."""
+    from open_street_map_data_wrangling_spark.sources.osm_xml import write_osm_sample
+
+    d = tmp_path_factory.mktemp("osm_sample")
+    src = d / "map.osm"
+    src.write_text(_make_xml())
+    out = str(d / "sample.osm")
+    n = write_osm_sample(spark, str(src), out, k=10)
+    assert n == (N_NODES + N_WAYS + 10 - 1) // 10  # ceil((60+12)/10)
+    back = parse_osm_xml(spark, out)
+    assert back["nodes"].count() + back["ways"].count() == n
