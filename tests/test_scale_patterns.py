@@ -144,3 +144,30 @@ def test_quantile_buckets_approximate_quartiles(spark, sf_dir):
         assert prev.hi <= cur.lo  # ordered, non-overlapping value ranges
     for r in stats:
         assert abs(r.cnt - n / 4) <= max(2, 0.1 * n / 4)
+
+
+def test_broadcast_threshold_flips_join_strategy(spark, sf_dir):
+    """Join strategy is config-sensitive, not hardcoded: with
+    broadcasting disabled the un-hinted orders⋈customer join must plan
+    as SortMergeJoin; with defaults it broadcasts. (The engine's
+    explicit F.broadcast hints are for dimensions that must never
+    shuffle; everything else stays Catalyst's choice.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+
+    plan_default = explain_string(joined)
+    assert "BroadcastHashJoin" in plan_default
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan_smj = explain_string(
+            orders.join(customer, orders.o_custkey == customer.c_custkey)
+        )
+        assert "SortMergeJoin" in plan_smj or "ShuffledHashJoin" in plan_smj
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

@@ -61,7 +61,26 @@ def _cell_eq(a, b):
     return a == b
 
 
-def compare(spark_df, duck_rel):
+def _norm_type(t: str) -> str:
+    t = t.lower()
+    if t in ("integer", "int", "int32", "smallint", "tinyint"):
+        return "int"
+    if t in ("bigint", "long", "int64", "hugeint"):
+        return "bigint"
+    if t in ("double", "float", "real") or t.startswith("decimal"):
+        return "float"
+    if t.startswith(("varchar", "string", "char")):
+        return "str"
+    if t.startswith("bool"):
+        return "bool"
+    if "timestamp" in t:
+        return "ts"
+    if t.startswith(("array", "list")) or t.endswith("[]"):
+        return "list"
+    return t
+
+
+def compare(spark_df, duck_rel, duck_types=None):
     s_cols = list(spark_df.columns)
     s_recs = [tuple(r) for r in spark_df.collect()]
     d_cols = list(duck_rel.columns)
@@ -70,6 +89,13 @@ def compare(spark_df, duck_rel):
     if sorted(s_cols) != sorted(d_cols):
         errs.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return errs
+    if duck_types is not None:
+        sd = {c: _norm_type(t) for c, t in spark_df.dtypes}
+        for c, t in duck_types.items():
+            if sd.get(c) != _norm_type(t):
+                errs.append(f"dtype[{c}]: spark={sd.get(c)} duck={_norm_type(t)}")
+        if errs:
+            return errs
     if len(s_recs) != len(d_recs):
         errs.append(f"rows: spark={len(s_recs)} duck={len(d_recs)}")
     if errs:
@@ -110,7 +136,10 @@ def main():
                 print(f"ROWSONLY {name}: {n} rows ({time.time()-t0:.1f}s)")
                 rows_only += 1
                 continue
-            errs = compare(df, con.sql(spec.oracle))
+            duck_types = {
+                r[0]: r[1] for r in con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+            }
+            errs = compare(df, con.sql(spec.oracle), duck_types)
         except Exception as e:
             errs = [f"EXCEPTION {type(e).__name__}: {e}"]
         if errs:
