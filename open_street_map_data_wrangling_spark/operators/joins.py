@@ -211,3 +211,37 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 2).alias("avg_value"))
     )
+
+
+@query(
+    "q_outer_join",
+    oracle="""
+        SELECT coalesce(e.user_id, o.o_custkey) AS uid,
+               coalesce(e.n_events, 0) AS n_events,
+               coalesce(o.n_orders, 0) AS n_orders,
+               e.user_id IS NULL AS orders_only,
+               o.o_custkey IS NULL AS events_only
+        FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
+        FULL OUTER JOIN
+             (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+          ON e.user_id = o.o_custkey
+    """,
+    tags=("join", "outerjoin"),
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completing the join-type inventory): activity
+    across the two element kinds with presence flags — who only
+    orders, who only emits events. Aggregate-then-join keeps both
+    sides key-unique, so the outer join is 1:1 and never multiplies
+    rows."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    e = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    o = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return e.join(o, e.user_id == o.o_custkey, "full_outer").select(
+        F.coalesce("user_id", "o_custkey").alias("uid"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("user_id").isNull().alias("orders_only"),
+        F.col("o_custkey").isNull().alias("events_only"),
+    )
