@@ -169,3 +169,19 @@ def test_observe_metrics(spark, sf_dir):
     assert m["n_rows"] == events.count()
     assert m["n_high"] == events.filter(F.col("value") > 90).count()
     assert n_clicks < m["n_rows"]
+
+
+def test_connected_components_chain(spark):
+    """A 12-node path graph must converge to one component (worst-case
+    diameter for min-label propagation) plus an isolated node."""
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(13)], "n long")
+    got = {r.n: r.cluster_id for r in connected_components(edges, nodes).collect()}
+    assert all(got[i] == 0 for i in range(12))
+    assert got[12] == 12  # isolated node keeps its own label
