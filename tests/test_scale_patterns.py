@@ -171,3 +171,27 @@ def test_broadcast_threshold_flips_join_strategy(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_analyze_table_feeds_cbo(spark, sf_dir):
+    """ANALYZE TABLE statistics reach the optimizer: after COMPUTE
+    STATISTICS the plan's cost view carries real rowCount — what CBO
+    join reordering consumes at scale."""
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "nation_stats_test"
+    )
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.sql("ANALYZE TABLE nation_stats_test COMPUTE STATISTICS")
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED nation_stats_test").collect()
+        }
+        assert "25 rows" in desc.get("Statistics", "")
+        # with CBO on, the cost view consumes the rowCount
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        cost = explain_string(spark.table("nation_stats_test"), mode="cost")
+        assert "rowCount=25" in cost.replace(" ", "")
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.sql("DROP TABLE IF EXISTS nation_stats_test")
