@@ -185,3 +185,34 @@ def test_connected_components_chain(spark):
     got = {r.n: r.cluster_id for r in connected_components(edges, nodes).collect()}
     assert all(got[i] == 0 for i in range(12))
     assert got[12] == 12  # isolated node keeps its own label
+
+
+def test_session_gap_boundary_semantics(spark):
+    """Boundary contract: an event EXACTLY gap minutes after the
+    previous one stays in the SAME session in native session_window
+    (sessions merge when the next event is <= previous + gap), and the
+    engine's lag/cumsum sessionizer agrees (`gap >` test). This pins
+    the agreement so q_sessionize and q_session_window can safely
+    share one oracle at any data distribution."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:30:00")],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), F.lit(1).alias("user_id"))
+
+    native = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().count()
+    )
+    assert native == 1  # exactly-gap -> merged session
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    flags = df.select(
+        F.when(
+            (ts_us - F.lag(ts_us).over(w) > 30 * 60 * 1_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("f")
+    )
+    assert flags.agg(F.sum("f")).collect()[0][0] == 1  # same: one session
