@@ -98,3 +98,25 @@ def run_osm_etl(spark: SparkSession, xml_path: str, out_dir: str) -> list[str]:
         n = spark.read.parquet(f"{out_dir}/{name}.parquet").count()
         report.append(f"wrote {name}: {n} rows")
     return report
+
+
+def generate_report(spark: SparkSession, sf_dir: str) -> dict:
+    """EP3's final artifact: the reference's case-study report numbers
+    (element counts, distinct contributors, top contributors, top
+    categories) computed in one place from the registered queries —
+    the engine's analog of the README the project family publishes."""
+    from .plans import load_all_queries
+
+    specs = load_all_queries()
+
+    def rows(name):
+        return [tuple(r) for r in specs[name].spark(spark, sf_dir).collect()]
+
+    return {
+        "table_counts": dict((t, n) for t, n in rows("q_count")),
+        "distinct_users": rows("q_distinct_users")[0][0],
+        "one_time_users": rows("q_onetime_users")[0][0],
+        "top_users": rows("q_top_users"),
+        "top_categories": rows("q_top_amenities"),
+        "key_buckets": dict((b, n) for b, n in rows("q_keybuckets")),
+    }

@@ -392,3 +392,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = docs.select(F.col("doc_id").alias("n"))
     return connected_components(pairs, nodes)
+
+
+@query(
+    "q_simhash_pairs",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        scores AS (
+            SELECT doc_id,
+               {_SIMHASH_SCORE_SQL}
+            FROM tk GROUP BY doc_id),
+        fp AS (
+            SELECT doc_id, CAST({_SIMHASH_FP_SQL} AS BIGINT) AS fingerprint
+            FROM scores)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fingerprint
+        FROM fp a JOIN fp b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "simhash", "extension"),
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate pairs (X2): exact-fingerprint buckets — the
+    Hamming-distance-0 tier of simhash dedup. Hamming ≤ k would add
+    rotated-band buckets (split the fingerprint into k+1 bands; equal
+    in any band → candidate), the same banding trick as MinHash-LSH;
+    the equi-join shape is identical."""
+    fp = q_dedup_simhash(spark, sf_dir)
+    a, b = fp.alias("a"), fp.alias("b")
+    return a.join(
+        b,
+        (F.col("a.fingerprint") == F.col("b.fingerprint"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.fingerprint").alias("fingerprint"),
+    )

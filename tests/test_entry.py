@@ -37,3 +37,13 @@ def test_sinks_roundtrip(spark, sf_dir, tmp_path):
         else:
             back = getattr(spark.read, fmt)(path)
         assert back.count() == df.count()
+
+
+def test_generate_report(spark, sf_dir):
+    from open_street_map_data_wrangling_spark.etl import generate_report
+
+    rpt = generate_report(spark, sf_dir)
+    assert rpt["table_counts"]["events"] == 1000
+    assert rpt["distinct_users"] > 0
+    assert len(rpt["top_users"]) == 10
+    assert set(rpt["key_buckets"]) <= {"lower", "lower_colon", "problemchars", "other"}
