@@ -30,6 +30,7 @@ HEADLINE = (
     "q_wordcount",
     "q_dedup_exact",
     "q_dedup_near",
+    "q_dedup_near_fast",
     "q_dedup_ngram",
     "q_vec_topk",
     "q_ann_ivf",

@@ -429,3 +429,43 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         F.col("a.fingerprint").alias("fingerprint"),
     )
+
+
+@query("q_dedup_near_fast", oracle=None, tags=("dedup", "lsh", "extension"))
+def q_dedup_near_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash-LSH (X2): identical pipeline to q_dedup_near
+    but with xxhash64 as the hash family — JVM-intrinsic, no hex
+    strings through the shuffle (8 longs instead of 8×32-char strings
+    per doc). Not reproducible in DuckDB → rows-only check; the
+    algorithm is the one the md5 twin hash-verifies."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("bi"),
+                F.xxhash64(F.col(f"m{2*j}"), F.col(f"m{2*j+1}")).alias("bv"),
+            )
+            for j in range(_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
