@@ -22,6 +22,9 @@ HEADLINE = (
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_tpch_q8",
+    "q_tpch_q13",
+    "q_tpch_q21",
     "q_star_join",
     "q_top_users",
     "q_moving_avg",
