@@ -1,0 +1,270 @@
+"""Training-data pipeline operators — SURVEY.md §2.11 extensions.
+
+The ops a 100 TB pretraining-data pipeline runs between raw corpus
+and tokenizer, beyond dedup/langid/quality (operators/text.py,
+operators/dedup.py):
+
+* TF-IDF term scoring     — the feature-weighting join (tf ⋈ df ⋈ N)
+* train/test split        — deterministic content hashing, no RNG
+* contamination check     — test-set n-gram overlap against train
+* sequence packing        — cumulative token budget → context bins
+* redaction               — regex scrub with match accounting
+
+Everything is built-in Column expressions (JVM, whole-stage codegen).
+Cross-engine exactness rules (SURVEY.md §5.2) applied throughout: the
+split uses md5 (the one hash family identical in Spark and DuckDB),
+TF-IDF uses an integer-scaled rational score instead of log-idf
+(transcendental libm results are not guaranteed bit-identical across
+engines), and every count that DuckDB would widen to HUGEINT is cast
+back to BIGINT in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.textfeat import SHINGLES_SQL_CTE, shingles_expr
+from ..plans.registry import query
+from ..sources.catalog import load_table
+
+# Deterministic 75/25 split: first hex nibble of md5(doc_id) ≤ 'b'
+# (12 of 16 values) → train. Content-hash splits are the production
+# pattern — stable under reshuffles, re-runs, and backfills, unlike
+# rand(seed) which is partitioning-dependent in a distributed engine.
+# Built lazily: Columns can't be constructed before a SparkContext
+# exists, and this module imports at registry load time.
+def _split_col():
+    return F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b", "train"
+    ).otherwise("test")
+_SPLIT_SQL = (
+    "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' "
+    "THEN 'train' ELSE 'test' END"
+)
+
+_REDACT_PAT = r"\b(key|value|customer)\b"
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term,
+               CAST((tf * n_docs * 1000) // df AS BIGINT) AS score
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+        ORDER BY score DESC, doc_id ASC, term ASC
+        LIMIT 20
+    """,
+    tags=("pipeline", "text", "extension"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 TF-IDF terms: tf per (doc, term) ⋈ document
+    frequency ⋈ corpus size. The df side aggregates FROM the tf
+    aggregate (no second corpus scan) and the 1-row N broadcasts.
+    Score is the integer-scaled rational tf·N·1000 div df — rank-
+    equivalent to tf/df weighting without log-idf's cross-engine
+    transcendental drift. At 100 TB both aggregates are map-side
+    partial; the shuffle carries vocabulary-sized rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("(tf * n_docs * 1000) div df").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_split",
+    oracle=f"""
+        SELECT lang, {_SPLIT_SQL} AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang, split
+    """,
+    tags=("pipeline", "extension"),
+)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/25 train/test split audit: per (lang, split)
+    doc and char counts. The split key is a content hash of doc_id —
+    a pure rowwise expression, so the split is free (no shuffle, no
+    RNG state) and reproducible on any cluster layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", _split_col())
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+        WITH {SHINGLES_SQL_CTE},
+        split AS (SELECT doc_id, {_SPLIT_SQL} AS sp FROM documents),
+        tr AS (
+            SELECT DISTINCT sh FROM ex JOIN split USING (doc_id)
+            WHERE sp = 'train'),
+        te AS (
+            SELECT ex.doc_id, sh FROM ex JOIN split USING (doc_id)
+            WHERE sp = 'test'),
+        tot AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY 1),
+        hit AS (
+            SELECT te.doc_id, count(*) AS n_contaminated
+            FROM te JOIN tr USING (sh) GROUP BY 1)
+        SELECT tot.doc_id, n_shingles,
+               COALESCE(n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated
+        FROM tot LEFT JOIN hit USING (doc_id)
+    """,
+    tags=("pipeline", "dedup", "extension"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination: for every test document, how many of
+    its word-3-gram shingles appear anywhere in the train split. The
+    train side collapses to DISTINCT shingles before the join (the
+    classic build-side reduction); the probe is a left-semi keyed on
+    the shingle, then a left join restores zero-contamination docs.
+    At 100 TB the shingle join is the standard shuffle-on-ngram used
+    by decontamination runs (same key family as the dedup LSH)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("sp", _split_col())
+    ex = docs.select("doc_id", "sp", F.explode(shingles_expr()).alias("sh"))
+    train_sh = ex.filter(F.col("sp") == "train").select("sh").distinct()
+    test_sh = ex.filter(F.col("sp") == "test").select("doc_id", "sh")
+    totals = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        test_sh.join(train_sh, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_contaminated", F.lit(0).cast("bigint")).alias(
+            "n_contaminated"
+        ),
+    )
+
+
+@query(
+    "q_pack",
+    oracle="""
+        WITH t AS (
+            SELECT source, doc_id,
+                   len(string_split(text, ' ')) AS ntok
+            FROM documents),
+        c AS (
+            SELECT source, ntok,
+                   sum(ntok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+        SELECT source, CAST((cum - ntok) // 512 AS BIGINT) AS bin,
+               count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens
+        FROM c
+        GROUP BY source, bin
+    """,
+    tags=("pipeline", "window", "extension"),
+)
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to 512-token context bins by
+    cumulative token count, packed independently per source shard.
+    bin = tokens-before-this-doc div budget — the scalable streaming
+    approximation of greedy packing (no per-bin reset state, so it
+    stays a single window cumsum). Partitioning by source is the
+    100 TB shape: each shard packs in parallel; an unpartitioned
+    cumsum would serialize the corpus through one window task."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ntok"),
+    )
+    return (
+        t.withColumn("cum", F.sum("ntok").over(w))
+        .select(
+            "source",
+            F.expr("(cum - ntok) div 512").alias("bin"),
+            "ntok",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "q_redact",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_hit,
+               CAST(sum(hits) AS BIGINT) AS total_redactions,
+               CAST(sum(length(text) - length(red)) AS BIGINT)
+                 AS chars_removed
+        FROM (
+            SELECT source, text,
+                   len(regexp_extract_all(text, '{_REDACT_PAT}')) AS hits,
+                   regexp_replace(text, '{_REDACT_PAT}', '[X]', 'g') AS red
+            FROM documents)
+        GROUP BY source
+    """,
+    tags=("pipeline", "text", "extension"),
+)
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction accounting: scrub a sensitive-term pattern (the
+    vocabulary triple stands in for PII regexes — the fixture corpus
+    has no digits/emails) and report per-source match and removed-char
+    totals. Pattern uses only RE2 ∩ Java-regex syntax so Spark and
+    DuckDB agree; Spark's regexp_replace replaces all matches by
+    default (DuckDB needs the 'g' flag). Pure rowwise expressions —
+    the scrub pipelines inside the scan stage at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.size(F.regexp_extract_all("text", F.lit(_REDACT_PAT), F.lit(0)))
+    red = F.regexp_replace("text", _REDACT_PAT, "[X]")
+    return (
+        docs.select(
+            "source",
+            hits.alias("hits"),
+            (F.length("text") - F.length(red)).alias("delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_hit"),
+            F.sum("hits").alias("total_redactions"),
+            F.sum("delta").alias("chars_removed"),
+        )
+    )

