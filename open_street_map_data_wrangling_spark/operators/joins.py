@@ -245,3 +245,80 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNull().alias("orders_only"),
         F.col("o_custkey").isNull().alias("events_only"),
     )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+                   event_id AS click_id, value AS click_value
+            FROM events WHERE event_type = 'click'),
+        p AS (
+            SELECT event_id AS purchase_id, user_id,
+                   CAST(ts AS TIMESTAMP) AS pts
+            FROM events WHERE event_type = 'purchase')
+        SELECT purchase_id, p.user_id,
+               epoch_us(pts) AS p_ts_us,
+               click_id, epoch_us(cts) AS click_ts_us, click_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.pts >= c.cts
+    """,
+    tags=("join", "asof", "timeseries"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (custom operator — Spark has no native form; DuckDB's
+    native ASOF JOIN is the oracle): each purchase matched to the
+    user's most recent click at-or-before it, purchases without a
+    prior click kept with nulls.
+
+    Implementation is the scalable union+window pattern, NOT a range
+    join: tag both event streams, union, then one window over
+    (user_id, ts) carries the last non-null click payload forward with
+    `last(..., ignoreNulls)` and a filter keeps purchase rows. Exactly
+    one shuffle (on user_id), no interval cross-product, no skew
+    amplification — at 100 TB this is the difference between a linear
+    pass and an O(clicks × purchases) per-user explosion. The tag
+    column orders clicks before purchases at equal timestamps, giving
+    inclusive at-or-before semantics deterministically (the fixture's
+    µs timestamps have no cross-stream ties; verified at all SFs)."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.col("value").alias("click_value"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(None).cast("bigint").alias("click_ts_us"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_micros("ts").alias("p_ts_us"),
+            "tag",
+            F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+            F.last("click_ts_us", ignorenulls=True).over(w).alias("click_ts_us"),
+            F.last("click_value", ignorenulls=True).over(w).alias("click_value"),
+        )
+        .filter(F.col("tag") == 1)
+        .drop("tag")
+    )
