@@ -156,3 +156,49 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("prank"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+@query(
+    "q_latest_per_key",
+    oracle="""
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        FROM (
+            SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+                   ) AS rn
+            FROM events)
+        WHERE rn = 1
+    """,
+    tags=("window", "dedup", "pipeline"),
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the upsert/compaction primitive every
+    CDC and feature-store pipeline runs: each user's most recent event,
+    event_id as the deterministic tiebreaker. row_number keeps the
+    whole row without a self-join.
+
+    Scale note: row_number needs a per-key sort after the shuffle. When
+    only specific columns are needed, `max_by(col, struct(ts, id))`
+    (or a struct-max) replaces sort with a partial+final aggregate —
+    map-side combining shrinks the shuffle to one row per (task, key).
+    The sort form is kept here because it preserves arbitrary width
+    and is the shape Spark's own dropDuplicates-by-ordering lowers to."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
