@@ -215,3 +215,95 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+            WHERE vec_id < {_N_CENTROIDS}),
+        assign AS (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC, c.cid ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c),
+        a1 AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+        qc AS (SELECT cid FROM a1 WHERE vec_id = {_QUERY_ID_IVF}),
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID_IVF}),
+        exact10 AS (
+            SELECT e.vec_id
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {_QUERY_ID_IVF}
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                     e.vec_id ASC
+            LIMIT 10),
+        ivf10 AS (
+            SELECT e.vec_id
+            FROM embeddings e
+            JOIN a1 ON e.vec_id = a1.vec_id
+            JOIN qc ON a1.cid = qc.cid
+            CROSS JOIN q
+            WHERE e.vec_id <> {_QUERY_ID_IVF}
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                     e.vec_id ASC
+            LIMIT 10)
+        SELECT count(*) AS hits, count(*) / 10.0 AS recall_at_10
+        FROM exact10 JOIN ivf10 USING (vec_id)
+    """,
+    tags=("similarity", "extension", "ann"),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@10 of the IVF single-cell probe
+    against exact brute-force top-10 — the self-check every ANN
+    deployment ships next to its index. Both rankings and their
+    intersection are computed engine-side; the oracle replays the
+    whole measurement, so the recall number itself is hash-verified.
+    (hits/10.0 is an exact IEEE division of small ints — identical in
+    both engines.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cos_c = cosine_expr("embedding", "cemb")
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    assign = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "cid", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    qcell = assign.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
+        F.col("cid").alias("qcid")
+    )
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos_q = cosine_expr("embedding", "q_embedding")
+    exact10 = (
+        emb.filter(F.col("vec_id") != _QUERY_ID_IVF)
+        .join(F.broadcast(qvec))
+        .select("vec_id", cos_q.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    ivf10 = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != _QUERY_ID_IVF)
+        .join(F.broadcast(qvec))
+        .select("vec_id", cos_q.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    return (
+        exact10.join(ivf10, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select("hits", (F.col("hits") / 10.0).alias("recall_at_10"))
+    )

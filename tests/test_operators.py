@@ -256,3 +256,56 @@ def test_pipeline_ops_semantics(spark):
     red = specs["q_redact"].spark(spark, sf).collect()
     assert all(r["chars_removed"] >= 0 for r in red)
     assert any(r["total_redactions"] > 0 for r in red)
+
+
+def test_kmeans_trained_ivf_recall(spark):
+    """The production IVF path: train the codebook with pyspark.ml
+    KMeans instead of taking the first C vectors, probe the query's
+    cluster, and measure recall@10 against exact search. Trained
+    centroids should beat-or-match the fixed codebook on its own
+    query (q_ann_recall measures 0.3 there). Seeded for determinism;
+    rows-only territory (KMeans is iterative — no SQL twin), which is
+    why this lives in pytest instead of queries()."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from open_street_map_data_wrangling_spark.sources.catalog import load_table
+    from open_street_map_data_wrangling_spark.functions.vectors import cosine_expr
+
+    sf = "/root/testdata/sf0.01"
+    QID = 42
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=8, seed=7, maxIter=10).fit(emb.select("features"))
+    assigned = model.transform(emb).select("vec_id", "embedding", "prediction")
+
+    qrow = assigned.filter(F.col("vec_id") == QID).collect()[0]
+    qvec_df = (
+        assigned.filter(F.col("vec_id") == QID)
+        .select(F.col("embedding").alias("q_embedding"))
+    )
+    cos = cosine_expr("embedding", "q_embedding")
+
+    exact = {
+        r["vec_id"]
+        for r in assigned.filter(F.col("vec_id") != QID)
+        .join(F.broadcast(qvec_df))
+        .select("vec_id", cos.alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    probed = {
+        r["vec_id"]
+        for r in assigned.filter(
+            (F.col("prediction") == qrow["prediction"]) & (F.col("vec_id") != QID)
+        )
+        .join(F.broadcast(qvec_df))
+        .select("vec_id", cos.alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    recall = len(exact & probed) / 10.0
+    assert recall >= 0.3, f"trained IVF recall {recall} worse than fixed codebook"
+    assert model.clusterCenters() is not None and len(model.clusterCenters()) == 8
