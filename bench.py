@@ -40,6 +40,9 @@ HEADLINE = (
     "q_fuzzy_street",
     "q_langid",
     "q_mm_extract",
+    "q_tfidf",
+    "q_asof_join",
+    "q_contamination",
 )
 
 
