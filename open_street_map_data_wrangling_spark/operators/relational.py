@@ -385,3 +385,31 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
         )
     )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                             <= '2' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("sample", "pipeline"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample audit: per event_type, total vs
+    rows kept by the content-hash rule md5(event_id) first nibble ≤ '2'
+    (3/16 ≈ 18.75% per stratum). Same rationale as q_split: a hash rule
+    samples identically on any cluster layout and re-run, which
+    `df.sampleBy(fractions, seed)` does not guarantee across
+    repartitionings — and it needs no per-stratum fraction map shipped
+    to executors. Rowwise expression + one hash agg; fully parallel."""
+    events = load_table(spark, sf_dir, "events")
+    keep = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) <= "2"
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+    )

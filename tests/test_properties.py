@@ -190,3 +190,73 @@ def test_shingles_match_python(texts):
         else:
             exp = [t]
         assert got[i] == exp
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user_id
+            st.integers(min_value=0, max_value=1000),   # ts (distinct-ified below)
+            st.sampled_from(["click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_python(events):
+    """The union+window as-of join must agree with the obvious per-row
+    reference: for every purchase, the click with the greatest ts <=
+    purchase ts for that user (ties impossible — ts de-duplicated per
+    user below), else null."""
+    spark = _get_spark()
+    from pyspark.sql import Window as W
+
+    # unique (user, ts): mirror the fixture guarantee the operator documents
+    seen, rows = set(), []
+    for eid, (u, t, k) in enumerate(events):
+        if (u, t) in seen:
+            continue
+        seen.add((u, t))
+        rows.append((eid, u, t, k))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t long, event_type string"
+    )
+
+    clicks = df.filter(F.col("event_type") == "click").select(
+        "user_id", "t", F.lit(0).alias("tag"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purchases = df.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t", F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    got = {
+        r["purchase_id"]: r["click_id"]
+        for r in clicks.unionByName(purchases)
+        .select(
+            "purchase_id",
+            F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+            "tag",
+        )
+        .filter(F.col("tag") == 1)
+        .collect()
+    }
+
+    expected = {}
+    for eid, u, t, k in rows:
+        if k != "purchase":
+            continue
+        cands = [
+            (t2, e2) for e2, u2, t2, k2 in rows
+            if k2 == "click" and u2 == u and t2 <= t
+        ]
+        expected[eid] = max(cands)[1] if cands else None
+    assert got == expected
