@@ -413,3 +413,40 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+        SELECT measure, count(*) AS n,
+               round(sum(val), 2) AS total
+        FROM (
+            SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', l_tax FROM lineitem)
+        GROUP BY measure
+    """,
+    tags=("relational", "reshape"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via the native `df.unpivot` (the §2.3 reshape
+    family's inverse of q_pivot): lineitem's four measures to
+    (measure, val) rows, then per-measure stats. unpivot is a narrow
+    zero-shuffle transform — the 4× row expansion happens inside the
+    scan stage, never crossing an exchange until the final agg; the
+    oracle spells it as the equivalent UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+    )

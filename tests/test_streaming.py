@@ -219,3 +219,21 @@ def test_stream_stream_join(spark, stream_src):
         F.col("value").alias("p_value"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_dedup_within_watermark_stream(spark, stream_src):
+    """dropDuplicatesWithinWatermark (Spark 3.5+): unlike plain
+    dropDuplicates, state for a key is evicted once the watermark
+    passes it, so unbounded streams don't grow state forever — the
+    production shape for at-least-once source dedup. On this bounded
+    fixture (no late duplicates beyond the delay) its output must
+    equal exact distinct-by-event_id."""
+    stream = events_file_stream(spark, stream_src)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    got = run_to_memory(
+        deduped.select("event_id"), f"dw_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    exp = _batch(spark, stream_src).select("event_id").distinct().count()
+    assert got.count() == exp
