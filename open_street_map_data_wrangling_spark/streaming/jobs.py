@@ -213,3 +213,74 @@ def signup_purchase_correlation(stream: DataFrame) -> DataFrame:
         F.unix_micros("p_ts").alias("purchase_us"),
         "p_value",
     )
+
+
+def asof_enriched_purchases(stream: DataFrame) -> DataFrame:
+    """Streaming AS-OF enrichment: every purchase is emitted with the
+    user's most recent at-or-before click — the streaming twin of the
+    batch q_asof_join (operators/joins.py). Per-user state holds just
+    the latest click (ts, id, value): O(keys) state, no buffering of
+    the click stream, which is why this is the canonical enrichment
+    shape for unbounded streams where a stream-stream interval join
+    would have to retain a whole watermark window of both sides.
+
+    Rows within each micro-batch are processed in ts order; clicks
+    update state, purchases read it. Late clicks (arriving after a
+    purchase they precede logically) are not retro-applied — the
+    at-most-state-size tradeoff every streaming as-of makes; bound
+    staleness with the source's ordering guarantees or fall back to
+    the interval join."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "purchase_id bigint, user_id bigint, p_ts_us bigint, "
+        "click_id bigint, click_ts_us bigint, click_value double"
+    )
+    state_schema = "click_id bigint, click_ts_us bigint, click_value double"
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get if state.exists else None
+        out: list[dict[str, Any]] = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("ts_us", kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            if row.event_type == "click":
+                last = (int(row.event_id), int(row.ts_us), float(row.value))
+            elif row.event_type == "purchase":
+                out.append(
+                    {
+                        "purchase_id": int(row.event_id),
+                        "user_id": int(key[0]),
+                        "p_ts_us": int(row.ts_us),
+                        "click_id": last[0] if last else None,
+                        "click_ts_us": last[1] if last else None,
+                        "click_value": last[2] if last else None,
+                    }
+                )
+        if last is not None:
+            state.update(last)
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "purchase_id", "user_id", "p_ts_us",
+                "click_id", "click_ts_us", "click_value",
+            ],
+        )
+
+    prepared = stream.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -237,3 +237,59 @@ def test_dedup_within_watermark_stream(spark, stream_src):
     )
     exp = _batch(spark, stream_src).select("event_id").distinct().count()
     assert got.count() == exp
+
+
+def test_asof_enrichment_stream(spark, stream_src):
+    """Streaming as-of enrichment must agree with the batch as-of join
+    when the whole stream arrives in order (the availableNow single
+    pass over an ordered fixture): same purchase count, and every
+    enriched row's click is at-or-before its purchase for that user."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        asof_enriched_purchases,
+    )
+
+    stream = events_file_stream(spark, stream_src)
+    got = run_to_memory(
+        asof_enriched_purchases(stream),
+        f"ae_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    ).collect()
+
+    batch = _batch(spark, stream_src)
+    n_purchases = batch.filter(F.col("event_type") == "purchase").count()
+    assert len(got) == n_purchases
+    assert any(r["click_id"] is not None for r in got)
+    for r in got:
+        if r["click_id"] is not None:
+            assert r["click_ts_us"] <= r["p_ts_us"]
+
+    # exact agreement with the batch union+window as-of on this slice
+    from pyspark.sql import Window as W
+
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("tag"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purchases = batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    exp = {
+        r["purchase_id"]: r["click_id"]
+        for r in clicks.unionByName(purchases)
+        .select(
+            "purchase_id",
+            F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+            "tag",
+        )
+        .filter(F.col("tag") == 1)
+        .collect()
+    }
+    assert {r["purchase_id"]: r["click_id"] for r in got} == exp
