@@ -322,3 +322,84 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tag") == 1)
         .drop("tag")
     )
+
+
+@query(
+    "q_asof_tolerance",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+                   event_id AS click_id
+            FROM events WHERE event_type = 'click'),
+        p AS (
+            SELECT event_id AS purchase_id, user_id,
+                   CAST(ts AS TIMESTAMP) AS pts
+            FROM events WHERE event_type = 'purchase'),
+        m AS (
+            SELECT purchase_id, p.user_id, pts, click_id, cts
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.pts >= c.cts)
+        SELECT purchase_id, user_id,
+               epoch_us(pts) AS p_ts_us,
+               CASE WHEN cts >= pts - INTERVAL 1 HOUR THEN click_id END
+                 AS click_id,
+               CASE WHEN cts >= pts - INTERVAL 1 HOUR THEN epoch_us(cts) END
+                 AS click_ts_us
+        FROM m
+    """,
+    tags=("join", "asof", "timeseries"),
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with tolerance (pandas merge_asof(tolerance=...)
+    semantics): the matched click must be within 1 hour before the
+    purchase, else the match is nulled. Implemented as the same
+    single-shuffle union+window as q_asof_join plus a rowwise
+    staleness gate — tolerance costs nothing at any scale because it
+    filters AFTER the window, not by widening the join. (A range-join
+    formulation would pay the full interval cross-product for the
+    same answer.)"""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(None).cast("bigint").alias("click_ts_us"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    hour_us = 3600 * 1_000_000
+    joined = (
+        clicks.unionByName(purchases)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_micros("ts").alias("p_ts_us"),
+            "tag",
+            F.last("click_id", ignorenulls=True).over(w).alias("raw_click_id"),
+            F.last("click_ts_us", ignorenulls=True).over(w).alias("raw_click_ts_us"),
+        )
+        .filter(F.col("tag") == 1)
+    )
+    fresh = F.col("raw_click_ts_us") >= F.col("p_ts_us") - F.lit(hour_us)
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "p_ts_us",
+        F.when(fresh, F.col("raw_click_id")).alias("click_id"),
+        F.when(fresh, F.col("raw_click_ts_us")).alias("click_ts_us"),
+    )
