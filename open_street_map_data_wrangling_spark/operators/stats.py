@@ -277,3 +277,40 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_purchase_us",
         F.col("first_purchase_us").isNotNull().alias("converted"),
     )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+        SELECT CASE WHEN value < 0.0 THEN 0
+                    WHEN value >= 100.0 THEN 11
+                    ELSE CAST(floor(value / 10.0) AS INT) + 1 END AS bucket,
+               count(*) AS n,
+               round(min(value), 2) AS lo,
+               round(max(value), 2) AS hi
+        FROM events
+        GROUP BY bucket
+    """,
+    tags=("stats", "agg"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value via width_bucket (10
+    buckets over [0,100), out-of-range to 0/11 per SQL semantics) —
+    the one-pass distribution profile; bucket assignment is a rowwise
+    JVM expression, the agg is partial+final, so the histogram costs
+    one scan at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(10))
+            .cast("int")
+            .alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )

@@ -202,3 +202,49 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+@query(
+    "q_range_frame",
+    oracle="""
+        SELECT user_id, event_id,
+               ts_us,
+               CAST(count(*) OVER w AS BIGINT) AS n_30m,
+               round(sum(value) OVER w, 2) AS sum_30m
+        FROM (
+            SELECT user_id, event_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events WHERE event_type = 'error')
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts_us
+            RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "timeseries"),
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs the ROWS frames of q_moving_avg):
+    per user, the count and sum of error values in the TRAILING 30
+    REAL MINUTES — a value-based frame boundary, so sparse and bursty
+    users get correct physics (a ROWS frame would span hours for a
+    quiet user). Spark's rangeBetween needs a numeric ordering column;
+    epoch-µs is the idiom — 30 min = 1.8e9 µs. Same sliding-alarm
+    shape as monitoring's 'errors in the last N minutes per entity'."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    half_hour_us = 30 * 60 * 1_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-half_hour_us, 0)
+    )
+    return (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.count("*").over(w).alias("n_30m"),
+            F.round(F.sum("value").over(w), 2).alias("sum_30m"),
+        )
+    )
