@@ -314,3 +314,36 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "q_decimal_money",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
+                 AS total_money,
+               CAST(avg(CAST(o_totalprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
+                 AS avg_money
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("stats", "agg", "decimal"),
+)
+def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money math in DECIMAL, not DOUBLE: order totals summed as
+    DECIMAL(18,2) — exact, order-independent, and bit-identical across
+    engines (float sums differ in the last ulp depending on reduction
+    order; decimals cannot). The engine rule this query pins: cast
+    monetary doubles to decimal AT THE SCAN and aggregate in decimal;
+    both engines widen internal precision, so both sides re-cast the
+    result to DECIMAL(18,2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.select("o_orderstatus", money.alias("m"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("m").cast("decimal(18,2)").alias("total_money"),
+            F.avg("m").cast("decimal(18,2)").alias("avg_money"),
+        )
+    )

@@ -248,3 +248,76 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value").over(w), 2).alias("sum_30m"),
         )
     )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+        SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal, rnk
+        FROM (
+            SELECT n_name, c_custkey, c_acctbal,
+                   CAST(row_number() OVER (
+                       PARTITION BY n_name
+                       ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rnk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        WHERE rnk <= 3
+    """,
+    tags=("window", "topk"),
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation — top-k PER GROUP, the
+    shape global TakeOrderedAndProject can't express. Spark plans
+    WindowGroupLimit Partial before the exchange: each map task keeps
+    only its local top-3 per nation, so the shuffle carries ≤3·tasks
+    rows per group instead of every customer — the same pruning that
+    makes this viable at 100 TB. c_custkey tiebreaks for determinism."""
+    from pyspark.sql import Window as W
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rnk")
+    )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+        SELECT user_id, event_type AS mode_type, cnt
+        FROM (
+            SELECT user_id, event_type, cnt,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY cnt DESC, event_type ASC) AS rn
+            FROM (
+                SELECT user_id, event_type, count(*) AS cnt
+                FROM events GROUP BY user_id, event_type))
+        WHERE rn = 1
+    """,
+    tags=("window", "agg"),
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent event_type per user — mode as aggregate-then-
+    argmax. Built-in `mode()` exists in both engines but neither
+    documents tie order, so this spells the deterministic form:
+    count, then row_number with an alphabetical tiebreak. The count
+    aggregate shrinks the window input to (users × types) rows first."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+    )
