@@ -233,3 +233,38 @@ def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
     return d.select("doc_id", F.explode(m).alias("k", "v"))
+
+
+@query(
+    "q_try_fns",
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               TRY_CAST(event_type AS DOUBLE) AS bad_cast,
+               TRY_CAST(NULL AS INTEGER) AS div_zero,
+               round(value / nullif(CAST(floor(value) AS INT) % 7, 0), 4) AS div_mod7
+        FROM events
+    """,
+    tags=("scalar", "cleaning"),
+)
+def q_try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family — the cleaning engine's 'never
+    throw on dirty rows' contract: try_cast of a JSON field and of an
+    uncastable string (NULL, not an exception), division by zero as
+    NULL. Spark's try_divide ≡ the oracle's x / nullif(y, 0); bare
+    division raises in DuckDB and yields NULL in Spark, which is why
+    the engine standardizes on try_divide. Denominator uses
+    floor()-then-cast: DuckDB ROUNDS on double→int cast where Spark
+    truncates — a §5.2-class trap pinned here."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.k') AS int)").alias("k_int"),
+        F.expr("try_cast(event_type AS double)").alias("bad_cast"),
+        F.expr("try_divide(1.0, CAST(value * 0 AS INT))")
+        .cast("int")
+        .alias("div_zero"),
+        F.round(
+            F.expr("try_divide(value, CAST(floor(value) AS INT) % 7)"), 4
+        ).alias("div_mod7"),
+    )

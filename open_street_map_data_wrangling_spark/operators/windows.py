@@ -321,3 +321,48 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
     )
+
+
+@query(
+    "q_share_of_total",
+    oracle="""
+        SELECT n_name,
+               round(rev, 2) AS revenue,
+               round(rev / sum(rev) OVER (), 6) AS share,
+               CAST(rank() OVER (ORDER BY rev DESC, n_name ASC) AS INT) AS rnk
+        FROM (
+            SELECT n_name, sum(o_totalprice) AS rev
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name)
+    """,
+    tags=("window", "agg"),
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (ratio_to_report): per-nation revenue as a
+    fraction of the grand total — a window OVER an aggregate. The
+    empty-frame sum runs on the 25-row aggregate output, not the fact
+    table, so the 'global' window is trivially cheap at any scale; the
+    unrounded rev feeds both the ratio and the rank so the two engines
+    divide identical doubles (their aggregate sums already hash-match),
+    and rounding happens only at the output edge."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    agg = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_all = W.partitionBy()
+    w_rank = W.orderBy(F.desc("rev"), F.asc("n_name"))
+    return agg.select(
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w_all), 6).alias("share"),
+        F.rank().over(w_rank).alias("rnk"),
+    )
