@@ -347,3 +347,92 @@ def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("m").cast("decimal(18,2)").alias("avg_money"),
         )
     )
+
+
+@query(
+    "q_sequence_gaps",
+    oracle="""
+        SELECT event_id AS gap_after, next_id,
+               CAST(next_id - event_id - 1 AS BIGINT) AS n_missing
+        FROM (
+            SELECT event_id,
+                   lead(event_id) OVER (ORDER BY event_id) AS next_id
+            FROM events WHERE event_id % 7 <> 3)
+        WHERE next_id - event_id > 1
+    """,
+    tags=("stats", "quality", "window"),
+)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection — the completeness check for
+    monotonically-keyed feeds (did the ingest drop ids?): lead() over
+    the ordered key, report each gap with its missing-row count. The
+    fixture's event_id is dense, so the probe filters out id%7==3 to
+    manufacture known gaps; production drops the filter. Global
+    ordering is a single-partition window — at 100 TB, range-partition
+    by id block and check gaps within blocks plus block boundaries."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.orderBy("event_id")
+    return (
+        events.filter(F.col("event_id") % 7 != 3)
+        .select("event_id", F.lead("event_id").over(w).alias("next_id"))
+        .filter(F.col("next_id") - F.col("event_id") > 1)
+        .select(
+            F.col("event_id").alias("gap_after"),
+            "next_id",
+            (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
+        )
+    )
+
+
+@query(
+    "q_table_checksum",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(sum(h % 1000000007) AS BIGINT) AS modsum,
+               bit_xor(h) AS xorsum
+        FROM (
+            SELECT TRY_CAST(concat('0x', substring(md5(
+                       concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                                 o_orderpriority,
+                                 epoch_us(CAST(o_orderdate AS TIMESTAMP)))),
+                       1, 14)) AS BIGINT) AS h
+            FROM orders)
+    """,
+    tags=("stats", "quality", "agg"),
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — THE migration-validation
+    primitive for an engine swap: per-row md5 over a canonical
+    column serialization, folded with commutative aggregates (modular
+    sum + bit_xor), so any two engines that hold the same rows in any
+    order and any partitioning produce the same triple. 56-bit row
+    hashes (14 hex chars) keep the xor/mod math in int64; doubles are
+    deliberately excluded from the serialization (float formatting is
+    not engine-portable — SURVEY.md §5.2). One scan, partial+final
+    agg, no shuffle of data rows at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    "o_orderpriority",
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return orders.select(h.alias("h")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("h") % 1000000007).alias("modsum"),
+        F.expr("bit_xor(h)").alias("xorsum"),
+    )
