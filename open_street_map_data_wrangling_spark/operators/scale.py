@@ -90,7 +90,11 @@ def quantile_buckets(
     global sort), then assign buckets via a broadcast range join.
     Bucket sizes are approximately equal (sketch accuracy), which is
     what a 100 TB percentile-bucketing job actually wants — ntile's
-    exact equal-splitting requires a total order that cannot scale."""
+    exact equal-splitting requires a total order that cannot scale.
+
+    NULL and NaN values cannot be range-assigned (NaN sorts above
+    +inf in Spark), so they land in an explicit overflow bucket 0
+    rather than silently vanishing from the output."""
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.select(
         F.approx_percentile(value, probs, accuracy).alias("cuts")
@@ -101,6 +105,8 @@ def quantile_buckets(
         "bucket int, lo double, hi double",
     )
     v = F.col(value)
-    return df.join(
-        F.broadcast(ranges), (v > F.col("lo")) & (v <= F.col("hi"))
-    ).drop("lo", "hi")
+    return (
+        df.join(F.broadcast(ranges), (v > F.col("lo")) & (v <= F.col("hi")), "left")
+        .withColumn("bucket", F.coalesce("bucket", F.lit(0)))
+        .drop("lo", "hi")
+    )

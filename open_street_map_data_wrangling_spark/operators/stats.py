@@ -116,7 +116,7 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
                max_by(event_type, ts_k) AS last_type,
                count(*) AS cnt
         FROM (SELECT user_id, event_type,
-                     (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) * 1000000
+                     CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 4294967296
                        + event_id AS ts_k
               FROM events)
         GROUP BY user_id
@@ -126,13 +126,13 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First/last event type per user via min_by/max_by over a
     composite (ts, event_id) key — the shuffle-light alternative to a
-    window + row_number for endpoint extraction. The epoch is rebased
-    to the fixture's 2024-01-01 floor so the composite stays inside
-    int64 (raw epoch-µs × 10^6 would overflow)."""
+    window + row_number for endpoint extraction. Spark orders a native
+    struct (µs, event_id) — no arithmetic packing, so no int64
+    overflow regardless of the fixture's time span; the oracle packs
+    the same pair into a HUGEINT (128-bit, overflow-free), which
+    preserves the identical lexicographic order while event_id < 2^32."""
     events = load_table(spark, sf_dir, "events")
-    ts_k = (
-        (F.unix_micros("ts") - F.lit(1704067200000000)) * 1000000 + F.col("event_id")
-    ).alias("ts_k")
+    ts_k = F.struct(F.unix_micros("ts").alias("us"), F.col("event_id")).alias("ts_k")
     return (
         events.select("user_id", "event_type", ts_k)
         .groupBy("user_id")
@@ -390,7 +390,7 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_table_checksum",
     oracle="""
         SELECT count(*) AS n_rows,
-               CAST(sum(h % 1000000007) AS BIGINT) AS modsum,
+               CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS modsum,
                bit_xor(h) AS xorsum
         FROM (
             SELECT TRY_CAST(concat('0x', substring(md5(
@@ -431,8 +431,14 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
+    # modsum is reduced mod p at the end too: the per-term residues are
+    # < 1e9, and the running sum is carried in DECIMAL(38,0) (overflow-
+    # free to ~1e29 rows) before the final % p brings it back to int64.
+    # DuckDB promotes the sum to HUGEINT, so both engines agree exactly.
     return orders.select(h.alias("h")).agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("h") % 1000000007).alias("modsum"),
+        (F.sum((F.col("h") % 1000000007).cast("decimal(38,0)")) % 1000000007)
+        .cast("bigint")
+        .alias("modsum"),
         F.expr("bit_xor(h)").alias("xorsum"),
     )

@@ -196,7 +196,9 @@ def write_osm_sample(
             | F.col("__v").startswith("<way")
         )
         .withColumn("__i", F.row_number().over(w))
-        .filter((F.col("__i") % k) == 1)
+        # row_number is 1-based: (i-1) % k == 0 keeps the first element
+        # for every k, including k=1 ("keep everything")
+        .filter(((F.col("__i") - 1) % k) == 0)
         .select("value")
     )
     rows = [r.value for r in elems.collect()]

@@ -152,20 +152,41 @@ def incremental_hourly_rollup(stream: DataFrame, target_dir: str):
         touched = [r.hour_key for r in delta.select("hour_key").distinct().collect()]
         if not touched:
             return
-        try:
-            current = spark.read.parquet(target_dir).filter(
-                F.col("hour_key").isin(touched)
+        # Probe the target explicitly instead of catching read errors:
+        # a transient IO failure must propagate, not silently reset the
+        # rollup to the current delta.
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        target_path = jvm.org.apache.hadoop.fs.Path(target_dir)
+        fs = target_path.getFileSystem(hconf)
+        if fs.exists(target_path):
+            current = (
+                spark.read.parquet(target_dir)
+                # partition-dir columns are re-inferred as INT on
+                # read-back; pin hour_key to its written string type
+                .withColumn("hour_key", F.col("hour_key").cast("string"))
+                .filter(F.col("hour_key").isin(touched))
             )
             merged = (
                 current.unionByName(delta)
                 .groupBy("hour", "hour_key", "event_type")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        except Exception:  # first batch: target does not exist yet
+        else:  # first batch: target does not exist yet
             merged = delta
-        merged.write.mode("overwrite").partitionBy("hour_key").option(
-            "partitionOverwriteMode", "dynamic"
-        ).parquet(target_dir)
+        # Stage the merged hours before committing: the dynamic
+        # overwrite below deletes partition files this same plan reads
+        # (self-read-overwrite), so materialize to a side path first.
+        stage_dir = f"{target_dir}_stage"
+        merged.write.mode("overwrite").parquet(stage_dir)
+        (
+            spark.read.parquet(stage_dir)
+            .write.mode("overwrite")
+            .partitionBy("hour_key")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(target_dir)
+        )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stage_dir), True)
 
     return (
         stream.writeStream.foreachBatch(merge)

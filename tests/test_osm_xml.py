@@ -206,3 +206,15 @@ def test_write_osm_sample_roundtrip(spark, tmp_path_factory):
     assert n == (N_NODES + N_WAYS + 10 - 1) // 10  # ceil((60+12)/10)
     back = parse_osm_xml(spark, out)
     assert back["nodes"].count() + back["ways"].count() == n
+
+
+def test_write_osm_sample_k1_keeps_everything(spark, tmp_path_factory):
+    """k=1 means 'keep every element', not an empty file (the 1-based
+    row_number off-by-one regression)."""
+    from open_street_map_data_wrangling_spark.sources.osm_xml import write_osm_sample
+
+    d = tmp_path_factory.mktemp("osm_sample_k1")
+    src = d / "map.osm"
+    src.write_text(_make_xml())
+    n = write_osm_sample(spark, str(src), str(d / "full.osm"), k=1)
+    assert n == N_NODES + N_WAYS

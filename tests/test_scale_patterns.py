@@ -146,6 +146,24 @@ def test_quantile_buckets_approximate_quartiles(spark, sf_dir):
         assert abs(r.cnt - n / 4) <= max(2, 0.1 * n / 4)
 
 
+def test_quantile_buckets_routes_null_nan_to_overflow(spark):
+    """NULL and NaN can't be range-assigned; they must land in the
+    explicit overflow bucket 0, not silently drop from the output."""
+    from open_street_map_data_wrangling_spark.operators.scale import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,), (float("nan"),)],
+        "v double",
+    )
+    got = quantile_buckets(df, "v", 4)
+    assert got.count() == 102  # total preservation incl. NULL/NaN
+    overflow = got.filter(F.col("bucket") == 0).collect()
+    assert len(overflow) == 2
+    vals = [r.v for r in overflow]
+    assert any(v is None for v in vals)
+    assert any(v is not None and v != v for v in vals)  # NaN
+
+
 def test_broadcast_threshold_flips_join_strategy(spark, sf_dir):
     """Join strategy is config-sensitive, not hardcoded: with
     broadcasting disabled the un-hinted orders⋈customer join must plan
