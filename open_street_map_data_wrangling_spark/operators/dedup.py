@@ -193,41 +193,40 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_MIN = 0.02
 
 
-@query(
-    "q_dedup_ngram",
-    oracle=f"""
-        WITH {SHINGLES_SQL_CTE},
-        sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM ex a JOIN ex b
-              ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-        SELECT doc_a, doc_b,
-               round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE i * 1.0 / (sa.n + sb.n - i) >= {_JACCARD_MIN}
-    """,
-    tags=("dedup", "jaccard", "extension"),
-)
-def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard (X2) for pairs sharing ≥1 shingle, bounded
-    to same-lang pairs: |A∩B| via a shingle equi-self-join, |A∪B| from
-    per-doc set sizes. The single division keeps float behavior
-    identical across engines."""
-    docs = load_table(spark, sf_dir, "documents")
+# Stop-shingle cutoff: a shingle present in > K documents contributes
+# ≥ K(K-1)/2 candidate pairs and an unbounded collect_list array — it
+# is the skew killer of this operator at scale, and (like df-based
+# stopword removal) carries ~no near-dup signal. Fixture max df is 14,
+# so 100 leaves fixture output byte-identical while the pruning path
+# still executes.
+_NGRAM_DF_CUTOFF = 100
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    jaccard_min: float = _JACCARD_MIN,
+    df_cutoff: int = _NGRAM_DF_CUTOFF,
+) -> DataFrame:
+    """Exact n-gram Jaccard over same-lang pairs sharing ≥1 surviving
+    shingle. Shingles with document frequency > df_cutoff are dropped
+    BEFORE pair generation (numerator and denominator both computed on
+    the pruned sets, so Jaccard stays a true set similarity).
+
+    Scale shape: the df aggregation is map-side-combined (one row per
+    distinct (lang, shingle) per task), the hot set is tiny by
+    definition (few shingles exceed the cutoff), so removing it is a
+    broadcast anti-join — no extra shuffle of the exploded shingles."""
     ex = docs.select("doc_id", "lang", F.explode(shingles_expr("text")).alias("sh"))
+    freq = ex.groupBy("lang", "sh").agg(F.count("*").alias("df"))
+    hot = freq.filter(F.col("df") > df_cutoff).select("lang", "sh")
+    ex = ex.join(F.broadcast(hot), ["lang", "sh"], "left_anti")
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     # Intersection counts via one shuffle: group doc-ids per shingle,
     # generate ordered pairs in-memory. Measured ~20% faster than the
     # equivalent shingle self-join at sf0.1 (one exchange instead of
-    # two join sides). Caveat at scale: a stop-shingle with huge df
-    # makes collect_list the skew point — apply a df cutoff first
-    # (drop shingles with df > K), which near-dup pipelines want
-    # anyway; the self-join form degrades more gracefully under AQE
-    # skew-split if cutoffs are not acceptable.
+    # two join sides). The df cutoff above bounds each group's
+    # collect_list at df_cutoff ids, so no task ever materializes a
+    # stop-shingle's quadratic pair fan-out.
     grouped = (
         ex.groupBy("lang", "sh")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -249,9 +248,43 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(j >= _JACCARD_MIN)
+        .filter(j >= jaccard_min)
         .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
     )
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+        WITH {SHINGLES_SQL_CTE},
+        freq AS (SELECT lang, sh, count(*) AS df FROM ex GROUP BY lang, sh),
+        exf AS (
+            SELECT e.doc_id, e.lang, e.sh
+            FROM ex e JOIN freq f ON e.lang = f.lang AND e.sh = f.sh
+            WHERE f.df <= {_NGRAM_DF_CUTOFF}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM exf a JOIN exf b
+              ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= {_JACCARD_MIN}
+    """,
+    tags=("dedup", "jaccard", "extension"),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard (X2) for pairs sharing ≥1 shingle, bounded
+    to same-lang pairs and pruned of stop-shingles (df > cutoff) before
+    pair generation: |A∩B| via per-shingle pair expansion, |A∪B| from
+    per-doc pruned set sizes. The single division keeps float behavior
+    identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs)
 
 
 # ---------------------------------------------------------------------------

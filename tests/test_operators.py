@@ -171,6 +171,39 @@ def test_observe_metrics(spark, sf_dir):
     assert n_clicks < m["n_rows"]
 
 
+def test_ngram_df_cutoff_prunes_stop_shingles(spark):
+    """The df cutoff must drop stop-shingles BEFORE pair generation:
+    docs sharing only a shingle above the cutoff form no pair, and the
+    Jaccard denominator is computed on the pruned sets."""
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # docs 0..4 all contain the stop shingle "the of and"; docs 0 and 1
+    # additionally share the rare shingle "alpha beta gamma" (their only
+    # other content overlap).
+    rare = "alpha beta gamma"
+    rows = [
+        (0, "en", f"the of and {rare}"),
+        (1, "en", f"the of and {rare}"),
+        (2, "en", "the of and u2a u2b u2c"),
+        (3, "en", "the of and u3a u3b u3c"),
+        (4, "en", "the of and u4a u4b u4c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    # cutoff below the stop shingle's df=5: only the rare-shingle pair
+    # survives, and its jaccard is computed on pruned sets
+    got = ngram_jaccard_pairs(docs, jaccard_min=0.01, df_cutoff=4).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in got}
+    assert (0, 1) in pairs
+    assert all(a == 0 and b == 1 for a, b in pairs)  # stop-only pairs pruned
+
+    # cutoff above every df: all 10 pairs share the stop shingle
+    loose = ngram_jaccard_pairs(docs, jaccard_min=0.01, df_cutoff=100)
+    assert loose.count() == 10
+
+
 def test_connected_components_chain(spark):
     """A 12-node path graph must converge to one component (worst-case
     diameter for min-label propagation) plus an isolated node."""
