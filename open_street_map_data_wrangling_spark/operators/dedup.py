@@ -464,6 +464,87 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hamming ≤ k banding: a pair differing in ≤ k of the 16 fingerprint
+# bits must agree exactly on at least one of k+1 disjoint bit bands
+# (pigeonhole), so the quadratic all-pairs scan reduces to k+1
+# equi-joins + an exact bit_count verify on the candidates.
+_HAMMING_K = 2
+_SIMHASH_BANDS = ((0, 6), (6, 5), (11, 5))  # (bit offset, width): k+1 bands
+
+_SIMHASH_BANDS_SQL = "\n        UNION ALL ".join(
+    f"SELECT doc_id, fingerprint, {j} AS bi,"
+    f" (fingerprint >> {off}) & {(1 << w) - 1} AS bv FROM fp"
+    for j, (off, w) in enumerate(_SIMHASH_BANDS)
+)
+
+
+@query(
+    "q_simhash_near",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        scores AS (
+            SELECT doc_id,
+               {_SIMHASH_SCORE_SQL}
+            FROM tk GROUP BY doc_id),
+        fp AS (
+            SELECT doc_id, CAST({_SIMHASH_FP_SQL} AS BIGINT) AS fingerprint
+            FROM scores),
+        bands AS ({_SIMHASH_BANDS_SQL})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INTEGER)
+                 AS hamming
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {_HAMMING_K}
+    """,
+    tags=("dedup", "simhash", "extension"),
+)
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ k (X2): the
+    rotated-band tier q_simhash_pairs's distance-0 buckets lack. The
+    16-bit fingerprint splits into k+1 disjoint bands (6/5/5 bits);
+    band-equal candidates are verified with an exact
+    bit_count(a XOR b) <= k filter — all equi-joins, so recall is
+    exact for distance ≤ k with zero quadratic blow-up. At 100 TB the
+    skew watch-point is a degenerate band value (e.g. all-zero band
+    from short docs), same mitigation family as MinHash hot buckets."""
+    fp = q_dedup_simhash(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("bi"),
+                F.expr(
+                    f"shiftright(fingerprint, {off}) & {(1 << w) - 1}"
+                ).alias("bv"),
+            )
+            for j, (off, w) in enumerate(_SIMHASH_BANDS)
+        ]
+    )
+    bands = fp.select("doc_id", "fingerprint", F.explode(band_structs).alias("b")).select(
+        "doc_id", "fingerprint", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_K)
+        .distinct()
+    )
+
+
 @query("q_dedup_near_fast", oracle=None, tags=("dedup", "lsh", "extension"))
 def q_dedup_near_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash-LSH (X2): identical pipeline to q_dedup_near

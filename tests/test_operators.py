@@ -204,6 +204,41 @@ def test_ngram_df_cutoff_prunes_stop_shingles(spark):
     assert loose.count() == 10
 
 
+def test_simhash_banding_complete_at_hamming_k(spark, sf_dir):
+    """Pigeonhole completeness: the k+1-band candidate join must find
+    EXACTLY the pairs a brute-force all-pairs scan finds at Hamming
+    distance <= k — banding is an optimization, never a recall loss."""
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        _HAMMING_K,
+        q_dedup_simhash,
+        q_simhash_near,
+    )
+
+    fp = q_dedup_simhash(spark, sf_dir)
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_K)
+        .collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in q_simhash_near(spark, sf_dir).collect()
+    }
+    assert banded == brute
+    assert brute  # fixture must actually contain close pairs
+
+
 def test_connected_components_chain(spark):
     """A 12-node path graph must converge to one component (worst-case
     diameter for min-label propagation) plus an isolated node."""
