@@ -142,6 +142,206 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NPROBE = 2  # cells probed by the multi-probe variant
+
+
+def _ivf_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, cid): every vector's nearest-centroid cell — broadcast
+    codebook join + window argmax, computed once per table."""
+    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cos_c = cosine_expr("embedding", "cemb")
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    return (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "cid", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def _ivf_query_cells(emb: DataFrame, query_id: int, nprobe: int) -> DataFrame:
+    """(qcid): the query's top-nprobe cells by query-centroid cosine.
+    C rows in, nprobe rows out — always broadcast-sized."""
+    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    qvec = emb.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos_qc = cosine_expr("cemb", "q_embedding")
+    return (
+        cents.join(F.broadcast(qvec))
+        .select("cid", cos_qc.alias("cos_qc"))
+        .orderBy(F.desc("cos_qc"), F.asc("cid"))
+        .limit(nprobe)
+        .select(F.col("cid").alias("qcid"))
+    )
+
+
+# Oracle twins for the helpers above (f-string CTE builders).
+_IVF_ASSIGN_SQL = f"""
+        cents AS (
+            SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+            WHERE vec_id < {_N_CENTROIDS}),
+        assign AS (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC, c.cid ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c),
+        a1 AS (SELECT vec_id, cid FROM assign WHERE rn = 1)"""
+
+
+def _ivf_qcells_sql(query_id: int, nprobe: int, name: str = "qc") -> str:
+    return f"""
+        {name} AS (
+            SELECT cid AS qcid FROM (
+                SELECT c.cid,
+                       row_number() OVER (
+                           ORDER BY list_cosine_similarity(
+                               c.cemb::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                           c.cid ASC) AS qrn
+                FROM cents c CROSS JOIN
+                     (SELECT embedding FROM embeddings
+                      WHERE vec_id = {query_id}) q)
+            WHERE qrn <= {nprobe})"""
+
+
+@query(
+    "q_ann_ivf_multiprobe",
+    oracle=f"""
+        WITH {_IVF_ASSIGN_SQL},
+        {_ivf_qcells_sql(_QUERY_ID_IVF, _NPROBE)},
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID_IVF})
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4)
+                 AS cos_sim
+        FROM embeddings e
+        JOIN a1 ON e.vec_id = a1.vec_id
+        JOIN qc ON a1.cid = qc.qcid
+        CROSS JOIN q
+        WHERE e.vec_id <> {_QUERY_ID_IVF}
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                 e.vec_id ASC
+        LIMIT 5
+    """,
+    tags=("similarity", "extension", "ann"),
+)
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (X3): probe the query's top-{_NPROBE} cells
+    instead of one — the standard recall knob (nprobe) of an IVF
+    index. Cell ranking is a C-row broadcast computation; the searched
+    fraction grows to ~nprobe/C of the table, everything else keeps
+    the single-probe plan shape (broadcast probe list, per-task
+    top-k heap). With cell-partitioned storage Catalyst still prunes
+    all non-probed cells at scan time."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _ivf_assign(emb)
+    qcells = _ivf_query_cells(emb, _QUERY_ID_IVF, _NPROBE)
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos_q = cosine_expr("embedding", "q_embedding")
+    return (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != _QUERY_ID_IVF)
+        .join(F.broadcast(qvec))
+        .select("vec_id", cos_q.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+_RECALL_NPROBES = (1, 2, 4)
+
+
+def _recall_branch_sql(nprobe: int) -> str:
+    return f"""
+        SELECT {nprobe} AS nprobe, count(*) AS hits, count(*) / 10.0 AS recall_at_10
+        FROM exact10 JOIN (
+            SELECT e.vec_id
+            FROM embeddings e
+            JOIN a1 ON e.vec_id = a1.vec_id
+            JOIN qc{nprobe} ON a1.cid = qc{nprobe}.qcid
+            CROSS JOIN q
+            WHERE e.vec_id <> {_QUERY_ID_IVF}
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                     e.vec_id ASC
+            LIMIT 10) ivf10 USING (vec_id)"""
+
+
+@query(
+    "q_ann_recall_multiprobe",
+    oracle=f"""
+        WITH {_IVF_ASSIGN_SQL},
+        {",".join(_ivf_qcells_sql(_QUERY_ID_IVF, n, f"qc{n}") for n in _RECALL_NPROBES)},
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID_IVF}),
+        exact10 AS (
+            SELECT e.vec_id
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {_QUERY_ID_IVF}
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                     e.vec_id ASC
+            LIMIT 10)
+        {" UNION ALL ".join(_recall_branch_sql(n) for n in _RECALL_NPROBES)}
+    """,
+    tags=("similarity", "extension", "ann"),
+)
+def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe/recall trade-off curve: recall@10 of the IVF probe
+    at nprobe ∈ {_RECALL_NPROBES} against exact top-10 — one row per
+    nprobe. Recall must be non-decreasing in nprobe (probed cells are
+    supersets); the oracle replays every measurement, so the whole
+    curve is hash-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _ivf_assign(emb)
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cos_q = cosine_expr("embedding", "q_embedding")
+    exact10 = (
+        emb.filter(F.col("vec_id") != _QUERY_ID_IVF)
+        .join(F.broadcast(qvec))
+        .select("vec_id", cos_q.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    branches = []
+    for nprobe in _RECALL_NPROBES:
+        qcells = _ivf_query_cells(emb, _QUERY_ID_IVF, nprobe)
+        ivf10 = (
+            emb.join(assign, "vec_id")
+            .join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
+            .filter(F.col("vec_id") != _QUERY_ID_IVF)
+            .join(F.broadcast(qvec))
+            .select("vec_id", cos_q.alias("cos_raw"))
+            .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+            .limit(10)
+            .select("vec_id")
+        )
+        branches.append(
+            exact10.join(ivf10, "vec_id")
+            .agg(F.count("*").alias("hits"))
+            .select(
+                F.lit(nprobe).alias("nprobe"),
+                "hits",
+                (F.col("hits") / 10.0).alias("recall_at_10"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 _N_PLANES = 6  # sign-LSH code width -> up to 64 buckets
 
 

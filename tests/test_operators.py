@@ -239,6 +239,21 @@ def test_simhash_banding_complete_at_hamming_k(spark, sf_dir):
     assert brute  # fixture must actually contain close pairs
 
 
+def test_ivf_recall_non_decreasing_in_nprobe(spark, sf_dir):
+    """Probed cells at nprobe n are a superset of those at n-1, so
+    recall@10 must be non-decreasing along the curve."""
+    from open_street_map_data_wrangling_spark.operators.similarity import (
+        q_ann_recall_multiprobe,
+    )
+
+    rows = sorted(
+        q_ann_recall_multiprobe(spark, sf_dir).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    recalls = [r.recall_at_10 for r in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+
+
 def test_connected_components_chain(spark):
     """A 12-node path graph must converge to one component (worst-case
     diameter for min-label propagation) plus an isolated node."""
