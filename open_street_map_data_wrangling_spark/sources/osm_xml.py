@@ -15,8 +15,11 @@ parses across every core of the cluster:
    reference tables (schema.py shapes): nodes, nodes_tags, ways,
    ways_tags, ways_nodes.
 
-`<relation>` elements are ignored, matching the reference project
-family (SURVEY.md §1.1).
+`<relation>` elements — which the reference project family ignores
+(SURVEY.md §1.1) — are parsed into `relations`, `relations_tags` and
+`relation_members(id, member_type, member_ref, role, position)`,
+completing the OSM data model (multipolygons, routes, turn
+restrictions all live in relations).
 
 The element boundary chosen for the text splitter is "\\n  <node" /
 "\\n  <way" nesting-level-2 newlines — OSM extracts are one element
@@ -48,14 +51,22 @@ WAYS_SCHEMA = (
 )
 TAGS_SCHEMA = "id bigint, key string, value string, type string"
 WAY_NODES_SCHEMA = "id bigint, node_id bigint, position int"
+RELATIONS_SCHEMA = WAYS_SCHEMA
+RELATION_MEMBERS_SCHEMA = (
+    "id bigint, member_type string, member_ref bigint, role string, position int"
+)
 
-# one output relation per reference table (schema.py)
+# one output relation per reference table (schema.py), plus the
+# relation tables the reference family omits
 _TABLE_SCHEMAS = {
     "nodes": NODES_SCHEMA,
     "nodes_tags": TAGS_SCHEMA,
     "ways": WAYS_SCHEMA,
     "ways_tags": TAGS_SCHEMA,
     "ways_nodes": WAY_NODES_SCHEMA,
+    "relations": RELATIONS_SCHEMA,
+    "relations_tags": TAGS_SCHEMA,
+    "relation_members": RELATION_MEMBERS_SCHEMA,
 }
 
 
@@ -75,7 +86,7 @@ def _parse_element(frag: str) -> tuple[str, dict] | None:
         elem = ET.fromstring(frag)
     except ET.ParseError:
         return None
-    if elem.tag not in ("node", "way"):
+    if elem.tag not in ("node", "way", "relation"):
         return None
     return elem.tag, _shape(elem)
 
@@ -104,6 +115,17 @@ def _shape(elem: ET.Element) -> dict:
             {"id": shaped["id"], "node_id": int(nd.attrib["ref"]), "position": i}
             for i, nd in enumerate(elem.findall("nd"))
         ]
+    if elem.tag == "relation":
+        shaped["members"] = [
+            {
+                "id": shaped["id"],
+                "member_type": m.attrib.get("type"),
+                "member_ref": int(m.attrib["ref"]) if "ref" in m.attrib else None,
+                "role": m.attrib.get("role"),
+                "position": i,
+            }
+            for i, m in enumerate(elem.findall("member"))
+        ]
     return shaped
 
 
@@ -116,10 +138,11 @@ def read_osm_fragments(spark: SparkSession, path: str) -> DataFrame:
 
 def _frag_iter(batches: Iterator[pd.DataFrame], want: str) -> Iterator[pd.DataFrame]:
     nodes, node_tags, ways, way_tags, way_nodes = [], [], [], [], []
+    rels, rel_tags, rel_members = [], [], []
     for pdf in batches:
         for raw in pdf["value"]:
             raw = raw.strip()
-            if not raw or raw.startswith(("?", "<?", "osm", "/", "bounds", "relation")):
+            if not raw or raw.startswith(("?", "<?", "osm", "/", "bounds")):
                 continue
             if not raw.startswith("<"):
                 # the lineSep splitter consumed the leading '<'
@@ -128,30 +151,39 @@ def _frag_iter(batches: Iterator[pd.DataFrame], want: str) -> Iterator[pd.DataFr
             if raw.endswith("</osm>"):
                 raw = raw[: -len("</osm>")].rstrip()
             parsed = _parse_element(raw)
-            if parsed is None and raw.startswith(("<node", "<way")):
+            if parsed is None and raw.startswith(("<node", "<way", "<relation")):
                 # the splitter consumed "\n  <" of the element's own
                 # closing tag — retry with it reconstructed
-                kind = "node" if raw.startswith("<node") else "way"
+                kind = (
+                    "node"
+                    if raw.startswith("<node")
+                    else "way" if raw.startswith("<way") else "relation"
+                )
                 parsed = _parse_element(raw + f"</{kind}>")
             if parsed is None:
                 continue
             kind, shaped = parsed
             tags = shaped.pop("tags")
             if kind == "node":
-                shaped.pop("nd", None)
                 nodes.append(shaped)
                 node_tags.extend(tags)
-            else:
+            elif kind == "way":
                 way_nodes.extend(shaped.pop("nd"))
-                shaped.pop("lat", None), shaped.pop("lon", None)
                 ways.append(shaped)
                 way_tags.extend(tags)
+            else:
+                rel_members.extend(shaped.pop("members"))
+                rels.append(shaped)
+                rel_tags.extend(tags)
     out = {
         "nodes": nodes,
         "nodes_tags": node_tags,
         "ways": ways,
         "ways_tags": way_tags,
         "ways_nodes": way_nodes,
+        "relations": rels,
+        "relations_tags": rel_tags,
+        "relation_members": rel_members,
     }[want]
     cols = [f.split()[0] for f in _TABLE_SCHEMAS[want].split(", ")]
     yield pd.DataFrame(out, columns=cols)

@@ -51,9 +51,17 @@ def _make_xml() -> str:
         lines.append(f'    <tag k="highway" v="residential"/>')
         lines.append(f'    <tag k="name" v="Way {w}"/>')
         lines.append("  </way>")
-    # a relation — must be ignored like the reference does
+    # relations — parsed into relations/relations_tags/relation_members
+    # (the reference family ignores them; we complete the data model)
     lines.append('  <relation id="99" user="user0" uid="0" version="1" changeset="3000" timestamp="2024-01-20T00:00:00Z">')
     lines.append('    <member type="way" ref="10000" role="outer"/>')
+    lines.append("  </relation>")
+    lines.append('  <relation id="100" user="user1" uid="1" version="2" changeset="3001" timestamp="2024-01-21T00:00:00Z">')
+    lines.append('    <member type="way" ref="10001" role="outer"/>')
+    lines.append('    <member type="way" ref="10002" role="inner"/>')
+    lines.append('    <member type="node" ref="7" role=""/>')
+    lines.append('    <tag k="type" v="multipolygon"/>')
+    lines.append('    <tag k="addr:city" v="Akron"/>')
     lines.append("  </relation>")
     lines.append("</osm>")
     return "\n".join(lines) + "\n"
@@ -91,6 +99,31 @@ def test_way_ordinals(osm_tables):
     wn = osm_tables["ways_nodes"].filter(F.col("id") == 10001).orderBy("position").collect()
     assert [r.position for r in wn] == [0, 1, 2]
     assert [r.node_id for r in wn] == [3, 4, 5]
+
+
+def test_relations_parsed(osm_tables):
+    """Relations land in relations/relations_tags/relation_members
+    with ordered, typed member rows."""
+    rels = {r.id: r for r in osm_tables["relations"].collect()}
+    assert set(rels) == {99, 100}
+    assert rels[100].user == "user1" and rels[100].version == 2
+
+    members = (
+        osm_tables["relation_members"]
+        .filter(F.col("id") == 100)
+        .orderBy("position")
+        .collect()
+    )
+    assert [m.position for m in members] == [0, 1, 2]
+    assert [m.member_type for m in members] == ["way", "way", "node"]
+    assert [m.member_ref for m in members] == [10001, 10002, 7]
+    assert [m.role for m in members] == ["outer", "inner", ""]
+
+    tags = {
+        (t.type, t.key): t.value
+        for t in osm_tables["relations_tags"].filter(F.col("id") == 100).collect()
+    }
+    assert tags == {("regular", "type"): "multipolygon", ("addr", "city"): "Akron"}
 
 
 def test_street_audit_over_parsed(osm_tables):
