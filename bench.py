@@ -43,6 +43,11 @@ HEADLINE = (
     "q_tfidf",
     "q_asof_join",
     "q_contamination",
+    # added round 2 (keep the set append-only so rounds stay comparable)
+    "q_dedup_clusters",
+    "q_tpch_q17",
+    "q_salted_join",
+    "q_simhash_near",
 )
 
 

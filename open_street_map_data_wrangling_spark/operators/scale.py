@@ -20,8 +20,11 @@ layouts — the two write-time levers sources/sinks.py exposes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.catalog import load_table
 
 
 def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
@@ -61,6 +64,37 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return fact_s.join(dim_s, [key, "__salt"]).drop("__salt")
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("scale", "join", "skew"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join wired into a real query: events (fact,
+    skewed user_id) joined to customer (dim) through salted_join, then
+    aggregated per market segment. The oracle is the PLAIN join — the
+    salt must be semantically invisible, which is exactly what this
+    row hash-verifies. At 100 TB the fact side's hot user spreads over
+    n_salts tasks instead of stalling one reducer; the dim side pays
+    an n_salts× row duplication, fine for dimension-sized tables."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(events, customer, "user_id", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
 
 
 def two_phase_distinct_count(df: DataFrame, key: str, value: str) -> DataFrame:

@@ -10,7 +10,7 @@ value is the plan shapes and the oracle parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -607,11 +607,14 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "subquery", "topk"),
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 top supplier: a derived revenue view consumed twice — once
-    for the max (scalar subquery) and once for the equality probe.
-    The view is computed ONCE and the 1-row max side broadcasts; at
-    100 TB this avoids recomputing the quarter scan. Comparing the
-    ROUNDED revenue keeps the float equality engine-stable."""
+    """Q15 top supplier, single-scan form: max-with-ties over the
+    aggregated revenue view via rank() == 1 on a global window. The
+    semi-join form consumed the revenue view twice (two lineitem
+    scans); here lineitem scans ONCE, and the rank filter compiles to
+    WindowGroupLimit — each task keeps only its local top (with ties)
+    before the single-partition exchange, so the global window sees a
+    handful of rows per task, not |suppliers|. Comparing the ROUNDED
+    revenue keeps the float equality engine-stable."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     revenue = (
@@ -626,9 +629,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    top = revenue.agg(F.max("total_revenue").alias("total_revenue"))
+    w = W.orderBy(F.desc("total_revenue"))
     return (
-        revenue.join(F.broadcast(top), "total_revenue", "left_semi")
+        revenue.withColumn("__rnk", F.rank().over(w))
+        .filter(F.col("__rnk") == 1)
+        .drop("__rnk")
         .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "stats",
     "tpch",
     "pipeline_ops",
+    "scale",
 )
 
 
