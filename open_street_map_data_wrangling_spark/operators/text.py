@@ -213,3 +213,93 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tk.groupBy("doc_id").agg(
         F.sum((h * w).cast("bigint")).cast("bigint").alias("fingerprint")
     )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        grams AS (
+            SELECT doc_id, 't' AS kind, unnest(toks) AS g FROM tok
+            UNION ALL
+            SELECT doc_id, 'b' AS kind, toks[i] || ' ' || toks[i + 1] AS g
+            FROM tok, unnest(range(1, len(toks))) AS r(i)),
+        counts AS (
+            SELECT doc_id, kind, g, count(*) AS c
+            FROM grams GROUP BY doc_id, kind, g)
+        SELECT doc_id,
+               CAST(sum(c) FILTER (kind = 't') AS BIGINT) AS n_toks,
+               CAST(max(c) FILTER (kind = 't') AS BIGINT) AS top_tok_cnt,
+               CAST(10000 * max(c) FILTER (kind = 't')
+                    // sum(c) FILTER (kind = 't') AS BIGINT) AS top_tok_x10k,
+               CAST(coalesce(sum(c) FILTER (kind = 'b' AND c >= 2), 0)
+                    AS BIGINT) AS dup_bigram_occ,
+               CAST(coalesce(10000 * sum(c) FILTER (kind = 'b' AND c >= 2)
+                             // sum(c) FILTER (kind = 'b'), 0)
+                    AS BIGINT) AS dup_bigram_x10k
+        FROM counts GROUP BY doc_id
+    """,
+    tags=("text", "extension", "quality", "repetition"),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter (X4 extension): the classic public-pipeline
+    repetition rules — fraction of tokens that are the single most
+    frequent token, and fraction of bigram occurrences belonging to a
+    bigram that appears >= 2 times in the doc (Gopher-style duplicate
+    n-gram fraction; docs dominated by either are boilerplate/spam).
+
+    Single-pass formulation: unigrams and bigrams are built row-locally
+    as one concatenated struct array (bigrams via transform over an
+    index sequence — no window, no second scan), exploded ONCE, then
+    two key-uniform aggregations: (doc_id, kind, gram) counts — map-side
+    partial agg eats the duplication — then (doc_id) conditional aggs.
+    The second shuffle moves only distinct grams per doc. Ratios are
+    integer-scaled x10^4 via exact integer division (round() tips on
+    half-boundaries across engines). At 100 TB: no skew hazard — keys
+    are (doc, gram) pairs, naturally uniform; nothing is collected."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.concat(
+        F.transform(toks, lambda t: F.struct(F.lit("t").alias("kind"), t.alias("g"))),
+        # sequence(0, -1) counts DOWN in Spark, so a 1-token doc must
+        # short-circuit to an empty bigram list (DuckDB range(1,1) is
+        # already empty).
+        F.when(F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.struct(
+                    F.lit("b").alias("kind"),
+                    F.concat(
+                        F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
+                    ).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<kind:string,g:string>>")),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(grams).alias("gr"))
+        .groupBy("doc_id", F.col("gr.kind").alias("kind"), F.col("gr.g").alias("g"))
+        .count()
+    )
+    is_t = F.col("kind") == "t"
+    is_b = F.col("kind") == "b"
+    dup_b = is_b & (F.col("count") >= 2)
+    return counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_t, F.col("count"))).alias("n_toks"),
+        F.max(F.when(is_t, F.col("count"))).alias("top_tok_cnt"),
+        F.expr(
+            "CAST(10000 * max(CASE WHEN kind = 't' THEN count END) "
+            "div sum(CASE WHEN kind = 't' THEN count END) AS BIGINT)"
+        ).alias("top_tok_x10k"),
+        F.coalesce(F.sum(F.when(dup_b, F.col("count"))), F.lit(0)).cast("bigint").alias(
+            "dup_bigram_occ"
+        ),
+        F.coalesce(
+            F.expr(
+                "10000 * sum(CASE WHEN kind = 'b' AND count >= 2 THEN count END) "
+                "div sum(CASE WHEN kind = 'b' THEN count END)"
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("dup_bigram_x10k"),
+    )

@@ -392,3 +392,20 @@ def test_kmeans_trained_ivf_recall(spark):
     recall = len(exact & probed) / 10.0
     assert recall >= 0.3, f"trained IVF recall {recall} worse than fixed codebook"
     assert model.clusterCenters() is not None and len(model.clusterCenters()) == 8
+
+
+def test_repetition_edge_docs(spark, monkeypatch):
+    """q_repetition on degenerate docs: a 1-token doc must yield an
+    EMPTY bigram list (Spark's sequence(0,-1) counts down — guarded
+    by the size>=2 branch), and a fully-repeated doc scores 10000."""
+    import open_street_map_data_wrangling_spark.operators.text as text_mod
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "a a a a"), (3, "x y x y")], "doc_id long, text string"
+    )
+    monkeypatch.setattr(text_mod, "load_table", lambda s, d, n: df)
+    rows = {r["doc_id"]: r for r in text_mod.q_repetition(spark, "_").collect()}
+    assert rows[1]["dup_bigram_occ"] == 0 and rows[1]["dup_bigram_x10k"] == 0
+    assert rows[1]["top_tok_x10k"] == 10000
+    assert rows[2]["top_tok_x10k"] == 10000 and rows[2]["dup_bigram_x10k"] == 10000
+    assert rows[3]["top_tok_cnt"] == 2 and rows[3]["dup_bigram_x10k"] == 6666
