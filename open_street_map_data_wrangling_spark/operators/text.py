@@ -303,3 +303,63 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("bigint").alias("dup_bigram_x10k"),
     )
+
+
+# A token is "common" when it appears in >= RARE_DF docs. The set of
+# common tokens is provably bounded: at most (total doc-token pairs)
+# / RARE_DF tokens can clear the bar — so the COMMON head broadcasts
+# even when the rare tail (typos, hashes, garbage) has billions of
+# distinct tokens. Rare = not-in-head, never materialized as a set.
+RARE_DF = 100
+
+
+@query(
+    "q_rare_tokens",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+        dfq AS (
+            SELECT tok, count(DISTINCT doc_id) AS df FROM pairs GROUP BY tok),
+        common AS (SELECT tok FROM dfq WHERE df >= {RARE_DF})
+        SELECT p.doc_id,
+               CAST(count(*) AS BIGINT) AS n_toks,
+               CAST(count(*) FILTER (c.tok IS NULL) AS BIGINT) AS rare_cnt,
+               CAST(10000 * count(*) FILTER (c.tok IS NULL) // count(*)
+                    AS BIGINT) AS rare_x10k
+        FROM pairs p LEFT JOIN common c ON p.tok = c.tok
+        GROUP BY p.doc_id
+    """,
+    tags=("text", "extension", "quality", "vocabulary"),
+)
+def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token / OOV-ratio filter (X4 extension): fraction of a
+    doc's token occurrences whose corpus document frequency is below
+    RARE_DF — the standard garbage detector (mojibake, hashes, DNA
+    strings score near 10000; clean prose near 0).
+
+    Scale posture: the corpus df pass aggregates (doc, tok) pairs with
+    map-side partials; the "common vocabulary" head is then AT MOST
+    |pairs| / RARE_DF rows by construction, so it broadcasts at any
+    corpus size — the unbounded rare TAIL is never collected, rare is
+    just a failed broadcast-hash-join probe (left join, NULL flag).
+    Per-doc ratios are exact integer division, x10^4."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    common = (
+        pairs.distinct()
+        .groupBy("tok")
+        .count()
+        .filter(F.col("count") >= RARE_DF)
+        .select("tok", F.lit(True).alias("__common"))
+    )
+    flagged = pairs.join(F.broadcast(common), "tok", "left")
+    rare_cnt = F.sum(F.when(F.col("__common").isNull(), 1).otherwise(0))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        rare_cnt.cast("bigint").alias("rare_cnt"),
+        F.expr(
+            "CAST(10000 * sum(CASE WHEN __common IS NULL THEN 1 ELSE 0 END) "
+            "div count(*) AS BIGINT)"
+        ).alias("rare_x10k"),
+    )
