@@ -268,3 +268,61 @@ def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta").alias("chars_removed"),
         )
     )
+
+
+# Domain-mix thresholds: 4-hex-digit md5 prefix compared as a string
+# (fixed-width hex compares lexicographically == numerically), so a
+# threshold of '7fff' keeps ~2^15/2^16 = 1/2 of docs. Rate class is
+# derived from the source id (num % 4) instead of a lookup table so
+# the op is pure expression logic at any source cardinality; swapping
+# in a broadcast (source, threshold) dim table is a one-line change.
+_MIX_CASE_SQL = (
+    "CASE (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4) "
+    "WHEN 0 THEN 'ffff' WHEN 1 THEN '7fff' WHEN 2 THEN '3fff' "
+    "ELSE '1fff' END"
+)
+
+
+@query(
+    "q_domain_mix",
+    oracle=f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_before,
+               CAST(count(*) FILTER (
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                    <= {_MIX_CASE_SQL}) AS BIGINT) AS n_kept,
+               CAST(10000 * count(*) FILTER (
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                    <= {_MIX_CASE_SQL}) // count(*) AS BIGINT) AS kept_x10k
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("pipeline", "extension", "sampling", "mix"),
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix resampling: downsample each source to
+    a target rate (keep-all / 1/2 / 1/4 / 1/8 by source class) via
+    content-hash thresholding — md5(doc_id) 4-hex prefix compared
+    against the class threshold. No RNG: the keep decision is a pure
+    function of the row, so it is identical under reshuffles, retries,
+    speculative execution, and backfills — THE production property a
+    rand(seed) sample lacks in a distributed engine (rand is
+    partitioning-dependent). Reports per-source before/after counts
+    and the achieved rate x10^4.
+
+    Scale: single map-side-partial groupBy on source; the keep flag
+    never leaves the mapper. Skew-free (source cardinality is small
+    but each group is a partial count, not a row list)."""
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.expr(_MIX_CASE_SQL.replace("\\d", "\\\\d"))
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) <= threshold
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_before"),
+        F.sum(keep.cast("bigint")).alias("n_kept"),
+        F.expr(
+            "CAST(10000 * sum(CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) "
+            f"<= {_MIX_CASE_SQL} THEN 1 ELSE 0 END) div count(*) AS BIGINT)".replace(
+                "\\d", "\\\\d"
+            )
+        ).alias("kept_x10k"),
+    )
