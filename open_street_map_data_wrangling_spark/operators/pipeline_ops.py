@@ -326,3 +326,61 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_x10k"),
     )
+
+
+@query(
+    "q_curriculum",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN n_chars < 200 THEN 0
+                    WHEN n_chars < 400 THEN 1 ELSE 2 END AS stage,
+               CAST(row_number() OVER (ORDER BY
+                    CASE WHEN n_chars < 200 THEN 0
+                         WHEN n_chars < 400 THEN 1 ELSE 2 END,
+                    md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS seq
+        FROM documents
+    """,
+    tags=("pipeline", "extension", "ordering", "curriculum"),
+)
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: short docs first (fixed-boundary
+    length stages), deterministically shuffled within each stage by
+    md5(doc_id), with a GLOBAL sequence number — the exact read order
+    a trainer consumes.
+
+    The global row_number is the scale story: a naive global window is
+    a single-partition exchange of the whole corpus. Instead the first
+    hash byte becomes an explicit bucket key (ordering by (stage,
+    bucket, hash) == ordering by (stage, hash) because lowercase hex
+    compares lexicographically == numerically): rank WITHIN each
+    (stage, bucket) group — ONE corpus shuffle over 3*256 uniform
+    keys — then add bucket offsets from a map-side-aggregated count
+    table of ~768 rows; only that tiny table crosses a
+    single-partition window, at any corpus size. This is zipWithIndex
+    re-expressed in DataFrame algebra; the oracle is the plain global
+    window, which hash-verifies the two are identical. (An earlier
+    spark_partition_id() formulation planned an EXTRA full hash
+    exchange on pid — window partitioning can't see physical
+    partition grouping — and is exactly what this form avoids.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2)
+        .alias("stage"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    ).withColumn("__bkt", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int"))
+    w_local = W.partitionBy("stage", "__bkt").orderBy("__h", "doc_id")
+    local = staged.withColumn("__rn", F.row_number().over(w_local))
+    w_off = W.orderBy("stage", "__bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        staged.groupBy("stage", "__bkt")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .select("stage", "__bkt", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["stage", "__bkt"])
+        .select("doc_id", "stage", (F.col("__off") + F.col("__rn")).alias("seq"))
+    )
