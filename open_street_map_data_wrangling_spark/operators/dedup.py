@@ -69,6 +69,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 8
 _BANDS = 4  # rows-per-band = 2
 
+# Hot-bucket cap: a band value shared by m docs emits m(m-1)/2
+# candidate pairs on ONE join task — the quadratic skew killer of
+# LSH at scale. Buckets larger than the cap are template/boilerplate
+# collisions carrying ~no near-dup signal (the same argument as the
+# n-gram df-cutoff) and are dropped BEFORE the self-join. The hot set
+# is bounded by |bands|/cap rows and in practice tiny → broadcast
+# anti-join, no extra shuffle of the band table. Fixture max bucket
+# is 3, so 32 leaves fixture output byte-identical while the pruning
+# path still executes (pytest covers a synthetic hot bucket).
+_LSH_BUCKET_CAP = 32
+
+
+def _capped_band_pairs(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+    """Band-bucket self-join with hot buckets (> cap members) pruned
+    first via broadcast anti-join. Shared by the md5 oracle twin and
+    the xxhash64 production twin."""
+    hot = (
+        bands.groupBy("bi", "bv")
+        .count()
+        .filter(F.col("count") > cap)
+        .select("bi", "bv")
+    )
+    kept = bands.join(F.broadcast(hot), ["bi", "bv"], "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
 _MINHASH_COLS_SQL = ",\n               ".join(
     f"min(md5(sh || '#{i}')) AS m{i}" for i in range(_N_HASHES)
 )
@@ -86,18 +121,26 @@ _BAND_SQL = "\n        UNION ALL ".join(
             SELECT doc_id,
                {_MINHASH_COLS_SQL}
             FROM ex GROUP BY doc_id),
-        bands AS ({_BAND_SQL})
+        bands AS ({_BAND_SQL}),
+        hot AS (
+            SELECT bi, bv FROM bands GROUP BY bi, bv
+            HAVING count(*) > {_LSH_BUCKET_CAP}),
+        kept AS (
+            SELECT * FROM bands ba WHERE NOT EXISTS
+                (SELECT 1 FROM hot h WHERE h.bi = ba.bi AND h.bv = ba.bv))
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM kept a JOIN kept b
           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
     """,
     tags=("dedup", "lsh", "extension"),
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (X2): 3-gram shingles → 8
-    min-hashes → 4 bands of 2 → equi-self-join on band signature.
+    min-hashes → 4 bands of 2 → hot-bucket prune (> _LSH_BUCKET_CAP
+    members, broadcast anti-join) → equi-self-join on band signature.
     The only joins are equi-joins on band values, so the all-pairs
-    O(n²) never materializes — the LSH property that makes near-dup
+    O(n²) never materializes, and the cap bounds the worst single
+    bucket's pair blow-up — the two properties that make near-dup
     feasible at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
@@ -119,17 +162,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _capped_band_pairs(bands)
 
 
 # ---------------------------------------------------------------------------
@@ -548,10 +581,11 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_dedup_near_fast", oracle=None, tags=("dedup", "lsh", "extension"))
 def q_dedup_near_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash-LSH (X2): identical pipeline to q_dedup_near
-    but with xxhash64 as the hash family — JVM-intrinsic, no hex
-    strings through the shuffle (8 longs instead of 8×32-char strings
-    per doc). Not reproducible in DuckDB → rows-only check; the
-    algorithm is the one the md5 twin hash-verifies."""
+    (including the hot-bucket cap) but with xxhash64 as the hash
+    family — JVM-intrinsic, no hex strings through the shuffle (8
+    longs instead of 8×32-char strings per doc). Not reproducible in
+    DuckDB → rows-only check; the algorithm is the one the md5 twin
+    hash-verifies."""
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
     mh = ex.groupBy("doc_id").agg(
@@ -572,14 +606,4 @@ def q_dedup_near_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _capped_band_pairs(bands)

@@ -409,3 +409,18 @@ def test_repetition_edge_docs(spark, monkeypatch):
     assert rows[1]["top_tok_x10k"] == 10000
     assert rows[2]["top_tok_x10k"] == 10000 and rows[2]["dup_bigram_x10k"] == 10000
     assert rows[3]["top_tok_cnt"] == 2 and rows[3]["dup_bigram_x10k"] == 6666
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """_capped_band_pairs drops a bucket above the cap (no quadratic
+    pair blow-up) while small buckets still pair."""
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        _capped_band_pairs,
+    )
+
+    rows = [(i, 0, "hot") for i in range(40)] + [(100, 1, "cold"), (101, 1, "cold")]
+    bands = spark.createDataFrame(rows, "doc_id long, bi int, bv string")
+    out = _capped_band_pairs(bands, cap=32).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(100, 101)}
+    # cap above the hot bucket size keeps all 780 + 1 pairs
+    assert _capped_band_pairs(bands, cap=64).count() == 40 * 39 // 2 + 1
