@@ -390,40 +390,60 @@ def connected_components(edges_df, nodes_df, max_iters: int = 50):
     and inherits AQE sizing each round.
 
     edges_df: (a, b) undirected pairs; nodes_df: (n). Returns
-    (n, cluster_id = min node id in the component)."""
+    (n, cluster_id = min node id in the component).
+
+    Three scale/latency properties (each was measured as a bench
+    regression when absent):
+    * `sym` is checkpointed ONCE — otherwise every iteration replays
+      the entire upstream pair-generation pipeline (for LSH input,
+      the full shingle→minhash→band job per round).
+    * Only edge-touched nodes iterate; the (usually enormous)
+      singleton majority never enters a round and is re-attached with
+      one left join at the end — at 100 TB the label table is sized
+      by |dup pairs|, not |corpus|.
+    * The convergence probe filters the just-checkpointed update
+      (old label carried alongside new) instead of re-joining two
+      label snapshots — one cheap action per round, no extra join."""
     from pyspark.sql import functions as F
 
-    sym = edges_df.unionByName(
-        edges_df.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    labels = nodes_df.select(F.col("n"), F.col("n").alias("label")).localCheckpoint()
+    sym = (
+        edges_df.unionByName(
+            edges_df.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("n"))
+        .distinct()
+        .select("n", F.col("n").alias("label"))
+        .localCheckpoint()
+    )
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.b == labels.n)
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        upd = (
             labels.join(neighbor_min, labels.n == F.col("a"), "left")
             .select(
                 "n",
+                F.col("label").alias("__old"),
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
                     "label"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), "n")
-            .filter(F.col("new.label") != F.col("old.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("label") != F.col("__old")).limit(1).count()
+        labels = upd.select("n", "label")
         if changed == 0:
             break
-    return labels.select("n", F.col("label").alias("cluster_id"))
+    return (
+        nodes_df.join(labels, "n", "left")
+        .select("n", F.coalesce(F.col("label"), F.col("n")).alias("cluster_id"))
+    )
 
 
 @query(
