@@ -213,3 +213,42 @@ def test_analyze_table_feeds_cbo(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old_cbo)
         spark.sql("DROP TABLE IF EXISTS nation_stats_test")
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime bloom-filter join pruning: with a selective filter on
+    the build side of a shuffle join, Spark injects bloom_filter_agg
+    (creation side) / might_contain (application side) so the fact
+    scan discards non-joining rows BEFORE the shuffle — at 100 TB this
+    is the difference between shuffling the whole fact table and
+    shuffling the ~join-selectivity fraction of it. Thresholds are
+    lowered because the default application-side floor is 10 GB."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt or "might_contain" in opt
+        phys = explain_string(j)
+        assert "might_contain" in phys.lower() or "bloom" in phys.lower()
+        # and the filtered join still computes the right answer
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0]["n"] > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
