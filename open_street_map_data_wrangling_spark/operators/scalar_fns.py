@@ -268,3 +268,76 @@ def q_try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("try_divide(value, CAST(floor(value) AS INT) % 7)"), 4
         ).alias("div_mod7"),
     )
+
+
+@query(
+    "q_url_fns",
+    oracle="""
+        WITH u AS (
+            SELECT event_id,
+                   'https://' || event_type || '.example.test/v1/u/'
+                   || CAST(user_id AS VARCHAR) || '?v='
+                   || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                   || '&page=3' AS url
+            FROM events)
+        SELECT event_id,
+               regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+               regexp_extract(url, 'https?://[^/]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '[?&]v=([^&#]*)', 1) AS v_param,
+               regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page_param
+        FROM u
+    """,
+    tags=("scalar", "url"),
+)
+def q_url_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family: parse_url HOST / PATH / QUERY-key
+    extraction over a URL synthesized from event fields. The oracle
+    spells the same extractions as anchored regexes (DuckDB has no
+    parse_url), pinning Spark's parse_url semantics — host without
+    scheme, path with leading slash, per-key query values."""
+    events = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://"), F.col("event_type"), F.lit(".example.test/v1/u/"),
+        F.col("user_id").cast("string"), F.lit("?v="),
+        F.floor("value").cast("bigint").cast("string"), F.lit("&page=3"),
+    )
+    u = events.select("event_id", url.alias("url"))
+    return u.select(
+        "event_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("v")).alias("v_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
+    )
+
+
+@query(
+    "q_bitwise",
+    oracle="""
+        SELECT event_type,
+               CAST(bit_and(user_id & 255) AS BIGINT) AS and_low,
+               CAST(bit_or(user_id & 255) AS BIGINT) AS or_low,
+               CAST(bit_xor(user_id) AS BIGINT) AS xor_all,
+               CAST(sum(CAST(bit_count(user_id) AS BIGINT)) AS BIGINT)
+                 AS popcnt_sum,
+               CAST(min(user_id << 3) AS BIGINT) AS min_shl3,
+               CAST(max(user_id >> 2) AS BIGINT) AS max_shr2
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("scalar", "bitwise"),
+)
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression + aggregate family: &, |, xor, shifts,
+    popcount, and the bit_and/bit_or/bit_xor aggregates — the
+    primitives the dedup fingerprints and checksum operators build
+    on, pinned for cross-engine agreement on signed 64-bit ints."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("bit_and(user_id & 255)").cast("bigint").alias("and_low"),
+        F.expr("bit_or(user_id & 255)").cast("bigint").alias("or_low"),
+        F.expr("bit_xor(user_id)").cast("bigint").alias("xor_all"),
+        F.sum(F.bit_count("user_id").cast("bigint")).cast("bigint").alias("popcnt_sum"),
+        F.min(F.expr("shiftleft(user_id, 3)")).cast("bigint").alias("min_shl3"),
+        F.max(F.expr("shiftright(user_id, 2)")).cast("bigint").alias("max_shr2"),
+    )

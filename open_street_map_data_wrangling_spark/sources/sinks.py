@@ -53,3 +53,11 @@ def write_table(
         n, cols = bucket_by
         w = w.bucketBy(n, *cols).sortBy(*cols)
     w.saveAsTable(name)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the second columnar interchange format Spark ships
+    a native vectorized reader for; same pushdown/pruning behavior as
+    parquet (stripe statistics instead of row-group statistics).
+    Useful when downstream consumers are Hive/Trino-era ORC stacks."""
+    df.write.mode(mode).orc(path)
