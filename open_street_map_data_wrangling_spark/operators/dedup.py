@@ -662,3 +662,50 @@ def q_dedup_near_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
     )
     return _capped_band_pairs(bands)
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+        WITH corpus AS (
+            SELECT sha256(text) AS h FROM documents WHERE doc_id < 400),
+        batch AS (
+            SELECT doc_id, sha256(text) AS h, source
+            FROM documents WHERE doc_id >= 400)
+        SELECT b.source,
+               CAST(count(*) AS BIGINT) AS n_batch,
+               CAST(count(*) FILTER (c.h IS NULL) AS BIGINT) AS n_new,
+               CAST(count(*) FILTER (c.h IS NOT NULL) AS BIGINT) AS n_dup
+        FROM batch b LEFT JOIN (SELECT DISTINCT h FROM corpus) c
+          ON b.h = c.h
+        GROUP BY b.source
+    """,
+    tags=("dedup", "incremental", "extension"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (X1 production shape): a new batch is
+    admitted only where its content hash is absent from the existing
+    corpus — the daily-crawl pattern where the corpus is orders of
+    magnitude larger than the batch. The batch side is hashed and
+    LEFT-joined against the corpus hash set; at 100 TB the corpus
+    hashes live as a bucketed table on h so the probe is a
+    co-partitioned join with no corpus shuffle (or a bloom-filter
+    pre-screen when false positives are re-checkable). Here the
+    corpus/batch split is doc_id < 400 over the fixture table.
+    Reported per batch source: total, genuinely new, already-seen."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") < 400)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    batch = docs.filter(F.col("doc_id") >= 400).select(
+        "doc_id", "source", F.sha2("text", 256).alias("h")
+    )
+    flagged = batch.join(corpus, "h", "left")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_batch"),
+        F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("__seen").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_dup"),
+    )

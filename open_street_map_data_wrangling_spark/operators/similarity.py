@@ -507,3 +507,55 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("hits"))
         .select("hits", (F.col("hits") / 10.0).alias("recall_at_10"))
     )
+
+
+@query(
+    "q_centroids",
+    oracle="""
+        WITH q AS (
+            SELECT label,
+                   unnest(range(0, len(embedding))) AS pos,
+                   CAST(round(unnest(embedding) * 100000) AS BIGINT) AS qx
+            FROM embeddings),
+        dims AS (
+            SELECT label, pos,
+                   CAST(sum(qx) // count(*) AS BIGINT) AS cx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM q GROUP BY label, pos)
+        SELECT label,
+               CAST(max(n) AS BIGINT) AS n_vectors,
+               list(cx ORDER BY pos) AS centroid_x100k
+        FROM dims GROUP BY label
+    """,
+    tags=("similarity", "vector", "centroid", "extension"),
+)
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the k-means
+    E-step / class-prototype aggregation, in pure DataFrame algebra:
+    posexplode to (label, dim, component), one groupBy (label, dim)
+    — 10 labels x 64 dims = 640 uniform keys, map-side partials eat
+    the fan-out — then reassemble the vector with an order-pinned
+    collect. Components are quantized to fixed-point BEFORE summing
+    (round(x*1e5) as bigint): integer sums are associative, so the
+    result is bit-identical regardless of partitioning or reduction
+    order — float sums are NOT, and would drift between engines and
+    even between runs at 100 TB. The centroid emerges as integer
+    x1e5 components; at this scale that is ~5 decimal places of the
+    float mean, plenty for a prototype vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label", "pos",
+        F.round(F.col("x").cast("double") * 100000).cast("bigint").alias("qx"),
+    )
+    dims = q.groupBy("label", "pos").agg(
+        F.expr("CAST(sum(qx) div count(*) AS BIGINT)").alias("cx"),
+        F.count("*").alias("n"),
+    )
+    return dims.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        F.expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").alias(
+            "centroid_x100k"
+        ),
+    )
