@@ -406,9 +406,15 @@ _PAIRS_CTE = f"""
                {_MINHASH_COLS_SQL}
             FROM ex GROUP BY doc_id),
         bands AS ({_BAND_SQL}),
+        hotb AS (
+            SELECT bi, bv FROM bands GROUP BY bi, bv
+            HAVING count(*) > {_LSH_BUCKET_CAP}),
+        keptb AS (
+            SELECT * FROM bands ba WHERE NOT EXISTS
+                (SELECT 1 FROM hotb h WHERE h.bi = ba.bi AND h.bv = ba.bv)),
         pairs AS (
             SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
-            FROM bands a JOIN bands b
+            FROM keptb a JOIN keptb b
               ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
 """
 
@@ -708,4 +714,98 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_batch"),
         F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).cast("bigint").alias("n_new"),
         F.sum(F.when(F.col("__seen").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_dup"),
+    )
+
+
+@query(
+    "q_minhash_estimate",
+    oracle=f"""
+        WITH {_PAIRS_CTE},
+        est AS (
+            SELECT p.pa, p.pb,
+                   {" + ".join(f"(CASE WHEN ma.m{i} = mb.m{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES))}
+                     AS matches_of_8
+            FROM pairs p
+            JOIN mh ma ON ma.doc_id = p.pa
+            JOIN mh mb ON mb.doc_id = p.pb),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+        inter AS (
+            SELECT p.pa, p.pb, count(*) AS n_inter
+            FROM pairs p
+            JOIN ex ea ON ea.doc_id = p.pa
+            JOIN ex eb ON eb.doc_id = p.pb AND eb.sh = ea.sh
+            GROUP BY p.pa, p.pb)
+        SELECT e.pa AS doc_a, e.pb AS doc_b,
+               CAST(e.matches_of_8 AS BIGINT) AS matches_of_8,
+               CAST(10000 * e.matches_of_8 // 8 AS BIGINT) AS est_x10k,
+               CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+               CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS BIGINT)
+                 AS n_union,
+               CAST(10000 * coalesce(i.n_inter, 0)
+                    // (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0))
+                    AS BIGINT) AS jacc_x10k
+        FROM est e
+        LEFT JOIN inter i ON i.pa = e.pa AND i.pb = e.pb
+        JOIN sizes sa ON sa.doc_id = e.pa
+        JOIN sizes sb ON sb.doc_id = e.pb
+    """,
+    tags=("dedup", "lsh", "audit", "extension"),
+)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash honesty audit (X2): for every LSH candidate pair,
+    the sketch-estimated Jaccard (fraction of agreeing min-hashes)
+    NEXT TO the exact shingle-set Jaccard — the measurement that
+    tells you whether 8 hashes/4 bands is enough for your corpus,
+    the same role q_ann_recall plays for IVF. Exact Jaccard is only
+    computed on candidate pairs (|pairs| << n²), so the audit costs
+    one shingle equi-join over the candidates, not an all-pairs scan.
+    Both ratios integer-scaled x10^4."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    pairs = q_dedup_near(spark, sf_dir).select(
+        F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
+    )
+    matches = None
+    for i in range(_N_HASHES):
+        t = F.when(F.col(f"ma.m{i}") == F.col(f"mb.m{i}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    est = (
+        pairs.join(mh.alias("ma"), F.col("pa") == F.col("ma.doc_id"))
+        .join(mh.alias("mb"), F.col("pb") == F.col("mb.doc_id"))
+        .select("pa", "pb", matches.alias("matches_of_8"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(ex.alias("ea"), F.col("pa") == F.col("ea.doc_id"))
+        .join(
+            ex.alias("eb"),
+            (F.col("pb") == F.col("eb.doc_id")) & (F.col("ea.sh") == F.col("eb.sh")),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        est.join(inter, ["pa", "pb"], "left")
+        .join(sizes.alias("sa"), F.col("pa") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("pb") == F.col("sb.doc_id"))
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    n_union = F.col("sa.n_sh") + F.col("sb.n_sh") - n_inter
+    return out.select(
+        F.col("pa").alias("doc_a"),
+        F.col("pb").alias("doc_b"),
+        F.col("matches_of_8").cast("bigint").alias("matches_of_8"),
+        (10000 * F.col("matches_of_8").cast("bigint") / 8).cast("bigint").alias("est_x10k"),
+        n_inter.cast("bigint").alias("n_inter"),
+        n_union.cast("bigint").alias("n_union"),
+        F.expr(
+            "CAST(10000 * coalesce(n_inter, 0) div "
+            "(sa.n_sh + sb.n_sh - coalesce(n_inter, 0)) AS BIGINT)"
+        ).alias("jacc_x10k"),
     )
