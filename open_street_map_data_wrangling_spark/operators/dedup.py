@@ -73,9 +73,9 @@ _BANDS = 4  # rows-per-band = 2
 # candidate pairs on ONE join task — the quadratic skew killer of
 # LSH at scale. Buckets larger than the cap are template/boilerplate
 # collisions carrying ~no near-dup signal (the same argument as the
-# n-gram df-cutoff) and are dropped BEFORE the self-join. The hot set
-# is bounded by |bands|/cap rows and in practice tiny → broadcast
-# anti-join, no extra shuffle of the band table. Fixture max bucket
+# n-gram df-cutoff) and are dropped BEFORE the self-join, via a
+# count-over-window riding the join's own (bi, bv) exchange — no
+# extra shuffle, no second pipeline branch. Fixture max bucket
 # is 3, so 32 leaves fixture output byte-identical while the pruning
 # path still executes (pytest covers a synthetic hot bucket).
 _LSH_BUCKET_CAP = 32
@@ -83,15 +83,22 @@ _LSH_BUCKET_CAP = 32
 
 def _capped_band_pairs(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     """Band-bucket self-join with hot buckets (> cap members) pruned
-    first via broadcast anti-join. Shared by the md5 oracle twin and
-    the xxhash64 production twin."""
-    hot = (
-        bands.groupBy("bi", "bv")
-        .count()
-        .filter(F.col("count") > cap)
-        .select("bi", "bv")
+    first. The prune is a count-over-window on (bi, bv) — the SAME
+    partitioning the self-join needs next, so the cap rides the
+    exchange the join pays anyway; a separate hot-set aggregate
+    branch would replay the whole upstream minhash pipeline a third
+    time (only the exchange node is AQE-reusable, not the pipeline
+    below it — measured as a ~40% regression in the first cap
+    implementation). Shared by the md5 oracle twin and the xxhash64
+    production twin."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("bi", "bv")
+    kept = (
+        bands.withColumn("__bucket_n", F.count("*").over(w))
+        .filter(F.col("__bucket_n") <= cap)
+        .drop("__bucket_n")
     )
-    kept = bands.join(F.broadcast(hot), ["bi", "bv"], "left_anti")
     a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(
