@@ -1,0 +1,78 @@
+"""Physical-plan regression tests — the PLANS.md claims, CI-guarded.
+
+Each assertion pins a plan property the 100 TB posture depends on;
+if a refactor silently reintroduces a global sort, a second fact
+scan, or a lost pushdown, these fail before any bench regression is
+even measured. Plans are inspected pre-execution (AQE isFinalPlan=
+false), which is sufficient for node-type and scan-count checks.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import pytest
+
+from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = load_all_queries()
+
+    def plan_of(name):
+        return qs[name].spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_topk_uses_heap_not_global_sort(plans):
+    p = plans("q_top_users")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_topk_per_group_prunes_map_side(plans):
+    assert "WindowGroupLimit" in plans("q_topk_per_group")
+
+
+def test_q15_single_lineitem_scan_with_group_limit(plans):
+    p = plans("q_tpch_q15")
+    assert p.count("lineitem.parquet") == 1
+    assert "WindowGroupLimit" in p
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    p = plans("q_filter")
+    assert "PushedFilters: [" in p and "IsNotNull" in p
+
+
+def test_star_join_broadcasts_dimensions(plans):
+    p = plans("q_star_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # no dim join should shuffle lineitem
+
+
+def test_asof_join_single_exchange(plans):
+    p = plans("q_asof_join")
+    # one hash exchange for the unioned stream; broadcasts don't count
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_curriculum_no_corpus_global_window(plans):
+    p = plans("q_curriculum")
+    # the only single-partition exchange feeds the tiny offset table,
+    # which sits under a HashAggregate of the bucket counts
+    assert p.count("Exchange SinglePartition") == 1
+
+
+def test_no_cartesian_products_anywhere(spark):
+    qs = load_all_queries()
+    offenders = []
+    for name, q in qs.items():
+        plan = q.spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
