@@ -816,3 +816,72 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sa.n_sh + sb.n_sh - coalesce(n_inter, 0)) AS BIGINT)"
         ).alias("jacc_x10k"),
     )
+
+
+@query(
+    "q_chunk_dedup",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        chunks AS (
+            SELECT doc_id, i AS chunk_no,
+                   md5(array_to_string(t[(i * 10 + 1):((i + 1) * 10)], ' '))
+                     AS chunk_hash
+            FROM toks, unnest(range(0, (len(t) + 9) // 10)) AS r(i)),
+        freq AS (
+            SELECT chunk_hash, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM chunks GROUP BY chunk_hash)
+        SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(*) FILTER (n_occurrences > 1) AS BIGINT)
+                 AS n_repeated,
+               CAST(sum(n_occurrences) AS BIGINT) AS total_occurrences,
+               CAST(sum(n_occurrences) FILTER (n_occurrences > 1)
+                    AS BIGINT) AS repeated_occurrences,
+               CAST(max(n_docs) AS BIGINT) AS max_docs_sharing
+        FROM freq
+    """,
+    tags=("dedup", "chunk", "extension"),
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) dedup stats (X2 extension): the
+    C4/RefinedWeb-style pass that removes repeated BOILERPLATE inside
+    otherwise-distinct documents. Documents are cut into fixed
+    10-token chunks row-locally (slice over an index sequence — no
+    window), each chunk content-hashed, then one uniform groupBy on
+    the hash. Reports corpus-level duplication: distinct chunks,
+    repeated chunks, occurrence mass, and the widest cross-document
+    share. At 100 TB this is exact dedup's shape (hash groupBy, zero
+    skew by construction) at chunk granularity — the follow-up
+    "rewrite docs dropping repeated chunks" is a semi-join of chunks
+    against the repeated set."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    chunks_arr = F.transform(
+        F.sequence(
+            F.lit(0), F.expr("CAST((size(split(text, ' ')) + 9) div 10 AS INT) - 1")
+        ),
+        lambda i: F.struct(
+            i.alias("chunk_no"),
+            F.md5(
+                F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10))
+            ).alias("chunk_hash"),
+        ),
+    )
+    chunks = docs.select("doc_id", F.explode(chunks_arr).alias("c")).select(
+        "doc_id", F.col("c.chunk_hash").alias("chunk_hash")
+    )
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    rep = F.col("n_occurrences") > 1
+    return freq.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(rep.cast("bigint")).alias("n_repeated"),
+        F.sum("n_occurrences").cast("bigint").alias("total_occurrences"),
+        F.coalesce(F.sum(F.when(rep, F.col("n_occurrences"))), F.lit(0))
+        .cast("bigint")
+        .alias("repeated_occurrences"),
+        F.max("n_docs").cast("bigint").alias("max_docs_sharing"),
+    )

@@ -144,3 +144,61 @@ def quantile_buckets(
         .withColumn("bucket", F.coalesce("bucket", F.lit(0)))
         .drop("lo", "hi")
     )
+
+
+@query(
+    "q_skew_stats",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        top10 AS (
+            SELECT cnt FROM c ORDER BY cnt DESC, user_id ASC LIMIT 10),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(max(cnt) AS BIGINT) AS max_key_rows
+            FROM c)
+        SELECT n_rows, n_keys, max_key_rows,
+               CAST(n_rows // n_keys AS BIGINT) AS avg_key_rows,
+               CAST(10000 * max_key_rows // n_rows AS BIGINT) AS top1_x10k,
+               CAST((SELECT sum(cnt) FROM top10) AS BIGINT) AS top10_rows,
+               CAST(10000 * (SELECT sum(cnt) FROM top10) // n_rows
+                    AS BIGINT) AS top10_x10k
+        FROM tot
+    """,
+    tags=("scale", "skew", "diagnostics"),
+)
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics — the measurement you run BEFORE choosing
+    a skew mitigation (salt? AQE skew-join? broadcast?): per-key row
+    counts reduced to max / average / top-1 and top-10 concentration
+    shares. One map-side-partial groupBy on the key, then a 10-row
+    TakeOrderedAndProject and a scalar aggregate — nothing larger
+    than the distinct-key table ever moves. Reading the output:
+    top1_x10k >> 10000/n_keys means a hot key; if top10_x10k is a
+    large fraction of 10000, salting the top-k keys specifically
+    (not all keys) is the cheapest fix."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+    )
+    top10 = (
+        c.orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+        .agg(F.sum("cnt").alias("top10_rows"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top10))
+        .select(
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("max_key_rows").cast("bigint").alias("max_key_rows"),
+            F.expr("CAST(n_rows div n_keys AS BIGINT)").alias("avg_key_rows"),
+            F.expr("CAST(10000 * max_key_rows div n_rows AS BIGINT)").alias("top1_x10k"),
+            F.col("top10_rows").cast("bigint").alias("top10_rows"),
+            F.expr("CAST(10000 * top10_rows div n_rows AS BIGINT)").alias("top10_x10k"),
+        )
+    )
