@@ -434,3 +434,81 @@ def q_regex_backref(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.regexp_replace("p_name", r"^(\S+) (\S+)$", r"$2, $1").alias("flipped"),
     )
+
+
+# Declarative constraint rules: (rule_name, SQL predicate) evaluated
+# in ONE pass — every rule becomes a conditional count in a single
+# aggregate, so auditing 50 rules costs the same scan as auditing 1.
+# Spark and DuckDB share the predicate SQL verbatim (ANSI subset).
+_LINEITEM_RULES = (
+    ("orderkey_not_null", "l_orderkey IS NOT NULL"),
+    ("quantity_range", "l_quantity BETWEEN 1 AND 50"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("discount_range", "l_discount BETWEEN 0.0 AND 0.1"),
+    ("tax_range", "l_tax BETWEEN 0.0 AND 0.08"),
+    ("linenumber_positive", "l_linenumber >= 1"),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("linestatus_domain", "l_linestatus IN ('O', 'F')"),
+)
+
+
+def expectations(df, rules):
+    """Deequ/dbt-test-style constraint audit: evaluate (name,
+    predicate) rules as conditional counts in one aggregate over one
+    scan. Returns one row per rule: passed, failed, pass share.
+    At 100 TB: no shuffle at all before the final 1-row-per-rule
+    stack — each rule is a map-side sum; the unpivot happens on the
+    aggregated scalars."""
+    aggs = []
+    for name, pred in rules:
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("bigint").alias(f"p_{name}")
+        )
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 0).otherwise(1)).cast("bigint").alias(f"f_{name}")
+        )
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', p_{name}, f_{name}" for name, _ in rules)
+    return wide.select(
+        F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_pass, n_fail)")
+    ).select(
+        "rule",
+        "n_pass",
+        "n_fail",
+        F.expr("CAST(10000 * n_pass div (n_pass + n_fail) AS BIGINT)").alias(
+            "pass_x10k"
+        ),
+    )
+
+
+@query(
+    "q_expectations",
+    oracle="""
+        WITH wide AS (SELECT
+    """
+    + ",\n    ".join(
+        f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS p_{name},"
+        f" CAST(sum(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT) AS f_{name}"
+        for name, pred in _LINEITEM_RULES
+    )
+    + """
+        FROM lineitem)
+        SELECT rule, n_pass, n_fail,
+               CAST(10000 * n_pass // (n_pass + n_fail) AS BIGINT) AS pass_x10k
+        FROM (
+    """
+    + "\n            UNION ALL ".join(
+        f"SELECT '{name}' AS rule, p_{name} AS n_pass, f_{name} AS n_fail FROM wide"
+        for name, _ in _LINEITEM_RULES
+    )
+    + ")",
+    tags=("cleaning", "validate", "expectations"),
+)
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (C7 extension): a rule
+    set audited in one scan — the deequ/dbt-test pattern as a pure
+    DataFrame program. Rules are SQL predicates shared verbatim with
+    the oracle; each costs one conditional sum, the per-rule report
+    is a stack() over already-aggregated scalars."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return expectations(li, _LINEITEM_RULES)
