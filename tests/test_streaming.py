@@ -293,3 +293,35 @@ def test_asof_enrichment_stream(spark, stream_src):
         .collect()
     }
     assert {r["purchase_id"]: r["click_id"] for r in got} == exp
+
+
+def test_quality_gated_ingest_chain(spark, stream_src):
+    """The composed streaming ingest (validate → stateful dedup →
+    windowed admit counts) equals the same chain run as a batch
+    query over the identical input — micro-batch execution is an
+    implementation detail, not a semantics change."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        quality_gated_ingest,
+    )
+
+    stream = events_file_stream(spark, stream_src)
+    got = run_to_memory(quality_gated_ingest(stream), f"q_{uuid.uuid4().hex[:8]}")
+    ok = (
+        F.col("user_id").isNotNull()
+        & F.col("value").between(0, 100)
+        & F.col("event_type").isin("click", "view", "signup", "purchase", "error")
+    )
+    exp = (
+        _batch(spark, stream_src)
+        .filter(ok)
+        .dropDuplicates(["event_id"])
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_admitted"))
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "event_type",
+            "n_admitted",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    assert got.count() > 0
