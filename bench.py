@@ -48,6 +48,13 @@ HEADLINE = (
     "q_tpch_q17",
     "q_salted_join",
     "q_simhash_near",
+    "q_repetition",
+    "q_rare_tokens",
+    "q_chunk_dedup",
+    "q_curriculum",
+    "q_minhash_estimate",
+    "q_centroids",
+    "q_expectations",
 )
 
 

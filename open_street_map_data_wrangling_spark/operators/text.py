@@ -221,13 +221,13 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH tok AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         grams AS (
-            SELECT doc_id, 't' AS kind, unnest(toks) AS g FROM tok
-            UNION ALL
-            SELECT doc_id, 'b' AS kind, toks[i] || ' ' || toks[i + 1] AS g
-            FROM tok, unnest(range(1, len(toks))) AS r(i)),
+            SELECT doc_id, unnest(list_concat(toks,
+                list_transform(toks[2:], (b, i) -> toks[i] || ' ' || b))) AS g
+            FROM tok),
         counts AS (
-            SELECT doc_id, kind, g, count(*) AS c
-            FROM grams GROUP BY doc_id, kind, g)
+            SELECT doc_id, CASE WHEN contains(g, ' ') THEN 'b' ELSE 't' END
+                     AS kind, g, count(*) AS c
+            FROM grams GROUP BY doc_id, 2, g)
         SELECT doc_id,
                CAST(sum(c) FILTER (kind = 't') AS BIGINT) AS n_toks,
                CAST(max(c) FILTER (kind = 't') AS BIGINT) AS top_tok_cnt,
@@ -250,36 +250,44 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram fraction; docs dominated by either are boilerplate/spam).
 
     Single-pass formulation: unigrams and bigrams are built row-locally
-    as one concatenated struct array (bigrams via transform over an
-    index sequence — no window, no second scan), exploded ONCE, then
-    two key-uniform aggregations: (doc_id, kind, gram) counts — map-side
-    partial agg eats the duplication — then (doc_id) conditional aggs.
-    The second shuffle moves only distinct grams per doc. Ratios are
-    integer-scaled x10^4 via exact integer division (round() tips on
-    half-boundaries across engines). At 100 TB: no skew hazard — keys
-    are (doc, gram) pairs, naturally uniform; nothing is collected."""
+    as ONE plain string array — bigrams via zip_with of the token
+    array against its own tail (slice from position 2; zip_with
+    truncates to the shorter side, so 1-token docs yield an empty
+    bigram list with no guard) — exploded once, then two key-uniform
+    aggregations: (doc_id, gram) counts — map-side partial agg eats
+    the duplication — then (doc_id) conditional aggs. The kind column
+    is DERIVED, not stored: a bigram contains a space, a token cannot
+    (they came from splitting on spaces) — this replaced a
+    struct{kind, gram} encoding that allocated a struct per gram and
+    measured ~2x slower. The second shuffle moves only distinct grams
+    per doc. Ratios are integer-scaled x10^4 via exact integer
+    division (round() tips on half-boundaries across engines). At
+    100 TB: no skew hazard — keys are (doc, gram) pairs, naturally
+    uniform; nothing is collected."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # zip_with PADS the shorter side with nulls (it does not
+    # truncate), so the zip of toks against its own tail carries one
+    # trailing concat-with-null = NULL element — filtered out before
+    # the union with the unigrams.
     grams = F.concat(
-        F.transform(toks, lambda t: F.struct(F.lit("t").alias("kind"), t.alias("g"))),
-        # sequence(0, -1) counts DOWN in Spark, so a 1-token doc must
-        # short-circuit to an empty bigram list (DuckDB range(1,1) is
-        # already empty).
-        F.when(F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
-                lambda i: F.struct(
-                    F.lit("b").alias("kind"),
-                    F.concat(
-                        F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
-                    ).alias("g"),
-                ),
+        toks,
+        F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             ),
-        ).otherwise(F.array().cast("array<struct<kind:string,g:string>>")),
+            lambda x: x.isNotNull(),
+        ),
     )
     counts = (
-        docs.select("doc_id", F.explode(grams).alias("gr"))
-        .groupBy("doc_id", F.col("gr.kind").alias("kind"), F.col("gr.g").alias("g"))
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy(
+            "doc_id",
+            F.when(F.col("g").contains(" "), "b").otherwise("t").alias("kind"),
+            "g",
+        )
         .count()
     )
     is_t = F.col("kind") == "t"
