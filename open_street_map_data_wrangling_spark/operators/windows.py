@@ -366,3 +366,75 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev") / F.sum("rev").over(w_all), 6).alias("share"),
         F.rank().over(w_rank).alias("rnk"),
     )
+
+
+@query(
+    "q_resample_ffill",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS c,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS qs
+            FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        r AS (
+            SELECT event_type, min(h) AS mn, max(h) AS mx
+            FROM b GROUP BY event_type),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+            FROM r),
+        j AS (
+            SELECT s.event_type, s.h, b.c,
+                   CASE WHEN b.c IS NULL THEN NULL
+                        ELSE CAST(b.qs // b.c AS BIGINT) END AS a
+            FROM spine s LEFT JOIN b
+              ON b.event_type = s.event_type AND b.h = s.h)
+        SELECT event_type,
+               CAST(epoch_us(h) AS BIGINT) AS hour_us,
+               CAST(coalesce(c, 0) AS BIGINT) AS n_events,
+               CAST(last_value(a IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY h
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS filled_avg_x100
+        FROM j
+    """,
+    tags=("window", "timeseries", "resample", "extension"),
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: hourly per-type averages
+    on a DENSE hour spine (gaps materialized, then carried forward
+    with last-ignoreNulls) — the gap-filling operator every metrics /
+    sensor pipeline needs and SQL engines make you assemble by hand.
+
+    Scale shape: the fact table collapses FIRST (one map-side-partial
+    groupBy to (type, hour) — the only corpus-sized stage); the spine
+    is generated from the per-type min/max as sequence+explode, sized
+    hours x types regardless of corpus size, so the left join and the
+    forward-fill window run on the aggregate, never the raw events.
+    Per-row quantization (round(value*100) before sum) keeps the
+    hourly sums associative → identical across engines and
+    partitionings."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    b = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("c"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("qs"),
+    )
+    r = b.groupBy("event_type").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = r.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = spine.join(b, ["event_type", "h"], "left").withColumn(
+        "a",
+        F.when(F.col("c").isNotNull(), F.expr("CAST(qs div c AS BIGINT)")),
+    )
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        "event_type",
+        F.unix_micros("h").alias("hour_us"),
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("a", ignorenulls=True).over(w).cast("bigint").alias("filled_avg_x100"),
+    )
