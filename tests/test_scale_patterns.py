@@ -252,3 +252,54 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
+    """Idempotent backfill: with partitionOverwriteMode=dynamic,
+    rewriting ONE date partition replaces only that partition —
+    the property that makes per-day reprocessing safe at 100 TB
+    (static mode would truncate the whole table)."""
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    path = str(tmp_path / "events_by_type")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        events.write.partitionBy("event_type").mode("overwrite").parquet(path)
+        before = spark.read.parquet(path)
+        n_total = before.count()
+        n_click = before.filter("event_type = 'click'").count()
+        # backfill: rewrite ONLY the click partition with halved values
+        patched = (
+            events.filter("event_type = 'click'")
+            .withColumn("value", F.col("value") / 2)
+        )
+        patched.write.partitionBy("event_type").mode("overwrite").parquet(path)
+        after = spark.read.parquet(path)
+        assert after.count() == n_total  # other partitions intact
+        assert after.filter("event_type = 'click'").count() == n_click
+        got = after.filter("event_type = 'click'").agg(F.sum("value")).first()[0]
+        want = patched.agg(F.sum("value")).first()[0]
+        assert abs(got - want) < 1e-6
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    """Small-file compaction: a fragmented write (many tasks x tiny
+    files) compacts to one file per partition-slot via repartition —
+    the maintenance op that keeps 100 TB scans from dying on file
+    metadata overhead."""
+    import os
+
+    frag = str(tmp_path / "fragmented")
+    comp = str(tmp_path / "compacted")
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    events.repartition(16).write.mode("overwrite").parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_frag >= 16
+    spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(comp)
+    n_comp = len([f for f in os.listdir(comp) if f.endswith(".parquet")])
+    assert n_comp == 2
+    assert spark.read.parquet(comp).count() == events.count()
