@@ -442,3 +442,64 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("modsum"),
         F.expr("bit_xor(h)").alias("xorsum"),
     )
+
+
+@query(
+    "q_equidepth",
+    oracle="""
+        WITH q AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS qv
+            FROM events),
+        bounds AS (
+            SELECT quantile_cont(qv, 0.25) AS q1,
+                   quantile_cont(qv, 0.50) AS q2,
+                   quantile_cont(qv, 0.75) AS q3
+            FROM q)
+        SELECT event_type,
+               CASE WHEN qv <= q1 THEN 0
+                    WHEN qv <= q2 THEN 1
+                    WHEN qv <= q3 THEN 2 ELSE 3 END AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(qv) AS BIGINT) AS lo_x100,
+               CAST(max(qv) AS BIGINT) AS hi_x100
+        FROM q CROSS JOIN bounds
+        GROUP BY event_type, 2
+    """,
+    tags=("stats", "histogram", "quantile"),
+)
+def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram: EXACT global quantile
+    boundaries, then per-(type, bucket) occupancy — the profiling
+    step behind range partitioning and skew detection. Values are
+    quantized to x100 bigints first; quartile positions p*(n-1) for
+    quarter fractions are exact in binary and interpolation between
+    two sub-2^53 integers is exact in a double, so both engines
+    compute bit-identical boundaries — the reason this can be an
+    oracle-checked query at all (general float percentiles cannot).
+    The 1-row boundary aggregate broadcasts (crossJoin of a scalar);
+    the corpus-sized work is one map-side-partial groupBy."""
+    events = load_table(spark, sf_dir, "events")
+    q = events.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("qv")
+    )
+    bounds = q.agg(
+        F.expr("percentile(qv, 0.25)").alias("q1"),
+        F.expr("percentile(qv, 0.50)").alias("q2"),
+        F.expr("percentile(qv, 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("qv") <= F.col("q1"), 0)
+        .when(F.col("qv") <= F.col("q2"), 1)
+        .when(F.col("qv") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        q.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("qv").alias("lo_x100"),
+            F.max("qv").alias("hi_x100"),
+        )
+    )
