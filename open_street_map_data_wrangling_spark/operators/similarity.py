@@ -516,16 +516,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT label,
                    unnest(range(0, len(embedding))) AS pos,
                    CAST(round(unnest(embedding) * 100000) AS BIGINT) AS qx
-            FROM embeddings),
-        dims AS (
-            SELECT label, pos,
-                   CAST(sum(qx) // count(*) AS BIGINT) AS cx,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM q GROUP BY label, pos)
+            FROM embeddings)
         SELECT label,
-               CAST(max(n) AS BIGINT) AS n_vectors,
-               list(cx ORDER BY pos) AS centroid_x100k
-        FROM dims GROUP BY label
+               CAST(pos AS BIGINT) AS pos,
+               CAST(sum(qx) // count(*) AS BIGINT) AS cx,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM q GROUP BY label, pos
     """,
     tags=("similarity", "vector", "centroid", "extension"),
 )
@@ -539,9 +535,14 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round(x*1e5) as bigint): integer sums are associative, so the
     result is bit-identical regardless of partitioning or reduction
     order — float sums are NOT, and would drift between engines and
-    even between runs at 100 TB. The centroid emerges as integer
-    x1e5 components; at this scale that is ~5 decimal places of the
-    float mean, plenty for a prototype vector."""
+    even between runs at 100 TB. Output is LONG format — one row per
+    (label, pos) with the quantized component `cx` — rather than the
+    reassembled array: a nested array column defeats hash-based
+    result canonicalization (round-2 driver crash: numpy.ndarray is
+    unhashable under pandas sort_values), and the long shape is what
+    a downstream broadcast (e.g. IVF cell assignment) joins on
+    anyway. Reassembly, when a caller truly wants the vector, is one
+    `collect_list(struct(pos, cx))` away."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "label", F.posexplode("embedding").alias("pos", "x")
@@ -549,13 +550,7 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "pos",
         F.round(F.col("x").cast("double") * 100000).cast("bigint").alias("qx"),
     )
-    dims = q.groupBy("label", "pos").agg(
+    return q.groupBy("label", F.col("pos").cast("bigint").alias("pos")).agg(
         F.expr("CAST(sum(qx) div count(*) AS BIGINT)").alias("cx"),
-        F.count("*").alias("n"),
-    )
-    return dims.groupBy("label").agg(
-        F.max("n").cast("bigint").alias("n_vectors"),
-        F.expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").alias(
-            "centroid_x100k"
-        ),
+        F.count("*").alias("n_vectors"),
     )
