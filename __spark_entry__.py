@@ -13,6 +13,8 @@ driver's three-function surface.
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
 import sys
@@ -51,14 +53,51 @@ def _stamped_names() -> set[str]:
     return stamped
 
 
+def _fingerprint(spec) -> str:
+    """Content hash of a query's implementation + oracle.
+
+    A stamp certifies a *specific* implementation; editing the Spark
+    function or the oracle SQL after the driver stamped it must put
+    the query back in the verification window (otherwise a round-2
+    rewrite of a round-1-stamped query would never be re-checked).
+    """
+    try:
+        src = inspect.getsource(spec.spark)
+    except (OSError, TypeError):
+        src = getattr(spec.spark, "__name__", repr(spec.spark))
+    body = src + "\n--oracle--\n" + (spec.oracle or "")
+    return hashlib.sha256(body.encode()).hexdigest()[:16]
+
+
+def _stamp_fingerprints() -> dict[str, str]:
+    """name -> fingerprint recorded when the driver stamp was earned
+    (STAMPS.json, maintained by tools/update_stamps.py after each
+    round's CORRECTNESS file lands)."""
+    try:
+        with open(os.path.join(_HERE, "STAMPS.json")) as fh:
+            data = json.load(fh)
+        return {k: v for k, v in data.items() if isinstance(v, str)}
+    except (OSError, ValueError):
+        return {}
+
+
 def _ordered_specs():
-    """Registry specs with driver-unstamped queries first (stable within
-    each group by registration order)."""
+    """Registry specs ordered for the driver's ~50-entry window:
+    never-stamped first, then stamped-but-modified-since (fingerprint
+    mismatch vs STAMPS.json), then stamped-and-unchanged; stable by
+    registration order within each group."""
     specs = load_all_queries()
     stamped = _stamped_names()
-    fresh = {n: s for n, s in specs.items() if n not in stamped}
-    seen = {n: s for n, s in specs.items() if n in stamped}
-    return {**fresh, **seen}
+    recorded = _stamp_fingerprints()
+    fresh, modified, seen = {}, {}, {}
+    for n, s in specs.items():
+        if n not in stamped:
+            fresh[n] = s
+        elif recorded.get(n) != _fingerprint(s):
+            modified[n] = s
+        else:
+            seen[n] = s
+    return {**fresh, **modified, **seen}
 
 
 def entry(spark: SparkSession) -> DataFrame:

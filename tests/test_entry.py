@@ -72,3 +72,38 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+
+def test_rotation_orders_fresh_then_modified_then_stamped():
+    """The driver verifies only the first ~50 queries() entries per
+    round.  Ordering contract: never-stamped first, then stamped
+    queries whose implementation fingerprint no longer matches
+    STAMPS.json (a stamp certifies one specific implementation),
+    then stamped-and-unchanged."""
+    order = list(entrymod._ordered_specs())
+    stamped = entrymod._stamped_names()
+    recorded = entrymod._stamp_fingerprints()
+    specs = entrymod.load_all_queries()
+
+    def group(name):
+        if name not in stamped:
+            return 0
+        if recorded.get(name) != entrymod._fingerprint(specs[name]):
+            return 1
+        return 2
+
+    groups = [group(n) for n in order]
+    assert groups == sorted(groups), "window ordering must be fresh<modified<stamped"
+    # every registry entry appears exactly once
+    assert sorted(order) == sorted(specs)
+
+
+def test_fingerprint_changes_with_source_or_oracle():
+    from open_street_map_data_wrangling_spark.plans import QuerySpec
+
+    def f(spark, sf_dir):
+        return None
+
+    a = entrymod._fingerprint(QuerySpec("a", f, "SELECT 1"))
+    b = entrymod._fingerprint(QuerySpec("a", f, "SELECT 2"))
+    assert a != b
