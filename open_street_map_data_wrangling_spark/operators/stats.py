@@ -91,14 +91,82 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "window"),
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile quartile bucketing over a global order (unique tiebreak
-    on o_orderkey keeps bucket boundaries engine-deterministic).
-    A single-partition global sort — at 100 TB replace with
-    approx-percentile cutpoints + a broadcast range join."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    """ntile quartile bucketing over a global order — WITHOUT the
+    single-partition global sort ntile() implies.  Distributed exact
+    ranking: (1) approx-percentile cutpoints split the price domain
+    into ~32 range buckets (cutpoint *placement* is approximate;
+    correctness never depends on it — only bucket-size balance does);
+    (2) rows land in buckets via a 33-row broadcast range join;
+    (3) one hash exchange on the bucket id gives within-bucket
+    row_number over (price, orderkey); (4) a second columnar scan
+    with map-side partial counts yields per-bucket sizes, whose
+    cumulative offsets (a 32-row table — the only SinglePartition
+    exchange, post-aggregation) convert local ranks to exact global
+    ranks; (5) ANSI ntile arithmetic on (rank, n) reproduces
+    ntile(4)'s tie-splitting bit-for-bit.  The fact table is never
+    globally sorted at any scale."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    n_buckets = 32
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = orders.agg(
+        F.percentile_approx("o_totalprice", fracs, 10000).alias("cuts")
+    )
+    inf = float("inf")
+    ranges = cuts.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.concat(F.array(F.lit(-inf)), F.col("cuts")).alias("lo"),
+                F.concat(F.col("cuts"), F.array(F.lit(inf))).alias("hi"),
+            )
+        ).alias("bid", "r")
+    ).select("bid", F.col("r.lo").alias("lo"), F.col("r.hi").alias("hi"))
+    # materialize the 33-row cutpoint table once: every downstream
+    # consumer would otherwise REPLAY the percentile pass over orders
+    # (only Exchange nodes are AQE-reusable, not arbitrary subtrees)
+    ranges = ranges.localCheckpoint()
+    bucketed = orders.join(
+        F.broadcast(ranges),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    ).select("o_totalprice", "o_orderkey", "bid")
+    wb = W.partitionBy("bid").orderBy("o_totalprice", "o_orderkey")
+    ranked = bucketed.select(
+        "o_totalprice", "bid", F.row_number().over(wb).alias("rk")
+    )
+    sizes = (
+        orders.join(
+            F.broadcast(ranges),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("bid")
+        .agg(F.count("*").alias("cnt"))
+    ).localCheckpoint()  # 32 rows; three consumers below (a, b, total)
+    # cumulative offsets via a triangular broadcast self-join over the
+    # 32-row sizes table (no WindowExec at all — a global-order window
+    # here would be correct but spray "No Partition Defined" warnings)
+    a, b = sizes.alias("a"), sizes.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.bid") <= F.col("a.bid"))
+        .groupBy(F.col("a.bid").alias("bid"), F.col("a.cnt").alias("cnt"))
+        .agg(F.sum("b.cnt").alias("cum"))
+        .select(
+            "bid",
+            (F.col("cum") - F.col("cnt")).alias("off"),
+        )
+        .crossJoin(F.broadcast(sizes.agg(F.sum("cnt").alias("n"))))
+    )
+    r = F.col("off") + F.col("rk")
+    base = F.expr("n div 4")
+    rem = F.col("n") % 4
+    cut = (base + 1) * rem
+    quartile = F.when(
+        r <= cut, F.expr("(off + rk - 1) div ((n div 4) + 1)") + 1
+    ).otherwise(rem + F.expr("(off + rk - ((n div 4) + 1) * (n % 4) - 1) div (n div 4)") + 1)
     return (
-        orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        ranked.join(F.broadcast(offsets), "bid")
+        .select("o_totalprice", quartile.cast("int").alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count("*").alias("cnt"),
@@ -364,20 +432,47 @@ def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-gap detection — the completeness check for
-    monotonically-keyed feeds (did the ingest drop ids?): lead() over
-    the ordered key, report each gap with its missing-row count. The
-    fixture's event_id is dense, so the probe filters out id%7==3 to
-    manufacture known gaps; production drops the filter. Global
-    ordering is a single-partition window — at 100 TB, range-partition
-    by id block and check gaps within blocks plus block boundaries."""
+    monotonically-keyed feeds (did the ingest drop ids?), in the
+    block-partitioned form that scales: ids hash into fixed-width
+    blocks (event_id div 1024), lead() runs *within* each block (one
+    hash exchange, thousands of independent partitions at 100 TB —
+    never a global sort), and block-boundary gaps come from a tiny
+    per-block (min, max) aggregate with lead() over the block table
+    (the only single-partition window, over n/1024 aggregated rows).
+    Empty blocks are handled for free: the aggregate only emits
+    non-empty blocks, so a block-summary lead() spans them.  The
+    union of within-block and boundary gaps is exactly the global
+    lead() result.  The fixture's event_id is dense, so the probe
+    filters out id%7==3 to manufacture known gaps; production drops
+    the filter."""
     from pyspark.sql import Window as W
 
-    events = load_table(spark, sf_dir, "events")
-    w = W.orderBy("event_id")
+    block = 1024
+    ids = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 != 3)
+        .select("event_id", F.expr(f"event_id div {block}").alias("blk"))
+    )
+    wb = W.partitionBy("blk").orderBy("event_id")
+    within = ids.select(
+        "event_id", F.lead("event_id").over(wb).alias("next_id")
+    ).filter(F.col("next_id") - F.col("event_id") > 1)
+    summ = ids.groupBy("blk").agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    )
+    # blk % 1 ≡ 0: an *explicitly declared* one-task window over the
+    # n/1024-row block summary.  A bare lit(0) gets constant-folded
+    # back to an empty partition spec (re-triggering Spark's
+    # unintended-global-window warning); an attribute expression
+    # survives the optimizer, so the plan records a deliberate
+    # hashpartitioning((blk % 1)) exchange instead
+    ws = W.partitionBy(F.col("blk") % F.lit(1)).orderBy("blk")
+    boundary = summ.select(
+        F.col("mx").alias("event_id"), F.lead("mn").over(ws).alias("next_id")
+    ).filter(F.col("next_id") - F.col("event_id") > 1)
     return (
-        events.filter(F.col("event_id") % 7 != 3)
-        .select("event_id", F.lead("event_id").over(w).alias("next_id"))
-        .filter(F.col("next_id") - F.col("event_id") > 1)
+        within.select("event_id", "next_id")
+        .unionAll(boundary)
         .select(
             F.col("event_id").alias("gap_after"),
             "next_id",

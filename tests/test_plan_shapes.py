@@ -76,3 +76,33 @@ def test_no_cartesian_products_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_ntile_no_global_sort_over_fact(plans):
+    """q_ntile's distributed exact-rank rewrite: ranking happens in a
+    window hash-partitioned on the range-bucket id; the orders table
+    is never globally sorted (no rangepartitioning exchange) and no
+    un-partitioned WindowExec exists anywhere in the plan."""
+    p = plans("q_ntile")
+    assert "Exchange hashpartitioning(bid" in p
+    assert "rangepartitioning" not in p
+    # exactly one WindowExec — the bid-partitioned row_number; the
+    # 32-row offset cumsum is a broadcast self-join, not a window
+    assert p.count("Window [") == 1
+    # cutpoint + sizes passes materialized via localCheckpoint at
+    # build time; the final plan scans orders exactly once
+    assert p.count("orders.parquet") == 1
+
+
+def test_sequence_gaps_block_partitioned(plans):
+    """q_sequence_gaps: the fact-table lead() rides a hashpartitioning
+    exchange on the block id; the only SinglePartition exchange feeds
+    the per-block (min,max) summary — i.e. post-aggregation, n/1024
+    rows — never the raw events."""
+    p = plans("q_sequence_gaps")
+    assert "Exchange hashpartitioning(blk" in p
+    assert "rangepartitioning" not in p
+    # the block-summary lead() runs in an explicitly-pinned one-task
+    # window (partitionBy(blk % 1) over n/1024 aggregated rows); the
+    # raw events never hit a SinglePartition exchange
+    assert "Exchange SinglePartition" not in p
