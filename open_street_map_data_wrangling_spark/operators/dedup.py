@@ -82,34 +82,71 @@ _LSH_BUCKET_CAP = 32
 
 
 def _capped_band_pairs(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
-    """Band-bucket self-join with hot buckets (> cap members) pruned
-    first. The prune is a count-over-window on (bi, bv) — the SAME
-    partitioning the self-join needs next, so the cap rides the
-    exchange the join pays anyway; a separate hot-set aggregate
-    branch would replay the whole upstream minhash pipeline a third
-    time (only the exchange node is AQE-reusable, not the pipeline
-    below it — measured as a ~40% regression in the first cap
-    implementation). Shared by the md5 oracle twin and the xxhash64
+    """Band-bucket pair generation with hot buckets (> cap members)
+    pruned.  ONE groupBy(bi, bv) collects each bucket's member list;
+    buckets over the cap are dropped at the same aggregate (the cap
+    IS the bucket size — no separate counting pass, no window sort,
+    no self-join); pairs come from row-local combinations over the
+    sorted member array.  Because the cap bounds |members| ≤ 32, the
+    combination fan-out is bounded at 496 pairs per bucket — the
+    collect_list can never blow a task's memory, which is exactly
+    the property that makes this form safe at 100 TB.  (Round-2
+    shipped this as count-over-window + self-join: the window's
+    per-bucket sort and the join's second probe of the band table
+    were ~40% of q_dedup_near's bench time; same rows, one exchange
+    fewer.)  Shared by the md5 oracle twin and the xxhash64
     production twin."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("bi", "bv")
-    kept = (
-        bands.withColumn("__bucket_n", F.count("*").over(w))
-        .filter(F.col("__bucket_n") <= cap)
-        .drop("__bucket_n")
+    buckets = (
+        bands.groupBy("bi", "bv")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= cap))
     )
-    a, b = kept.alias("a"), kept.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+def minhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m7) MinHash signature table: 3-gram shingles →
+    8 per-shingle hashes → min per doc.  One groupBy(doc_id); the
+    signature table is |corpus| rows × 8 small strings — the thing
+    worth localCheckpoint'ing when several consumers need it (each
+    extra DataFrame consumer of this subtree would otherwise replay
+    the shingle explosion)."""
+    ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+
+
+def _lsh_bands(mh: DataFrame) -> DataFrame:
+    """(doc_id, bi, bv) banded signatures: 4 bands of 2 hashes."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("bi"),
+                F.md5(F.concat(F.col(f"m{2*j}"), F.lit("|"), F.col(f"m{2*j+1}"))).alias("bv"),
+            )
+            for j in range(_BANDS)
+        ]
+    )
+    return mh.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    )
+
+
 
 _MINHASH_COLS_SQL = ",\n               ".join(
     f"min(md5(sh || '#{i}')) AS m{i}" for i in range(_N_HASHES)
@@ -150,26 +187,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket's pair blow-up — the two properties that make near-dup
     feasible at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
-    mh = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"m{i}")
-            for i in range(_N_HASHES)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("bi"),
-                F.md5(F.concat(F.col(f"m{2*j}"), F.lit("|"), F.col(f"m{2*j+1}"))).alias("bv"),
-            )
-            for j in range(_BANDS)
-        ]
-    )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
-    )
-    return _capped_band_pairs(bands)
+    return _capped_band_pairs(_lsh_bands(minhash_sigs(docs)))
 
 
 # ---------------------------------------------------------------------------
@@ -517,10 +535,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup survivor, so `SELECT DISTINCT cluster_id` is the kept set).
     Spark runs iterative min-label propagation; the oracle computes
     the same fixpoint via a recursive transitive-closure CTE —
-    an exact cross-engine check of an iterative algorithm."""
+    an exact cross-engine check of an iterative algorithm.
+
+    The candidate pairs are localCheckpoint'd BEFORE entering
+    connected_components: its symmetrizing union consumes the edge
+    DataFrame twice, which would run the whole shingle→minhash→band
+    pipeline twice inside the first checkpoint job (measured ~1.7 s
+    of the 3.7 s round-2 bench time)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = q_dedup_near(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    pairs = (
+        q_dedup_near(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
     )
     nodes = docs.select(F.col("doc_id").alias("n"))
     return connected_components(pairs, nodes)
@@ -766,17 +792,23 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same role q_ann_recall plays for IVF. Exact Jaccard is only
     computed on candidate pairs (|pairs| << n²), so the audit costs
     one shingle equi-join over the candidates, not an all-pairs scan.
-    Both ratios integer-scaled x10^4."""
+    Both ratios integer-scaled x10^4.
+
+    Sharing discipline (round-3 rewrite — this query was the bench's
+    second-slowest at 3.1 s because it built the signature pipeline
+    TWICE, once itself and once inside q_dedup_near): the signature
+    table `mh` is computed once and localCheckpoint'd (|corpus| rows
+    × 8 hashes — cheap to pin), candidate pairs derive from the
+    *checkpointed* signatures, and the exact-Jaccard branch re-scans
+    only the raw shingle explosion (scan + flatMap, no shuffle —
+    cheaper to recompute than to materialize at 100 TB)."""
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
-    mh = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"m{i}")
-            for i in range(_N_HASHES)
-        ]
-    )
-    pairs = q_dedup_near(spark, sf_dir).select(
-        F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
+    mh = minhash_sigs(docs).localCheckpoint()
+    pairs = (
+        _capped_band_pairs(_lsh_bands(mh))
+        .select(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
+        .localCheckpoint()
     )
     matches = None
     for i in range(_N_HASHES):
