@@ -4,11 +4,12 @@ Word 3-gram shingling used by the near-dup family (SURVEY.md §2.11
 X2). Both the Spark expression and its DuckDB CTE twin live here so
 the two derivations can only drift in one place.
 
-The hash family for MinHash is md5 with a seed suffix — md5 produces
-identical lowercase hex in Spark and DuckDB, so min-over-hex-strings
-is a deterministic, engine-independent min-hash (murmur/xxhash would
-be faster but are not reproducible across the two engines; at
-production scale swap HASH_EXPR for xxhash64 and drop the oracle).
+The oracle-checked MinHash family lives in operators/dedup.py: one
+md5 prefix per shingle (identical lowercase hex in Spark and DuckDB)
+fed through integer universal-hash permutations — deterministic and
+engine-independent (murmur/xxhash would be faster but are not
+reproducible across the two engines; the q_dedup_near_fast twin
+swaps in xxhash64 and drops the oracle).
 """
 
 from __future__ import annotations

@@ -25,9 +25,10 @@ Scale notes (100 TB posture):
   is shingle document-frequency (stop-shingles); production would
   drop shingles with df above a cutoff first (same idea as df-based
   stopword removal).
-* md5-as-hash-family keeps the oracle honest (identical hex in both
-  engines); swap for xxhash64 when cross-engine reproducibility is
-  not needed.
+* The oracle-checked hash family is ONE md5 prefix per shingle fed
+  through 8 integer universal-hash permutations — exact in both
+  engines; the production twin (q_dedup_near_fast) swaps in
+  xxhash64 when cross-engine reproducibility is not needed.
 """
 
 from __future__ import annotations
@@ -87,10 +88,12 @@ def _capped_band_pairs(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFram
     buckets over the cap are dropped at the same aggregate (the cap
     IS the bucket size — no separate counting pass, no window sort,
     no self-join); pairs come from row-local combinations over the
-    sorted member array.  Because the cap bounds |members| ≤ 32, the
-    combination fan-out is bounded at 496 pairs per bucket — the
-    collect_list can never blow a task's memory, which is exactly
-    the property that makes this form safe at 100 TB.  (Round-2
+    sorted member array.  The cap bounds every EMITTED bucket's pair
+    fan-out at cap²/2; the transient pre-filter member array is one
+    doc_id per bucket member — LSH runs after exact dedup (X1), which
+    removes the identical-document mass that creates degenerate band
+    buckets, and a corpus that still produces ~10^8-member buckets
+    would reinstate the round-2 count-first prune.  (Round-2
     shipped this as count-over-window + self-join: the window's
     per-bucket sort and the join's second probe of the band table
     were ~40% of q_dedup_near's bench time; same rows, one exchange
@@ -115,29 +118,49 @@ def _capped_band_pairs(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFram
         .distinct()
     )
 
+# One digest per shingle, not one per hash function: the round-2 form
+# salted md5 _N_HASHES times per shingle (8 digests over the exploded
+# shingle table — the single hottest expression in the dedup family).
+# The standard fix is a universal hash family over ONE digest:
+# h = first 40 bits of md5(sh), m_i = (a_i*h + b_i) mod P with P prime
+# < 2^40 and a_i < 2^20, so a_i*h + b_i < 2^60 — exact in BIGINT
+# arithmetic in BOTH engines (no overflow, no float), which keeps the
+# DuckDB oracle byte-identical. Constants from random.Random(40).
+_MH_P = 1099511627689  # largest prime below 2^40
+_MH_AB = (
+    (480884, 66786), (257206, 592290), (696840, 432713), (134609, 730625),
+    (290581, 924345), (858653, 60045), (553120, 272365), (62190, 423589),
+)
+assert len(_MH_AB) == _N_HASHES
+
+
 def minhash_sigs(docs: DataFrame) -> DataFrame:
     """(doc_id, m0..m7) MinHash signature table: 3-gram shingles →
-    8 per-shingle hashes → min per doc.  One groupBy(doc_id); the
-    signature table is |corpus| rows × 8 small strings — the thing
-    worth localCheckpoint'ing when several consumers need it (each
-    extra DataFrame consumer of this subtree would otherwise replay
-    the shingle explosion)."""
-    ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
+    one 40-bit md5 prefix per shingle → 8 universal-hash permutations
+    → min per doc.  One groupBy(doc_id); the signature table is
+    |corpus| rows × 8 bigints — the thing worth localCheckpoint'ing
+    when several consumers need it (each extra DataFrame consumer of
+    this subtree would otherwise replay the shingle explosion)."""
+    ex = docs.select(
+        "doc_id", F.explode(shingles_expr("text")).alias("sh")
+    ).withColumn("__h", F.expr("CAST(conv(substring(md5(sh), 1, 10), 16, 10) AS BIGINT)"))
     return ex.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"m{i}")
-            for i in range(_N_HASHES)
+            F.min(F.expr(f"({a} * __h + {b}) % {_MH_P}")).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MH_AB)
         ]
     )
 
 
 def _lsh_bands(mh: DataFrame) -> DataFrame:
-    """(doc_id, bi, bv) banded signatures: 4 bands of 2 hashes."""
+    """(doc_id, bi, bv) banded signatures: 4 bands of 2 hashes; the
+    band value is the plain '|'-joined pair — equality is all a bucket
+    key needs, re-hashing it bought nothing."""
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(j).alias("bi"),
-                F.md5(F.concat(F.col(f"m{2*j}"), F.lit("|"), F.col(f"m{2*j+1}"))).alias("bv"),
+                F.concat_ws("|", F.col(f"m{2*j}"), F.col(f"m{2*j+1}")).alias("bv"),
             )
             for j in range(_BANDS)
         ]
@@ -147,12 +170,14 @@ def _lsh_bands(mh: DataFrame) -> DataFrame:
     )
 
 
-
+_MH_H_SQL = "(('0x' || substr(md5(sh), 1, 10))::BIGINT)"
 _MINHASH_COLS_SQL = ",\n               ".join(
-    f"min(md5(sh || '#{i}')) AS m{i}" for i in range(_N_HASHES)
+    f"min(({a} * {_MH_H_SQL} + {b}) % {_MH_P}) AS m{i}"
+    for i, (a, b) in enumerate(_MH_AB)
 )
 _BAND_SQL = "\n        UNION ALL ".join(
-    f"SELECT doc_id, {j} AS bi, md5(m{2*j} || '|' || m{2*j+1}) AS bv FROM mh"
+    f"SELECT doc_id, {j} AS bi,"
+    f" CAST(m{2*j} AS VARCHAR) || '|' || CAST(m{2*j+1} AS VARCHAR) AS bv FROM mh"
     for j in range(_BANDS)
 )
 
@@ -180,12 +205,11 @@ _BAND_SQL = "\n        UNION ALL ".join(
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (X2): 3-gram shingles → 8
-    min-hashes → 4 bands of 2 → hot-bucket prune (> _LSH_BUCKET_CAP
-    members, broadcast anti-join) → equi-self-join on band signature.
-    The only joins are equi-joins on band values, so the all-pairs
-    O(n²) never materializes, and the cap bounds the worst single
-    bucket's pair blow-up — the two properties that make near-dup
-    feasible at 100 TB."""
+    min-hashes → 4 bands of 2 → size-capped bucket aggregate →
+    row-local pair combinations. The pipeline is shuffle-by-key all
+    the way down (no self-join, no all-pairs O(n²)), and the cap
+    bounds the worst single bucket's memory and pair blow-up — the
+    properties that make near-dup feasible at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     return _capped_band_pairs(_lsh_bands(minhash_sigs(docs)))
 
@@ -303,25 +327,31 @@ def ngram_jaccard_pairs(
     BEFORE pair generation (numerator and denominator both computed on
     the pruned sets, so Jaccard stays a true set similarity).
 
-    Scale shape: the df aggregation is map-side-combined (one row per
-    distinct (lang, shingle) per task), the hot set is tiny by
-    definition (few shingles exceed the cutoff), so removing it is a
-    broadcast anti-join — no extra shuffle of the exploded shingles."""
+    Scale shape (round-3 rewrite): ONE aggregate on (lang, sh)
+    produces each shingle's member list, and the df prune is just a
+    size filter on that list — the round-2 form ran a separate
+    count aggregate plus a broadcast anti-join, which re-ran the
+    text explode (scan + shingling, the most expensive expression in
+    the query) once per downstream consumer. Per-doc pruned set
+    sizes and intersection pairs both derive from the aggregated
+    member lists, so the corpus text is scanned and shingled exactly
+    once; their re-aggregation rides the (lang, sh) exchange AQE
+    already has. The df cutoff bounds every emitted pair fan-out at
+    df_cutoff²/2; the transient pre-filter member array is one
+    doc_id per occurrence — corpora are exact-deduped before Jaccard
+    (X1 then X2c), which removes the identical-boilerplate mass that
+    creates degenerate shingle frequencies, and a corpus that still
+    has 10^8-doc shingle families needs the round-2 count-first
+    prepass reinstated (same rows, one more pass)."""
     ex = docs.select("doc_id", "lang", F.explode(shingles_expr("text")).alias("sh"))
-    freq = ex.groupBy("lang", "sh").agg(F.count("*").alias("df"))
-    hot = freq.filter(F.col("df") > df_cutoff).select("lang", "sh")
-    ex = ex.join(F.broadcast(hot), ["lang", "sh"], "left_anti")
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # Intersection counts via one shuffle: group doc-ids per shingle,
-    # generate ordered pairs in-memory. Measured ~20% faster than the
-    # equivalent shingle self-join at sf0.1 (one exchange instead of
-    # two join sides). The df cutoff above bounds each group's
-    # collect_list at df_cutoff ids, so no task ever materializes a
-    # stop-shingle's quadratic pair fan-out.
-    grouped = (
-        ex.groupBy("lang", "sh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    grouped = ex.groupBy("lang", "sh").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    kept = grouped.filter(F.size("ids") <= df_cutoff)
+    sizes = (
+        kept.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
     )
     pair_gen = F.expr(
         "flatten(transform(sequence(1, size(ids)-1), "
@@ -329,7 +359,8 @@ def ngram_jaccard_pairs(
         "y -> struct(element_at(ids, i) AS a, y AS b))))"
     )
     inter = (
-        grouped.select(F.explode(pair_gen).alias("p"))
+        kept.filter(F.size("ids") > 1)
+        .select(F.explode(pair_gen).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("i"))
     )
@@ -467,7 +498,13 @@ def connected_components(edges_df, nodes_df, max_iters: int = 50):
       by |dup pairs|, not |corpus|.
     * The convergence probe filters the just-checkpointed update
       (old label carried alongside new) instead of re-joining two
-      label snapshots — one cheap action per round, no extra join."""
+      label snapshots — one cheap action per round, no extra join.
+    * Pointer doubling: each round also compresses label <-
+      label(label) (one extra self-join INSIDE the same checkpoint
+      job, no extra action), so convergence takes O(log diameter)
+      rounds instead of O(diameter) — on a 100 TB corpus where one
+      boilerplate family chains thousands of documents, that is the
+      difference between ~12 rounds and ~thousands."""
     from pyspark.sql import functions as F
 
     sym = (
@@ -489,12 +526,22 @@ def connected_components(edges_df, nodes_df, max_iters: int = 50):
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(neighbor_min, labels.n == F.col("a"), "left").select(
+            "n",
+            F.col("label").alias("__old"),
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        parent = stepped.select(
+            F.col("n").alias("label"), F.col("label").alias("__gl")
+        )
         upd = (
-            labels.join(neighbor_min, labels.n == F.col("a"), "left")
+            stepped.join(parent, "label", "left")
             .select(
                 "n",
-                F.col("label").alias("__old"),
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                "__old",
+                F.least(F.col("label"), F.coalesce(F.col("__gl"), F.col("label"))).alias(
                     "label"
                 ),
             )
