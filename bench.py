@@ -85,18 +85,66 @@ def main() -> None:
                 timings[name] = dt
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Round-over-round regression guard: compare the common query
+    # subset against the latest recorded BENCH_r*.json so a
+    # scale-safety patch cannot silently re-inflate fixture timings
+    # (the stderr report is advisory; the driver's JSON line on
+    # stdout stays single-line and schema-stable).
+    prior = _latest_prior_bench()
+    if prior:
+        common = sorted(set(timings) & set(prior["queries"]))
+        if common:
+            now_t = round(sum(timings[q] for q in common), 3)
+            then_t = round(sum(prior["queries"][q] for q in common), 3)
+            out["common_subset"] = {
+                "vs": prior["file"],
+                "n_queries": len(common),
+                "prev_sec": then_t,
+                "now_sec": now_t,
+                "ratio": round(now_t / then_t, 3) if then_t else None,
             }
-        )
-    )
+            regressed = {
+                q: (prior["queries"][q], timings[q])
+                for q in common
+                if timings[q] > prior["queries"][q] * 1.15 + 0.05
+            }
+            if regressed:
+                print(
+                    f"bench: {len(regressed)} queries >15% slower than "
+                    f"{prior['file']}: "
+                    + ", ".join(
+                        f"{q} {a:.2f}->{b:.2f}s" for q, (a, b) in sorted(regressed.items())
+                    ),
+                    file=sys.stderr,
+                )
+    print(json.dumps(out))
     spark.stop()
+
+
+def _latest_prior_bench() -> dict | None:
+    """Latest BENCH_r*.json next to this file, parsed, or None."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            # the driver records bench output under "parsed"
+            rec = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
+            if isinstance(rec.get("queries"), dict):
+                return {"file": os.path.basename(path), "queries": rec["queries"]}
+        except (OSError, ValueError, AttributeError):
+            continue
+    return None
 
 
 if __name__ == "__main__":

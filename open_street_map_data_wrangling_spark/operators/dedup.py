@@ -636,7 +636,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Hamming ≤ k banding: a pair differing in ≤ k of the 16 fingerprint
+# Hamming ≤ k banding: a pair differing in ≤ k of the 32 fingerprint
 # bits must agree exactly on at least one of k+1 disjoint bit bands
 # (pigeonhole), so the quadratic all-pairs scan reduces to k+1
 # equi-joins + an exact bit_count verify on the candidates.
@@ -675,8 +675,8 @@ _SIMHASH_BANDS_SQL = "\n        UNION ALL ".join(
 def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance ≤ k (X2): the
     rotated-band tier q_simhash_pairs's distance-0 buckets lack. The
-    32-bit fingerprint splits into k+1 disjoint bands (11/11/10 bits
-    — band width sets blocking power: expected bucket size is n/2^w,
+    32-bit fingerprint splits into k+1 = 2 disjoint 16-bit bands
+    (band width sets blocking power: expected bucket size is n/2^w,
     so wider bands keep the candidate join linear as n grows);
     band-equal candidates are verified with an exact
     bit_count(a XOR b) <= k filter — all equi-joins, so recall is

@@ -251,9 +251,10 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single-pass formulation: unigrams and bigrams are built row-locally
     as ONE plain string array — bigrams via zip_with of the token
-    array against its own tail (slice from position 2; zip_with
-    truncates to the shorter side, so 1-token docs yield an empty
-    bigram list with no guard) — exploded once, then two key-uniform
+    array against its own tail (slice from position 2; zip_with PADS
+    the shorter side with nulls, so the trailing concat is null and
+    an isNotNull filter drops it — 1-token docs yield an empty
+    bigram list) — exploded once, then two key-uniform
     aggregations: (doc_id, gram) counts — map-side partial agg eats
     the duplication — then (doc_id) conditional aggs. The kind column
     is DERIVED, not stored: a bigram contains a space, a token cannot

@@ -315,9 +315,16 @@ def quality_gated_ingest(
     validate (q_validate's predicate), stateful dedup on the natural
     key, then per-(minute, event_type) admit/reject accounting.
     Stateless filters run BEFORE the stateful dedup so invalid rows
-    never enter dedup state; the watermark bounds that state. At
-    scale this is the pattern where cleaning costs nothing extra —
-    every filter fuses into the same micro-batch scan.
+    never enter dedup state. Dedup state is bounded by the watermark
+    ONLY because this uses dropDuplicatesWithinWatermark: plain
+    dropDuplicates(['event_id']) never evicts state when the
+    event-time column is not part of the dedup key subset, so a
+    long-running stream would grow its state store without bound —
+    the within-watermark form expires each key once it falls behind
+    the watermark (the correct semantics for at-least-once sources,
+    where redeliveries arrive close in event time). At scale this is
+    the pattern where cleaning costs nothing extra — every filter
+    fuses into the same micro-batch scan.
 
     Rejected rows are counted, not dropped silently: the output is
     the admit/reject ledger per window (the monitoring stream); the
@@ -332,7 +339,7 @@ def quality_gated_ingest(
     admitted = (
         validated.filter("__ok")
         .withWatermark("ts", watermark)
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
     return (
         admitted.groupBy(

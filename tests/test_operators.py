@@ -396,8 +396,9 @@ def test_kmeans_trained_ivf_recall(spark):
 
 def test_repetition_edge_docs(spark, monkeypatch):
     """q_repetition on degenerate docs: a 1-token doc must yield an
-    EMPTY bigram list (Spark's sequence(0,-1) counts down — guarded
-    by the size>=2 branch), and a fully-repeated doc scores 10000."""
+    EMPTY bigram list (zip_with null-pads the tail; the isNotNull
+    filter drops the padded concat), and a fully-repeated doc
+    scores 10000."""
     import open_street_map_data_wrangling_spark.operators.text as text_mod
 
     df = spark.createDataFrame(
@@ -424,3 +425,54 @@ def test_lsh_hot_bucket_cap(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in out} == {(100, 101)}
     # cap above the hot bucket size keeps all 780 + 1 pairs
     assert _capped_band_pairs(bands, cap=64).count() == 40 * 39 // 2 + 1
+
+
+def test_lsh_hash_families_find_identical_dup_groups(spark, monkeypatch):
+    """q_dedup_near (md5+permutation oracle family) and
+    q_dedup_near_fast (xxhash64 production family) must produce the
+    IDENTICAL candidate-pair set on a corpus of controlled
+    collisions: exact-duplicate groups (all 8 min-hashes equal under
+    ANY hash family -> every band collides -> the pair is guaranteed
+    in both), a 40-copy boilerplate family (over the bucket cap ->
+    pruned by both), and unrelated filler docs (no shared shingles ->
+    a pair requires a 40/64-bit hash collision; none on this seeded
+    corpus).  This upgrades the fast twin's rows-only driver status
+    to a verified same-recall claim."""
+    import random
+
+    import open_street_map_data_wrangling_spark.operators.dedup as dedup_mod
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(600)]
+    rows, doc_id = [], 0
+    expected = set()
+    for g in range(12):  # 12 groups x 3 exact copies
+        text = " ".join(rng.sample(vocab, 24))
+        members = []
+        for _ in range(3):
+            rows.append((doc_id, text))
+            members.append(doc_id)
+            doc_id += 1
+        expected |= {
+            (a, b) for i, a in enumerate(members) for b in members[i + 1 :]
+        }
+    hot_text = " ".join(rng.sample(vocab, 24))
+    for _ in range(40):  # boilerplate family over the cap of 32
+        rows.append((doc_id, hot_text))
+        doc_id += 1
+    for _ in range(60):  # unrelated filler
+        rows.append((doc_id, " ".join(rng.sample(vocab, 24))))
+        doc_id += 1
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(dedup_mod, "load_table", lambda s, d, n: docs)
+    oracle_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_mod.q_dedup_near(spark, "_").collect()
+    }
+    fast_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_mod.q_dedup_near_fast(spark, "_").collect()
+    }
+    assert oracle_pairs == fast_pairs
+    assert oracle_pairs == expected  # dup groups in, hot family + filler out
