@@ -224,23 +224,42 @@ _N_BITS = 32
 # cost of each extra aggregate buffer dominated the stage (1 agg
 # 1.0 s, 32 aggs 2.5 s at sf0.1). Instead each bigint aggregate packs
 # FOUR 16-bit lanes: per token, lane l of word j holds the parity
-# (0/1) of md5 hex char 4j+l shifted to bit 16l, and a plain sum()
+# (0/1) of md5 hex nibble 4j+l shifted to bit 16l, and a plain sum()
 # adds all four lanes at once with no carry between lanes as long as
 # a document has < 2^15 tokens (documented bound; lane sums are token
 # counts). 8 packed aggregates replace 32. Bit i's one-count unpacks
 # as (p[i/4] >> 16*(i%4)) & 0xFFFF; the majority vote "score_i > 0"
 # becomes 2*cnt_i > n_toks. Pure integer arithmetic, mirrored exactly
 # in the DuckDB oracle.
+#
+# Nibble extraction (round-3 rewrite): the digest is parsed ONCE per
+# token into three bigint chunks (15+15+2 hex chars — 15 fits a
+# signed 64-bit exactly), and each lane's parity is a shift-and-mask
+# on a chunk. The round-2 form did 32 substring+ascii string ops per
+# token — one per bit — which profiled as the hottest expression in
+# the simhash family; 3 string parses + 32 integer bit-ops replace
+# 32 string parses.
 _LANES = 4  # 16-bit lanes per packed bigint
 _N_WORDS = _N_BITS // _LANES
+
+# (chunk expr template, 1-based char start, length) per chunk
+_CHUNKS = ((1, 15), (16, 15), (31, 2))
+
+
+def _nibble_parity(i: int, chunk_cols: tuple[str, str, str]) -> str:
+    """SQL for parity of 1-based hex char i of the parsed digest."""
+    for (start, width), col in zip(_CHUNKS, chunk_cols):
+        if start <= i < start + width:
+            shift = 4 * (start + width - 1 - i)
+            return f"(({col} >> {shift}) & 1)"
+    raise ValueError(i)
 
 
 def _packed_agg_cols():
     cols = []
     for j in range(_N_WORDS):
         expr = " + ".join(
-            f"(CAST(ascii(substring(__h, {4 * j + l + 1}, 1)) % 2 AS BIGINT)"
-            f" << {16 * l})"
+            f"({_nibble_parity(4 * j + l + 1, ('__c1', '__c2', '__c3'))} << {16 * l})"
             for l in range(_LANES)
         )
         cols.append(F.expr(f"sum({expr})").alias(f"p{j}"))
@@ -250,12 +269,20 @@ def _packed_agg_cols():
 _SIMHASH_SCORE_SQL = "count(*) AS n_toks,\n               " + ",\n               ".join(
     "sum("
     + " + ".join(
-        f"(CAST(ascii(substr(md5(tok), {4 * j + l + 1}, 1)) % 2 AS BIGINT)"
-        f" << {16 * l})"
+        f"({_nibble_parity(4 * j + l + 1, ('c1', 'c2', 'c3'))} << {16 * l})"
         for l in range(_LANES)
     )
     + f") AS p{j}"
     for j in range(_N_WORDS)
+)
+# chunk parses shared by the Spark builder and the DuckDB tk CTE
+_SIMHASH_CHUNKS_SPARK = [
+    f"CAST(conv(substring(__h, {start}, {width}), 16, 10) AS BIGINT) AS __c{k+1}"
+    for k, (start, width) in enumerate(_CHUNKS)
+]
+_SIMHASH_CHUNKS_SQL = ", ".join(
+    f"('0x' || substr(md5(tok), {start}, {width}))::BIGINT AS c{k+1}"
+    for k, (start, width) in enumerate(_CHUNKS)
 )
 _SIMHASH_FP_SQL = " + ".join(
     f"(CASE WHEN 2 * ((p{i // _LANES} >> {16 * (i % _LANES)}) & 65535)"
@@ -267,8 +294,10 @@ _SIMHASH_FP_SQL = " + ".join(
 @query(
     "q_dedup_simhash",
     oracle=f"""
-        WITH tk AS (
+        WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        tk AS (
+            SELECT doc_id, {_SIMHASH_CHUNKS_SQL} FROM toks),
         scores AS (
             SELECT doc_id,
                {_SIMHASH_SCORE_SQL}
@@ -288,9 +317,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance — exact-match buckets or rotated-band buckets, both
     equi-joins."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).select("doc_id", F.md5("tok").alias("__h"))
+    tk = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", F.md5("tok").alias("__h"))
+        .selectExpr("doc_id", *_SIMHASH_CHUNKS_SPARK)
+    )
     scores = tk.groupBy("doc_id").agg(
         F.count("*").alias("n_toks"), *_packed_agg_cols()
     )
@@ -602,8 +633,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_simhash_pairs",
     oracle=f"""
-        WITH tk AS (
+        WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        tk AS (
+            SELECT doc_id, {_SIMHASH_CHUNKS_SQL} FROM toks),
         scores AS (
             SELECT doc_id,
                {_SIMHASH_SCORE_SQL}
@@ -653,8 +686,10 @@ _SIMHASH_BANDS_SQL = "\n        UNION ALL ".join(
 @query(
     "q_simhash_near",
     oracle=f"""
-        WITH tk AS (
+        WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        tk AS (
+            SELECT doc_id, {_SIMHASH_CHUNKS_SQL} FROM toks),
         scores AS (
             SELECT doc_id,
                {_SIMHASH_SCORE_SQL}
@@ -698,20 +733,31 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = fp.select("doc_id", "fingerprint", F.explode(band_structs).alias("b")).select(
         "doc_id", "fingerprint", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # Same bucket-aggregate pair generation as _capped_band_pairs: one
+    # groupBy instead of a self-join (which would also recompute the
+    # fingerprint aggregate once per join side). The struct sorts by
+    # its leading doc_id field, so combinations emit doc_a < doc_b.
+    buckets = (
+        bands.groupBy("bi", "bv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "fingerprint"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    pair_gen = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), y -> struct(x AS a, y AS b))))"
+    )
     hamming = F.bit_count(
-        F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+        F.col("p.a.fingerprint").bitwiseXOR(F.col("p.b.fingerprint"))
     ).cast("int")
     return (
-        a.join(
-            b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.explode(pair_gen).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= _HAMMING_K)
