@@ -106,3 +106,28 @@ def test_sequence_gaps_block_partitioned(plans):
     # window (partitionBy(blk % 1) over n/1024 aggregated rows); the
     # raw events never hit a SinglePartition exchange
     assert "Exchange SinglePartition" not in p
+
+
+def test_lsh_pair_generation_is_joinless(plans):
+    """Round-3 form: candidate pairs come from a bucket aggregate +
+    row-local combinations — the plan must contain NO join operator
+    and no single-partition exchange (the round-2 form paid a
+    count-over-window plus a band-table self-join)."""
+    for q in ("q_dedup_near", "q_simhash_near"):
+        p = plans(q)
+        assert "Join" not in p, f"{q} reintroduced a join"
+        assert "Exchange SinglePartition" not in p
+        assert "Window" not in p
+
+
+def test_ngram_jaccard_reuses_shingle_exchange(spark):
+    """The fused ngram form shingles the corpus text once; the other
+    consumers of the (lang, sh) aggregate must ride a ReusedExchange
+    in the POST-execution adaptive plan (pre-AQE plans repeat the
+    subtree textually, so this property is only visible on the final
+    plan of an executed query)."""
+    qs = load_all_queries()
+    df = qs["q_dedup_ngram"].spark(spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p, "shingle exchange no longer shared"
