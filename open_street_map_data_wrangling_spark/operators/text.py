@@ -249,68 +249,64 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram that appears >= 2 times in the doc (Gopher-style duplicate
     n-gram fraction; docs dominated by either are boilerplate/spam).
 
-    Single-pass formulation: unigrams and bigrams are built row-locally
-    as ONE plain string array — bigrams via zip_with of the token
-    array against its own tail (slice from position 2; zip_with PADS
-    the shorter side with nulls, so the trailing concat is null and
-    an isNotNull filter drops it — 1-token docs yield an empty
-    bigram list) — exploded once, then two key-uniform
-    aggregations: (doc_id, gram) counts — map-side partial agg eats
-    the duplication — then (doc_id) conditional aggs. The kind column
-    is DERIVED, not stored: a bigram contains a space, a token cannot
-    (they came from splitting on spaces) — this replaced a
-    struct{kind, gram} encoding that allocated a struct per gram and
-    measured ~2x slower. The second shuffle moves only distinct grams
-    per doc. Ratios are integer-scaled x10^4 via exact integer
-    division (round() tips on half-boundaries across engines). At
-    100 TB: no skew hazard — keys are (doc, gram) pairs, naturally
-    uniform; nothing is collected."""
+    ZERO-shuffle formulation (round-3 rewrite): every output is a
+    per-document statistic, so nothing needs to leave its row. The
+    token array is sorted row-locally; the top-token count is the
+    longest equal run (one aggregate() fold), and a bigram occurrence
+    is a duplicate iff it equals a neighbor in the sorted bigram
+    array (element_at probes over an index sequence). The round-2
+    form exploded the gram stream and shuffled it twice — at 100 TB
+    that moved the entire corpus token stream through two exchanges
+    to compute quantities that never needed cross-row data. Bigrams
+    via zip_with of the token array against its own tail (zip_with
+    PADS with nulls; the trailing concat-with-null is filtered, so
+    1-token docs yield an empty bigram list). Ratios are
+    integer-scaled x10^4 via exact integer division (round() tips on
+    half-boundaries across engines). The oracle keeps its unnest +
+    GROUP BY derivation — same results from an independent
+    formulation is a stronger differential check than a mirrored
+    one."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    # zip_with PADS the shorter side with nulls (it does not
-    # truncate), so the zip of toks against its own tail carries one
-    # trailing concat-with-null = NULL element — filtered out before
-    # the union with the unigrams.
-    grams = F.concat(
-        toks,
-        F.filter(
-            F.zip_with(
-                toks,
-                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            ),
-            lambda x: x.isNotNull(),
-        ),
+    # longest equal run in a sorted array = max occurrence count
+    run_best = (
+        "aggregate(__st, "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(x <=> acc.prev, acc.run + 1L, 1L), "
+        "  'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))), "
+        "acc -> acc.best)"
     )
-    counts = (
-        docs.select("doc_id", F.explode(grams).alias("g"))
-        .groupBy(
+    # occurrences equal to a sorted neighbor = members of >=2 groups
+    dup_occ = (
+        "CAST(size(filter(sequence(1, size(__sb)), i -> "
+        "(i > 1 AND element_at(__sb, i) = element_at(__sb, i - 1)) OR "
+        "(i < size(__sb) AND element_at(__sb, i) = element_at(__sb, i + 1))"
+        ")) AS BIGINT)"
+    )
+    return (
+        docs.selectExpr(
             "doc_id",
-            F.when(F.col("g").contains(" "), "b").otherwise("t").alias("kind"),
-            "g",
+            "array_sort(split(text, ' ')) AS __st",
+            "array_sort(filter(zip_with(split(text, ' '), "
+            "  slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)), "
+            "  (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)) AS __sb",
         )
-        .count()
-    )
-    is_t = F.col("kind") == "t"
-    is_b = F.col("kind") == "b"
-    dup_b = is_b & (F.col("count") >= 2)
-    return counts.groupBy("doc_id").agg(
-        F.sum(F.when(is_t, F.col("count"))).alias("n_toks"),
-        F.max(F.when(is_t, F.col("count"))).alias("top_tok_cnt"),
-        F.expr(
-            "CAST(10000 * max(CASE WHEN kind = 't' THEN count END) "
-            "div sum(CASE WHEN kind = 't' THEN count END) AS BIGINT)"
-        ).alias("top_tok_x10k"),
-        F.coalesce(F.sum(F.when(dup_b, F.col("count"))), F.lit(0)).cast("bigint").alias(
-            "dup_bigram_occ"
-        ),
-        F.coalesce(
-            F.expr(
-                "10000 * sum(CASE WHEN kind = 'b' AND count >= 2 THEN count END) "
-                "div sum(CASE WHEN kind = 'b' THEN count END)"
-            ),
-            F.lit(0),
-        ).cast("bigint").alias("dup_bigram_x10k"),
+        .selectExpr(
+            "doc_id",
+            "CAST(size(__st) AS BIGINT) AS n_toks",
+            f"CAST({run_best} AS BIGINT) AS top_tok_cnt",
+            "__sb",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_toks",
+            "top_tok_cnt",
+            "CAST(10000 * top_tok_cnt div n_toks AS BIGINT) AS top_tok_x10k",
+            f"{dup_occ} AS dup_bigram_occ",
+            f"CAST(IF(size(__sb) = 0, 0, 10000 * {dup_occ} div size(__sb)) "
+            "AS BIGINT) AS dup_bigram_x10k",
+        )
     )
 
 

@@ -131,3 +131,11 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark):
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in p, "shingle exchange no longer shared"
+
+
+def test_repetition_is_shuffle_free(plans):
+    """Per-document statistics must never leave their row: the
+    round-3 q_repetition plan contains no exchange of any kind (the
+    round-2 form shuffled the exploded gram stream twice)."""
+    p = plans("q_repetition")
+    assert "Exchange" not in p
