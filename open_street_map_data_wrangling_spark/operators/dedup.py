@@ -892,16 +892,27 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWICE, once itself and once inside q_dedup_near): the signature
     table `mh` is computed once and localCheckpoint'd (|corpus| rows
     × 8 hashes — cheap to pin), candidate pairs derive from the
-    *checkpointed* signatures, and the exact-Jaccard branch re-scans
-    only the raw shingle explosion (scan + flatMap, no shuffle —
-    cheaper to recompute than to materialize at 100 TB)."""
+    *checkpointed* signatures, and the exact-Jaccard branch only
+    shingles CANDIDATE-PAIR MEMBERS — a broadcast semi-join against
+    the checkpointed pair set restricts the shingle explosion and the
+    set-size aggregate to |candidate docs| rows before any self-join.
+    At 100 TB candidate members are a vanishing fraction of the
+    corpus, so the audit costs a corpus scan (for signatures) plus
+    candidate-sized work, not two more corpus passes. The oracle
+    computes sizes over the full corpus — equal results because sizes
+    only ever joins on pair members."""
     docs = load_table(spark, sf_dir, "documents")
-    ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
     mh = minhash_sigs(docs).localCheckpoint()
     pairs = (
         _capped_band_pairs(_lsh_bands(mh))
         .select(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
         .localCheckpoint()
+    )
+    pair_docs = (
+        pairs.select(F.explode(F.array("pa", "pb")).alias("doc_id")).distinct()
+    )
+    ex = docs.join(F.broadcast(pair_docs), "doc_id", "semi").select(
+        "doc_id", F.explode(shingles_expr("text")).alias("sh")
     )
     matches = None
     for i in range(_N_HASHES):
