@@ -388,10 +388,10 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decimal_money",
     oracle="""
         SELECT o_orderstatus,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
-                 AS total_money,
-               CAST(avg(CAST(o_totalprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
-                 AS avg_money
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18, 2))), 2)
+                    AS DOUBLE) AS total_money,
+               CAST(round(avg(CAST(o_totalprice AS DECIMAL(18, 2))), 2)
+                    AS DOUBLE) AS avg_money
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -402,17 +402,22 @@ def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,2) — exact, order-independent, and bit-identical across
     engines (float sums differ in the last ulp depending on reduction
     order; decimals cannot). The engine rule this query pins: cast
-    monetary doubles to decimal AT THE SCAN and aggregate in decimal;
-    both engines widen internal precision, so both sides re-cast the
-    result to DECIMAL(18,2)."""
+    monetary doubles to decimal AT THE SCAN and aggregate in decimal.
+    The decimal stays *internal*: the emitted columns are the rounded
+    aggregates cast to DOUBLE, because Decimal objects survive the
+    drivers' canonicalizers differently (Spark→Decimal('…0.00') vs
+    DuckDB's pandas bridge→float64) and break value hashing even when
+    the cents agree — the representation lesson of rounds 2–3
+    (array<bigint>, then DECIMAL).  Rounding happens AFTER the exact
+    decimal aggregation, so cross-engine determinism is preserved."""
     orders = load_table(spark, sf_dir, "orders")
     money = F.col("o_totalprice").cast("decimal(18,2)")
     return (
         orders.select("o_orderstatus", money.alias("m"))
         .groupBy("o_orderstatus")
         .agg(
-            F.sum("m").cast("decimal(18,2)").alias("total_money"),
-            F.avg("m").cast("decimal(18,2)").alias("avg_money"),
+            F.round(F.sum("m"), 2).cast("double").alias("total_money"),
+            F.round(F.avg("m"), 2).cast("double").alias("avg_money"),
         )
     )
 
