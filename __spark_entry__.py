@@ -53,19 +53,67 @@ def _stamped_names() -> set[str]:
     return stamped
 
 
+def _source_closure(func) -> str:
+    """Source of ``func`` plus every module-level function it
+    transitively references through ``co_names`` / ``co_consts``.
+
+    Hashing only the registered function's own body left a blind spot:
+    a rewrite of a shared helper (e.g. the LSH pair generator used by
+    three dedup queries) changed behaviour without changing any
+    registered function's source, so stamped queries were classified
+    unchanged and never rotated back into the verification window.
+    Walking the reference graph closes that gap; helpers are visited
+    once and concatenated in deterministic (name-sorted) order.
+    """
+    import types
+
+    seen: dict[str, str] = {}
+
+    def visit(fn) -> None:
+        name = getattr(fn, "__qualname__", getattr(fn, "__name__", None))
+        if name is None or name in seen:
+            return
+        try:
+            seen[name] = inspect.getsource(fn)
+        except (OSError, TypeError):
+            seen[name] = repr(fn)
+            return
+        code = getattr(fn, "__code__", None)
+        globalns = getattr(fn, "__globals__", {})
+        if code is None:
+            return
+        # co_names covers direct calls; nested lambdas/defs live in
+        # co_consts and carry their own co_names against the same globals.
+        stack = [code]
+        referenced: list[str] = []
+        while stack:
+            c = stack.pop()
+            referenced.extend(c.co_names)
+            stack.extend(
+                k for k in c.co_consts if isinstance(k, types.CodeType)
+            )
+        for ref in sorted(set(referenced)):
+            target = globalns.get(ref)
+            if isinstance(target, types.FunctionType) and getattr(
+                target, "__module__", ""
+            ).startswith("open_street_map_data_wrangling_spark"):
+                visit(target)
+
+    visit(func)
+    return "\n--helper--\n".join(src for _, src in sorted(seen.items()))
+
+
 def _fingerprint(spec) -> str:
-    """Content hash of a query's implementation + oracle.
+    """Content hash of a query's implementation (transitive source
+    closure over package-local helpers) + oracle.
 
     A stamp certifies a *specific* implementation; editing the Spark
-    function or the oracle SQL after the driver stamped it must put
-    the query back in the verification window (otherwise a round-2
-    rewrite of a round-1-stamped query would never be re-checked).
+    function, any helper it calls, or the oracle SQL after the driver
+    stamped it must put the query back in the verification window
+    (otherwise a round-2 rewrite of a round-1-stamped query would
+    never be re-checked).
     """
-    try:
-        src = inspect.getsource(spec.spark)
-    except (OSError, TypeError):
-        src = getattr(spec.spark, "__name__", repr(spec.spark))
-    body = src + "\n--oracle--\n" + (spec.oracle or "")
+    body = _source_closure(spec.spark) + "\n--oracle--\n" + (spec.oracle or "")
     return hashlib.sha256(body.encode()).hexdigest()[:16]
 
 

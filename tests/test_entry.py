@@ -107,3 +107,26 @@ def test_fingerprint_changes_with_source_or_oracle():
     a = entrymod._fingerprint(QuerySpec("a", f, "SELECT 1"))
     b = entrymod._fingerprint(QuerySpec("a", f, "SELECT 2"))
     assert a != b
+
+
+def test_fingerprint_covers_transitive_helpers():
+    """A rewrite of a shared helper must invalidate the stamp of every
+    query that calls it — even transitively, and even when the helper
+    is only reached from inside a nested lambda.  (Round-3 gap: the
+    ngram pipeline was rewritten via a shared helper and its stamped
+    query was never rotated back into the verification window.)"""
+    from open_street_map_data_wrangling_spark.operators import dedup
+    from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+    specs = load_all_queries()
+    closure = entrymod._source_closure(specs["q_dedup_near"].spark)
+    import inspect
+
+    assert inspect.getsource(dedup._capped_band_pairs) in closure, (
+        "shared pair-generation helper must be part of the fingerprint"
+    )
+    # and the ngram family covers its shared pipeline helper
+    ngram_closure = entrymod._source_closure(specs["q_dedup_ngram"].spark)
+    assert "ngram" in ngram_closure and len(ngram_closure) > len(
+        inspect.getsource(specs["q_dedup_ngram"].spark)
+    )
