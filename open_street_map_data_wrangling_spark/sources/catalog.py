@@ -15,12 +15,16 @@ stream (user_id≈uid, ts≈timestamp, props≈tag map), star-schema joins
 ≈ nodes_tags-style id joins, documents/embeddings serve the text /
 similarity extensions.
 
-ns-timestamp note: `events.ts` is TIMESTAMP(NANOS) parquet, which
-Spark rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` it
-arrives as a long; we truncate to µs with exact integer division
-(`div 1000` — a double division would lose precision above 2^53) and
-rebuild a TimestampType. DuckDB truncates ns→µs the same way when it
-casts, so both engines see identical µs instants.
+ts normalization note: the fixture generator has shipped `events.ts`
+in two physical forms across rounds — TIMESTAMP(NANOS) (rejected by
+Spark's vectorized reader; `nanosAsLong=true` surfaces it as a long
+we exactly-truncate with `ts div 1000` — integer division, a double
+would lose precision above 2^53) and plain TIMESTAMP(MICROS) with
+isAdjustedToUTC=false (arrives as TIMESTAMP_NTZ, which rejects
+`unix_micros` et al.). `load_table` normalizes BOTH to TimestampType;
+the NTZ→LTZ cast is instant-preserving because the session timezone
+is pinned UTC (session.py). DuckDB reads the same file as a naive
+µs timestamp, so both engines see identical µs instants either way.
 """
 
 from __future__ import annotations
@@ -48,8 +52,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes events.ts to TimestampType."""
     apply_runtime_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # TIMESTAMP(MICROS), naive
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
