@@ -427,6 +427,51 @@ def test_lsh_hot_bucket_cap(spark):
     assert _capped_band_pairs(bands, cap=64).count() == 40 * 39 // 2 + 1
 
 
+def test_lsh_degenerate_bucket_never_enters_member_aggregate(spark):
+    """Round-4 buffer bound: a 10⁴-member degenerate bucket must be
+    pruned BEFORE the member collect (the round-3 form collected the
+    full list and filtered on its size — an unbounded aggregation
+    buffer).  Output-correct AND the prune join is in the plan."""
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        _capped_band_pairs,
+    )
+
+    bands = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("bi"), F.lit("deg").alias("bv")
+    ).unionAll(
+        spark.createDataFrame(
+            [(20_000, 1, "ok"), (20_001, 1, "ok")], "doc_id long, bi int, bv string"
+        )
+    )
+    df = _capped_band_pairs(bands, cap=32)
+    assert {(r["doc_a"], r["doc_b"]) for r in df.collect()} == {(20_000, 20_001)}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan, "size prune must happen via join BEFORE collect_list"
+
+
+def test_all_bucket_pairs_preserves_recall_over_cap(spark):
+    """_all_bucket_pairs (simhash banding) must emit EVERY within-
+    bucket pair even when the bucket exceeds the cap — over-cap
+    buckets take the spillable self-join fallback, not a drop."""
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        _all_bucket_pairs,
+    )
+
+    rows = [(i, 0, 7) for i in range(10)] + [(100, 1, 9), (101, 1, 9)]
+    bands = spark.createDataFrame(rows, "doc_id long, bi int, bv long")
+    m = bands.select("bi", "bv", F.struct("doc_id", F.col("bv").alias("fingerprint")).alias("m"))
+    got = {
+        (r["a"]["doc_id"], r["b"]["doc_id"])
+        for r in _all_bucket_pairs(m, cap=4).collect()
+    }
+    want = {(i, j) for i in range(10) for j in range(i + 1, 10)} | {(100, 101)}
+    assert got == want, "over-cap bucket lost pairs (pigeonhole recall broken)"
+
+
 def test_lsh_hash_families_find_identical_dup_groups(spark, monkeypatch):
     """q_dedup_near (md5+permutation oracle family) and
     q_dedup_near_fast (xxhash64 production family) must produce the

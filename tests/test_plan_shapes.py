@@ -108,16 +108,32 @@ def test_sequence_gaps_block_partitioned(plans):
     assert "Exchange SinglePartition" not in p
 
 
-def test_lsh_pair_generation_is_joinless(plans):
-    """Round-3 form: candidate pairs come from a bucket aggregate +
-    row-local combinations — the plan must contain NO join operator
-    and no single-partition exchange (the round-2 form paid a
-    count-over-window plus a band-table self-join)."""
+def test_lsh_pair_generation_shape(plans):
+    """Round-4 form: candidate pairs come from a count-prepass-pruned
+    bucket aggregate + row-local combinations.  The only joins allowed
+    are the co-partitioned bucket-size prune (and, for simhash, the
+    recall-preserving over-cap fallback); the quadratic shapes stay
+    banned: no broadcast/nested-loop pair join, no single-partition
+    exchange, no count-over-window sort (the round-2 form paid a
+    window plus a full band-table self-join)."""
     for q in ("q_dedup_near", "q_simhash_near"):
         p = plans(q)
-        assert "Join" not in p, f"{q} reintroduced a join"
-        assert "Exchange SinglePartition" not in p
-        assert "Window" not in p
+        assert "BroadcastNestedLoopJoin" not in p, q
+        assert "CartesianProduct" not in p, q
+        assert "Exchange SinglePartition" not in p, q
+        assert "Window" not in p, q
+
+
+def test_lsh_prune_reuses_band_exchange(spark):
+    """The bucket-size count prepass must ride the SAME
+    hashpartitioning(bi, bv) exchange as the member aggregate
+    (ReusedExchange in the post-execution adaptive plan) — the prepass
+    is only ~free because the band shuffle happens once."""
+    qs = load_all_queries()
+    df = qs["q_dedup_near"].spark(spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p, "count prepass no longer shares the band exchange"
 
 
 def test_ngram_jaccard_reuses_shingle_exchange(spark):
