@@ -55,6 +55,18 @@ HEADLINE = (
     "q_minhash_estimate",
     "q_centroids",
     "q_expectations",
+    # added round 4: the rest of the driver-green TPC-H suite, so the
+    # full suite is regression-guarded rather than a 6-query sample
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
 )
 
 
@@ -97,7 +109,7 @@ def main() -> None:
     # scale-safety patch cannot silently re-inflate fixture timings
     # (the stderr report is advisory; the driver's JSON line on
     # stdout stays single-line and schema-stable).
-    prior = _latest_prior_bench()
+    prior = _latest_prior_bench(sf)
     if prior:
         common = sorted(set(timings) & set(prior["queries"]))
         if common:
@@ -110,10 +122,14 @@ def main() -> None:
                 "now_sec": now_t,
                 "ratio": round(now_t / then_t, 3) if then_t else None,
             }
+            # floor tightened 0.05 -> 0.02 s in round 4: the only r03
+            # drift above 15% (q_ann_ivf, +0.16 s) slipped under the
+            # old floor; at these absolute times 20 ms is still above
+            # scheduler jitter on a warm local[32] session.
             regressed = {
                 q: (prior["queries"][q], timings[q])
                 for q in common
-                if timings[q] > prior["queries"][q] * 1.15 + 0.05
+                if timings[q] > prior["queries"][q] * 1.15 + 0.02
             }
             if regressed:
                 print(
@@ -128,8 +144,11 @@ def main() -> None:
     spark.stop()
 
 
-def _latest_prior_bench() -> dict | None:
-    """Latest BENCH_r*.json next to this file, parsed, or None."""
+def _latest_prior_bench(sf: float) -> dict | None:
+    """Latest BENCH_r*.json next to this file whose scale factor
+    matches the current run's, parsed, or None.  A record at a
+    different sf (or with no recorded sf) is skipped — comparing
+    sf0.01 timings against sf0.1 would emit bogus regression noise."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -140,7 +159,7 @@ def _latest_prior_bench() -> dict | None:
                 data = json.load(fh)
             # the driver records bench output under "parsed"
             rec = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
-            if isinstance(rec.get("queries"), dict):
+            if isinstance(rec.get("queries"), dict) and rec.get("sf") == sf:
                 return {"file": os.path.basename(path), "queries": rec["queries"]}
         except (OSError, ValueError, AttributeError):
             continue
