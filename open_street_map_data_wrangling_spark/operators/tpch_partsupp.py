@@ -12,15 +12,23 @@ tests/test_tpch_partsupp.py, same comparator discipline as
 tools/verify_local.py.
 
 TPC-H spec shape: 4 supplier slots per part; availqty 1..9999;
-supplycost 1.00..1000.00. Slot-to-supplier assignment
-(p_partkey*7 + j*13) mod n_supp is collision-free per part for the
-fixture supplier counts (10/100/1000: 13·Δj mod N ≠ 0 for Δj 1..3),
-so (ps_partkey, ps_suppkey) is a true primary key at every SF.
+supplycost 1.00..1000.00. Because the fixture lineitem was NOT
+generated against a partsupp table, the spec's referential invariant
+(every (l_partkey, l_suppkey) appears in partsupp) does not hold for
+the 4 slots alone — Q9/Q20's composite-key joins would silently keep
+only the ~4/n_supp sliver of lineitem that happens to hit a slot.
+partsupp is therefore the UNION of the 4 slots and the distinct
+(l_partkey, l_suppkey) pairs actually present in lineitem — both arms
+deterministic in each engine — with availqty/supplycost derived from
+(ps_partkey, ps_suppkey) alone so a pair reachable from both arms
+gets one value; (ps_partkey, ps_suppkey) is a true primary key by
+the pair-level distinct.
 
-Scale posture: partsupp is |part|×4 — a dimension-sized table. Every
-query below joins it either broadcast (suppliers, nations) or on the
-partkey/suppkey equi-keys; the only fact-table scans are lineitem
-(Q9, Q20) and they aggregate before joining anything big.
+Scale posture: the slot arm is |part|×4 (dimension-sized); the
+lineitem arm is a fact-scale distinct — exactly the aggregate-before-
+join shape (reduce lineitem to its key pairs FIRST). A real
+deployment would read the real partsupp table and skip the synthesis;
+the union arm exists only because the fixture lacks the table.
 """
 
 from __future__ import annotations
@@ -35,35 +43,57 @@ _SLOTS = 4
 
 def partsupp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesized partsupp (ps_partkey, ps_suppkey, ps_availqty,
-    ps_supplycost). n_supp is read from the supplier table's count —
-    a dimension-table scalar (metadata-cheap at any scale)."""
+    ps_supplycost): 4 deterministic slots per part UNIONed with the
+    distinct (l_partkey, l_suppkey) pairs from lineitem (referential
+    integrity — see module docstring), values derived from the key
+    pair alone. n_supp is read from the supplier table's count — a
+    dimension-table scalar (metadata-cheap at any scale)."""
     n_supp = load_table(spark, sf_dir, "supplier").count()
     part = load_table(spark, sf_dir, "part")
-    return (
-        part.select(
-            "p_partkey", F.explode(F.array(*[F.lit(j) for j in range(_SLOTS)])).alias("j")
-        )
-        .select(
-            F.col("p_partkey").alias("ps_partkey"),
-            ((F.col("p_partkey") * 7 + F.col("j") * 13) % n_supp).alias("ps_suppkey"),
-            (1 + (F.col("p_partkey") * 31 + F.col("j") * 17) % 9999).alias("ps_availqty"),
-            (
-                (100 + (F.col("p_partkey") * 131 + F.col("j") * 71) % 99900) / 100.0
-            ).alias("ps_supplycost"),
-        )
+    li = load_table(spark, sf_dir, "lineitem")
+    slot_pairs = part.select(
+        "p_partkey", F.explode(F.array(*[F.lit(j) for j in range(_SLOTS)])).alias("j")
+    ).select(
+        F.col("p_partkey").alias("ps_partkey"),
+        ((F.col("p_partkey") * 7 + F.col("j") * 13) % n_supp).alias("ps_suppkey"),
+    )
+    li_pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    )
+    pairs = slot_pairs.unionAll(li_pairs).distinct()
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (1 + (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 9999).alias(
+            "ps_availqty"
+        ),
+        (
+            (100 + (F.col("ps_partkey") * 131 + F.col("ps_suppkey") * 71) % 99900)
+            / 100.0
+        ).alias("ps_supplycost"),
     )
 
 
 def partsupp_sql_cte(n_supp: int) -> str:
-    """DuckDB twin of partsupp_df — same integers, same division."""
+    """DuckDB twin of partsupp_df — same integers, same division.
+    Emits two CTE bodies (pair universe, then valued partsupp); embed
+    as ``WITH {partsupp_sql_cte(n)}, ...``."""
     return f"""
+        ps_pairs AS (
+            SELECT DISTINCT ps_partkey, ps_suppkey FROM (
+                SELECT p_partkey AS ps_partkey,
+                       (p_partkey * 7 + j * 13) % {n_supp} AS ps_suppkey
+                FROM part, unnest([{", ".join(str(j) for j in range(_SLOTS))}]) AS t(j)
+                UNION ALL
+                SELECT l_partkey, l_suppkey FROM lineitem
+            )
+        ),
         partsupp AS (
-            SELECT p_partkey AS ps_partkey,
-                   (p_partkey * 7 + j * 13) % {n_supp} AS ps_suppkey,
-                   1 + (p_partkey * 31 + j * 17) % 9999 AS ps_availqty,
-                   (100 + (p_partkey * 131 + j * 71) % 99900) / 100.0
+            SELECT ps_partkey, ps_suppkey,
+                   1 + (ps_partkey * 31 + ps_suppkey * 17) % 9999 AS ps_availqty,
+                   (100 + (ps_partkey * 131 + ps_suppkey * 71) % 99900) / 100.0
                      AS ps_supplycost
-            FROM part, unnest([{", ".join(str(j) for j in range(_SLOTS))}]) AS t(j)
+            FROM ps_pairs
         )
     """
 
@@ -114,7 +144,10 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     the COMPOSITE (partkey, suppkey) key — the one TPC-H join that is
     not a single-column equi-join — then aggregates before anything
     else; part filter is pushed below the join (broadcast), so the
-    fact scan is filtered early."""
+    fact scan is filtered early.  partsupp carries a fact-derived arm
+    (module docstring), so it gets NO broadcast hint — on a real
+    partsupp (dimension-sized) AQE broadcasts it at runtime; on the
+    synthesized one a shuffle join is the honest plan."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = partsupp_df(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
@@ -126,7 +159,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(ps),
+            ps,
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
