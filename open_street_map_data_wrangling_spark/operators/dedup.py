@@ -125,7 +125,17 @@ def _all_bucket_pairs(rows: DataFrame, cap: int) -> DataFrame:
     non-degenerate corpus and AQE's empty-partition handling makes it
     ~free, but a boilerplate family that floods one band value now
     degrades to spill instead of OOM."""
-    small_rows, big_keys = _bucket_size_split(rows, cap)
+    sizes = (
+        rows.groupBy("bi", "bv")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+    )
+    # ONE co-partitioned join attaches the bucket size to every row;
+    # both branches are filters over the same joined stream (measured:
+    # a two-join form — separate small/big key tables — cost ~15 %
+    # more than this at sf0.1).
+    rows_n = rows.join(sizes.hint("shuffle_hash"), ["bi", "bv"])
+    small_rows = rows_n.filter(F.col("__n") <= cap)
     buckets = small_rows.groupBy("bi", "bv").agg(
         F.array_sort(F.collect_list("m")).alias("ms")
     )
@@ -134,7 +144,7 @@ def _all_bucket_pairs(rows: DataFrame, cap: int) -> DataFrame:
         "transform(slice(ms, i + 2, size(ms)), y -> struct(x AS a, y AS b))))"
     )
     small_pairs = buckets.select(F.explode(pair_gen).alias("p")).select("p.a", "p.b")
-    big_rows = rows.join(big_keys.hint("shuffle_hash"), ["bi", "bv"])
+    big_rows = rows_n.filter(F.col("__n") > cap)
     ra, rb = big_rows.alias("ra"), big_rows.alias("rb")
     big_pairs = ra.join(
         rb,

@@ -81,7 +81,16 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir, tmp_path):
         """
     )
     plan = explain_string(joined)
-    assert "dynamicpruning" in plan.lower()
+    lower = plan.lower()
+    assert "dynamicpruning" in lower
+    # the pruning subquery must reach the fact SCAN as a partition
+    # filter (not just appear somewhere in the plan): the scan line
+    # carries PartitionFilters: [..dynamicpruning..]
+    scan_lines = [
+        ln for ln in lower.splitlines()
+        if "partitionfilters" in ln and "dynamicpruning" in ln
+    ]
+    assert scan_lines, "no scan carries a dynamicpruning PartitionFilter"
     assert joined.count() > 0
 
 
