@@ -129,11 +129,48 @@ def _stamp_fingerprints() -> dict[str, str]:
         return {}
 
 
+# Builder-maintained risk ranking WITHIN the modified group: when a
+# shared-helper or catalog edit re-queues a large slice of the
+# registry at once (round 4: the events.ts normalization re-queued all
+# 139 stamped queries), the ~50-entry window should spend its slots on
+# the queries whose implementations actually changed this round before
+# the ones that merely share an edited helper.  Names absent from the
+# registry are ignored; an empty tuple restores pure registration
+# order.
+_MODIFIED_PRIORITY: tuple[str, ...] = (
+    # round-4 rewrites: bounded-buffer LSH/simhash pair generation
+    "q_dedup_near",
+    "q_dedup_near_fast",
+    "q_simhash_near",
+    "q_dedup_ngram",
+    "q_minhash_estimate",
+    "q_dedup_clusters",
+    "q_simhash_pairs",
+    # events.ts physical-type normalization (TIMESTAMP_NTZ fixtures)
+    "q_sample",
+    "q_stats",
+    "q_asof_join",
+    "q_asof_tolerance",
+    "q_reshape",
+    "q_lag_lead",
+    "q_latest_per_key",
+    "q_range_frame",
+    "q_tumbling",
+    "q_sliding",
+    "q_sessionize",
+    "q_session_window",
+    "q_stream_dedup",
+    "q_first_last",
+    "q_funnel",
+)
+
+
 def _ordered_specs():
     """Registry specs ordered for the driver's ~50-entry window:
     never-stamped first, then stamped-but-modified-since (fingerprint
     mismatch vs STAMPS.json), then stamped-and-unchanged; stable by
-    registration order within each group."""
+    registration order within each group, except that
+    _MODIFIED_PRIORITY names lead the modified group."""
     specs = load_all_queries()
     stamped = _stamped_names()
     recorded = _stamp_fingerprints()
@@ -145,7 +182,10 @@ def _ordered_specs():
             modified[n] = s
         else:
             seen[n] = s
-    return {**fresh, **modified, **seen}
+    prio = {
+        n: modified.pop(n) for n in _MODIFIED_PRIORITY if n in modified
+    }
+    return {**fresh, **prio, **modified, **seen}
 
 
 def entry(spark: SparkSession) -> DataFrame:
