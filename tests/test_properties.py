@@ -260,3 +260,80 @@ def test_asof_join_matches_python(events):
         ]
         expected[eid] = max(cands)[1] if cands else None
     assert got == expected
+
+
+@given(
+    assign=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),   # bi
+            st.integers(min_value=0, max_value=3),   # bv
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cap=st.integers(min_value=2, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_all_bucket_pairs_equals_bruteforce(assign, cap):
+    """_all_bucket_pairs ≡ brute-force within-bucket pair enumeration
+    for ANY bucket layout and cap — the over-cap self-join fallback
+    and the bounded bucket aggregate must tile the pair space exactly
+    (no pair lost at the cap boundary, none duplicated across the
+    branches)."""
+    spark = _get_spark()
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        _all_bucket_pairs,
+    )
+
+    rows = [(i, bi, bv) for i, (bi, bv) in enumerate(assign)]
+    expected = set()
+    for i, (bi, bv) in enumerate(assign):
+        for j, (bj, bvj) in enumerate(assign):
+            if i < j and (bi, bv) == (bj, bvj):
+                expected.add((i, j))
+    df = spark.createDataFrame(rows, "doc_id long, bi int, bv long").select(
+        "bi", "bv", F.struct("doc_id", F.col("bv").alias("fingerprint")).alias("m")
+    )
+    got = {
+        (r["a"]["doc_id"], r["b"]["doc_id"])
+        for r in _all_bucket_pairs(df, cap=cap).collect()
+    }
+    assert got == expected
+
+
+@given(
+    assign=st.lists(
+        st.integers(min_value=0, max_value=3),  # bv; single band
+        min_size=1,
+        max_size=60,
+    ),
+    cap=st.integers(min_value=2, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_capped_band_pairs_drop_semantics(assign, cap):
+    """_capped_band_pairs ≡ brute-force pairs over buckets of size
+    2..cap, with over-cap buckets dropped entirely — for any layout
+    and cap (the documented LSH hot-bucket semantics, mirrored in the
+    DuckDB oracles)."""
+    spark = _get_spark()
+    from collections import Counter
+
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        _capped_band_pairs,
+    )
+
+    sizes = Counter(assign)
+    expected = {
+        (i, j)
+        for i in range(len(assign))
+        for j in range(i + 1, len(assign))
+        if assign[i] == assign[j] and 2 <= sizes[assign[i]] <= cap
+    }
+    df = spark.createDataFrame(
+        [(i, 0, str(bv)) for i, bv in enumerate(assign)],
+        "doc_id long, bi int, bv string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in _capped_band_pairs(df, cap=cap).collect()
+    }
+    assert got == expected
