@@ -1,0 +1,175 @@
+"""Semantic deduplication (SemDeDup-style): k-means over the
+embedding column, then within-cluster cosine pruning.
+
+Extends the X3/X2 families (similarity.py's IVF/centroids, dedup.py's
+embedding near-dup) with the curation op large LLM corpora actually
+run: cluster the embedding space, then drop semantic duplicates
+INSIDE each cluster only — the clustering turns the quadratic
+all-pairs cosine into k independent block-local problems (Abbas et
+al., "SemDeDup", arXiv:2303.09540 — public method description only).
+
+Scale design:
+
+* **Lloyd iteration is shuffle-free per row.**  The codebook (k × dim
+  doubles — a few KB) is collected to the driver each iteration and
+  re-enters the plan as a LITERAL array of (cid, cemb) structs, so
+  cluster assignment is a row-local ``aggregate`` over that array:
+  no join, no window, no exchange for the E-step.  The M-step is one
+  groupBy(cid, dim) over posexploded components — k·dim uniform keys,
+  map-side partials — the same quantize-then-sum fixed-point trick as
+  q_centroids (integer sums are associative ⇒ centroids are
+  bit-identical regardless of partitioning; float means would drift
+  between runs at 100 TB and between engines at any scale).
+* **Driver traffic is O(k·dim) per iteration** — a bounded audit-
+  style collect, same class as the existing convergence probes; the
+  embedding table itself never moves except the one M-step shuffle.
+* **Within-cluster pairing is the LSH-family shape**: self-join on
+  the cluster id with ``vec_id <`` ordering.  Expected cluster size
+  is n/k; SemDeDup deployments pick k ~ sqrt(n) (paper uses 50k
+  clusters for LAION) precisely so this block-local quadratic stays
+  linear overall.  A degenerate cluster inherits the same mitigation
+  family as dedup.py's hot buckets (spillable SMJ; AQE skew split).
+
+Determinism contract (why results are test-stable): init = the k
+lowest vec_ids' vectors; assignment ties break toward the lower cid;
+centroid components are quantized to 1e-5 fixed point before
+averaging with integer division.  Every step is then a pure function
+of the input table in BOTH the Spark build and the numpy reference
+(tests/test_semantic.py replays the identical recurrence).
+
+Registry note: pytest-gated this round — the driver's ~50-entry
+CORRECTNESS window is fully committed to re-verifying the registry
+after the round-4 fixture regeneration; the iterative loop would be
+a rows-only entry regardless (no single-statement SQL twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cosine_expr
+from ..sources.catalog import load_table
+
+_QUANT = 100000  # 1e-5 fixed-point quantization (matches q_centroids)
+
+
+def _centroid_literal(cents: list[tuple[int, list[float]]]):
+    """(cid, cemb) structs as a literal array Column — the broadcast-
+    free codebook (a literal is shipped inside the serialized plan,
+    cheaper than a broadcast join for KB-scale payloads)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cemb"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def assign_clusters(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, cid): nearest centroid by cosine, ties to lower cid —
+    row-local argmax over the literal codebook (no join, no window,
+    no shuffle)."""
+    lit = _centroid_literal(cents)
+    # One SQL ``aggregate`` over the codebook carries (best_cid,
+    # best_cos); strictly-greater keeps the first (lowest-cid)
+    # maximum. Built as a SQL string because the inner cosine needs
+    # the lambda-bound struct field c.cemb, which the Python lambda
+    # API cannot splice into cosine_expr's own SQL.
+    k_expr = (
+        "aggregate(__cb, struct(CAST(-1 AS INT) AS bc, CAST(-2.0 AS DOUBLE) AS bs), "
+        "(acc, c) -> CASE WHEN "
+        "(aggregate(zip_with(embedding, c.cemb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a2, v) -> a2 + v) "
+        " / (sqrt(aggregate(embedding, 0D, (a3, x) -> a3 + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) "
+        "  * sqrt(aggregate(c.cemb, 0D, (a4, x) -> a4 + x * x)))) > acc.bs "
+        "THEN struct(c.cid AS bc, "
+        "(aggregate(zip_with(embedding, c.cemb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a2, v) -> a2 + v) "
+        " / (sqrt(aggregate(embedding, 0D, (a3, x) -> a3 + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) "
+        "  * sqrt(aggregate(c.cemb, 0D, (a4, x) -> a4 + x * x)))) AS bs) "
+        "ELSE acc END).bc"
+    )
+    return (
+        emb.withColumn("__cb", lit)
+        .withColumn("cid", F.expr(k_expr))
+        .select("vec_id", "cid")
+    )
+
+
+def _recompute_centroids(emb: DataFrame, assign: DataFrame) -> list[tuple[int, list[float]]]:
+    """M-step: quantized integer mean per (cid, dim); returns the new
+    codebook as a driver-side list (k × dim — bounded)."""
+    rows = (
+        emb.join(assign, "vec_id")
+        .select("cid", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "cid",
+            "pos",
+            F.round(F.col("x").cast("double") * _QUANT).cast("bigint").alias("qx"),
+        )
+        .groupBy("cid", "pos")
+        .agg(F.expr("CAST(sum(qx) div count(*) AS BIGINT)").alias("cx"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cx"] / _QUANT
+    return [
+        (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+    ]
+
+
+def lloyd_assignments(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """(vec_id, cid) after ``iters`` Lloyd rounds from the
+    deterministic init (k lowest vec_ids).  Each round: row-local
+    assignment against the literal codebook + one k·dim-key aggregate
+    collected to the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = (
+        emb.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in init]
+    for _ in range(iters):
+        assign = assign_clusters(emb, cents)
+        cents = _recompute_centroids(emb, assign)
+    return assign_clusters(emb, cents)
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3, tau: float = 0.8
+) -> DataFrame:
+    """SemDeDup pruning: (vec_id, cid, is_kept) — a vector is dropped
+    iff some SAME-CLUSTER vector with a smaller vec_id has cosine
+    ≥ tau with it (greedy lowest-id representative; one pass, not a
+    transitive closure — the paper's epsilon-ball pruning).  The
+    pairing is a block-local self-join on cid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = lloyd_assignments(spark, sf_dir, k=k, iters=iters).localCheckpoint()
+    tagged = emb.join(assign, "vec_id").select("vec_id", "cid", "embedding")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cos = cosine_expr("a.embedding", "b.embedding")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(cos >= tau)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        tagged.join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            (F.col("__d").isNull()).alias("is_kept"),
+        )
+    )
