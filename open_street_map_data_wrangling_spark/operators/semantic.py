@@ -72,23 +72,37 @@ def _centroid_literal(cents: list[tuple[int, list[float]]]):
 def assign_clusters(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """(vec_id, cid): nearest centroid by cosine, ties to lower cid —
     row-local argmax over the literal codebook (no join, no window,
-    no shuffle)."""
+    no shuffle).
+
+    Zero-norm guard: a zero embedding (or zero centroid) has no
+    cosine; its score is pinned to -2.0 — below any real cosine but
+    above the -3.0 accumulator seed — so the row deterministically
+    lands in the lowest-cid cluster instead of leaking the -1 init
+    sentinel through NaN comparisons (every ``NaN > x`` is false, so
+    an unguarded division would skip every centroid)."""
     lit = _centroid_literal(cents)
-    # One SQL ``aggregate`` over the codebook carries (best_cid,
-    # best_cos); strictly-greater keeps the first (lowest-cid)
-    # maximum. Built as a SQL string because the inner cosine needs
-    # the lambda-bound struct field c.cemb, which the Python lambda
-    # API cannot splice into cosine_expr's own SQL.
+    # Two-stage SQL: one ``transform`` over the codebook computes
+    # (cid, dot, na, nb) per centroid so the three inner aggregates
+    # run ONCE each; the outer ``aggregate`` is a strictly-greater
+    # argmax, which keeps the first (lowest-cid) maximum.  Built as a
+    # SQL string because the inner cosine needs the lambda-bound
+    # struct field c.cemb, which the Python lambda API cannot splice
+    # into cosine_expr's own SQL.
+    scored = (
+        "transform(__cb, c -> struct(c.cid AS cid, "
+        "aggregate(zip_with(embedding, c.cemb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a2, v) -> a2 + v) AS dot, "
+        "aggregate(embedding, 0D, (a3, x) -> a3 + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na, "
+        "aggregate(c.cemb, 0D, (a4, x) -> a4 + x * x) AS nb))"
+    )
     k_expr = (
-        "aggregate(__cb, struct(CAST(-1 AS INT) AS bc, CAST(-2.0 AS DOUBLE) AS bs), "
-        "(acc, c) -> CASE WHEN "
-        "(aggregate(zip_with(embedding, c.cemb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a2, v) -> a2 + v) "
-        " / (sqrt(aggregate(embedding, 0D, (a3, x) -> a3 + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) "
-        "  * sqrt(aggregate(c.cemb, 0D, (a4, x) -> a4 + x * x)))) > acc.bs "
-        "THEN struct(c.cid AS bc, "
-        "(aggregate(zip_with(embedding, c.cemb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a2, v) -> a2 + v) "
-        " / (sqrt(aggregate(embedding, 0D, (a3, x) -> a3 + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) "
-        "  * sqrt(aggregate(c.cemb, 0D, (a4, x) -> a4 + x * x)))) AS bs) "
+        f"aggregate({scored}, "
+        "struct(CAST(-1 AS INT) AS bc, CAST(-3.0 AS DOUBLE) AS bs), "
+        "(acc, s) -> CASE WHEN "
+        "(CASE WHEN s.na = 0D OR s.nb = 0D THEN CAST(-2.0 AS DOUBLE) "
+        " ELSE s.dot / (sqrt(s.na) * sqrt(s.nb)) END) > acc.bs "
+        "THEN struct(s.cid AS bc, "
+        "(CASE WHEN s.na = 0D OR s.nb = 0D THEN CAST(-2.0 AS DOUBLE) "
+        " ELSE s.dot / (sqrt(s.na) * sqrt(s.nb)) END) AS bs) "
         "ELSE acc END).bc"
     )
     return (
@@ -125,14 +139,16 @@ def lloyd_assignments(
     spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
 ) -> DataFrame:
     """(vec_id, cid) after ``iters`` Lloyd rounds from the
-    deterministic init (k lowest vec_ids).  Each round: row-local
-    assignment against the literal codebook + one k·dim-key aggregate
-    collected to the driver."""
+    deterministic init (the k lowest vec_ids PRESENT in the table —
+    orderBy + limit, not ``vec_id < k``, so a sparse or re-keyed id
+    space still yields exactly min(k, n) seed centroids).  Each
+    round: row-local assignment against the literal codebook + one
+    k·dim-key aggregate collected to the driver."""
     emb = load_table(spark, sf_dir, "embeddings")
     init = (
-        emb.filter(F.col("vec_id") < k)
-        .select("vec_id", "embedding")
+        emb.select("vec_id", "embedding")
         .orderBy("vec_id")
+        .limit(k)
         .collect()
     )
     cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in init]
