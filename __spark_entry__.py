@@ -67,16 +67,25 @@ def _source_closure(func) -> str:
     """
     import types
 
-    seen: dict[str, str] = {}
+    # Keyed by (module, qualname): two same-named module-level helpers
+    # in different operator modules must BOTH enter the fingerprint
+    # (a bare-qualname key silently dropped one of them — the exact
+    # blind-spot class this closure exists to close).
+    seen: dict[tuple[str, str], str] = {}
 
     def visit(fn) -> None:
-        name = getattr(fn, "__qualname__", getattr(fn, "__name__", None))
-        if name is None or name in seen:
+        qualname = getattr(fn, "__qualname__", getattr(fn, "__name__", None))
+        if qualname is None:
+            return
+        key = (getattr(fn, "__module__", "") or "", qualname)
+        if key in seen:
             return
         try:
-            seen[name] = inspect.getsource(fn)
+            seen[key] = inspect.getsource(fn)
         except (OSError, TypeError):
-            seen[name] = repr(fn)
+            # stable identity, not repr(fn) — a repr embeds the object's
+            # memory address and would make the fingerprint flap run-to-run
+            seen[key] = f"<unsourceable {key[0]}.{key[1]}>"
             return
         code = getattr(fn, "__code__", None)
         globalns = getattr(fn, "__globals__", {})
@@ -138,30 +147,34 @@ def _stamp_fingerprints() -> dict[str, str]:
 # registry are ignored; an empty tuple restores pure registration
 # order.
 _MODIFIED_PRIORITY: tuple[str, ...] = (
-    # round-4 rewrites: bounded-buffer LSH/simhash pair generation
-    "q_dedup_near",
-    "q_dedup_near_fast",
-    "q_simhash_near",
-    "q_dedup_ngram",
-    "q_minhash_estimate",
-    "q_dedup_clusters",
-    "q_simhash_pairs",
-    # events.ts physical-type normalization (TIMESTAMP_NTZ fixtures)
-    "q_sample",
-    "q_stats",
-    "q_asof_join",
-    "q_asof_tolerance",
-    "q_reshape",
-    "q_lag_lead",
-    "q_latest_per_key",
-    "q_range_frame",
-    "q_tumbling",
-    "q_sliding",
-    "q_sessionize",
-    "q_session_window",
-    "q_stream_dedup",
-    "q_first_last",
-    "q_funnel",
+    # Round 5: STAMPS.json is now derived from the git tree each round
+    # actually verified (tools/update_stamps.py), which surfaced that
+    # round-4's load_table events normalization changed every closure
+    # while only 50 of 140 were re-verified in r04.  Of the 90 still
+    # carrying r01–r03 stamps, these 21 read the events table directly
+    # — the only ones the normalization could behaviorally affect — so
+    # they take the window slots first; the rest re-verify in r06.
+    "q_clean_phone",
+    "q_validate",
+    "q_rank_users",
+    "q_moving_avg",
+    "q_running_total",
+    "q_mode_per_group",
+    "q_resample_ffill",
+    "q_json_fns",
+    "q_try_fns",
+    "q_url_fns",
+    "q_bitwise",
+    "q_pipeline",
+    "q_percentiles",
+    "q_approx_percentiles",
+    "q_conditional",
+    "q_profile",
+    "q_histogram",
+    "q_sequence_gaps",
+    "q_equidepth",
+    "q_salted_join",
+    "q_skew_stats",
 )
 
 

@@ -1,120 +1,170 @@
-"""Maintain STAMPS.json — per-query implementation fingerprints.
+"""Maintain STAMPS.json — per-query implementation fingerprints,
+computed from the git tree the driver actually verified.
 
 A driver stamp (green row in CORRECTNESS_r*.json) certifies one
-specific implementation of a query. `__spark_entry__._ordered_specs`
-treats a stamped query whose current fingerprint differs from the
-recorded one as *modified* and rotates it back into the driver's
-~50-entry verification window (after never-stamped queries, before
-unchanged ones).
+specific implementation of a query.  The fingerprint recorded here is
+computed from the COMMIT that introduced that CORRECTNESS file's
+content — the driver commits its outputs on top of the end-of-round
+snapshot it verified, so that tree IS the verified source.  The
+working tree is never trusted: running this tool at any point in a
+round, before or after edits, records exactly what the driver saw
+(the previous version stamped the *current* fingerprint and relied on
+the convention that the tool runs at round start before any edit — a
+late first run would have certified source the driver never
+verified).
 
-Run this right after a round's CORRECTNESS_r{N}.json lands — i.e. at
-the START of the next round, before touching any query — so the
-recorded fingerprint is the one the driver actually verified:
+For each query the NEWEST round with a green row defines its verified
+tree.  Fingerprints are computed by a subprocess inside a `git
+archive` export of that commit, with the current `__spark_entry__.py`
+overlaid so the *current* fingerprint algorithm runs over the
+*verified* package source — an algorithm change therefore re-keys
+every stamp consistently instead of orphaning all of them.
 
-    python tools/update_stamps.py            # record missing stamps
-    python tools/update_stamps.py --refresh q_foo ...  # re-record
+`__spark_entry__._ordered_specs` classifies a query whose working-tree
+fingerprint differs from its stamp as *modified* and rotates it back
+into the driver's ~50-entry verification window.  To force
+re-verification of a stamped query, edit its implementation (even a
+docstring touch changes the source hash) — STAMPS.json itself is a
+pure function of the CORRECTNESS history and regenerating it would
+undo a manual deletion.
 
-Entries are only ever added for queries the driver has stamped;
-deleting an entry (or editing the query) forces re-verification.
+    python tools/update_stamps.py          # regenerate from history
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
+import subprocess
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
-from open_street_map_data_wrangling_spark.plans import load_all_queries
 
-STAMPS_PATH = os.path.join(os.path.dirname(entrymod.__file__), "STAMPS.json")
+REPO = os.path.dirname(entrymod.__file__)
+STAMPS_PATH = os.path.join(REPO, "STAMPS.json")
+
+_SUBPROC_SCRIPT = (
+    "import json, __spark_entry__ as e; "
+    "from open_street_map_data_wrangling_spark.plans import load_all_queries; "
+    "print(json.dumps({n: e._fingerprint(s) "
+    "for n, s in load_all_queries().items()}))"
+)
 
 
-# Meta entry in STAMPS.json recording which round's CORRECTNESS file
-# has been consumed for auto-refresh. Its value is a dict, so
-# _stamp_fingerprints (which keeps only str values) never mistakes it
-# for a stamp.
-_META_KEY = "__meta__"
-
-
-def _latest_round_green() -> tuple[str | None, set[str]]:
-    """(filename, names) green in the MOST RECENT CORRECTNESS file:
-    the driver just verified the current implementation of these, so
-    their recorded fingerprint auto-refreshes ONCE per round (without
-    this, a shared-helper edit that re-queued the whole registry would
-    keep every re-verified query in the 'modified' rotation forever —
-    the current fingerprint only hashes with the helper edit in place,
-    but the stamp predates it).  The once-per-round sentinel matters:
-    this tool runs at round START, before any query edit, so "current
-    source" is exactly what the driver verified; a second run later in
-    the round must NOT refresh again (it would certify mid-round
-    edits the driver never saw)."""
-    import glob
-
-    paths = sorted(glob.glob(os.path.join(os.path.dirname(STAMPS_PATH), "CORRECTNESS_r*.json")))
-    if not paths:
-        return None, set()
+def _green_names(path: str) -> set[str]:
     try:
-        with open(paths[-1]) as fh:
+        with open(path) as fh:
             rows = json.load(fh)
     except (OSError, ValueError):
-        return None, set()
-    green = {
+        return set()
+    return {
         n
         for n, rec in rows.items()
         if isinstance(rec, dict)
         and (rec.get("hash_match") is True or rec.get("err") == "no_oracle")
     }
-    return os.path.basename(paths[-1]), green
+
+
+def _verified_commit(corr_basename: str) -> str | None:
+    """Commit whose tree carries the source the driver verified for
+    this round: the last commit that changed the CORRECTNESS file."""
+    out = subprocess.run(
+        ["git", "log", "-n1", "--format=%H", "--", corr_basename],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    sha = out.stdout.strip()
+    return sha or None
+
+
+def _fingerprints_at(commit: str) -> dict[str, str] | None:
+    """{name: fingerprint} with the CURRENT algorithm over the package
+    source at ``commit`` (current __spark_entry__.py overlaid on a
+    git-archive export; registry import only — no SparkSession)."""
+    tmp = tempfile.mkdtemp(prefix="osmdw_stamps_")
+    try:
+        archive = subprocess.run(
+            ["git", "archive", commit],
+            cwd=REPO,
+            capture_output=True,
+        )
+        if archive.returncode != 0:
+            return None
+        subprocess.run(["tar", "-x", "-C", tmp], input=archive.stdout, check=True)
+        shutil.copy(
+            os.path.join(REPO, "__spark_entry__.py"),
+            os.path.join(tmp, "__spark_entry__.py"),
+        )
+        run = subprocess.run(
+            [sys.executable, "-c", _SUBPROC_SCRIPT],
+            cwd=tmp,
+            capture_output=True,
+            text=True,
+            env={**os.environ, "PYTHONPATH": tmp},
+        )
+        if run.returncode != 0:
+            sys.stderr.write(run.stderr[-2000:] + "\n")
+            return None
+        return json.loads(run.stdout.strip().splitlines()[-1])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main(argv: list[str]) -> int:
-    refresh = set()
-    if argv[:1] == ["--refresh"]:
-        refresh = set(argv[1:])
-    try:
-        with open(STAMPS_PATH) as fh:
-            raw = json.load(fh)
-    except (OSError, ValueError):
-        raw = {}
-    meta = raw.get(_META_KEY) if isinstance(raw.get(_META_KEY), dict) else {}
-    latest_file, latest_green = _latest_round_green()
-    consume = latest_file is not None and meta.get("refreshed_through") != latest_file
-    if consume:
-        refresh |= latest_green
-        meta["refreshed_through"] = latest_file
-    specs = load_all_queries()
-    stamped = entrymod._stamped_names()
-    recorded = entrymod._stamp_fingerprints()
-    added, refreshed = [], []
-    for name in sorted(stamped):
-        spec = specs.get(name)
-        if spec is None:
+    corr_paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    # newest round wins: walk newest-first, first green row per name
+    verified_round: dict[str, str] = {}
+    for path in reversed(corr_paths):
+        base = os.path.basename(path)
+        for name in _green_names(path):
+            verified_round.setdefault(name, base)
+
+    stamps: dict[str, str] = {}
+    skipped_rounds: list[str] = []
+    for base in sorted({r for r in verified_round.values()}):
+        names = [n for n, r in verified_round.items() if r == base]
+        commit = _verified_commit(base)
+        fps = _fingerprints_at(commit) if commit else None
+        if fps is None:
+            # uncommitted/unreadable round: better to leave these
+            # names unstamped (they re-queue for verification) than
+            # to certify source the driver may never have seen
+            skipped_rounds.append(base)
             continue
-        fp = entrymod._fingerprint(spec)
-        if name not in recorded:
-            # Minting is tied to consuming a NEW round's CORRECTNESS
-            # file: an ever-green name missing from the file outside
-            # that moment was deliberately deleted to force
-            # re-verification (docstring), and re-adding it would
-            # certify source the driver never saw.
-            if consume and name in latest_green:
-                recorded[name] = fp
-                added.append(name)
-        elif name in refresh and recorded[name] != fp:
-            recorded[name] = fp
-            refreshed.append(name)
-    out: dict = dict(sorted(recorded.items()))
-    out[_META_KEY] = meta
+        for n in names:
+            if n in fps:
+                stamps[n] = fps[n]
+
     with open(STAMPS_PATH, "w") as fh:
-        json.dump(out, fh, indent=1)
+        json.dump(dict(sorted(stamps.items())), fh, indent=1)
         fh.write("\n")
-    print(f"recorded {len(added)} new, refreshed {len(refreshed)}; "
-          f"total {len(recorded)} stamps in {STAMPS_PATH}")
-    if added:
-        print("new:", ", ".join(added))
+
+    # report how the working tree now classifies against the stamps
+    from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+    specs = load_all_queries()
+    modified = [
+        n
+        for n, s in specs.items()
+        if n in stamps and entrymod._fingerprint(s) != stamps[n]
+    ]
+    unstamped = [n for n in specs if n not in stamps]
+    print(
+        f"recorded {len(stamps)} stamps from {len(corr_paths)} rounds; "
+        f"working tree: {len(modified)} modified, {len(unstamped)} unstamped"
+    )
+    if skipped_rounds:
+        print("skipped (no verified commit):", ", ".join(skipped_rounds))
+    if modified:
+        print("modified:", ", ".join(sorted(modified)))
+    if unstamped:
+        print("unstamped:", ", ".join(sorted(unstamped)))
     return 0
 
 
