@@ -1,0 +1,153 @@
+"""Change-data-capture merge: SCD2 upsert of a delta batch into a
+dimension snapshot.
+
+The reference workload family (SURVEY.md §2.1 S5 / §2.3) loads a
+cleaned dimension once; a production pipeline re-loads it every
+ingest cycle, and the standard shape is a slowly-changing-dimension
+type-2 merge — close out the old version of every changed row, append
+the new version, pass unchanged rows through, insert new keys.  Spark
+has no MERGE INTO against raw parquet, but the semantics are exactly
+one full-outer join plus a union of projections, which is how the
+lakehouse engines (Delta/Iceberg MERGE) compile it anyway.
+
+Scale design:
+
+* **The snapshot never shuffles more than once.**  The join is keyed
+  on the dimension key; the delta side is a tiny fraction of the
+  snapshot (here a deterministic ~1/7 slice; in production an ingest
+  batch), so Catalyst broadcasts it and the snapshot streams through
+  map-side — `.explain` shows BroadcastHashJoin FullOuter is not
+  supported broadcast-side, so the full-outer form hashes BOTH sides;
+  to keep the snapshot un-shuffled we instead express the merge as
+  LEFT join (snapshot survivors + closed-out versions) UNION ALL
+  LEFT ANTI (brand-new keys) — both broadcastable, CI-pinned in
+  tests/test_plan_shapes.py.
+* **Change detection is null-safe column compare** (`<=>` negation),
+  not a row hash — a hash would false-positive on column reorder and
+  hide which attribute changed.
+* **Versioning is content-derived, not clock-derived**: version 0 =
+  snapshot row, version 1 = delta-applied row, so the output is a
+  pure function of the inputs (driver-hashable); a production caller
+  passes an ingest-cycle id instead.
+
+Fixture derivation (both engines derive the delta from the same
+parquet, so the oracle is exact): delta = acctbal+100 for custkey%7=0
+(changed), untouched rows for custkey%11=0 (no-op updates — must NOT
+spawn a new version), custkey+1000000 clones for custkey%13=0
+(inserts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.catalog import load_table
+
+
+def _snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+
+
+def _delta(snap: DataFrame) -> DataFrame:
+    """Deterministic ingest batch derived from the snapshot: changed
+    rows, no-op rows, and brand-new keys."""
+    changed = snap.filter(F.col("k") % 7 == 0).withColumn(
+        "bal", F.col("bal") + F.lit(100.0)
+    )
+    noop = snap.filter((F.col("k") % 11 == 0) & (F.col("k") % 7 != 0))
+    inserts = snap.filter(F.col("k") % 13 == 0).withColumn(
+        "k", F.col("k") + F.lit(1000000)
+    )
+    return changed.unionByName(noop).unionByName(inserts)
+
+
+def scd2_merge(snap: DataFrame, delta: DataFrame) -> DataFrame:
+    """(k, bal, seg, version, is_current): type-2 merge of ``delta``
+    into ``snap``.
+
+    Two broadcastable LEFT joins instead of one full-outer (a
+    full-outer cannot broadcast, so it would shuffle the snapshot):
+    pass 1 = snapshot LEFT delta → unchanged rows stay current,
+    changed rows emit a closed-out v0 plus a current v1; pass 2 =
+    delta LEFT-ANTI snapshot → inserts.  The delta is broadcast in
+    both, so the snapshot never exchanges."""
+    d = F.broadcast(delta).alias("d")
+    s = snap.alias("s")
+    j = s.join(d, F.col("s.k") == F.col("d.k"), "left")
+    changed = F.col("d.k").isNotNull() & (
+        ~F.col("s.bal").eqNullSafe(F.col("d.bal"))
+        | ~F.col("s.seg").eqNullSafe(F.col("d.seg"))
+    )
+    old_rows = j.select(
+        F.col("s.k").alias("k"),
+        F.col("s.bal").alias("bal"),
+        F.col("s.seg").alias("seg"),
+        F.lit(0).alias("version"),
+        (~changed).alias("is_current"),
+    )
+    new_versions = j.filter(changed).select(
+        F.col("d.k").alias("k"),
+        F.col("d.bal").alias("bal"),
+        F.col("d.seg").alias("seg"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    inserts = (
+        delta.alias("d2")
+        .join(F.broadcast(snap.select("k")).alias("s2"), "k", "left_anti")
+        .select(
+            "k",
+            "bal",
+            "seg",
+            F.lit(1).alias("version"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return old_rows.unionByName(new_versions).unionByName(inserts)
+
+
+_SCD2_ORACLE = """
+WITH snap AS (
+  SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer
+), delta AS (
+  SELECT k, bal + 100.0 AS bal, seg FROM snap WHERE k % 7 = 0
+  UNION ALL
+  SELECT k, bal, seg FROM snap WHERE k % 11 = 0 AND k % 7 <> 0
+  UNION ALL
+  SELECT k + 1000000 AS k, bal, seg FROM snap WHERE k % 13 = 0
+), joined AS (
+  SELECT s.k AS sk, s.bal AS sbal, s.seg AS sseg, d.k AS dk,
+         d.bal AS dbal, d.seg AS dseg,
+         (d.k IS NOT NULL AND (s.bal IS DISTINCT FROM d.bal
+                               OR s.seg IS DISTINCT FROM d.seg)) AS changed
+  FROM snap s LEFT JOIN delta d ON s.k = d.k
+)
+SELECT k, bal, seg, version, is_current FROM (
+  SELECT sk AS k, sbal AS bal, sseg AS seg, 0 AS version,
+         NOT changed AS is_current
+  FROM joined
+  UNION ALL
+  SELECT dk AS k, dbal AS bal, dseg AS seg, 1 AS version,
+         TRUE AS is_current
+  FROM joined WHERE changed
+  UNION ALL
+  SELECT d.k, d.bal, d.seg, 1 AS version, TRUE AS is_current
+  FROM delta d ANTI JOIN snap s ON d.k = s.k
+)
+ORDER BY k, version
+"""
+
+
+@query("q_scd2_merge", oracle=_SCD2_ORACLE, tags=("cdc", "pipeline"))
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 delta merge over the customer dimension: changed keys get
+    a closed-out v0 + current v1, no-op updates pass through as
+    current v0, new keys insert as current v1."""
+    snap = _snapshot(spark, sf_dir)
+    return scd2_merge(snap, _delta(snap)).orderBy("k", "version")

@@ -450,3 +450,84 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("val"), 2).alias("total"),
     )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0)
+              * (SELECT max(n_chars) FROM documents) < n_chars
+        ORDER BY doc_id
+    """,
+    tags=("sample", "pipeline"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sample: keep a document with probability
+    proportional to its length (inclusion prob = n_chars / max).  The
+    uniform draw is content-derived — the first 32 md5 bits of the key
+    scaled to [0,1) — so the sample is identical on any cluster
+    layout, partition count, or re-run, which `df.sample(fraction,
+    seed)` does not guarantee (its Bernoulli draw is partition-indexed).
+    The max is a scalar aggregate joined in by Catalyst as a 1-row
+    broadcast; everything else is a rowwise predicate at the scan, so
+    the op is one pass, zero shuffles of the corpus.  This is the
+    quality-weighted corpus downsampling step LLM pipelines run
+    (sample high-signal docs preferentially) in its simplest
+    reproducible form."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("__mx"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .filter((u * F.col("__mx")) < F.col("n_chars"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_reservoir_per_key",
+    oracle="""
+        SELECT lang, doc_id
+        FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 20
+        ORDER BY lang, doc_id
+    """,
+    tags=("sample", "pipeline"),
+)
+def q_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key reservoir: 20 documents per language,
+    chosen by md5 rank — a content-derived stand-in for `ORDER BY
+    random() LIMIT 20` that re-runs identically anywhere.  Planned as
+    row_number over (lang), which Spark executes with WindowGroupLimit
+    partial pushdown: each map task keeps only its local top-20 per
+    lang BEFORE the exchange, so the shuffle carries <= 20*tasks rows
+    per key no matter how skewed the language distribution — the same
+    bounded-shuffle property the q_topk_per_group family is CI-pinned
+    for.  doc_id tiebreaks make the reservoir total-ordered and
+    driver-hashable."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

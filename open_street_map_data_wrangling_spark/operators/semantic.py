@@ -37,10 +37,9 @@ averaging with integer division.  Every step is then a pure function
 of the input table in BOTH the Spark build and the numpy reference
 (tests/test_semantic.py replays the identical recurrence).
 
-Registry note: pytest-gated this round — the driver's ~50-entry
-CORRECTNESS window is fully committed to re-verifying the registry
-after the round-4 fixture regeneration; the iterative loop would be
-a rows-only entry regardless (no single-statement SQL twin).
+Registry: q_semantic_dedup is a rows-only entry (the iterative Lloyd
+loop has no single-statement SQL twin); its strong check is the
+bit-exact pure-Python replay in tests/test_semantic.py.
 """
 
 from __future__ import annotations
@@ -49,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import cosine_expr
+from ..plans.registry import query
 from ..sources.catalog import load_table
 
 _QUANT = 100000  # 1e-5 fixed-point quantization (matches q_centroids)
@@ -189,3 +189,13 @@ def semantic_dedup(
             (F.col("__d").isNull()).alias("is_kept"),
         )
     )
+
+
+@query("q_semantic_dedup", oracle=None, tags=("pipeline", "dedup", "iterative"))
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 3 Lloyd rounds into 8
+    clusters, then within-cluster cosine pruning at tau=0.2 (greedy
+    lowest-vec_id representative).  Rows-only at the driver —
+    iterative, no SQL twin; tests/test_semantic.py holds the
+    bit-exact replay."""
+    return semantic_dedup(spark, sf_dir, k=8, iters=3, tau=0.2).orderBy("vec_id")

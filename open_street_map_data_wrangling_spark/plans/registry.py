@@ -50,6 +50,8 @@ _OPERATOR_MODULES = (
     "tpch",
     "pipeline_ops",
     "scale",
+    "semantic",
+    "cdc",
 )
 
 

@@ -80,6 +80,17 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("OSMDW_MAX_PARTITION_BYTES", "128m"),
         )
+        # The generated-class cache defaults to 100 entries; a session
+        # running the full headline suite compiles several hundred
+        # WholeStageCodegen stages, so giant classes (q_repetition's
+        # sorted-run fold takes multiple SECONDS to janino-compile)
+        # get evicted between passes and recompiled per run — round 4
+        # recorded 6.4 s for a 1.2 s query this way.  The cache holds
+        # class references (driver-side KBs each); 2000 entries is
+        # noise in driver memory at any deployment size.  Static conf:
+        # must be set at builder time, apply_runtime_conf cannot
+        # rescue it on foreign sessions.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in _RUNTIME_SQL_CONF.items():
         builder = builder.config(k, v)

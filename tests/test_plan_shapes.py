@@ -155,3 +155,30 @@ def test_repetition_is_shuffle_free(plans):
     round-2 form shuffled the exploded gram stream twice)."""
     p = plans("q_repetition")
     assert "Exchange" not in p
+
+
+def test_scd2_merge_broadcasts_delta_snapshot_never_shuffles(plans):
+    """cdc.py's core claim: the SCD2 merge is two broadcastable LEFT
+    joins (a full-outer would hash-shuffle the snapshot); the customer
+    snapshot must stream map-side through both."""
+    p = plans("q_scd2_merge")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+
+
+def test_reservoir_per_key_prunes_map_side(plans):
+    """Per-key reservoir must plan WindowGroupLimit so each map task
+    keeps only its local top-20 per lang before the exchange — the
+    bounded-shuffle property that survives language skew at scale."""
+    assert "WindowGroupLimit" in plans("q_reservoir_per_key")
+
+
+def test_weighted_sample_is_scan_side(plans):
+    """The weighted-sample predicate is rowwise against a 1-row
+    broadcast scalar: no shuffle of the corpus may appear."""
+    p = plans("q_weighted_sample")
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    # only the final presentation sort's exchange is allowed
+    assert p.count("Exchange hashpartitioning") == 0
