@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "scale",
     "semantic",
     "cdc",
+    "layout",
 )
 
 
