@@ -19,8 +19,10 @@ Scale design:
   map-side — `.explain` shows BroadcastHashJoin FullOuter is not
   supported broadcast-side, so the full-outer form hashes BOTH sides;
   to keep the snapshot un-shuffled we instead express the merge as
-  LEFT join (snapshot survivors + closed-out versions) UNION ALL
-  LEFT ANTI (brand-new keys) — both broadcastable, CI-pinned in
+  LEFT join (snapshot survivors + closed-out versions) UNION ALL a
+  broadcast anti-join for brand-new keys (matched keys found by a
+  delta-broadcast SEMI join over a key-only snapshot scan, so no
+  hash table is ever built on the snapshot side) — CI-pinned in
   tests/test_plan_shapes.py.
 * **Change detection is null-safe column compare** (`<=>` negation),
   not a row hash — a hash would false-positive on column reorder and
@@ -67,17 +69,28 @@ def _delta(snap: DataFrame) -> DataFrame:
     return changed.unionByName(noop).unionByName(inserts)
 
 
-def scd2_merge(snap: DataFrame, delta: DataFrame) -> DataFrame:
+def scd2_merge(snap: DataFrame, delta: DataFrame, gen: int = 1) -> DataFrame:
     """(k, bal, seg, version, is_current): type-2 merge of ``delta``
     into ``snap``.
 
     Two broadcastable LEFT joins instead of one full-outer (a
     full-outer cannot broadcast, so it would shuffle the snapshot):
     pass 1 = snapshot LEFT delta → unchanged rows stay current,
-    changed rows emit a closed-out v0 plus a current v1; pass 2 =
-    delta LEFT-ANTI snapshot → inserts.  The delta is broadcast in
-    both, so the snapshot never exchanges."""
-    d = F.broadcast(delta).alias("d")
+    changed rows emit a closed-out old version plus a current one
+    stamped ``gen``; pass 2 = delta LEFT-ANTI snapshot → inserts.
+    The delta is broadcast in both, so the snapshot never exchanges.
+
+    ``snap`` is the CURRENT-rows slice of the dimension; it may carry
+    a ``version`` column from previous merge generations (seeded to 0
+    when absent), which closed-out rows keep.  Repeated merges with
+    increasing ``gen`` maintain full type-2 history — that is the
+    streaming ingest path (streaming/jobs.scd2_dimension_maintenance).
+    ``delta`` must be key-unique (an ingest batch with several updates
+    to one key should be reduced to latest-per-key first)."""
+    if "version" not in snap.columns:
+        snap = snap.withColumn("version", F.lit(0))
+    snap = snap.select("k", "bal", "seg", "version")
+    d = F.broadcast(delta.select("k", "bal", "seg")).alias("d")
     s = snap.alias("s")
     j = s.join(d, F.col("s.k") == F.col("d.k"), "left")
     changed = F.col("d.k").isNotNull() & (
@@ -88,24 +101,35 @@ def scd2_merge(snap: DataFrame, delta: DataFrame) -> DataFrame:
         F.col("s.k").alias("k"),
         F.col("s.bal").alias("bal"),
         F.col("s.seg").alias("seg"),
-        F.lit(0).alias("version"),
+        F.col("s.version").alias("version"),
         (~changed).alias("is_current"),
     )
     new_versions = j.filter(changed).select(
         F.col("d.k").alias("k"),
         F.col("d.bal").alias("bal"),
         F.col("d.seg").alias("seg"),
-        F.lit(1).alias("version"),
+        F.lit(gen).alias("version"),
         F.lit(True).alias("is_current"),
     )
+    # Inserts = delta keys absent from the snapshot.  A direct
+    # delta-ANTI-snapshot join would build its hash table on the
+    # snapshot (the big side); instead the snapshot's key column is
+    # SEMI-joined against the broadcast delta (streams a key-only,
+    # column-pruned snapshot scan, builds on the small side), and the
+    # resulting matched-key set — at most |delta| rows — broadcasts
+    # into the anti join.  The snapshot is scanned twice (full rows +
+    # keys only) but never shuffled and never hashed.
+    matched_keys = snap.select("k").join(
+        F.broadcast(delta.select("k")), "k", "left_semi"
+    )
     inserts = (
-        delta.alias("d2")
-        .join(F.broadcast(snap.select("k")).alias("s2"), "k", "left_anti")
+        delta.select("k", "bal", "seg")
+        .join(F.broadcast(matched_keys), "k", "left_anti")
         .select(
             "k",
             "bal",
             "seg",
-            F.lit(1).alias("version"),
+            F.lit(gen).alias("version"),
             F.lit(True).alias("is_current"),
         )
     )

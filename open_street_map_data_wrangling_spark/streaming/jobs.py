@@ -348,3 +348,54 @@ def quality_gated_ingest(
         .agg(F.count("*").alias("n_admitted"))
         .select(F.unix_micros("w.start").alias("win_start_us"), "event_type", "n_admitted")
     )
+
+
+def scd2_dimension_maintenance(delta_stream: DataFrame, target_dir: str):
+    """Streaming SCD2: keep a type-2 dimension parquet incrementally
+    consistent as (k, bal, seg) delta batches arrive.
+
+    Each micro-batch merges against the target's CURRENT rows only —
+    history rows are immutable and pass through untouched — with the
+    generation stamp max(version)+1, so versions are a pure function
+    of batch arrival order.  The merge itself is the batch operator
+    (operators/cdc.scd2_merge): delta broadcast, snapshot streamed,
+    never shuffled.  The streaming checkpoint gives each source file
+    exactly-once batch membership; the staged self-read-overwrite is
+    the same commit pattern as incremental_hourly_rollup (the merge
+    plan reads the files the overwrite deletes, so it materializes to
+    a side path first).  Batches must be key-unique — reduce an
+    ingest stream to latest-per-key upstream (deduped_events is the
+    streaming shape for that).
+
+    Returns the StreamingQuery (caller stops it)."""
+    from ..operators.cdc import scd2_merge
+
+    spark = delta_stream.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        target_path = jvm.org.apache.hadoop.fs.Path(target_dir)
+        fs = target_path.getFileSystem(hconf)
+        if fs.exists(target_path):
+            full = spark.read.parquet(target_dir)
+            gen = full.agg(F.max("version")).first()[0] + 1
+            merged = scd2_merge(
+                full.filter(F.col("is_current")).select("k", "bal", "seg", "version"),
+                batch_df,
+                gen=gen,
+            ).unionByName(full.filter(~F.col("is_current")))
+        else:  # first batch: everything is an insert at generation 1
+            merged = scd2_merge(batch_df.limit(0), batch_df, gen=1)
+        stage_dir = f"{target_dir}_stage"
+        merged.write.mode("overwrite").parquet(stage_dir)
+        spark.read.parquet(stage_dir).write.mode("overwrite").parquet(target_dir)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stage_dir), True)
+
+    return (
+        delta_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{target_dir}_ckpt")
+        .start()
+    )

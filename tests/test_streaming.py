@@ -325,3 +325,41 @@ def test_quality_gated_ingest_chain(spark, stream_src):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
     assert got.count() > 0
+
+
+def test_scd2_dimension_maintenance(spark, tmp_path):
+    """Two delta batches must leave full type-2 history: changed keys
+    carry a closed-out old version plus a current row at the new
+    generation; untouched and inserted keys stay current."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        scd2_dimension_maintenance,
+    )
+
+    src = str(tmp_path / "deltas")
+    target = str(tmp_path / "dim")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, bal double, seg string")
+
+    mk([(1, 10.0, "A"), (2, 20.0, "B")]).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("k long, bal double, seg string").parquet(src)
+    q = scd2_dimension_maintenance(stream, target)
+    try:
+        q.processAllAvailable()
+        mk([(1, 15.0, "A"), (2, 20.0, "B"), (3, 30.0, "C")]).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.k, r.bal, r.seg, r.version, r.is_current)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        (1, 10.0, "A", 1, False),  # closed out by the generation-2 change
+        (1, 15.0, "A", 2, True),
+        (2, 20.0, "B", 1, True),   # no-op update: no new version
+        (3, 30.0, "C", 2, True),   # insert arrives at generation 2
+    }
