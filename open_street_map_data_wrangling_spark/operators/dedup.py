@@ -1075,3 +1075,51 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("repeated_occurrences"),
         F.max("n_docs").cast("bigint").alias("max_docs_sharing"),
     )
+
+
+@query(
+    "q_leakage_safe_split",
+    oracle=f"""
+        WITH RECURSIVE
+        {_PAIRS_CTE},
+        edges AS (SELECT pa AS a, pb AS b FROM pairs
+                  UNION SELECT pb, pa FROM pairs),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        clusters AS (
+            SELECT d.doc_id AS n,
+                   least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+            GROUP BY d.doc_id)
+        SELECT n AS doc_id, cluster_id,
+               CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'b'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM clusters
+        ORDER BY doc_id
+    """,
+    tags=("pipeline", "dedup", "iterative", "extension"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the q_split hash rule applied to
+    the near-dup CLUSTER representative instead of the document, so
+    every member of a cluster lands on the same side by construction
+    — the curation step that closes the leak q_contamination
+    measures (a near-copy of a training doc can never reach the test
+    set).  Cost on top of clustering: one rowwise md5 — the expensive
+    part (LSH pairs → connected components) is the same pass
+    q_dedup_clusters already runs, and a production pipeline splits
+    FROM the materialized cluster table rather than re-deriving it."""
+    comp = q_dedup_clusters(spark, sf_dir)
+    return comp.select(
+        F.col("n").alias("doc_id"),
+        "cluster_id",
+        F.when(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1) <= "b",
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
