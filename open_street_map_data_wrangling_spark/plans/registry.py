@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "semantic",
     "cdc",
     "layout",
+    "pq",
 )
 
 

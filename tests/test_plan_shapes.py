@@ -182,3 +182,12 @@ def test_weighted_sample_is_scan_side(plans):
     assert "ShuffledHashJoin" not in p
     # only the final presentation sort's exchange is allowed
     assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_pq_code_assignment_is_row_local(plans):
+    """PQ code assignment folds over plan-literal codebooks: no hash
+    exchange may appear (the only exchange is the presentation
+    sort's range partitioning)."""
+    p = plans("q_pq_codes")
+    assert "Exchange hashpartitioning" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
