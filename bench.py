@@ -67,6 +67,15 @@ HEADLINE = (
     "q_tpch_q18",
     "q_tpch_q19",
     "q_tpch_q22",
+    # added round 5: new pipeline operators (semantic dedup and the
+    # leakage-safe split are excluded — their cost IS q_dedup_clusters
+    # plus driver-loop latency already represented above)
+    "q_scd2_merge",
+    "q_weighted_sample",
+    "q_reservoir_per_key",
+    "q_zorder",
+    "q_pq_codes",
+    "q_pq_adc",
 )
 
 
