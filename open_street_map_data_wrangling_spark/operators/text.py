@@ -368,3 +368,52 @@ def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div count(*) AS BIGINT)"
         ).alias("rare_x10k"),
     )
+
+
+@query(
+    "q_top_ngrams",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        bigrams AS (
+            SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+            FROM toks CROSS JOIN generate_series(1, 10000) g(i)
+            WHERE i < len(ts))
+        SELECT bg AS ngram,
+               CAST(count(*) AS BIGINT) AS occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM bigrams
+        GROUP BY bg
+        ORDER BY occurrences DESC, ngram ASC
+        LIMIT 50
+    """,
+    tags=("text", "extension", "quality"),
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter bigrams with document frequency — the
+    boilerplate detector that feeds C4-style line/ngram blocklists
+    (a bigram appearing in thousands of documents is template text,
+    not content).  One explode off the token array inside the scan
+    stage, one hash aggregate with map-side partials over uniform
+    string keys, TakeOrderedAndProject for the head — the exact
+    q_wordcount plan shape one n-gram level up, so it inherits the
+    same 100 TB posture (no window, no join, bounded driver result).
+    Bigrams via zip_with against the array tail (nulls filtered), the
+    q_repetition construction; the oracle derives them independently
+    by index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.selectExpr(
+        "doc_id",
+        "filter(zip_with(split(text, ' '), "
+        "  slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)), "
+        "  (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL) AS bgs",
+    ).select("doc_id", F.explode("bgs").alias("ngram"))
+    return (
+        bigrams.groupBy("ngram")
+        .agg(
+            F.count("*").cast("bigint").alias("occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("doc_freq"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("ngram"))
+        .limit(50)
+    )
