@@ -174,4 +174,7 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a closed-out v0 + current v1, no-op updates pass through as
     current v0, new keys insert as current v1."""
     snap = _snapshot(spark, sf_dir)
-    return scd2_merge(snap, _delta(snap)).orderBy("k", "version")
+    # no presentation sort: the driver compare is order-insensitive
+    # and a global sort of the merged dimension is a pure extra
+    # exchange at scale
+    return scd2_merge(snap, _delta(snap))

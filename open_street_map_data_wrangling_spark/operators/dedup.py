@@ -1122,4 +1122,4 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("test")
         .alias("split"),
-    ).orderBy("doc_id")
+    )

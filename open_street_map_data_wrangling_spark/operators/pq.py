@@ -213,7 +213,7 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical codes relationally."""
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _collect_seed_codebook(emb)
-    return pq_codes(emb, cb).orderBy("vec_id")
+    return pq_codes(emb, cb)
 
 
 @query(

@@ -489,7 +489,6 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.crossJoin(F.broadcast(mx))
         .filter((u * F.col("__mx")) < F.col("n_chars"))
         .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
     )
 
 
@@ -529,5 +528,4 @@ def q_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
-        .orderBy("lang", "doc_id")
     )

@@ -198,4 +198,4 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest-vec_id representative).  Rows-only at the driver —
     iterative, no SQL twin; tests/test_semantic.py holds the
     bit-exact replay."""
-    return semantic_dedup(spark, sf_dir, k=8, iters=3, tau=0.2).orderBy("vec_id")
+    return semantic_dedup(spark, sf_dir, k=8, iters=3, tau=0.2)

@@ -180,7 +180,6 @@ def test_weighted_sample_is_scan_side(plans):
     p = plans("q_weighted_sample")
     assert "SortMergeJoin" not in p
     assert "ShuffledHashJoin" not in p
-    # only the final presentation sort's exchange is allowed
     assert p.count("Exchange hashpartitioning") == 0
 
 
