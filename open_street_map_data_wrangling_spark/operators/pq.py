@@ -298,3 +298,72 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("hits"),
         (F.count("*") / F.lit(10.0)).alias("recall_at_10"),
     )
+
+
+def pq_assignment_error(emb: DataFrame, codebook: list[list[list[int]]]) -> int:
+    """Total exact integer quantization error: sum over rows and
+    subspaces of the squared distance to the chosen centroid — the
+    objective Lloyd minimizes, used by tests to prove training helps."""
+    df = _with_qemb(emb)
+    total = F.lit(0).cast("bigint")
+    for s, cents in enumerate(codebook):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(int(v)) for v in cvec]).alias("qc"),
+                )
+                for cid, cvec in enumerate(cents)
+            ]
+        )
+        d2 = (
+            "aggregate(zip_with("
+            f"slice(__q, {s * _SUBDIM + 1}, {_SUBDIM}), c.qc, "
+            "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
+        )
+        fold = (
+            f"aggregate(__cb{s}, CAST({_LONG_MAX} AS BIGINT), "
+            f"(acc, c) -> least(acc, {d2}))"
+        )
+        df = df.withColumn(f"__cb{s}", entries)
+        total = total + F.expr(fold)
+    return df.select(F.sum(total).alias("err")).collect()[0]["err"]
+
+
+def train_codebook(
+    emb: DataFrame, iters: int = 2
+) -> list[list[list[int]]]:
+    """Lloyd-refined PQ codebook: E-step = the exact integer argmin
+    pq_codes already runs; M-step = per-(subspace, code, position)
+    integer mean with truncating division — the quantize-then-sum
+    fixed point of semantic.py/q_centroids, so training is a pure
+    function of the table (bit-identical on any partitioning).  A
+    code that loses all members keeps its previous centroid.  The
+    registry queries stay on the SEED codebook (single-statement SQL
+    twin); this is the production path the module docstring promises,
+    pytest-proven to strictly reduce quantization error."""
+    cb = _collect_seed_codebook(emb)
+    df = _with_qemb(emb)
+    for _ in range(iters):
+        codes = pq_codes(emb, cb)
+        joined = df.select("vec_id", "__q").join(codes, "vec_id")
+        parts = None
+        for s in range(_M):
+            part = joined.select(
+                F.lit(s).alias("s"),
+                F.col(f"code{s}").alias("cid"),
+                F.posexplode(
+                    F.expr(f"slice(__q, {s * _SUBDIM + 1}, {_SUBDIM})")
+                ).alias("pos", "qx"),
+            )
+            parts = part if parts is None else parts.unionByName(part)
+        means = (
+            parts.groupBy("s", "cid", "pos")
+            .agg(F.expr("CAST(sum(qx) div count(*) AS BIGINT)").alias("cx"))
+            .collect()
+        )
+        new_cb = [[list(c) for c in cents] for cents in cb]
+        for r in means:
+            new_cb[r["s"]][r["cid"]][r["pos"]] = int(r["cx"])
+        cb = new_cb
+    return cb

@@ -521,3 +521,40 @@ def test_lsh_hash_families_find_identical_dup_groups(spark, monkeypatch):
     }
     assert oracle_pairs == fast_pairs
     assert oracle_pairs == expected  # dup groups in, hot family + filler out
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    """Lloyd refinement of the PQ codebook must strictly reduce the
+    exact integer quantization objective on the fixture embeddings,
+    and training must be deterministic (pure function of the table)."""
+    from open_street_map_data_wrangling_spark.operators import pq
+    from open_street_map_data_wrangling_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seed = pq._collect_seed_codebook(emb)
+    trained = pq.train_codebook(emb, iters=2)
+    err_seed = pq.pq_assignment_error(emb, seed)
+    err_trained = pq.pq_assignment_error(emb, trained)
+    assert err_trained < err_seed
+    assert pq.train_codebook(emb, iters=2) == trained
+
+
+def test_scd2_merge_is_idempotent_on_retry(spark):
+    """Re-applying the same delta to the merged dimension's current
+    rows must be a no-op (every changed row now matches, every insert
+    now exists) — the property that makes the streaming foreachBatch
+    retry-safe."""
+    from open_street_map_data_wrangling_spark.operators.cdc import scd2_merge
+
+    snap = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B")], "k long, bal double, seg string"
+    )
+    delta = spark.createDataFrame(
+        [(1, 15.0, "A"), (3, 30.0, "C")], "k long, bal double, seg string"
+    )
+    once = scd2_merge(snap, delta, gen=1)
+    current = once.filter("is_current").select("k", "bal", "seg", "version")
+    twice = scd2_merge(current, delta, gen=2).unionByName(
+        once.filter("NOT is_current")
+    )
+    assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}
