@@ -76,6 +76,7 @@ HEADLINE = (
     "q_zorder",
     "q_pq_codes",
     "q_pq_adc",
+    "q_top_ngrams",
 )
 
 

@@ -312,3 +312,29 @@ def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     n_comp = len([f for f in os.listdir(comp) if f.endswith(".parquet")])
     assert n_comp == 2
     assert spark.read.parquet(comp).count() == events.count()
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """Schema evolution: a corpus written over time gains columns
+    (quality scores, new metadata). mergeSchema must union the file
+    schemas — old files surface NULL for the new column, filters on
+    the new column still push down, and writes never rewrite history.
+    The 100 TB relevance: evolution must be a metadata operation, not
+    a table rewrite."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "old doc")], "doc_id long, text string"
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(2, "new doc", 0.9)], "doc_id long, text string, quality double"
+    ).write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"doc_id", "text", "quality"}
+    rows = {r["doc_id"]: r["quality"] for r in merged.collect()}
+    assert rows == {1: None, 2: 0.9}
+    # predicate on the evolved column: old files are pruned by the
+    # reader (NULL never satisfies >), new files filter normally
+    assert merged.filter(F.col("quality") > 0.5).count() == 1
+    plan = merged.filter(F.col("quality") > 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "quality" in plan
