@@ -9,6 +9,10 @@
     python -m open_street_map_data_wrangling_spark etl <xml> <out_dir>
         Run the reference's full OSM ETL: parse XML -> clean -> write
         the five shaped parquet tables + an audit report.
+
+    python -m open_street_map_data_wrangling_spark explain q_name [sf_dir]
+        Print the optimized + physical plan (explain "formatted") —
+        the per-operator audit loop PLANS.md is built from.
 """
 
 from __future__ import annotations
@@ -38,6 +42,15 @@ def _run(name: str, sf_dir: str) -> None:
     spark.stop()
 
 
+def _explain(name: str, sf_dir: str) -> None:
+    specs = load_all_queries()
+    if name not in specs:
+        sys.exit(f"unknown query {name!r}; see `list`")
+    spark = get_spark("osmdw-explain")
+    specs[name].spark(spark, sf_dir).explain("formatted")
+    spark.stop()
+
+
 def _etl(xml_path: str, out_dir: str) -> None:
     from .etl import run_osm_etl
 
@@ -53,6 +66,8 @@ def main(argv: list[str]) -> None:
         _list()
     elif argv[0] == "run" and len(argv) >= 2:
         _run(argv[1], argv[2] if len(argv) > 2 else "/root/testdata/sf0.001")
+    elif argv[0] == "explain" and len(argv) >= 2:
+        _explain(argv[1], argv[2] if len(argv) > 2 else "/root/testdata/sf0.001")
     elif argv[0] == "etl" and len(argv) == 3:
         _etl(argv[1], argv[2])
     else:

@@ -417,3 +417,49 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("occurrences"), F.asc("ngram"))
         .limit(50)
     )
+
+
+@query(
+    "q_chunk_overlap",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        starts AS (
+            SELECT doc_id, ts, unnest(range(1, len(ts) + 1, 16)) AS st
+            FROM toks)
+        SELECT doc_id,
+               CAST((st - 1) // 16 AS INT) AS chunk_idx,
+               CAST(len(ts[st : least(st + 31, len(ts))]) AS BIGINT)
+                   AS n_chunk_toks,
+               md5(array_to_string(ts[st : least(st + 31, len(ts))], ' '))
+                   AS chunk_md5
+        FROM starts
+    """,
+    tags=("text", "pipeline", "extension"),
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (RAG/embedding prep): 32-token windows
+    at stride 16, so every token appears in two chunks and no
+    retrieval boundary can split a passage.  Entirely row-local —
+    sequence() generates the window starts inside the scan stage,
+    posexplode's position IS the chunk index, and the chunk content
+    travels as an md5 + token count (compact, exact) rather than
+    duplicated text.  Zero shuffles; the 2x content expansion
+    happens in the narrow stage, which is what makes this shape
+    viable at corpus scale (the round-2 lesson behind q_repetition:
+    never move an exploded token stream through an exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr("doc_id", "split(text, ' ') AS ts")
+        .selectExpr(
+            "doc_id",
+            "ts",
+            "posexplode(sequence(1, size(ts), 16)) AS (cidx, st)",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(cidx AS INT) AS chunk_idx",
+            "CAST(size(slice(ts, st, 32)) AS BIGINT) AS n_chunk_toks",
+            "md5(array_join(slice(ts, st, 32), ' ')) AS chunk_md5",
+        )
+    )
