@@ -54,6 +54,7 @@ _OPERATOR_MODULES = (
     "cdc",
     "layout",
     "pq",
+    "curation",
 )
 
 

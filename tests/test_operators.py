@@ -558,3 +558,46 @@ def test_scd2_merge_is_idempotent_on_retry(spark):
         once.filter("NOT is_current")
     )
     assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}
+
+
+def test_curation_pipeline_invariants(spark):
+    """Cross-stage invariants of the composed curation pipeline that
+    no single-stage oracle can see: monotone counts, no surviving
+    exact-duplicate text, at most one survivor per near-dup cluster,
+    and a complete two-way split."""
+    from open_street_map_data_wrangling_spark.operators.curation import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    kept, manifest = curate_corpus(spark, sf)
+    counts = {r["stage"]: r["n_docs"] for r in manifest.collect()}
+    assert (
+        counts["input"]
+        >= counts["exact_dedup"]
+        >= counts["near_dedup"]
+        >= counts["quality"]
+    )
+    assert counts["quality"] == counts["train"] + counts["test"]
+    assert counts["train"] > 0 and counts["test"] > 0
+
+    rows = kept.collect()
+    assert len(rows) == counts["quality"]
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+    # no two kept docs share identical text (exact stage holds through
+    # the later stages)
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    kept_docs = docs.join(kept, "doc_id", "left_semi")
+    n_kept = kept_docs.count()
+    assert kept_docs.select("text").distinct().count() == n_kept
+
+    # every kept doc is its own near-dup cluster representative: no
+    # LSH candidate pair may survive entirely inside the kept set
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        _capped_band_pairs,
+        _lsh_bands,
+        minhash_sigs,
+    )
+
+    pairs = _capped_band_pairs(_lsh_bands(minhash_sigs(kept_docs)))
+    assert pairs.count() == 0
