@@ -399,3 +399,68 @@ def scd2_dimension_maintenance(delta_stream: DataFrame, target_dir: str):
         .option("checkpointLocation", f"{target_dir}_ckpt")
         .start()
     )
+
+
+def incremental_near_dedup(doc_stream: DataFrame, store_dir: str, out_dir: str):
+    """Streaming near-dedup: admit only documents that are not
+    near-duplicates of anything already ACCEPTED, maintaining a
+    MinHash band-signature store across batches.
+
+    Per micro-batch: band signatures for the batch (the batch
+    operator pipeline — one md5 per shingle, 8 permutations, 4
+    bands); batch docs sharing ANY band bucket with the store are
+    rejected as near-dups; batch-internal near-dups resolve to the
+    lowest doc_id via the capped pair generator; survivors' bands
+    land in the store and survivors' ids in ``out_dir``.
+
+    Idempotence: both the store and the output are written to
+    batch_id-keyed subdirectories with overwrite, so a retried batch
+    rewrites its own slice instead of appending twice — together with
+    the checkpoint's exactly-once file-to-batch assignment this makes
+    the whole job replay-safe (same contract the SCD2 and rollup
+    jobs document).  The store stays O(accepted docs x 4 bands) rows
+    of (bi, bv) — signatures, never text; the probe join is keyed on
+    (bi, bv), the LSH bucket posture dedup.py audits.
+
+    Returns the StreamingQuery (caller stops it)."""
+    from ..operators.dedup import _capped_band_pairs, _lsh_bands, minhash_sigs
+
+    spark = doc_stream.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bands = _lsh_bands(minhash_sigs(batch_df)).localCheckpoint()
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        store_path = jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = store_path.getFileSystem(hconf)
+        if fs.exists(store_path):
+            store = spark.read.parquet(store_dir).select("bi", "bv")
+            vs_store = (
+                bands.join(store, ["bi", "bv"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+        else:
+            vs_store = bands.select("doc_id").limit(0)
+        # batch-internal near-dups: keep the lowest doc_id of each
+        # candidate pair (greedy representative, one pass)
+        internal = (
+            _capped_band_pairs(bands)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        rejected = vs_store.unionByName(internal).distinct()
+        kept = batch_df.select("doc_id").join(rejected, "doc_id", "left_anti")
+        kept_bands = bands.join(kept, "doc_id", "left_semi")
+        kept_bands.write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={batch_id}"
+        )
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        doc_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .start()
+    )

@@ -363,3 +363,42 @@ def test_scd2_dimension_maintenance(spark, tmp_path):
         (2, 20.0, "B", 1, True),   # no-op update: no new version
         (3, 30.0, "C", 2, True),   # insert arrives at generation 2
     }
+
+
+def test_incremental_near_dedup_stream(spark, tmp_path):
+    """Batch 2's near-copy of an accepted batch-1 doc must be
+    rejected by the signature store; its genuinely new doc must be
+    accepted; batch-internal duplicates resolve to the lowest id."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        incremental_near_dedup,
+    )
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "accepted")
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    distinct = "completely different content about spark adaptive query execution plans"
+    fresh = "yet another unrelated document concerning parquet row group statistics"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # batch 1: two distinct docs + an in-batch near-dup of doc 1
+    mk([(1, base), (2, distinct), (3, base + " extra")]).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = incremental_near_dedup(stream, store, out)
+    try:
+        q.processAllAvailable()
+        # batch 2: near-copy of accepted doc 1 + a genuinely new doc
+        mk([(10, base + " more"), (11, fresh)]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    accepted = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert accepted == [1, 2, 11]
