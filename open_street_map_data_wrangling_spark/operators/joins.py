@@ -403,3 +403,61 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("raw_click_id")).alias("click_id"),
         F.when(fresh, F.col("raw_click_ts_us")).alias("click_ts_us"),
     )
+
+
+_IV_BUCKET = 20.0  # bucket width >= interval length, so each interval spans <= 2 buckets
+
+
+@query(
+    "q_interval_bucket_join",
+    oracle=f"""
+        SELECT n.n_name AS label,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(avg(e.value), 2) AS avg_value
+        FROM events e
+        JOIN nation n
+          ON e.value >= n.n_nationkey * {_IV_BUCKET}
+         AND e.value <  n.n_nationkey * {_IV_BUCKET} + 15.0
+        GROUP BY 1
+    """,
+    tags=("join", "rangejoin", "scale"),
+)
+def q_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join — the EQUI-join formulation of
+    point-in-interval matching.  q_range_join's broadcast NLJ is
+    right for a literal handful of intervals; with a large interval
+    dimension (IP-to-geo, tariff windows) an NLJ is O(points x
+    intervals).  The standard fix: choose a bucket width >= the max
+    interval length, explode each interval to the <= 2 buckets it
+    overlaps (sequence()), bucket each point by floor-div, and join
+    on the BUCKET KEY with the range predicate demoted to a
+    post-join filter.  Catalyst plans a hash join (broadcast here;
+    shuffle-on-bk between two huge sides) instead of a nested loop —
+    CI pins that no NLJ appears.  The oracle states the plain
+    non-equi join; identical results from the rewritten plan IS the
+    correctness claim."""
+    events = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    intervals = nation.selectExpr(
+        "n_name AS label",
+        f"n_nationkey * {_IV_BUCKET} AS lo",
+        f"n_nationkey * {_IV_BUCKET} + 15.0 AS hi",
+    ).selectExpr(
+        "label",
+        "lo",
+        "hi",
+        f"explode(sequence(CAST(floor(lo / {_IV_BUCKET}) AS INT), "
+        f"CAST(floor(hi / {_IV_BUCKET}) AS INT))) AS bk",
+    )
+    points = events.selectExpr(
+        "value", f"CAST(floor(value / {_IV_BUCKET}) AS INT) AS bk"
+    )
+    return (
+        points.join(F.broadcast(intervals), "bk")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+    )

@@ -190,3 +190,13 @@ def test_pq_code_assignment_is_row_local(plans):
     p = plans("q_pq_codes")
     assert "Exchange hashpartitioning" not in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_interval_bucket_join_is_equi_not_nlj(plans):
+    """The bucketized interval join must plan a hash join on the
+    bucket key — no nested loop anywhere (the rewrite's entire
+    point; with two huge sides it degrades to a keyed shuffle,
+    never to O(points x intervals))."""
+    p = plans("q_interval_bucket_join")
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p
