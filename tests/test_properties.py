@@ -337,3 +337,122 @@ def test_capped_band_pairs_drop_semantics(assign, cap):
         (r["doc_a"], r["doc_b"]) for r in _capped_band_pairs(df, cap=cap).collect()
     }
     assert got == expected
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_zvalue_interleave_roundtrip(pts):
+    """Morton encode over arbitrary 16-bit pairs decodes back to the
+    inputs — the bit-spread is a bijection, not just correct on the
+    corner set tests/test_layout.py pins."""
+    from open_street_map_data_wrangling_spark.operators.layout import with_zvalue
+
+    spark = _get_spark()
+    df = spark.createDataFrame(pts, "qx bigint, qy bigint")
+    for r in with_zvalue(df, "qx", "qy").collect():
+        dx = sum(((r["z"] >> (2 * b)) & 1) << b for b in range(16))
+        dy = sum(((r["z"] >> (2 * b + 1)) & 1) << b for b in range(16))
+        assert (dx, dy) == (r["qx"], r["qy"])
+
+
+@given(
+    snap=st.dictionaries(
+        st.integers(min_value=0, max_value=8),
+        st.floats(0, 100, width=32),
+        max_size=6,
+    ),
+    delta=st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.floats(0, 100, width=32),
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_scd2_merge_matches_python(snap, delta):
+    """SCD2 merge ≡ naive Python for arbitrary snapshots and deltas:
+    changed keys close out + reappear at the new generation, no-ops
+    pass through, inserts arrive current, exactly one current row
+    per surviving key."""
+    from open_street_map_data_wrangling_spark.operators.cdc import scd2_merge
+
+    spark = _get_spark()
+    snap_df = spark.createDataFrame(
+        [(k, float(v), "S") for k, v in snap.items()] or [(None, None, None)],
+        "k long, bal double, seg string",
+    ).filter("k IS NOT NULL")
+    delta_df = spark.createDataFrame(
+        [(k, float(v), "S") for k, v in delta.items()] or [(None, None, None)],
+        "k long, bal double, seg string",
+    ).filter("k IS NOT NULL")
+    got = {
+        (r["k"], r["bal"], r["version"], r["is_current"])
+        for r in scd2_merge(snap_df, delta_df, gen=7).collect()
+    }
+    exp = set()
+    for k, v in snap.items():
+        v = float(np_f32(v))
+        if k in delta and float(np_f32(delta[k])) != v:
+            exp.add((k, v, 0, False))
+            exp.add((k, float(np_f32(delta[k])), 7, True))
+        else:
+            exp.add((k, v, 0, True))
+    for k, v in delta.items():
+        if k not in snap:
+            exp.add((k, float(np_f32(v)), 7, True))
+    assert got == exp
+    # exactly one current row per key
+    cur = [t for t in got if t[3]]
+    assert len(cur) == len({t[0] for t in cur})
+
+
+def np_f32(x: float) -> float:
+    import numpy as np
+
+    return float(np.float32(x))
+
+
+@given(
+    points=st.lists(st.floats(0, 500, width=32), min_size=1, max_size=80),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(1, 20)), min_size=1, max_size=10
+    ),
+)
+@settings(**_SETTINGS)
+def test_interval_bucket_join_equals_nlj(points, intervals):
+    """The bucketized equi rewrite ≡ the direct non-equi join for any
+    points and any intervals no longer than the bucket width."""
+    spark = _get_spark()
+    B = 20.0
+    iv = [
+        (f"i{n}", k * B, k * B + min(length, 20)) for n, (k, length) in enumerate(intervals)
+    ]
+    pts = spark.createDataFrame([(float(p),) for p in points], "value double")
+    ivd = spark.createDataFrame(iv, "label string, lo double, hi double")
+    bucketed = ivd.selectExpr(
+        "label", "lo", "hi",
+        "explode(sequence(CAST(floor(lo / 20.0) AS INT), CAST(floor(hi / 20.0) AS INT))) AS bk",
+    )
+    got = sorted(
+        (r["label"], r["value"])
+        for r in pts.selectExpr("value", "CAST(floor(value / 20.0) AS INT) AS bk")
+        .join(bucketed, "bk")
+        .filter("value >= lo AND value < hi")
+        .select("label", "value")
+        .collect()
+    )
+    exp = sorted(
+        (lbl, float(np_f32(p)))
+        for p in points
+        for (lbl, lo, hi) in iv
+        if lo <= float(np_f32(p)) < hi
+    )
+    assert got == exp
