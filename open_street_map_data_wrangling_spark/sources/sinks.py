@@ -61,3 +61,62 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     parquet (stripe statistics instead of row-group statistics).
     Useful when downstream consumers are Hive/Trino-era ORC stacks."""
     df.write.mode(mode).orc(path)
+
+
+def write_sqlite(
+    df: DataFrame, db_path: str, table: str, batch_size: int = 10_000
+) -> int:
+    """SQLite sink — the reference's ACTUAL load target (S5: `data.py`
+    writes CSVs, the case study loads them into SQLite and queries
+    with a sqlite3 cursor).  A JDBC path is container-blocked (no
+    driver jar, no server), but the stdlib sqlite3 module is present,
+    so reference parity is closed with it directly: the DataFrame
+    streams through `toLocalIterator()` into batched executemany
+    INSERTs inside one transaction.
+
+    Deliberately DRIVER-SIDE and documented as such: a SQLite file is
+    a single-writer artifact — this is the small-export / parity path
+    (the reference's own usage: a few hundred MB of shaped OSM
+    tables), NOT a cluster sink.  Memory stays bounded at one
+    partition (toLocalIterator) regardless of table size; at scale
+    the managed-table / parquet sinks above are the real load path.
+    Returns the row count written."""
+    import sqlite3
+
+    cols = df.columns
+    placeholders = ", ".join("?" for _ in cols)
+    col_list = ", ".join(cols)
+    con = sqlite3.connect(db_path)
+    try:
+        con.execute(f"DROP TABLE IF EXISTS {table}")
+        defs = []
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            sql_t = (
+                "INTEGER"
+                if t in ("bigint", "int", "smallint", "tinyint", "boolean")
+                else "REAL"
+                if t in ("double", "float")
+                else "TEXT"
+            )
+            defs.append(f"{f.name} {sql_t}")
+        con.execute(f"CREATE TABLE {table} ({', '.join(defs)})")
+        n, batch = 0, []
+        for row in df.toLocalIterator():
+            batch.append(tuple(row))
+            if len(batch) >= batch_size:
+                con.executemany(
+                    f"INSERT INTO {table} ({col_list}) VALUES ({placeholders})",
+                    batch,
+                )
+                n += len(batch)
+                batch = []
+        if batch:
+            con.executemany(
+                f"INSERT INTO {table} ({col_list}) VALUES ({placeholders})", batch
+            )
+            n += len(batch)
+        con.commit()
+        return n
+    finally:
+        con.close()

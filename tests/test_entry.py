@@ -130,3 +130,35 @@ def test_fingerprint_covers_transitive_helpers():
     assert "ngram" in ngram_closure and len(ngram_closure) > len(
         inspect.getsource(specs["q_dedup_ngram"].spark)
     )
+
+
+def test_sqlite_sink_roundtrip(spark, tmp_path):
+    """S5 parity: the reference queries its shaped tables through a
+    sqlite3 cursor; write_sqlite must land a DataFrame in a SQLite
+    file the same cursor queries — types mapped, every row present."""
+    import sqlite3
+
+    from open_street_map_data_wrangling_spark.sources.sinks import write_sqlite
+
+    db = str(tmp_path / "osm.db")
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    n = write_sqlite(df, db, "customer")
+    assert n == df.count()
+    con = sqlite3.connect(db)
+    try:
+        assert con.execute("SELECT count(*) FROM customer").fetchone()[0] == n
+        # the reference's own query style: aggregate through the cursor
+        top = con.execute(
+            "SELECT c_mktsegment, count(*) c FROM customer "
+            "GROUP BY 1 ORDER BY c DESC, c_mktsegment LIMIT 1"
+        ).fetchone()
+        want = (
+            df.groupBy("c_mktsegment")
+            .count()
+            .orderBy("count", ascending=False)
+            .orderBy(F.desc("count"), "c_mktsegment")
+            .first()
+        )
+        assert top[0] == want["c_mktsegment"] and top[1] == want["count"]
+    finally:
+        con.close()
