@@ -128,21 +128,28 @@ def run_to_memory(result: DataFrame, name: str, output_mode: str = "complete") -
     return spark.table(name)
 
 
-def incremental_hourly_rollup(stream: DataFrame, target_dir: str):
-    """Continuous-aggregate pattern (the 'hypertable rollup'): keep a
-    parquet table of per-(hour, event_type) counts incrementally
-    up-to-date as events stream in. Each micro-batch is partially
-    aggregated, then merged with the current rollup state for the
-    touched hours only — partition-overwrite semantics, so an hour's
-    file is rewritten only when that hour receives events.
-
-    foreachBatch is the escape hatch for sinks Spark cannot express
-    declaratively (MERGE-style upserts); the batch function receives a
-    normal DataFrame, so the merge itself is ordinary engine code.
-    Returns the StreamingQuery (caller stops it)."""
-    spark = stream.sparkSession
+def rollup_merge_fn(spark: SparkSession, target_dir: str):
+    """The rollup's per-batch merge, exposed at module level so tests
+    can drive RETRIES directly (foreachBatch is at-least-once: a
+    crash between sink commit and checkpoint commit re-runs the
+    batch).  The merge is read-modify-write — re-applying a batch
+    would DOUBLE-COUNT its events — so each applied batch leaves a
+    marker under ``{target_dir}_applied/`` and a redelivered batch id
+    returns without touching the table.  Residual risk, documented:
+    a crash between the partition overwrite and the marker mkdir
+    still re-applies (closing that needs a transactional table
+    format); the marker closes the much larger window between marker
+    and checkpoint commit."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        jvm0 = spark._jvm
+        hconf0 = spark._jsc.hadoopConfiguration()
+        marker = jvm0.org.apache.hadoop.fs.Path(
+            f"{target_dir}_applied/{batch_id}"
+        )
+        mfs = marker.getFileSystem(hconf0)
+        if mfs.exists(marker):
+            return
         delta = (
             batch_df.groupBy(
                 F.date_trunc("hour", "ts").alias("hour"), "event_type"
@@ -187,9 +194,28 @@ def incremental_hourly_rollup(stream: DataFrame, target_dir: str):
             .parquet(target_dir)
         )
         fs.delete(jvm.org.apache.hadoop.fs.Path(stage_dir), True)
+        mfs.mkdirs(marker)
 
+    return merge
+
+
+def incremental_hourly_rollup(stream: DataFrame, target_dir: str):
+    """Continuous-aggregate pattern (the 'hypertable rollup'): keep a
+    parquet table of per-(hour, event_type) counts incrementally
+    up-to-date as events stream in. Each micro-batch is partially
+    aggregated, then merged with the current rollup state for the
+    touched hours only — partition-overwrite semantics, so an hour's
+    file is rewritten only when that hour receives events.
+
+    foreachBatch is the escape hatch for sinks Spark cannot express
+    declaratively (MERGE-style upserts); the batch function receives a
+    normal DataFrame, so the merge itself is ordinary engine code —
+    see rollup_merge_fn for the retry-safety contract.
+    Returns the StreamingQuery (caller stops it)."""
     return (
-        stream.writeStream.foreachBatch(merge)
+        stream.writeStream.foreachBatch(
+            rollup_merge_fn(stream.sparkSession, target_dir)
+        )
         .option("checkpointLocation", f"{target_dir}_ckpt")
         .start()
     )
@@ -423,9 +449,19 @@ def incremental_near_dedup(doc_stream: DataFrame, store_dir: str, out_dir: str):
     (bi, bv), the LSH bucket posture dedup.py audits.
 
     Returns the StreamingQuery (caller stops it)."""
-    from ..operators.dedup import _capped_band_pairs, _lsh_bands, minhash_sigs
+    return (
+        doc_stream.writeStream.foreachBatch(
+            near_dedup_merge_fn(doc_stream.sparkSession, store_dir, out_dir)
+        )
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .start()
+    )
 
-    spark = doc_stream.sparkSession
+
+def near_dedup_merge_fn(spark: SparkSession, store_dir: str, out_dir: str):
+    """incremental_near_dedup's per-batch merge, module-level so tests
+    can drive redeliveries directly (see the retry notes inline)."""
+    from ..operators.dedup import _capped_band_pairs, _lsh_bands, minhash_sigs
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -436,7 +472,18 @@ def incremental_near_dedup(doc_stream: DataFrame, store_dir: str, out_dir: str):
         store_path = jvm.org.apache.hadoop.fs.Path(store_dir)
         fs = store_path.getFileSystem(hconf)
         if fs.exists(store_path):
-            store = spark.read.parquet(store_dir).select("bi", "bv")
+            # exclude THIS batch's own partition from the probe: a
+            # RETRIED batch otherwise collides with the signatures its
+            # first attempt stored and rejects every one of its own
+            # docs — silent data loss on at-least-once redelivery.
+            # With the self-partition excluded, a retry reproduces the
+            # first attempt bit-for-bit (the batch_id-keyed overwrite
+            # below is already idempotent).
+            store = (
+                spark.read.parquet(store_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("bi", "bv")
+            )
             vs_store = (
                 bands.join(store, ["bi", "bv"], "left_semi")
                 .select("doc_id")
@@ -459,8 +506,4 @@ def incremental_near_dedup(doc_stream: DataFrame, store_dir: str, out_dir: str):
         )
         kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
-    return (
-        doc_stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", f"{out_dir}_ckpt")
-        .start()
-    )
+    return merge

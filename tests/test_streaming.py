@@ -402,3 +402,51 @@ def test_incremental_near_dedup_stream(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out).collect()
     )
     assert accepted == [1, 2, 11]
+
+
+def test_rollup_merge_is_retry_safe(spark, tmp_path):
+    """A redelivered batch id must not double-count: the applied-batch
+    marker makes re-running merge(batch, id) a no-op."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import rollup_merge_fn
+
+    target = str(tmp_path / "rollup")
+    merge = rollup_merge_fn(spark, target)
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}")],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    merge(batch, 0)
+    first = {(r.hour_key, r.event_type): r.cnt for r in spark.read.parquet(target).collect()}
+    merge(batch, 0)  # redelivery of the same batch id
+    again = {(r.hour_key, r.event_type): r.cnt for r in spark.read.parquet(target).collect()}
+    assert first == again == {(2024010110, "click"): 1}
+    merge(batch, 1)  # a genuinely new batch still merges
+    assert {
+        (r.hour_key, r.event_type): r.cnt for r in spark.read.parquet(target).collect()
+    } == {(2024010110, "click"): 2}
+
+
+def test_near_dedup_merge_is_retry_safe(spark, tmp_path):
+    """A redelivered near-dedup batch must reproduce its first
+    attempt, not reject its own docs against the signatures that
+    attempt stored (the self-partition is excluded from the probe)."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        near_dedup_merge_fn,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "accepted")
+    merge = near_dedup_merge_fn(spark, store, out)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    merge(b1, 0)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1]
+    merge(b1, 0)  # redelivery: must keep doc 1, not reject it
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == [1]
