@@ -145,3 +145,55 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+def optimize_table(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    qx: str,
+    qy: str,
+    n_files: int,
+    analyze_as: str | None = None,
+) -> dict:
+    """OPTIMIZE-verb maintenance: compact a fragmented table AND
+    z-cluster it in one rewrite, optionally registering it with CBO
+    statistics — the composed op a lakehouse runs on schedule
+    (Delta/Iceberg `OPTIMIZE ... ZORDER BY`), built from this repo's
+    audited pieces: one read, one Morton key, one range partition,
+    one write.
+
+    ``qx``/``qy`` are already-quantized (0..65535) integer columns.
+    Compaction and clustering share the same shuffle: the
+    repartitionByRange on the z-key IS the file-count reduction, so
+    the data moves once, not twice.  With ``analyze_as`` the result
+    is also saved as a managed table and ANALYZEd so the optimizer
+    sees real row counts (CBO join ordering — the same lever
+    tests/test_scale_patterns.py pins for dimension tables).
+
+    Returns a small audit dict: files before/after, rows.
+    """
+    import os
+
+    def _count_files(d: str) -> int:
+        return len(
+            [
+                f
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith("_")
+            ]
+        )
+
+    src = spark.read.parquet(src_dir)
+    rows = src.count()
+    files_before = _count_files(src_dir)
+    clustered = with_zvalue(src, qx, qy).repartitionByRange(n_files, "z")
+    clustered.write.mode("overwrite").parquet(dest_dir)
+    if analyze_as:
+        spark.read.parquet(dest_dir).write.mode("overwrite").saveAsTable(analyze_as)
+        spark.sql(f"ANALYZE TABLE {analyze_as} COMPUTE STATISTICS")
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": _count_files(dest_dir),
+    }
