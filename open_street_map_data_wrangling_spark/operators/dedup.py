@@ -1123,3 +1123,50 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+_CONSENSUS_TAU = 0.15
+
+
+@query(
+    "q_dedup_consensus",
+    oracle=f"""
+        WITH {_PAIRS_CTE}
+        SELECT p.pa AS doc_a, p.pb AS doc_b,
+               round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4)
+                 AS cos_sim,
+               list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                 >= {_CONSENSUS_TAU} AS semantic_agree
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.pa
+        JOIN embeddings eb ON eb.vec_id = p.pb
+    """,
+    tags=("dedup", "lsh", "embedding", "extension"),
+)
+def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-signal near-dup verification: every LSH candidate pair is
+    re-scored by the cosine of the two documents' embeddings — the
+    lexical-recall / semantic-precision split production dedup runs
+    (MinHash surfaces candidates cheaply; the embedding check kills
+    template-collision false positives whose MEANING differs).  The
+    semantic pass is candidate-bounded: two broadcast-able joins
+    against the pair list, never an all-pairs cosine — at 100 TB the
+    expensive signal is only ever computed on the cheap signal's
+    output.  Emits every candidate with its cosine and the agreement
+    flag rather than filtering, so downstream policy (and the
+    oracle) sees the full confusion surface."""
+    pairs = q_dedup_near(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("b_emb"))
+    cos = cosine_expr("a_emb", "b_emb")
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cos, 4).alias("cos_sim"),
+            (cos >= F.lit(_CONSENSUS_TAU)).alias("semantic_agree"),
+        )
+    )

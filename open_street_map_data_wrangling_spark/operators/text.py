@@ -463,3 +463,54 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "md5(array_join(slice(ts, st, 32), ' ')) AS chunk_md5",
         )
     )
+
+
+@query(
+    "q_quality_tiers",
+    oracle="""
+        WITH sig AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS n_toks,
+                   10000 * len(list_distinct(string_split(text, ' ')))
+                       // len(string_split(text, ' ')) AS distinct_x10k
+            FROM documents)
+        SELECT lang,
+               CASE WHEN n_toks < 8 OR distinct_x10k < 3000 THEN 'drop'
+                    WHEN n_toks >= 20 AND distinct_x10k >= 5000 THEN 'keep'
+                    ELSE 'review' END AS tier,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS total_toks
+        FROM sig
+        GROUP BY 1, 2
+    """,
+    tags=("text", "quality", "pipeline", "extension"),
+)
+def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality RUBRIC (the FineWeb-style keep/review/drop triage):
+    structural signals — token count and distinct-token ratio,
+    integer-scaled so both engines tier identically — fold into one
+    CASE ladder, then per-(lang, tier) counts.  The point over the
+    single-signal filters (q_quality, q_repetition, q_rare_tokens)
+    is the POLICY layer: thresholds live in one place, the middle
+    tier is routed to review instead of silently dropped, and the
+    output is the per-language triage report a curation run ships.
+    Rowwise signals at the scan + one small aggregate; no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.selectExpr(
+        "lang",
+        "size(split(text, ' ')) AS n_toks",
+        "10000 * size(array_distinct(split(text, ' '))) div size(split(text, ' ')) AS distinct_x10k",
+    )
+    tier = (
+        F.when((F.col("n_toks") < 8) | (F.col("distinct_x10k") < 3000), "drop")
+        .when((F.col("n_toks") >= 20) & (F.col("distinct_x10k") >= 5000), "keep")
+        .otherwise("review")
+    )
+    return (
+        sig.withColumn("tier", tier)
+        .groupBy("lang", "tier")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_toks"),
+        )
+    )
