@@ -251,3 +251,54 @@ def test_write_osm_sample_k1_keeps_everything(spark, tmp_path_factory):
     src.write_text(_make_xml())
     n = write_osm_sample(spark, str(src), str(d / "full.osm"), k=1)
     assert n == N_NODES + N_WAYS
+
+
+def test_etl_to_sqlite_reference_migration(spark, tmp_path_factory):
+    """The complete reference workflow on this engine: OSM XML → ETL
+    (EP1) → SQLite load (S5) → the case study's own cursor queries
+    (EP3).  A reference user's existing sqlite3 analysis scripts run
+    unchanged against the file this engine produces."""
+    import sqlite3
+
+    from open_street_map_data_wrangling_spark.etl import run_osm_etl
+    from open_street_map_data_wrangling_spark.sources.sinks import write_sqlite
+
+    base = tmp_path_factory.mktemp("etl_sqlite")
+    src = base / "map.osm"
+    src.write_text(_make_xml())
+    out = str(base / "shaped")
+    run_osm_etl(spark, str(src), out)
+
+    db = str(base / "osm.db")
+    for table in ("nodes", "nodes_tags", "ways", "ways_tags", "ways_nodes"):
+        df = spark.read.parquet(f"{out}/{table}.parquet")
+        assert write_sqlite(df, db, table) == df.count()
+
+    con = sqlite3.connect(db)
+    try:
+        # the reference's EP3 queries, verbatim style
+        n_nodes = con.execute("SELECT count(*) FROM nodes").fetchone()[0]
+        assert n_nodes == spark.read.parquet(f"{out}/nodes.parquet").count()
+        users = con.execute(
+            "SELECT count(DISTINCT user) FROM "
+            "(SELECT user FROM nodes UNION ALL SELECT user FROM ways)"
+        ).fetchone()[0]
+        assert users >= 1
+        amenities = con.execute(
+            "SELECT value, count(*) c FROM nodes_tags WHERE key = 'amenity' "
+            "GROUP BY value ORDER BY c DESC, value LIMIT 3"
+        ).fetchall()
+        want = (
+            spark.read.parquet(f"{out}/nodes_tags.parquet")
+            .filter("key = 'amenity'")
+            .groupBy("value")
+            .count()
+            .orderBy(F.desc("count"), "value")
+            .limit(3)
+            .collect()
+        )
+        assert [(v, c) for v, c in amenities] == [
+            (r["value"], r["count"]) for r in want
+        ]
+    finally:
+        con.close()
