@@ -603,3 +603,61 @@ def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("qv").alias("hi_x100"),
         )
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+        WITH cuts AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(e.value), 2) AS sum_raw,
+               round(sum(CASE WHEN e.value < c.lo THEN c.lo
+                              WHEN e.value > c.hi THEN c.hi
+                              ELSE e.value END), 2) AS sum_winsorized,
+               CAST(sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_low,
+               CAST(sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_high
+        FROM events e JOIN cuts c USING (event_type)
+        GROUP BY e.event_type
+    """,
+    tags=("stats", "pipeline", "quality"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping): per-group p05/p95 cutpoints,
+    values clamped into the band, before/after sums and clip counts —
+    the numeric-feature robustness step a training pipeline applies
+    before normalization.  Two passes over the fact: one exact-
+    percentile aggregate (Spark `percentile` ≡ DuckDB quantile_cont,
+    the q_percentiles equivalence) whose per-group output broadcasts
+    back onto the scan, then one clamp + aggregate — the cutpoint
+    table is O(groups) rows, so the fact never joins anything its
+    own size."""
+    events = load_table(spark, sf_dir, "events")
+    cuts = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        events.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_raw"),
+            F.round(F.sum(clipped), 2).alias("sum_winsorized"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+        )
+    )
