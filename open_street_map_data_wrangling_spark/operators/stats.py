@@ -661,3 +661,96 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clipped_high"),
         )
     )
+
+
+@query(
+    "q_zscore_outliers",
+    oracle="""
+        WITH cents AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events),
+        moments AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS sum_c,
+                   CAST(sum(c * c) AS BIGINT) AS sumsq_c
+            FROM cents GROUP BY event_type),
+        stats AS (
+            SELECT event_type, n, sum_c, sumsq_c,
+                   (CAST(sum_c AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS mu,
+                   sqrt((CAST(sumsq_c AS DOUBLE) / 10000.0
+                         - CAST(n AS DOUBLE)
+                           * ((CAST(sum_c AS DOUBLE) / 100.0) / CAST(n AS DOUBLE))
+                           * ((CAST(sum_c AS DOUBLE) / 100.0) / CAST(n AS DOUBLE)))
+                        / CAST(n AS DOUBLE)) AS sigma
+            FROM moments)
+        SELECT c.event_type,
+               s.n,
+               round(s.mu, 4) AS mean_val,
+               round(s.sigma, 4) AS std_val,
+               CAST(sum(CASE WHEN CAST(c.c AS DOUBLE) / 100.0 - s.mu
+                                  > 2.0 * s.sigma THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_high_outliers,
+               CAST(sum(CASE WHEN CAST(c.c AS DOUBLE) / 100.0 - s.mu
+                                  < -2.0 * s.sigma THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_low_outliers
+        FROM cents c JOIN stats s USING (event_type)
+        GROUP BY c.event_type, s.n, s.mu, s.sigma
+    """,
+    tags=("stats", "pipeline", "quality"),
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score normalization audit: per-group mean/std derived from
+    EXACT integer moments (values are 2-dp fixture doubles, so cents
+    sums and sums-of-squares are lossless bigints; mu/sigma then come
+    from ONE double expression spelled identically in both engines —
+    no Welford drift, no summation-order dependence), plus the |z|>2
+    outlier counts a feature-normalization pass reports.  Two passes
+    like q_winsorize: an O(groups) moment table broadcast back onto
+    the scan."""
+    events = load_table(spark, sf_dir, "events")
+    cents = events.select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("c")
+    )
+    moments = cents.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sum_c"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("sumsq_c"),
+    )
+    mu = "(CAST(sum_c AS DOUBLE) / 100.0) / CAST(n AS DOUBLE)"
+    sigma = (
+        f"sqrt((CAST(sumsq_c AS DOUBLE) / 10000.0 - CAST(n AS DOUBLE) * ({mu}) * ({mu}))"
+        " / CAST(n AS DOUBLE))"
+    )
+    stats = moments.selectExpr(
+        "event_type", "n", f"{mu} AS mu", f"{sigma} AS sigma"
+    )
+    return (
+        cents.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n", "mu", "sigma")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN CAST(c AS DOUBLE) / 100.0 - mu > 2.0 * sigma THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_high_outliers"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN CAST(c AS DOUBLE) / 100.0 - mu < -2.0 * sigma THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_low_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("mu", 4).alias("mean_val"),
+            F.round("sigma", 4).alias("std_val"),
+            "n_high_outliers",
+            "n_low_outliers",
+        )
+    )
