@@ -438,3 +438,95 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c", F.lit(0)).cast("bigint").alias("n_events"),
         F.last("a", ignorenulls=True).over(w).cast("bigint").alias("filled_avg_x100"),
     )
+
+
+@query(
+    "q_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+            FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n_transitions
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    tags=("window", "pipeline", "sequence"),
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (sequence-modeling prep): per-user
+    chronological lead() pairs each event with its successor, then
+    one aggregate counts (from, to) edges — the empirical Markov
+    transitions behind next-action models and anomalous-flow
+    detection.  One keyed exchange (user_id) for the window, then a
+    |event_types|^2-key aggregate with map-side partials; the fact
+    never moves again.  event_id tiebreaks keep successor choice
+    deterministic under timestamp ties."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort_week
+            FROM events GROUP BY user_id),
+        activity AS (
+            SELECT DISTINCT e.user_id,
+                   date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS activity_week
+            FROM events e)
+        SELECT epoch_us(f.cohort_week) AS cohort_week_us,
+               CAST(date_diff('week', f.cohort_week, a.activity_week) AS BIGINT)
+                   AS weeks_since,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM activity a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    tags=("window", "pipeline", "cohort"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users bucketed by first-seen week, counted
+    in each later activity week — the (cohort, weeks-since) retention
+    triangle.  Two aggregates over the fact (first-seen per user;
+    distinct user-week activity) joined on user_id: the cohort table
+    is O(users), so at scale this is one fact scan + keyed exchanges
+    on user_id only, never a fact-x-fact join.  Weeks are epoch-µs
+    bigints at the boundary (driver canonicalizer contract —
+    timestamps never leave a query raw)."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            (
+                F.floor(
+                    (F.unix_micros("activity_week") - F.unix_micros("cohort_week"))
+                    / F.lit(7 * 24 * 3600 * 1000000)
+                )
+            )
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .groupBy("cohort_week_us", "weeks_since")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
