@@ -384,3 +384,40 @@ def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         local.join(F.broadcast(offsets), ["stage", "__bkt"])
         .select("doc_id", "stage", (F.col("__off") + F.col("__rn")).alias("seq"))
     )
+
+
+@query(
+    "q_dup_rate_by_source",
+    oracle="""
+        WITH h AS (
+            SELECT source, md5(text) AS ch FROM documents),
+        per AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT ch) AS BIGINT) AS n_unique
+            FROM h GROUP BY source)
+        SELECT source, n_docs, n_unique,
+               CAST(10000 * (n_docs - n_unique) // n_docs AS BIGINT)
+                   AS dup_rate_x10k
+        FROM per
+    """,
+    tags=("dedup", "pipeline", "reporting"),
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation reporting: exact-duplicate rate per source — the
+    number every ingest review starts with (a source whose dup rate
+    spikes is re-crawling itself).  One hash aggregate per source
+    with a distinct-count; integer-scaled rate.  At 100 TB the
+    distinct rides source-partitioned partial aggregation — no row
+    ever carries text, only its hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select("source", F.md5("text").alias("ch")).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("ch").cast("bigint").alias("n_unique"),
+    )
+    return per.selectExpr(
+        "source",
+        "n_docs",
+        "n_unique",
+        "CAST(10000 * (n_docs - n_unique) div n_docs AS BIGINT) AS dup_rate_x10k",
+    )

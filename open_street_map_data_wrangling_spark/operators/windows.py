@@ -530,3 +530,50 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week_us", "weeks_since")
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "q_wow_growth",
+    oracle="""
+        WITH weekly AS (
+            SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT epoch_us(wk) AS week_us, event_type, n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n,
+               CAST(CASE WHEN lag(n) OVER (PARTITION BY event_type ORDER BY wk)
+                              IS NULL THEN NULL
+                         ELSE 10000 * (n - lag(n) OVER (
+                                  PARTITION BY event_type ORDER BY wk))
+                              // lag(n) OVER (PARTITION BY event_type ORDER BY wk)
+                    END AS BIGINT) AS wow_x10k
+        FROM weekly
+    """,
+    tags=("window", "reporting"),
+)
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the window-over-
+    AGGREGATE reporting shape: the fact collapses to O(weeks x
+    types) rows FIRST, then lag() runs over that tiny table, so the
+    window's sort never sees raw events (the same aggregate-first
+    posture as q_share_of_total / q_resample_ffill).  Growth is an
+    integer-scaled ratio; weeks leave as epoch-us bigints."""
+    events = load_table(spark, sf_dir, "events")
+    weekly = events.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("wk"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = W.partitionBy("event_type").orderBy("wk")
+    return weekly.select(
+        F.unix_micros("wk").alias("week_us"),
+        "event_type",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+    ).selectExpr(
+        "week_us",
+        "event_type",
+        "n",
+        "prev_n",
+        "CAST(CASE WHEN prev_n IS NULL THEN NULL "
+        "ELSE 10000 * (n - prev_n) div prev_n END AS BIGINT) AS wow_x10k",
+    )
