@@ -514,3 +514,74 @@ def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("bigint").alias("total_toks"),
         )
     )
+
+
+@query(
+    "q_domain_shift",
+    oracle="""
+        WITH tk AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+        corpus AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+        head AS (
+            SELECT tok, c FROM (
+                SELECT tok, c,
+                       row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+                FROM corpus) WHERE rn <= 64),
+        sc AS (
+            SELECT tk.source, tk.tok, CAST(count(*) AS BIGINT) AS o
+            FROM tk JOIN head USING (tok)
+            GROUP BY 1, 2),
+        dots AS (
+            SELECT sc.source,
+                   CAST(sum(sc.o * head.c) AS BIGINT) AS dot,
+                   CAST(sum(sc.o * sc.o) AS BIGINT) AS n2s
+            FROM sc JOIN head USING (tok)
+            GROUP BY sc.source),
+        n2c AS (SELECT CAST(sum(c * c) AS BIGINT) AS v FROM head)
+        SELECT d.source,
+               round(CAST(d.dot AS DOUBLE)
+                     / (sqrt(CAST(d.n2s AS DOUBLE)) * sqrt(CAST(n2c.v AS DOUBLE))),
+                     4) AS head_cosine
+        FROM dots d CROSS JOIN n2c
+    """,
+    tags=("text", "pipeline", "quality", "reporting"),
+)
+def q_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift detector: cosine similarity between each source's
+    token-count vector and the corpus's, restricted to the corpus's
+    top-64 head tokens — a source whose head-vocabulary profile
+    drifts from the corpus scores low and gets flagged for review
+    (the cheap stand-in for per-source KL monitoring; a chi-square
+    form would overflow int64 on the cross terms, while count
+    vectors over a FIXED 64-token head keep every sum an exact
+    bigint and the one double division is spelled identically in
+    both engines).  The head is O(64) rows → broadcast; everything
+    else is hash aggregates over (source, tok)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    corpus = tk.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    head = (
+        corpus.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(64)
+        .select("tok", "c")
+    )
+    sc = (
+        tk.join(F.broadcast(head.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    dots = (
+        sc.join(F.broadcast(head), "tok")
+        .groupBy("source")
+        .agg(
+            F.sum(F.expr("o * c")).cast("bigint").alias("dot"),
+            F.sum(F.expr("o * o")).cast("bigint").alias("n2s"),
+        )
+    )
+    n2c = head.agg(F.sum(F.expr("c * c")).cast("bigint").alias("v"))
+    return dots.crossJoin(F.broadcast(n2c)).selectExpr(
+        "source",
+        "round(CAST(dot AS DOUBLE) / (sqrt(CAST(n2s AS DOUBLE)) * sqrt(CAST(v AS DOUBLE))), 4) AS head_cosine",
+    )
