@@ -585,3 +585,44 @@ def q_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "round(CAST(dot AS DOUBLE) / (sqrt(CAST(n2s AS DOUBLE)) * sqrt(CAST(v AS DOUBLE))), 4) AS head_cosine",
     )
+
+
+def _compression_batches(batches):
+    """mapInPandas worker: zlib level-6 compressed size per text —
+    stdlib, deterministic (fixed level, no dictionary)."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        raw = pdf["text"].map(lambda t: len(t.encode("utf-8")))
+        comp = pdf["text"].map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": raw.astype("int64"),
+                "n_compressed": comp.astype("int64"),
+                "ratio_x10k": (10000 * comp // raw).astype("int64"),
+            }
+        )
+
+
+@query("q_compression_ratio", oracle=None, tags=("text", "quality", "pandas-udf"))
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: zlib(text)/len(text) — the
+    entropy proxy public pipelines use to catch pathological docs
+    from BOTH tails (near-zero ratio = mechanical repetition that
+    n-gram rules miss; near-1 ratio = random noise / binary spill).
+    This is the one text op that legitimately needs Python: a real
+    codec, so it runs as Arrow-batched mapInPandas over stdlib zlib
+    (level pinned for determinism) — vectorized batches, never
+    row-at-a-time pickling.  Rows-only at the driver (DuckDB has no
+    zlib); tests/test_operators.py pins per-doc exactness against a
+    direct Python recomputation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInPandas(
+        _compression_batches,
+        schema="doc_id bigint, n_bytes bigint, n_compressed bigint, ratio_x10k bigint",
+    )

@@ -638,3 +638,27 @@ def test_multimodal_resize_and_frame_sample_plumbing(spark):
     # determinism: a second run yields identical rows
     again = sample_frames(docs, every_n=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, frames))
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    """The mapInPandas compression signal must equal a direct Python
+    zlib recomputation per document (same level, same encoding)."""
+    import zlib
+
+    from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["ratio_x10k"])
+        for r in load_all_queries()["q_compression_ratio"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pylist()
+    assert len(got) == len(rows)
+    for r in rows:
+        raw = r["text"].encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        want = (len(raw), len(comp), 10000 * len(comp) // len(raw))
+        assert got[r["doc_id"]] == want
