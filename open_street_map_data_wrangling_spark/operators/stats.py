@@ -754,3 +754,90 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_low_outliers",
         )
     )
+
+
+@query(
+    "q_impute",
+    oracle="""
+        WITH holed AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS v
+            FROM events),
+        means AS (
+            SELECT event_type, avg(v) AS mean_v
+            FROM holed WHERE v IS NOT NULL GROUP BY event_type)
+        SELECT h.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN h.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_imputed,
+               round(sum(coalesce(h.v, m.mean_v)), 2) AS sum_imputed
+        FROM holed h JOIN means m USING (event_type)
+        GROUP BY h.event_type
+    """,
+    tags=("stats", "pipeline", "cleaning"),
+)
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation: nulls (synthesized deterministically —
+    every 97th event id, since the fixtures ship complete) fill with
+    their group's non-null mean.  The mean table is O(groups) and
+    broadcasts back onto the scan — the imputation itself is a
+    rowwise coalesce, so the op costs one aggregate plus one pass no
+    matter the scale.  Imputed sums round at 2dp on both engines;
+    the group means divide identical integer-sum/count pairs, so the
+    coalesced doubles match bit-for-bit."""
+    events = load_table(spark, sf_dir, "events")
+    holed = events.selectExpr(
+        "event_type",
+        "CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS v",
+    )
+    means = holed.filter("v IS NOT NULL").groupBy("event_type").agg(
+        F.avg("v").alias("mean_v")
+    )
+    return (
+        holed.join(F.broadcast(means), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_imputed"),
+            F.round(F.sum(F.coalesce("v", "mean_v")), 2).alias("sum_imputed"),
+        )
+    )
+
+
+@query(
+    "q_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS m
+            FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               round(m.m, 4) AS median_val,
+               round(quantile_cont(abs(e.value - m.m), 0.5), 4) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type, m.m
+    """,
+    tags=("stats", "robust"),
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust scale metric
+    that pairs with q_winsorize/q_zscore_outliers (a heavy-tailed
+    feature breaks sigma; MAD does not).  Two exact-percentile
+    passes (the q_percentiles Spark-percentile ≡ quantile_cont
+    equivalence), the O(groups) median table broadcast between them
+    — same two-pass posture as winsorize."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(
+            F.expr("round(percentile(abs(value - m), 0.5), 4)").alias("mad")
+        )
+        .select(
+            "event_type", F.round("m", 4).alias("median_val"), "mad"
+        )
+    )
