@@ -77,6 +77,24 @@ HEADLINE = (
     "q_pq_codes",
     "q_pq_adc",
     "q_top_ngrams",
+    # added round 5 (second wave): the remaining new operators, so the
+    # whole round-5 surface is regression-guarded; q_curation_manifest
+    # and q_leakage_safe_split stay out (their cost IS q_dedup_clusters,
+    # already guarded above)
+    "q_dedup_consensus",
+    "q_quality_tiers",
+    "q_winsorize",
+    "q_zscore_outliers",
+    "q_transitions",
+    "q_cohort_retention",
+    "q_wow_growth",
+    "q_dup_rate_by_source",
+    "q_domain_shift",
+    "q_chunk_overlap",
+    "q_compression_ratio",
+    "q_impute",
+    "q_mad",
+    "q_text_canon",
 )
 
 

@@ -512,3 +512,43 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a stack() over already-aggregated scalars."""
     li = load_table(spark, sf_dir, "lineitem")
     return expectations(li, _LINEITEM_RULES)
+
+
+@query(
+    "q_text_canon",
+    oracle="""
+        WITH canon AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS ctext
+            FROM documents)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN ctext <> text THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_changed,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_raw,
+               CAST(count(DISTINCT md5(ctext)) AS BIGINT) AS distinct_canon
+        FROM canon
+    """,
+    tags=("cleaning", "text", "pipeline"),
+)
+def q_text_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization audit — the normalize-before-hash step
+    every dedup pipeline runs first (case fold, whitespace collapse,
+    trim): without it, trivially-different copies defeat exact dedup.
+    Reports how many docs change under canonicalization and how the
+    distinct-hash count tightens (distinct_canon <= distinct_raw is
+    the signal the step matters).  Rowwise expressions + one
+    aggregate; both engines share the regexp dialect for ' +'."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.selectExpr(
+        "doc_id",
+        "text",
+        "trim(regexp_replace(lower(text), ' +', ' ')) AS ctext",
+    )
+    return canon.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("ctext") != F.col("text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changed"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("distinct_raw"),
+        F.countDistinct(F.md5("ctext")).cast("bigint").alias("distinct_canon"),
+    )
