@@ -529,3 +529,100 @@ def q_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
     )
+
+
+@query(
+    "q_user_overlap",
+    oracle="""
+        WITH tu AS (
+            SELECT DISTINCT event_type, user_id FROM events),
+        sizes AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM tu GROUP BY event_type),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM tu a JOIN tu b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT i.type_a, i.type_b, i.n_both,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(10000 * i.n_both // (sa.n + sb.n - i.n_both) AS BIGINT)
+                   AS jaccard_x10k
+        FROM inter i
+        JOIN sizes sa ON sa.event_type = i.type_a
+        JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    tags=("relational", "reporting", "setops"),
+)
+def q_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: Jaccard of user sets for every event-type
+    pair — the segment-intersection report behind "do purchasers also
+    click" questions.  The intersection self-join runs on the
+    DEDUPLICATED (type, user) table keyed by user_id, so its size is
+    O(users x types), never O(events²); pair fan-out per user is
+    bounded by the type count (5 here), and set sizes broadcast back
+    onto the bounded pair table.  Integer-scaled Jaccard."""
+    events = load_table(spark, sf_dir, "events")
+    tu = events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            "CAST(10000 * n_both div (n_a + n_b - n_both) AS BIGINT) AS jaccard_x10k",
+        )
+    )
+
+
+@query(
+    "q_seasonality",
+    oracle="""
+        SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("relational", "reporting", "datetime"),
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity matrix — the seasonality
+    fingerprint load forecasting and anomaly baselines start from.
+    One aggregate with at most 168 keys; map-side partials collapse
+    the fact before the exchange (the smallest shuffle a full-table
+    report can have).  DuckDB's dayofweek is 0-6 Sunday-first while
+    Spark's dayofweek is 1-7 Sunday-first — the Spark side subtracts
+    1 so both emit the same 0-6 convention."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            (F.dayofweek("ts") - F.lit(1)).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
