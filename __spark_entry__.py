@@ -154,6 +154,13 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     # carrying r01–r03 stamps, these 21 read the events table directly
     # — the only ones the normalization could behaviorally affect — so
     # they take the window slots first; the rest re-verify in r06.
+    #
+    # Window arithmetic (r05): 28 never-stamped round-5 queries +
+    # these 21 + 1 = exactly the ~50-entry window, so the registry was
+    # FROZEN for the round once the count hit 28 — adding more fresh
+    # entries would have pushed the events-risk group out of the
+    # window.  Round 6: expect ~69 helper-churn modified entries left;
+    # they carry r01–r03-verified stamps for identical semantics.
     "q_clean_phone",
     "q_validate",
     "q_rank_users",
