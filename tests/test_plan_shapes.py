@@ -200,3 +200,26 @@ def test_interval_bucket_join_is_equi_not_nlj(plans):
     p = plans("q_interval_bucket_join")
     assert "BroadcastHashJoin" in p
     assert "NestedLoop" not in p
+
+
+def test_winsorize_broadcasts_cutpoints(plans):
+    """The percentile cutpoint table is O(groups): it must broadcast
+    back onto the fact scan, never shuffle the fact for the join."""
+    p = plans("q_winsorize")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_user_overlap_reuses_distinct_exchange(spark):
+    """The audience-overlap self-join runs on the DEDUPLICATED
+    (type, user) table; its multiple consumers must share the
+    distinct's exchange at runtime (ReusedExchange in the
+    post-execution adaptive plan — pre-AQE plans repeat the subtree
+    textually, so this is only visible after execution, same caveat
+    as the LSH reuse pins)."""
+    qs = load_all_queries()
+    df = qs["q_user_overlap"].spark(spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p
+    assert "CartesianProduct" not in p
