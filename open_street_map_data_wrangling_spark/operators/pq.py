@@ -232,13 +232,23 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the compressed-scan shape that replaces per-row float math at
     scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = _collect_seed_codebook(emb)
-    qrow = (
-        emb.filter(F.col("vec_id") == _QUERY_ID)
-        .select("embedding")
-        .collect()[0]["embedding"]
+    # seeds + query vector in ONE bounded collect (vec_id <= 17 is 18
+    # rows); a separate filter-collect per piece was a second job for
+    # no reason
+    rows = (
+        emb.filter(F.col("vec_id") <= _QUERY_ID)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    lut = _adc_lut(cb, _quantize(list(qrow)))
+    qs = [_quantize(list(r["embedding"])) for r in rows if r["vec_id"] < _K]
+    cb = [
+        [qv[s * _SUBDIM : (s + 1) * _SUBDIM] for qv in qs] for s in range(_M)
+    ]
+    qvec = next(
+        _quantize(list(r["embedding"])) for r in rows if r["vec_id"] == _QUERY_ID
+    )
+    lut = _adc_lut(cb, qvec)
     lut_lit = F.array(
         *[F.array(*[F.lit(int(d)) for d in row]) for row in lut]
     )
