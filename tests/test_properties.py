@@ -456,3 +456,52 @@ def test_interval_bucket_join_equals_nlj(points, intervals):
         if lo <= float(np_f32(p)) < hi
     )
     assert got == exp
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=120), min_size=1, max_size=20
+    )
+)
+@settings(**_SETTINGS)
+def test_chunk_overlap_matches_python(texts):
+    """Sliding-window chunking ≡ a direct Python reconstruction for
+    arbitrary (including empty and whitespace-heavy) texts: same
+    chunk indices, token counts, and md5s."""
+    import hashlib
+
+    spark = _get_spark()
+    from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    # drive the operator body directly over the synthetic frame
+    from open_street_map_data_wrangling_spark.operators import text as text_ops
+
+    out = (
+        docs.selectExpr("doc_id", "split(text, ' ') AS ts")
+        .selectExpr(
+            "doc_id", "ts", "posexplode(sequence(1, size(ts), 16)) AS (cidx, st)"
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(cidx AS INT) AS chunk_idx",
+            "CAST(size(slice(ts, st, 32)) AS BIGINT) AS n_chunk_toks",
+            "md5(array_join(slice(ts, st, 32), ' ')) AS chunk_md5",
+        )
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_toks"], r["chunk_md5"])
+        for r in out.collect()
+    }
+    exp = {}
+    for doc_id, t in enumerate(texts):
+        toks = t.split(" ")
+        for cidx, st_ in enumerate(range(1, len(toks) + 1, 16)):
+            chunk = toks[st_ - 1 : st_ - 1 + 32]
+            exp[(doc_id, cidx)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert got == exp
