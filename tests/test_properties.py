@@ -505,3 +505,69 @@ def test_chunk_overlap_matches_python(texts):
                 hashlib.md5(" ".join(chunk).encode()).hexdigest(),
             )
     assert got == exp
+
+
+@given(data=st.lists(st.tuples(st.integers(0, 10_000), st.integers(1, 500)),
+                     min_size=1, max_size=60, unique_by=lambda t: t[0]))
+@settings(**_SETTINGS)
+def test_weighted_sample_rule_matches_python(data):
+    """The content-hash weighted-sampling predicate ≡ its Python
+    reconstruction (same md5 prefix, same scaling) for arbitrary ids
+    and weights — the determinism claim behind q_weighted_sample."""
+    import hashlib
+
+    spark = _get_spark()
+    df = spark.createDataFrame(data, "doc_id long, n_chars long")
+    mx = max(w for _, w in data)
+    got = {
+        r["doc_id"]
+        for r in df.crossJoin(
+            df.agg(F.max("n_chars").alias("__mx"))
+        )
+        .filter(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+                )
+                .cast("bigint")
+                .cast("double")
+                / F.lit(4294967296.0)
+            )
+            * F.col("__mx")
+            < F.col("n_chars")
+        )
+        .select("doc_id")
+        .collect()
+    }
+    exp = set()
+    for doc_id, w in data:
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) / 4294967296.0
+        if u * mx < w:
+            exp.add(doc_id)
+    assert got == exp
+
+
+def test_compression_ratio_is_batch_size_independent(spark):
+    """Arrow batch shape must not leak into mapInPandas results: the
+    zlib scores are identical under a pathologically small
+    maxRecordsPerBatch (every vectorized op in the worker must be
+    row-independent)."""
+    from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    run = lambda: sorted(
+        map(
+            tuple,
+            load_all_queries()["q_compression_ratio"]
+            .spark(spark, "/root/testdata/sf0.001")
+            .collect(),
+        )
+    )
+    try:
+        base = run()
+        spark.conf.set(key, "7")
+        small = run()
+    finally:
+        spark.conf.set(key, old)
+    assert base == small
