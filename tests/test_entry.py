@@ -162,3 +162,22 @@ def test_sqlite_sink_roundtrip(spark, tmp_path):
         assert top[0] == want["c_mktsegment"] and top[1] == want["count"]
     finally:
         con.close()
+
+
+def test_registry_hygiene():
+    """Every registry entry must carry a docstring (the judge-facing
+    operator description) and at least one tag; oracle SQL, when
+    present, must reference at least one fixture table."""
+    from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for name, spec in load_all_queries().items():
+        assert spec.doc and len(spec.doc.strip()) > 20, f"{name}: no docstring"
+        assert spec.tags, f"{name}: no tags"
+        if spec.oracle:
+            assert any(t in spec.oracle for t in tables), (
+                f"{name}: oracle references no fixture table"
+            )
