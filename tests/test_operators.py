@@ -662,3 +662,57 @@ def test_compression_ratio_matches_direct_zlib(spark):
         comp = zlib.compress(raw, 6)
         want = (len(raw), len(comp), 10000 * len(comp) // len(raw))
         assert got[r["doc_id"]] == want
+
+
+def test_ivf_lloyd_training_improves_assignment_quality(spark):
+    """The cosine-Lloyd machinery (semantic.py) trains IVF codebooks:
+    two refinement rounds must strictly raise the mean best-cosine of
+    the corpus against the codebook vs the raw seed vectors — the
+    cell-quality lever behind IVF recall at fixed nprobe. Training is
+    deterministic (quantized fixed-point M-step), so the improvement
+    is a stable, replayable number."""
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.functions import cosine_expr
+    from open_street_map_data_wrangling_spark.operators import semantic
+    from open_street_map_data_wrangling_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    k = 8
+
+    def codebook_df(cents):
+        return spark.createDataFrame(
+            [(cid, [float(x) for x in vec]) for cid, vec in cents],
+            "cid int, cemb array<double>",
+        )
+
+    def mean_best_cosine(cents) -> float:
+        scored = (
+            emb.crossJoin(F.broadcast(codebook_df(cents)))
+            .select("vec_id", cosine_expr("embedding", "cemb").alias("c"))
+            .groupBy("vec_id")
+            .agg(F.max("c").alias("best"))
+        )
+        return scored.agg(F.avg("best")).first()[0]
+
+    seed_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    )
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seed_rows
+    ]
+    cents = seeds
+    for _ in range(2):
+        cents = semantic._recompute_centroids(
+            emb, semantic.assign_clusters(emb, cents)
+        )
+    q_seed = mean_best_cosine(seeds)
+    q_trained = mean_best_cosine(cents)
+    assert q_trained > q_seed + 1e-6, (q_seed, q_trained)
+    # determinism: retraining reproduces the identical codebook
+    cents2 = seeds
+    for _ in range(2):
+        cents2 = semantic._recompute_centroids(
+            emb, semantic.assign_clusters(emb, cents2)
+        )
+    assert cents2 == cents
