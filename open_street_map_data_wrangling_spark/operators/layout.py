@@ -197,3 +197,44 @@ def optimize_table(
         "files_before": files_before,
         "files_after": _count_files(dest_dir),
     }
+
+
+# 3-D Morton: 21-bit values spread to every 3rd bit of 63. The same
+# shift/mask cascade as 2-D with the 3-D magic constants (hex:
+# 1f00000000ffff, 1f0000ff0000ff, 100f00f00f00f00f, 10c30c30c30c30c3,
+# 1249249249249249) in decimal so both SQL dialects parse them.
+_SPREAD3 = (
+    (32, 8725724278095871),
+    (16, 8725728556220671),
+    (8, 1157144660301377551),
+    (4, 1207822528635744451),
+    (2, 1317624576693539401),
+)
+
+
+def _spread3_sql(expr: str, shift_fmt) -> str:
+    e = f"(({expr}) & 2097151)"  # clamp to 21 bits
+    for n, mask in _SPREAD3:
+        e = f"(({e} | {shift_fmt(e, n)}) & {mask})"
+    return e
+
+
+def zvalue3_sql(qx: str, qy: str, qz: str, shift_fmt) -> str:
+    """Interleave three quantized 21-bit columns into one 63-bit
+    Morton key — the (time, x, y) layout a telemetry or geo-temporal
+    table clusters by, so a box predicate on ANY subset of the three
+    dimensions skips files."""
+    return (
+        f"({_spread3_sql(qx, shift_fmt)} | "
+        f"{shift_fmt(_spread3_sql(qy, shift_fmt), 1)} | "
+        f"{shift_fmt(_spread3_sql(qz, shift_fmt), 2)})"
+    )
+
+
+def with_zvalue3(
+    df: DataFrame, qx: str, qy: str, qz: str, out: str = "z3"
+) -> DataFrame:
+    """Append the 3-D Morton key of three ALREADY-QUANTIZED
+    (0..2097151) integer columns; follow with repartitionByRange +
+    write, exactly like the 2-D primitive."""
+    return df.withColumn(out, F.expr(zvalue3_sql(qx, qy, qz, _spark_shift)))
