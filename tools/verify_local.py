@@ -114,6 +114,8 @@ def compare(spark_df, duck_rel, duck_types=None):
 
 def main():
     args = [a for a in sys.argv[1:]]
+    plain = "--plain" in args
+    args = [a for a in args if a != "--plain"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a]
 
@@ -125,7 +127,27 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    spark = get_spark("verify-local")
+    if plain:
+        # Maximum driver fidelity: a PLAIN session (none of our
+        # builder confs — static conf differences included) running
+        # the queries through the __spark_entry__ wrappers exactly as
+        # the external verify driver does (apply_runtime_conf is the
+        # wrapper's job, not the session's).
+        import __spark_entry__ as entrymod
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        wrapped = entrymod.queries()
+
+        class _WrapSpec:
+            def __init__(self, name, spec):
+                self.spark = wrapped[name]
+                self.oracle = spec.oracle
+
+        specs = {n: _WrapSpec(n, s) for n, s in specs.items() if n in wrapped}
+    else:
+        spark = get_spark("verify-local")
     passed = failed = rows_only = 0
     for name, spec in sorted(specs.items()):
         t0 = time.time()
