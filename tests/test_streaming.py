@@ -450,3 +450,47 @@ def test_near_dedup_merge_is_retry_safe(spark, tmp_path):
     merge(b1, 0)  # redelivery: must keep doc 1, not reject it
     again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert again == [1]
+
+
+def test_scd2_three_generations_and_empty_batch(spark, tmp_path):
+    """Generations must keep stacking (v1 change then v2 change to
+    the same key leaves two closed rows + one current) and an empty
+    delta batch must leave the dimension untouched."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        scd2_dimension_maintenance,
+    )
+
+    src = str(tmp_path / "deltas")
+    target = str(tmp_path / "dim")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, bal double, seg string")
+
+    mk([(1, 10.0, "A")]).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("k long, bal double, seg string").parquet(src)
+    q = scd2_dimension_maintenance(stream, target)
+    try:
+        q.processAllAvailable()
+        mk([(1, 20.0, "A")]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        mk([(1, 30.0, "A")]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        snapshot = {
+            (r.k, r.bal, r.version, r.is_current)
+            for r in spark.read.parquet(target).collect()
+        }
+        # empty batch: a file with zero rows must not bump generations
+        mk([]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {
+        (r.k, r.bal, r.version, r.is_current)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert final == snapshot == {
+        (1, 10.0, 1, False),
+        (1, 20.0, 2, False),
+        (1, 30.0, 3, True),
+    }
