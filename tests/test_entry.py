@@ -181,3 +181,16 @@ def test_registry_hygiene():
             assert any(t in spec.oracle for t in tables), (
                 f"{name}: oracle references no fixture table"
             )
+
+
+def test_bench_headline_names_exist():
+    """A typo in bench.py's HEADLINE tuple would crash the driver's
+    per-round bench run; every name must resolve in the registry."""
+    import bench
+
+    from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+    specs = load_all_queries()
+    missing = [n for n in bench.HEADLINE if n not in specs]
+    assert not missing, f"bench names not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench names"

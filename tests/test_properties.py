@@ -571,3 +571,26 @@ def test_compression_ratio_is_batch_size_independent(spark):
     finally:
         spark.conf.set(key, old)
     assert base == small
+
+
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=80, unique=True))
+@settings(**_SETTINGS)
+def test_split_rule_matches_python(ids):
+    """The md5 train/test split rule ≡ its Python reconstruction for
+    arbitrary doc ids — the reproducibility claim behind q_split,
+    q_stratified_sample, and the leakage-safe split."""
+    import hashlib
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in df.selectExpr(
+            "doc_id",
+            "CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) <= 'b' "
+            "THEN 'train' ELSE 'test' END AS split",
+        ).collect()
+    }
+    for i in ids:
+        want = "train" if hashlib.md5(str(i).encode()).hexdigest()[0] <= "b" else "test"
+        assert got[i] == want
