@@ -494,3 +494,25 @@ def test_scd2_three_generations_and_empty_batch(spark, tmp_path):
         (1, 20.0, 2, False),
         (1, 30.0, 3, True),
     }
+
+
+def test_near_dedup_batch_internal_chain(spark, tmp_path):
+    """A near-dup chain inside ONE batch (A~B, B~C) must keep only
+    the lowest id: every pair's higher member is rejected, so B and C
+    both fall even if A~C was never a candidate pair — the greedy
+    representative needs no transitive closure."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        near_dedup_merge_fn,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "accepted")
+    merge = near_dedup_merge_fn(spark, store, out)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch = spark.createDataFrame(
+        [(1, base), (2, base + " mu"), (3, base + " nu")],
+        "doc_id long, text string",
+    )
+    merge(batch, 0)
+    accepted = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert accepted == [1]
