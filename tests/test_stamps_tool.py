@@ -24,19 +24,24 @@ def _green_names() -> set[str]:
 
 def test_update_stamps_is_idempotent_and_sound():
     before = (ROOT / "STAMPS.json").read_text()
-    out = subprocess.run(
-        [sys.executable, str(ROOT / "tools" / "update_stamps.py")],
-        capture_output=True,
-        text=True,
-        cwd=ROOT,
-        timeout=300,
-    )
-    assert out.returncode == 0, out.stderr[-500:]
-    after = (ROOT / "STAMPS.json").read_text()
-    assert after == before, (
-        "STAMPS.json changed on regeneration — the ledger must be a "
-        "pure function of committed CORRECTNESS history"
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, str(ROOT / "tools" / "update_stamps.py")],
+            capture_output=True,
+            text=True,
+            cwd=ROOT,
+            timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        after = (ROOT / "STAMPS.json").read_text()
+        assert after == before, (
+            "STAMPS.json changed on regeneration — the ledger must be a "
+            "pure function of committed CORRECTNESS history"
+        )
+    finally:
+        # a failing assertion must not leave a regenerated ledger in
+        # the working tree
+        (ROOT / "STAMPS.json").write_text(before)
     stamps = json.loads(after)
     green = _green_names()
     assert stamps, "no stamps recorded"

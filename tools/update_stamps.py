@@ -20,6 +20,15 @@ overlaid so the *current* fingerprint algorithm runs over the
 *verified* package source — an algorithm change therefore re-keys
 every stamp consistently instead of orphaning all of them.
 
+Discovery is restricted to COMMITTED CORRECTNESS files (`git ls-files`)
+and green rows are read from the committed blob, never the working
+tree: an untracked or locally-edited CORRECTNESS file cannot claim a
+name away from an older committed round and then be skipped for having
+no commit (which silently dropped those names' stamps), and a
+working-tree edit cannot certify rows the driver never wrote.  The
+ledger is therefore a pure function of committed history — running
+this tool with a dirty tree is safe at any point in a round.
+
 `__spark_entry__._ordered_specs` classifies a query whose working-tree
 fingerprint differs from its stamp as *modified* and rotates it back
 into the driver's ~50-entry verification window.  To force
@@ -33,7 +42,6 @@ undo a manual deletion.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import shutil
@@ -56,11 +64,32 @@ _SUBPROC_SCRIPT = (
 )
 
 
-def _green_names(path: str) -> set[str]:
+def _committed_corr_files() -> list[str]:
+    """Basenames of CORRECTNESS files tracked by git, sorted by round.
+    Untracked files (e.g. a driver output not yet committed) are
+    invisible here by design — see the module docstring."""
+    out = subprocess.run(
+        ["git", "ls-files", "CORRECTNESS_r*.json"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    return sorted(l.strip() for l in out.stdout.splitlines() if l.strip())
+
+
+def _green_names(corr_basename: str, commit: str) -> set[str]:
+    """Green rows from the COMMITTED blob of this round's file."""
+    out = subprocess.run(
+        ["git", "show", f"{commit}:{corr_basename}"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    if out.returncode != 0:
+        return set()
     try:
-        with open(path) as fh:
-            rows = json.load(fh)
-    except (OSError, ValueError):
+        rows = json.loads(out.stdout)
+    except ValueError:
         return set()
     return {
         n
@@ -117,24 +146,28 @@ def _fingerprints_at(commit: str) -> dict[str, str] | None:
 
 
 def main(argv: list[str]) -> int:
-    corr_paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    # newest round wins: walk newest-first, first green row per name
+    corr_files = _committed_corr_files()
+    # resolve each committed round's verified commit up front, then
+    # assign every name to the NEWEST round (with a resolvable commit)
+    # that has a green row for it
+    round_commit = {b: _verified_commit(b) for b in corr_files}
+    skipped_rounds = [b for b, c in round_commit.items() if c is None]
     verified_round: dict[str, str] = {}
-    for path in reversed(corr_paths):
-        base = os.path.basename(path)
-        for name in _green_names(path):
+    for base in reversed(corr_files):
+        commit = round_commit[base]
+        if commit is None:
+            continue
+        for name in _green_names(base, commit):
             verified_round.setdefault(name, base)
 
     stamps: dict[str, str] = {}
-    skipped_rounds: list[str] = []
     for base in sorted({r for r in verified_round.values()}):
         names = [n for n, r in verified_round.items() if r == base]
-        commit = _verified_commit(base)
-        fps = _fingerprints_at(commit) if commit else None
+        fps = _fingerprints_at(round_commit[base])
         if fps is None:
-            # uncommitted/unreadable round: better to leave these
-            # names unstamped (they re-queue for verification) than
-            # to certify source the driver may never have seen
+            # unreadable commit tree: better to leave these names
+            # unstamped (they re-queue for verification) than to
+            # certify source the driver may never have seen
             skipped_rounds.append(base)
             continue
         for n in names:
@@ -156,7 +189,7 @@ def main(argv: list[str]) -> int:
     ]
     unstamped = [n for n in specs if n not in stamps]
     print(
-        f"recorded {len(stamps)} stamps from {len(corr_paths)} rounds; "
+        f"recorded {len(stamps)} stamps from {len(corr_files)} committed rounds; "
         f"working tree: {len(modified)} modified, {len(unstamped)} unstamped"
     )
     if skipped_rounds:
