@@ -37,7 +37,7 @@ bounded, the codebook-collect class.
 
 from __future__ import annotations
 
-import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,8 +57,11 @@ _LONG_MAX = (1 << 63) - 1
 
 def _half_up(x: float) -> int:
     """round-half-away-from-zero: Spark round(double) and DuckDB
-    round() agree on this; Python round() (banker's) does not."""
-    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    round() agree on this; Python round() (banker's) does not.
+    Exact-decimal HALF_UP — floor(x+0.5) would double-round (e.g.
+    0.49999999999999994 + 0.5 == 1.0 in binary64, yielding 1 where
+    both engines yield 0)."""
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
 def _quantize(vec: list[float]) -> list[int]:
@@ -183,7 +186,7 @@ lut AS (
     GROUP BY 1, 2),
 adc AS (
     SELECT c.vec_id,
-           l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc_d2
+           CAST(l0.d2 + l1.d2 + l2.d2 + l3.d2 AS BIGINT) AS adc_d2
     FROM codes c
     JOIN lut l0 ON l0.s = 0 AND l0.cid = c.code0
     JOIN lut l1 ON l1.s = 1 AND l1.cid = c.code1
