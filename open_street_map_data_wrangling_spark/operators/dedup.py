@@ -655,6 +655,70 @@ def connected_components(edges_df, nodes_df, max_iters: int = 50):
     )
 
 
+def greedy_chain_rejects(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Id-order greedy selection over candidate pairs: accept each doc
+    iff it has no ACCEPTED smaller near-dup neighbor; return the
+    rejected doc_ids.  This is the batch-internal twin of the
+    streaming store probe (which also rejects only against accepted
+    docs), so the whole ingest obeys ONE rule: a document is rejected
+    iff it collides with an accepted document.  Contrast the
+    reject-every-doc_b form, which in a chain a~b, b~c also drops c
+    even though its only near-dup (b) was itself dropped — silent loss
+    of a unique document — and the connected-components form, which
+    drops c against a representative it never collided with.
+
+    pairs: (doc_a, doc_b) with doc_a < doc_b.  Iterative peel along
+    the id-ordered DAG: each round accepts every doc whose smaller
+    neighbors are all decided-rejected (in-degree zero after edge
+    removal), rejects every larger neighbor of a just-accepted doc,
+    then drops decided endpoints' edges.  Rounds = longest surviving
+    candidate chain, not component diameter — chains beyond a few
+    links are template collisions the LSH bucket cap already prunes,
+    and each round is one localCheckpoint'd job over the (small)
+    undecided pair set, the connected_components iteration discipline.
+    Docs left undecided at max_iters are rejected conservatively
+    (dedup must never over-admit)."""
+    e = pairs.select("doc_a", "doc_b").distinct().localCheckpoint()
+    rejected = None
+    for _ in range(max_iters):
+        if e.limit(1).count() == 0:
+            break
+        # accept: docs that never appear as a larger member (no
+        # undecided-or-accepted smaller neighbor remains)
+        acc = e.select(F.col("doc_a").alias("doc_id")).subtract(
+            e.select(F.col("doc_b").alias("doc_id"))
+        )
+        # reject: larger neighbors of a just-accepted doc
+        rej = (
+            e.join(acc, e.doc_a == acc.doc_id, "left_semi")
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        rejected = rej if rejected is None else rejected.unionByName(rej).distinct()
+        decided = acc.unionByName(rej)
+        e = (
+            e.join(decided, e.doc_a == decided.doc_id, "left_anti")
+            .join(decided, e.doc_b == decided.doc_id, "left_anti")
+            .localCheckpoint()
+        )
+    else:
+        # non-convergence: reject everything still undecided
+        leftover = (
+            e.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(e.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        rejected = (
+            leftover
+            if rejected is None
+            else rejected.unionByName(leftover).distinct()
+        )
+    if rejected is None:
+        return pairs.select(F.col("doc_a").alias("doc_id")).limit(0)
+    return rejected
+
+
 @query(
     "q_dedup_clusters",
     oracle=f"""

@@ -83,12 +83,18 @@ def write_sqlite(
     Returns the row count written."""
     import sqlite3
 
+    def q(ident: str) -> str:
+        # double-quote identifiers (SQL standard, sqlite-supported) so
+        # names with spaces, hyphens, or keyword collisions work
+        return '"' + ident.replace('"', '""') + '"'
+
     cols = df.columns
     placeholders = ", ".join("?" for _ in cols)
-    col_list = ", ".join(cols)
+    col_list = ", ".join(q(c) for c in cols)
+    qtable = q(table)
     con = sqlite3.connect(db_path)
     try:
-        con.execute(f"DROP TABLE IF EXISTS {table}")
+        con.execute(f"DROP TABLE IF EXISTS {qtable}")
         defs = []
         for f in df.schema.fields:
             t = f.dataType.simpleString()
@@ -99,21 +105,21 @@ def write_sqlite(
                 if t in ("double", "float")
                 else "TEXT"
             )
-            defs.append(f"{f.name} {sql_t}")
-        con.execute(f"CREATE TABLE {table} ({', '.join(defs)})")
+            defs.append(f"{q(f.name)} {sql_t}")
+        con.execute(f"CREATE TABLE {qtable} ({', '.join(defs)})")
         n, batch = 0, []
         for row in df.toLocalIterator():
             batch.append(tuple(row))
             if len(batch) >= batch_size:
                 con.executemany(
-                    f"INSERT INTO {table} ({col_list}) VALUES ({placeholders})",
+                    f"INSERT INTO {qtable} ({col_list}) VALUES ({placeholders})",
                     batch,
                 )
                 n += len(batch)
                 batch = []
         if batch:
             con.executemany(
-                f"INSERT INTO {table} ({col_list}) VALUES ({placeholders})", batch
+                f"INSERT INTO {qtable} ({col_list}) VALUES ({placeholders})", batch
             )
             n += len(batch)
         con.commit()

@@ -435,9 +435,11 @@ def incremental_near_dedup(doc_stream: DataFrame, store_dir: str, out_dir: str):
     Per micro-batch: band signatures for the batch (the batch
     operator pipeline — one md5 per shingle, 8 permutations, 4
     bands); batch docs sharing ANY band bucket with the store are
-    rejected as near-dups; batch-internal near-dups resolve to the
-    lowest doc_id via the capped pair generator; survivors' bands
-    land in the store and survivors' ids in ``out_dir``.
+    rejected as near-dups; batch-internal near-dups resolve by
+    id-order greedy selection over the capped candidate pairs
+    (greedy_chain_rejects — a doc is rejected only against a
+    SURVIVING lower-id doc, mirroring the store rule); survivors'
+    bands land in the store and survivors' ids in ``out_dir``.
 
     Idempotence: both the store and the output are written to
     batch_id-keyed subdirectories with overwrite, so a retried batch
@@ -461,7 +463,12 @@ def incremental_near_dedup(doc_stream: DataFrame, store_dir: str, out_dir: str):
 def near_dedup_merge_fn(spark: SparkSession, store_dir: str, out_dir: str):
     """incremental_near_dedup's per-batch merge, module-level so tests
     can drive redeliveries directly (see the retry notes inline)."""
-    from ..operators.dedup import _capped_band_pairs, _lsh_bands, minhash_sigs
+    from ..operators.dedup import (
+        _capped_band_pairs,
+        _lsh_bands,
+        greedy_chain_rejects,
+        minhash_sigs,
+    )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -491,13 +498,20 @@ def near_dedup_merge_fn(spark: SparkSession, store_dir: str, out_dir: str):
             )
         else:
             vs_store = bands.select("doc_id").limit(0)
-        # batch-internal near-dups: keep the lowest doc_id of each
-        # candidate pair (greedy representative, one pass)
-        internal = (
-            _capped_band_pairs(bands)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
+        # batch-internal near-dups: id-order greedy selection over the
+        # candidate pairs among STORE-SURVIVING docs, so the whole job
+        # obeys one rule — a doc is rejected iff it collides with an
+        # ACCEPTED doc (prior batch via the store, or a lower-id
+        # in-batch survivor).  Rejecting doc_b of every pair dropped
+        # chain tails (a~b, b~c lost c though b never survived);
+        # pairs touching a store-rejected doc are excluded the same
+        # way the store itself only carries survivors' bands.
+        pairs = _capped_band_pairs(bands)
+        alive = (
+            pairs.join(vs_store, pairs.doc_a == vs_store.doc_id, "left_anti")
+            .join(vs_store, F.col("doc_b") == vs_store.doc_id, "left_anti")
         )
+        internal = greedy_chain_rejects(alive)
         rejected = vs_store.unionByName(internal).distinct()
         kept = batch_df.select("doc_id").join(rejected, "doc_id", "left_anti")
         kept_bands = bands.join(kept, "doc_id", "left_semi")

@@ -496,11 +496,10 @@ def test_scd2_three_generations_and_empty_batch(spark, tmp_path):
     }
 
 
-def test_near_dedup_batch_internal_chain(spark, tmp_path):
-    """A near-dup chain inside ONE batch (A~B, B~C) must keep only
-    the lowest id: every pair's higher member is rejected, so B and C
-    both fall even if A~C was never a candidate pair — the greedy
-    representative needs no transitive closure."""
+def test_near_dedup_batch_internal_clique(spark, tmp_path):
+    """Near-identical docs inside ONE batch must admit only the
+    lowest id: 2 and 3 each collide with surviving doc 1, so both are
+    rejected under id-order greedy selection."""
     from open_street_map_data_wrangling_spark.streaming.jobs import (
         near_dedup_merge_fn,
     )
@@ -516,3 +515,31 @@ def test_near_dedup_batch_internal_chain(spark, tmp_path):
     merge(batch, 0)
     accepted = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert accepted == [1]
+
+
+def test_greedy_chain_rejects_semantics(spark):
+    """Id-order greedy selection: a doc is rejected only against a
+    SURVIVING lower-id neighbor.  Chain 1~2, 2~3: 2 falls to 1, but 3
+    survives because its only near-dup (2) did not survive — the
+    reject-every-doc_b form silently lost 3.  Diamond 1~2, 2~4, 3~4:
+    1 and 3 survive, 2 falls to 1, 4 falls to surviving 3."""
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        greedy_chain_rejects,
+    )
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    def rejected(rows):
+        return sorted(
+            r["doc_id"] for r in greedy_chain_rejects(pairs(rows)).collect()
+        )
+
+    assert rejected([(1, 2), (2, 3)]) == [2]
+    assert rejected([(1, 2), (2, 4), (3, 4)]) == [2, 4]
+    # triangle: both higher members collide with surviving 1
+    assert rejected([(1, 2), (1, 3), (2, 3)]) == [2, 3]
+    # two sources sharing one sink: 5 falls, 2 and 3 both survive
+    assert rejected([(2, 5), (3, 5)]) == [5]
+    # empty pair set: nothing rejected
+    assert rejected([]) == []
