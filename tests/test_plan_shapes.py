@@ -55,6 +55,17 @@ def test_star_join_broadcasts_dimensions(plans):
     assert "SortMergeJoin" not in p  # no dim join should shuffle lineitem
 
 
+def test_tpch_q8_all_dims_broadcast(plans):
+    """The two-fact five-dim market-share join: every dim side must
+    broadcast (r05 flagged a +18 % bench drift; isolated profiling
+    attributed it to suite scheduling noise with this plan unchanged —
+    this pin turns any real broadcast loss into a CI failure, not a
+    bench mystery)."""
+    p = plans("q_tpch_q8")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 7
+
+
 def test_asof_join_single_exchange(plans):
     p = plans("q_asof_join")
     # one hash exchange for the unioned stream; broadcasts don't count
