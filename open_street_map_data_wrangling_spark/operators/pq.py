@@ -235,9 +235,14 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the compressed-scan shape that replaces per-row float math at
     scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # seeds + query vector in ONE bounded collect (vec_id <= 17 is 18
-    # rows); a separate filter-collect per piece was a second job for
-    # no reason
+    cb, qvec = _seed_codebook_and_query(emb)
+    return _adc_top10(emb, cb, qvec)
+
+
+def _seed_codebook_and_query(emb: DataFrame):
+    """Seed codebook + quantized probe vector in ONE bounded collect
+    (vec_id <= 17 is 18 rows); a separate filter-collect per piece
+    was a second job for no reason."""
     rows = (
         emb.filter(F.col("vec_id") <= _QUERY_ID)
         .select("vec_id", "embedding")
@@ -251,6 +256,14 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = next(
         _quantize(list(r["embedding"])) for r in rows if r["vec_id"] == _QUERY_ID
     )
+    return cb, qvec
+
+
+def _adc_top10(
+    emb: DataFrame, cb: list[list[list[int]]], qvec: list[int]
+) -> DataFrame:
+    """ADC top-10 for any codebook: LUT computed once driver-side,
+    scoring is M element_at lookups per row + TakeOrderedAndProject."""
     lut = _adc_lut(cb, qvec)
     lut_lit = F.array(
         *[F.array(*[F.lit(int(d)) for d in row]) for row in lut]
@@ -296,10 +309,19 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell pruning."""
     emb = load_table(spark, sf_dir, "embeddings")
     adc10 = q_pq_adc(spark, sf_dir).select("vec_id")
+    return adc10.join(_exact_top10(emb), "vec_id").agg(
+        F.count("*").cast("bigint").alias("hits"),
+        (F.count("*") / F.lit(10.0)).alias("recall_at_10"),
+    )
+
+
+def _exact_top10(emb: DataFrame) -> DataFrame:
+    """Exact cosine top-10 for the probe vector (the recall ground
+    truth): broadcast the 1-row query, TakeOrderedAndProject."""
     qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select(
         F.col("embedding").alias("q_embedding")
     )
-    exact10 = (
+    return (
         emb.filter(F.col("vec_id") != _QUERY_ID)
         .crossJoin(F.broadcast(qvec))
         .select("vec_id", cosine_expr("embedding", "q_embedding").alias("cos"))
@@ -307,10 +329,46 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id")
     )
-    return adc10.join(exact10, "vec_id").agg(
-        F.count("*").cast("bigint").alias("hits"),
-        (F.count("*") / F.lit(10.0)).alias("recall_at_10"),
-    )
+
+
+@query(
+    "q_pq_recall_trained",
+    # rows-only by design: the trained codebook is Lloyd-iterated
+    # (driver-side loop over checkpointed jobs) — the same
+    # no-single-statement-SQL-twin class as q_semantic_dedup.  The
+    # claim "training never hurts recall and strictly cuts
+    # quantization error" is carried by tests/test_operators.py.
+    tags=("similarity", "ann", "pq", "iterative", "extension"),
+)
+def q_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SEED codebook vs the Lloyd-TRAINED codebook,
+    side by side — the production answer to q_pq_recall's documented
+    floor (seed recall 0.1 at sf0.01): two Lloyd iterations of
+    train_codebook re-fit the 4x16 cells to the actual embedding mass.
+    Training is bit-deterministic (quantize-then-sum integer means,
+    truncating division), so the output is stable across partitionings
+    and sessions; scoring reuses the exact _adc_top10 path under each
+    codebook."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_cb, qvec = _seed_codebook_and_query(emb)
+    trained_cb = train_codebook(emb, iters=2)
+    exact10 = _exact_top10(emb).localCheckpoint()
+
+    def recall_row(label: str, cb: list[list[list[int]]]) -> DataFrame:
+        return (
+            _adc_top10(emb, cb, qvec)
+            .select("vec_id")
+            .join(exact10, "vec_id")
+            .agg(
+                F.count("*").cast("bigint").alias("hits"),
+                (F.count("*") / F.lit(10.0)).alias("recall_at_10"),
+            )
+            .select(F.lit(label).alias("codebook"), "hits", "recall_at_10")
+        )
+
+    return recall_row("seed", seed_cb).unionByName(
+        recall_row("trained", trained_cb)
+    ).orderBy("codebook")
 
 
 def pq_assignment_error(emb: DataFrame, codebook: list[list[list[int]]]) -> int:

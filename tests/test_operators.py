@@ -539,6 +539,22 @@ def test_pq_training_reduces_quantization_error(spark):
     assert pq.train_codebook(emb, iters=2) == trained
 
 
+def test_pq_trained_recall_never_below_seed(spark):
+    """The q_pq_recall_trained registry entry (rows-only — Lloyd is
+    iterative) carries its claim here: trained recall@10 >= seed
+    recall@10, one row per codebook, deterministic labels."""
+    from open_street_map_data_wrangling_spark.operators.pq import (
+        q_pq_recall_trained,
+    )
+
+    rows = {
+        r["codebook"]: r["recall_at_10"]
+        for r in q_pq_recall_trained(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {"seed", "trained"}
+    assert rows["trained"] >= rows["seed"]
+
+
 def test_scd2_merge_is_idempotent_on_retry(spark):
     """Re-applying the same delta to the merged dimension's current
     rows must be a no-op (every changed row now matches, every insert
