@@ -147,41 +147,22 @@ def _stamp_fingerprints() -> dict[str, str]:
 # registry are ignored; an empty tuple restores pure registration
 # order.
 _MODIFIED_PRIORITY: tuple[str, ...] = (
-    # Round 5: STAMPS.json is now derived from the git tree each round
-    # actually verified (tools/update_stamps.py), which surfaced that
-    # round-4's load_table events normalization changed every closure
-    # while only 50 of 140 were re-verified in r04.  Of the 90 still
-    # carrying r01–r03 stamps, these 21 read the events table directly
-    # — the only ones the normalization could behaviorally affect — so
-    # they take the window slots first; the rest re-verify in r06.
+    # Round 6: the only behaviorally-edited stamped queries this round
+    # are the two PQ entries that went through the ADC/exact-top10
+    # helper refactor (q_pq_adc re-queues as FRESH — its r05 row was
+    # red).  All 21 of r05's events-risk priority names were re-stamped
+    # green in r05, so they leave the list.  The remaining ~68 modified
+    # entries are r01–r04 helper-churn with identical semantics; they
+    # take window slots in registration order after these, and the
+    # overflow (~20) re-verifies in r07.
     #
-    # Window arithmetic (r05): 28 never-stamped round-5 queries +
-    # these 21 + 1 = exactly the ~50-entry window, so the registry was
-    # FROZEN for the round once the count hit 28 — adding more fresh
-    # entries would have pushed the events-risk group out of the
-    # window.  Round 6: expect ~69 helper-churn modified entries left;
-    # they carry r01–r03-verified stamps for identical semantics.
-    "q_clean_phone",
-    "q_validate",
-    "q_rank_users",
-    "q_moving_avg",
-    "q_running_total",
-    "q_mode_per_group",
-    "q_resample_ffill",
-    "q_json_fns",
-    "q_try_fns",
-    "q_url_fns",
-    "q_bitwise",
-    "q_pipeline",
-    "q_percentiles",
-    "q_approx_percentiles",
-    "q_conditional",
-    "q_profile",
-    "q_histogram",
-    "q_sequence_gaps",
-    "q_equidepth",
-    "q_salted_join",
-    "q_skew_stats",
+    # Window arithmetic (r06 start): 2 fresh (q_pq_adc,
+    # q_pq_recall_trained) + 70 modified vs a ~50-slot window — the
+    # modified backlog spans two rounds no matter what, so each NEW
+    # registration this round displaces one old-churn re-verification,
+    # not a behaviorally-risky one.
+    "q_pq_codes",
+    "q_pq_recall",
 )
 
 
