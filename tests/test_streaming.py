@@ -543,3 +543,103 @@ def test_greedy_chain_rejects_semantics(spark):
     assert rejected([(2, 5), (3, 5)]) == [5]
     # empty pair set: nothing rejected
     assert rejected([]) == []
+
+
+def test_near_dedup_soak_restart_and_redeliver(spark, tmp_path):
+    """Multi-batch crash/restart soak for the signature store: three
+    stop/restart cycles of the real StreamingQuery (fresh query object
+    per cycle, same checkpoint) with a direct redelivery of an
+    already-committed batch injected between cycles — simulating a
+    crash between the marker write and the checkpoint commit.  The
+    accepted set must equal a clean no-failure sequential run's."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        incremental_near_dedup,
+        near_dedup_merge_fn,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq2 = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    uniq4 = "zero one two three four five six seven eight nine ten eleven"
+    batches = [
+        # b0: two unique docs
+        [(1, base), (2, uniq2)],
+        # b1: 3 near-dups accepted 1 (store reject); 4 unique
+        [(3, base + " mu"), (4, uniq4)],
+        # b2: 5 near-dups 4 (store reject); 6/7 an in-batch pair on
+        # FRESH text (7 falls to surviving 6); 8 unique
+        [
+            (5, uniq4 + " nu"),
+            (6, "red orange yellow green blue indigo violet cyan magenta pink"),
+            (7, "red orange yellow green blue indigo violet cyan magenta pink maroon"),
+            (8, "omega psi chi phi upsilon tau sigma rho qoppa san sho je"),
+        ],
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # clean reference run: direct merge calls, no failures
+    ref_store, ref_out = str(tmp_path / "ref_store"), str(tmp_path / "ref_out")
+    ref_merge = near_dedup_merge_fn(spark, ref_store, ref_out)
+    for bid, rows in enumerate(batches):
+        ref_merge(mk(rows), bid)
+    expected = sorted(r["doc_id"] for r in spark.read.parquet(ref_out).collect())
+    assert expected == [1, 2, 4, 6, 8]  # the soak must reproduce THIS
+
+    # soaked run: real stream, one batch per restart cycle, redelivery
+    # of the previous committed batch injected between cycles
+    src = str(tmp_path / "src")
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    merge = near_dedup_merge_fn(spark, store, out)
+    for bid, rows in enumerate(batches):
+        mode = "overwrite" if bid == 0 else "append"
+        mk(rows).write.mode(mode).parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = incremental_near_dedup(stream, store, out)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # crash-replay: the just-committed batch arrives again
+        merge(mk(rows), bid)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == expected
+
+
+def test_scd2_soak_survives_restarts(spark, tmp_path):
+    """SCD2 crash/restart soak: three generations applied across three
+    separate StreamingQuery incarnations sharing one checkpoint must
+    stack exactly like the single-query run (versions are a pure
+    function of batch arrival order, not query lifetime)."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        scd2_dimension_maintenance,
+    )
+
+    src = str(tmp_path / "deltas")
+    target = str(tmp_path / "dim")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, bal double, seg string")
+
+    gens = [[(1, 10.0, "A")], [(1, 20.0, "A"), (2, 5.0, "B")], [(1, 30.0, "A")]]
+    for i, rows in enumerate(gens):
+        mode = "overwrite" if i == 0 else "append"
+        mk(rows).write.mode(mode).parquet(src)
+        stream = spark.readStream.schema("k long, bal double, seg string").parquet(src)
+        q = scd2_dimension_maintenance(stream, target)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    final = {
+        (r.k, r.bal, r.version, r.is_current)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert final == {
+        (1, 10.0, 1, False),
+        (1, 20.0, 2, False),
+        (1, 30.0, 3, True),
+        (2, 5.0, 2, True),
+    }
