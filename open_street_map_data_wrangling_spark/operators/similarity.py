@@ -554,3 +554,102 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(qx) div count(*) AS BIGINT)").alias("cx"),
         F.count("*").alias("n_vectors"),
     )
+
+
+@query(
+    "q_sparse_sim",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+        tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM tk GROUP BY doc_id, tok),
+        df AS (
+            SELECT tok, count(*) AS n_docs FROM tf GROUP BY tok),
+        kept AS (
+            SELECT tf.doc_id, tf.tok, tf.cnt
+            FROM tf JOIN df USING (tok)
+            WHERE df.n_docs <= 100),
+        norms AS (
+            SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS n2
+            FROM kept GROUP BY doc_id),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+            FROM kept a JOIN kept b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT d.doc_a, d.doc_b, d.dot,
+               CAST(100000000 * d.dot * d.dot // (na.n2 * nb.n2) AS BIGINT)
+                   AS cos2_x1e8
+        FROM dots d
+        JOIN norms na ON na.doc_id = d.doc_a
+        JOIN norms nb ON nb.doc_id = d.doc_b
+        ORDER BY cos2_x1e8 DESC, doc_a, doc_b LIMIT 20
+    """,
+    tags=("similarity", "text", "sparse", "extension"),
+)
+def q_sparse_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-vector similarity top-20 via an inverted-index
+    (posting-list) join — the term-based complement of the embedding
+    ANN family: docs sharing NO term never meet, so there is no
+    all-pairs stage anywhere.  Pipeline: term counts per doc → df
+    cutoff (terms in >100 docs are boilerplate/stopwords and would
+    otherwise create quadratic hot posting lists — the same hot-bucket
+    argument as the LSH cap and the n-gram df cutoff, and the lever
+    that bounds every posting list at scale) → self-equi-join on term
+    (doc_a < doc_b) → one aggregate per pair.  Scoring is exact
+    integer cosine²: 1e8·dot²/(‖a‖²·‖b‖²) under BIGINT arithmetic —
+    no transcendental functions, so both engines agree bit-for-bit.
+
+    Plan discipline (the first draft scanned the corpus 8×): ONE
+    FileScan — the df cutoff and the per-doc norm are windows over the
+    single tf aggregate, not re-aggregations, and each posting row
+    carries its doc's norm INTO the join so no per-pair norm joins
+    exist at all; the self-join's two sides are canonically identical
+    subtrees, so the second side is a ReusedExchange (the dedup-family
+    posture, CI-pinned).  At 100 TB: posting lists are bounded by the
+    cutoff, the pair aggregate shuffles on (doc_a, doc_b) with
+    map-side partials, and the final top-20 is a
+    TakeOrderedAndProject heap."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    kept = (
+        tf.withColumn("n_docs", F.count("*").over(W.partitionBy("tok")))
+        .filter(F.col("n_docs") <= 100)
+        .withColumn(
+            "n2",
+            F.sum(F.col("cnt") * F.col("cnt"))
+            .over(W.partitionBy("doc_id"))
+            .cast("bigint"),
+        )
+        .select("tok", "doc_id", "cnt", "n2")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, F.col("a.tok") == F.col("b.tok"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("dot"),
+            F.max("a.n2").alias("na2"),
+            F.max("b.n2").alias("nb2"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            F.expr("CAST(100000000 * dot * dot div (na2 * nb2) AS BIGINT)").alias(
+                "cos2_x1e8"
+            ),
+        )
+        .orderBy(F.desc("cos2_x1e8"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )

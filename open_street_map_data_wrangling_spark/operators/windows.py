@@ -577,3 +577,97 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN prev_n IS NULL THEN NULL "
         "ELSE 10000 * (n - prev_n) div prev_n END AS BIGINT) AS wow_x10k",
     )
+
+
+@query(
+    "q_funnel_steps",
+    oracle="""
+        WITH a AS (
+            SELECT user_id, ts, event_id, event_type,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS s1
+            FROM events),
+        b AS (
+            SELECT *, max(CASE WHEN event_type = 'click' AND s1 = 1
+                               THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS s2
+            FROM a),
+        c AS (
+            SELECT *, max(CASE WHEN event_type = 'purchase' AND s2 = 1
+                               THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS s3
+            FROM b),
+        per_user AS (
+            SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3
+            FROM c GROUP BY user_id)
+        SELECT CAST(sum(s1) AS BIGINT) AS users_view,
+               CAST(sum(s2) AS BIGINT) AS users_view_click,
+               CAST(sum(s3) AS BIGINT) AS users_view_click_purchase,
+               CAST(10000 * sum(s2) // sum(s1) AS BIGINT) AS conv_click_x10k,
+               CAST(10000 * sum(s3) // sum(s1) AS BIGINT) AS conv_purchase_x10k
+        FROM per_user
+    """,
+    tags=("window", "sequence", "funnel", "extension"),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user converts at step
+    k only if the step-k event happens AFTER steps 1..k-1 were already
+    satisfied (strict sequence matching, not mere co-occurrence — a
+    purchase before the first view does not count).  Implemented as
+    three stacked running-max flags over ONE (user_id, ts, event_id)
+    window spec: same partitioning and ordering, so Spark plans a
+    single exchange + single sort with three chained Window operators;
+    the per-user reduction then rides the same partitioning (no second
+    exchange) and the final global roll-up is a map-side-partial
+    scalar aggregate.  The identical window text runs on both engines
+    — ordering ties broken by event_id keep the flags deterministic.
+    At 100 TB this is exactly one fact shuffle, the floor for any
+    per-user sequence computation."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    step = (
+        events.withColumn(
+            "s1",
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w),
+        )
+        .withColumn(
+            "s2",
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("s1") == 1), 1
+                ).otherwise(0)
+            ).over(w),
+        )
+        .withColumn(
+            "s3",
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("s2") == 1), 1
+                ).otherwise(0)
+            ).over(w),
+        )
+    )
+    per_user = step.groupBy("user_id").agg(
+        F.max("s1").alias("s1"), F.max("s2").alias("s2"), F.max("s3").alias("s3")
+    )
+    return per_user.agg(
+        F.sum("s1").cast("bigint").alias("users_view"),
+        F.sum("s2").cast("bigint").alias("users_view_click"),
+        F.sum("s3").cast("bigint").alias("users_view_click_purchase"),
+        F.expr("CAST(10000 * sum(s2) div sum(s1) AS BIGINT)").alias(
+            "conv_click_x10k"
+        ),
+        F.expr("CAST(10000 * sum(s3) div sum(s1) AS BIGINT)").alias(
+            "conv_purchase_x10k"
+        ),
+    )

@@ -62,6 +62,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register a Spark query + its DuckDB oracle twin."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
+        prev = QUERIES.get(name)
+        if prev is not None and prev.spark.__module__ != fn.__module__:
+            # a silent overwrite once hid a new query behind an old
+            # name (round 6: two q_funnel registrations — the verify
+            # "pass" tested the wrong one); same-module re-registration
+            # stays allowed for importlib.reload in tests
+            raise ValueError(
+                f"duplicate query name {name!r}: already registered by "
+                f"{prev.spark.__module__}, re-registered by {fn.__module__}"
+            )
         QUERIES[name] = QuerySpec(
             name=name, spark=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags
         )

@@ -160,6 +160,30 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark):
     assert "ReusedExchange" in p, "shingle exchange no longer shared"
 
 
+def test_sparse_sim_posting_join_reuses_exchange(spark):
+    """The posting self-join's two sides are canonically identical
+    subtrees (one corpus scan + one tf aggregate + two windows), so
+    the second side must be a ReusedExchange in the post-execution
+    adaptive plan, and the top-20 must be a heap, not a global sort.
+    The first draft re-derived the tf aggregate from the scan for the
+    df cutoff, the norms, and each join side — 8 corpus scans."""
+    qs = load_all_queries()
+    df = qs["q_sparse_sim"].spark(spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p, "posting join no longer shares the exchange"
+    assert "TakeOrderedAndProject" in p
+
+
+def test_funnel_steps_one_exchange_one_sort(plans):
+    """Three stacked sequence flags + the per-user reduction must ride
+    ONE user_id exchange and ONE sort (the chained Window operators
+    share the spec; the groupBy reuses the partitioning)."""
+    p = plans("q_funnel_steps")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("+- Sort") == 1
+
+
 def test_repetition_is_shuffle_free(plans):
     """Per-document statistics must never leave their row: the
     round-3 q_repetition plan contains no exchange of any kind (the
