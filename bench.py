@@ -154,6 +154,32 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+
+    # Salted-vs-plain skew-join twin (VERDICT r05 #7): q_salted_join's
+    # headline time already measures the salted form; time the plain
+    # AQE-reliant join too so the salting overhead (dim n_salts× row
+    # duplication) is a recorded number every round, not an assumption.
+    # Kept out of `timings` — it is not a registry query and must not
+    # inflate headline_queries_total.
+    from open_street_map_data_wrangling_spark.operators.scale import (
+        plain_join_twin,
+    )
+
+    plain_join_twin(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    plain_best = None
+    for _pass in range(2):
+        t0 = time.time()
+        plain_join_twin(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        plain_best = dt if plain_best is None or dt < plain_best else plain_best
+    salted = timings.get("q_salted_join")
+    out["skew_join"] = {
+        "salted_sec": salted,
+        "plain_aqe_sec": plain_best,
+        "salting_overhead_ratio": (
+            round(salted / plain_best, 3) if salted and plain_best else None
+        ),
+    }
     # Round-over-round regression guard: compare the common query
     # subset against the latest recorded BENCH_r*.json so a
     # scale-safety patch cannot silently re-inflate fixture timings

@@ -97,6 +97,26 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def plain_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_salted_join WITHOUT the salt — the events⋈customer aggregate
+    as a plain equi-join, relying on AQE's skew-join split instead of
+    explicit salting.  Not registered (its SQL twin IS q_salted_join's
+    oracle); bench.py times it against the salted form every round so
+    the salting overhead at fixture scale (the dim side's n_salts× row
+    duplication) stays measured, not assumed — the AQE-mechanism demo
+    in tests/test_scale_patterns.py proves the split fires, this row
+    tracks what it costs to opt out of it."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return events.join(customer, "user_id").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def two_phase_distinct_count(df: DataFrame, key: str, value: str) -> DataFrame:
     """Exact distinct-count per key without a monolithic distinct
     stage: dedup (key, value) pairs first (map-side partial distinct
