@@ -33,7 +33,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.textfeat import SHINGLES_SQL_CTE, shingles_expr
@@ -1233,4 +1233,119 @@ def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 4).alias("cos_sim"),
             (cos >= F.lit(_CONSENSUS_TAU)).alias("semantic_agree"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2f — prefix-filtered set-similarity join (added r06)
+
+_PREFIX_K = 3
+_SETSIM_MIN_X10K = 5000
+
+
+@query(
+    "q_setsim_prefix",
+    oracle=f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+        dfc AS (
+            SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df
+            FROM toks),
+        prefix AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, tok,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY df ASC, tok ASC) AS rn
+                FROM dfc) WHERE rn <= {_PREFIX_K}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM prefix a JOIN prefix b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks
+                  GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+            FROM cand c
+            JOIN toks a ON a.doc_id = c.doc_a
+            JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
+            GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b, i.i AS inter_toks,
+               CAST(10000 * i.i // (sa.n + sb.n - i.i) AS BIGINT)
+                   AS jaccard_x10k
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE 10000 * i.i // (sa.n + sb.n - i.i) >= {_SETSIM_MIN_X10K}
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "extension"),
+)
+def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join via PREFIX FILTERING (the ppjoin family) —
+    the deterministic complement of MinHash-LSH candidate generation:
+    two documents can be similar only if their rarest tokens overlap,
+    so candidates come from joining each doc's {_PREFIX_K} globally
+    rarest tokens (ties to token text) instead of hashed bands, and
+    every candidate is then EXACTLY verified by token-set Jaccard
+    (integer x10k, >= {_SETSIM_MIN_X10K}).  Fixed-k prefix is the
+    simplified variant: recall is bounded by the prefix length rather
+    than exact at a threshold, which is the same honesty class as the
+    capped LSH form — and unlike LSH there is no hash-collision false
+    positive, every emitted pair carries its true Jaccard.
+
+    Scale: df ranks and prefix ranks are windows over the one distinct
+    (doc, tok) aggregate — rare tokens by construction have short
+    posting lists, so the candidate join is bounded the way the LSH
+    bucket cap bounds bands; the verify joins touch only candidate
+    pairs.  One corpus scan feeds everything."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    dfc = toks.withColumn("df", F.count("*").over(W.partitionBy("tok")))
+    prefix = (
+        dfc.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+            ),
+        )
+        .filter(F.col("rn") <= _PREFIX_K)
+        .select("doc_id", "tok")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(pb, F.col("pa.tok") == F.col("pb.tok"))
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("inter_toks"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard_x10k",
+            F.expr(
+                "CAST(10000 * inter_toks div (na + nb - inter_toks) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("jaccard_x10k") >= _SETSIM_MIN_X10K)
+        .select("doc_a", "doc_b", "inter_toks", "jaccard_x10k")
     )

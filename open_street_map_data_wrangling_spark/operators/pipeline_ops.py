@@ -421,3 +421,56 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique",
         "CAST(10000 * (n_docs - n_unique) div n_docs AS BIGINT) AS dup_rate_x10k",
     )
+
+
+@query(
+    "q_tombstone_delete",
+    oracle="""
+        WITH tomb AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+        flagged AS (
+            SELECT e.event_type,
+                   CASE WHEN t.user_id IS NULL THEN 0 ELSE 1 END AS del
+            FROM events e LEFT JOIN tomb t ON e.user_id = t.user_id)
+        SELECT event_type,
+               CAST(sum(del) AS BIGINT) AS n_deleted,
+               CAST(sum(1 - del) AS BIGINT) AS n_kept,
+               CAST(10000 * sum(del) // count(*) AS BIGINT) AS deleted_x10k
+        FROM flagged GROUP BY event_type
+    """,
+    tags=("pipeline", "deletion", "compliance", "extension"),
+)
+def q_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone delete propagation with audit accounting — the
+    right-to-be-forgotten pass every stored corpus needs: a tombstone
+    key set (here: users who ever emitted an 'error' event — a
+    deterministic fixture stand-in for a deletion-request table)
+    marks every fact row for removal, and the output is the audit a
+    compliance job must emit BEFORE the rewrite: kept/deleted counts
+    and the deletion share per event_type.  ONE corpus scan: the
+    tombstone set is an aggregate broadcast back as a LEFT join flag
+    (never a second fact pass for the complement — kept and deleted
+    are sums over the same flag), then one map-side-partial aggregate.
+    At 100 TB the tombstone table is request-sized (tiny) and the
+    rewrite itself is the same anti-join applied per partition, so
+    this audit IS the expensive part's plan."""
+    events = load_table(spark, sf_dir, "events")
+    tomb = (
+        events.filter(F.col("event_type") == "error")
+        .select("user_id")
+        .distinct()
+    )
+    flagged = events.select("event_type", "user_id").join(
+        F.broadcast(tomb.withColumn("del", F.lit(1))), "user_id", "left"
+    )
+    return (
+        flagged.withColumn("del", F.coalesce("del", F.lit(0)))
+        .groupBy("event_type")
+        .agg(
+            F.sum("del").cast("bigint").alias("n_deleted"),
+            F.sum(1 - F.col("del")).cast("bigint").alias("n_kept"),
+            F.expr("CAST(10000 * sum(del) div count(*) AS BIGINT)").alias(
+                "deleted_x10k"
+            ),
+        )
+    )

@@ -671,3 +671,119 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_purchase_x10k"
         ),
     )
+
+
+@query(
+    "q_resample_interp",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS c,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS qs
+            FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        r AS (
+            SELECT event_type, min(h) AS mn, max(h) AS mx
+            FROM b GROUP BY event_type),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+            FROM r),
+        j AS (
+            SELECT s.event_type, CAST(epoch_us(s.h) AS BIGINT) AS hour_us,
+                   b.c,
+                   CASE WHEN b.c IS NULL THEN NULL
+                        ELSE CAST(b.qs // b.c AS BIGINT) END AS a
+            FROM spine s LEFT JOIN b
+              ON b.event_type = s.event_type AND b.h = s.h),
+        k AS (
+            SELECT event_type, hour_us, c, a,
+                   last_value(a IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hour_us
+                       ROWS UNBOUNDED PRECEDING) AS pv,
+                   last_value(CASE WHEN a IS NOT NULL THEN hour_us END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hour_us
+                       ROWS UNBOUNDED PRECEDING) AS ph,
+                   first_value(a IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hour_us
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN a IS NOT NULL THEN hour_us END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hour_us
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+            FROM j)
+        SELECT event_type, hour_us,
+               CAST(coalesce(c, 0) AS BIGINT) AS n_events,
+               CAST(CASE WHEN a IS NOT NULL THEN a
+                         WHEN pv IS NULL THEN nv
+                         WHEN nv IS NULL THEN pv
+                         ELSE pv + (nv - pv) * (hour_us - ph) // (nh - ph)
+                    END AS BIGINT) AS interp_avg_x100
+        FROM k
+    """,
+    tags=("window", "timeseries", "resample", "extension"),
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with LINEAR interpolation — q_resample_
+    ffill's better-behaved sibling for sensor/metrics gap-filling:
+    missing hours take the straight line between the surrounding
+    known hourly averages (integer µs position arithmetic, truncating
+    division — bit-identical across engines); hours before the first
+    or after the last known point fall back to nearest-known.  Same
+    scale shape as ffill: the corpus collapses in ONE map-side-partial
+    aggregate, the spine is sequence+explode sized hours x types, and
+    the four bracket lookups are two window specs (backward/forward)
+    over the aggregate, never the raw events."""
+    events = load_table(spark, sf_dir, "events")
+    b = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("c"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("qs"),
+    )
+    r = b.groupBy("event_type").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = r.select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h"),
+    )
+    j = spine.join(b, ["event_type", "h"], "left").select(
+        "event_type",
+        F.unix_micros("h").alias("hour_us"),
+        "c",
+        F.when(
+            F.col("c").isNotNull(), F.expr("CAST(qs div c AS BIGINT)")
+        ).alias("a"),
+    )
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    known_h = F.when(F.col("a").isNotNull(), F.col("hour_us"))
+    k = j.select(
+        "event_type",
+        "hour_us",
+        "c",
+        "a",
+        F.last("a", ignorenulls=True).over(wb).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(wb).alias("ph"),
+        F.first("a", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(wf).alias("nh"),
+    )
+    return k.select(
+        "event_type",
+        "hour_us",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST(CASE WHEN a IS NOT NULL THEN a "
+            "WHEN pv IS NULL THEN nv "
+            "WHEN nv IS NULL THEN pv "
+            "ELSE pv + (nv - pv) * (hour_us - ph) div (nh - ph) "
+            "END AS BIGINT)"
+        ).alias("interp_avg_x100"),
+    )
