@@ -95,6 +95,18 @@ HEADLINE = (
     "q_impute",
     "q_mad",
     "q_text_canon",
+    # added round 6: sequence/similarity/resample operators plus the
+    # deterministic sketch family (q_pq_recall_trained stays out — its
+    # Lloyd iterations are a training job, not a per-query cost)
+    "q_funnel_steps",
+    "q_sparse_sim",
+    "q_setsim_prefix",
+    "q_resample_interp",
+    "q_tombstone_delete",
+    "q_hll_det",
+    "q_bloom_prune",
+    "q_cms_topk",
+    "q_funnel_window",
 )
 
 

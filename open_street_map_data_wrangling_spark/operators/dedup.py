@@ -1241,6 +1241,15 @@ def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PREFIX_K = 3
 _SETSIM_MIN_X10K = 5000
+# Hot prefix-token cap, the q_setsim analogue of _LSH_BUCKET_CAP: a
+# token claimed by m prefixes yields m(m-1)/2 candidates, and on a
+# template-heavy corpus "rarest" degenerates (measured at sf0.1: one
+# token in 3 823 of 5 000 prefixes → 11.5 M candidates, 8.7 M of them
+# TRUE pairs — the corpus is so dup-heavy that pair output itself is
+# quadratic).  Tokens over the cap are boilerplate by construction and
+# are dropped from candidate generation; every emitted pair still
+# carries its exact Jaccard.
+_PREFIX_TOK_CAP = 64
 
 
 @query(
@@ -1258,9 +1267,14 @@ _SETSIM_MIN_X10K = 5000
                        row_number() OVER (PARTITION BY doc_id
                                           ORDER BY df ASC, tok ASC) AS rn
                 FROM dfc) WHERE rn <= {_PREFIX_K}),
+        bounded AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, tok,
+                       count(*) OVER (PARTITION BY tok) AS ptf
+                FROM prefix) WHERE ptf <= {_PREFIX_TOK_CAP}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM prefix a JOIN prefix b
+            FROM bounded a JOIN bounded b
               ON a.tok = b.tok AND a.doc_id < b.doc_id),
         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks
                   GROUP BY doc_id),
@@ -1294,10 +1308,18 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive, every emitted pair carries its true Jaccard.
 
     Scale: df ranks and prefix ranks are windows over the one distinct
-    (doc, tok) aggregate — rare tokens by construction have short
-    posting lists, so the candidate join is bounded the way the LSH
-    bucket cap bounds bands; the verify joins touch only candidate
-    pairs.  One corpus scan feeds everything."""
+    (doc, tok) aggregate, and — the lesson the r06 bench taught —
+    "rarest" is NOT a size bound on a template-heavy corpus: at sf0.1
+    one token landed in 3 823 of 5 000 prefixes (11.5 M candidates,
+    98 s; 8.7 M of them genuinely Jaccard ≥ 0.5, so even a perfect
+    filter emits quadratic output).  Prefix-token posting lists are
+    therefore capped at {_PREFIX_TOK_CAP} by a count-over-window that
+    rides the SAME hashpartitioning(tok) exchange the candidate
+    self-join needs (ReusedExchange, the _capped_band_pairs posture):
+    over-cap tokens are boilerplate by definition and are dropped,
+    bounding candidates at cap²/2 per token BY CONSTRUCTION; the
+    verify joins touch only surviving candidates.  One corpus scan
+    feeds everything."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -1314,7 +1336,12 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PREFIX_K)
         .select("doc_id", "tok")
     )
-    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    bounded = (
+        prefix.withColumn("ptf", F.count("*").over(W.partitionBy("tok")))
+        .filter(F.col("ptf") <= _PREFIX_TOK_CAP)
+        .select("doc_id", "tok")
+    )
+    pa, pb = bounded.alias("pa"), bounded.alias("pb")
     cand = (
         pa.join(pb, F.col("pa.tok") == F.col("pb.tok"))
         .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))

@@ -1,0 +1,402 @@
+"""Deterministic, cross-engine-exact sketch structures.
+
+The sketch family elsewhere in the registry (q_approx_users,
+q_approx_percentiles) rides Spark's built-in estimators, whose
+internal hash seeds make them rows-only checks by design.  This
+module takes the opposite trade: the sketches are built from md5 —
+available and bit-identical in both Spark and DuckDB — so the ENTIRE
+structure (registers, bitmaps, estimates) is reproducible to the last
+bit in the oracle and the driver's value hash applies.  That turns
+"trust the estimator" into "audit the estimator":
+
+* `q_hll_det` — a from-scratch HyperLogLog (m=256 registers, md5
+  bucket + 52-bit rank field) whose raw-estimate and linear-counting
+  branches are both expressed in engine-portable integer/IEEE
+  arithmetic.  The register table is the mergeable state — register
+  max over any partitioning of the input yields the identical sketch
+  (tests/test_sketch_bounds.py proves half-vs-full merge equality),
+  which is exactly the property that makes HLL a one-shuffle
+  distinct-count at 100 TB: partial register maps merge map-side,
+  and only m rows per group ever cross the wire.
+* `q_bloom_prune` — the prune-before-shuffle pattern: a 262144-bit
+  Bloom filter over a filtered dimension's keys, packed into ≤4229
+  (word, mask) rows (~68 KB), broadcast to the fact side, probed with
+  three salted md5 hashes, then audited against the exact semi-join.
+  False positives are counted, false negatives are structurally
+  impossible (the oracle proves the candidate set ⊇ the true set
+  because matched == exact semi-join count).  At 100 TB the filter
+  is a few KB broadcast to every task while the fact table never
+  shuffles: rows are dropped at the scan-adjacent stage, which is
+  the same lever Spark's runtime row-level bloom
+  (spark.sql.optimizer.runtime.bloomFilter.enabled) pulls
+  automatically — made explicit and cross-engine-checkable here.
+
+Engine-portability rules used throughout (established by the dedup
+family, PLANS.md): md5 prefixes via `conv(...,16,10)` / `('0x'||…)`;
+bit shifts kept ≤62 because DuckDB's `<<` is overflow-checked;
+no double→int casts (Spark truncates, DuckDB rounds); DuckDB
+`sum(BIGINT)` is HUGEINT so every summed output is re-CAST.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog
+# ---------------------------------------------------------------------------
+
+# m = 256 buckets: first 2 md5 hex chars; rank field: next 13 hex
+# chars (52 bits).  rho = leading-zero count within the 52-bit field
+# + 1 ∈ [1, 53]; bin() trims leading zeros in both engines, so
+# bitlen(v) = length(bin(v)) and rho = 53 - bitlen for v > 0.
+_HLL_M = 256
+# alpha_256 * m^2 * 2^53, spelled as the same literal arithmetic in
+# both engines so the IEEE evaluation order is identical.
+_HLL_RAW_NUM = "0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0"
+
+_HLL_ORACLE = f"""
+    WITH h AS (
+        SELECT event_type, event_id,
+               md5(CAST(event_id AS VARCHAR)) AS h
+        FROM events),
+    f AS (
+        SELECT event_type, event_id,
+               ('0x' || substr(h, 1, 2))::BIGINT AS b,
+               ('0x' || substr(h, 3, 13))::BIGINT AS v
+        FROM h),
+    r AS (
+        SELECT event_type, b,
+               max(CASE WHEN v = 0 THEN 53
+                        ELSE 53 - length(bin(v)) END) AS m,
+               count(DISTINCT event_id) AS d
+        FROM f GROUP BY event_type, b),
+    p AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(1::BIGINT << (53 - m)) AS BIGINT) AS s_present,
+               CAST(sum(d) AS BIGINT) AS exact_ids
+        FROM r GROUP BY event_type),
+    e AS (
+        SELECT event_type, exact_ids, 256 - nb AS zb,
+               {_HLL_RAW_NUM}
+                   / CAST(s_present + (256 - nb) * (1::BIGINT << 53)
+                          AS DOUBLE) AS raw
+        FROM p)
+    SELECT event_type, exact_ids,
+           round(CASE WHEN raw <= 640.0 AND zb > 0
+                      THEN 256.0 * ln(256.0 / CAST(zb AS DOUBLE))
+                      ELSE raw END, 3) AS hll_est,
+           CAST(zb AS BIGINT) AS empty_regs
+    FROM e
+"""
+
+
+def hll_registers(df: DataFrame, group: str, key: str) -> DataFrame:
+    """Per-(group, bucket) HLL register table — the mergeable sketch
+    state.  One hash pass, one shuffle of at most m=256 rows per
+    group after map-side partial max; `max(rho)` is the merge
+    operator, so registers built on any split of the input and
+    max-merged equal the registers built on the whole (the streaming
+    / partial-aggregation story, pinned in tests)."""
+    return (
+        df.select(
+            F.col(group),
+            F.col(key),
+            F.md5(F.col(key).cast("string")).alias("__h"),
+        )
+        .select(
+            group,
+            key,
+            F.expr("CAST(conv(substring(__h, 1, 2), 16, 10) AS BIGINT)").alias(
+                "b"
+            ),
+            F.expr("CAST(conv(substring(__h, 3, 13), 16, 10) AS BIGINT)").alias(
+                "v"
+            ),
+        )
+        .groupBy(group, "b")
+        .agg(
+            F.expr(
+                "max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END)"
+            ).alias("m"),
+            F.countDistinct(key).alias("d"),
+        )
+    )
+
+
+@query(
+    "q_hll_det",
+    oracle=_HLL_ORACLE,
+    tags=("sketch", "agg", "extension", "scale"),
+)
+def q_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count per event type,
+    oracle-exact to the last bit (unlike q_approx_users, whose Spark
+    HLL++ seeds force a rows-only check).  Both estimator branches
+    are engine-portable: the raw harmonic mean is pure integer
+    arithmetic (sum of 2^(53-M_j) as BIGINT — max 256·2^53 = 2^61,
+    no overflow) down to ONE double division, and the small-range
+    linear-counting branch (raw ≤ 2.5m with empty registers) is one
+    libm ln on an integer ratio.  The exact distinct rides the same
+    single scan/shuffle: bucket is a function of the key's hash, so
+    per-bucket countDistinct sums to the true distinct — no second
+    count(DISTINCT) pass.  At 100 TB only the sketch would run; the
+    exact twin here is the audit column, and at sf0.01 the estimate
+    lands within the published 1.04/√m ≈ 6.5 % band."""
+    regs = hll_registers(load_table(spark, sf_dir, "events"), "event_type", "event_id")
+    per = regs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nb"),
+        F.expr(
+            "CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - m)) AS BIGINT)"
+        ).alias("s_present"),
+        F.sum("d").cast("bigint").alias("exact_ids"),
+    )
+    est = per.select(
+        "event_type",
+        "exact_ids",
+        (F.lit(_HLL_M) - F.col("nb")).alias("zb"),
+        F.expr(
+            f"{_HLL_RAW_NUM} / CAST(s_present + (256 - nb) * "
+            "shiftleft(CAST(1 AS BIGINT), 53) AS DOUBLE)"
+        ).alias("raw"),
+    )
+    return est.select(
+        "event_type",
+        "exact_ids",
+        F.expr(
+            "round(CASE WHEN raw <= 640.0 AND zb > 0 "
+            "THEN 256.0 * ln(256.0 / CAST(zb AS DOUBLE)) "
+            "ELSE raw END, 3)"
+        ).alias("hll_est"),
+        F.col("zb").cast("bigint").alias("empty_regs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 262144
+_BLOOM_WORD = 62  # DuckDB `<<` is overflow-checked; keep shifts ≤ 61
+_BLOOM_K = 3
+
+# position of hash i for a key expression: 48 md5 bits mod 16384,
+# salted per hash.  `key` must be a SQL expression of VARCHAR type.
+_POS_SPARK = (
+    "CAST(conv(substring(md5(concat('b{i}:', {key})), 1, 12), 16, 10) "
+    "AS BIGINT) % 262144"
+)
+_POS_DUCK = "(('0x' || substr(md5('b{i}:' || {key}), 1, 12))::BIGINT) % 262144"
+
+_BLOOM_ORACLE = f"""
+    WITH dim AS (
+        SELECT o_orderkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'),
+    pos AS (
+        {" UNION ALL ".join(
+            "SELECT " + _POS_DUCK.format(i=i, key="CAST(k AS VARCHAR)")
+            + " AS p FROM dim"
+            for i in range(_BLOOM_K)
+        )}),
+    words AS (
+        SELECT p // {_BLOOM_WORD} AS w,
+               bit_or(1::BIGINT << CAST(p % {_BLOOM_WORD} AS INT)) AS mask
+        FROM pos GROUP BY p // {_BLOOM_WORD}),
+    probe AS (
+        SELECT l_orderkey,
+               {", ".join(
+                   _POS_DUCK.format(i=i, key="CAST(l_orderkey AS VARCHAR)")
+                   + f" AS p{i}"
+                   for i in range(_BLOOM_K)
+               )}
+        FROM lineitem),
+    cand AS (
+        SELECT p.l_orderkey,
+               CASE WHEN {" AND ".join(
+                   f"coalesce((w{i}.mask >> CAST(p.p{i} % {_BLOOM_WORD} AS INT))"
+                   " & 1, 0) = 1"
+                   for i in range(_BLOOM_K)
+               )} THEN 1 ELSE 0 END AS c
+        FROM probe p
+        {" ".join(
+            f"LEFT JOIN words w{i} ON w{i}.w = p.p{i} // {_BLOOM_WORD}"
+            for i in range(_BLOOM_K)
+        )})
+    SELECT CAST(count(*) AS BIGINT) AS fact_rows,
+           CAST(sum(cand.c) AS BIGINT) AS candidate_rows,
+           CAST(sum(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS matched_rows,
+           CAST(sum(cand.c)
+                - sum(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives
+    FROM cand LEFT JOIN (SELECT DISTINCT k FROM dim) d
+      ON cand.l_orderkey = d.k
+"""
+
+
+@query(
+    "q_bloom_prune",
+    oracle=_BLOOM_ORACLE,
+    tags=("sketch", "join", "scale", "extension"),
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom-filter pruning of a fact table before an
+    expensive downstream join — the shuffle-avoidance lever, fully
+    audited.  The filter over the urgent orders' keys (≈30 k keys at
+    sf0.1 into 262144 bits, k=3 → fill ≈29 %, measured FP rate ≈2 %)
+    packs into ≤4229 (word, mask) BIGINT rows (~68 KB — at 100 TB
+    you size m to the dim: even 10^9 keys fit a ~500 MB filter, or
+    partition the filter by key range) built by ONE tiny aggregation;
+    probing is three broadcast-hash left joins on word index plus a
+    mask test, so the 60 k-row (100 TB-scale: arbitrarily large)
+    fact side is never shuffled — candidates are decided row-local
+    at the scan.  The exact broadcast semi-join runs alongside and
+    the output reports fact/candidate/matched/false-positive counts;
+    matched == the semi-join count proves no false negatives.  Word
+    width is 62 bits because DuckDB's `<<` is overflow-checked at
+    bit 63."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dim = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+    pos = None
+    for i in range(_BLOOM_K):
+        p = dim.select(
+            F.expr(_POS_SPARK.format(i=i, key="CAST(k AS STRING)")).alias("p")
+        )
+        pos = p if pos is None else pos.unionAll(p)
+    words = pos.groupBy(
+        F.expr(f"p div {_BLOOM_WORD}").alias("w")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(p % {_BLOOM_WORD} AS INT)))"
+        ).alias("mask")
+    )
+    probe = lineitem.select(
+        "l_orderkey",
+        *[
+            F.expr(
+                _POS_SPARK.format(i=i, key="CAST(l_orderkey AS STRING)")
+            ).alias(f"p{i}")
+            for i in range(_BLOOM_K)
+        ],
+    )
+    cand = probe
+    for i in range(_BLOOM_K):
+        wi = words.select(
+            F.col("w").alias(f"w{i}"), F.col("mask").alias(f"mask{i}")
+        )
+        cand = cand.join(
+            F.broadcast(wi),
+            F.expr(f"p{i} div {_BLOOM_WORD}") == F.col(f"w{i}"),
+            "left",
+        )
+    bit_tests = " AND ".join(
+        f"coalesce((mask{i} >> CAST(p{i} % {_BLOOM_WORD} AS INT)) & 1, 0) = 1"
+        for i in range(_BLOOM_K)
+    )
+    truth = dim.select(F.col("k").alias("tk")).distinct()
+    flagged = (
+        cand.withColumn("c", F.expr(f"CASE WHEN {bit_tests} THEN 1 ELSE 0 END"))
+        .join(F.broadcast(truth), F.col("l_orderkey") == F.col("tk"), "left")
+        .withColumn("t", F.when(F.col("tk").isNotNull(), 1).otherwise(0))
+    )
+    return flagged.agg(
+        F.count("*").cast("bigint").alias("fact_rows"),
+        F.sum("c").cast("bigint").alias("candidate_rows"),
+        F.sum("t").cast("bigint").alias("matched_rows"),
+        (F.sum("c") - F.sum("t")).cast("bigint").alias("false_positives"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic count-min sketch
+# ---------------------------------------------------------------------------
+
+_CMS_W = 1024
+_CMS_D = 3
+
+_CMS_ORACLE = f"""
+    WITH tf AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok),
+    counters AS (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS d, "
+            f"(('0x' || substr(md5('c{d}:' || tok), 1, 12))::BIGINT) % {_CMS_W}"
+            " AS pos, CAST(sum(n) AS BIGINT) AS c FROM tf GROUP BY 2"
+            for d in range(_CMS_D)
+        )}),
+    top AS (
+        SELECT tok, n FROM tf
+        ORDER BY n DESC, tok ASC LIMIT 20),
+    probe AS (
+        SELECT t.tok, t.n, cnt.d, cnt.c
+        FROM top t JOIN counters cnt
+          ON cnt.pos = (('0x' || substr(md5('c' || CAST(cnt.d AS VARCHAR)
+                         || ':' || t.tok), 1, 12))::BIGINT) % {_CMS_W})
+    SELECT tok, n AS exact_n,
+           CAST(min(c) AS BIGINT) AS cms_est,
+           CAST(min(c) - n AS BIGINT) AS overcount
+    FROM probe GROUP BY tok, n
+"""
+
+
+@query(
+    "q_cms_topk",
+    oracle=_CMS_ORACLE,
+    tags=("sketch", "text", "extension", "scale"),
+)
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic count-min sketch, audited against exact counts
+    for the corpus top-20 tokens — completing the oracle-exact sketch
+    trio (HLL for distinct, Bloom for membership, CMS for frequency).
+    depth=3 salted-md5 rows x width=1024 counters; the estimate is
+    min over rows and the one-sided guarantee (est >= exact, pinned
+    in tests) comes from counters only ever over-counting on
+    collisions.  The counters derive from the token-frequency
+    aggregate — NOT a second corpus scan — so the whole query is one
+    corpus pass; the 3x1024 counter table is map-side-additive (sum
+    is the merge operator), which is what makes CMS the streaming /
+    100 TB answer to "how often does X occur": partial counters merge
+    per partition or micro-batch, and frequency questions are then
+    O(d) lookups into a few KB of state, never a corpus re-scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    counters = None
+    for d in range(_CMS_D):
+        c = tf.groupBy(
+            F.expr(
+                f"CAST(conv(substring(md5(concat('c{d}:', tok)), 1, 12), "
+                f"16, 10) AS BIGINT) % {_CMS_W}"
+            ).alias("pos")
+        ).agg(F.sum("n").cast("bigint").alias("c")).select(
+            F.lit(d).alias("d"), "pos", "c"
+        )
+        counters = c if counters is None else counters.unionAll(c)
+    top = tf.orderBy(F.desc("n"), F.asc("tok")).limit(20)
+    pos_exprs = ", ".join(
+        f"{d}, CAST(conv(substring(md5(concat('c{d}:', tok)), 1, 12), "
+        f"16, 10) AS BIGINT) % {_CMS_W}"
+        for d in range(_CMS_D)
+    )
+    expanded = top.selectExpr(
+        "tok", "n", f"stack({_CMS_D}, {pos_exprs}) AS (d, pos)"
+    )
+    probe = expanded.join(F.broadcast(counters), ["d", "pos"])
+    return probe.groupBy("tok", F.col("n").alias("exact_n")).agg(
+        F.min("c").cast("bigint").alias("cms_est"),
+        (F.min("c") - F.col("n")).cast("bigint").alias("overcount"),
+    )

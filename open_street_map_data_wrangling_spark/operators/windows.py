@@ -787,3 +787,108 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "END AS BIGINT)"
         ).alias("interp_avg_x100"),
     )
+
+
+@query(
+    "q_funnel_window",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS us
+            FROM events),
+        s1 AS (
+            SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                          OVER (PARTITION BY user_id) AS t1
+            FROM e),
+        s2 AS (
+            SELECT *, min(CASE WHEN event_type = 'click'
+                                AND us >= t1
+                                AND us <= t1 + 3600000000 THEN us END)
+                          OVER (PARTITION BY user_id) AS t2
+            FROM s1),
+        s3 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase'
+                                AND us >= t2
+                                AND us <= t2 + 3600000000 THEN us END)
+                          OVER (PARTITION BY user_id) AS t3
+            FROM s2),
+        per_user AS (
+            SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+            FROM s3 GROUP BY user_id)
+        SELECT CAST(count(t1) AS BIGINT) AS users_view,
+               CAST(count(t2) AS BIGINT) AS users_click_1h,
+               CAST(count(t3) AS BIGINT) AS users_purchase_1h,
+               CAST(10000 * count(t2) // count(t1) AS BIGINT)
+                   AS conv_click_x10k,
+               CAST(10000 * count(t3) // count(t1) AS BIGINT)
+                   AS conv_purchase_x10k
+        FROM per_user
+    """,
+    tags=("window", "sequence", "funnel", "extension"),
+)
+def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: first view, then a click within ONE HOUR
+    of that view, then a purchase within one hour of that qualifying
+    click — the conversion-attribution shape q_funnel_steps cannot
+    express (its running-max flags accept any later step, however
+    distant).  Three chained full-partition MIN windows over the SAME
+    user partitioning: anchor t1 = earliest view, each later anchor
+    is conditioned on the previous one, so the whole chain plans as
+    one exchange on user_id with three Window operators and the
+    per-user reduction riding the same partitioning — no sort is even
+    required (unordered whole-partition frames).  All comparisons are
+    integer epoch-microseconds, so the one-hour budget (3.6e9 µs) is
+    engine-exact.  At 100 TB: identical posture to q_funnel_steps —
+    the fact shuffles once on user_id, window state per user is three
+    bigints."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    hour = 3600000000
+    per_user = (
+        events.select(
+            "user_id", "event_type", F.unix_micros("ts").alias("us")
+        )
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") >= F.col("t1"))
+                    & (F.col("us") <= F.col("t1") + hour),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("t2"))
+                    & (F.col("us") <= F.col("t2") + hour),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("t1").alias("t1"),
+            F.min("t2").alias("t2"),
+            F.min("t3").alias("t3"),
+        )
+    )
+    return per_user.agg(
+        F.count("t1").cast("bigint").alias("users_view"),
+        F.count("t2").cast("bigint").alias("users_click_1h"),
+        F.count("t3").cast("bigint").alias("users_purchase_1h"),
+        F.expr("CAST(10000 * count(t2) div count(t1) AS BIGINT)").alias(
+            "conv_click_x10k"
+        ),
+        F.expr("CAST(10000 * count(t3) div count(t1) AS BIGINT)").alias(
+            "conv_purchase_x10k"
+        ),
+    )

@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "layout",
     "pq",
     "curation",
+    "sketches",
 )
 
 

@@ -258,3 +258,33 @@ def test_user_overlap_reuses_distinct_exchange(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_bloom_probe_never_shuffles_fact(plans):
+    """q_bloom_prune's whole point: the lineitem probe side must see
+    only broadcast joins (words + truth) — a SortMergeJoin would mean
+    the fact shuffled for a membership test a few-KB broadcast bitmap
+    answers row-local."""
+    p = plans("q_bloom_prune")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 4  # 3 word probes + truth
+    # the only hash-partitioned exchange is the tiny word build side
+    assert p.count("lineitem.parquet") == 1
+
+
+def test_hll_det_single_scan_single_fact_shuffle(plans):
+    """HLL + exact distinct share ONE events scan; the only wide
+    exchange carries the (event_type, bucket) partial aggregate —
+    at most m=256 rows per group per mapper."""
+    p = plans("q_hll_det")
+    assert p.count("events.parquet") == 1
+
+
+def test_funnel_window_one_exchange(plans):
+    """Three chained whole-partition MIN windows + the per-user
+    reduction must all ride ONE hashpartitioning(user_id) exchange —
+    the q_funnel_steps floor plan, preserved under the time-bounded
+    variant."""
+    p = plans("q_funnel_window")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("events.parquet") == 1

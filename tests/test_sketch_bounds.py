@@ -69,3 +69,95 @@ def test_approx_percentiles_within_exact_quantile_envelope(spark):
                 f"{et}.{col}={r[col]} outside exact envelope "
                 f"[{lo}, {hi}] for p∈[{p-eps}, {p+eps}]"
             )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (md5-based, oracle-exact) sketches — operators/sketches.py
+# ---------------------------------------------------------------------------
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_hll_det_registers_merge_exactly(spark):
+    """The register table IS the mergeable sketch state: registers
+    built on any disjoint split of the input and max-merged must be
+    bit-identical to registers built on the whole — the property that
+    lets HLL partial-aggregate map-side and merge across partitions,
+    micro-batches, or days of data without re-scanning."""
+    from open_street_map_data_wrangling_spark.operators.sketches import (
+        hll_registers,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF001, "events")
+    full = {
+        (r["event_type"], r["b"], r["m"])
+        for r in hll_registers(events, "event_type", "event_id")
+        .select("event_type", "b", "m")
+        .collect()
+    }
+    halves = [
+        hll_registers(
+            events.where(F.col("event_id") % 2 == par),
+            "event_type",
+            "event_id",
+        ).select("event_type", "b", "m")
+        for par in (0, 1)
+    ]
+    merged = {
+        (r["event_type"], r["b"], r["m"])
+        for r in halves[0]
+        .unionAll(halves[1])
+        .groupBy("event_type", "b")
+        .agg(F.max("m").alias("m"))
+        .collect()
+    }
+    assert merged == full
+
+
+def test_hll_det_estimate_within_band(spark):
+    """Both estimator branches (raw harmonic at sf0.01, linear
+    counting at sf0.001) must land within 3x the published
+    1.04/sqrt(256) = 6.5% rsd of the exact distinct."""
+    q = load_all_queries()["q_hll_det"].spark
+    for sf in ("/root/testdata/sf0.001", SF001):
+        for r in q(spark, sf).collect():
+            exact, est = r["exact_ids"], r["hll_est"]
+            assert abs(est - exact) <= 0.2 * exact, (
+                f"{sf} {r['event_type']}: est {est} vs exact {exact}"
+            )
+
+
+def test_bloom_prune_no_false_negatives_and_bounded_fp(spark):
+    """Bloom filters admit false positives but never false negatives:
+    matched_rows must equal the exact semi-join count, and the FP rate
+    over non-matching rows must stay under 5% at the configured
+    16 bits/key load."""
+    row = load_all_queries()["q_bloom_prune"].spark(spark, SF001).collect()[0]
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF001}/lineitem.parquet') l "
+        f"WHERE l.l_orderkey IN (SELECT o_orderkey FROM "
+        f"read_parquet('{SF001}/orders.parquet') "
+        f"WHERE o_orderpriority = '1-URGENT')"
+    ).fetchone()[0]
+    assert row["matched_rows"] == exact
+    assert row["candidate_rows"] >= row["matched_rows"]
+    nonmatching = row["fact_rows"] - row["matched_rows"]
+    assert row["false_positives"] <= 0.05 * nonmatching
+
+
+def test_cms_overcount_is_one_sided(spark):
+    """Count-min's contract: collisions only ADD, so est >= exact for
+    every probed token, and with depth 3 x width 1024 over a
+    fixture-sized vocabulary the top-20 head should mostly be exact
+    (a head token colliding with another heavy hitter in all 3 rows
+    is vanishingly unlikely)."""
+    rows = load_all_queries()["q_cms_topk"].spark(spark, SF001).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["overcount"] >= 0, f"{r['tok']}: CMS undercounted"
+        assert r["cms_est"] >= r["exact_n"]
+    exact_hits = sum(1 for r in rows if r["overcount"] == 0)
+    assert exact_hits >= 15
