@@ -107,6 +107,7 @@ HEADLINE = (
     "q_bloom_prune",
     "q_cms_topk",
     "q_funnel_window",
+    "q_kmv_overlap",
 )
 
 

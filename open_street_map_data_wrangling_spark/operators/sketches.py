@@ -40,7 +40,7 @@ no double→int casts (Spark truncates, DuckDB rounds); DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -399,4 +399,180 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe.groupBy("tok", F.col("n").alias("exact_n")).agg(
         F.min("c").cast("bigint").alias("cms_est"),
         (F.min("c") - F.col("n")).cast("bigint").alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic KMV (k-minimum-values) set-overlap sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_H = "(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT)"
+
+_KMV_ORACLE = f"""
+    WITH tu AS (
+        SELECT DISTINCT o_orderpriority AS seg, o_custkey FROM orders),
+    uh AS (
+        SELECT seg, {_KMV_H} AS h FROM tu),
+    sk AS (
+        SELECT seg, h FROM (
+            SELECT seg, h,
+                   row_number() OVER (PARTITION BY seg
+                                      ORDER BY h ASC) AS rn
+            FROM uh) WHERE rn <= {_KMV_K}),
+    types AS (SELECT DISTINCT o_orderpriority AS seg FROM orders),
+    tagged AS (
+        SELECT s.seg AS type_a, t.seg AS type_b,
+               s.h, 1 AS in_a, 0 AS in_b
+        FROM sk s JOIN types t ON s.seg < t.seg
+        UNION ALL
+        SELECT t.seg AS type_a, s.seg AS type_b,
+               s.h, 0 AS in_a, 1 AS in_b
+        FROM sk s JOIN types t ON t.seg < s.seg),
+    merged AS (
+        SELECT type_a, type_b, h,
+               max(in_a) AS in_a, max(in_b) AS in_b
+        FROM tagged GROUP BY type_a, type_b, h),
+    kmin AS (
+        SELECT type_a, type_b, in_a, in_b FROM (
+            SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                         ORDER BY h ASC) AS rn
+            FROM merged) WHERE rn <= {_KMV_K}),
+    est AS (
+        SELECT type_a, type_b,
+               CAST(count(*) AS BIGINT) AS kk,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both_sk
+        FROM kmin GROUP BY type_a, type_b),
+    sizes AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS n
+        FROM tu GROUP BY seg),
+    inter AS (
+        SELECT a.seg AS type_a, b.seg AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM tu a JOIN tu b
+          ON a.o_custkey = b.o_custkey AND a.seg < b.seg
+        GROUP BY 1, 2)
+    SELECT e.type_a, e.type_b,
+           CAST(10000 * coalesce(i.n_both, 0)
+                // (sa.n + sb.n - coalesce(i.n_both, 0)) AS BIGINT)
+               AS jaccard_x10k,
+           CAST(10000 * e.n_both_sk // e.kk AS BIGINT) AS kmv_x10k,
+           e.kk
+    FROM est e
+    JOIN sizes sa ON sa.seg = e.type_a
+    JOIN sizes sb ON sb.seg = e.type_b
+    LEFT JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+"""
+
+
+@query(
+    "q_kmv_overlap",
+    oracle=_KMV_ORACLE,
+    tags=("sketch", "setops", "extension", "scale"),
+)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) Jaccard estimation between customer
+    segments (the distinct o_custkey set of each order priority —
+    chosen over event-type user sets, whose overlap is degenerately
+    1.0 in the fixtures; priority segments overlap at ~0.76), audited
+    against the exact pairwise Jaccard in the same output row.  Each
+    segment keeps its k=64 smallest md5 member hashes — a fixed-size,
+    MERGEABLE summary (the union of two sketches, re-truncated to k,
+    IS the union's sketch); the estimator counts how many of the k
+    smallest hashes of A∪B belong to both sketches.  Everything is
+    md5-deterministic, so the oracle rebuilds the sketch bit-for-bit.
+    When a union is smaller than k the sketch holds the whole set and
+    the estimate equals the truth (the sf0.001 case, a built-in
+    sanity check).  At 100 TB this is THE cross-segment overlap
+    answer: exact pairwise intersection needs a member-keyed
+    self-join over every segment pair, while KMV ships k·|segments|
+    rows — per-segment top-k via one window whose map-side
+    WindowGroupLimit prunes to k rows per partition before the
+    exchange — and all pair arithmetic happens on sketches."""
+    orders = load_table(spark, sf_dir, "orders")
+    tu = orders.select(
+        F.col("o_orderpriority").alias("seg"), "o_custkey"
+    ).distinct()
+    uh = tu.select(
+        "seg",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 12), "
+            "16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    sk = (
+        uh.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("seg").orderBy(F.asc("h"))),
+        )
+        .filter(F.col("rn") <= _KMV_K)
+        .select("seg", "h")
+    )
+    types = tu.select("seg").distinct()
+    s, t = sk.alias("s"), types.alias("t")
+    tagged = (
+        s.join(F.broadcast(t), F.col("s.seg") < F.col("t.seg"))
+        .select(
+            F.col("s.seg").alias("type_a"),
+            F.col("t.seg").alias("type_b"),
+            "h",
+            F.lit(1).alias("in_a"),
+            F.lit(0).alias("in_b"),
+        )
+        .unionAll(
+            s.join(
+                F.broadcast(t), F.col("t.seg") < F.col("s.seg")
+            ).select(
+                F.col("t.seg").alias("type_a"),
+                F.col("s.seg").alias("type_b"),
+                "h",
+                F.lit(0).alias("in_a"),
+                F.lit(1).alias("in_b"),
+            )
+        )
+    )
+    merged = tagged.groupBy("type_a", "type_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    kmin = (
+        merged.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("type_a", "type_b").orderBy(F.asc("h"))
+            ),
+        )
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    est = kmin.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("kk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both_sk"),
+    )
+    sizes = tu.groupBy("seg").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.seg") < F.col("b.seg")),
+        )
+        .groupBy(
+            F.col("a.seg").alias("type_a"),
+            F.col("b.seg").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = sizes.select(F.col("seg").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("seg").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        est.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "CAST(10000 * coalesce(n_both, 0) "
+            "div (n_a + n_b - coalesce(n_both, 0)) AS BIGINT) AS jaccard_x10k",
+            "CAST(10000 * n_both_sk div kk AS BIGINT) AS kmv_x10k",
+            "kk",
+        )
     )

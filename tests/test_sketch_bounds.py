@@ -161,3 +161,18 @@ def test_cms_overcount_is_one_sided(spark):
         assert r["cms_est"] >= r["exact_n"]
     exact_hits = sum(1 for r in rows if r["overcount"] == 0)
     assert exact_hits >= 15
+
+
+def test_kmv_jaccard_within_band(spark):
+    """KMV with k=64: sd of the Jaccard estimator is about
+    sqrt(J(1-J)/k) ~ 0.054 at J~0.76, so 3.5 sigma ~ 0.19; assert
+    |est - exact| <= 2000 x10k for every segment pair (observed max
+    1423 at sf0.01, 863 at sf0.1)."""
+    rows = load_all_queries()["q_kmv_overlap"].spark(spark, SF001).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["kk"] == 64
+        assert abs(r["kmv_x10k"] - r["jaccard_x10k"]) <= 2000, (
+            f"{r['type_a']}x{r['type_b']}: kmv {r['kmv_x10k']} "
+            f"vs exact {r['jaccard_x10k']}"
+        )
