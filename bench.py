@@ -108,6 +108,7 @@ HEADLINE = (
     "q_cms_topk",
     "q_funnel_window",
     "q_kmv_overlap",
+    "q_pagerank",
 )
 
 

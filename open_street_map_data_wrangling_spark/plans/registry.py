@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "pq",
     "curation",
     "sketches",
+    "graph",
 )
 
 

@@ -1,0 +1,74 @@
+"""Determinism contract for operators/graph.py (PageRank).
+
+q_pagerank is rows-only at the driver (fixed-iteration recurrence,
+no SQL twin).  These tests carry the correctness claim instead:
+
+- The integer fixed-point recurrence is replayed in pure Python
+  (dict-of-int, truncating division on positives == //) from the
+  SAME pair list the Spark build consumes, and the per-node ranks
+  must match BIT-FOR-BIT — there is no float anywhere, so no
+  tolerance and no summation-order caveat.
+- Rank mass conservation: teleport bleeds mass through truncating
+  division, so sum(pr) <= SCALE and each pr stays within [0, SCALE].
+- The top-20 projection is deterministic under its (pr DESC, doc_id
+  ASC) tiebreak.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from open_street_map_data_wrangling_spark.operators import graph
+from open_street_map_data_wrangling_spark.operators.dedup import q_dedup_near
+from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def _replay(pairs: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    base = graph._PR_SCALE // n
+    p = {v: base for v in adj}
+    for _ in range(iters):
+        inc = {v: 0 for v in adj}
+        for j, nbrs in adj.items():
+            share = p[j] // len(nbrs)
+            for i in nbrs:
+                inc[i] += share
+        p = {v: (15 * base + 85 * inc[v]) // 100 for v in adj}
+    return p
+
+
+def test_pagerank_matches_pure_python_replay_bit_for_bit(spark):
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in q_dedup_near(spark, SF).collect()
+    ]
+    assert pairs, "fixture must produce candidate pairs"
+    expected = _replay(pairs, graph._PR_ITERS)
+    got = {
+        r["doc_id"]: r["pr"]
+        for r in graph.pagerank_fixed(q_dedup_near(spark, SF)).collect()
+    }
+    assert got == expected
+
+
+def test_pagerank_mass_and_range(spark):
+    rows = graph.pagerank_fixed(q_dedup_near(spark, SF)).collect()
+    total = sum(r["pr"] for r in rows)
+    assert 0 < total <= graph._PR_SCALE
+    assert all(0 <= r["pr"] <= graph._PR_SCALE for r in rows)
+
+
+def test_pagerank_top20_is_stable(spark):
+    q = load_all_queries()["q_pagerank"].spark
+    a = [tuple(r) for r in q(spark, SF).collect()]
+    b = [tuple(r) for r in q(spark, SF).collect()]
+    assert a == b
+    assert [r[0] for r in a] == list(range(1, len(a) + 1))
