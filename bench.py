@@ -109,6 +109,7 @@ HEADLINE = (
     "q_funnel_window",
     "q_kmv_overlap",
     "q_pagerank",
+    "q_bpe_merges",
 )
 
 

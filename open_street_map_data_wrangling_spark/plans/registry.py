@@ -57,6 +57,7 @@ _OPERATOR_MODULES = (
     "curation",
     "sketches",
     "graph",
+    "bpe",
 )
 
 

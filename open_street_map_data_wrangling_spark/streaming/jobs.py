@@ -521,3 +521,67 @@ def near_dedup_merge_fn(spark: SparkSession, store_dir: str, out_dir: str):
         kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return merge
+
+
+def hll_merge_fn(spark: SparkSession, store_dir: str):
+    """Register-max merge for the deterministic HLL
+    (operators/sketches.hll_registers): the store holds at most
+    |groups| x 256 (event_type, b, m) rows and a micro-batch folds in
+    via max(m) per register.
+
+    The retry-safety story is the OPPOSITE of rollup_merge_fn's:
+    register max is IDEMPOTENT and COMMUTATIVE, so a redelivered
+    batch merged a second time leaves the store bit-identical — no
+    applied-batch marker, no residual at-least-once window at all.
+    This is the operational argument for sketch-shaped streaming
+    state: counts need transactional sinks to survive replays,
+    registers only need set-union semantics.  (The stage-then-commit
+    write below is still two steps, but replaying EITHER step is
+    harmless.)"""
+    from ..operators.sketches import hll_registers
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = hll_registers(batch_df, "event_type", "event_id").select(
+            "event_type", "b", "m"
+        )
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        store_path = jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = store_path.getFileSystem(hconf)
+        if fs.exists(store_path):
+            current = spark.read.parquet(store_dir)
+            merged = (
+                current.unionByName(delta)
+                .groupBy("event_type", "b")
+                .agg(F.max("m").alias("m"))
+            )
+        else:
+            merged = delta
+        stage_dir = f"{store_dir}_stage"
+        merged.write.mode("overwrite").parquet(stage_dir)
+        (
+            spark.read.parquet(stage_dir)
+            .write.mode("overwrite")
+            .parquet(store_dir)
+        )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stage_dir), True)
+
+    return merge
+
+
+def hll_sketch_maintenance(stream: DataFrame, store_dir: str):
+    """Continuous distinct-count sketch: maintain the deterministic
+    HLL register table across micro-batches.  The store IS the
+    sketch — any reader can turn it into per-group estimates at any
+    moment without touching the event history, and because the
+    registers are md5-deterministic the store after N batches is
+    bit-identical to hll_registers() over the concatenated input
+    (pinned in tests/test_streaming.py, including under replay).
+    Returns the StreamingQuery (caller stops it)."""
+    return (
+        stream.writeStream.foreachBatch(
+            hll_merge_fn(stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )

@@ -1,0 +1,74 @@
+"""Determinism contract for operators/bpe.py (BPE training).
+
+q_bpe_merges is rows-only at the driver (N-round recurrence, no SQL
+twin).  The claim is carried here: the full training loop is
+re-learned in pure Python from word frequencies extracted by DuckDB
+— an independent engine end to end — and the merge tables must match
+EXACTLY, including tie-breaks and pair frequencies.  The replay uses
+re.sub with the same zero-width-delimited pattern, which scans
+left-to-right non-overlapping exactly like Java's replaceAll, so
+greedy merge semantics (``a a a`` → ``aa a``) agree by construction.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from collections import Counter
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from open_street_map_data_wrangling_spark.operators import bpe
+from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def _replay(sf_dir: str, steps: int) -> list[tuple[int, str, str, int]]:
+    con = duckdb.connect()
+    freqs = con.execute(
+        "SELECT tok, count(*) FROM (SELECT unnest(string_split(text, ' ')) "
+        f"AS tok FROM read_parquet('{sf_dir}/documents.parquet')) "
+        "WHERE tok <> '' GROUP BY tok"
+    ).fetchall()
+    seqs = {" " + " ".join(w) + " ": int(f) for w, f in freqs}
+    merges = []
+    for step in range(1, steps + 1):
+        pc: Counter = Counter()
+        for seq, f in seqs.items():
+            syms = seq.split()
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        # (freq DESC, left ASC, right ASC) — the engine's total order
+        (l, r), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if f < 2:
+            break
+        merges.append((step, l, r, f))
+        pat = re.compile(f"(?<= ){re.escape(l)} {re.escape(r)}(?= )")
+        seqs = {
+            pat.sub((l + r).replace("\\", "\\\\"), seq): fv
+            for seq, fv in seqs.items()
+        }
+    return merges
+
+
+def test_bpe_merges_match_pure_python_replay(spark):
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_freq"])
+        for r in load_all_queries()["q_bpe_merges"].spark(spark, SF).collect()
+    ]
+    assert got == _replay(SF, bpe._BPE_STEPS)
+    assert len(got) == bpe._BPE_STEPS  # fixture corpus has 8 mergeable pairs
+
+
+def test_bpe_greedy_run_semantics():
+    """The delimiter-lookaround pattern must merge runs left-to-right
+    non-overlapping: 'a a a' -> 'aa a', 'a a a a' -> 'aa aa'."""
+    pat = re.compile("(?<= )a a(?= )")
+    assert pat.sub("aa", " a a a ") == " aa a "
+    assert pat.sub("aa", " a a a a ") == " aa aa "

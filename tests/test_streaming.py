@@ -643,3 +643,72 @@ def test_scd2_soak_survives_restarts(spark, tmp_path):
         (1, 30.0, 3, True),
         (2, 5.0, 2, True),
     }
+
+
+def test_hll_sketch_maintenance_matches_batch_and_survives_replay(
+    spark, tmp_path
+):
+    """Two micro-batches of events must leave the register store
+    bit-identical to hll_registers() over all events seen (the
+    streaming = batch sketch invariant), and re-applying the LAST
+    batch's merge by hand — the at-least-once redelivery case — must
+    leave the store unchanged because register max is idempotent."""
+    from open_street_map_data_wrangling_spark.operators.sketches import (
+        hll_registers,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        hll_merge_fn,
+        hll_sketch_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "hll_store")
+
+    def mk(first_id, n, et):
+        return spark.createDataFrame(
+            [
+                (first_id + i, "2024-01-01 10:00:00", 1, et, 1.0, "{}")
+                for i in range(n)
+            ],
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+
+    batch1 = mk(0, 300, "click")
+    batch2 = mk(300, 200, "view")
+    batch1.write.mode("overwrite").parquet(src)
+    stream = events_file_stream(spark, src)
+    q = hll_sketch_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        batch2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def regs_of(path):
+        return {
+            (r.event_type, r.b, r.m)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    expected = {
+        (r.event_type, r.b, r.m)
+        for r in hll_registers(
+            batch1.unionByName(batch2), "event_type", "event_id"
+        )
+        .select("event_type", "b", "m")
+        .collect()
+    }
+    assert regs_of(store) == expected
+
+    # redelivery: merging batch2 again must be a no-op
+    hll_merge_fn(spark, store)(batch2, batch_id=999)
+    assert regs_of(store) == expected
