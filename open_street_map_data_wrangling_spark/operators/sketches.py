@@ -20,8 +20,9 @@ bit in the oracle and the driver's value hash applies.  That turns
   and only m rows per group ever cross the wire.
 * `q_bloom_prune` — the prune-before-shuffle pattern: a 262144-bit
   Bloom filter over a filtered dimension's keys, packed into ≤4229
-  (word, mask) rows (~68 KB), broadcast to the fact side, probed with
-  three salted md5 hashes, then audited against the exact semi-join.
+  (word, mask) rows (~68 KB), broadcast to the fact side, probed at
+  three Kirsch-Mitzenmacher double-hash positions derived from ONE
+  md5 per key, then audited against the exact semi-join.
   False positives are counted, false negatives are structurally
   impossible (the oracle proves the candidate set ⊇ the true set
   because matched == exact semi-join count).  At 100 TB the filter
@@ -185,13 +186,21 @@ _BLOOM_BITS = 262144
 _BLOOM_WORD = 62  # DuckDB `<<` is overflow-checked; keep shifts ≤ 61
 _BLOOM_K = 3
 
-# position of hash i for a key expression: 48 md5 bits mod 16384,
-# salted per hash.  `key` must be a SQL expression of VARCHAR type.
+# Kirsch-Mitzenmacher double hashing: ONE md5 per key yields h1 (hex
+# chars 1-12) and h2 (chars 13-24), and pos_i = (h1 + i*h2) mod m has
+# the same FP guarantees as k independent hashes — a third of the
+# per-row hashing the salted-digest form pays on the fact side.
+# max(h1 + 2*h2) < 3·2^48, no BIGINT overflow.  `key` must be a SQL
+# expression of VARCHAR type.
 _POS_SPARK = (
-    "CAST(conv(substring(md5(concat('b{i}:', {key})), 1, 12), 16, 10) "
-    "AS BIGINT) % 262144"
+    "((CAST(conv(substring(md5({key}), 1, 12), 16, 10) AS BIGINT)"
+    " + {i} * CAST(conv(substring(md5({key}), 13, 12), 16, 10) AS BIGINT))"
+    " % 262144)"
 )
-_POS_DUCK = "(('0x' || substr(md5('b{i}:' || {key}), 1, 12))::BIGINT) % 262144"
+_POS_DUCK = (
+    "((('0x' || substr(md5({key}), 1, 12))::BIGINT"
+    " + {i} * ('0x' || substr(md5({key}), 13, 12))::BIGINT) % 262144)"
+)
 
 _BLOOM_ORACLE = f"""
     WITH dim AS (

@@ -86,11 +86,15 @@ def get_spark(
         # sorted-run fold takes multiple SECONDS to janino-compile)
         # get evicted between passes and recompiled per run — round 4
         # recorded 6.4 s for a 1.2 s query this way.  The cache holds
-        # class references (driver-side KBs each); 2000 entries is
-        # noise in driver memory at any deployment size.  Static conf:
+        # class references (driver-side KBs each); thousands of
+        # entries are noise in driver memory at any deployment size.
+        # Sized for headroom over the bench suite: 78 headline
+        # queries x 2 passes + warmup overflowed the round-5 value of
+        # 2000 (round 6 measured a diffuse +8% with the PQ fold
+        # queries, the largest generated classes, +30%).  Static conf:
         # must be set at builder time, apply_runtime_conf cannot
         # rescue it on foreign sessions.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        .config("spark.sql.codegen.cache.maxEntries", "8000")
     )
     for k, v in _RUNTIME_SQL_CONF.items():
         builder = builder.config(k, v)
