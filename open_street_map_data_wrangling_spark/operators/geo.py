@@ -1,0 +1,155 @@
+"""Geospatial operators for the OSM domain — geohash + proximity join.
+
+The reference project family reads OSM extracts but never computes
+with coordinates; an engine owning OSM data should.  Two primitives,
+both pure JVM expressions (no UDF):
+
+* `with_geohash` — standard geohash (lon/lat bit-interleave, base32)
+  at precision 8, built from a 32-bit-wide Morton spread (layout.py's
+  is 16-bit).  Geohash IS a Z-order curve over (lon, lat), so the
+  same write-time clustering + prefix-range file skipping story as
+  q_zorder applies to spatial data verbatim: cluster by geohash,
+  prune scans by prefix.
+* `proximity_pairs` — distance join via the bucketed-candidates
+  posture (the spatial twin of LSH banding): each node lands in one
+  radius-derived grid cell keyed by quantized (lat, lon) — cells
+  cos(lat)-corrected in longitude so a radius circle cannot escape
+  the neighborhood; candidates come
+  from equi-joining each node's cell against the 3x3 neighborhood of
+  the other side (a bounded 9x explode of cell KEYS, not data
+  duplication of the big side), then the exact haversine filter runs
+  on candidates only.  Never an all-pairs cross join; worst case per
+  cell is bounded by local point density, the quantity you actually
+  control at ingest (cell size vs radius).
+
+Pytest-only (tests/test_geo.py): the driver fixtures carry no
+coordinate columns, so like the OSM XML source itself these are
+engine features verified against an independent pure-Python replay
+(reference geohash implementation + brute-force O(n²) distance
+check) rather than fixture queries.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+# 32→64-bit interleave spread (x | x<<k) & mask chain; constants are
+# the standard Morton masks, all < 2^63 so they are plain BIGINT
+# literals in Spark SQL.
+_SPREAD32 = (
+    (16, 281470681808895),          # 0x0000FFFF0000FFFF
+    (8, 71777214294589695),         # 0x00FF00FF00FF00FF
+    (4, 1085102592571150095),       # 0x0F0F0F0F0F0F0F0F
+    (2, 3689348814741910323),       # 0x3333333333333333
+    (1, 6148914691236517205),       # 0x5555555555555555
+)
+
+
+def _spread32_sql(expr: str) -> str:
+    e = f"({expr})"
+    for n, mask in _SPREAD32:
+        e = f"((({e} | shiftleft({e}, {n})) & {mask}))"
+    return e
+
+
+def geohash_int_sql(lat: str, lon: str, bits_per_axis: int = 20) -> str:
+    """SQL for the integer geohash (bit-interleaved, lon at even bit
+    positions counting from the MSB — the standard layout) of double
+    lat/lon columns, 2*bits_per_axis total bits."""
+    scale = 1 << bits_per_axis
+    top = scale - 1
+    qlat = (
+        f"least(CAST(floor(({lat} + 90.0) / 180.0 * {scale}) AS BIGINT), {top})"
+    )
+    qlon = (
+        f"least(CAST(floor(({lon} + 180.0) / 360.0 * {scale}) AS BIGINT), {top})"
+    )
+    return (
+        f"({_spread32_sql(qlat)} | "
+        f"shiftleft({_spread32_sql(qlon)}, 1))"
+    )
+
+
+def with_geohash(
+    df: DataFrame, lat: str = "lat", lon: str = "lon", out: str = "geohash"
+) -> DataFrame:
+    """Append the precision-8 base32 geohash string (40 bits = 8
+    characters) — layout/skipping key for spatial tables."""
+    g = geohash_int_sql(lat, lon)
+    digits = ", ".join(
+        f"substring('{_B32}', CAST((shiftright(__g, {35 - 5 * k}) & 31) "
+        "AS INT) + 1, 1)"
+        for k in range(8)
+    )
+    return (
+        df.withColumn("__g", F.expr(g))
+        .withColumn(out, F.expr(f"concat({digits})"))
+        .drop("__g")
+    )
+
+
+_HAVERSINE = (
+    "2.0 * 6371000.0 * asin(sqrt("
+    "pow(sin(radians({lat2} - {lat1}) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin(radians({lon2} - {lon1}) / 2), 2)))"
+)
+
+
+def proximity_pairs(
+    nodes: DataFrame, radius_m: float = 150.0, max_abs_lat: float = 66.0
+) -> DataFrame:
+    """All node pairs (id_a < id_b) within `radius_m` meters:
+    candidates from a 3x3 neighbor-cell equi-join on the quantized
+    grid, exact haversine on candidates only.
+
+    Cell sizing is the correctness-critical part: a latitude degree
+    is ~111 km everywhere, but a LONGITUDE degree shrinks by
+    cos(lat) — at 47°N a cell sized for latitude alone is ~32 %
+    short and border pairs silently escape the 3x3 neighborhood
+    (caught by the brute-force replay test).  Cells are therefore
+    radius/111km tall and radius/(111km·cos(max_abs_lat)) wide,
+    exact for any data within ±`max_abs_lat` (caller contract —
+    polar data needs a latitude-band pre-partition, not this grid)."""
+    lat_cell = radius_m / 111_000.0
+    lon_cell = radius_m / (111_000.0 * math.cos(math.radians(max_abs_lat)))
+    cx = f"CAST(floor(lat / {lat_cell}) AS BIGINT)"
+    cy = f"CAST(floor(lon / {lon_cell}) AS BIGINT)"
+    left = nodes.selectExpr(
+        "id AS id_a", "lat AS lat_a", "lon AS lon_a",
+        f"{cx} AS cxa", f"{cy} AS cya",
+    )
+    right = (
+        nodes.selectExpr(
+            "id AS id_b", "lat AS lat_b", "lon AS lon_b",
+            f"{cx} AS cxb", f"{cy} AS cyb",
+        )
+        # 9 candidate cell KEYS per right node; the join is then a
+        # plain equi-join on (cell_x, cell_y)
+        .selectExpr(
+            "*",
+            "explode(array(-1, 0, 1)) AS dx",
+        )
+        .selectExpr("*", "explode(array(-1, 0, 1)) AS dy")
+        .selectExpr(
+            "id_b", "lat_b", "lon_b",
+            "cxb + dx AS cxa", "cyb + dy AS cya",
+        )
+    )
+    dist = _HAVERSINE.format(
+        lat1="lat_a", lon1="lon_a", lat2="lat_b", lon2="lon_b"
+    )
+    return (
+        left.join(right, ["cxa", "cya"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .selectExpr(
+            "id_a", "id_b", f"CAST(round({dist}, 1) AS DOUBLE) AS dist_m"
+        )
+        .where(F.col("dist_m") <= radius_m)
+        .distinct()
+    )

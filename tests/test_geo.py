@@ -1,0 +1,111 @@
+"""Geospatial operators vs independent replays (operators/geo.py).
+
+Geohash is checked against the textbook algorithm (successive
+bisection) implemented here from scratch, including the classic
+(57.64911, 10.40744) → 'u4pruydq' example; the proximity join is
+checked against brute-force O(n²) haversine over a deterministic
+synthetic node cloud — every pair the bucketed join emits must match
+the brute-force set exactly (no lost pairs at cell borders, no
+duplicates from the 9-cell explode).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from open_street_map_data_wrangling_spark.operators.geo import (
+    proximity_pairs,
+    with_geohash,
+)
+
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_ref(lat: float, lon: float, precision: int = 8) -> str:
+    """Textbook bisection geohash, independent of the engine's
+    bit-interleave formulation."""
+    lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+    bits, out, even = 0, [], True
+    acc = 0
+    while len(out) < precision:
+        rng, v = (lon_rng, lon) if even else (lat_rng, lat)
+        mid = (rng[0] + rng[1]) / 2
+        acc <<= 1
+        if v >= mid:
+            acc |= 1
+            rng[0] = mid
+        else:
+            rng[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(_B32[acc])
+            bits, acc = 0, 0
+    return "".join(out)
+
+
+def _nodes(spark):
+    import random
+
+    rnd = random.Random(42)
+    rows = [
+        (i, 47.0 + rnd.random() * 0.01, 8.0 + rnd.random() * 0.01)
+        for i in range(120)
+    ]
+    # pin two nodes exactly on a cell border to exercise the
+    # neighbor-cell path
+    rows.append((900, 47.00140, 8.00139))
+    rows.append((901, 47.00141, 8.00141))
+    return rows, spark.createDataFrame(rows, "id long, lat double, lon double")
+
+
+def test_geohash_matches_textbook_bisection(spark):
+    rows, df = _nodes(spark)
+    rows = rows + [(999, 57.64911, 10.40744)]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = {r["id"]: r["geohash"] for r in with_geohash(df).collect()}
+    assert got[999] == "u4pruydq"  # the classic example
+    for i, lat, lon in rows:
+        assert got[i] == _geohash_ref(lat, lon), (i, lat, lon)
+
+
+def test_proximity_pairs_match_brute_force(spark):
+    rows, df = _nodes(spark)
+
+    def hav(a, b):
+        (_, la1, lo1), (_, la2, lo2) = a, b
+        d = (
+            math.sin(math.radians(la2 - la1) / 2) ** 2
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(math.radians(lo2 - lo1) / 2) ** 2
+        )
+        m = 2 * 6371000.0 * math.asin(math.sqrt(d))
+        return math.floor(m * 10 + 0.5) / 10  # Spark round(): HALF_UP
+
+    expected = {
+        (a[0], b[0])
+        for i, a in enumerate(rows)
+        for b in rows[i + 1 :]
+        if hav(a, b) <= 150.0
+    }
+    expected = {(min(p), max(p)) for p in expected}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in proximity_pairs(df, radius_m=150.0).collect()
+    }
+    assert got == expected
+    assert (900, 901) in got  # border pair found via neighbor cells
+
+
+def test_proximity_join_is_equi_not_nlj(spark):
+    _, df = _nodes(spark)
+    plan = (
+        proximity_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
