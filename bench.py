@@ -110,6 +110,7 @@ HEADLINE = (
     "q_kmv_overlap",
     "q_pagerank",
     "q_bpe_merges",
+    "q_ivfpq_recall",
 )
 
 

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from ..functions import cosine_expr
 from ..plans.registry import query
 from ..sources.catalog import load_table
+from .similarity import _IVF_ASSIGN_SQL, _ivf_qcells_sql
 
 _M = 4  # subspaces
 _SUBDIM = 16  # dims per subspace (fixture embeddings are 64-dim)
@@ -438,3 +439,90 @@ def train_codebook(
             new_cb[r["s"]][r["cid"]][r["pos"]] = int(r["cx"])
         cb = new_cb
     return cb
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cell pruning over compressed ADC scoring
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+
+
+@query(
+    "q_ivfpq_recall",
+    oracle=f"""
+        WITH {_CODES_SQL},
+        {_IVF_ASSIGN_SQL},
+        {_ivf_qcells_sql(_QUERY_ID, _IVFPQ_NPROBE)},
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}),
+        lut AS (
+            SELECT subs.s, seeds.cid, sum({_d2_terms('q', 'seeds')}) AS d2
+            FROM q CROSS JOIN subs CROSS JOIN seeds
+            CROSS JOIN generate_series(1, {_SUBDIM}) g(i)
+            GROUP BY 1, 2),
+        ivfcand AS (
+            SELECT a1.vec_id FROM a1 JOIN qc ON a1.cid = qc.qcid
+            WHERE a1.vec_id <> {_QUERY_ID}),
+        adcq AS (
+            SELECT c.vec_id,
+                   CAST(l0.d2 + l1.d2 + l2.d2 + l3.d2 AS BIGINT) AS adc_d2
+            FROM codes c
+            JOIN ivfcand USING (vec_id)
+            JOIN lut l0 ON l0.s = 0 AND l0.cid = c.code0
+            JOIN lut l1 ON l1.s = 1 AND l1.cid = c.code1
+            JOIN lut l2 ON l2.s = 2 AND l2.cid = c.code2
+            JOIN lut l3 ON l3.s = 3 AND l3.cid = c.code3),
+        top10 AS (
+            SELECT vec_id FROM adcq ORDER BY adc_d2, vec_id LIMIT 10),
+        exact10 AS (
+            SELECT e.vec_id
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {_QUERY_ID}
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                     e.vec_id ASC
+            LIMIT 10)
+        SELECT CAST(count(*) AS BIGINT) AS hits,
+               count(*) / 10.0 AS recall_at_10,
+               (SELECT CAST(count(*) AS BIGINT) FROM ivfcand) AS cand_rows
+        FROM top10 JOIN exact10 USING (vec_id)
+    """,
+    tags=("similarity", "ann", "pq", "ivf", "extension"),
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN index layout, composed from the
+    engine's two audited halves: IVF coarse cells prune the search to
+    the query's top-{_IVFPQ_NPROBE} cells (~nprobe/C of the table),
+    and within the probed cells scoring is compressed-domain ADC (4
+    lookup-table reads per vector, no float math, no access to the
+    original embeddings).  This is the no-residual IVFADC variant:
+    one GLOBAL PQ codebook rather than per-cell residual codebooks —
+    the honest simplification matching the seed-codebook PQ family
+    here, with semantic.py's Lloyd machinery as the training path for
+    both layers.  Output audits the whole stack: candidate count
+    (the pruning ratio) and recall@10 of the doubly-approximate
+    search against the exact cosine top-10.  At 100 TB: cells are
+    partition keys (scan pruning), codes are 4 bytes a vector, and
+    the only per-query full-table work disappears entirely."""
+    from .similarity import _ivf_assign, _ivf_query_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, qvec = _seed_codebook_and_query(emb)
+    assign = _ivf_assign(emb)
+    qcells = _ivf_query_cells(emb, _QUERY_ID, _IVFPQ_NPROBE)
+    cand = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
+        .select("vec_id", "embedding")
+    )
+    ivfpq10 = _adc_top10(cand, cb, qvec).select("vec_id")
+    cand_n = cand.filter(F.col("vec_id") != _QUERY_ID).agg(
+        F.count("*").cast("bigint").alias("cand_rows")
+    )
+    return (
+        ivfpq10.join(_exact_top10(emb), "vec_id")
+        .agg(
+            F.count("*").cast("bigint").alias("hits"),
+            (F.count("*") / F.lit(10.0)).alias("recall_at_10"),
+        )
+        .crossJoin(F.broadcast(cand_n))
+    )
