@@ -585,3 +585,80 @@ def hll_sketch_maintenance(stream: DataFrame, store_dir: str):
         .option("checkpointLocation", f"{store_dir}_ckpt")
         .start()
     )
+
+
+def cms_merge_fn(spark: SparkSession, store_dir: str):
+    """Count-min counter merge — the instructive CONTRAST to
+    hll_merge_fn: counter addition is NOT idempotent, so a
+    redelivered batch would double-count every token it carries.
+    This merge therefore needs the full rollup_merge_fn discipline
+    (applied-batch marker before the checkpoint window), while the
+    HLL store needs none.  Together the two jobs document the rule:
+    pick sketch state whose merge is idempotent (max / set-union)
+    when you can, pay the transactional-marker cost only when the
+    semantics force addition."""
+    from ..operators.sketches import _CMS_D, _CMS_W  # noqa: F401
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{store_dir}_applied/{batch_id}"
+        )
+        mfs = marker.getFileSystem(hconf)
+        if mfs.exists(marker):
+            return
+        tf = (
+            batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        delta = None
+        for d in range(_CMS_D):
+            c = tf.groupBy(
+                F.expr(
+                    f"CAST(conv(substring(md5(concat('c{d}:', tok)), 1, 12),"
+                    f" 16, 10) AS BIGINT) % {_CMS_W}"
+                ).alias("pos")
+            ).agg(F.sum("n").cast("bigint").alias("c")).select(
+                F.lit(d).alias("d"), "pos", "c"
+            )
+            delta = c if delta is None else delta.unionAll(c)
+        store_path = jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = store_path.getFileSystem(hconf)
+        if fs.exists(store_path):
+            merged = (
+                spark.read.parquet(store_dir)
+                .unionByName(delta)
+                .groupBy("d", "pos")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+        else:
+            merged = delta
+        stage_dir = f"{store_dir}_stage"
+        merged.write.mode("overwrite").parquet(stage_dir)
+        (
+            spark.read.parquet(stage_dir)
+            .write.mode("overwrite")
+            .parquet(store_dir)
+        )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stage_dir), True)
+        mfs.mkdirs(marker)
+
+    return merge
+
+
+def cms_counter_maintenance(doc_stream: DataFrame, store_dir: str):
+    """Continuous token-frequency sketch over a document stream: the
+    3x1024-counter table stays additive across micro-batches, so
+    any reader answers "how often has token X occurred so far" from
+    a few KB of state.  Marker-gated against redelivery (see
+    cms_merge_fn).  Returns the StreamingQuery (caller stops it)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            cms_merge_fn(doc_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )

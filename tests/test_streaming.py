@@ -712,3 +712,82 @@ def test_hll_sketch_maintenance_matches_batch_and_survives_replay(
     # redelivery: merging batch2 again must be a no-op
     hll_merge_fn(spark, store)(batch2, batch_id=999)
     assert regs_of(store) == expected
+
+
+def test_cms_counter_maintenance_needs_and_uses_markers(spark, tmp_path):
+    """The additive-counter contrast to the HLL store: two batches
+    must leave counters equal to the batch CMS over all documents;
+    a redelivered batch must be a no-op ONLY because of the
+    applied-batch marker (counter addition itself double-counts,
+    which the test proves by deleting the marker and re-merging)."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        cms_counter_maintenance,
+        cms_merge_fn,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "cms_store")
+
+    def mk(first_id, texts):
+        return spark.createDataFrame(
+            [(first_id + i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+
+    b1 = mk(0, ["the cat sat", "the dog ran"])
+    b2 = mk(10, ["the cat ran far"])
+    b1.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(b1.schema).parquet(src)
+    )
+    q = cms_counter_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def counters():
+        return {
+            (r.d, r.pos): r.c for r in spark.read.parquet(store).collect()
+        }
+
+    got = counters()
+    # invariant: store == batch CMS over the concatenated corpus
+    from pyspark.sql import functions as SF
+
+    from open_street_map_data_wrangling_spark.operators.sketches import (
+        _CMS_D,
+        _CMS_W,
+    )
+
+    tf = (
+        b1.unionByName(b2)
+        .select(SF.explode(SF.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(SF.count("*").cast("bigint").alias("n"))
+    )
+    expected = {}
+    for d in range(_CMS_D):
+        for r in tf.groupBy(
+            SF.expr(
+                f"CAST(conv(substring(md5(concat('c{d}:', tok)), 1, 12),"
+                f" 16, 10) AS BIGINT) % {_CMS_W}"
+            ).alias("pos")
+        ).agg(SF.sum("n").cast("bigint").alias("c")).collect():
+            expected[(d, r.pos)] = r.c
+    assert got == expected
+
+    # redelivery with the marker present: no-op
+    cms_merge_fn(spark, store)(b2, batch_id=1)
+    assert counters() == got
+    # proof the MARKER is what saves us: drop it and the same replay
+    # double-counts batch 2's tokens
+    import shutil
+
+    applied = f"{store}_applied"
+    shutil.rmtree(applied)
+    cms_merge_fn(spark, store)(b2, batch_id=1)
+    assert counters() != got
