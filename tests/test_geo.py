@@ -109,3 +109,49 @@ def test_proximity_join_is_equi_not_nlj(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geohash_layout_buys_spatial_skipping(spark, tmp_path):
+    """Geohash IS a Z-order curve over (lon, lat), so clustering a
+    node table by geohash must buy file-level locality for a spatial
+    box predicate — the test_layout.py proof transplanted to
+    coordinates: a lat-sorted layout reads every file for a small
+    lon-constrained box; the geohash-clustered layout touches a
+    strict subset."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (y * 64 + x, 47.0 + y * 0.001, 8.0 + x * 0.001)
+        for y in range(64)
+        for x in range(64)
+    ]
+    nodes = spark.createDataFrame(rows, "id long, lat double, lon double")
+    gdir = str(tmp_path / "bygeohash")
+    ldir = str(tmp_path / "bylat")
+    n_files = 16
+    with_geohash(nodes).repartitionByRange(n_files, "geohash").write.mode(
+        "overwrite"
+    ).parquet(gdir)
+    nodes.repartitionByRange(n_files, "lat").write.mode("overwrite").parquet(
+        ldir
+    )
+
+    # small box: all latitudes, a narrow lon slice — the off-axis
+    # predicate for the lat-sorted layout
+    pred = (
+        (F.col("lon") >= 8.010) & (F.col("lon") < 8.014)
+        & (F.col("lat") >= 47.010) & (F.col("lat") < 47.050)
+    )
+
+    def touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    lat_files, geo_files = touched(ldir), touched(gdir)
+    assert lat_files > n_files // 2  # lat layout cannot prune a lon slice
+    assert geo_files < lat_files  # geohash clustering prunes it
