@@ -155,3 +155,29 @@ def test_geohash_layout_buys_spatial_skipping(spark, tmp_path):
     lat_files, geo_files = touched(ldir), touched(gdir)
     assert lat_files > n_files // 2  # lat layout cannot prune a lon slice
     assert geo_files < lat_files  # geohash clustering prunes it
+
+
+def test_osm_nodes_flow_into_geohash_and_proximity(spark, tmp_path):
+    """End-to-end OSM spatial path: XML extract → parsed nodes table
+    → geohash append → proximity self-join, all engine-native.  The
+    synthetic extract puts two nodes ~100 m apart and one far away;
+    the pipeline must find exactly the close pair."""
+    from open_street_map_data_wrangling_spark.sources.osm_xml import (
+        parse_osm_xml,
+    )
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6">
+  <node id="1" lat="47.0000" lon="8.0000" user="a" uid="1" version="1" changeset="1" timestamp="2024-01-01T00:00:00Z"/>
+  <node id="2" lat="47.0009" lon="8.0000" user="a" uid="1" version="1" changeset="1" timestamp="2024-01-01T00:00:00Z"/>
+  <node id="3" lat="47.5000" lon="8.5000" user="b" uid="2" version="1" changeset="1" timestamp="2024-01-01T00:00:00Z"/>
+</osm>
+"""
+    p = tmp_path / "mini.osm"
+    p.write_text(xml)
+    nodes = parse_osm_xml(spark, str(p))["nodes"].select("id", "lat", "lon")
+    hashed = with_geohash(nodes)
+    assert hashed.filter("geohash IS NULL").count() == 0
+    pairs = proximity_pairs(hashed, radius_m=150.0).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert abs(pairs[0]["dist_m"] - 100.0) < 5.0

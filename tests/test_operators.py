@@ -732,3 +732,53 @@ def test_ivf_lloyd_training_improves_assignment_quality(spark):
             emb, semantic.assign_clusters(emb, cents2)
         )
     assert cents2 == cents
+
+
+def test_binaryfile_source_feeds_multimodal_extract(spark, tmp_path):
+    """The real ingestion leg for multimodal columns: Spark's built-in
+    `binaryFile` source reads raw media blobs (path, length, content),
+    which map straight onto the (doc_id, payload) contract of
+    extract_media_features — no custom reader needed, and the source
+    carries pushdown on path/length.  Features must match the bytes
+    written: exact md5, exact length, first byte."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    blobs = {
+        "a.bin": b"\x89PNG-fake-payload-0123456789",
+        "b.bin": b"\xffJPEG-fake-payload",
+        "c.bin": b"x",
+    }
+    media = tmp_path / "media"
+    media.mkdir()
+    for name, data in blobs.items():
+        (media / name).write_bytes(data)
+
+    src = (
+        spark.read.format("binaryFile")
+        .load(str(media))
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.col("content").alias("payload"),
+        )
+        .withColumn(
+            "doc_id",
+            F.expr("CAST(conv(substring(md5(fname), 1, 12), 16, 10) AS BIGINT)"),
+        )
+    )
+    feats = {
+        r["content_md5"]: r
+        for r in extract_media_features(
+            src.select("doc_id", "payload")
+        ).collect()
+    }
+    assert len(feats) == len(blobs)
+    for data in blobs.values():
+        r = feats[hashlib.md5(data).hexdigest()]
+        assert r["n_bytes"] == len(data)
+        assert r["head_byte"] == data[0]
