@@ -1321,9 +1321,13 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify joins touch only surviving candidates.  One corpus scan
     feeds everything."""
     docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus scan: (doc, tok) feeds the df ranks, the set sizes
+    # and both verify-join sides — checkpointed once, the dedup
+    # family's signature-reuse posture
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
+        .localCheckpoint()
     )
     dfc = toks.withColumn("df", F.count("*").over(W.partitionBy("tok")))
     prefix = (

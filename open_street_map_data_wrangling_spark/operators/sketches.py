@@ -274,12 +274,13 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_orderkey").alias("k")
     )
-    pos = None
-    for i in range(_BLOOM_K):
-        p = dim.select(
-            F.expr(_POS_SPARK.format(i=i, key="CAST(k AS STRING)")).alias("p")
-        )
-        pos = p if pos is None else pos.unionAll(p)
+    # one dim scan: all k positions from a single projection (the
+    # md5 is CSE'd once per row), not k unioned re-scans of the dim
+    pos_arr = ", ".join(
+        _POS_SPARK.format(i=i, key="CAST(k AS STRING)")
+        for i in range(_BLOOM_K)
+    )
+    pos = dim.select(F.explode(F.expr(f"array({pos_arr})")).alias("p"))
     words = pos.groupBy(
         F.expr(f"p div {_BLOOM_WORD}").alias("w")
     ).agg(
@@ -379,22 +380,28 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition or micro-batch, and frequency questions are then
     O(d) lookups into a few KB of state, never a corpus re-scan."""
     docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus scan: the vocabulary-sized tf aggregate is
+    # checkpointed and every downstream branch (counters, top-20)
+    # reads it instead of re-scanning documents (the
+    # checkpointed-reuse posture of the dedup signature tables)
     tf = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()
     )
-    counters = None
-    for d in range(_CMS_D):
-        c = tf.groupBy(
-            F.expr(
-                f"CAST(conv(substring(md5(concat('c{d}:', tok)), 1, 12), "
-                f"16, 10) AS BIGINT) % {_CMS_W}"
-            ).alias("pos")
-        ).agg(F.sum("n").cast("bigint").alias("c")).select(
-            F.lit(d).alias("d"), "pos", "c"
+    pos_structs = ", ".join(
+        f"struct({d} AS d, CAST(conv(substring(md5(concat('c{d}:', tok)), "
+        f"1, 12), 16, 10) AS BIGINT) % {_CMS_W} AS pos)"
+        for d in range(_CMS_D)
+    )
+    counters = (
+        tf.select(
+            F.explode(F.expr(f"array({pos_structs})")).alias("dp"), "n"
         )
-        counters = c if counters is None else counters.unionAll(c)
+        .groupBy(F.col("dp.d").alias("d"), F.col("dp.pos").alias("pos"))
+        .agg(F.sum("n").cast("bigint").alias("c"))
+    )
     top = tf.orderBy(F.desc("n"), F.asc("tok")).limit(20)
     pos_exprs = ", ".join(
         f"{d}, CAST(conv(substring(md5(concat('c{d}:', tok)), 1, 12), "
@@ -499,9 +506,14 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit prunes to k rows per partition before the
     exchange — and all pair arithmetic happens on sketches."""
     orders = load_table(spark, sf_dir, "orders")
-    tu = orders.select(
-        F.col("o_orderpriority").alias("seg"), "o_custkey"
-    ).distinct()
+    # ONE fact scan: the (segment, member) distinct table feeds five
+    # branches (hashes, segment list, sizes, both sides of the exact
+    # intersection) — checkpoint it instead of re-scanning orders
+    tu = (
+        orders.select(F.col("o_orderpriority").alias("seg"), "o_custkey")
+        .distinct()
+        .localCheckpoint()
+    )
     uh = tu.select(
         "seg",
         F.expr(
