@@ -1327,7 +1327,7 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dfc = toks.withColumn("df", F.count("*").over(W.partitionBy("tok")))
     prefix = (

@@ -388,7 +388,7 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pos_structs = ", ".join(
         f"struct({d} AS d, CAST(conv(substring(md5(concat('c{d}:', tok)), "
@@ -512,7 +512,7 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tu = (
         orders.select(F.col("o_orderpriority").alias("seg"), "o_custkey")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     uh = tu.select(
         "seg",
