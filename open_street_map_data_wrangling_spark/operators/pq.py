@@ -502,7 +502,13 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the pruning ratio) and recall@10 of the doubly-approximate
     search against the exact cosine top-10.  At 100 TB: cells are
     partition keys (scan pruning), codes are 4 bytes a vector, and
-    the only per-query full-table work disappears entirely."""
+    the only per-query full-table work disappears entirely.  Note
+    the query REBUILDS assignment + codes inline so the oracle can
+    reproduce the whole stack relationally; a deployment persists
+    both as index artifacts (one build job) and the per-query plan
+    is just cell-pruned scan → 4 lookups → top-k, which is why the
+    inline rebuild's multiple embedding scans in PLAN_REPORT.md are
+    a fixture-parity cost, not the serving shape."""
     from .similarity import _ivf_assign, _ivf_query_cells
 
     emb = load_table(spark, sf_dir, "embeddings")

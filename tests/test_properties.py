@@ -702,3 +702,70 @@ def test_kmv_sketch_degenerates_to_exact_below_k(keys):
     k = 64
     sketch = sorted(hashes)[:k]
     assert sketch == sorted(hashes)[: min(k, len(keys))]
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),      # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(min_value=0, max_value=4 * 3600 * 1000000),  # µs
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_funnel_window_oracle_matches_simulation(events):
+    """Pins the time-bounded funnel SEMANTICS independent of both
+    engines: the DuckDB oracle (which Spark already hash-matches at
+    every fixture) must agree with a direct Python simulation of the
+    rule — t1 = first view, t2 = first click in [t1, t1+1h],
+    t3 = first purchase in [t2, t2+1h] — on arbitrary event sets,
+    including ties and chains that cross the budget boundary."""
+    import duckdb
+
+    from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+    # python simulation
+    hour = 3600 * 1000000
+    users = {}
+    for u, et, us in events:
+        users.setdefault(u, []).append((et, us))
+    s1 = s2 = s3 = 0
+    for evs in users.values():
+        t1 = min((us for et, us in evs if et == "view"), default=None)
+        if t1 is None:
+            continue
+        s1 += 1
+        t2 = min(
+            (us for et, us in evs if et == "click" and t1 <= us <= t1 + hour),
+            default=None,
+        )
+        if t2 is None:
+            continue
+        s2 += 1
+        t3 = min(
+            (
+                us
+                for et, us in evs
+                if et == "purchase" and t2 <= us <= t2 + hour
+            ),
+            default=None,
+        )
+        if t3 is not None:
+            s3 += 1
+
+    # oracle on the same rows (epoch-µs → TIMESTAMP for the view)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE raw(user_id BIGINT, event_type VARCHAR, us BIGINT)"
+    )
+    con.executemany("INSERT INTO raw VALUES (?, ?, ?)", events)
+    con.execute(
+        "CREATE VIEW events AS SELECT user_id, event_type,"
+        " make_timestamp(us) AS ts FROM raw"
+    )
+    oracle = load_all_queries()["q_funnel_window"].oracle
+    row = con.execute(oracle).fetchone()
+    assert (row[0], row[1], row[2]) == (s1, s2, s3)
