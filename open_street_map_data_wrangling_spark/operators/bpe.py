@@ -105,10 +105,15 @@ def train_bpe(
         l, r, f = top[0]["l"], top[0]["r"], int(top[0]["f"])
         merges.append((step, l, r, f))
         pat = f"(?<= ){_java_quote(l)} {_java_quote(r)}(?= )"
+        # Java replacement strings treat BOTH '\' and '$' as escapes
+        # (Matcher.quoteReplacement quotes exactly these two); escaping
+        # only '$' silently dropped backslashes from merged symbols
+        # ("\x" -> "x"), diverging from the pure-Python replay.
+        # Backslash must be doubled FIRST or the '$' escape's own
+        # backslash would be re-escaped.
+        repl = (l + r).replace("\\", "\\\\").replace("$", "\\$")
         wf = wf.select(
-            F.regexp_replace("seq", pat, (l + r).replace("$", "\\$")).alias(
-                "seq"
-            ),
+            F.regexp_replace("seq", pat, repl).alias("seq"),
             "freq",
         ).localCheckpoint()
     return merges

@@ -115,7 +115,18 @@ def proximity_pairs(
     (caught by the brute-force replay test).  Cells are therefore
     radius/111km tall and radius/(111km·cos(max_abs_lat)) wide,
     exact for any data within ±`max_abs_lat` (caller contract —
-    polar data needs a latitude-band pre-partition, not this grid)."""
+    polar data needs a latitude-band pre-partition, not this grid).
+
+    Longitude contract: cell indices come from floor(lon/width) on
+    the raw coordinate and do NOT wrap at ±180°, so a pair straddling
+    the antimeridian sits in far-apart cells and is silently missed.
+    City-extract workloads (the reference's domain) never span it;
+    a global deployment should either rotate the frame so the data's
+    dateline falls on an empty meridian, or wrap the cell index
+    modulo ceil(360/lon_cell_width) AND extend the neighbor probe to
+    the wrapped adjacency — the modulo alone is not sufficient
+    because the 3x3 probe must also treat cell 0 and cell max as
+    neighbors."""
     lat_cell = radius_m / 111_000.0
     lon_cell = radius_m / (111_000.0 * math.cos(math.radians(max_abs_lat)))
     cx = f"CAST(floor(lat / {lat_cell}) AS BIGINT)"

@@ -99,11 +99,18 @@ _HLL_ORACLE = f"""
 
 def hll_registers(df: DataFrame, group: str, key: str) -> DataFrame:
     """Per-(group, bucket) HLL register table — the mergeable sketch
-    state.  One hash pass, one shuffle of at most m=256 rows per
-    group after map-side partial max; `max(rho)` is the merge
-    operator, so registers built on any split of the input and
-    max-merged equal the registers built on the whole (the streaming
-    / partial-aggregation story, pinned in tests)."""
+    state.  `max(rho)` is the merge operator, so registers built on
+    any split of the input and max-merged equal the registers built
+    on the whole (the streaming / partial-aggregation story, pinned
+    in tests).  Shuffle honesty: the sketch columns alone would cross
+    the wire as at most m=256 partially-maxed rows per group, but
+    this implementation ALSO carries `countDistinct(key)` — the exact
+    twin the audit queries compare against — and that column forces
+    the partial aggregate to ship per-(group, bucket, key) distinct
+    rows.  The 256-rows-per-group bound holds only for a sketch-only
+    variant (drop `d`); the streaming store path effectively gets it
+    back because hll_merge_fn re-aggregates register maxima without
+    the exact column."""
     return (
         df.select(
             F.col(group),

@@ -523,6 +523,40 @@ def near_dedup_merge_fn(spark: SparkSession, store_dir: str, out_dir: str):
     return merge
 
 
+def _store_paths(spark: SparkSession, store_dir: str):
+    """(jvm, fs, store Path, stage Path) for the stage-rename commit
+    protocol shared by the sketch-store merges below."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    store_path = jvm.org.apache.hadoop.fs.Path(store_dir)
+    return (
+        jvm,
+        store_path.getFileSystem(hconf),
+        store_path,
+        jvm.org.apache.hadoop.fs.Path(f"{store_dir}_stage"),
+    )
+
+
+def _recover_store(fs, store_path, stage_path) -> None:
+    """Finish an interrupted stage-rename commit: the store is only
+    ever deleted AFTER the stage dir is completely written, so a
+    missing store with a present stage means the crash landed between
+    delete and rename — the stage IS the committed state."""
+    if not fs.exists(store_path) and fs.exists(stage_path):
+        fs.rename(stage_path, store_path)
+
+
+def _commit_store(fs, store_path, stage_path) -> None:
+    """Publish a fully-written stage dir as the store: delete the old
+    store, rename the stage over it.  The only crash window is
+    between delete and rename, and _recover_store closes it on the
+    next merge call — the stage is complete by construction when the
+    delete runs, so no state is ever lost mid-commit."""
+    if fs.exists(store_path):
+        fs.delete(store_path, True)
+    fs.rename(stage_path, store_path)
+
+
 def hll_merge_fn(spark: SparkSession, store_dir: str):
     """Register-max merge for the deterministic HLL
     (operators/sketches.hll_registers): the store holds at most
@@ -532,22 +566,24 @@ def hll_merge_fn(spark: SparkSession, store_dir: str):
     The retry-safety story is the OPPOSITE of rollup_merge_fn's:
     register max is IDEMPOTENT and COMMUTATIVE, so a redelivered
     batch merged a second time leaves the store bit-identical — no
-    applied-batch marker, no residual at-least-once window at all.
-    This is the operational argument for sketch-shaped streaming
-    state: counts need transactional sinks to survive replays,
-    registers only need set-union semantics.  (The stage-then-commit
-    write below is still two steps, but replaying EITHER step is
-    harmless.)"""
+    applied-batch marker needed.  The store COMMIT is the remaining
+    hazard: overwriting the store dir in place would leave a
+    truncated store if the writer died mid-overwrite, and a replayed
+    batch would then merge from the truncation, silently losing
+    registers.  Hence stage-then-rename: the merged table is fully
+    written to a stage dir, the old store is deleted, and the stage
+    is renamed into place; a crash between delete and rename is
+    repaired by _recover_store before the next merge reads anything.
+    Replaying a batch against any recovered state is harmless — max
+    is idempotent."""
     from ..operators.sketches import hll_registers
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        jvm, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
         delta = hll_registers(batch_df, "event_type", "event_id").select(
             "event_type", "b", "m"
         )
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        store_path = jvm.org.apache.hadoop.fs.Path(store_dir)
-        fs = store_path.getFileSystem(hconf)
         if fs.exists(store_path):
             current = spark.read.parquet(store_dir)
             merged = (
@@ -557,14 +593,8 @@ def hll_merge_fn(spark: SparkSession, store_dir: str):
             )
         else:
             merged = delta
-        stage_dir = f"{store_dir}_stage"
-        merged.write.mode("overwrite").parquet(stage_dir)
-        (
-            spark.read.parquet(stage_dir)
-            .write.mode("overwrite")
-            .parquet(store_dir)
-        )
-        fs.delete(jvm.org.apache.hadoop.fs.Path(stage_dir), True)
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        _commit_store(fs, store_path, stage_path)
 
     return merge
 
@@ -591,26 +621,33 @@ def cms_merge_fn(spark: SparkSession, store_dir: str):
     """Count-min counter merge — the instructive CONTRAST to
     hll_merge_fn: counter addition is NOT idempotent, so a
     redelivered batch would double-count every token it carries.
-    This merge therefore needs the full rollup_merge_fn discipline
-    (applied-batch marker before the checkpoint window), while the
-    HLL store needs none.  Together the two jobs document the rule:
-    pick sketch state whose merge is idempotent (max / set-union)
-    when you can, pay the transactional-marker cost only when the
-    semantics force addition."""
+    The applied-batch markers therefore live INSIDE the store dir as
+    `_applied_<batch_id>` files (underscore-prefixed = invisible to
+    parquet readers, like _SUCCESS): the stage dir is built with the
+    new counters AND the full marker set, then renamed over the store
+    in one _commit_store step — counters and their marker commit
+    atomically, closing both the marker-after-commit double-count
+    window and the mid-overwrite truncation window that a separate
+    marker dir left open.  Token stream matches the batch CMS
+    (q_cms_topk) exactly: split on single space, EMPTY TOKENS
+    INCLUDED — filtering them here while the batch side counts them
+    broke the store==batch invariant for any text with doubled or
+    leading/trailing spaces.  Together the two jobs document the
+    rule: pick sketch state whose merge is idempotent (max /
+    set-union) when you can, pay the transactional-marker cost only
+    when the semantics force addition."""
     from ..operators.sketches import _CMS_D, _CMS_W  # noqa: F401
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
+        jvm, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
         marker = jvm.org.apache.hadoop.fs.Path(
-            f"{store_dir}_applied/{batch_id}"
+            f"{store_dir}/_applied_{batch_id}"
         )
-        mfs = marker.getFileSystem(hconf)
-        if mfs.exists(marker):
+        if fs.exists(marker):
             return
         tf = (
             batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
-            .filter(F.col("tok") != "")
             .groupBy("tok")
             .agg(F.count("*").cast("bigint").alias("n"))
         )
@@ -625,9 +662,12 @@ def cms_merge_fn(spark: SparkSession, store_dir: str):
                 F.lit(d).alias("d"), "pos", "c"
             )
             delta = c if delta is None else delta.unionAll(c)
-        store_path = jvm.org.apache.hadoop.fs.Path(store_dir)
-        fs = store_path.getFileSystem(hconf)
+        prior_markers = []
         if fs.exists(store_path):
+            for status in fs.listStatus(store_path):
+                name = status.getPath().getName()
+                if name.startswith("_applied_"):
+                    prior_markers.append(name)
             merged = (
                 spark.read.parquet(store_dir)
                 .unionByName(delta)
@@ -636,15 +676,14 @@ def cms_merge_fn(spark: SparkSession, store_dir: str):
             )
         else:
             merged = delta
-        stage_dir = f"{store_dir}_stage"
-        merged.write.mode("overwrite").parquet(stage_dir)
-        (
-            spark.read.parquet(stage_dir)
-            .write.mode("overwrite")
-            .parquet(store_dir)
-        )
-        fs.delete(jvm.org.apache.hadoop.fs.Path(stage_dir), True)
-        mfs.mkdirs(marker)
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        # markers ride in the stage dir so the rename commits them
+        # atomically with the counters they certify
+        for name in prior_markers + [f"_applied_{batch_id}"]:
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(f"{stage_path}/{name}"), True
+            ).close()
+        _commit_store(fs, store_path, stage_path)
 
     return merge
 

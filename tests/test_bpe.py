@@ -66,6 +66,20 @@ def test_bpe_merges_match_pure_python_replay(spark):
     assert len(got) == bpe._BPE_STEPS  # fixture corpus has 8 mergeable pairs
 
 
+def test_bpe_backslash_symbols_survive_merge(spark):
+    """Java replacement strings eat unescaped backslashes; a learned
+    symbol containing '\\' (or '$') must survive the rewrite verbatim.
+    Corpus: '\\a \\a b$ b$' repeated — the top pair is ('\\', 'a'),
+    and after the merge the next pair is ('b', '$'); if the
+    replacement dropped the backslash, step 2's left symbol would be
+    'a', not '\\a'."""
+    docs = spark.createDataFrame(
+        [(i, "\\a \\a b$ b$") for i in range(3)], "doc_id int, text string"
+    )
+    merges = bpe.train_bpe(spark, docs, steps=2)
+    assert merges == [(1, "\\", "a", 6), (2, "b", "$", 6)]
+
+
 def test_bpe_greedy_run_semantics():
     """The delimiter-lookaround pattern must merge runs left-to-right
     non-overlapping: 'a a a' -> 'aa a', 'a a a a' -> 'aa aa'."""

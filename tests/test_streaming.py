@@ -713,6 +713,16 @@ def test_hll_sketch_maintenance_matches_batch_and_survives_replay(
     hll_merge_fn(spark, store)(batch2, batch_id=999)
     assert regs_of(store) == expected
 
+    # mid-commit crash: the stage-rename protocol's only window is
+    # between store-delete and stage-rename.  Simulate it (store gone,
+    # complete stage present) and verify the next merge recovers the
+    # staged state before reading — no registers lost.
+    import os
+
+    os.rename(store, f"{store}_stage")
+    hll_merge_fn(spark, store)(batch2, batch_id=999)
+    assert regs_of(store) == expected
+
 
 def test_cms_counter_maintenance_needs_and_uses_markers(spark, tmp_path):
     """The additive-counter contrast to the HLL store: two batches
@@ -735,8 +745,11 @@ def test_cms_counter_maintenance_needs_and_uses_markers(spark, tmp_path):
             " n_chars long",
         )
 
-    b1 = mk(0, ["the cat sat", "the dog ran"])
-    b2 = mk(10, ["the cat ran far"])
+    # the doubled space is deliberate: split(' ') emits an empty token
+    # in BOTH engines and the batch CMS counts it, so the store must
+    # too (dropping empties streaming-side broke store == batch)
+    b1 = mk(0, ["the cat sat", "the  dog ran"])
+    b2 = mk(10, ["the cat ran far "])
     b1.write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema(b1.schema).parquet(src)
@@ -780,14 +793,18 @@ def test_cms_counter_maintenance_needs_and_uses_markers(spark, tmp_path):
             expected[(d, r.pos)] = r.c
     assert got == expected
 
-    # redelivery with the marker present: no-op
+    # redelivery with the marker present: no-op (markers live INSIDE
+    # the store dir so they commit atomically with the counters)
     cms_merge_fn(spark, store)(b2, batch_id=1)
     assert counters() == got
     # proof the MARKER is what saves us: drop it and the same replay
     # double-counts batch 2's tokens
-    import shutil
+    import glob
+    import os
 
-    applied = f"{store}_applied"
-    shutil.rmtree(applied)
+    markers = glob.glob(f"{store}/_applied_*")
+    assert markers, "store should carry in-store applied markers"
+    for p in markers:
+        os.remove(p)
     cms_merge_fn(spark, store)(b2, batch_id=1)
     assert counters() != got
