@@ -448,6 +448,111 @@ def train_codebook(
 _IVFPQ_NPROBE = 2
 
 
+def _collect_ivfpq_literals(emb: DataFrame):
+    """ONE bounded collect (vec_id <= {_QUERY_ID} = 18 rows) feeding
+    every literal the IVF-PQ stack needs: the quantized PQ codebook,
+    the quantized probe vector, and the RAW first-{sim._N_CENTROIDS}
+    centroid / probe vectors for the IVF cosine side."""
+    from . import similarity as sim
+
+    rows = (
+        emb.filter(F.col("vec_id") <= _QUERY_ID)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    qs = [_quantize(raw[i]) for i in range(_K)]
+    cb = [
+        [qv[s * _SUBDIM : (s + 1) * _SUBDIM] for qv in qs] for s in range(_M)
+    ]
+    qvec_q = _quantize(raw[_QUERY_ID])
+    cents = [raw[i] for i in range(sim._N_CENTROIDS)]
+    return cb, qvec_q, cents, raw[_QUERY_ID]
+
+
+def _ivfpq_base(
+    emb: DataFrame,
+    cb: list[list[list[int]]],
+    qvec_q: list[int],
+    cents: list[list[float]],
+    qv: list[float],
+    probe_cells: list[int],
+) -> DataFrame:
+    """(vec_id, cid, cos_raw, adc_d2) in ONE embeddings scan with
+    ZERO shuffles: IVF cell argmax over literal centroids, exact
+    query cosine, per-subspace PQ code folds (the pq_codes fold,
+    inlined so codes / cell / cosine share one projection), and the
+    ADC lookup — everything row-local over plan literals.  The ADC
+    expression is gated on `cid IN probe_cells` (the probe list is a
+    driver literal), so the K x SUBDIM code folds — the expensive
+    part — run only for the ~nprobe/C of rows the IVF layer admits
+    (IF branches are lazy in codegen): the candidate-only scoring
+    the pre-collapse shape got from joining a cand frame, without
+    the join or the extra scans.  Non-candidates carry NULL adc_d2.
+    Callers localCheckpoint the result; every downstream branch
+    (candidate top-k, exact top-k, candidate count) is then a
+    filter + heap that never re-touches the table."""
+    from .similarity import _lit_vec, cosine_expr as _cos
+
+    lut = _adc_lut(cb, qvec_q)
+    df = _with_qemb(emb).withColumn("__qv", _lit_vec(qv))
+    for cid, cv in enumerate(cents):
+        df = df.withColumn(f"__c{cid}", _lit_vec(cv)).withColumn(
+            f"__cos{cid}", _cos("embedding", f"__c{cid}")
+        )
+    cand_structs = ", ".join(
+        f"struct({cid} AS cid, __cos{cid} AS c)" for cid in range(len(cents))
+    )
+    argmax = F.expr(
+        f"aggregate(array({cand_structs}), "
+        "struct(CAST(-1 AS INT) AS cid, CAST('-Infinity' AS DOUBLE) AS c), "
+        "(acc, x) -> IF(x.c > acc.c, x, acc)).cid"
+    )
+    adc_terms = []
+    for s, scents in enumerate(cb):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(int(v)) for v in cvec]).alias("qc"),
+                )
+                for cid, cvec in enumerate(scents)
+            ]
+        )
+        d2 = (
+            "aggregate(zip_with("
+            f"slice(__q, {s * _SUBDIM + 1}, {_SUBDIM}), c.qc, "
+            "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
+        )
+        fold = (
+            f"aggregate(__cb{s}, "
+            f"struct(CAST(-1 AS INT) AS bc, CAST({_LONG_MAX} AS BIGINT) AS bd), "
+            f"(acc, c) -> IF({d2} < acc.bd, "
+            f"struct(c.cid AS bc, {d2} AS bd), acc)).bc"
+        )
+        df = df.withColumn(f"__cb{s}", entries)
+        adc_terms.append(
+            f"element_at(element_at(__lut, {s + 1}), ({fold}) + 1)"
+        )
+    lut_lit = F.array(*[F.array(*[F.lit(int(d)) for d in row]) for row in lut])
+    coded = df.select(
+        "vec_id",
+        argmax.alias("cid"),
+        _cos("embedding", "__qv").alias("cos_raw"),
+        "__q",
+        *[F.col(f"__cb{s}") for s in range(_M)],
+        lut_lit.alias("__lut"),
+    )
+    gate = ", ".join(str(int(c)) for c in probe_cells)
+    adc_gated = (
+        f"IF(cid IN ({gate}), "
+        f"CAST({' + '.join(adc_terms)} AS BIGINT), CAST(NULL AS BIGINT))"
+    )
+    return coded.select(
+        "vec_id", "cid", "cos_raw", F.expr(adc_gated).alias("adc_d2")
+    )
+
+
 @query(
     "q_ivfpq_recall",
     oracle=f"""
@@ -502,30 +607,36 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the pruning ratio) and recall@10 of the doubly-approximate
     search against the exact cosine top-10.  At 100 TB: cells are
     partition keys (scan pruning), codes are 4 bytes a vector, and
-    the only per-query full-table work disappears entirely.  Note
-    the query REBUILDS assignment + codes inline so the oracle can
-    reproduce the whole stack relationally; a deployment persists
-    both as index artifacts (one build job) and the per-query plan
-    is just cell-pruned scan → 4 lookups → top-k, which is why the
-    inline rebuild's multiple embedding scans in PLAN_REPORT.md are
-    a fixture-parity cost, not the serving shape."""
-    from .similarity import _ivf_assign, _ivf_query_cells
-
+    the only per-query full-table work disappears entirely.  The
+    index artifacts (assignment, codes, LUT) are built in ONE
+    embeddings scan as plan literals (_ivfpq_base — the query REBUILDS
+    them inline so the oracle can reproduce the whole stack
+    relationally, where a deployment persists them), the base is
+    localCheckpoint'd, and all three output branches (candidate
+    top-10, exact top-10, candidate count) are filters + heaps over
+    the checkpointed base — the first shape compiled to 12 FileScans
+    of the table; tests/test_plan_shapes.py now pins zero."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, qvec = _seed_codebook_and_query(emb)
-    assign = _ivf_assign(emb)
-    qcells = _ivf_query_cells(emb, _QUERY_ID, _IVFPQ_NPROBE)
-    cand = (
-        emb.join(assign, "vec_id")
-        .join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
-        .select("vec_id", "embedding")
+    from .similarity import _rank_cells_py
+
+    cb, qvec_q, cents, qv = _collect_ivfpq_literals(emb)
+    probe_cells = _rank_cells_py(cents, qv)[:_IVFPQ_NPROBE]
+    base = _ivfpq_base(
+        emb, cb, qvec_q, cents, qv, probe_cells
+    ).localCheckpoint(eager=False)
+    cand = base.filter(
+        F.col("cid").isin(probe_cells) & (F.col("vec_id") != _QUERY_ID)
     )
-    ivfpq10 = _adc_top10(cand, cb, qvec).select("vec_id")
-    cand_n = cand.filter(F.col("vec_id") != _QUERY_ID).agg(
-        F.count("*").cast("bigint").alias("cand_rows")
+    ivfpq10 = cand.orderBy("adc_d2", "vec_id").limit(10).select("vec_id")
+    cand_n = cand.agg(F.count("*").cast("bigint").alias("cand_rows"))
+    exact10 = (
+        base.filter(F.col("vec_id") != _QUERY_ID)
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
     )
     return (
-        ivfpq10.join(_exact_top10(emb), "vec_id")
+        ivfpq10.join(exact10, "vec_id")
         .agg(
             F.count("*").cast("bigint").alias("hits"),
             (F.count("*") / F.lit(10.0)).alias("recall_at_10"),

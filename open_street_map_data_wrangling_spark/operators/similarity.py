@@ -262,6 +262,82 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECALL_NPROBES = (1, 2, 4)
 
 
+def _collect_ivf_literals(
+    emb: DataFrame, query_id: int
+) -> tuple[list[list[float]], list[float]]:
+    """The C-centroid codebook and the query vector as driver values
+    (C+1 rows — the pq.py bounded codebook-collect class).  Floats
+    come back as exact doubles, so plan literals built from them fold
+    bit-identically to the column path's CAST(x AS DOUBLE)."""
+    rows = (
+        emb.filter(
+            (F.col("vec_id") < _N_CENTROIDS) | (F.col("vec_id") == query_id)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    return [by_id[i] for i in range(_N_CENTROIDS)], by_id[query_id]
+
+
+def _lit_vec(vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _rank_cells_py(cents: list[list[float]], qv: list[float]) -> list[int]:
+    """Centroid ids by (query-cosine DESC, cid ASC) — the engine-side
+    _ivf_query_cells ranking replayed on the C collected vectors.
+    Pure IEEE-double math in the same left-to-right fold order as the
+    zip_with/aggregate expression, so the ranking agrees; and a
+    ranking only needs ORDER, not bit equality, so it tolerates any
+    sub-ulp difference unless two distinct cells tie exactly."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    scored = [(cos(c, qv), cid) for cid, c in enumerate(cents)]
+    return [cid for _, cid in sorted(scored, key=lambda t: (-t[0], t[1]))]
+
+
+def _ivf_scored_literal(emb: DataFrame, query_id: int) -> DataFrame:
+    """(vec_id, cid, cos_raw) in ONE embeddings scan with ZERO
+    shuffles: the codebook and query vector ride in the plan as
+    literals, the nearest-cell argmax is a row-local fold with
+    strict-> comparison (keeps the LOWEST cid on ties — the same
+    total order as _ivf_assign's window `desc cos, asc cid`), and the
+    query cosine is a row-local expression.  This is the pq.py
+    E-step shape applied to IVF assignment: what _ivf_assign does
+    with a broadcast join + window shuffle, done scan-side.  Callers
+    localCheckpoint the result and fan out any number of recall /
+    probe branches without re-touching the table."""
+    cents, qv = _collect_ivf_literals(emb, query_id)
+    df = emb.withColumn("__qv", _lit_vec(qv))
+    for cid, cv in enumerate(cents):
+        df = df.withColumn(f"__c{cid}", _lit_vec(cv)).withColumn(
+            f"__cos{cid}", cosine_expr("embedding", f"__c{cid}")
+        )
+    cand_structs = ", ".join(
+        f"struct({cid} AS cid, __cos{cid} AS c)"
+        for cid in range(_N_CENTROIDS)
+    )
+    argmax = F.expr(
+        f"aggregate(array({cand_structs}), "
+        "struct(CAST(-1 AS INT) AS cid, CAST('-Infinity' AS DOUBLE) AS c), "
+        "(acc, x) -> IF(x.c > acc.c, x, acc)).cid"
+    )
+    return df.select(
+        "vec_id",
+        argmax.alias("cid"),
+        cosine_expr("embedding", "__qv").alias("cos_raw"),
+    )
+
+
 def _recall_branch_sql(nprobe: int) -> str:
     return f"""
         SELECT {nprobe} AS nprobe, count(*) AS hits, count(*) / 10.0 AS recall_at_10
@@ -299,30 +375,38 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     at nprobe ∈ {_RECALL_NPROBES} against exact top-10 — one row per
     nprobe. Recall must be non-decreasing in nprobe (probed cells are
     supersets); the oracle replays every measurement, so the whole
-    curve is hash-verified."""
+    curve is hash-verified.
+
+    Plan discipline (the first shape compiled to 24 FileScans of the
+    embeddings parquet — branch × helper amplification): ONE scan
+    builds the (vec_id, cid, cos_raw) base row-locally with literal
+    codebook + query (_ivf_scored_literal), the base is
+    localCheckpoint'd, the probe-cell ranking is a driver replay over
+    the C collected centroids, and every branch is a filter + top-k
+    heap over the checkpointed base — the q_kmv_overlap collapse
+    applied to the recall family.  tests/test_plan_shapes.py pins the
+    scan count at zero (checkpoint-fed)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = _ivf_assign(emb)
-    qvec = emb.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
-        F.col("embedding").alias("q_embedding")
+    cents, qv = _collect_ivf_literals(emb, _QUERY_ID_IVF)
+    cell_order = _rank_cells_py(cents, qv)
+    scored = _ivf_scored_literal(emb, _QUERY_ID_IVF).localCheckpoint(
+        eager=False
     )
-    cos_q = cosine_expr("embedding", "q_embedding")
     exact10 = (
-        emb.filter(F.col("vec_id") != _QUERY_ID_IVF)
-        .join(F.broadcast(qvec))
-        .select("vec_id", cos_q.alias("cos_raw"))
+        scored.filter(F.col("vec_id") != _QUERY_ID_IVF)
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id")
+        .localCheckpoint(eager=False)
     )
     branches = []
     for nprobe in _RECALL_NPROBES:
-        qcells = _ivf_query_cells(emb, _QUERY_ID_IVF, nprobe)
+        probe_cells = cell_order[:nprobe]
         ivf10 = (
-            emb.join(assign, "vec_id")
-            .join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
-            .filter(F.col("vec_id") != _QUERY_ID_IVF)
-            .join(F.broadcast(qvec))
-            .select("vec_id", cos_q.alias("cos_raw"))
+            scored.filter(
+                F.col("cid").isin(probe_cells)
+                & (F.col("vec_id") != _QUERY_ID_IVF)
+            )
             .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
             .limit(10)
             .select("vec_id")

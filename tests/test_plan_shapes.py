@@ -288,3 +288,18 @@ def test_funnel_window_one_exchange(plans):
     p = plans("q_funnel_window")
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("events.parquet") == 1
+
+
+def test_ann_recall_family_is_checkpoint_fed(plans):
+    """The r06 scan-amplification finding, closed: the recall audits
+    used to re-derive assignment + query helpers per branch — 24
+    FileScans of the embeddings parquet for the multiprobe curve, 12
+    for IVF-PQ.  Both now build ONE row-local scored base (literal
+    codebook/query, no assignment join, no window shuffle), lazily
+    localCheckpoint it, and fan every branch out from the checkpoint:
+    the executed plan must contain NO parquet scans at all (the base
+    materializes once, in the checkpoint job)."""
+    for q in ("q_ann_recall_multiprobe", "q_ivfpq_recall"):
+        p = plans(q)
+        assert p.count("Scan parquet") == 0, q
+        assert "ExistingRDD" in p, q
