@@ -31,11 +31,62 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from .dedup import q_dedup_near
+from .dedup import _PAIRS_CTE, q_dedup_near
 
 _PR_SCALE = 10**12
 _PR_ITERS = 6
 _PR_TOP = 20
+
+
+def _pr_oracle() -> str:
+    """DuckDB twin of pagerank_fixed: the recurrence is a FIXED
+    number of integer iterations, so it unrolls exactly into
+    _PR_ITERS chained CTE pairs (inc_t, p_t).  Every quantity is
+    BIGINT and DuckDB's ``//`` truncates toward zero exactly like
+    Spark's ``div`` (verified on negatives; all values here are
+    positive anyway), so the twin is bit-exact, not approximate —
+    the same argument tests/test_graph.py's pure-Python replay
+    makes, now enforced by the driver's hash every round."""
+    # Every p{{t}} is referenced twice (inc_{{t+1}} and p_{{t+1}}), so
+    # DuckDB's default CTE INLINING would double the plan per round —
+    # 2^6 copies of the whole shingle→minhash→band pipeline.  AS
+    # MATERIALIZED pins each generation to one evaluation, which is
+    # also exactly what pagerank_fixed's per-round localCheckpoint
+    # does on the Spark side.
+    iters = []
+    for t in range(_PR_ITERS):
+        iters.append(f"""
+        inc{t + 1} AS MATERIALIZED (
+            SELECT e.dst AS doc_id, CAST(sum(p.pr // e.deg) AS BIGINT) AS inc
+            FROM edeg e JOIN p{t} p ON p.doc_id = e.src
+            GROUP BY e.dst),
+        p{t + 1} AS MATERIALIZED (
+            SELECT p.doc_id, p.base,
+                   CAST((15 * p.base + 85 * coalesce(i.inc, 0)) // 100 AS BIGINT) AS pr
+            FROM p{t} p LEFT JOIN inc{t + 1} i USING (doc_id))""")
+    chain = ",".join(iters)
+    return f"""
+        WITH {_PAIRS_CTE},
+        edges AS MATERIALIZED (
+            SELECT pa AS src, pb AS dst FROM pairs
+            UNION
+            SELECT pb AS src, pa AS dst FROM pairs),
+        deg AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+        edeg AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        p0 AS MATERIALIZED (
+            SELECT d.src AS doc_id,
+                   CAST({_PR_SCALE} // nn.n AS BIGINT) AS base,
+                   CAST({_PR_SCALE} // nn.n AS BIGINT) AS pr
+            FROM deg d, nn),{chain}
+        SELECT CAST(row_number() OVER (ORDER BY pr DESC, doc_id ASC) AS INT) AS rank,
+               doc_id, pr AS pr_x1e12
+        FROM p{_PR_ITERS}
+        ORDER BY pr DESC, doc_id ASC
+        LIMIT {_PR_TOP}
+    """
 
 
 def pagerank_fixed(pairs: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
@@ -100,16 +151,18 @@ def pagerank_fixed(pairs: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     return p.select("doc_id", "pr")
 
 
-@query("q_pagerank", oracle=None, tags=("graph", "iterative", "extension"))
+@query("q_pagerank", oracle=_pr_oracle(), tags=("graph", "iterative", "extension"))
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank hubs of the near-dup candidate graph — the
     template/boilerplate centers of the corpus, ranked by where the
     random surfer of "is a near-duplicate of" concentrates.  Pair
-    input is q_dedup_near (oracle-verified separately); the iterative
-    recurrence itself is rows-only at the driver with bit-exact
-    pure-Python replay in tests/test_graph.py, the q_semantic_dedup
-    honesty class.  Deterministic tiebreak (pr DESC, doc_id ASC) and
-    integer ranks make the output stable across any cluster layout."""
+    input is q_dedup_near (oracle-verified separately); the FIXED
+    6-round integer recurrence unrolls into 6 chained CTE pairs in
+    the DuckDB oracle (_pr_oracle), so the driver hash-checks the
+    whole iteration, upgrading the bit-exact pure-Python replay in
+    tests/test_graph.py from the only check to a second opinion.
+    Deterministic tiebreak (pr DESC, doc_id ASC) and integer ranks
+    make the output stable across any cluster layout."""
     pr = pagerank_fixed(q_dedup_near(spark, sf_dir))
     top = (
         pr.orderBy(F.desc("pr"), F.asc("doc_id"))

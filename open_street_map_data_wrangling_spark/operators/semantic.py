@@ -191,11 +191,85 @@ def semantic_dedup(
     )
 
 
-@query("q_semantic_dedup", oracle=None, tags=("pipeline", "dedup", "iterative"))
+def _sd_oracle(k: int = 8, iters: int = 3, tau: float = 0.2) -> str:
+    """DuckDB twin of semantic_dedup: the Lloyd loop is a FIXED
+    number of rounds, so it unrolls into ``iters`` chained
+    (score → argmax → quantized M-step) CTE triples — the same
+    upgrade _pr_oracle made for q_pagerank.  Cross-engine exactness
+    rests on three already-proven recipes: (1) assignment scores are
+    double cosines whose dot/norms fold the array sequentially in
+    both engines (list_inner_product ≡ the zip_with/aggregate fold —
+    the q_vec_topk/q_dedup_embedding precedent), with the zero-norm
+    guard pinned to -2.0 exactly as assign_clusters does; (2) the
+    M-step is the q_centroids integer quantize-then-sum recipe
+    (round(x*1e5)::BIGINT, sum // count — DuckDB ``//`` truncates
+    toward zero like Spark ``div``); (3) centroid components re-enter
+    as cx/1e5 double division, correctly rounded identically in
+    Python and DuckDB.  Every multiply-referenced CTE is MATERIALIZED
+    or DuckDB 1.0's inlining would replay the chain exponentially."""
+    ip = "list_inner_product"
+    rounds = []
+    for t in range(iters + 1):  # a{iters} is the final assignment
+        rounds.append(f"""
+        s{t} AS (
+            SELECT e.vec_id, c.cid,
+                   CASE WHEN {ip}(e.emb, e.emb) = 0 OR {ip}(c.cemb, c.cemb) = 0
+                        THEN -2.0
+                        ELSE {ip}(e.emb, c.cemb)
+                             / (sqrt({ip}(e.emb, e.emb)) * sqrt({ip}(c.cemb, c.cemb)))
+                   END AS score
+            FROM e CROSS JOIN c{t} c),
+        a{t} AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, cid ASC) AS rn
+                FROM s{t}) WHERE rn = 1)""")
+        if t < iters:
+            rounds.append(f"""
+        c{t + 1} AS MATERIALIZED (
+            SELECT cid, list(CAST(cx AS DOUBLE) / {_QUANT} ORDER BY pos) AS cemb
+            FROM (
+                SELECT a.cid, u.pos, CAST(sum(u.qx) // count(*) AS BIGINT) AS cx
+                FROM a{t} a JOIN u USING (vec_id)
+                GROUP BY a.cid, u.pos)
+            GROUP BY cid)""")
+    chain = ",".join(rounds)
+    return f"""
+        WITH
+        e AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        u AS MATERIALIZED (
+            SELECT vec_id,
+                   unnest(range(0, len(emb))) AS pos,
+                   CAST(round(unnest(emb) * {_QUANT}) AS BIGINT) AS qx
+            FROM e),
+        c0 AS MATERIALIZED (
+            SELECT vec_id AS cid, emb AS cemb FROM e
+            ORDER BY vec_id LIMIT {k}),{chain},
+        tagged AS MATERIALIZED (
+            SELECT e.vec_id, a.cid, e.emb
+            FROM e JOIN a{iters} a USING (vec_id)),
+        dropped AS (
+            SELECT DISTINCT a.vec_id
+            FROM tagged a JOIN tagged b
+              ON a.cid = b.cid AND b.vec_id < a.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= {tau})
+        SELECT t.vec_id, CAST(t.cid AS INT) AS cid, (d.vec_id IS NULL) AS is_kept
+        FROM tagged t LEFT JOIN dropped d ON d.vec_id = t.vec_id
+    """
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=_sd_oracle(),
+    tags=("pipeline", "dedup", "iterative"),
+)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: 3 Lloyd rounds into 8
     clusters, then within-cluster cosine pruning at tau=0.2 (greedy
-    lowest-vec_id representative).  Rows-only at the driver —
-    iterative, no SQL twin; tests/test_semantic.py holds the
-    bit-exact replay."""
+    lowest-vec_id representative).  The fixed-round Lloyd loop
+    unrolls into chained CTEs in the DuckDB oracle (_sd_oracle), so
+    the driver hash-checks the full recurrence; tests/test_semantic.py
+    keeps the bit-exact numpy replay as a second opinion."""
     return semantic_dedup(spark, sf_dir, k=8, iters=3, tau=0.2)
