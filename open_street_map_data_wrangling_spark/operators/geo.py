@@ -22,19 +22,30 @@ both pure JVM expressions (no UDF):
   cell is bounded by local point density, the quantity you actually
   control at ingest (cell size vs radius).
 
-Pytest-only (tests/test_geo.py): the driver fixtures carry no
-coordinate columns, so like the OSM XML source itself these are
-engine features verified against an independent pure-Python replay
-(reference geohash implementation + brute-force O(n²) distance
-check) rather than fixture queries.
+Verification is two-tier.  tests/test_geo.py checks the primitives
+against an independent pure-Python replay (reference geohash
+implementation + brute-force O(n²) distance check).  The driver
+fixtures carry no coordinate columns, so the registered queries
+(q_geohash_cells, q_proximity_join) derive DETERMINISTIC synthetic
+lat/lon from customer keys via the md5→bigint recipe the dedup
+family already proved cross-engine (synth_points): the coordinate
+arithmetic is integer-mod then one correctly-rounded double
+division, bit-identical in Spark and DuckDB, so the geohash oracle
+re-derives the full Morton interleave relationally and the
+proximity oracle is an INDEPENDENT brute-force O(n²) join — the
+driver hash now re-proves the grid join misses no border pair every
+round, not just at pytest time.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.catalog import load_table
 
 _B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -164,3 +175,119 @@ def proximity_pairs(
         .where(F.col("dist_m") <= radius_m)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible queries over synthetic deterministic coordinates
+# ---------------------------------------------------------------------------
+
+# ~0.5° x 0.5° box around 40°N / 74°W (a city-extract-sized frame,
+# the reference's domain): lat/lon are integer-mod of two disjoint
+# md5 windows over the customer key, then ONE correctly-rounded
+# double division each — bit-identical in Spark and DuckDB (the
+# _MH_H_SQL pairing from dedup.py, proven hash-green since round 2).
+_LAT0, _LON0, _COORD_DIV = 40.0, -74.0, 200000.0
+_PROX_RADIUS_M = 150.0
+
+_H1_SPARK = "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 10), 16, 10) AS BIGINT)"
+_H2_SPARK = "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 11, 10), 16, 10) AS BIGINT)"
+_H1_DUCK = "(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10))::BIGINT)"
+_H2_DUCK = "(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 11, 10))::BIGINT)"
+
+_PTS_CTE = f"""
+        pts AS MATERIALIZED (
+            SELECT c_custkey AS id,
+                   {_LAT0} + CAST({_H1_DUCK} % 100000 AS DOUBLE) / {_COORD_DIV} AS lat,
+                   {_LON0} + CAST({_H2_DUCK} % 100000 AS DOUBLE) / {_COORD_DIV} AS lon
+            FROM customer)"""
+
+
+def synth_points(cust: DataFrame) -> DataFrame:
+    """(id, lat, lon) synthetic point table derived from customer
+    keys — deterministic, engine-independent, bounded to the
+    ±max_abs_lat contract of proximity_pairs by construction."""
+    return cust.selectExpr(
+        "c_custkey AS id",
+        f"{_LAT0} + CAST({_H1_SPARK} % 100000 AS DOUBLE) / {_COORD_DIV} AS lat",
+        f"{_LON0} + CAST({_H2_SPARK} % 100000 AS DOUBLE) / {_COORD_DIV} AS lon",
+    )
+
+
+def _spread32_duck(expr: str) -> str:
+    """DuckDB twin of _spread32_sql (operator syntax for the shifts;
+    identical masks, identical result on values < 2^40)."""
+    e = f"({expr})"
+    for n, mask in _SPREAD32:
+        e = f"((({e} | ({e} << {n})) & {mask}))"
+    return e
+
+
+def _geohash_duck(lat: str, lon: str, bits_per_axis: int = 20) -> str:
+    scale = 1 << bits_per_axis
+    top = scale - 1
+    qlat = f"least(CAST(floor(({lat} + 90.0) / 180.0 * {scale}) AS BIGINT), {top})"
+    qlon = f"least(CAST(floor(({lon} + 180.0) / 360.0 * {scale}) AS BIGINT), {top})"
+    g = f"({_spread32_duck(qlat)} | ({_spread32_duck(qlon)} << 1))"
+    digits = " || ".join(
+        f"substring('{_B32}', CAST(((__g >> {35 - 5 * k}) & 31) AS INT) + 1, 1)"
+        for k in range(8)
+    )
+    return f"SELECT pts.*, {digits} AS geohash FROM (SELECT pts.*, {g} AS __g FROM pts) pts"
+
+
+@query(
+    "q_geohash_cells",
+    oracle=f"""
+        WITH {_PTS_CTE},
+        gh AS ({_geohash_duck("lat", "lon")})
+        SELECT substring(geohash, 1, 5) AS cell,
+               CAST(count(*) AS BIGINT) AS n_points,
+               min(geohash) AS sample_hash
+        FROM gh GROUP BY 1
+    """,
+    tags=("geo", "extension"),
+)
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial histogram: precision-8 geohash per synthetic customer
+    point, aggregated to precision-5 cells (~4.9 km squares — ~100
+    cells over the 0.5° frame).  The oracle re-derives the full
+    32-bit Morton interleave + base32 encoding relationally in
+    DuckDB, so the driver hash checks every bit of the geohash math,
+    not just the aggregate.  At 100 TB the geohash is the write-time
+    cluster key: this aggregate is the occupancy audit a layout job
+    runs before choosing file split points (layout.py's q_zorder
+    story, specialized to spatial data)."""
+    pts = synth_points(load_table(spark, sf_dir, "customer"))
+    return (
+        with_geohash(pts)
+        .groupBy(F.expr("substring(geohash, 1, 5)").alias("cell"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.min("geohash").alias("sample_hash"),
+        )
+    )
+
+
+@query(
+    "q_proximity_join",
+    oracle=f"""
+        WITH {_PTS_CTE}
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(round({_HAVERSINE.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")}, 1) AS DOUBLE) AS dist_m
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE CAST(round({_HAVERSINE.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")}, 1) AS DOUBLE) <= {_PROX_RADIUS_M}
+    """,
+    tags=("geo", "join", "extension"),
+)
+def q_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All synthetic customer points within 150 m of each other —
+    the spatial distance join.  Spark runs the production grid-cell
+    3×3 neighbor equi-join (candidates bounded by local density,
+    never all-pairs); the DuckDB oracle is deliberately the OPPOSITE
+    shape, a brute-force O(n²) cross-check, so a green row proves
+    the cos(lat)-corrected cell sizing loses no border pair on this
+    frame — the strongest possible differential for a pruning join
+    (same discipline as the ANN recall audits: exact twin, not a
+    re-derivation of the same shortcut)."""
+    pts = synth_points(load_table(spark, sf_dir, "customer"))
+    return proximity_pairs(pts, radius_m=_PROX_RADIUS_M)

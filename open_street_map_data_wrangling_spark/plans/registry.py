@@ -58,6 +58,7 @@ _OPERATOR_MODULES = (
     "sketches",
     "graph",
     "bpe",
+    "geo",
 )
 
 
