@@ -643,3 +643,182 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(cand_n))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index: build once, serve with partition pruning
+# ---------------------------------------------------------------------------
+
+def ivfpq_code_table(emb: DataFrame) -> DataFrame:
+    """(vec_id, cid, code0..code{M-1}) in ONE projection over one
+    table scan: IVF cell argmax over literal centroids + the pq_codes
+    per-subspace integer argmin folds, side by side — the index-build
+    pass.  No joins, no shuffles; the write below adds exactly one
+    exchange (the partitionBy)."""
+    from .similarity import _lit_vec
+
+    cb, _, cents, _ = _collect_ivfpq_literals(emb)
+    df = _with_qemb(emb)
+    for cid, cv in enumerate(cents):
+        df = df.withColumn(f"__c{cid}", _lit_vec(cv)).withColumn(
+            f"__cos{cid}", cosine_expr("embedding", f"__c{cid}")
+        )
+    cand_structs = ", ".join(
+        f"struct({cid} AS cid, __cos{cid} AS c)" for cid in range(len(cents))
+    )
+    argmax = F.expr(
+        f"aggregate(array({cand_structs}), "
+        "struct(CAST(-1 AS INT) AS cid, CAST('-Infinity' AS DOUBLE) AS c), "
+        "(acc, x) -> IF(x.c > acc.c, x, acc)).cid"
+    )
+    cols = [F.col("vec_id"), argmax.alias("cid")]
+    for s, scents in enumerate(cb):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(int(v)) for v in cvec]).alias("qc"),
+                )
+                for cid, cvec in enumerate(scents)
+            ]
+        )
+        d2 = (
+            "aggregate(zip_with("
+            f"slice(__q, {s * _SUBDIM + 1}, {_SUBDIM}), c.qc, "
+            "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
+        )
+        fold = (
+            f"aggregate(__cb{s}, "
+            f"struct(CAST(-1 AS INT) AS bc, CAST({_LONG_MAX} AS BIGINT) AS bd), "
+            f"(acc, c) -> IF({d2} < acc.bd, "
+            f"struct(c.cid AS bc, {d2} AS bd), acc)).bc"
+        )
+        df = df.withColumn(f"__cb{s}", entries)
+        cols.append(F.expr(fold).alias(f"code{s}"))
+    return df.select(*cols)
+
+
+def build_ivfpq_index(emb: DataFrame, path: str) -> None:
+    """Persist the serving artifacts under ``path``:
+
+    * ``codes/`` — (vec_id, code0..3) parquet PARTITIONED BY cid, so
+      a probe reads only nprobe/C of the files (PartitionFilters at
+      scan time — the physical realization of IVF pruning).
+    * ``seeds/`` — the raw vec_id <= {_QUERY_ID} rows (codebook
+      seeds, IVF centroids, and the demo probe vector): everything a
+      serving process needs to rebuild its plan literals WITHOUT ever
+      touching the corpus table again.
+
+    At 100 TB this is the deployment split the inline queries
+    document: the build pass is one scan + one partitioned write,
+    amortized over every query that follows."""
+    ivfpq_code_table(emb).write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/codes"
+    )
+    emb.filter(F.col("vec_id") <= _QUERY_ID).select(
+        "vec_id", "embedding"
+    ).write.mode("overwrite").parquet(f"{path}/seeds")
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    index_path: str,
+    query_id: int = _QUERY_ID,
+    nprobe: int = _IVFPQ_NPROBE,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k over the PERSISTED index — the serving path.  Reads
+    the tiny seeds parquet (bounded collect) to rebuild the LUT and
+    rank probe cells driver-side, then ONE partition-pruned scan of
+    codes/ (PartitionFilters: cid IN probes — only nprobe of the C
+    partition directories are opened), 4 element_at lookups per row,
+    and a k-row heap.  Zero scans of the corpus table; no float math
+    per row; the plan is FileScan -> Project -> TakeOrderedAndProject."""
+    from .similarity import _rank_cells_py
+
+    seeds = spark.read.parquet(f"{index_path}/seeds").collect()
+    raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
+    qs = [_quantize(raw[i]) for i in range(_K)]
+    cb = [[qv[s * _SUBDIM : (s + 1) * _SUBDIM] for qv in qs] for s in range(_M)]
+    from . import similarity as sim
+
+    cents = [raw[i] for i in range(sim._N_CENTROIDS)]
+    qv = raw[query_id]
+    probes = _rank_cells_py(cents, qv)[:nprobe]
+    lut = _adc_lut(cb, _quantize(qv))
+    lut_lit = F.array(*[F.array(*[F.lit(int(d)) for d in row]) for row in lut])
+    adc = " + ".join(
+        f"element_at(element_at(__lut, {s + 1}), code{s} + 1)" for s in range(_M)
+    )
+    codes = (
+        spark.read.parquet(f"{index_path}/codes")
+        .filter(F.col("cid").isin([int(p) for p in probes]))
+        .filter(F.col("vec_id") != query_id)
+    )
+    return (
+        codes.withColumn("__lut", lut_lit)
+        .select("vec_id", F.expr(f"CAST({adc} AS BIGINT)").alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(k)
+    )
+
+
+@query(
+    "q_ivfpq_serve",
+    oracle=f"""
+        WITH {_CODES_SQL},
+        {_IVF_ASSIGN_SQL},
+        {_ivf_qcells_sql(_QUERY_ID, _IVFPQ_NPROBE)},
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}),
+        lut AS (
+            SELECT subs.s, seeds.cid, sum({_d2_terms('q', 'seeds')}) AS d2
+            FROM q CROSS JOIN subs CROSS JOIN seeds
+            CROSS JOIN generate_series(1, {_SUBDIM}) g(i)
+            GROUP BY 1, 2),
+        ivfcand AS (
+            SELECT a1.vec_id FROM a1 JOIN qc ON a1.cid = qc.qcid
+            WHERE a1.vec_id <> {_QUERY_ID}),
+        adcq AS (
+            SELECT c.vec_id,
+                   CAST(l0.d2 + l1.d2 + l2.d2 + l3.d2 AS BIGINT) AS adc_d2
+            FROM codes c
+            JOIN ivfcand USING (vec_id)
+            JOIN lut l0 ON l0.s = 0 AND l0.cid = c.code0
+            JOIN lut l1 ON l1.s = 1 AND l1.cid = c.code1
+            JOIN lut l2 ON l2.s = 2 AND l2.cid = c.code2
+            JOIN lut l3 ON l3.s = 3 AND l3.cid = c.code3)
+        SELECT CAST(row_number() OVER (ORDER BY adc_d2, vec_id) AS INT) AS rank,
+               vec_id, adc_d2
+        FROM adcq ORDER BY adc_d2, vec_id LIMIT 10
+    """,
+    tags=("similarity", "ann", "pq", "ivf", "extension"),
+)
+def q_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over the PERSISTED index — the serving half of the
+    build/serve split q_ivfpq_recall's docstring promises.  The query
+    (re)builds the index artifacts under a deterministic temp dir
+    (one scan + one partitioned write — at deployment this is the
+    amortized offline step), then answers the ADC top-10 entirely
+    from them: seeds parquet -> plan literals, codes parquet scanned
+    with PartitionFilters cid IN (probe cells) so only nprobe of the
+    {{C}} partition directories are read, 4 LUT lookups a row, one
+    heap.  The oracle recomputes the identical stack relationally
+    from the corpus table, so a green row proves the persisted
+    artifacts are byte-faithful to the inline derivation.  Plan
+    pinned in tests/test_plan_shapes.py: the serve scan is 1
+    partition-pruned FileScan of codes/, 0 of embeddings."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"osm_spark_ivfpq_{tag}")
+    build_ivfpq_index(emb, path)
+    served = ivfpq_search(spark, path)
+    from pyspark.sql import Window as _W
+
+    return served.withColumn(
+        "rank",
+        F.row_number().over(_W.orderBy("adc_d2", "vec_id")).cast("int"),
+    ).select("rank", "vec_id", "adc_d2")

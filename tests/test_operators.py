@@ -782,3 +782,53 @@ def test_binaryfile_source_feeds_multimodal_extract(spark, tmp_path):
         r = feats[hashlib.md5(data).hexdigest()]
         assert r["n_bytes"] == len(data)
         assert r["head_byte"] == data[0]
+
+
+def test_ivfpq_persisted_index_matches_inline(spark, tmp_path):
+    """build_ivfpq_index + ivfpq_search (the persisted serving path)
+    must reproduce the inline derivation exactly: the served ADC
+    top-k equals a direct recomputation from ivfpq_code_table for
+    the same probe cells, and the parametrized forms (nprobe=C = no
+    pruning, k beyond the candidate count) stay consistent."""
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.operators import pq
+    from open_street_map_data_wrangling_spark.operators import similarity as sim
+    from open_street_map_data_wrangling_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivfpq_index(emb, path)
+
+    cb, qvec_q, cents, qv = pq._collect_ivfpq_literals(emb)
+    lut = pq._adc_lut(cb, qvec_q)
+    probes = sim._rank_cells_py(cents, qv)[: pq._IVFPQ_NPROBE]
+    inline = {
+        (r["vec_id"], r["cid"], r["code0"], r["code1"], r["code2"], r["code3"])
+        for r in pq.ivfpq_code_table(emb).collect()
+    }
+    expected = sorted(
+        (
+            sum(lut[s][row[2 + s]] for s in range(pq._M)),
+            row[0],
+        )
+        for row in inline
+        if row[1] in probes and row[0] != pq._QUERY_ID
+    )[:10]
+    served = [
+        (r["adc_d2"], r["vec_id"])
+        for r in pq.ivfpq_search(spark, path).collect()
+    ]
+    assert served == expected
+
+    # no-pruning form: every candidate admitted, ranking unchanged
+    all_cells = sim._rank_cells_py(cents, qv)
+    served_all = pq.ivfpq_search(spark, path, nprobe=len(all_cells), k=5)
+    expected_all = sorted(
+        (sum(lut[s][row[2 + s]] for s in range(pq._M)), row[0])
+        for row in inline
+        if row[0] != pq._QUERY_ID
+    )[:5]
+    assert [
+        (r["adc_d2"], r["vec_id"]) for r in served_all.collect()
+    ] == expected_all

@@ -303,3 +303,16 @@ def test_ann_recall_family_is_checkpoint_fed(plans):
         p = plans(q)
         assert p.count("Scan parquet") == 0, q
         assert "ExistingRDD" in p, q
+
+
+def test_ivfpq_serve_is_partition_pruned(plans):
+    """The persisted-index serving path: the returned plan must read
+    ONLY the codes/ parquet (never the corpus table), and the scan
+    must carry PartitionFilters on cid — IVF pruning realized as
+    partition-directory pruning, the property that makes the probe
+    read nprobe/C of the index at any scale."""
+    p = plans("q_ivfpq_serve")
+    assert p.count("Scan parquet") == 1
+    assert "embeddings.parquet" not in p
+    assert "PartitionFilters" in p and "cid" in p
+    assert "TakeOrderedAndProject" in p
