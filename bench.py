@@ -111,6 +111,12 @@ HEADLINE = (
     "q_pagerank",
     "q_bpe_merges",
     "q_ivfpq_recall",
+    # added round 7: geo goes driver-visible; the persisted-index
+    # serving path (build + partition-pruned serve, measured as one
+    # unit — the build is the amortized cost a deployment pays once)
+    "q_geohash_cells",
+    "q_proximity_join",
+    "q_ivfpq_serve",
 )
 
 

@@ -15,13 +15,15 @@ the in-cell scan compression.
 Two determinism choices make every query here hash-verifiable against
 DuckDB (the same trade the IVF family makes, similarity.py):
 
-* **Seed codebooks, not trained ones**: centroids are the subvectors
-  of the 16 lowest vec_ids.  A Lloyd-trained codebook (the
-  semantic.py machinery) improves quantization error but is
-  iterative and thus rows-only at the driver; the seed form keeps
-  the whole pipeline — codes, ADC, recall — a pure SQL function of
-  the table.  ``pq_codes`` accepts any codebook, so a caller can
-  train with semantic.lloyd-style iterations and pass the result in.
+* **Seed codebooks first, trained ones checked too**: centroids are
+  the subvectors of the 16 lowest vec_ids, keeping the core pipeline
+  — codes, ADC, recall — a single-statement SQL function of the
+  table.  The Lloyd-TRAINED codebook (fixed 2-iteration
+  train_codebook) is ALSO hash-checked: its integer recurrence
+  unrolls into chained MATERIALIZED CTEs (_trained_oracle), the same
+  upgrade the pagerank/semantic recurrences got.  ``pq_codes``
+  accepts any codebook, so callers can train deeper and pass the
+  result in.
 * **Quantize-then-square integer distances**: elements are scaled to
   1e-5 fixed point (the q_centroids trick) BEFORE squaring, so
   distances are exact BIGINTs — no float summation order, no libm —
@@ -332,13 +334,99 @@ def _exact_top10(emb: DataFrame) -> DataFrame:
     )
 
 
+def _trained_oracle(iters: int = 2) -> str:
+    """DuckDB twin of the Lloyd-TRAINED PQ recall — the last member
+    of the fixed-iteration family to go hash-green (after _pr_oracle
+    and semantic._sd_oracle): ``iters`` rounds of (integer argmin
+    assignment → integer-mean M-step with keep-previous-on-empty)
+    unroll into chained MATERIALIZED CTEs over an exploded
+    (vec_id, s, pos, qx) quantized component table.  Every quantity
+    is BIGINT (the q_centroids quantize-then-sum recipe), so the
+    trained codebook — and therefore the trained LUT, codes, and
+    recall — is bit-exact across engines; the seed half reuses
+    _CODES_SQL/_ADC_SQL verbatim."""
+    chain = []
+    for t in range(iters):
+        chain.append(f"""
+        d{t} AS (
+            SELECT u.vec_id, cb.s, cb.cid,
+                   CAST(sum((u.qx - cb.cx) * (u.qx - cb.cx)) AS BIGINT) AS d2
+            FROM u JOIN cb{t} cb ON cb.s = u.s AND cb.pos = u.i
+            GROUP BY 1, 2, 3),
+        tc{t} AS MATERIALIZED (
+            SELECT vec_id, s, cid FROM (
+                SELECT vec_id, s, cid,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, cid) AS rn
+                FROM d{t}) WHERE rn = 1),
+        cb{t + 1} AS MATERIALIZED (
+            SELECT cb.s, cb.cid, cb.pos, coalesce(m.cx, cb.cx) AS cx
+            FROM cb{t} cb LEFT JOIN (
+                SELECT c.s, c.cid, u.i AS pos,
+                       CAST(sum(u.qx) // count(*) AS BIGINT) AS cx
+                FROM tc{t} c JOIN u ON u.vec_id = c.vec_id AND u.s = c.s
+                GROUP BY 1, 2, 3) m
+              ON m.s = cb.s AND m.cid = cb.cid AND m.pos = cb.pos)""")
+    unrolled = ",".join(chain)
+    qx = f"CAST(round(e.embedding[subs.s * {_SUBDIM} + g.i]::DOUBLE * {_QUANT}) AS BIGINT)"
+    return f"""
+        WITH {_CODES_SQL},
+        {_ADC_SQL},
+        exact10 AS MATERIALIZED (
+            SELECT e.vec_id
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {_QUERY_ID}
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                     e.vec_id ASC
+            LIMIT 10),
+        u AS MATERIALIZED (
+            SELECT e.vec_id, subs.s, g.i, {qx} AS qx
+            FROM embeddings e CROSS JOIN subs
+            CROSS JOIN generate_series(1, {_SUBDIM}) g(i)),
+        cb0 AS MATERIALIZED (
+            SELECT u.s, u.vec_id AS cid, u.i AS pos, u.qx AS cx
+            FROM u WHERE u.vec_id < {_K}),{unrolled},
+        lutt AS MATERIALIZED (
+            SELECT cb.s, cb.cid,
+                   CAST(sum((qq.qx - cb.cx) * (qq.qx - cb.cx)) AS BIGINT) AS d2
+            FROM cb{iters} cb
+            JOIN (SELECT s, i, qx FROM u WHERE vec_id = {_QUERY_ID}) qq
+              ON qq.s = cb.s AND qq.i = cb.pos
+            GROUP BY 1, 2),
+        dt AS (
+            SELECT u.vec_id, cb.s, cb.cid,
+                   CAST(sum((u.qx - cb.cx) * (u.qx - cb.cx)) AS BIGINT) AS d2
+            FROM u JOIN cb{iters} cb ON cb.s = u.s AND cb.pos = u.i
+            WHERE u.vec_id <> {_QUERY_ID}
+            GROUP BY 1, 2, 3),
+        tct AS MATERIALIZED (
+            SELECT vec_id, s, cid FROM (
+                SELECT vec_id, s, cid,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, cid) AS rn
+                FROM dt) WHERE rn = 1),
+        adct AS (
+            SELECT c.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+            FROM tct c JOIN lutt l ON l.s = c.s AND l.cid = c.cid
+            GROUP BY 1),
+        top10t AS (
+            SELECT vec_id FROM adct ORDER BY adc_d2, vec_id LIMIT 10),
+        seedrow AS (
+            SELECT 'seed' AS codebook, CAST(count(*) AS BIGINT) AS hits,
+                   count(*) / 10.0 AS recall_at_10
+            FROM adc10 JOIN exact10 USING (vec_id)),
+        trainedrow AS (
+            SELECT 'trained' AS codebook, CAST(count(*) AS BIGINT) AS hits,
+                   count(*) / 10.0 AS recall_at_10
+            FROM top10t JOIN exact10 USING (vec_id))
+        SELECT * FROM seedrow UNION ALL SELECT * FROM trainedrow
+        ORDER BY codebook
+    """
+
+
 @query(
     "q_pq_recall_trained",
-    # rows-only by design: the trained codebook is Lloyd-iterated
-    # (driver-side loop over checkpointed jobs) — the same
-    # no-single-statement-SQL-twin class as q_semantic_dedup.  The
-    # claim "training never hurts recall and strictly cuts
-    # quantization error" is carried by tests/test_operators.py.
+    oracle=_trained_oracle(),
     tags=("similarity", "ann", "pq", "iterative", "extension"),
 )
 def q_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -540,9 +540,10 @@ def test_pq_training_reduces_quantization_error(spark):
 
 
 def test_pq_trained_recall_never_below_seed(spark):
-    """The q_pq_recall_trained registry entry (rows-only — Lloyd is
-    iterative) carries its claim here: trained recall@10 >= seed
-    recall@10, one row per codebook, deterministic labels."""
+    """The q_pq_recall_trained registry entry (hash-green since r07
+    via the unrolled _trained_oracle) keeps its independent claim
+    here: trained recall@10 >= seed recall@10, one row per codebook,
+    deterministic labels."""
     from open_street_map_data_wrangling_spark.operators.pq import (
         q_pq_recall_trained,
     )
