@@ -248,8 +248,11 @@ def _latest_prior_bench(sf: float) -> dict | None:
     sf0.01 timings against sf0.1 would emit bogus regression noise."""
     import glob
 
+    import glob as _glob
+    import re
+
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    paths = sorted(_glob.glob(os.path.join(here, "BENCH_r*.json")))
     for path in reversed(paths):
         try:
             with open(path) as fh:
@@ -258,6 +261,26 @@ def _latest_prior_bench(sf: float) -> dict | None:
             rec = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
             if isinstance(rec.get("queries"), dict) and rec.get("sf") == sf:
                 return {"file": os.path.basename(path), "queries": rec["queries"]}
+            # Some driver records carry only the truncated stdout
+            # "tail"; recover whatever per-query pairs survived (the
+            # tail is the END of the JSON line, so all pairs after the
+            # cut point are intact and the regex skips the partial
+            # first one) — comparing against the LATEST round beats
+            # falling back to the last fully-parsed file from two
+            # rounds ago.
+            tail = data.get("tail")
+            if isinstance(tail, str) and data.get("sf") == sf:
+                qs = {
+                    m.group(1): float(m.group(2))
+                    for m in re.finditer(
+                        r'"(q_\w+)":\s*([0-9]+\.[0-9]+)', tail
+                    )
+                }
+                if len(qs) >= 20:
+                    return {
+                        "file": os.path.basename(path) + " (tail)",
+                        "queries": qs,
+                    }
         except (OSError, ValueError, AttributeError):
             continue
     return None

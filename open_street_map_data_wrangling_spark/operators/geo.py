@@ -113,7 +113,10 @@ _HAVERSINE = (
 
 
 def proximity_pairs(
-    nodes: DataFrame, radius_m: float = 150.0, max_abs_lat: float = 66.0
+    nodes: DataFrame,
+    radius_m: float = 150.0,
+    max_abs_lat: float = 66.0,
+    wrap_lon: bool = False,
 ) -> DataFrame:
     """All node pairs (id_a < id_b) within `radius_m` meters:
     candidates from a 3x3 neighbor-cell equi-join on the quantized
@@ -128,20 +131,30 @@ def proximity_pairs(
     exact for any data within ±`max_abs_lat` (caller contract —
     polar data needs a latitude-band pre-partition, not this grid).
 
-    Longitude contract: cell indices come from floor(lon/width) on
-    the raw coordinate and do NOT wrap at ±180°, so a pair straddling
-    the antimeridian sits in far-apart cells and is silently missed.
-    City-extract workloads (the reference's domain) never span it;
-    a global deployment should either rotate the frame so the data's
-    dateline falls on an empty meridian, or wrap the cell index
-    modulo ceil(360/lon_cell_width) AND extend the neighbor probe to
-    the wrapped adjacency — the modulo alone is not sufficient
-    because the 3x3 probe must also treat cell 0 and cell max as
-    neighbors."""
+    Longitude contract: by default cell indices come from
+    floor(lon/width) on the raw coordinate and do NOT wrap at ±180°,
+    so a pair straddling the antimeridian sits in far-apart cells and
+    is silently missed.  City-extract workloads (the reference's
+    domain) never span it; global deployments pass ``wrap_lon=True``:
+    the cell index becomes pmod(floor((lon+180)/width), n_cells) and
+    — the part a bare modulo misses — the ±1 neighbor probe is ALSO
+    taken modulo n_cells, so cell 0 and cell n-1 are adjacent and a
+    seam-straddling pair meets in one bucket.  The haversine itself
+    is wrap-safe unconditionally (sin²(Δλ/2) is invariant under
+    Δλ → Δλ ± 360°), so only the bucketing needed the option."""
     lat_cell = radius_m / 111_000.0
     lon_cell = radius_m / (111_000.0 * math.cos(math.radians(max_abs_lat)))
     cx = f"CAST(floor(lat / {lat_cell}) AS BIGINT)"
-    cy = f"CAST(floor(lon / {lon_cell}) AS BIGINT)"
+    if wrap_lon:
+        n_lon_cells = math.ceil(360.0 / lon_cell)
+        cy = (
+            f"pmod(CAST(floor((lon + 180.0) / {lon_cell}) AS BIGINT), "
+            f"{n_lon_cells})"
+        )
+        cy_probe = f"pmod(cyb + dy, {n_lon_cells}) AS cya"
+    else:
+        cy = f"CAST(floor(lon / {lon_cell}) AS BIGINT)"
+        cy_probe = "cyb + dy AS cya"
     left = nodes.selectExpr(
         "id AS id_a", "lat AS lat_a", "lon AS lon_a",
         f"{cx} AS cxa", f"{cy} AS cya",
@@ -160,7 +173,7 @@ def proximity_pairs(
         .selectExpr("*", "explode(array(-1, 0, 1)) AS dy")
         .selectExpr(
             "id_b", "lat_b", "lon_b",
-            "cxb + dx AS cxa", "cyb + dy AS cya",
+            "cxb + dx AS cxa", cy_probe,
         )
     )
     dist = _HAVERSINE.format(

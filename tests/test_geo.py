@@ -181,3 +181,59 @@ def test_osm_nodes_flow_into_geohash_and_proximity(spark, tmp_path):
     pairs = proximity_pairs(hashed, radius_m=150.0).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
     assert abs(pairs[0]["dist_m"] - 100.0) < 5.0
+
+
+def test_proximity_wrap_lon_finds_antimeridian_pairs(spark):
+    """wrap_lon=True: pairs straddling lon = +/-180 meet in one
+    wrapped bucket (cell 0 adjacent to cell n-1); the whole result
+    still matches brute force on a seam-spanning point set.  The
+    default (wrap_lon=False) misses exactly the seam pairs — pinning
+    the documented contract from both sides."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, rnd.random() * 0.01, 179.9990 + rnd.random() * 0.002 - 0.001)
+        for i in range(60)
+    ]
+    # shift half the points across the seam: lon in (-180, -179.999]
+    rows = [
+        (i, la, lo - 360.0 if lo > 180.0 or i % 2 else lo)
+        for i, la, lo in rows
+    ]
+    rows.append((900, 0.0, 179.99995))
+    rows.append((901, 0.0, -179.99995))  # ~11 m from 900 across the seam
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+
+    def hav(a, b):
+        (_, la1, lo1), (_, la2, lo2) = a, b
+        d = (
+            math.sin(math.radians(la2 - la1) / 2) ** 2
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(math.radians(lo2 - lo1) / 2) ** 2
+        )
+        m = 2 * 6371000.0 * math.asin(math.sqrt(d))
+        return math.floor(m * 10 + 0.5) / 10
+
+    expected = {
+        (min(a[0], b[0]), max(a[0], b[0]))
+        for i, a in enumerate(rows)
+        for b in rows[i + 1 :]
+        if hav(a, b) <= 150.0
+    }
+    wrapped = {
+        (r["id_a"], r["id_b"])
+        for r in proximity_pairs(df, radius_m=150.0, wrap_lon=True).collect()
+    }
+    assert wrapped == expected
+    assert (900, 901) in wrapped
+    unwrapped = {
+        (r["id_a"], r["id_b"])
+        for r in proximity_pairs(df, radius_m=150.0).collect()
+    }
+    assert (900, 901) not in unwrapped  # the documented default gap
+    # and every miss of the default form straddles the seam
+    for a, b in expected - unwrapped:
+        lons = {abs(r[2]) > 179.0 for r in rows if r[0] in (a, b)}
+        assert lons == {True}
