@@ -58,10 +58,17 @@ def word_type_freqs(docs: DataFrame) -> DataFrame:
 
 
 def train_bpe(
-    spark: SparkSession, docs: DataFrame, steps: int = _BPE_STEPS
-) -> list[tuple[int, str, str, int]]:
+    spark: SparkSession,
+    docs: DataFrame,
+    steps: int = _BPE_STEPS,
+    return_state: bool = False,
+):
     """Learn `steps` BPE merges from the corpus; returns
-    (step, left, right, pair_freq) in learning order.
+    (step, left, right, pair_freq) in learning order — or, with
+    ``return_state=True``, the tuple (merges, encoded_wf) where
+    encoded_wf is the final (seq, freq) word-type table with ALL
+    merges applied: training's last state IS the encoded vocabulary,
+    so the application path costs nothing extra.
 
     State per round is the word-type table with each word as a
     space-delimited symbol sequence (leading/trailing space so the
@@ -116,7 +123,7 @@ def train_bpe(
             F.regexp_replace("seq", pat, repl).alias("seq"),
             "freq",
         ).localCheckpoint()
-    return merges
+    return (merges, wf) if return_state else merges
 
 
 @query("q_bpe_merges", oracle=None, tags=("text", "iterative", "extension"))
@@ -130,4 +137,52 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe(spark, load_table(spark, sf_dir, "documents"))
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_freq bigint"
+    )
+
+
+_BPE_TOPK = 15
+
+
+@query("q_bpe_encode", oracle=None, tags=("text", "iterative", "extension"))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of the BPE story: after
+    learning the 8 merges, report the {_BPE_TOPK} most-used tokens of
+    the encoded corpus (occurrences weighted by word-type frequency,
+    i.e. true corpus counts), with token length — the vocabulary-usage
+    report a tokenizer-training pipeline ships with its merges.txt.
+    Training's final word-type state IS the encoded vocabulary
+    (return_state=True), so application adds one explode+aggregate
+    over the vocabulary-sized table — no second corpus scan, no
+    per-document re-encode; at 100 TB the encode of the CORPUS is a
+    broadcast join of this table back onto words, never a re-run of
+    the merge regexes per document.  Same honesty class as
+    q_bpe_merges: rows-only at the driver (the merge recurrence has
+    no SQL twin); tests/test_bpe.py re-encodes in pure Python from
+    DuckDB word frequencies and asserts this exact table."""
+    from pyspark.sql import Window as _W
+
+    _, wf = train_bpe(
+        spark, load_table(spark, sf_dir, "documents"), return_state=True
+    )
+    toks = (
+        wf.select(
+            F.explode(F.split(F.trim("seq"), " ")).alias("token"), "freq"
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+    )
+    top = (
+        toks.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(_BPE_TOPK)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(_W.orderBy(F.desc("n_occurrences"), F.asc("token")))
+            .cast("int"),
+        )
+    )
+    return top.select(
+        "rank", "token", F.length("token").cast("int").alias("token_len"),
+        "n_occurrences",
     )

@@ -27,7 +27,10 @@ from open_street_map_data_wrangling_spark.plans import load_all_queries
 SF = "/root/testdata/sf0.01"
 
 
-def _replay(sf_dir: str, steps: int) -> list[tuple[int, str, str, int]]:
+def _replay(sf_dir: str, steps: int):
+    """(merges, final seqs) — training replay AND the encoded
+    word-type state, so the application test shares one source of
+    truth with the training test."""
     con = duckdb.connect()
     freqs = con.execute(
         "SELECT tok, count(*) FROM (SELECT unnest(string_split(text, ' ')) "
@@ -54,7 +57,7 @@ def _replay(sf_dir: str, steps: int) -> list[tuple[int, str, str, int]]:
             pat.sub((l + r).replace("\\", "\\\\"), seq): fv
             for seq, fv in seqs.items()
         }
-    return merges
+    return merges, seqs
 
 
 def test_bpe_merges_match_pure_python_replay(spark):
@@ -62,7 +65,7 @@ def test_bpe_merges_match_pure_python_replay(spark):
         (r["step"], r["left"], r["right"], r["pair_freq"])
         for r in load_all_queries()["q_bpe_merges"].spark(spark, SF).collect()
     ]
-    assert got == _replay(SF, bpe._BPE_STEPS)
+    assert got == _replay(SF, bpe._BPE_STEPS)[0]
     assert len(got) == bpe._BPE_STEPS  # fixture corpus has 8 mergeable pairs
 
 
@@ -86,3 +89,31 @@ def test_bpe_greedy_run_semantics():
     pat = re.compile("(?<= )a a(?= )")
     assert pat.sub("aa", " a a a ") == " aa a "
     assert pat.sub("aa", " a a a a ") == " aa aa "
+
+
+def test_bpe_encode_matches_pure_python_replay(spark):
+    """q_bpe_encode (rows-only at the driver) re-proven end to end:
+    encode the replayed final word-type state, count token usage
+    weighted by word frequency, and the Spark top-15 vocabulary-usage
+    report must match exactly — rank, token, length, and counts."""
+    _, seqs = _replay(SF, bpe._BPE_STEPS)
+    usage: Counter = Counter()
+    for seq, f in seqs.items():
+        for tok in seq.split():
+            usage[tok] += f
+    expected = [
+        (i + 1, tok, len(tok), n)
+        for i, (tok, n) in enumerate(
+            sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))[
+                : bpe._BPE_TOPK
+            ]
+        )
+    ]
+    got = [
+        (r["rank"], r["token"], r["token_len"], r["n_occurrences"])
+        for r in load_all_queries()["q_bpe_encode"].spark(spark, SF).collect()
+    ]
+    assert got == expected
+    # the learned merges actually show up in the served vocabulary:
+    # at least one top token is multi-character
+    assert any(ln > 1 for _, _, ln, _ in got)
