@@ -147,22 +147,22 @@ def _stamp_fingerprints() -> dict[str, str]:
 # registry are ignored; an empty tuple restores pure registration
 # order.
 _MODIFIED_PRIORITY: tuple[str, ...] = (
-    # Round 6: the only behaviorally-edited stamped queries this round
-    # are the two PQ entries that went through the ADC/exact-top10
-    # helper refactor (q_pq_adc re-queues as FRESH — its r05 row was
-    # red).  All 21 of r05's events-risk priority names were re-stamped
-    # green in r05, so they leave the list.  The remaining ~68 modified
-    # entries are r01–r04 helper-churn with identical semantics; they
-    # take window slots in registration order after these, and the
-    # overflow (~20) re-verifies in r07.
+    # Round 7: behaviorally-edited stamped queries lead — the three
+    # oracle promotions (unrolled fixed-iteration recurrences), the
+    # two scan-collapsed recall audits, and the BPE escaping fix +
+    # return_state refactor.  The rest of the modified group is r06
+    # churn with identical semantics.
     #
-    # Window arithmetic (r06 start): 2 fresh (q_pq_adc,
-    # q_pq_recall_trained) + 70 modified vs a ~50-slot window — the
-    # modified backlog spans two rounds no matter what, so each NEW
-    # registration this round displaces one old-churn re-verification,
-    # not a behaviorally-risky one.
-    "q_pq_codes",
-    "q_pq_recall",
+    # Window arithmetic (r07 end): 4 fresh (q_geohash_cells,
+    # q_proximity_join, q_ivfpq_serve, q_bpe_encode) + 42 modified =
+    # 46 vs the ~50-slot window — everything rotates through this
+    # round, so the priority order is belt-and-braces, not triage.
+    "q_pagerank",
+    "q_semantic_dedup",
+    "q_pq_recall_trained",
+    "q_ivfpq_recall",
+    "q_ann_recall_multiprobe",
+    "q_bpe_merges",
 )
 
 
