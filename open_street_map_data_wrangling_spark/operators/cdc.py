@@ -174,7 +174,16 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a closed-out v0 + current v1, no-op updates pass through as
     current v0, new keys insert as current v1."""
     snap = _snapshot(spark, sf_dir)
+    # The fixture delta is DERIVED from the snapshot (3 filtered
+    # scans); scd2_merge consumes the delta three times (main join,
+    # matched-keys semi, insert anti), so an un-pinned delta re-ran
+    # those scans per reference — 23 FileScans in the executed plan.
+    # One lazy localCheckpoint makes every reference checkpoint-fed
+    # (an ingest batch is materialized-once by nature; a production
+    # caller passes a real batch and pays zero scans here).  The two
+    # remaining snapshot scans are the documented full-rows +
+    # keys-only split that keeps the snapshot un-shuffled.
     # no presentation sort: the driver compare is order-insensitive
     # and a global sort of the merged dimension is a pure extra
     # exchange at scale
-    return scd2_merge(snap, _delta(snap))
+    return scd2_merge(snap, _delta(snap).localCheckpoint(eager=False))

@@ -200,6 +200,12 @@ def test_scd2_merge_broadcasts_delta_snapshot_never_shuffles(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "ShuffledHashJoin" not in p
+    # r07: the fixture-derived delta is checkpoint-fed — without the
+    # pin, re-deriving it per reference cost 23 FileScans (3 snapshot
+    # filters x 3 consumers + the joins' own scans); now it is the
+    # documented full-rows + keys-only snapshot split plus the one
+    # embedded lazy-checkpoint subplan.
+    assert p.count("Scan parquet") <= 3
 
 
 def test_reservoir_per_key_prunes_map_side(plans):
@@ -366,3 +372,13 @@ def test_plan_report_fresh_and_scan_claims_hold():
     for q in ("q_ann_recall_multiprobe", "q_ivfpq_recall", "q_kmv_overlap"):
         assert scans[q] == 0, f"{q} re-amplified to {scans[q]} scans"
     assert scans["q_ivfpq_serve"] == 1  # codes/ only, never the corpus
+
+
+def test_semantic_dedup_serving_is_checkpoint_fed(plans):
+    """semantic_dedup's tagged table feeds three consumers (both
+    self-join sides + the is_kept join-back); the lazy checkpoint
+    makes the serving plan read zero parquet — the corpus is scanned
+    only inside the bounded Lloyd-training jobs, not per branch."""
+    p = plans("q_semantic_dedup")
+    assert p.count("Scan parquet") == 0
+    assert "ExistingRDD" in p
