@@ -547,41 +547,33 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection are computed engine-side; the oracle replays the
     whole measurement, so the recall number itself is hash-verified.
     (hits/10.0 is an exact IEEE division of small ints — identical in
-    both engines.)"""
+    both engines.)
+
+    r07: rebuilt on the collapsed scored base — the pre-collapse shape
+    (broadcast-join assignment + window argmax, helpers re-derived per
+    branch) compiled to 8 FileScans of the embeddings parquet; this is
+    q_ann_recall_multiprobe's single-nprobe special case, so it now
+    shares _ivf_scored_literal verbatim: one row-local scan, lazily
+    localCheckpoint'd, query cell from the driver-side centroid replay
+    (same `desc cos, asc cid` total order as the window form), both
+    top-10s and the intersection fed from the checkpoint.  Scan count
+    pinned at zero in tests/test_plan_shapes.py; oracle unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    cents, qv = _collect_ivf_literals(emb, _QUERY_ID_IVF)
+    qcid = _rank_cells_py(cents, qv)[0]
+    scored = _ivf_scored_literal(emb, _QUERY_ID_IVF).localCheckpoint(
+        eager=False
     )
-    cos_c = cosine_expr("embedding", "cemb")
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
-    assign = (
-        emb.join(F.broadcast(cents))
-        .select("vec_id", "cid", cos_c.alias("cos_c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
-    qcell = assign.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
-        F.col("cid").alias("qcid")
-    )
-    qvec = emb.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
-        F.col("embedding").alias("q_embedding")
-    )
-    cos_q = cosine_expr("embedding", "q_embedding")
     exact10 = (
-        emb.filter(F.col("vec_id") != _QUERY_ID_IVF)
-        .join(F.broadcast(qvec))
-        .select("vec_id", cos_q.alias("cos_raw"))
+        scored.filter(F.col("vec_id") != _QUERY_ID_IVF)
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id")
     )
     ivf10 = (
-        emb.join(assign, "vec_id")
-        .join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
-        .filter(F.col("vec_id") != _QUERY_ID_IVF)
-        .join(F.broadcast(qvec))
-        .select("vec_id", cos_q.alias("cos_raw"))
+        scored.filter(
+            (F.col("cid") == qcid) & (F.col("vec_id") != _QUERY_ID_IVF)
+        )
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id")

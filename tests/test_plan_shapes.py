@@ -305,7 +305,7 @@ def test_ann_recall_family_is_checkpoint_fed(plans):
     localCheckpoint it, and fan every branch out from the checkpoint:
     the executed plan must contain NO parquet scans at all (the base
     materializes once, in the checkpoint job)."""
-    for q in ("q_ann_recall_multiprobe", "q_ivfpq_recall"):
+    for q in ("q_ann_recall_multiprobe", "q_ivfpq_recall", "q_ann_recall"):
         p = plans(q)
         assert p.count("Scan parquet") == 0, q
         assert "ExistingRDD" in p, q
