@@ -26,6 +26,14 @@ from open_street_map_data_wrangling_spark.sources.catalog import TABLES
 
 REL_TOL = 1e-9
 ABS_TOL = 1e-9
+# Generous per-oracle watchdog (a healthy oracle finishes in <5 s at
+# sf0.1; the failure mode this guards — exponential CTE inlining —
+# runs for hours).  Generosity also keeps the cancel race harmless:
+# a timer that fires between fetchall and cancel would poison the
+# NEXT statement, so it must never fire on a healthy query.
+import os as _os
+
+ORACLE_TIMEOUT_SEC = int(_os.environ.get("VERIFY_ORACLE_TIMEOUT", "300"))
 
 
 def _norm(v):
@@ -151,6 +159,7 @@ def main():
     passed = failed = rows_only = 0
     for name, spec in sorted(specs.items()):
         t0 = time.time()
+        watchdog = None
         try:
             df = spec.spark(spark, sf_dir)
             if spec.oracle is None:
@@ -158,12 +167,26 @@ def main():
                 print(f"ROWSONLY {name}: {n} rows ({time.time()-t0:.1f}s)")
                 rows_only += 1
                 continue
+            # Oracle watchdog: an oracle that plans pathologically
+            # (the unrolled-recurrence lesson — DuckDB inlines a
+            # twice-referenced CTE per reference, so a missing
+            # AS MATERIALIZED turns 6 iterations into 2^6 subplan
+            # copies) must FAIL this one query, not hang the whole
+            # sweep.  duckdb.interrupt() aborts the running statement;
+            # the timer is cancelled on the normal path.
+            import threading
+
+            watchdog = threading.Timer(ORACLE_TIMEOUT_SEC, con.interrupt)
+            watchdog.start()
             duck_types = {
                 r[0]: r[1] for r in con.execute(f"DESCRIBE {spec.oracle}").fetchall()
             }
             errs = compare(df, con.sql(spec.oracle), duck_types)
         except Exception as e:
             errs = [f"EXCEPTION {type(e).__name__}: {e}"]
+        finally:
+            if watchdog is not None:
+                watchdog.cancel()
         if errs:
             failed += 1
             print(f"FAIL {name} ({time.time()-t0:.1f}s)")
