@@ -154,14 +154,20 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     # churn with identical semantics.
     #
     # Window arithmetic (r07 end): 4 fresh (q_geohash_cells,
-    # q_proximity_join, q_ivfpq_serve, q_bpe_encode) + 42 modified =
-    # 46 vs the ~50-slot window — everything rotates through this
-    # round, so the priority order is belt-and-braces, not triage.
+    # q_proximity_join, q_ivfpq_serve, q_bpe_encode) + 47 modified =
+    # 51 vs the ~50-slot window — ~1 r06-churn re-verification rolls
+    # to r08; this list guarantees the roll-over is never one of the
+    # eleven queries whose behavior or plan actually changed.
     "q_pagerank",
     "q_semantic_dedup",
     "q_pq_recall_trained",
     "q_ivfpq_recall",
     "q_ann_recall_multiprobe",
+    "q_ann_recall",
+    "q_ann_ivf",
+    "q_ann_ivf_multiprobe",
+    "q_ann_lsh",
+    "q_scd2_merge",
     "q_bpe_merges",
 )
 

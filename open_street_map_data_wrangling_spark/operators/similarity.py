@@ -104,38 +104,24 @@ def q_vec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (X3 scale path): deterministic codebook = the
-    first C vectors; every vector is assigned to its nearest centroid
-    (broadcast join + window argmax), the query probes only its own
-    cell. Recall < 1 by design — the oracle replicates the same probe,
-    checking the *algorithm*, not pretending it is exact search."""
+    first C vectors; every vector is assigned to its nearest centroid,
+    the query probes only its own cell. Recall < 1 by design — the
+    oracle replicates the same probe, checking the *algorithm*, not
+    pretending it is exact search.
+
+    r07: single-probe special case of the collapsed scored base — the
+    join-based assignment + per-branch helper re-derivation compiled
+    to 6 FileScans and a per-vector window shuffle; now ONE row-local
+    scan (_ivf_scored_literal), query cell from the driver-side
+    centroid replay, filter + heap.  No checkpoint: a single consumer
+    chain keeps the plan a straight scan→project→TakeOrdered, which
+    is also the shape a cell-partitioned table prunes at 100 TB."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
-    cos_c = cosine_expr("embedding", "cemb")
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
-    assign = (
-        emb.join(F.broadcast(cents))
-        .select("vec_id", "cid", cos_c.alias("cos_c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
-    qcell = assign.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
-        F.col("cid").alias("qcid")
-    )
-    qvec = emb.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
-        F.col("embedding").alias("q_embedding")
-    )
-    cos_q = cosine_expr("embedding", "q_embedding")
-    bucket = (
-        emb.join(assign, "vec_id")
-        .join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
-        .filter(F.col("vec_id") != _QUERY_ID_IVF)
-    )
+    cents, qv = _collect_ivf_literals(emb, _QUERY_ID_IVF)
+    qcid = _rank_cells_py(cents, qv)[0]
     return (
-        bucket.join(F.broadcast(qvec))
-        .select("vec_id", cos_q.alias("cos_raw"))
+        _ivf_scored_literal(emb, _QUERY_ID_IVF)
+        .filter((F.col("cid") == qcid) & (F.col("vec_id") != _QUERY_ID_IVF))
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(5)
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
@@ -235,24 +221,23 @@ def _ivf_qcells_sql(query_id: int, nprobe: int, name: str = "qc") -> str:
 def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF ANN (X3): probe the query's top-{_NPROBE} cells
     instead of one — the standard recall knob (nprobe) of an IVF
-    index. Cell ranking is a C-row broadcast computation; the searched
-    fraction grows to ~nprobe/C of the table, everything else keeps
-    the single-probe plan shape (broadcast probe list, per-task
-    top-k heap). With cell-partitioned storage Catalyst still prunes
-    all non-probed cells at scan time."""
+    index. The searched fraction grows to ~nprobe/C of the table,
+    everything else keeps the single-probe plan shape. With
+    cell-partitioned storage Catalyst still prunes all non-probed
+    cells at scan time.
+
+    r07: same collapse as q_ann_ivf — ONE row-local scan against the
+    literal codebook, probe cells ranked by the driver-side centroid
+    replay (identical total order to the window form), isin filter +
+    heap; was 6 FileScans + a window shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = _ivf_assign(emb)
-    qcells = _ivf_query_cells(emb, _QUERY_ID_IVF, _NPROBE)
-    qvec = emb.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
-        F.col("embedding").alias("q_embedding")
-    )
-    cos_q = cosine_expr("embedding", "q_embedding")
+    cents, qv = _collect_ivf_literals(emb, _QUERY_ID_IVF)
+    probes = _rank_cells_py(cents, qv)[:_NPROBE]
     return (
-        emb.join(assign, "vec_id")
-        .join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
-        .filter(F.col("vec_id") != _QUERY_ID_IVF)
-        .join(F.broadcast(qvec))
-        .select("vec_id", cos_q.alias("cos_raw"))
+        _ivf_scored_literal(emb, _QUERY_ID_IVF)
+        .filter(
+            F.col("cid").isin(probes) & (F.col("vec_id") != _QUERY_ID_IVF)
+        )
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(5)
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
@@ -462,39 +447,52 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets a {_N_PLANES}-bit code — bit i is the sign of its dot product
     with reference vector i (deterministic 'hyperplanes' = the first
     {_N_PLANES} vectors). The query probes only its own code bucket.
-    Same operator shape as q_ann_ivf with a cheaper, join-free code
-    assignment (no argmax): codes are a narrow map-side computation,
-    so at 100 TB bucketing is a zero-shuffle column derivation and
-    the table can be written partitioned by bucket for pruning."""
+
+    r07: fully join-free — the planes ride as plan literals (bounded
+    {_N_PLANES}+1-row collect, the codebook-collect class), the
+    bucket is a row-local sum of sign bits, and the query's bucket is
+    a driver-side Python replay of the SAME sequential double fold
+    (collected floats are exact doubles, so the replay is
+    bit-identical to the column path — the _rank_cells_py argument).
+    Was 6 FileScans + an aggregate exchange + three joins; now ONE
+    scan → project → filter → heap.  At 100 TB the bucket column is
+    a zero-shuffle derivation and the table can be written
+    partitioned by bucket for scan pruning."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = emb.filter(F.col("vec_id") < _N_PLANES).select(
-        F.col("vec_id").alias("pid"), F.col("embedding").alias("pemb")
-    )
-    plane_dot = dot_expr("embedding", "pemb")
-    codes = (
-        emb.join(F.broadcast(planes))
-        .select(
-            "vec_id",
-            F.when(plane_dot > 0, F.pow(F.lit(2.0), F.col("pid")).cast("bigint"))
-            .otherwise(F.lit(0))
-            .alias("bit"),
+    rows = (
+        emb.filter(
+            (F.col("vec_id") < _N_PLANES) | (F.col("vec_id") == _QUERY_ID_IVF)
         )
-        .groupBy("vec_id")
-        .agg(F.sum("bit").alias("bucket"))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    qb = codes.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
-        F.col("bucket").alias("qbucket")
+    raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    planes = [raw[i] for i in range(_N_PLANES)]
+    qv = raw[_QUERY_ID_IVF]
+
+    def pydot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    qbucket = sum(
+        1 << pid for pid, p in enumerate(planes) if pydot(qv, p) > 0
     )
-    qvec = emb.filter(F.col("vec_id") == _QUERY_ID_IVF).select(
-        F.col("embedding").alias("q_embedding")
-    )
-    cos_q = cosine_expr("embedding", "q_embedding")
+    df = emb.withColumn("__qv", _lit_vec(qv))
+    bucket = F.lit(0).cast("bigint")
+    for pid, p in enumerate(planes):
+        df = df.withColumn(f"__p{pid}", _lit_vec(p))
+        bucket = bucket + F.when(
+            dot_expr("embedding", f"__p{pid}") > 0, F.lit(1 << pid).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
     return (
-        emb.join(codes, "vec_id")
-        .join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
-        .filter(F.col("vec_id") != _QUERY_ID_IVF)
-        .join(F.broadcast(qvec))
-        .select("vec_id", cos_q.alias("cos_raw"))
+        df.withColumn("__bucket", bucket)
+        .filter(
+            (F.col("__bucket") == qbucket)
+            & (F.col("vec_id") != _QUERY_ID_IVF)
+        )
+        .select("vec_id", cosine_expr("embedding", "__qv").alias("cos_raw"))
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(5)
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))

@@ -382,3 +382,21 @@ def test_semantic_dedup_serving_is_checkpoint_fed(plans):
     p = plans("q_semantic_dedup")
     assert p.count("Scan parquet") == 0
     assert "ExistingRDD" in p
+
+
+def test_ann_probe_queries_single_scan_no_window(plans):
+    """r07 collapse of the probe family: q_ann_ivf / multiprobe /
+    lsh each compile to exactly ONE table scan with literal
+    codebook/plane assignment — no join-based assignment, no
+    per-vector window shuffle, top-k as a heap.  (The recall audits
+    are pinned at zero scans separately — they fan multiple branches
+    off a checkpoint; a single-consumer probe keeps the straight
+    scan shape instead.)"""
+    for q in ("q_ann_ivf", "q_ann_ivf_multiprobe", "q_ann_lsh"):
+        p = plans(q)
+        assert p.count("Scan parquet") == 1, q
+        assert "Window [" not in p, q
+        assert "SortMergeJoin" not in p, q
+        assert "TakeOrderedAndProject" in p, q
+    # the LSH probe is fully join-free — bucket is a row-local sum
+    assert "Join" not in plans("q_ann_lsh")
