@@ -7,10 +7,12 @@ Approximate-nearest-neighbor over the `embeddings.embedding`
 * `q_ann_lsh`   — sign-LSH probe: {code = sign bits vs reference
   vectors} buckets, zero-shuffle assignment.
 * `q_ann_ivf`   — IVF-style probe: assign every vector to its nearest
-  of C centroids (a tiny broadcast "codebook"), then search only the
-  query's cell. The scan cost drops from N to ~N/C per query; the
-  cell assignment is one broadcast join + window argmax, done once
-  and reusable for any number of queries.
+  of C centroids (a tiny literal "codebook" shipped in the plan),
+  then search only the query's cell. The scan cost drops from N to
+  ~N/C per query; since r07 the cell assignment is a row-local fold
+  over the literal codebook — one scan, no join, no window — and a
+  deployment persists it (see pq.build_ivfpq_index) so any number of
+  queries reuse it.
 
 All dot products run in double via zip_with/aggregate higher-order
 functions — JVM-side, no UDFs (SURVEY.md §4.2: X3 is a DataFrame
@@ -131,43 +133,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NPROBE = 2  # cells probed by the multi-probe variant
 
 
-def _ivf_assign(emb: DataFrame) -> DataFrame:
-    """(vec_id, cid): every vector's nearest-centroid cell — broadcast
-    codebook join + window argmax, computed once per table."""
-    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
-    cos_c = cosine_expr("embedding", "cemb")
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
-    return (
-        emb.join(F.broadcast(cents))
-        .select("vec_id", "cid", cos_c.alias("cos_c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
-
-
-def _ivf_query_cells(emb: DataFrame, query_id: int, nprobe: int) -> DataFrame:
-    """(qcid): the query's top-nprobe cells by query-centroid cosine.
-    C rows in, nprobe rows out — always broadcast-sized."""
-    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
-    qvec = emb.filter(F.col("vec_id") == query_id).select(
-        F.col("embedding").alias("q_embedding")
-    )
-    cos_qc = cosine_expr("cemb", "q_embedding")
-    return (
-        cents.join(F.broadcast(qvec))
-        .select("cid", cos_qc.alias("cos_qc"))
-        .orderBy(F.desc("cos_qc"), F.asc("cid"))
-        .limit(nprobe)
-        .select(F.col("cid").alias("qcid"))
-    )
-
-
-# Oracle twins for the helpers above (f-string CTE builders).
+# The join+window assignment forms (_ivf_assign / _ivf_query_cells)
+# were retired in r07 when the last probe queries moved to the
+# literal scored base; their SEMANTICS survive as the oracle CTEs
+# below, which every probe query is still hash-checked against.
 _IVF_ASSIGN_SQL = f"""
         cents AS (
             SELECT vec_id AS cid, embedding AS cemb FROM embeddings
@@ -271,7 +240,7 @@ def _lit_vec(vec: list[float]):
 
 def _rank_cells_py(cents: list[list[float]], qv: list[float]) -> list[int]:
     """Centroid ids by (query-cosine DESC, cid ASC) — the engine-side
-    _ivf_query_cells ranking replayed on the C collected vectors.
+    retired _ivf_query_cells ranking replayed on the C collected vectors.
     Pure IEEE-double math in the same left-to-right fold order as the
     zip_with/aggregate expression, so the ranking agrees; and a
     ranking only needs ORDER, not bit equality, so it tolerates any
@@ -295,10 +264,11 @@ def _ivf_scored_literal(emb: DataFrame, query_id: int) -> DataFrame:
     shuffles: the codebook and query vector ride in the plan as
     literals, the nearest-cell argmax is a row-local fold with
     strict-> comparison (keeps the LOWEST cid on ties — the same
-    total order as _ivf_assign's window `desc cos, asc cid`), and the
+    total order as the retired window form's `desc cos, asc cid` — the
+    shape _IVF_ASSIGN_SQL still expresses oracle-side), and the
     query cosine is a row-local expression.  This is the pq.py
-    E-step shape applied to IVF assignment: what _ivf_assign does
-    with a broadcast join + window shuffle, done scan-side.  Callers
+    E-step shape applied to IVF assignment: the broadcast-join +
+    window-shuffle work, done scan-side.  Callers
     localCheckpoint the result and fan out any number of recall /
     probe branches without re-touching the table."""
     cents, qv = _collect_ivf_literals(emb, query_id)
