@@ -833,3 +833,50 @@ def test_ivfpq_persisted_index_matches_inline(spark, tmp_path):
     assert [
         (r["adc_d2"], r["vec_id"]) for r in served_all.collect()
     ] == expected_all
+
+
+def test_lsh_bucket_python_replay_matches_spark(spark):
+    """The r07 q_ann_lsh rewrite computes the QUERY's bucket with a
+    driver-side Python fold and the corpus buckets with the JVM
+    expression; the whole design rests on those two folds being
+    bit-identical (collected float32s widen to exact doubles, then
+    the same multiplies and adds in the same order).  Pin it for
+    EVERY vector, not just the query: Spark-computed buckets must
+    equal the pure-Python replay across the table."""
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.operators import similarity as sim
+    from open_street_map_data_wrangling_spark.operators.similarity import (
+        _lit_vec,
+        dot_expr,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    planes = [raw[i] for i in range(sim._N_PLANES)]
+
+    def pydot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    expected = {
+        vid: sum(1 << pid for pid, p in enumerate(planes) if pydot(v, p) > 0)
+        for vid, v in raw.items()
+    }
+    df = emb
+    bucket = F.lit(0).cast("bigint")
+    for pid, p in enumerate(planes):
+        df = df.withColumn(f"__p{pid}", _lit_vec(p))
+        bucket = bucket + F.when(
+            dot_expr("embedding", f"__p{pid}") > 0,
+            F.lit(1 << pid).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select("vec_id", bucket.alias("b")).collect()
+    }
+    assert got == expected
