@@ -328,35 +328,28 @@ def test_plan_report_fresh_and_scan_claims_hold():
     """PLAN_REPORT.md is the judge-facing evidence artifact; a stale
     one silently re-reports plan defects that were already fixed (the
     r06 report carried pre-collapse scan counts for the sketch
-    family).  Two checks: (1) on a clean tree the report's last
-    commit must be no older than the newest operators/ commit —
-    i.e. every committed operator change regenerated it (dirty
-    working trees are mid-edit and exempt); (2) the report's scans
-    column must agree with the pinned zero-scan families, so the
-    report and the plan tests cannot tell different stories."""
-    import subprocess
+    family).  Two checks: (1) the report's recorded Operators-digest
+    must equal a live recompute over operators/*.py — content-based,
+    because the first (git-timestamp) form of this rule could not see
+    that a regeneration which changed no plans leaves nothing to
+    commit, so the report's commit time never advances past a
+    plan-neutral operators commit; (2) the report's scans column must
+    agree with the pinned zero-scan families, so the report and the
+    plan tests cannot tell different stories."""
+    import re
+    import sys as _sys
 
-    repo = str(Path(__file__).resolve().parents[1])
+    repo = Path(__file__).resolve().parents[1]
+    _sys.path.insert(0, str(repo / "tools"))
+    from gen_plan_report import operators_digest
 
-    def _git(*args):
-        return subprocess.run(
-            ["git", *args], cwd=repo, capture_output=True, text=True
-        ).stdout.strip()
-
-    dirty = _git(
-        "status", "--porcelain", "PLAN_REPORT.md",
-        "open_street_map_data_wrangling_spark/operators",
+    text = (repo / "PLAN_REPORT.md").read_text()
+    m = re.search(r"Operators-digest: `([0-9a-f]{16})`", text)
+    assert m, "PLAN_REPORT.md predates the digest stamp — regenerate it"
+    assert m.group(1) == operators_digest(str(repo)), (
+        "PLAN_REPORT.md was generated against different operators/ "
+        "sources — rerun tools/gen_plan_report.py and commit the result"
     )
-    if not dirty:
-        ops_ts = int(
-            _git("log", "-1", "--format=%ct", "--",
-                 "open_street_map_data_wrangling_spark/operators") or 0
-        )
-        rep_ts = int(_git("log", "-1", "--format=%ct", "--", "PLAN_REPORT.md") or 0)
-        assert rep_ts >= ops_ts, (
-            "PLAN_REPORT.md is older than the newest operators/ commit — "
-            "rerun tools/gen_plan_report.py and commit the result"
-        )
     scans = {}
     with open(Path(repo) / "PLAN_REPORT.md") as f:
         for line in f:
