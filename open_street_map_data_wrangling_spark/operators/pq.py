@@ -743,10 +743,21 @@ def ivfpq_code_table(emb: DataFrame) -> DataFrame:
     per-subspace integer argmin folds, side by side — the index-build
     pass.  No joins, no shuffles; the write below adds exactly one
     exchange (the partitionBy)."""
+    cb, _, cents, _ = _collect_ivfpq_literals(emb)
+    return _code_projection(emb, cb, cents)
+
+
+def _code_projection(
+    vecs: DataFrame, cb: list[list[list[int]]], cents: list[list[float]]
+) -> DataFrame:
+    """The shared (vec_id, cid, code*) projection over ANY vector
+    frame — the batch build passes the corpus, the streaming index
+    maintenance passes a micro-batch; both against the SAME persisted
+    codebook literals, so maintained codes are byte-identical to what
+    a full rebuild would produce."""
     from .similarity import _lit_vec
 
-    cb, _, cents, _ = _collect_ivfpq_literals(emb)
-    df = _with_qemb(emb)
+    df = _with_qemb(vecs)
     for cid, cv in enumerate(cents):
         df = df.withColumn(f"__c{cid}", _lit_vec(cv)).withColumn(
             f"__cos{cid}", cosine_expr("embedding", f"__c{cid}")
@@ -789,9 +800,13 @@ def ivfpq_code_table(emb: DataFrame) -> DataFrame:
 def build_ivfpq_index(emb: DataFrame, path: str) -> None:
     """Persist the serving artifacts under ``path``:
 
-    * ``codes/`` — (vec_id, code0..3) parquet PARTITIONED BY cid, so
-      a probe reads only nprobe/C of the files (PartitionFilters at
-      scan time — the physical realization of IVF pruning).
+    * ``codes/`` — (vec_id, code0..3) parquet PARTITIONED BY
+      (cid, __batch), so a probe reads only nprobe/C of the files
+      (PartitionFilters on the LEADING cid level — the physical
+      realization of IVF pruning).  ``__batch`` is the ingest-batch
+      sublevel the streaming maintenance job
+      (streaming/jobs.ivfpq_index_maintenance) overwrites
+      idempotently; the initial build is batch 0.
     * ``seeds/`` — the raw vec_id <= {_QUERY_ID} rows (codebook
       seeds, IVF centroids, and the demo probe vector): everything a
       serving process needs to rebuild its plan literals WITHOUT ever
@@ -800,7 +815,9 @@ def build_ivfpq_index(emb: DataFrame, path: str) -> None:
     At 100 TB this is the deployment split the inline queries
     document: the build pass is one scan + one partitioned write,
     amortized over every query that follows."""
-    ivfpq_code_table(emb).write.mode("overwrite").partitionBy("cid").parquet(
+    ivfpq_code_table(emb).withColumn(
+        "__batch", F.lit(0)
+    ).write.mode("overwrite").partitionBy("cid", "__batch").parquet(
         f"{path}/codes"
     )
     emb.filter(F.col("vec_id") <= _QUERY_ID).select(

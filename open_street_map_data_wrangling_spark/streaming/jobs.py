@@ -701,3 +701,80 @@ def cms_counter_maintenance(doc_stream: DataFrame, store_dir: str):
         .option("checkpointLocation", f"{store_dir}_ckpt")
         .start()
     )
+
+
+def ivfpq_codes_merge_fn(spark: SparkSession, index_path: str):
+    """foreachBatch body for ivfpq_index_maintenance, exposed so
+    tests can drive replays directly.
+
+    Per micro-batch of (vec_id, embedding) rows: rebuild the plan
+    literals from the tiny seeds parquet (bounded read — the corpus
+    table is never touched), run the SAME row-local code projection
+    the batch build uses (pq._code_projection, so maintained codes
+    are byte-identical to a full rebuild), stamp the rows with this
+    batch's id, and dynamic-partition-overwrite them into
+    ``codes/cid=*/__batch=<id>/``.
+
+    Replay safety comes from the LAYOUT, not a marker: every row of
+    batch b lands in a ``__batch=b`` leaf partition, and dynamic
+    overwrite mode replaces exactly the leaf partitions present in
+    the written frame — a redelivered batch rewrites its own leaves
+    and cannot double-append or touch any other batch (contrast the
+    additive CMS store, which needs markers).  Contract: vec_ids are
+    append-only unique across batches (new documents); re-embedding
+    an existing id is a compaction event, not an append."""
+    from ..operators import pq as pq_mod
+    from ..operators import similarity as sim
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # foreachBatch hands the batch a CLONED SparkSession; the
+        # write below runs under the clone's conf, so the dynamic-
+        # overwrite mode must be set THERE — setting it on the outer
+        # session silently leaves the clone in STATIC mode, and a
+        # static mode("overwrite") replaces the WHOLE codes table
+        # with one batch (caught by the rebuild-equality test).
+        bs = batch_df.sparkSession
+        seeds = bs.read.parquet(f"{index_path}/seeds").collect()
+        raw = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in seeds
+        }
+        qs = [pq_mod._quantize(raw[i]) for i in range(pq_mod._K)]
+        cb = [
+            [qv[s * pq_mod._SUBDIM : (s + 1) * pq_mod._SUBDIM] for qv in qs]
+            for s in range(pq_mod._M)
+        ]
+        cents = [raw[i] for i in range(sim._N_CENTROIDS)]
+        coded = pq_mod._code_projection(
+            batch_df.select("vec_id", "embedding"), cb, cents
+        ).withColumn("__batch", F.lit(batch_id + 1))
+        prev = bs.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        bs.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+        try:
+            coded.write.mode("overwrite").partitionBy("cid", "__batch").parquet(
+                f"{index_path}/codes"
+            )
+        finally:
+            bs.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return merge
+
+
+def ivfpq_index_maintenance(vec_stream: DataFrame, index_path: str):
+    """Streaming IVF-PQ index freshness: keep the persisted codes
+    table (operators/pq.build_ivfpq_index) current as new vectors
+    arrive, so ivfpq_search always serves the full corpus without a
+    rebuild.  At 100 TB this is the ingest half of the index story:
+    the build pass is the one-off backfill, this job is the nightly/
+    continuous delta, and both produce byte-identical codes because
+    they share one projection against one persisted codebook.
+    Returns the StreamingQuery (caller stops it)."""
+    return (
+        vec_stream.writeStream.foreachBatch(
+            ivfpq_codes_merge_fn(vec_stream.sparkSession, index_path)
+        )
+        .option("checkpointLocation", f"{index_path}_ckpt")
+        .start()
+    )

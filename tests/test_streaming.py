@@ -808,3 +808,64 @@ def test_cms_counter_maintenance_needs_and_uses_markers(spark, tmp_path):
         os.remove(p)
     cms_merge_fn(spark, store)(b2, batch_id=1)
     assert counters() != got
+
+
+def test_ivfpq_index_maintenance_matches_rebuild_and_survives_replay(
+    spark, tmp_path
+):
+    """Streaming index freshness: build the persisted IVF-PQ index
+    from the first 300 vectors, stream the remaining 200 in two
+    micro-batches, and the maintained index must serve EXACTLY what a
+    from-scratch rebuild over all 500 serves (one projection, one
+    codebook — byte-identical codes).  Then replay a batch through
+    the merge fn directly: the dynamic-partition-overwrite layout
+    must leave the codes table unchanged (idempotence from layout,
+    no markers)."""
+    from open_street_map_data_wrangling_spark.operators import pq
+    from open_street_map_data_wrangling_spark.sources.catalog import load_table
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        ivfpq_codes_merge_fn,
+        ivfpq_index_maintenance,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 300)
+    rest = emb.filter(F.col("vec_id") >= 300)
+
+    maintained = str(tmp_path / "ivfpq_maint")
+    pq.build_ivfpq_index(base, maintained)
+
+    src = str(tmp_path / "vec_arrivals")
+    rest.filter(F.col("vec_id") < 400).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>"
+    ).parquet(src)
+    q = ivfpq_index_maintenance(stream, maintained)
+    try:
+        q.processAllAvailable()
+        rest.filter(F.col("vec_id") >= 400).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rebuilt = str(tmp_path / "ivfpq_rebuild")
+    pq.build_ivfpq_index(emb, rebuilt)
+
+    # identical code rows (ignoring the batch sublevel) ...
+    cols = ["vec_id", "cid", "code0", "code1", "code2", "code3"]
+    got = {tuple(r) for r in spark.read.parquet(f"{maintained}/codes").select(*cols).collect()}
+    want = {tuple(r) for r in spark.read.parquet(f"{rebuilt}/codes").select(*cols).collect()}
+    assert got == want and len(got) == 500
+    # ... and identical serving results
+    served_m = [tuple(r) for r in pq.ivfpq_search(spark, maintained).collect()]
+    served_r = [tuple(r) for r in pq.ivfpq_search(spark, rebuilt).collect()]
+    assert served_m == served_r
+
+    # replay batch 0 (same id, same rows) straight through the merge
+    # fn: the __batch=1 leaves are rewritten in place, nothing else
+    merge = ivfpq_codes_merge_fn(spark, maintained)
+    merge(rest.filter(F.col("vec_id") < 400), 0)
+    after = {tuple(r) for r in spark.read.parquet(f"{maintained}/codes").select(*cols).collect()}
+    assert after == want
