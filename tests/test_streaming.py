@@ -869,3 +869,45 @@ def test_ivfpq_index_maintenance_matches_rebuild_and_survives_replay(
     merge(rest.filter(F.col("vec_id") < 400), 0)
     after = {tuple(r) for r in spark.read.parquet(f"{maintained}/codes").select(*cols).collect()}
     assert after == want
+
+
+def test_ivfpq_maintenance_soak_survives_restarts(spark, tmp_path):
+    """Index-maintenance crash/restart soak: three vector-arrival
+    waves applied across three separate StreamingQuery incarnations
+    sharing one checkpoint must leave the same codes table as the
+    single-query run — the checkpoint assigns each source file
+    exactly-once batch membership, and the __batch partition layout
+    absorbs any replay in between."""
+    from open_street_map_data_wrangling_spark.operators import pq
+    from open_street_map_data_wrangling_spark.sources.catalog import load_table
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        ivfpq_index_maintenance,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    maint = str(tmp_path / "idx")
+    pq.build_ivfpq_index(emb.filter(F.col("vec_id") < 200), maint)
+
+    src = str(tmp_path / "arrivals")
+    waves = [(200, 300), (300, 420), (420, 500)]
+    for i, (lo, hi) in enumerate(waves):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(
+            "vec_id bigint, embedding array<float>"
+        ).parquet(src)
+        q = ivfpq_index_maintenance(stream, maint)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    rebuilt = str(tmp_path / "rebuilt")
+    pq.build_ivfpq_index(emb, rebuilt)
+    cols = ["vec_id", "cid", "code0", "code1", "code2", "code3"]
+    got = {tuple(r) for r in spark.read.parquet(f"{maint}/codes").select(*cols).collect()}
+    want = {tuple(r) for r in spark.read.parquet(f"{rebuilt}/codes").select(*cols).collect()}
+    assert got == want and len(got) == 500
