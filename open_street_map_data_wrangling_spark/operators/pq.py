@@ -927,3 +927,43 @@ def q_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.row_number().over(_W.orderBy("adc_d2", "vec_id")).cast("int"),
     ).select("rank", "vec_id", "adc_d2")
+
+
+def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
+    """Fold the maintenance history back into a single generation:
+    rewrite codes/ keeping the LATEST row per vec_id (highest
+    __batch wins — the re-embedding/update contract the maintenance
+    job defers to compaction) into __batch=0 leaves and drop the
+    rest.  The OPTIMIZE step of the index lifecycle (build →
+    maintain → compact), same role as layout.optimize_zorder for the
+    corpus: at 100 TB thousands of small per-batch files per cell
+    degrade the probe's scan, and the nightly compaction restores
+    one-file-per-cell locality.  Stage-then-swap commit: the rewrite
+    reads the files it replaces, so it materializes to a side dir
+    first (the incremental_hourly_rollup pattern)."""
+    from pyspark.sql import Window as _W
+
+    codes = spark.read.parquet(f"{path}/codes")
+    latest = (
+        codes.withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("vec_id").orderBy(F.desc("__batch"))
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "vec_id", "cid", *[f"code{s}" for s in range(_M)],
+            F.lit(0).alias("__batch"),
+        )
+    )
+    stage = f"{path}/codes_compact_stage"
+    latest.write.mode("overwrite").partitionBy("cid", "__batch").parquet(stage)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    codes_path = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
+    fs = codes_path.getFileSystem(hconf)
+    spark.read.parquet(stage).write.mode("overwrite").partitionBy(
+        "cid", "__batch"
+    ).parquet(f"{path}/codes")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)

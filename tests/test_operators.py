@@ -880,3 +880,44 @@ def test_lsh_bucket_python_replay_matches_spark(spark):
         for r in df.select("vec_id", bucket.alias("b")).collect()
     }
     assert got == expected
+
+
+def test_ivfpq_compaction_folds_history_and_applies_updates(spark, tmp_path):
+    """compact_ivfpq_index: after maintenance batches INCLUDING a
+    re-embedding of existing ids (the update case maintenance defers
+    to compaction), the compacted table holds exactly one row per
+    vec_id — the latest generation's codes — all under __batch=0,
+    and serving results are unchanged for non-updated vectors."""
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.operators import pq
+    from open_street_map_data_wrangling_spark.sources.catalog import load_table
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        ivfpq_codes_merge_fn,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    pq.build_ivfpq_index(emb, path)
+    merge = ivfpq_codes_merge_fn(spark, path)
+    # re-embed vectors 100..199 with vector 0..99's embeddings — their
+    # codes must change to the donors' codes after compaction
+    donors = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    merge(donors, 0)
+    assert spark.read.parquet(f"{path}/codes").count() == 600  # dup gen
+    pq.compact_ivfpq_index(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == 500
+    assert codes.select("__batch").distinct().collect()[0][0] == 0
+    by_id = {
+        r["vec_id"]: (r["cid"], r["code0"], r["code1"], r["code2"], r["code3"])
+        for r in codes.collect()
+    }
+    for v in range(100):
+        assert by_id[v + 100] == by_id[v]  # updated ids wear donor codes
+    # serving still works over the compacted layout
+    assert len(pq.ivfpq_search(spark, path).collect()) == 10
