@@ -237,3 +237,53 @@ def test_proximity_wrap_lon_finds_antimeridian_pairs(spark):
     for a, b in expected - unwrapped:
         lons = {abs(r[2]) > 179.0 for r in rows if r[0] in (a, b)}
         assert lons == {True}
+
+
+def test_geohash_clustering_buys_prefix_and_bbox_skipping(spark, tmp_path):
+    """The module docstring's layout claim, proven the way the z-order
+    test proves it: writing points clustered by geohash into
+    range-partitioned files makes both a geohash-prefix predicate AND
+    a raw lat/lon bounding box touch a small subset of files (geohash
+    IS a Z-order curve over (lon, lat), so min/max stats on lat, lon,
+    and the hash string all become selective), while an id-clustered
+    layout of the same rows must read every file."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    n_files = 16
+    rnd = random.Random(11)
+    rows = [
+        (i, 40.0 + rnd.random() * 0.5, -74.0 + rnd.random() * 0.5)
+        for i in range(4096)
+    ]
+    pts = with_geohash(
+        spark.createDataFrame(rows, "id long, lat double, lon double")
+    )
+    geodir = str(tmp_path / "bygeo")
+    iddir = str(tmp_path / "byid")
+    pts.repartitionByRange(n_files, "geohash").write.mode("overwrite").parquet(geodir)
+    pts.repartitionByRange(n_files, "id").write.mode("overwrite").parquet(iddir)
+
+    def files_touched(path, predicate):
+        return (
+            spark.read.parquet(path)
+            .filter(predicate)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    # the busiest precision-4 cell (~39 km) as the probe region
+    top = (
+        pts.groupBy(F.expr("substring(geohash, 1, 4)").alias("c"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("c"))
+        .first()
+    )
+    prefix_pred = f"geohash LIKE '{top['c']}%'"
+    bbox_pred = "lat >= 40.1 AND lat < 40.2 AND lon >= -73.9 AND lon < -73.8"
+    assert files_touched(iddir, prefix_pred) == n_files  # scattered layout
+    assert files_touched(iddir, bbox_pred) == n_files
+    assert files_touched(geodir, prefix_pred) <= n_files // 4
+    assert files_touched(geodir, bbox_pred) <= n_files // 2
