@@ -117,6 +117,9 @@ HEADLINE = (
     "q_geohash_cells",
     "q_proximity_join",
     "q_ivfpq_serve",
+    # added round 7 (second wave): corpus-rewrite and LM-filter ops
+    "q_boilerplate_strip",
+    "q_lm_surprisal",
 )
 
 

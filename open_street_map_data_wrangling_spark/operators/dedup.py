@@ -1380,3 +1380,118 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard_x10k") >= _SETSIM_MIN_X10K)
         .select("doc_a", "doc_b", "inter_toks", "jaccard_x10k")
     )
+
+
+@query(
+    "q_boilerplate_strip",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, length(text) AS orig_len,
+                   string_split(text, ' ') AS t
+            FROM documents),
+        chunks AS (
+            SELECT doc_id, source, orig_len, i AS chunk_no,
+                   array_to_string(t[(i * 10 + 1):((i + 1) * 10)], ' ')
+                     AS chunk,
+                   md5(array_to_string(t[(i * 10 + 1):((i + 1) * 10)], ' '))
+                     AS chunk_hash
+            FROM toks, unnest(range(0, (len(t) + 9) // 10)) AS r(i)),
+        freq AS (
+            SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+            FROM chunks GROUP BY chunk_hash),
+        rebuilt AS (
+            SELECT c.doc_id, c.source,
+                   any_value(c.orig_len) AS orig_len,
+                   coalesce(string_agg(
+                       CASE WHEN f.n_docs < 2 THEN c.chunk END,
+                       ' ' ORDER BY c.chunk_no), '') AS new_text,
+                   count(*) FILTER (f.n_docs >= 2) AS removed
+            FROM chunks c JOIN freq f USING (chunk_hash)
+            GROUP BY c.doc_id, c.source)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (removed > 0) AS BIGINT) AS docs_changed,
+               CAST(sum(removed) AS BIGINT) AS chunks_removed,
+               CAST(sum(orig_len) AS BIGINT) AS chars_before,
+               CAST(sum(length(new_text)) AS BIGINT) AS chars_after
+        FROM rebuilt
+        GROUP BY source
+    """,
+    tags=("dedup", "chunk", "cleaning", "extension"),
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (X33) — the rewrite pass
+    q_chunk_dedup's stats motivate, done C4-style: any fixed 10-token
+    chunk whose content hash appears in >= 2 distinct documents is
+    header/footer/template mass and is dropped; each document's text
+    is reconstructed from its surviving chunks in original order.
+    Reports the per-source before/after audit (docs touched, chunks
+    removed, char mass) — the numbers a curation run logs before
+    committing the rewrite.
+
+    Scale shape: chunking is row-local (slice over an index sequence,
+    no window); the doc-frequency aggregate and the chunk⋈freq join
+    both key on the uniform content hash (no skew by construction);
+    reconstruction is one groupBy(doc_id) whose payload is the
+    document's own chunk list — exactly the rows a rewrite must carry
+    anywhere.  Nothing is broadcast and no driver state exists, so
+    the same plan runs at 100 TB; the repeated-set is never
+    materialized driver-side (contrast with a naive "collect bad
+    hashes into an IN list").
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    chunks_arr = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.expr("CAST((size(split(text, ' ')) + 9) div 10 AS INT) - 1"),
+        ),
+        lambda i: F.struct(
+            i.alias("chunk_no"),
+            F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)).alias("chunk"),
+        ),
+    )
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("orig_len"),
+        F.explode(chunks_arr).alias("c"),
+    ).select(
+        "doc_id",
+        "source",
+        "orig_len",
+        F.col("c.chunk_no").alias("chunk_no"),
+        F.col("c.chunk").alias("chunk"),
+        F.md5(F.col("c.chunk")).alias("chunk_hash"),
+    )
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs_sharing")
+    )
+    tagged = chunks.join(freq, "chunk_hash")
+    rebuilt = tagged.groupBy("doc_id", "source").agg(
+        F.first("orig_len").alias("orig_len"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("chunk_no", "chunk", "n_docs_sharing")
+                        )
+                    ),
+                    lambda s: s["n_docs_sharing"] < 2,
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("new_text"),
+        F.sum(
+            (F.col("n_docs_sharing") >= 2).cast("bigint")
+        ).alias("removed"),
+    )
+    return rebuilt.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("removed") > 0).cast("bigint")).alias("docs_changed"),
+        F.sum("removed").cast("bigint").alias("chunks_removed"),
+        F.sum("orig_len").cast("bigint").alias("chars_before"),
+        F.sum(F.length("new_text")).cast("bigint").alias("chars_after"),
+    )

@@ -626,3 +626,119 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         _compression_batches,
         schema="doc_id bigint, n_bytes bigint, n_compressed bigint, ratio_x10k bigint",
     )
+
+
+@query(
+    "q_lm_surprisal",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+        counts AS (
+            SELECT tok, count(*) AS c
+            FROM tok
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+            GROUP BY tok),
+        lm AS (
+            SELECT CAST(sum(c) AS BIGINT) AS t_total,
+                   CAST(count(*) AS BIGINT) AS v_size
+            FROM counts),
+        scored AS (
+            SELECT t.doc_id, t.lang,
+                   length(bin((lm.t_total + lm.v_size)
+                              // (coalesce(c.c, 0) + 1))) - 1 AS bits
+            FROM tok t LEFT JOIN counts c USING (tok) CROSS JOIN lm),
+        doc AS (
+            SELECT doc_id, lang,
+                   count(*) AS n_toks, sum(bits) AS surprisal_bits
+            FROM scored GROUP BY doc_id, lang)
+        SELECT doc_id, lang,
+               CAST(n_toks AS BIGINT) AS n_toks,
+               CAST(surprisal_bits AS BIGINT) AS surprisal_bits,
+               CAST((100 * surprisal_bits) // n_toks AS BIGINT)
+                 AS cbits_per_tok
+        FROM doc
+        ORDER BY cbits_per_tok DESC, doc_id ASC
+        LIMIT 20
+    """,
+    tags=("text", "quality", "lm", "extension"),
+)
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (X34): train a unigram LM on
+    the deterministic 75/25 content-hash train split, score EVERY
+    document's add-one-smoothed per-token surprisal, and report the
+    20 most-surprising documents (highest centibits/token — the tail
+    a perplexity filter would drop or down-weight).
+
+    Surprisal is integer-exact on both engines: the add-one estimate
+    p = (c+1)/(T+V) is scored as floor(log2((T+V) div (c+1))) via
+    length(bin(n))-1 — a pure integer bit-length, no transcendental
+    whose last-ulp could differ cross-engine (the q_tfidf lesson).
+    The metric is defined AS this integer formula; it is
+    rank-faithful to log-perplexity at whole-bit granularity.
+
+    Scale shape: token counts are one map-side-combinable groupBy
+    whose output is vocabulary-sized; the corpus-side score join keys
+    on the token (Zipf-skewed — exactly the AQE-skew-split case, or
+    df-capped salting in production); T and V ride along as a 1-row
+    broadcast.  Nothing iterates and nothing collects: "train the LM"
+    is itself a DataFrame, so rescoring tomorrow's crawl against
+    today's LM is the same plan with a different left side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    # The trained LM feeds BOTH the score join and the (T, V) roll-up.
+    # Without a cut, Catalyst compiles the diamond as two independent
+    # subtrees — a second full train-corpus scan just to count the
+    # vocabulary.  localCheckpoint pins the vocabulary-sized counts
+    # once (the same bounded-derived-base discipline as q_cms_topk /
+    # q_kmv_overlap), so the corpus is read once per side.
+    counts = (
+        tok.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b"
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lm = counts.agg(
+        F.sum("c").cast("bigint").alias("t_total"),
+        F.count("*").cast("bigint").alias("v_size"),
+    )
+    scored = (
+        tok.join(counts, "tok", "left")
+        .crossJoin(F.broadcast(lm))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.length(
+                    F.bin(
+                        F.expr(
+                            "(t_total + v_size) div (coalesce(c, 0) + 1)"
+                        )
+                    )
+                )
+                - 1
+            ).alias("bits"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.sum("bits").cast("bigint").alias("surprisal_bits"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            "surprisal_bits",
+            F.expr("(100 * surprisal_bits) div n_toks").alias("cbits_per_tok"),
+        )
+        .orderBy(F.desc("cbits_per_tok"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -921,3 +921,75 @@ def test_ivfpq_compaction_folds_history_and_applies_updates(spark, tmp_path):
         assert by_id[v + 100] == by_id[v]  # updated ids wear donor codes
     # serving still works over the compacted layout
     assert len(pq.ivfpq_search(spark, path).collect()) == 10
+
+
+def test_boilerplate_strip_cross_document_rule(spark, monkeypatch):
+    """q_boilerplate_strip drops a 10-token chunk only when its hash
+    spans >= 2 DISTINCT documents: the shared header chunk goes, each
+    doc's unique tail survives in order, and a chunk repeated twice
+    WITHIN one doc (n_docs_sharing == 1) is kept — the C4 cross-doc
+    rule, not plain chunk-frequency."""
+    import open_street_map_data_wrangling_spark.operators.dedup as dedup_mod
+
+    hdr = " ".join(f"h{i}" for i in range(10))
+    rep = " ".join(f"r{i}" for i in range(10))
+    docs = [
+        (1, hdr + " u1 u2", "s"),
+        (2, hdr + " v1 v2 v3", "s"),
+        (3, "w1 w2 w3 w4 w5", "s"),
+        (4, rep + " " + rep, "s"),  # same chunk twice, one doc -> kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    monkeypatch.setattr(dedup_mod, "load_table", lambda s, d, n: df)
+    row = dedup_mod.q_boilerplate_strip(spark, "_").collect()[0]
+    assert row["n_docs"] == 4
+    assert row["docs_changed"] == 2  # docs 1 and 2 lose the header
+    assert row["chunks_removed"] == 2
+    assert row["chars_before"] == sum(len(t) for _, t, _ in docs)
+    # rebuilt texts: "u1 u2", "v1 v2 v3", doc 3 intact, doc 4 intact
+    assert row["chars_after"] == (
+        len("u1 u2") + len("v1 v2 v3") + len("w1 w2 w3 w4 w5") + (len(rep) * 2 + 1)
+    )
+
+
+def test_lm_surprisal_matches_python_replay(spark, monkeypatch):
+    """q_lm_surprisal is bit-exact against a direct Python replay of
+    the integer surprisal formula (md5 train split, add-one smoothing,
+    floor-log2 via bit_length) on a corpus that exercises unseen
+    tokens (c = 0) and the train/test split boundary."""
+    import hashlib
+
+    import open_street_map_data_wrangling_spark.operators.text as text_mod
+
+    docs = [
+        (i, " ".join(f"t{(i * 7 + j) % 13}" for j in range(5 + i % 4)), "en")
+        for i in range(24)
+    ] + [(99, "zz qq zz unseen", "xx")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    monkeypatch.setattr(text_mod, "load_table", lambda s, d, n: df)
+
+    counts: dict[str, int] = {}
+    for doc_id, text, _ in docs:
+        if hashlib.md5(str(doc_id).encode()).hexdigest()[0] <= "b":
+            for tok in text.split(" "):
+                counts[tok] = counts.get(tok, 0) + 1
+    t_total, v_size = sum(counts.values()), len(counts)
+    assert 0 < v_size and any(
+        hashlib.md5(str(d).encode()).hexdigest()[0] > "b" for d, _, _ in docs
+    )
+    expected = []
+    for doc_id, text, lang in docs:
+        toks = text.split(" ")
+        bits = sum(
+            ((t_total + v_size) // (counts.get(tok, 0) + 1)).bit_length() - 1
+            for tok in toks
+        )
+        expected.append(
+            (doc_id, lang, len(toks), bits, (100 * bits) // len(toks))
+        )
+    expected.sort(key=lambda r: (-r[4], r[0]))
+    got = [
+        (r["doc_id"], r["lang"], r["n_toks"], r["surprisal_bits"], r["cbits_per_tok"])
+        for r in text_mod.q_lm_surprisal(spark, "_").collect()
+    ]
+    assert got == expected[:20]
