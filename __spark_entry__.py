@@ -149,15 +149,20 @@ def _stamp_fingerprints() -> dict[str, str]:
 _MODIFIED_PRIORITY: tuple[str, ...] = (
     # Round 7: behaviorally-edited stamped queries lead — the three
     # oracle promotions (unrolled fixed-iteration recurrences), the
-    # two scan-collapsed recall audits, and the BPE escaping fix +
-    # return_state refactor.  The rest of the modified group is r06
-    # churn with identical semantics.
+    # two scan-collapsed recall audits, the BPE escaping fix +
+    # return_state refactor, and (late session) the PQ recall family's
+    # literal-qvec rewrite (q_pq_recall 3→2 scans; q_pq_adc re-queued
+    # by the shared-collect refactor, semantics identical).  The rest
+    # of the modified group is r06 churn with identical semantics.
     #
-    # Window arithmetic (r07 end): 4 fresh (q_geohash_cells,
-    # q_proximity_join, q_ivfpq_serve, q_bpe_encode) + 47 modified =
-    # 51 vs the ~50-slot window — ~1 r06-churn re-verification rolls
-    # to r08; this list guarantees the roll-over is never one of the
-    # eleven queries whose behavior or plan actually changed.
+    # Window arithmetic (r07 end): 6 fresh (q_geohash_cells,
+    # q_proximity_join, q_ivfpq_serve, q_bpe_encode,
+    # q_boilerplate_strip, q_lm_surprisal) + 49 modified = 55 vs the
+    # ~50-slot window — ~5 r06-churn re-verifications roll to r08;
+    # this list guarantees the roll-over is never one of the queries
+    # whose behavior or plan actually changed this round.
+    "q_pq_recall",
+    "q_pq_adc",
     "q_pagerank",
     "q_semantic_dedup",
     "q_pq_recall_trained",

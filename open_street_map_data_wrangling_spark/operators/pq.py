@@ -246,6 +246,18 @@ def _seed_codebook_and_query(emb: DataFrame):
     """Seed codebook + quantized probe vector in ONE bounded collect
     (vec_id <= 17 is 18 rows); a separate filter-collect per piece
     was a second job for no reason."""
+    cb, qvec, _ = _seed_codebook_query_raw(emb)
+    return cb, qvec
+
+
+def _seed_codebook_query_raw(emb: DataFrame):
+    """_seed_codebook_and_query plus the RAW (unquantized) probe
+    embedding from the same 18-row collect — the recall queries'
+    exact-cosine ground truth needs it, and re-reading it through a
+    second 1-row filtered scan + broadcast was the one redundant
+    input left in this family (r07 close-out item 1).  float→Python
+    float64 conversion is exact, so a literal built from these values
+    scores bit-identically to the column path."""
     rows = (
         emb.filter(F.col("vec_id") <= _QUERY_ID)
         .select("vec_id", "embedding")
@@ -256,10 +268,10 @@ def _seed_codebook_and_query(emb: DataFrame):
     cb = [
         [qv[s * _SUBDIM : (s + 1) * _SUBDIM] for qv in qs] for s in range(_M)
     ]
-    qvec = next(
-        _quantize(list(r["embedding"])) for r in rows if r["vec_id"] == _QUERY_ID
+    qraw = next(
+        list(r["embedding"]) for r in rows if r["vec_id"] == _QUERY_ID
     )
-    return cb, qvec
+    return cb, _quantize(qraw), qraw
 
 
 def _adc_top10(
@@ -311,23 +323,25 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery accepts exactly this role) and layers PQ under IVF
     cell pruning."""
     emb = load_table(spark, sf_dir, "embeddings")
-    adc10 = q_pq_adc(spark, sf_dir).select("vec_id")
-    return adc10.join(_exact_top10(emb), "vec_id").agg(
+    cb, qvec, qraw = _seed_codebook_query_raw(emb)
+    adc10 = _adc_top10(emb, cb, qvec).select("vec_id")
+    return adc10.join(_exact_top10(emb, qraw), "vec_id").agg(
         F.count("*").cast("bigint").alias("hits"),
         (F.count("*") / F.lit(10.0)).alias("recall_at_10"),
     )
 
 
-def _exact_top10(emb: DataFrame) -> DataFrame:
+def _exact_top10(emb: DataFrame, qraw: list[float]) -> DataFrame:
     """Exact cosine top-10 for the probe vector (the recall ground
-    truth): broadcast the 1-row query, TakeOrderedAndProject."""
-    qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select(
-        F.col("embedding").alias("q_embedding")
-    )
+    truth): the query embedding rides as a plan literal (its floats
+    are already in hand from the codebook collect — repr round-trips
+    each float64 exactly), so this is ONE corpus scan +
+    TakeOrderedAndProject; the former 1-row filtered scan + broadcast
+    of the same values was redundant input."""
+    q_lit = "array(" + ", ".join(f"{v!r}D" for v in qraw) + ")"
     return (
         emb.filter(F.col("vec_id") != _QUERY_ID)
-        .crossJoin(F.broadcast(qvec))
-        .select("vec_id", cosine_expr("embedding", "q_embedding").alias("cos"))
+        .select("vec_id", cosine_expr("embedding", q_lit).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id")
@@ -439,9 +453,9 @@ def q_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sessions; scoring reuses the exact _adc_top10 path under each
     codebook."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seed_cb, qvec = _seed_codebook_and_query(emb)
+    seed_cb, qvec, qraw = _seed_codebook_query_raw(emb)
     trained_cb = train_codebook(emb, iters=2)
-    exact10 = _exact_top10(emb).localCheckpoint()
+    exact10 = _exact_top10(emb, qraw).localCheckpoint()
 
     def recall_row(label: str, cb: list[list[list[int]]]) -> DataFrame:
         return (
