@@ -120,6 +120,7 @@ HEADLINE = (
     # added round 7 (second wave): corpus-rewrite and LM-filter ops
     "q_boilerplate_strip",
     "q_lm_surprisal",
+    "q_dsir_weights",
 )
 
 

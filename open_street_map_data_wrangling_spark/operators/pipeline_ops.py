@@ -474,3 +474,128 @@ def q_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_dsir_weights",
+    oracle="""
+        WITH tokb AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 4))
+                       ::BIGINT % 256 AS b
+            FROM documents),
+        stats AS (
+            SELECT b,
+                   count(*) AS cr,
+                   count(*) FILTER (lang = 'en') AS ct
+            FROM tokb GROUP BY b),
+        totals AS (
+            SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                   CAST(sum(ct) AS BIGINT) AS tt
+            FROM stats),
+        scored AS (
+            SELECT t.doc_id, t.lang,
+                   (length(bin((x.tr + 256) // (s.cr + 1))) - 1)
+                 - (length(bin((x.tt + 256) // (s.ct + 1))) - 1) AS bits
+            FROM tokb t JOIN stats s USING (b) CROSS JOIN totals x),
+        doc AS (
+            SELECT doc_id, lang,
+                   count(*) AS n_toks,
+                   sum(bits) AS log2w_bits
+            FROM scored
+            GROUP BY doc_id, lang)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_toks,
+               CAST(sum(log2w_bits) AS BIGINT) AS sum_log2w_bits,
+               CAST(min(log2w_bits) AS BIGINT) AS min_doc_bits,
+               CAST(max(log2w_bits) AS BIGINT) AS max_doc_bits
+        FROM doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("pipeline", "sampling", "lm", "extension"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling weights (X35): score every
+    document by how much more likely its hashed-unigram features are
+    under the TARGET distribution (here: the 'en' slice) than under
+    the raw corpus — log2 w(doc) = Σ_tok [log2(1/p̂_raw) −
+    log2(1/p̂_target)], the hashed-n-gram importance estimate of Xie
+    et al.'s Data Selection via Importance Resampling.  Reports the
+    per-language weight summary (doc count, token mass, total and
+    min/max per-doc log-weight) — the audit a resampling run records
+    before drawing.
+
+    Integer-exact cross-engine: features are md5-hash buckets
+    (B = 256), both LMs use add-one smoothing, and each log2 is the
+    floor-log2 bit-length (the q_lm_surprisal recipe) — so weights
+    are whole bits, no transcendental drift, and a negative weight
+    never meets integer division.  On THIS fixture the summary shows
+    near-zero weights across languages — the honest reading: the
+    synthetic corpus shares one 31-token vocabulary across langs, so
+    there is no distribution shift for DSIR to exploit at whole-bit
+    granularity (the replay pytest proves doc-level discrimination on
+    a corpus whose vocabularies actually differ).
+
+    Scale shape: BOTH distributions come out of ONE corpus pass (a
+    conditional aggregate per bucket — the paper's two passes fused),
+    the 256-row bucket table localCheckpoints once and broadcasts to
+    the score join, so the whole query is: one explode scan, one
+    bucket aggregate, one broadcast join, two roll-up aggregates.
+    Re-weighting tomorrow's crawl against today's target is the same
+    plan with a different left side."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokb = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256"
+            ).alias("b"),
+        )
+    )
+    stats = (
+        tokb.groupBy("b")
+        .agg(
+            F.count("*").alias("cr"),
+            F.sum((F.col("lang") == "en").cast("bigint")).alias("ct"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = stats.agg(
+        F.sum("cr").cast("bigint").alias("tr"),
+        F.sum("ct").cast("bigint").alias("tt"),
+    )
+    scored = (
+        tokb.join(F.broadcast(stats), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                (F.length(F.bin(F.expr("(tr + 256) div (cr + 1)"))) - 1)
+                - (F.length(F.bin(F.expr("(tt + 256) div (ct + 1)"))) - 1)
+            ).alias("bits"),
+        )
+    )
+    doc = scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_toks"),
+        F.sum("bits").alias("log2w_bits"),
+    )
+    return (
+        doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_toks"),
+            F.sum("log2w_bits").cast("bigint").alias("sum_log2w_bits"),
+            F.min("log2w_bits").cast("bigint").alias("min_doc_bits"),
+            F.max("log2w_bits").cast("bigint").alias("max_doc_bits"),
+        )
+        .orderBy("lang")
+    )

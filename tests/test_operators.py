@@ -993,3 +993,71 @@ def test_lm_surprisal_matches_python_replay(spark, monkeypatch):
         for r in text_mod.q_lm_surprisal(spark, "_").collect()
     ]
     assert got == expected[:20]
+
+
+def test_dsir_weights_matches_python_replay(spark, monkeypatch):
+    """q_dsir_weights is bit-exact against a direct Python replay of
+    the hashed-bucket importance formula (md5 mod 256 features,
+    add-one smoothing, floor-log2 bit-lengths) and up-weights the
+    doc whose tokens are target-exclusive."""
+    import hashlib
+
+    import open_street_map_data_wrangling_spark.operators.pipeline_ops as po
+
+    docs = [
+        (1, "alpha beta alpha gamma", "en", "s0"),
+        (2, "alpha beta delta", "en", "s0"),
+        (3, "noise1 noise2 noise3 noise4 noise5", "xx", "s1"),
+        (4, "alpha beta gamma delta", "xx", "s1"),  # target-like non-target doc
+        (5, "noise1 alpha noise2", "en", "s1"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    monkeypatch.setattr(po, "load_table", lambda s, d, n: df)
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 256
+
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for _, text, lang, _s in docs:
+        for tok in text.split(" "):
+            b = bucket(tok)
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    per_doc = {}
+    for doc_id, text, lang, _source in docs:
+        toks = text.split(" ")
+        bits = sum(
+            (((tr + 256) // (cr[bucket(t)] + 1)).bit_length() - 1)
+            - (((tt + 256) // (ct.get(bucket(t), 0) + 1)).bit_length() - 1)
+            for t in toks
+        )
+        per_doc[doc_id] = (lang, len(toks), bits)
+    expected = {}
+    for lang in {l for l, _n, _b in per_doc.values()}:
+        rows = [(n, b) for l, n, b in per_doc.values() if l == lang]
+        expected[lang] = (
+            len(rows),
+            sum(n for n, _ in rows),
+            sum(b for _, b in rows),
+            min(b for _, b in rows),
+            max(b for _, b in rows),
+        )
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["n_toks"],
+            r["sum_log2w_bits"],
+            r["min_doc_bits"],
+            r["max_doc_bits"],
+        )
+        for r in po.q_dsir_weights(spark, "_").collect()
+    }
+    assert got == expected
+    # the target-vocabulary langs must out-weigh the noise-heavy corpus:
+    # doc 3 (all noise tokens, non-target) drags 'xx' min below 'en' min
+    assert got["xx"][3] < got["en"][3]
