@@ -155,11 +155,11 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     # by the shared-collect refactor, semantics identical).  The rest
     # of the modified group is r06 churn with identical semantics.
     #
-    # Window arithmetic (r07 end): 7 fresh (q_geohash_cells,
+    # Window arithmetic (r07 end): 8 fresh (q_geohash_cells,
     # q_proximity_join, q_ivfpq_serve, q_bpe_encode,
-    # q_boilerplate_strip, q_lm_surprisal, q_dsir_weights)
-    # + 49 modified = 56 vs the
-    # ~50-slot window — ~6 r06-churn re-verifications roll to r08;
+    # q_boilerplate_strip, q_lm_surprisal, q_dsir_weights,
+    # q_mixture_plan) + 49 modified = 57 vs the
+    # ~50-slot window — ~7 r06-churn re-verifications roll to r08;
     # this list guarantees the roll-over is never one of the queries
     # whose behavior or plan actually changed this round.
     "q_pq_recall",

@@ -121,6 +121,7 @@ HEADLINE = (
     "q_boilerplate_strip",
     "q_lm_surprisal",
     "q_dsir_weights",
+    "q_mixture_plan",
 )
 
 

@@ -599,3 +599,107 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_mixture_plan",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents),
+        lt AS (
+            SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lang_toks
+            FROM d GROUP BY lang),
+        tot AS (
+            SELECT CAST(sum(lang_toks) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS n_langs
+            FROM lt),
+        rates AS (
+            SELECT lt.lang, lt.lang_toks,
+                   least(65536, ((tot.t // 2) * 65536)
+                                // (tot.n_langs * lt.lang_toks)) AS rate
+            FROM lt CROSS JOIN tot),
+        flagged AS (
+            SELECT d.doc_id, d.lang, d.n_tok, r.lang_toks, r.rate,
+                   (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                        ::BIGINT < r.rate) AS keep
+            FROM d JOIN rates r USING (lang))
+        SELECT lang,
+               CAST(any_value(rate) AS BIGINT) AS rate_x65536,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (keep) AS BIGINT) AS docs_kept,
+               CAST(any_value(lang_toks) AS BIGINT) AS toks_before,
+               CAST(coalesce(sum(n_tok) FILTER (keep), 0) AS BIGINT)
+                 AS toks_kept
+        FROM flagged
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("pipeline", "sampling", "mix", "extension"),
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planner (X36): q_domain_mix's rates are
+    FIXED per source class; real mixing configs (Pile/Dolma-style)
+    are DERIVED — given a token budget (here: half the corpus) and
+    target shares (here: equal per language), compute each language's
+    keep rate from its observed token mass, then apply it as a
+    deterministic content-hash Bernoulli (md5 16-bit prefix <
+    rate_x65536 — same no-RNG keep rule as q_domain_mix, so the plan
+    is reproducible under reshuffles and backfills).  Reports the
+    per-language plan and its achieved outcome (docs/tokens kept) in
+    one result — over-represented languages are down-sampled toward
+    the budget, under-represented ones keep rate 1 (the least(65536)
+    clamp: resampling never up-samples without replacement).
+
+    All arithmetic is integer (rates in 1/65536 units), so both
+    engines agree bit-for-bit.  Scale shape: one corpus pass for the
+    per-language token mass (map-side partial), the 5-row rate table
+    broadcasts back onto a second pass that flags and aggregates —
+    stats-then-apply, the same two-pass shape a production mixer uses
+    when the plan must be logged BEFORE the write."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    lt = d.groupBy("lang").agg(
+        F.sum("n_tok").cast("bigint").alias("lang_toks")
+    )
+    tot = lt.agg(
+        F.sum("lang_toks").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    rates = (
+        lt.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "lang_toks",
+            F.expr(
+                "least(CAST(65536 AS BIGINT), "
+                "((t div 2) * 65536) div (n_langs * lang_toks))"
+            ).alias("rate"),
+        )
+    )
+    flagged = d.join(F.broadcast(rates), "lang").withColumn(
+        "keep",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) "
+            "AS BIGINT)"
+        )
+        < F.col("rate"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.first("rate").cast("bigint").alias("rate_x65536"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("docs_kept"),
+            F.first("lang_toks").cast("bigint").alias("toks_before"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("n_tok"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("toks_kept"),
+        )
+        .orderBy("lang")
+    )

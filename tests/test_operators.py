@@ -1061,3 +1061,38 @@ def test_dsir_weights_matches_python_replay(spark, monkeypatch):
     # the target-vocabulary langs must out-weigh the noise-heavy corpus:
     # doc 3 (all noise tokens, non-target) drags 'xx' min below 'en' min
     assert got["xx"][3] < got["en"][3]
+
+
+def test_mixture_plan_budget_semantics(spark, monkeypatch):
+    """q_mixture_plan: an over-represented language is down-sampled
+    (rate < 65536), an under-represented one keeps rate exactly 65536
+    (the planner never up-samples), and the keep decision replays the
+    md5 16-bit prefix rule bit-exactly."""
+    import hashlib
+
+    import open_street_map_data_wrangling_spark.operators.pipeline_ops as po
+
+    # 'big': 10 docs x 8 tokens = 80; 'small': 2 docs x 4 tokens = 8.
+    docs = [(i, " ".join(["w"] * 8), "big") for i in range(10)] + [
+        (100, "a b c d", "small"),
+        (101, "e f g h", "small"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    monkeypatch.setattr(po, "load_table", lambda s, d, n: df)
+    rows = {r["lang"]: r for r in po.q_mixture_plan(spark, "_").collect()}
+
+    t, n_langs = 88, 2
+    # big: budget share = (88//2)*65536 // (2*80) < 65536 -> down-sampled
+    big_rate = ((t // 2) * 65536) // (n_langs * 80)
+    assert rows["big"]["rate_x65536"] == big_rate < 65536
+    # small: (44*65536) // (2*8) >> 65536 -> clamped, keep everything
+    assert rows["small"]["rate_x65536"] == 65536
+    assert rows["small"]["docs_kept"] == 2
+    assert rows["small"]["toks_kept"] == 8
+
+    def kept(doc_id: int, rate: int) -> bool:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) < rate
+
+    exp_kept = [i for i in range(10) if kept(i, big_rate)]
+    assert rows["big"]["docs_kept"] == len(exp_kept)
+    assert rows["big"]["toks_kept"] == 8 * len(exp_kept)
