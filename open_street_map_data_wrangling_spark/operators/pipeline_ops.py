@@ -662,8 +662,13 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
     )
-    lt = d.groupBy("lang").agg(
-        F.sum("n_tok").cast("bigint").alias("lang_toks")
+    # lt feeds BOTH the rate computation and the (T, n_langs) roll-up;
+    # without a cut Catalyst compiles the stats subtree twice (a third
+    # corpus scan).  5 rows — checkpoint once.
+    lt = (
+        d.groupBy("lang")
+        .agg(F.sum("n_tok").cast("bigint").alias("lang_toks"))
+        .localCheckpoint(eager=False)
     )
     tot = lt.agg(
         F.sum("lang_toks").cast("bigint").alias("t"),

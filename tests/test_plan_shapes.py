@@ -393,3 +393,27 @@ def test_ann_probe_queries_single_scan_no_window(plans):
         assert "TakeOrderedAndProject" in p, q
     # the LSH probe is fully join-free — bucket is a row-local sum
     assert "Join" not in plans("q_ann_lsh")
+
+
+def test_round7_text_pipeline_scan_counts(plans):
+    """The r07 text-pipeline additions hold their scan budgets:
+    q_lm_surprisal reads the corpus once (the LM-counts diamond is
+    checkpoint-cut, not compiled twice), q_dsir_weights reads it once
+    (bucket stats checkpoint + broadcast), q_boilerplate_strip reads
+    exactly its two column-pruned passes (chunk+rebuild side and
+    doc-frequency side), and q_mixture_plan's apply pass reads once
+    with its 5-row stats behind the checkpoint (the stats pass pays
+    its own single scan at materialization, like the LM counts)."""
+    assert plans("q_lm_surprisal").count("documents.parquet") == 1
+    assert plans("q_dsir_weights").count("documents.parquet") == 1
+    assert plans("q_boilerplate_strip").count("documents.parquet") == 2
+    assert plans("q_mixture_plan").count("documents.parquet") == 1
+
+
+def test_pq_recall_no_query_row_rescan(plans):
+    """The probe vector rides as a plan literal (r07 close-out item
+    1): q_pq_recall is two embeddings scans (codes side + exact
+    ground-truth side) with no BroadcastNestedLoopJoin left."""
+    p = plans("q_pq_recall")
+    assert p.count("embeddings.parquet") == 2
+    assert "BroadcastNestedLoopJoin" not in p
