@@ -704,9 +704,24 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=False)
     )
+    return lm_score_docs(docs, counts)
+
+
+def lm_score_docs(docs: DataFrame, counts: DataFrame) -> DataFrame:
+    """Score ``docs`` against a unigram LM given as a (tok, c) counts
+    table — the shared serving path behind q_lm_surprisal (in-query
+    LM) and the streaming vocabulary store
+    (streaming/jobs.lm_vocab_maintenance): rescoring a new crawl
+    against yesterday's maintained LM is THIS function with
+    ``spark.read.parquet(store)`` as ``counts``.  The caller pins
+    ``counts`` (checkpoint or parquet read) so the (T, V) roll-up
+    does not recompile the training subtree."""
     lm = counts.agg(
         F.sum("c").cast("bigint").alias("t_total"),
         F.count("*").cast("bigint").alias("v_size"),
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
     scored = (
         tok.join(counts, "tok", "left")

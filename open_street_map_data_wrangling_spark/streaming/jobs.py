@@ -778,3 +778,75 @@ def ivfpq_index_maintenance(vec_stream: DataFrame, index_path: str):
         .option("checkpointLocation", f"{index_path}_ckpt")
         .start()
     )
+
+
+def lm_counts_merge_fn(spark: SparkSession, store_dir: str):
+    """Unigram-LM vocabulary maintenance — exact (tok, c) counts over
+    the TRAIN split of a document stream, kept current so the
+    q_lm_surprisal quality filter (operators/text.py) can score
+    incoming documents against yesterday's LM without retraining:
+    serving is text.lm_score_docs(docs, spark.read.parquet(store)).
+
+    Counter addition is not idempotent (the cms_merge_fn lesson), so
+    the applied-batch markers ride INSIDE the stage dir and commit
+    atomically with the counters via the same rename-over-store step —
+    a redelivered micro-batch is a no-op because of the marker, not by
+    luck.  The train-split filter is the SAME md5 nibble rule the
+    batch query trains on, so streamed store == batch LM counts over
+    the concatenated corpus, which the soak test pins exactly."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        jvm, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{store_dir}/_applied_{batch_id}"
+        )
+        if fs.exists(marker):
+            return
+        delta = (
+            batch_df.filter(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                <= "b"
+            )
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        prior_markers = []
+        if fs.exists(store_path):
+            for status in fs.listStatus(store_path):
+                name = status.getPath().getName()
+                if name.startswith("_applied_"):
+                    prior_markers.append(name)
+            merged = (
+                spark.read.parquet(store_dir)
+                .unionByName(delta)
+                .groupBy("tok")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        for name in prior_markers + [f"_applied_{batch_id}"]:
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(f"{stage_path}/{name}"), True
+            ).close()
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def lm_vocab_maintenance(doc_stream: DataFrame, store_dir: str):
+    """Continuous unigram-LM training over a document stream: each
+    micro-batch's train-split token counts merge additively into the
+    vocabulary store (marker-gated against redelivery, see
+    lm_counts_merge_fn).  The store IS the LM — scoring new docs
+    against it is one broadcast join (text.lm_score_docs), no
+    retraining pass.  Returns the StreamingQuery (caller stops it)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            lm_counts_merge_fn(doc_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )

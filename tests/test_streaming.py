@@ -911,3 +911,102 @@ def test_ivfpq_maintenance_soak_survives_restarts(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(f"{maint}/codes").select(*cols).collect()}
     want = {tuple(r) for r in spark.read.parquet(f"{rebuilt}/codes").select(*cols).collect()}
     assert got == want and len(got) == 500
+
+
+def test_lm_vocab_maintenance_matches_batch_and_serves_scoring(
+    spark, tmp_path
+):
+    """The streaming LM store after two micro-batches must equal the
+    batch train-split token counts over the concatenated corpus, AND
+    serving q_lm_surprisal's scoring from the store must equal the
+    one-shot batch query on the same corpus (the retrain-free path).
+    Redelivery with the marker present is a no-op; without it, the
+    additive merge double-counts — proving the marker is the guard."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as SF
+
+    import open_street_map_data_wrangling_spark.operators.text as text_mod
+    from open_street_map_data_wrangling_spark.operators.text import (
+        lm_score_docs,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        lm_counts_merge_fn,
+        lm_vocab_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "lm_store")
+
+    def mk(first_id, texts):
+        return spark.createDataFrame(
+            [
+                (first_id + i, t, "en", "s", len(t))
+                for i, t in enumerate(texts)
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+
+    # ids 0..6: md5 nibble puts some in train, some in test — the
+    # store must count ONLY train-split tokens, like the batch query
+    b1 = mk(0, ["the cat sat", "the  dog ran", "rare unseen words"])
+    b2 = mk(10, ["the cat ran far ", "zz qq zz"])
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = lm_vocab_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = b1.unionByName(b2)
+    expected_counts = {
+        (r.tok): r.c
+        for r in corpus.filter(
+            SF.substring(SF.md5(SF.col("doc_id").cast("string")), 1, 1)
+            <= "b"
+        )
+        .select(SF.explode(SF.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(SF.count("*").cast("bigint").alias("c"))
+        .collect()
+    }
+    assert expected_counts, "fixture must put at least one doc in train"
+
+    def store_counts():
+        return {r.tok: r.c for r in spark.read.parquet(store).collect()}
+
+    got = store_counts()
+    assert got == expected_counts
+
+    # serving: scoring from the maintained store == the one-shot query
+    served = [
+        tuple(r)
+        for r in lm_score_docs(
+            corpus, spark.read.parquet(store)
+        ).collect()
+    ]
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        text_mod, "load_table", lambda s, d, n: corpus
+    ):
+        oneshot = [
+            tuple(r) for r in text_mod.q_lm_surprisal(spark, "_").collect()
+        ]
+    assert served == oneshot
+
+    # replay safety: marker present -> no-op
+    lm_counts_merge_fn(spark, store)(b2, batch_id=1)
+    assert store_counts() == got
+    # and the marker is the only thing preventing double-count
+    markers = glob.glob(f"{store}/_applied_*")
+    assert markers
+    for p in markers:
+        os.remove(p)
+    lm_counts_merge_fn(spark, store)(b2, batch_id=1)
+    assert store_counts() != got
