@@ -1440,6 +1440,28 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes into an IN list").
     """
     docs = load_table(spark, sf_dir, "documents")
+    rebuilt = boilerplate_rewrite(docs)
+    return rebuilt.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("removed") > 0).cast("bigint")).alias("docs_changed"),
+        F.sum("removed").cast("bigint").alias("chunks_removed"),
+        F.sum("orig_len").cast("bigint").alias("chars_before"),
+        F.sum(F.length("new_text")).cast("bigint").alias("chars_after"),
+    )
+
+
+def boilerplate_rewrite(docs: DataFrame) -> DataFrame:
+    """Per-document boilerplate rewrite — the row-level form behind
+    q_boilerplate_strip's audit and write_clean_corpus's
+    materialization: (doc_id, lang, source, orig_len, new_text,
+    removed), where new_text is the document rebuilt from its chunks
+    whose content hash is NOT shared by >= 2 distinct documents.
+
+    NOTE on convergence: rebuilding concatenates surviving chunks, so
+    a second pass re-chunks at NEW 10-token boundaries and may find
+    (strictly fewer) fresh cross-doc chunks; the pass is monotone
+    shrinking, not idempotent — exactly C4's behavior, pinned in
+    tests/test_operators.py::test_boilerplate_rewrite_roundtrip."""
     toks = F.split("text", " ")
     chunks_arr = F.transform(
         F.sequence(
@@ -1453,11 +1475,13 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks = docs.select(
         "doc_id",
+        "lang",
         "source",
         F.length("text").alias("orig_len"),
         F.explode(chunks_arr).alias("c"),
     ).select(
         "doc_id",
+        "lang",
         "source",
         "orig_len",
         F.col("c.chunk_no").alias("chunk_no"),
@@ -1468,7 +1492,7 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs_sharing")
     )
     tagged = chunks.join(freq, "chunk_hash")
-    rebuilt = tagged.groupBy("doc_id", "source").agg(
+    return tagged.groupBy("doc_id", "lang", "source").agg(
         F.first("orig_len").alias("orig_len"),
         F.array_join(
             F.transform(
@@ -1487,11 +1511,4 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (F.col("n_docs_sharing") >= 2).cast("bigint")
         ).alias("removed"),
-    )
-    return rebuilt.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum((F.col("removed") > 0).cast("bigint")).alias("docs_changed"),
-        F.sum("removed").cast("bigint").alias("chunks_removed"),
-        F.sum("orig_len").cast("bigint").alias("chars_before"),
-        F.sum(F.length("new_text")).cast("bigint").alias("chars_after"),
     )

@@ -126,3 +126,30 @@ def write_sqlite(
         return n
     finally:
         con.close()
+
+
+def write_clean_corpus(
+    docs: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = ("source",),
+) -> None:
+    """Materialize the boilerplate-stripped corpus (the write step
+    behind q_boilerplate_strip's audit): documents rebuilt without
+    cross-document 10-token chunks, written as parquet with the
+    documents-table schema so every downstream operator (dedup, LM
+    scoring, packing) runs on the cleaned corpus unchanged.
+    Partitioned by source by default — the curation-pipeline read key.
+    n_chars is recomputed from the rebuilt text, not copied."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import boilerplate_rewrite
+
+    cleaned = boilerplate_rewrite(docs).select(
+        "doc_id",
+        F.col("new_text").alias("text"),
+        "lang",
+        "source",
+        F.length("new_text").cast("bigint").alias("n_chars"),
+    )
+    write_parquet(cleaned, path, mode=mode, partition_by=partition_by)

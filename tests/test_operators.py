@@ -934,18 +934,20 @@ def test_boilerplate_strip_cross_document_rule(spark, monkeypatch):
     hdr = " ".join(f"h{i}" for i in range(10))
     rep = " ".join(f"r{i}" for i in range(10))
     docs = [
-        (1, hdr + " u1 u2", "s"),
-        (2, hdr + " v1 v2 v3", "s"),
-        (3, "w1 w2 w3 w4 w5", "s"),
-        (4, rep + " " + rep, "s"),  # same chunk twice, one doc -> kept
+        (1, hdr + " u1 u2", "en", "s"),
+        (2, hdr + " v1 v2 v3", "en", "s"),
+        (3, "w1 w2 w3 w4 w5", "en", "s"),
+        (4, rep + " " + rep, "en", "s"),  # same chunk twice, one doc -> kept
     ]
-    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
     monkeypatch.setattr(dedup_mod, "load_table", lambda s, d, n: df)
     row = dedup_mod.q_boilerplate_strip(spark, "_").collect()[0]
     assert row["n_docs"] == 4
     assert row["docs_changed"] == 2  # docs 1 and 2 lose the header
     assert row["chunks_removed"] == 2
-    assert row["chars_before"] == sum(len(t) for _, t, _ in docs)
+    assert row["chars_before"] == sum(len(t) for _, t, _, _ in docs)
     # rebuilt texts: "u1 u2", "v1 v2 v3", doc 3 intact, doc 4 intact
     assert row["chars_after"] == (
         len("u1 u2") + len("v1 v2 v3") + len("w1 w2 w3 w4 w5") + (len(rep) * 2 + 1)
@@ -1096,3 +1098,42 @@ def test_mixture_plan_budget_semantics(spark, monkeypatch):
     exp_kept = [i for i in range(10) if kept(i, big_rate)]
     assert rows["big"]["docs_kept"] == len(exp_kept)
     assert rows["big"]["toks_kept"] == 8 * len(exp_kept)
+
+
+def test_boilerplate_rewrite_roundtrip(spark, tmp_path, monkeypatch):
+    """write_clean_corpus materializes the stripped corpus with the
+    documents-table schema; re-reading it and re-running the audit
+    shows monotone shrinkage (a second pass can re-chunk at new
+    boundaries but never grows the corpus), and untouched docs
+    round-trip byte-identical."""
+    import open_street_map_data_wrangling_spark.operators.dedup as dedup_mod
+    from open_street_map_data_wrangling_spark.sources.sinks import (
+        write_clean_corpus,
+    )
+
+    hdr = " ".join(f"h{i}" for i in range(10))
+    docs = [
+        (1, hdr + " u1 u2", "en", "s0"),
+        (2, hdr + " v1 v2 v3", "en", "s0"),
+        (3, "w1 w2 w3 w4 w5", "fr", "s1"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    out = str(tmp_path / "clean")
+    write_clean_corpus(df, out)
+    cleaned = spark.read.parquet(out)
+    assert set(cleaned.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    rows = {r["doc_id"]: r for r in cleaned.collect()}
+    assert rows[1]["text"] == "u1 u2" and rows[1]["n_chars"] == 5
+    assert rows[2]["text"] == "v1 v2 v3"
+    assert rows[3]["text"] == "w1 w2 w3 w4 w5"  # untouched doc intact
+    assert rows[3]["lang"] == "fr"
+
+    # second pass on the cleaned corpus: monotone shrinkage, and on
+    # this fixture a fixpoint (no cross-doc chunks remain)
+    monkeypatch.setattr(dedup_mod, "load_table", lambda s, d, n: cleaned)
+    audit = dedup_mod.q_boilerplate_strip(spark, "_").collect()
+    for r in audit:
+        assert r["chars_after"] <= r["chars_before"]
+        assert r["chunks_removed"] == 0
