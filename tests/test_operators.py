@@ -1137,3 +1137,23 @@ def test_boilerplate_rewrite_roundtrip(spark, tmp_path, monkeypatch):
     for r in audit:
         assert r["chars_after"] <= r["chars_before"]
         assert r["chunks_removed"] == 0
+
+
+def test_lm_surprisal_empty_train_split_degrades_not_crashes(
+    spark, monkeypatch
+):
+    """A corpus whose every doc_id hashes into the TEST split leaves
+    the LM untrained (T = V = 0 is an empty aggregate → NULL).  The
+    query must not crash and must mark every score NULL — the same
+    NULL DuckDB produces for an empty-sum CTE, so the cross-engine
+    hash stays consistent even on this degenerate input."""
+    import open_street_map_data_wrangling_spark.operators.text as text_mod
+
+    # md5 first nibbles: 0→'c', 1→'c', 2→'c', 3→'e', 5→'e' — all > 'b'
+    docs = [(i, "a b c", "en") for i in (0, 1, 2, 3, 5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    monkeypatch.setattr(text_mod, "load_table", lambda s, d, n: df)
+    rows = text_mod.q_lm_surprisal(spark, "_").collect()
+    assert len(rows) == 5
+    assert all(r["surprisal_bits"] is None for r in rows)
+    assert all(r["n_toks"] == 3 for r in rows)
