@@ -1429,15 +1429,15 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed, char mass) — the numbers a curation run logs before
     committing the rewrite.
 
-    Scale shape: chunking is row-local (slice over an index sequence,
-    no window); the doc-frequency aggregate and the chunk⋈freq join
-    both key on the uniform content hash (no skew by construction);
-    reconstruction is one groupBy(doc_id) whose payload is the
-    document's own chunk list — exactly the rows a rewrite must carry
-    anywhere.  Nothing is broadcast and no driver state exists, so
-    the same plan runs at 100 TB; the repeated-set is never
-    materialized driver-side (contrast with a naive "collect bad
-    hashes into an IN list").
+    Scale shape (see boilerplate_rewrite): chunking is row-local
+    (slice over an index sequence, no window); the doc-frequency
+    aggregate and the chunk⋈freq join key on the uniform content hash
+    (no skew by construction) and carry HASHES only — the corpus text
+    never enters a shuffle; reconstruction happens row-locally on the
+    original docs row against the per-doc removed-chunk-index map
+    (unchanged docs drop out of the map entirely).  No driver state
+    exists and the repeated-set is never materialized driver-side
+    (contrast with a naive "collect bad hashes into an IN list").
     """
     docs = load_table(spark, sf_dir, "documents")
     rebuilt = boilerplate_rewrite(docs)
@@ -1461,7 +1461,17 @@ def boilerplate_rewrite(docs: DataFrame) -> DataFrame:
     a second pass re-chunks at NEW 10-token boundaries and may find
     (strictly fewer) fresh cross-doc chunks; the pass is monotone
     shrinking, not idempotent — exactly C4's behavior, pinned in
-    tests/test_operators.py::test_boilerplate_rewrite_roundtrip."""
+    tests/test_operators.py::test_boilerplate_rewrite_roundtrip.
+
+    100 TB shape: the corpus TEXT is never shuffled through the chunk
+    stages — the exploded relation carries only (doc_id, chunk_no,
+    chunk_hash), and reconstruction happens row-locally on the
+    ORIGINAL docs row against a per-doc removed-chunk-index list
+    (docs with nothing removed keep their text untouched and drop out
+    of that map entirely, so when boilerplate is sparse the map
+    broadcasts and the rewrite shuffles zero corpus bytes).  The
+    earlier regroup-the-chunk-text formulation shuffled the full
+    corpus twice."""
     toks = F.split("text", " ")
     chunks_arr = F.transform(
         F.sequence(
@@ -1473,42 +1483,38 @@ def boilerplate_rewrite(docs: DataFrame) -> DataFrame:
             F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)).alias("chunk"),
         ),
     )
+    # hash-only chunk relation: 32-hex hash per chunk, no chunk text
     chunks = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.length("text").alias("orig_len"),
-        F.explode(chunks_arr).alias("c"),
+        "doc_id", F.explode(chunks_arr).alias("c")
     ).select(
         "doc_id",
-        "lang",
-        "source",
-        "orig_len",
         F.col("c.chunk_no").alias("chunk_no"),
-        F.col("c.chunk").alias("chunk"),
         F.md5(F.col("c.chunk")).alias("chunk_hash"),
     )
     freq = chunks.groupBy("chunk_hash").agg(
         F.countDistinct("doc_id").alias("n_docs_sharing")
     )
-    tagged = chunks.join(freq, "chunk_hash")
-    return tagged.groupBy("doc_id", "lang", "source").agg(
-        F.first("orig_len").alias("orig_len"),
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("chunk_no", "chunk", "n_docs_sharing")
-                        )
-                    ),
-                    lambda s: s["n_docs_sharing"] < 2,
-                ),
-                lambda s: s["chunk"],
-            ),
-            " ",
-        ).alias("new_text"),
-        F.sum(
-            (F.col("n_docs_sharing") >= 2).cast("bigint")
-        ).alias("removed"),
+    removed_map = (
+        chunks.join(freq.filter(F.col("n_docs_sharing") >= 2), "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("chunk_no").alias("bad_chunks"),
+            F.count("*").cast("bigint").alias("removed"),
+        )
+    )
+    kept = F.filter(
+        chunks_arr,
+        lambda s: ~F.array_contains(F.col("bad_chunks"), s["chunk_no"]),
+    )
+    return docs.join(removed_map, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("orig_len"),
+        F.when(F.col("bad_chunks").isNull(), F.col("text"))
+        .otherwise(
+            F.array_join(F.transform(kept, lambda s: s["chunk"]), " ")
+        )
+        .alias("new_text"),
+        F.coalesce("removed", F.lit(0).cast("bigint")).alias("removed"),
     )
