@@ -147,34 +147,24 @@ def _stamp_fingerprints() -> dict[str, str]:
 # registry are ignored; an empty tuple restores pure registration
 # order.
 _MODIFIED_PRIORITY: tuple[str, ...] = (
-    # Round 7: behaviorally-edited stamped queries lead — the three
-    # oracle promotions (unrolled fixed-iteration recurrences), the
-    # two scan-collapsed recall audits, the BPE escaping fix +
-    # return_state refactor, and (late session) the PQ recall family's
-    # literal-qvec rewrite (q_pq_recall 3→2 scans; q_pq_adc re-queued
-    # by the shared-collect refactor, semantics identical).  The rest
-    # of the modified group is r06 churn with identical semantics.
+    # Round 8: plan-shape fixes lead — the scan-collapse sweep hit
+    # q_boilerplate_strip (chunk-base checkpoint cut, 3→2 corpus
+    # reads), q_simhash_near (fingerprint checkpoint, 8→1 executed
+    # corpus scans) and q_minhash_estimate (candidate-shingle
+    # checkpoint, 7→2); q_pq_recall / q_pq_recall_trained share the
+    # _exact_top10 non-finite guard (semantics identical).  The rest
+    # of the modified group is the ~7-query r06-churn rollover from
+    # the r07 window (identical semantics, locally re-verified).
     #
-    # Window arithmetic (r07 end): 8 fresh (q_geohash_cells,
-    # q_proximity_join, q_ivfpq_serve, q_bpe_encode,
-    # q_boilerplate_strip, q_lm_surprisal, q_dsir_weights,
-    # q_mixture_plan) + 49 modified = 57 vs the
-    # ~50-slot window — ~7 r06-churn re-verifications roll to r08;
-    # this list guarantees the roll-over is never one of the queries
-    # whose behavior or plan actually changed this round.
+    # Window arithmetic (r08): 1 fresh (q_image_decode) + ~15
+    # modified (the 12 above plus the BPE oracle promotion pair and
+    # the q_dsir_weights serve-split refactor) — everything fits with
+    # ~34 slots to spare for unchanged rotation.
+    "q_boilerplate_strip",
+    "q_simhash_near",
+    "q_minhash_estimate",
     "q_pq_recall",
-    "q_pq_adc",
-    "q_pagerank",
-    "q_semantic_dedup",
     "q_pq_recall_trained",
-    "q_ivfpq_recall",
-    "q_ann_recall_multiprobe",
-    "q_ann_recall",
-    "q_ann_ivf",
-    "q_ann_ivf_multiprobe",
-    "q_ann_lsh",
-    "q_scd2_merge",
-    "q_bpe_merges",
 )
 
 

@@ -122,6 +122,8 @@ HEADLINE = (
     "q_lm_surprisal",
     "q_dsir_weights",
     "q_mixture_plan",
+    # added round 8: the real image-header decode through mapInPandas
+    "q_image_decode",
 )
 
 

@@ -27,6 +27,25 @@ since an N-round recurrence has no SQL twin.
 Determinism: pair selection orders by (freq DESC, left ASC,
 right ASC) — a total order, so ties cannot flap across partitionings
 or engines.  Training stops early if no pair occurs twice.
+
+DuckDB oracle (r08 promotion — formerly rows-only): RE2 lacks the
+lookarounds the Java merge regexp uses, but greedy left-to-right
+non-overlapping merging has an exact fold formulation — walk the
+symbol list with a list accumulator, merging (acc[-1], x) into one
+token when they equal the chosen pair, else appending.  A just-merged
+token l||r can never equal l (r is non-empty), so the fold never
+re-merges its own output within a round — precisely the zero-width-
+delimiter regexp's semantics, expressed as DuckDB ``list_reduce``.
+The 8 training rounds unroll into chained MATERIALIZED CTEs
+(the q_pagerank / q_semantic_dedup fixed-iteration recipe), each
+round = pair-count aggregate → 1-row argmax (LEFT JOIN ON TRUE so an
+early-stopped round degrades to identity instead of emptying the
+chain, mirroring the Spark break) → per-word fold rewrite.  Sound
+because the corpus is printable ASCII (verified 32..121): Spark's
+char split `regexp_replace(w, '(.)', '$1 ')` and DuckDB's
+`string_split(w, '')` agree codepoint-for-codepoint, and both
+engines compare ASCII strings with binary collation so tie-breaks
+cannot flap.
 """
 
 from __future__ import annotations
@@ -38,6 +57,73 @@ from ..plans.registry import query
 from ..sources.catalog import load_table
 
 _BPE_STEPS = 8
+
+
+def _bpe_chain_sql(steps: int = _BPE_STEPS) -> str:
+    """The shared CTE chain: wf0 (word types as symbol lists) then,
+    per round t, p{t} (pair counts) → t{t} (1-row argmax, empty when
+    training would break) → wf{t} (fold-rewritten word types)."""
+    ctes = [
+        """wf0 AS MATERIALIZED (
+            SELECT string_split(w, '') AS syms,
+                   CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY w)"""
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(f"""p{t} AS MATERIALIZED (
+            SELECT syms[i] AS l, syms[i + 1] AS r,
+                   CAST(sum(freq) AS BIGINT) AS f
+            FROM wf{t - 1}, unnest(range(1, len(syms))) AS u(i)
+            GROUP BY 1, 2)""")
+        ctes.append(f"""t{t} AS MATERIALIZED (
+            SELECT l, r, f FROM p{t} WHERE f >= 2
+            ORDER BY f DESC, l ASC, r ASC LIMIT 1)""")
+        ctes.append(f"""wf{t} AS MATERIALIZED (
+            SELECT CASE WHEN t.l IS NULL THEN w.syms ELSE
+                list_reduce(
+                    list_transform(w.syms, s -> [s]),
+                    (acc, x) -> CASE
+                        WHEN acc[-1] = t.l AND x[1] = t.r
+                        THEN list_append(acc[1:len(acc) - 1], t.l || t.r)
+                        ELSE list_concat(acc, x) END)
+                END AS syms, w.freq
+            FROM wf{t - 1} w LEFT JOIN t{t} t ON TRUE)""")
+    return ",\n        ".join(ctes)
+
+
+def _merges_oracle(steps: int = _BPE_STEPS) -> str:
+    rows = "\n            UNION ALL ".join(
+        f'SELECT CAST({t} AS INTEGER) AS step, l AS "left",'
+        f' r AS "right", f AS pair_freq FROM t{t}'
+        for t in range(1, steps + 1)
+    )
+    return f"""
+        WITH {_bpe_chain_sql(steps)}
+        SELECT * FROM (
+            {rows}
+        ) ORDER BY step
+    """
+
+
+def _encode_oracle(steps: int = _BPE_STEPS, topk: int = 15) -> str:
+    return f"""
+        WITH {_bpe_chain_sql(steps)},
+        enc AS (
+            SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+            FROM wf{steps}, unnest(syms) AS u(token)
+            GROUP BY token)
+        SELECT CAST(row_number() OVER (
+                   ORDER BY n_occurrences DESC, token ASC) AS INTEGER)
+                 AS rank,
+               token,
+               CAST(length(token) AS INTEGER) AS token_len,
+               n_occurrences
+        FROM enc
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT {topk}
+    """
 
 
 def _java_quote(s: str) -> str:
@@ -126,14 +212,20 @@ def train_bpe(
     return (merges, wf) if return_state else merges
 
 
-@query("q_bpe_merges", oracle=None, tags=("text", "iterative", "extension"))
+@query(
+    "q_bpe_merges",
+    oracle=_merges_oracle(),
+    tags=("text", "iterative", "extension"),
+)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first 8 learned BPE merges over the documents corpus, with
     each pair's frequency at the time it was chosen — the tokenizer-
     training artifact (a merges.txt prefix) as a query result.
-    Rows-only at the driver: the merge recurrence has no SQL twin;
-    tests/test_bpe.py re-learns the same table in pure Python from
-    DuckDB-extracted word frequencies and asserts exact equality."""
+    Hash-green as of r08 (formerly rows-only): the merge recurrence
+    unrolls into MATERIALIZED CTEs with a list_reduce fold standing
+    in for the lookaround merge regexp (see module docstring);
+    tests/test_bpe.py additionally re-learns the same table in pure
+    Python from DuckDB-extracted word frequencies."""
     merges = train_bpe(spark, load_table(spark, sf_dir, "documents"))
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_freq bigint"
@@ -143,7 +235,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TOPK = 15
 
 
-@query("q_bpe_encode", oracle=None, tags=("text", "iterative", "extension"))
+@query(
+    "q_bpe_encode",
+    oracle=_encode_oracle(),
+    tags=("text", "iterative", "extension"),
+)
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION — the other half of the BPE story: after
     learning the 8 merges, report the {_BPE_TOPK} most-used tokens of
@@ -155,10 +251,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the vocabulary-sized table — no second corpus scan, no
     per-document re-encode; at 100 TB the encode of the CORPUS is a
     broadcast join of this table back onto words, never a re-run of
-    the merge regexes per document.  Same honesty class as
-    q_bpe_merges: rows-only at the driver (the merge recurrence has
-    no SQL twin); tests/test_bpe.py re-encodes in pure Python from
-    DuckDB word frequencies and asserts this exact table."""
+    the merge regexes per document.  Hash-green as of r08 alongside
+    q_bpe_merges (the encode oracle is the same unrolled chain plus
+    one unnest+aggregate over the final word-type state);
+    tests/test_bpe.py additionally re-encodes in pure Python."""
     from pyspark.sql import Window as _W
 
     _, wf = train_bpe(

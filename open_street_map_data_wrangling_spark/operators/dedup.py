@@ -848,8 +848,16 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(a XOR b) <= k filter — all equi-joins, so recall is
     exact for distance ≤ k with zero quadratic blow-up. At 100 TB the
     skew watch-point is a degenerate band value (e.g. all-zero band
-    from short docs), same mitigation family as MinHash hot buckets."""
-    fp = q_dedup_simhash(spark, sf_dir)
+    from short docs), same mitigation family as MinHash hot buckets.
+
+    Scan discipline (r08, mirroring the r07 ANN collapse): the
+    fingerprint relation feeds BOTH sides of the band self-join (and
+    the over-cap fallback adds two more consumers) — uncut, each
+    consumer recompiled the full tokenize+score pipeline from the
+    corpus scan (8 executed FileScans measured at r07).
+    localCheckpoint pins (doc_id, fingerprint) — 12 bytes/doc — so
+    the corpus is tokenized exactly once per run."""
+    fp = q_dedup_simhash(spark, sf_dir).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -1029,8 +1037,17 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_docs = (
         pairs.select(F.explode(F.array("pa", "pb")).alias("doc_id")).distinct()
     )
-    ex = docs.join(F.broadcast(pair_docs), "doc_id", "semi").select(
-        "doc_id", F.explode(shingles_expr("text")).alias("sh")
+    # ex feeds THREE consumers (sizes + both sides of the exact-
+    # intersection self-join); uncut, each recompiled the semi-join +
+    # shingle explosion from its own corpus scan (7 executed FileScans
+    # measured at r07).  localCheckpoint pins the candidate-member
+    # shingles — bounded by |candidate docs| × shingles/doc, a
+    # vanishing fraction of the corpus at 100 TB — so the corpus is
+    # scanned once for signatures and once for candidate members.
+    ex = (
+        docs.join(F.broadcast(pair_docs), "doc_id", "semi")
+        .select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
+        .localCheckpoint(eager=False)
     )
     matches = None
     for i in range(_N_HASHES):
@@ -1471,7 +1488,16 @@ def boilerplate_rewrite(docs: DataFrame) -> DataFrame:
     of that map entirely, so when boilerplate is sparse the map
     broadcasts and the rewrite shuffles zero corpus bytes).  The
     earlier regroup-the-chunk-text formulation shuffled the full
-    corpus twice."""
+    corpus twice.
+
+    Diamond discipline (r08 fix): the hash-only chunks relation feeds
+    BOTH the doc-frequency aggregate and the removed-map join — left
+    uncut, Catalyst compiles that diamond as two independent chunking
+    subtrees, i.e. a third full corpus scan (the exact regression the
+    write_clean_corpus refactor shipped in r07).  localCheckpoint
+    pins chunks once, so the corpus is read exactly twice at runtime:
+    once inside the checkpointed chunk base, once for the row-local
+    rebuild join (pinned in tests/test_plan_shapes.py)."""
     toks = F.split("text", " ")
     chunks_arr = F.transform(
         F.sequence(
@@ -1484,12 +1510,14 @@ def boilerplate_rewrite(docs: DataFrame) -> DataFrame:
         ),
     )
     # hash-only chunk relation: 32-hex hash per chunk, no chunk text
-    chunks = docs.select(
-        "doc_id", F.explode(chunks_arr).alias("c")
-    ).select(
-        "doc_id",
-        F.col("c.chunk_no").alias("chunk_no"),
-        F.md5(F.col("c.chunk")).alias("chunk_hash"),
+    chunks = (
+        docs.select("doc_id", F.explode(chunks_arr).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_no").alias("chunk_no"),
+            F.md5(F.col("c.chunk")).alias("chunk_hash"),
+        )
+        .localCheckpoint(eager=False)
     )
     freq = chunks.groupBy("chunk_hash").agg(
         F.countDistinct("doc_id").alias("n_docs_sharing")

@@ -476,6 +476,82 @@ def q_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_BUCKETS = 256
+
+
+def _dsir_tok_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b): every token hashed into one of 256 md5
+    buckets — the hashed-unigram feature space both DSIR
+    distributions live in."""
+    return docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT)"
+            f" % {_DSIR_BUCKETS}"
+        ).alias("b"),
+    )
+
+
+def dsir_train_stats(docs: DataFrame) -> DataFrame:
+    """ONE corpus pass → the 256-row DSIR bucket table (b, cr, ct):
+    raw-corpus and target ('en' slice) token counts per hash bucket —
+    the entire trained state of the importance model, small enough to
+    persist as a parquet artifact and broadcast at serve time."""
+    return _dsir_tok_buckets(docs).groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("ct"),
+    )
+
+
+def dsir_score_docs(docs: DataFrame, stats: DataFrame) -> DataFrame:
+    """Score ``docs`` against a trained DSIR bucket table — (doc_id,
+    lang, n_toks, log2w_bits), whole-bit integer log-weights.  The
+    serve half of the build/serve split (the lm_score_docs /
+    ivfpq_search convention): the caller pins ``stats`` (checkpoint
+    or ``spark.read.parquet(store)``), so scoring tomorrow's crawl
+    costs one pass over the NEW docs plus a 256-row broadcast —
+    zero historical-corpus scans."""
+    totals = stats.agg(
+        F.sum("cr").cast("bigint").alias("tr"),
+        F.sum("ct").cast("bigint").alias("tt"),
+    )
+    scored = (
+        # LEFT join: a new-crawl token can land in a bucket the
+        # trained stats never saw — add-one smoothing scores it from
+        # zero counts instead of silently dropping the token (on the
+        # training corpus itself every bucket is present, so this is
+        # row-identical to an inner join there).
+        _dsir_tok_buckets(docs)
+        .join(F.broadcast(stats), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                (
+                    F.length(
+                        F.bin(F.expr("(tr + 256) div (coalesce(cr, 0) + 1)"))
+                    )
+                    - 1
+                )
+                - (
+                    F.length(
+                        F.bin(F.expr("(tt + 256) div (coalesce(ct, 0) + 1)"))
+                    )
+                    - 1
+                )
+            ).alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_toks"),
+        F.sum("bits").alias("log2w_bits"),
+    )
+
+
 @query(
     "q_dsir_weights",
     oracle="""
@@ -544,50 +620,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score join, so the whole query is: one explode scan, one
     bucket aggregate, one broadcast join, two roll-up aggregates.
     Re-weighting tomorrow's crawl against today's target is the same
-    plan with a different left side."""
+    plan with a different left side — dsir_score_docs over
+    yesterday's PERSISTED 256-row stats, zero historical-corpus
+    passes (the ivfpq_search build/serve split; pytest-pinned in
+    tests/test_operators.py::test_dsir_persisted_stats_serve)."""
     docs = load_table(spark, sf_dir, "documents")
-    tokb = (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.explode(F.split("text", " ")).alias("tok"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256"
-            ).alias("b"),
-        )
-    )
-    stats = (
-        tokb.groupBy("b")
-        .agg(
-            F.count("*").alias("cr"),
-            F.sum((F.col("lang") == "en").cast("bigint")).alias("ct"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    totals = stats.agg(
-        F.sum("cr").cast("bigint").alias("tr"),
-        F.sum("ct").cast("bigint").alias("tt"),
-    )
-    scored = (
-        tokb.join(F.broadcast(stats), "b")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "doc_id",
-            "lang",
-            (
-                (F.length(F.bin(F.expr("(tr + 256) div (cr + 1)"))) - 1)
-                - (F.length(F.bin(F.expr("(tt + 256) div (ct + 1)"))) - 1)
-            ).alias("bits"),
-        )
-    )
-    doc = scored.groupBy("doc_id", "lang").agg(
-        F.count("*").alias("n_toks"),
-        F.sum("bits").alias("log2w_bits"),
-    )
+    stats = dsir_train_stats(docs).localCheckpoint(eager=False)
+    doc = dsir_score_docs(docs, stats)
     return (
         doc.groupBy("lang")
         .agg(

@@ -39,6 +39,7 @@ bounded, the codebook-collect class.
 
 from __future__ import annotations
 
+import math
 from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, SparkSession
@@ -337,7 +338,14 @@ def _exact_top10(emb: DataFrame, qraw: list[float]) -> DataFrame:
     are already in hand from the codebook collect — repr round-trips
     each float64 exactly), so this is ONE corpus scan +
     TakeOrderedAndProject; the former 1-row filtered scan + broadcast
-    of the same values was redundant input."""
+    of the same values was redundant input.  Non-finite components
+    are rejected up front: repr(nan/inf) would render as invalid SQL
+    ('nanD') and surface as an opaque parse error downstream."""
+    bad = [v for v in qraw if not math.isfinite(v)]
+    if bad:
+        raise ValueError(
+            f"query embedding has non-finite components: {bad[:3]}"
+        )
     q_lit = "array(" + ", ".join(f"{v!r}D" for v in qraw) + ")"
     return (
         emb.filter(F.col("vec_id") != _QUERY_ID)

@@ -1157,3 +1157,129 @@ def test_lm_surprisal_empty_train_split_degrades_not_crashes(
     assert len(rows) == 5
     assert all(r["surprisal_bits"] is None for r in rows)
     assert all(r["n_toks"] == 3 for r in rows)
+
+
+def test_exact_top10_rejects_non_finite_query_vector(spark):
+    """The probe vector rides as a SQL plan literal; repr(nan/inf)
+    would render invalid SQL ('nanD') and die as an opaque parse
+    error — the guard turns that into an immediate ValueError."""
+    import pytest as _pytest
+
+    from open_street_map_data_wrangling_spark.operators.pq import (
+        _exact_top10,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="non-finite"):
+        _exact_top10(emb, [1.0, float("nan")])
+    with _pytest.raises(ValueError, match="non-finite"):
+        _exact_top10(emb, [float("inf"), 0.0])
+
+
+def _valid_png(w: int, h: int) -> bytes:
+    """A fully valid (zlib-CRC'd, decodable) truecolor PNG built with
+    stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f" * (3 * w) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _minimal_jpeg(w: int, h: int) -> bytes:
+    """SOI + APP0(JFIF) + DQT + SOF0 prefix — the header walk a real
+    camera JPEG presents (entropy data irrelevant to dimensions)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def test_decode_image_real_containers():
+    """The stdlib header parser decodes real PNG/JPEG/GIF bytes (r08:
+    closes the decode_image NotImplementedError seam)."""
+    import pytest as _pytest
+
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    assert decode_image(_valid_png(17, 42)) == ("png", 17, 42)
+    assert decode_image(_minimal_jpeg(640, 480)) == ("jpeg", 640, 480)
+    gif = b"GIF89a" + (300).to_bytes(2, "little") + (200).to_bytes(2, "little") + bytes(3)
+    assert decode_image(gif) == ("gif", 300, 200)
+    with _pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n\x00\x00")  # truncated
+    with _pytest.raises(ValueError):
+        decode_image(b"not an image")
+
+
+def test_extract_image_dims_spark_roundtrip(spark):
+    """Real payloads through the Arrow mapInPandas seam."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        extract_image_dims,
+    )
+
+    rows = [(1, _valid_png(3, 9)), (2, _minimal_jpeg(100, 50))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_image_dims(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 3, 9)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 100, 50)
+
+
+def test_dsir_persisted_stats_serve(spark, tmp_path):
+    """DSIR build/serve split (r08, mirroring ivfpq_search and
+    lm_score_docs): scoring a NEW batch from yesterday's PERSISTED
+    256-row stats parquet equals scoring it against freshly-derived
+    stats — no historical-corpus pass at serve time — and a token in
+    a bucket the stats never saw is smoothed from zero counts, not
+    dropped."""
+    import open_street_map_data_wrangling_spark.operators.pipeline_ops as po
+
+    hist = spark.createDataFrame(
+        [(i, "alpha beta gamma " * 3, "en" if i % 2 else "de")
+         for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    store = str(tmp_path / "dsir_stats")
+    po.dsir_train_stats(hist).write.parquet(store)
+
+    new_batch = spark.createDataFrame(
+        [(100, "alpha beta zzz-unseen-token", "en"),
+         (101, "gamma gamma", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    served = {
+        r["doc_id"]: r
+        for r in po.dsir_score_docs(
+            new_batch, spark.read.parquet(store)
+        ).collect()
+    }
+    fresh = {
+        r["doc_id"]: r
+        for r in po.dsir_score_docs(
+            new_batch, po.dsir_train_stats(hist).localCheckpoint()
+        ).collect()
+    }
+    assert served == fresh
+    # the unseen token is scored (3 tokens counted), not dropped
+    assert served[100]["n_toks"] == 3
+    assert served[101]["n_toks"] == 2

@@ -399,15 +399,35 @@ def test_round7_text_pipeline_scan_counts(plans):
     """The r07 text-pipeline additions hold their scan budgets:
     q_lm_surprisal reads the corpus once (the LM-counts diamond is
     checkpoint-cut, not compiled twice), q_dsir_weights reads it once
-    (bucket stats checkpoint + broadcast), q_boilerplate_strip reads
-    exactly its two column-pruned passes (chunk+rebuild side and
-    doc-frequency side), and q_mixture_plan's apply pass reads once
-    with its 5-row stats behind the checkpoint (the stats pass pays
-    its own single scan at materialization, like the LM counts)."""
+    (bucket stats checkpoint + broadcast), and q_mixture_plan's apply
+    pass reads once with its 5-row stats behind the checkpoint (the
+    stats pass pays its own single scan at materialization, like the
+    LM counts).  q_boilerplate_strip (re-pinned r08 after the
+    write_clean_corpus refactor re-amplified it to 3 scans): the
+    hash-only chunks relation is checkpoint-cut so freq and
+    removed_map share one base — 1 visible FileScan (the row-local
+    rebuild join) + 2 ExistingRDD consumers of the chunk base, i.e.
+    exactly two corpus reads at runtime."""
     assert plans("q_lm_surprisal").count("documents.parquet") == 1
     assert plans("q_dsir_weights").count("documents.parquet") == 1
-    assert plans("q_boilerplate_strip").count("documents.parquet") == 2
+    p = plans("q_boilerplate_strip")
+    assert p.count("documents.parquet") == 1
+    assert p.count("ExistingRDD") == 2
     assert plans("q_mixture_plan").count("documents.parquet") == 1
+
+
+def test_round8_dedup_family_scan_collapse(plans):
+    """r08 extension of the r07 ANN scan-collapse sweep to the
+    simhash/minhash family (the two `weak` items in VERDICT r07):
+    q_simhash_near's fingerprint base is checkpoint-cut before the
+    band self-join (was 8 executed FileScans — every join side
+    recompiled tokenize+score from the corpus), and
+    q_minhash_estimate's candidate-member shingle relation is
+    checkpoint-cut before its three consumers (was 7).  Both now
+    compile to ZERO visible corpus FileScans — the corpus is read
+    once per checkpointed base at materialization."""
+    for q in ("q_simhash_near", "q_minhash_estimate"):
+        assert plans(q).count("documents.parquet") == 0, q
 
 
 def test_pq_recall_no_query_row_rescan(plans):
