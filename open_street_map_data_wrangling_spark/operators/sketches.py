@@ -288,13 +288,19 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_BLOOM_K)
     )
     pos = dim.select(F.explode(F.expr(f"array({pos_arr})")).alias("p"))
-    words = pos.groupBy(
-        F.expr(f"p div {_BLOOM_WORD}").alias("w")
-    ).agg(
-        F.expr(
-            f"bit_or(shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(p % {_BLOOM_WORD} AS INT)))"
-        ).alias("mask")
+    # the filter table feeds k=3 probe joins (plus the plan would
+    # rebuild it per join side) — checkpoint the ≤4229 (word, mask)
+    # rows so the dim is hashed once, not once per probe position
+    # (was 4 orders FileScans; now 2 reads: words base + exact truth).
+    words = (
+        pos.groupBy(F.expr(f"p div {_BLOOM_WORD}").alias("w"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(p % {_BLOOM_WORD} AS INT)))"
+            ).alias("mask")
+        )
+        .localCheckpoint(eager=False)
     )
     probe = lineitem.select(
         "l_orderkey",

@@ -562,10 +562,16 @@ def q_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
     corpus = tk.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    # head feeds THREE consumers (the sc filter join, the dots join,
+    # and the n2c norm) — uncut, each recompiled the full-vocabulary
+    # corpus aggregate from its own scan (4 documents FileScans
+    # measured at r08).  Checkpointing 64 rows collapses that to two
+    # corpus reads total: one inside the head base, one for sc.
     head = (
         corpus.orderBy(F.desc("c"), F.asc("tok"))
         .limit(64)
         .select("tok", "c")
+        .localCheckpoint(eager=False)
     )
     sc = (
         tk.join(F.broadcast(head.select("tok")), "tok")

@@ -430,6 +430,22 @@ def test_round8_dedup_family_scan_collapse(plans):
         assert plans(q).count("documents.parquet") == 0, q
 
 
+def test_round8_residual_diamond_cuts(plans):
+    """Last two same-table rescans found by the r08 full-registry
+    sweep, closed with the standard checkpoint cut:
+    q_domain_shift's 64-row head-token table fed THREE consumers
+    (score filter join, dots join, n2c norm), each recompiling the
+    full-vocabulary corpus aggregate — was 4 compiled documents
+    scans, now 1 visible (the sc tokenize pass) + the checkpointed
+    head base. q_bloom_prune's (word, mask) filter table fed k=3
+    probe joins, each rebuilding the dim aggregate — was 4 compiled
+    orders scans, now 1 visible (the exact-truth side) + the
+    checkpointed words base; probe side stays broadcast-only
+    (pinned separately in test_bloom_probe_never_shuffles_fact)."""
+    assert plans("q_domain_shift").count("documents.parquet") == 1
+    assert plans("q_bloom_prune").count("orders.parquet") == 1
+
+
 def test_pq_recall_no_query_row_rescan(plans):
     """The probe vector rides as a plan literal (r07 close-out item
     1): q_pq_recall is two embeddings scans (codes side + exact
