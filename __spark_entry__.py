@@ -165,6 +165,10 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     "q_minhash_estimate",
     "q_pq_recall",
     "q_pq_recall_trained",
+    # Late-r08 diamond cuts (head-table / filter-table checkpoint;
+    # semantics identical, locally oracle-verified):
+    "q_domain_shift",
+    "q_bloom_prune",
 )
 
 

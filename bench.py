@@ -124,6 +124,9 @@ HEADLINE = (
     "q_mixture_plan",
     # added round 8: the real image-header decode through mapInPandas
     "q_image_decode",
+    # added round 8 (second wave): degree-oriented triangle counting
+    # over the near-dup graph
+    "q_triangle_count",
 )
 
 

@@ -173,3 +173,138 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.select("rank", "doc_id", F.col("pr").alias("pr_x1e12"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation)
+
+_TRI_TOP = 20
+
+
+def triangle_participation(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected, deduplicated
+    (doc_a < doc_b) edge list — returns (doc_id, n_triangles) for
+    every node that closes at least one triangle.
+
+    The scale shape is the classic degree-ordered orientation
+    (node-iterator++ / MGT): orient every edge from its
+    lower-(degree, id) endpoint to its higher one, build wedges only
+    between ordered out-neighbor pairs of a shared source, and close
+    them against the oriented edge list.  Orientation bounds every
+    out-degree by O(sqrt(m)), so the wedge relation — the only
+    intermediate that can blow up — is O(m^1.5) worst case instead
+    of Σ deg² (a single celebrity hub with 1e6 neighbors would
+    otherwise emit 5e11 wedges; oriented, it emits none, because a
+    max-degree node is never a wedge source).  Both joins are
+    equi-joins on node id (src, then (y, z)), so they co-locate on
+    the same hash partitioning; the oriented edge list is
+    checkpointed once and reused by all three roles (e1, e2,
+    closure) rather than recompiling its upstream pipeline per
+    consumer — same diamond-cut discipline as pagerank_fixed.
+    Each triangle {x ≺ y ≺ z} is produced exactly once (as wedge
+    (y, z) from x closed by the oriented edge y→z), so the member
+    union counts every node's participation exactly."""
+    e = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
+    # strict total order ≺ = (deg, id) lexicographic — ids are unique,
+    # so ties in degree never tie overall
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).localCheckpoint(eager=False)
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    dst_lt = (F.col("e1.ddst") < F.col("e2.ddst")) | (
+        (F.col("e1.ddst") == F.col("e2.ddst"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = e1.join(
+        e2, (F.col("e1.src") == F.col("e2.src")) & dst_lt
+    ).select(
+        F.col("e1.src").alias("x"),
+        F.col("e1.dst").alias("y"),
+        F.col("e2.dst").alias("z"),
+    )
+    closure = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tri = wedges.join(closure, ["y", "z"])
+    members = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionByName(tri.select(F.col("y").alias("doc_id")))
+        .unionByName(tri.select(F.col("z").alias("doc_id")))
+    )
+    return members.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+def _tri_oracle() -> str:
+    """DuckDB twin counts the SAME triangle set via the naive
+    id-ordered enumeration (pa < pb already holds in the pairs CTE,
+    so x < y < z picks each triangle once): edges (x,y), (x,z) with
+    y < z, closed by (y,z).  Orientation choice — degree order on
+    the Spark side, id order here — cannot change which triangles
+    exist or who participates, so the per-doc counts hash-match
+    bit-for-bit; fine at fixture scale, while the Spark side keeps
+    the O(m^1.5) wedge bound the oracle form lacks."""
+    return f"""
+        WITH {_PAIRS_CTE},
+        tri AS MATERIALIZED (
+            SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+            FROM pairs e1
+            JOIN pairs e2 ON e2.pa = e1.pa AND e1.pb < e2.pb
+            JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+        members AS (
+            SELECT x AS doc_id FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+        cnt AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM members GROUP BY doc_id)
+        SELECT CAST(row_number() OVER (
+                   ORDER BY n_triangles DESC, doc_id ASC) AS INT) AS rank,
+               doc_id, n_triangles
+        FROM cnt
+        ORDER BY n_triangles DESC, doc_id ASC
+        LIMIT {_TRI_TOP}
+    """
+
+
+@query("q_triangle_count", oracle=_tri_oracle(), tags=("graph", "join", "extension"))
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by triangle participation in the near-dup
+    candidate graph.  Where PageRank surfaces template HUBS and
+    connected components give reachability clusters, triangle density
+    separates genuinely cohesive near-dup families (every member
+    similar to every other — safe to keep one representative) from
+    star/chain artifacts of LSH banding (hub matches many docs that
+    do not match each other — a rep-per-component dedup would
+    over-delete there).  Deterministic output: (n_triangles DESC,
+    doc_id ASC) tiebreak, integer ranks; the final window runs over
+    the 20-row limited set only."""
+    cnt = triangle_participation(q_dedup_near(spark, sf_dir))
+    top = (
+        cnt.orderBy(F.desc("n_triangles"), F.asc("doc_id"))
+        .limit(_TRI_TOP)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("n_triangles"), F.asc("doc_id")))
+            .cast("int"),
+        )
+    )
+    return top.select("rank", "doc_id", "n_triangles")

@@ -72,3 +72,52 @@ def test_pagerank_top20_is_stable(spark):
     b = [tuple(r) for r in q(spark, SF).collect()]
     assert a == b
     assert [r[0] for r in a] == list(range(1, len(a) + 1))
+
+
+def _brute_triangles(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count: dict[int, int] = {}
+    nodes = sorted(adj)
+    for x in nodes:
+        for y in (v for v in adj[x] if v > x):
+            for z in (v for v in adj[x] & adj[y] if v > y):
+                for m in (x, y, z):
+                    count[m] = count.get(m, 0) + 1
+    return count
+
+
+def test_triangle_participation_toy_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, each node in 3), a pendant 5-1,
+    # a separate triangle {6,7,8}, an open wedge 9-10, 9-11 (no
+    # triangle), and a degree tie everywhere in the small component —
+    # exercises orientation tie-breaks and wedge pruning.
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (1, 5),
+        (6, 7), (6, 8), (7, 8),
+        (9, 10), (9, 11),
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in graph.triangle_participation(df).collect()
+    }
+    assert got == _brute_triangles(pairs)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+
+
+def test_triangle_counts_match_bruteforce_on_fixture(spark):
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in q_dedup_near(spark, SF).collect()
+    ]
+    expected = _brute_triangles(pairs)
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in graph.triangle_participation(
+            q_dedup_near(spark, SF)
+        ).collect()
+    }
+    assert got == expected

@@ -446,6 +446,20 @@ def test_round8_residual_diamond_cuts(plans):
     assert plans("q_bloom_prune").count("orders.parquet") == 1
 
 
+def test_triangle_count_checkpoint_fed_no_blowup(plans):
+    """q_triangle_count follows the graph-family discipline: the LSH
+    pair pipeline lives inside the edge checkpoint (zero visible
+    corpus scans — materialized once), the oriented edge list is one
+    checkpoint shared by all three join roles, and the wedge/closure
+    joins are equi-joins — no nested-loop or cartesian forms, so the
+    only quadratic risk (wedge count) is bounded by the degree
+    orientation, not by the join strategy."""
+    p = plans("q_triangle_count")
+    assert p.count("documents.parquet") == 0
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_pq_recall_no_query_row_rescan(plans):
     """The probe vector rides as a plan literal (r07 close-out item
     1): q_pq_recall is two embeddings scans (codes side + exact
