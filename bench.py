@@ -125,8 +125,9 @@ HEADLINE = (
     # added round 8: the real image-header decode through mapInPandas
     "q_image_decode",
     # added round 8 (second wave): degree-oriented triangle counting
-    # over the near-dup graph
+    # over the near-dup graph; contrastive triple mining
     "q_triangle_count",
+    "q_contrastive_pairs",
 )
 
 

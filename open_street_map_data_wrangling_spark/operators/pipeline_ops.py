@@ -747,3 +747,150 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# X37 — contrastive pair mining (embedding-model training data)
+
+from .dedup import _CONSENSUS_TAU, _PAIRS_CTE, q_dedup_near  # noqa: E402
+from ..functions.vectors import cosine_expr  # noqa: E402
+
+# Negative-sampling hash ring: one full byte of md5(doc_id) → 256
+# uniform buckets.  At fixture scale this is latency overhead; at
+# 100 TB it is the whole design — the ring window sorts WITHIN each
+# bucket (corpus/256 rows per partition, embarrassingly parallel),
+# never globally, and the bucket count is a constant any deployment
+# widens (2 bytes → 65 536) without changing semantics, because the
+# wrap-around partner is always drawn from the same bucket.
+_CONTRAST_BKTS = 256
+
+
+@query(
+    "q_contrastive_pairs",
+    oracle=f"""
+        WITH {_PAIRS_CTE},
+        scored AS (
+            SELECT p.pa, p.pb,
+                   round(list_cosine_similarity(
+                       ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4)
+                     AS cos_sim
+            FROM pairs p
+            JOIN embeddings ea ON ea.vec_id = p.pa
+            JOIN embeddings eb ON eb.vec_id = p.pb
+            WHERE list_cosine_similarity(
+                      ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                  >= {_CONSENSUS_TAU}),
+        anchors AS (
+            SELECT pa AS anchor, pb AS positive, cos_sim FROM scored
+            UNION ALL
+            SELECT pb AS anchor, pa AS positive, cos_sim FROM scored),
+        u AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                       ::BIGINT % {_CONTRAST_BKTS} AS bkt
+            FROM documents),
+        ring AS (
+            SELECT doc_id AS anchor,
+                   coalesce(lead(doc_id) OVER wb,
+                            first_value(doc_id) OVER wbf) AS negative
+            FROM u
+            WINDOW wb AS (PARTITION BY bkt ORDER BY h, doc_id),
+                   wbf AS (PARTITION BY bkt ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING)),
+        neg AS (
+            SELECT r.anchor, r.negative FROM ring r
+            WHERE r.anchor <> r.negative
+              AND NOT EXISTS (
+                  SELECT 1 FROM pairs p
+                  WHERE p.pa = least(r.anchor, r.negative)
+                    AND p.pb = greatest(r.anchor, r.negative)))
+        SELECT a.anchor, a.positive, a.cos_sim, n.negative
+        FROM anchors a JOIN neg n USING (anchor)
+    """,
+    tags=("pipeline", "extension", "embedding", "dedup"),
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triples (anchor, positive, negative) for
+    embedding-model fine-tuning, mined from the corpus itself:
+    positives are LSH near-dup candidates whose embedding cosine
+    clears the consensus threshold (both directions of each verified
+    pair anchor a triple); negatives are drawn from a deterministic
+    md5 hash ring — each document's ring successor within its hash
+    bucket — anti-joined against the candidate pair set so a
+    lexically-similar doc can never masquerade as a negative.
+
+    Scale posture: the positive path is candidate-bounded (the
+    r07/r08 consensus shape — embeddings join the PAIR LIST, never
+    all-pairs); the negative ring is one per-bucket window over 256
+    uniform md5 buckets (no global sort), and the anti-join ships
+    only (lo, hi) id pairs.  The candidate pair list is checkpointed
+    once and shared by the positive scoring and the negative
+    anti-join — the standard diamond cut.  No RNG anywhere: the same
+    corpus yields the same triples on any cluster layout, so a
+    training run is reproducible bit-for-bit."""
+    pairs = q_dedup_near(spark, sf_dir).localCheckpoint(eager=False)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(
+        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("a_emb")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("doc_b"), F.col("embedding").alias("b_emb")
+    )
+    cos = cosine_expr("a_emb", "b_emb")
+    # scored feeds BOTH branches of the direction union — uncut, each
+    # branch recompiles the two embeddings joins (measured 4 compiled
+    # embeddings scans); the checkpoint pins it to one derivation
+    scored = (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .filter(cos >= F.lit(_CONSENSUS_TAU))
+        .select("doc_a", "doc_b", F.round(cos, 4).alias("cos_sim"))
+        .localCheckpoint(eager=False)
+    )
+    anchors = scored.select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("positive"),
+        "cos_sim",
+    ).unionByName(
+        scored.select(
+            F.col("doc_b").alias("anchor"),
+            F.col("doc_a").alias("positive"),
+            "cos_sim",
+        )
+    )
+    u = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("h", F.md5(F.col("doc_id").cast("string")))
+        .withColumn(
+            "bkt",
+            F.expr(
+                "CAST(conv(substring(h, 1, 2), 16, 10) AS INT) "
+                f"% {_CONTRAST_BKTS}"
+            ),
+        )
+    )
+    wb = W.partitionBy("bkt").orderBy("h", "doc_id")
+    wbf = wb.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ring = u.select(
+        F.col("doc_id").alias("anchor"),
+        F.coalesce(
+            F.lead("doc_id").over(wb), F.first("doc_id").over(wbf)
+        ).alias("negative"),
+    ).filter(F.col("anchor") != F.col("negative"))
+    neg = (
+        ring.withColumn("lo", F.least("anchor", "negative"))
+        .withColumn("hi", F.greatest("anchor", "negative"))
+        .join(
+            pairs.select(
+                F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi")
+            ),
+            ["lo", "hi"],
+            "left_anti",
+        )
+        .select("anchor", "negative")
+    )
+    return anchors.join(neg, "anchor").select(
+        "anchor", "positive", "cos_sim", "negative"
+    )

@@ -1283,3 +1283,39 @@ def test_dsir_persisted_stats_serve(spark, tmp_path):
     # the unseen token is scored (3 tokens counted), not dropped
     assert served[100]["n_toks"] == 3
     assert served[101]["n_toks"] == 2
+
+
+def test_contrastive_pairs_invariants(spark):
+    """q_contrastive_pairs semantic contract on the fixture: every
+    triple's negative is (a) a real document, (b) never equal to the
+    anchor or the positive, and (c) never an LSH candidate pair with
+    its anchor — and the whole output is deterministic across runs
+    (no RNG: hash-ring negatives, content-hash positives)."""
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        q_dedup_near,
+    )
+    from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+    sf = "/root/testdata/sf0.01"
+    q = load_all_queries()["q_contrastive_pairs"].spark
+    rows = q(spark, sf).collect()
+    assert rows, "fixture must yield verified positives"
+    pair_set = {
+        (r["doc_a"], r["doc_b"]) for r in q_dedup_near(spark, sf).collect()
+    }
+    doc_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    for r in rows:
+        assert r["negative"] in doc_ids
+        assert r["negative"] != r["anchor"]
+        lo, hi = sorted((r["anchor"], r["negative"]))
+        assert (lo, hi) not in pair_set
+        # positives ARE candidates (the lexical recall path)
+        plo, phi = sorted((r["anchor"], r["positive"]))
+        assert (plo, phi) in pair_set
+    again = q(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -460,6 +460,21 @@ def test_triangle_count_checkpoint_fed_no_blowup(plans):
     assert "CartesianProduct" not in p
 
 
+def test_contrastive_pairs_candidate_bounded(plans):
+    """q_contrastive_pairs: the embeddings joins live inside the
+    checkpointed verified-pairs relation (computed once — uncut, the
+    direction union recompiled them per branch: measured 4 compiled
+    embeddings scans), so the compiled plan shows ZERO embeddings
+    scans and exactly one documents scan (the negative-sampling hash
+    ring).  No all-pairs forms anywhere: positives are
+    candidate-bounded, negatives are a per-bucket window."""
+    p = plans("q_contrastive_pairs")
+    assert p.count("embeddings.parquet") == 0
+    assert p.count("documents.parquet") == 1
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_pq_recall_no_query_row_rescan(plans):
     """The probe vector rides as a plan literal (r07 close-out item
     1): q_pq_recall is two embeddings scans (codes side + exact
