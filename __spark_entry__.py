@@ -169,6 +169,20 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     # semantics identical, locally oracle-verified):
     "q_domain_shift",
     "q_bloom_prune",
+    # Late-r08 empty-input hardening (typed-empty guards after the
+    # bounded collects; q_funnel_window's div-by-zero CASE changed
+    # BOTH engines identically — all 13 locally oracle-re-verified):
+    "q_funnel_window",
+    "q_ann_ivf",
+    "q_ann_ivf_multiprobe",
+    "q_ann_lsh",
+    "q_ann_recall",
+    "q_ann_recall_multiprobe",
+    "q_ivfpq_recall",
+    "q_ivfpq_serve",
+    "q_pq_adc",
+    "q_pq_codes",
+    "q_semantic_dedup",
 )
 
 

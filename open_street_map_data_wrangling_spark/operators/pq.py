@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from ..functions import cosine_expr
 from ..plans.registry import query
 from ..sources.catalog import load_table
-from .similarity import _IVF_ASSIGN_SQL, _ivf_qcells_sql
+from .similarity import _IVF_ASSIGN_SQL, _empty_result, _ivf_qcells_sql
 
 _M = 4  # subspaces
 _SUBDIM = 16  # dims per subspace (fixture embeddings are 64-dim)
@@ -81,6 +81,10 @@ def _collect_seed_codebook(emb: DataFrame) -> list[list[list[int]]]:
         .limit(_K)
         .collect()
     )
+    if not rows:
+        # empty-input contract: no vectors, no codebook — callers
+        # return a typed empty result (tests/test_empty_input.py)
+        return None
     qs = [_quantize(list(r["embedding"])) for r in rows]
     return [
         [qv[s * _SUBDIM : (s + 1) * _SUBDIM] for qv in qs] for s in range(_M)
@@ -220,6 +224,11 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical codes relationally."""
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _collect_seed_codebook(emb)
+    if cb is None:
+        return _empty_result(
+            emb,
+            "vec_id BIGINT, code0 INT, code1 INT, code2 INT, code3 INT",
+        )
     return pq_codes(emb, cb)
 
 
@@ -240,6 +249,8 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     cb, qvec = _seed_codebook_and_query(emb)
+    if cb is None:
+        return _empty_result(emb, "vec_id BIGINT, adc_d2 BIGINT")
     return _adc_top10(emb, cb, qvec)
 
 
@@ -266,12 +277,17 @@ def _seed_codebook_query_raw(emb: DataFrame):
         .collect()
     )
     qs = [_quantize(list(r["embedding"])) for r in rows if r["vec_id"] < _K]
+    qraws = [
+        list(r["embedding"]) for r in rows if r["vec_id"] == _QUERY_ID
+    ]
+    if not qs or not qraws:
+        # empty-input contract (tests/test_empty_input.py): no seeds
+        # or no probe vector — callers emit a typed empty result
+        return None, None, None
     cb = [
         [qv[s * _SUBDIM : (s + 1) * _SUBDIM] for qv in qs] for s in range(_M)
     ]
-    qraw = next(
-        list(r["embedding"]) for r in rows if r["vec_id"] == _QUERY_ID
-    )
+    qraw = qraws[0]
     return cb, _quantize(qraw), qraw
 
 
@@ -325,6 +341,8 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell pruning."""
     emb = load_table(spark, sf_dir, "embeddings")
     cb, qvec, qraw = _seed_codebook_query_raw(emb)
+    if cb is None:
+        return _empty_result(emb, "hits BIGINT, recall_at_10 DOUBLE")
     adc10 = _adc_top10(emb, cb, qvec).select("vec_id")
     return adc10.join(_exact_top10(emb, qraw), "vec_id").agg(
         F.count("*").cast("bigint").alias("hits"),
@@ -462,6 +480,10 @@ def q_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook."""
     emb = load_table(spark, sf_dir, "embeddings")
     seed_cb, qvec, qraw = _seed_codebook_query_raw(emb)
+    if seed_cb is None:
+        return _empty_result(
+            emb, "codebook STRING, hits BIGINT, recall_at_10 DOUBLE"
+        )
     trained_cb = train_codebook(emb, iters=2)
     exact10 = _exact_top10(emb, qraw).localCheckpoint()
 
@@ -571,6 +593,10 @@ def _collect_ivfpq_literals(emb: DataFrame):
         .collect()
     )
     raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    needed = set(range(_K)) | set(range(sim._N_CENTROIDS)) | {_QUERY_ID}
+    if not needed <= raw.keys():
+        # empty-input contract (tests/test_empty_input.py)
+        return None, None, None, None
     qs = [_quantize(raw[i]) for i in range(_K)]
     cb = [
         [qv[s * _SUBDIM : (s + 1) * _SUBDIM] for qv in qs] for s in range(_M)
@@ -730,6 +756,10 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _rank_cells_py
 
     cb, qvec_q, cents, qv = _collect_ivfpq_literals(emb)
+    if cb is None:
+        return _empty_result(
+            emb, "hits BIGINT, recall_at_10 DOUBLE, cand_rows BIGINT"
+        )
     probe_cells = _rank_cells_py(cents, qv)[:_IVFPQ_NPROBE]
     base = _ivfpq_base(
         emb, cb, qvec_q, cents, qv, probe_cells
@@ -766,6 +796,14 @@ def ivfpq_code_table(emb: DataFrame) -> DataFrame:
     pass.  No joins, no shuffles; the write below adds exactly one
     exchange (the partitionBy)."""
     cb, _, cents, _ = _collect_ivfpq_literals(emb)
+    if cb is None:
+        # empty corpus: an empty code table with the serving schema,
+        # so build_ivfpq_index still writes readable (empty) artifacts
+        return _empty_result(
+            emb,
+            "vec_id BIGINT, cid INT, "
+            + ", ".join(f"code{s} INT" for s in range(_M)),
+        )
     return _code_projection(emb, cb, cents)
 
 
@@ -865,6 +903,17 @@ def ivfpq_search(
 
     seeds = spark.read.parquet(f"{index_path}/seeds").collect()
     raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
+    from . import similarity as _sim
+
+    needed = (
+        set(range(_K)) | set(range(_sim._N_CENTROIDS)) | {query_id}
+    )
+    if not needed <= raw.keys():
+        # index built from an empty table has no seeds (and codes/
+        # has no partition directories to read): serve empty — the
+        # same contract as the inline queries, detected from the
+        # seeds collect that already happened
+        return spark.createDataFrame([], "vec_id BIGINT, adc_d2 BIGINT")
     qs = [_quantize(raw[i]) for i in range(_K)]
     cb = [[qv[s * _SUBDIM : (s + 1) * _SUBDIM] for qv in qs] for s in range(_M)]
     from . import similarity as sim

@@ -152,6 +152,13 @@ def lloyd_assignments(
         .collect()
     )
     cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in init]
+    if not cents:
+        # empty-input contract (tests/test_empty_input.py): nothing to
+        # cluster — an empty assignment with the normal schema, which
+        # every downstream join propagates as an empty result
+        from .similarity import _empty_result
+
+        return _empty_result(emb, "vec_id BIGINT, cid INT")
     for _ in range(iters):
         assign = assign_clusters(emb, cents)
         cents = _recompute_centroids(emb, assign)

@@ -120,6 +120,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is also the shape a cell-partitioned table prunes at 100 TB."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, qv = _collect_ivf_literals(emb, _QUERY_ID_IVF)
+    if qv is None:
+        return _empty_result(emb, "vec_id BIGINT, cos_sim DOUBLE")
     qcid = _rank_cells_py(cents, qv)[0]
     return (
         _ivf_scored_literal(emb, _QUERY_ID_IVF)
@@ -201,6 +203,8 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap; was 6 FileScans + a window shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, qv = _collect_ivf_literals(emb, _QUERY_ID_IVF)
+    if qv is None:
+        return _empty_result(emb, "vec_id BIGINT, cos_sim DOUBLE")
     probes = _rank_cells_py(cents, qv)[:_NPROBE]
     return (
         _ivf_scored_literal(emb, _QUERY_ID_IVF)
@@ -231,11 +235,30 @@ def _collect_ivf_literals(
         .collect()
     )
     by_id = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    if query_id not in by_id or any(
+        i not in by_id for i in range(_N_CENTROIDS)
+    ):
+        # empty (or codebook-incomplete) input: no query vector to
+        # probe with — callers return a typed empty result instead of
+        # crashing (the registry-wide empty-input contract,
+        # tests/test_empty_input.py); detected from the collect that
+        # already happened, zero extra jobs on the healthy path
+        return None, None
     return [by_id[i] for i in range(_N_CENTROIDS)], by_id[query_id]
 
 
 def _lit_vec(vec: list[float]):
     return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _empty_result(emb: DataFrame, ddl: str) -> DataFrame:
+    """Registry-wide empty-input contract (tests/test_empty_input.py):
+    when the bounded driver-side collect finds no query vector /
+    codebook (empty or truncated embeddings table — e.g. tonight's
+    partition has no data yet), the op returns an EMPTY result with
+    its normal column set instead of raising.  Empty in, empty out —
+    the composable behavior for a scheduled pipeline stage."""
+    return emb.sparkSession.createDataFrame([], ddl)
 
 
 def _rank_cells_py(cents: list[list[float]], qv: list[float]) -> list[int]:
@@ -343,6 +366,10 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan count at zero (checkpoint-fed)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, qv = _collect_ivf_literals(emb, _QUERY_ID_IVF)
+    if qv is None:
+        return _empty_result(
+            emb, "nprobe INT, hits BIGINT, recall_at_10 DOUBLE"
+        )
     cell_order = _rank_cells_py(cents, qv)
     scored = _ivf_scored_literal(emb, _QUERY_ID_IVF).localCheckpoint(
         eager=False
@@ -437,6 +464,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    if _QUERY_ID_IVF not in raw or any(
+        i not in raw for i in range(_N_PLANES)
+    ):
+        return _empty_result(emb, "vec_id BIGINT, cos_sim DOUBLE")
     planes = [raw[i] for i in range(_N_PLANES)]
     qv = raw[_QUERY_ID_IVF]
 
@@ -528,6 +559,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned at zero in tests/test_plan_shapes.py; oracle unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, qv = _collect_ivf_literals(emb, _QUERY_ID_IVF)
+    if qv is None:
+        return _empty_result(emb, "hits BIGINT, recall_at_10 DOUBLE")
     qcid = _rank_cells_py(cents, qv)[0]
     scored = _ivf_scored_literal(emb, _QUERY_ID_IVF).localCheckpoint(
         eager=False

@@ -818,9 +818,11 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(count(t1) AS BIGINT) AS users_view,
                CAST(count(t2) AS BIGINT) AS users_click_1h,
                CAST(count(t3) AS BIGINT) AS users_purchase_1h,
-               CAST(10000 * count(t2) // count(t1) AS BIGINT)
+               CASE WHEN count(t1) = 0 THEN NULL ELSE
+                   CAST(10000 * count(t2) // count(t1) AS BIGINT) END
                    AS conv_click_x10k,
-               CAST(10000 * count(t3) // count(t1) AS BIGINT)
+               CASE WHEN count(t1) = 0 THEN NULL ELSE
+                   CAST(10000 * count(t3) // count(t1) AS BIGINT) END
                    AS conv_purchase_x10k
         FROM per_user
     """,
@@ -881,14 +883,19 @@ def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t3").alias("t3"),
         )
     )
+    # conv ratios are undefined on an empty (or view-free) window —
+    # NULL, not a DIVIDE_BY_ZERO crash (ANSI mode errors on div 0):
+    # the empty-input contract of the registry (tests/test_empty_input)
     return per_user.agg(
         F.count("t1").cast("bigint").alias("users_view"),
         F.count("t2").cast("bigint").alias("users_click_1h"),
         F.count("t3").cast("bigint").alias("users_purchase_1h"),
-        F.expr("CAST(10000 * count(t2) div count(t1) AS BIGINT)").alias(
-            "conv_click_x10k"
-        ),
-        F.expr("CAST(10000 * count(t3) div count(t1) AS BIGINT)").alias(
-            "conv_purchase_x10k"
-        ),
+        F.expr(
+            "CASE WHEN count(t1) = 0 THEN NULL ELSE "
+            "CAST(10000 * count(t2) div count(t1) AS BIGINT) END"
+        ).alias("conv_click_x10k"),
+        F.expr(
+            "CASE WHEN count(t1) = 0 THEN NULL ELSE "
+            "CAST(10000 * count(t3) div count(t1) AS BIGINT) END"
+        ).alias("conv_purchase_x10k"),
     )
