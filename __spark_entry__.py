@@ -183,6 +183,11 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     "q_pq_adc",
     "q_pq_codes",
     "q_semantic_dedup",
+    # Late-r08 null-payload hardening (NULL features from the pandas
+    # UDFs; PQ drops uncodable NULL embeddings, oracle mirrored):
+    "q_mm_extract",
+    "q_multimodal",
+    "q_compression_ratio",
 )
 
 

@@ -117,15 +117,30 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     (fake-)decode features from the binary payload column."""
     for pdf in batches:
         payloads = pdf["payload"]
-        dims = payloads.map(fake_decode_meta)
+        # a NULL payload (missing media) yields NULL features — the
+        # same rows the SQL twin produces from length(NULL)/md5(NULL),
+        # so downstream can count decode failures instead of crashing
+        # (tests/test_null_values.py); nullable Int32 carries NULLs
+        # through Arrow
+        dims = payloads.map(
+            lambda b: fake_decode_meta(b) if b is not None else (None, None)
+        )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len).astype("int32"),
-                "head_byte": payloads.map(lambda b: b[0] if len(b) else 0).astype("int32"),
-                "content_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-                "fake_width": dims.map(lambda t: t[0]).astype("int32"),
-                "fake_height": dims.map(lambda t: t[1]).astype("int32"),
+                "n_bytes": payloads.map(
+                    lambda b: len(b) if b is not None else None
+                ).astype("Int32"),
+                "head_byte": payloads.map(
+                    lambda b: (b[0] if len(b) else 0) if b is not None else None
+                ).astype("Int32"),
+                "content_md5": payloads.map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                    if b is not None
+                    else None
+                ),
+                "fake_width": dims.map(lambda t: t[0]).astype("Int32"),
+                "fake_height": dims.map(lambda t: t[1]).astype("Int32"),
             }
         )
 

@@ -92,7 +92,13 @@ def _collect_seed_codebook(emb: DataFrame) -> list[list[list[int]]]:
 
 
 def _with_qemb(emb: DataFrame) -> DataFrame:
-    return emb.withColumn(
+    # a NULL embedding cannot be coded: the argmin fold would keep its
+    # -1 accumulator seed and the ADC lookup would hit element_at(_, 0)
+    # at runtime — drop such rows here so every PQ path (codes, ADC,
+    # recall, index build, training) shares one rule, mirrored by the
+    # WHERE embedding IS NOT NULL in _CODES_SQL
+    # (tests/test_null_values.py)
+    return emb.filter(F.col("embedding").isNotNull()).withColumn(
         "__q",
         F.expr(
             f"transform(embedding, x -> "
@@ -171,6 +177,7 @@ cand AS (
     FROM embeddings e
     CROSS JOIN subs CROSS JOIN seeds
     CROSS JOIN generate_series(1, {_SUBDIM}) g(i)
+    WHERE e.embedding IS NOT NULL
     GROUP BY 1, 2, 3),
 best AS (
     SELECT vec_id, s, cid,

@@ -601,16 +601,25 @@ def _compression_batches(batches):
     import pandas as pd
 
     for pdf in batches:
-        raw = pdf["text"].map(lambda t: len(t.encode("utf-8")))
+        # null text (a crawl row with no body) → NULL metrics, not a
+        # worker crash — pandas nullable Int64 carries the NULLs
+        # through Arrow (tests/test_null_values.py)
+        raw = pdf["text"].map(
+            lambda t: len(t.encode("utf-8")) if t is not None else None
+        )
         comp = pdf["text"].map(
             lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            if t is not None
+            else None
         )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": raw.astype("int64"),
-                "n_compressed": comp.astype("int64"),
-                "ratio_x10k": (10000 * comp // raw).astype("int64"),
+                "n_bytes": raw.astype("Int64"),
+                "n_compressed": comp.astype("Int64"),
+                "ratio_x10k": (
+                    10000 * comp.astype("Int64") // raw.astype("Int64")
+                ),
             }
         )
 
