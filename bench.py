@@ -128,6 +128,9 @@ HEADLINE = (
     # over the near-dup graph; contrastive triple mining
     "q_triangle_count",
     "q_contrastive_pairs",
+    # added round 8 (third wave): snapshot-diff and drift monitoring
+    "q_corpus_diff",
+    "q_quality_drift",
 )
 
 

@@ -894,3 +894,167 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchors.join(neg, "anchor").select(
         "anchor", "positive", "cos_sim", "negative"
     )
+
+
+# ---------------------------------------------------------------------------
+# X39 — corpus snapshot diff (incremental-crawl change accounting)
+
+
+@query(
+    "q_corpus_diff",
+    oracle="""
+        WITH old AS (
+            SELECT doc_id, source, md5(text) AS h
+            FROM documents WHERE doc_id % 7 <> 0),
+        new AS (
+            SELECT doc_id, source,
+                   md5(CASE WHEN doc_id % 13 = 0
+                            THEN text || ' v2' ELSE text END) AS h
+            FROM documents WHERE doc_id % 11 <> 0),
+        j AS (
+            SELECT coalesce(o.source, n.source) AS source,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.h <> n.h THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM old o FULL OUTER JOIN new n USING (doc_id))
+        SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+        FROM j GROUP BY source, status
+    """,
+    tags=("pipeline", "extension", "monitoring", "diff"),
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the change
+    accounting every incremental crawl publishes before a retrain:
+    per source, how many documents were added, removed, changed
+    (content hash moved), or untouched.  The fixture derives both
+    snapshots deterministically from the one documents table (old
+    drops doc_id % 7 == 0, new drops % 11 == 0 and rewrites % 13 ==
+    0), standing in for last week's and this week's partitions.
+
+    Scale shape: each side collapses to (doc_id, source, md5) AT THE
+    SCAN — no row ever carries text past its projection — and the
+    diff is ONE full outer join co-partitioned on doc_id followed by
+    a tiny (source × 4 statuses) aggregate.  Reading two real
+    snapshot tables instead of two filtered branches of one table
+    changes nothing downstream of the projections."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.col("source").alias("src_o"),
+        F.md5("text").alias("h_o"),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.col("source").alias("src_n"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("h_n"),
+    )
+    j = old.join(new, ["doc_id"], "full_outer").select(
+        F.coalesce("src_o", "src_n").alias("source"),
+        F.when(F.col("h_o").isNull(), "added")
+        .when(F.col("h_n").isNull(), "removed")
+        .when(F.col("h_o") != F.col("h_n"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return j.groupBy("source", "status").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X40 — distribution drift monitor (integer log2, DSIR conventions)
+
+_DRIFT_BUCKETS = 6
+
+
+@query(
+    "q_quality_drift",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             <= '7' THEN 'a' ELSE 'b' END AS w,
+                   least(length(text) // 100, {_DRIFT_BUCKETS - 1}) AS bkt
+            FROM documents),
+        c AS (
+            SELECT bkt,
+                   CAST(count(*) FILTER (w = 'a') AS BIGINT) AS n_a,
+                   CAST(count(*) FILTER (w = 'b') AS BIGINT) AS n_b
+            FROM tagged GROUP BY bkt),
+        t AS (
+            SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                   CAST(sum(n_b) AS BIGINT) AS tb
+            FROM c)
+        SELECT CAST(c.bkt AS INTEGER) AS bkt,
+               c.n_a, c.n_b,
+               CAST((length(bin((c.n_a + 1) * (t.tb + {_DRIFT_BUCKETS}))) - 1)
+                  - (length(bin((c.n_b + 1) * (t.ta + {_DRIFT_BUCKETS}))) - 1)
+                    AS INTEGER) AS log2_ratio_bits
+        FROM c, t
+    """,
+    tags=("pipeline", "extension", "monitoring", "drift"),
+)
+def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the doc-length histogram of two
+    corpus halves (an md5 split standing in for week A vs week B)
+    compared bucket-by-bucket as whole-bit integer log2 rate ratios —
+    the per-bucket ingredient of a PSI drift score, in the repo's
+    transcendental-free convention (the DSIR / LM-surprisal
+    length(bin(n))-1 trick, add-one smoothed so empty buckets stay
+    defined).  |log2_ratio_bits| >= 1 flags a bucket whose share
+    moved by 2x or more between windows.
+
+    Scale shape: ONE corpus pass produces the conditional per-bucket
+    counts ({_DRIFT_BUCKETS} rows), the totals are an aggregate of
+    that tiny table broadcast back — the fact never shuffles twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "7",
+            "a",
+        )
+        .otherwise("b")
+        .alias("w"),
+        F.least(
+            F.expr("length(text) div 100"), F.lit(_DRIFT_BUCKETS - 1)
+        )
+        .cast("int")
+        .alias("bkt"),
+    )
+    c = tagged.groupBy("bkt").agg(
+        F.sum((F.col("w") == "a").cast("bigint")).alias("n_a"),
+        F.sum((F.col("w") == "b").cast("bigint")).alias("n_b"),
+    )
+    t = c.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "bkt",
+        "n_a",
+        "n_b",
+        (
+            (
+                F.length(
+                    F.bin(
+                        F.expr(f"(n_a + 1) * (tb + {_DRIFT_BUCKETS})")
+                    )
+                )
+                - 1
+            )
+            - (
+                F.length(
+                    F.bin(
+                        F.expr(f"(n_b + 1) * (ta + {_DRIFT_BUCKETS})")
+                    )
+                )
+                - 1
+            )
+        )
+        .cast("int")
+        .alias("log2_ratio_bits"),
+    )
