@@ -1010,8 +1010,20 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE corpus pass produces the conditional per-bucket
     counts ({_DRIFT_BUCKETS} rows), the totals are an aggregate of
-    that tiny table broadcast back — the fact never shuffles twice."""
+    that tiny table broadcast back — the fact never shuffles twice.
+    The counts table is the op's entire trained state — additive, so
+    streaming/jobs.drift_stats_maintenance keeps it current per
+    micro-batch and drift_report serves this exact output from the
+    persisted store with zero corpus scans."""
     docs = load_table(spark, sf_dir, "documents")
+    return drift_report(drift_counts(docs))
+
+
+def drift_counts(docs: DataFrame) -> DataFrame:
+    """The {_DRIFT_BUCKETS}-row (bkt, n_a, n_b) conditional count
+    table q_quality_drift derives in its one corpus pass — the
+    build half of the build/serve split, and the additive state the
+    streaming maintenance job merges per micro-batch."""
     tagged = docs.select(
         F.when(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "7",
@@ -1025,10 +1037,16 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bkt"),
     )
-    c = tagged.groupBy("bkt").agg(
+    return tagged.groupBy("bkt").agg(
         F.sum((F.col("w") == "a").cast("bigint")).alias("n_a"),
         F.sum((F.col("w") == "b").cast("bigint")).alias("n_b"),
     )
+
+
+def drift_report(c: DataFrame) -> DataFrame:
+    """Serve half: fold a (bkt, n_a, n_b) count table — fresh from
+    drift_counts or read back from the maintained store — into the
+    q_quality_drift output.  Touches only the tiny count table."""
     t = c.agg(
         F.sum("n_a").cast("bigint").alias("ta"),
         F.sum("n_b").cast("bigint").alias("tb"),

@@ -850,3 +850,68 @@ def lm_vocab_maintenance(doc_stream: DataFrame, store_dir: str):
         .option("checkpointLocation", f"{store_dir}_ckpt")
         .start()
     )
+
+
+def drift_counts_merge_fn(spark: SparkSession, store_dir: str):
+    """Distribution-drift monitor maintenance — the (bkt, n_a, n_b)
+    count table of pipeline_ops.q_quality_drift kept current over a
+    document stream.  Counter addition is not idempotent (the
+    cms/lm lesson), so the applied-batch markers ride inside the
+    stage dir and commit atomically with the counters via the same
+    rename-over-store step.  The window/bucket tagging is the SAME
+    drift_counts expression the batch query uses, so streamed store
+    == batch counts over the concatenated corpus, and serving the
+    full drift report is pipeline_ops.drift_report(read(store)) —
+    a fold over at most `_DRIFT_BUCKETS` rows, zero corpus scans."""
+    from ..operators.pipeline_ops import drift_counts
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        jvm, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{store_dir}/_applied_{batch_id}"
+        )
+        if fs.exists(marker):
+            return
+        delta = drift_counts(batch_df)
+        prior_markers = []
+        if fs.exists(store_path):
+            for status in fs.listStatus(store_path):
+                name = status.getPath().getName()
+                if name.startswith("_applied_"):
+                    prior_markers.append(name)
+            merged = (
+                spark.read.parquet(store_dir)
+                .unionByName(delta)
+                .groupBy("bkt")
+                .agg(
+                    F.sum("n_a").cast("bigint").alias("n_a"),
+                    F.sum("n_b").cast("bigint").alias("n_b"),
+                )
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        for name in prior_markers + [f"_applied_{batch_id}"]:
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(f"{stage_path}/{name}"), True
+            ).close()
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def drift_stats_maintenance(doc_stream: DataFrame, store_dir: str):
+    """Continuous drift monitoring over a document stream: each
+    micro-batch's per-bucket window counts merge additively into the
+    store (marker-gated against redelivery, see drift_counts_merge_fn).
+    The store IS the monitor's state — any reader folds it into the
+    q_quality_drift report at any moment without touching the
+    document history.  Returns the StreamingQuery (caller stops it)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            drift_counts_merge_fn(doc_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )

@@ -1010,3 +1010,81 @@ def test_lm_vocab_maintenance_matches_batch_and_serves_scoring(
         os.remove(p)
     lm_counts_merge_fn(spark, store)(b2, batch_id=1)
     assert store_counts() != got
+
+
+def test_drift_stats_maintenance_matches_batch_and_serves_report(
+    spark, tmp_path
+):
+    """The streamed drift store after two micro-batches must equal
+    drift_counts over the concatenated corpus, AND folding the store
+    through drift_report must equal the one-shot q_quality_drift on
+    the same corpus (monitoring with zero corpus scans at serve
+    time).  Redelivery with the marker present is a no-op."""
+    import open_street_map_data_wrangling_spark.operators.pipeline_ops as po
+    from open_street_map_data_wrangling_spark.operators.pipeline_ops import (
+        drift_counts,
+        drift_report,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        drift_counts_merge_fn,
+        drift_stats_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "drift_store")
+
+    def mk(first_id, texts):
+        return spark.createDataFrame(
+            [
+                (first_id + i, t, "en", "s", len(t))
+                for i, t in enumerate(texts)
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+
+    b1 = mk(0, ["short", "x" * 150, "y" * 310, "z" * 999])
+    b2 = mk(10, ["medium " * 20, "tiny", "w" * 520])
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = drift_stats_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = b1.unionByName(b2)
+    expected = sorted(
+        tuple(r) for r in drift_counts(corpus).collect()
+    )
+
+    def store_rows():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(store)
+            .select("bkt", "n_a", "n_b")
+            .collect()
+        )
+
+    assert store_rows() == expected
+
+    # serving: report from the store == the one-shot query
+    served = sorted(
+        tuple(r)
+        for r in drift_report(
+            spark.read.parquet(store).select("bkt", "n_a", "n_b")
+        ).collect()
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(po, "load_table", lambda s, d, n: corpus):
+        oneshot = sorted(
+            tuple(r) for r in po.q_quality_drift(spark, "_").collect()
+        )
+    assert served == oneshot
+
+    # replay safety: marker present -> no-op
+    drift_counts_merge_fn(spark, store)(b2, batch_id=1)
+    assert store_rows() == expected
