@@ -1046,7 +1046,11 @@ def drift_counts(docs: DataFrame) -> DataFrame:
 def drift_report(c: DataFrame) -> DataFrame:
     """Serve half: fold a (bkt, n_a, n_b) count table — fresh from
     drift_counts or read back from the maintained store — into the
-    q_quality_drift output.  Touches only the tiny count table."""
+    q_quality_drift output.  Touches only the tiny count table;
+    the checkpoint cuts the totals/join diamond so a fresh count
+    table derives its corpus pass ONCE (was 2 compiled documents
+    scans), and costs nothing when c is already a store read."""
+    c = c.localCheckpoint(eager=False)
     t = c.agg(
         F.sum("n_a").cast("bigint").alias("ta"),
         F.sum("n_b").cast("bigint").alias("tb"),
