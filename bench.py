@@ -216,6 +216,42 @@ def main() -> None:
             round(salted / plain_best, 3) if salted and plain_best else None
         ),
     }
+
+    # Persisted-index serve-only latency: q_ivfpq_serve's headline
+    # time honestly folds the index (re)build and two parquet writes
+    # into one unit — the amortized offline cost.  The number a
+    # deployment actually pays per query is the serve alone over a
+    # prebuilt index (partition-pruned codes scan + 4 LUT lookups a
+    # row + a heap), so record it separately.  Kept out of `timings`
+    # for the same reason as the skew twin.
+    import tempfile as _tf
+
+    from open_street_map_data_wrangling_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    idx_dir = os.path.join(_tf.gettempdir(), "osm_spark_bench_ivfpq")
+    build_ivfpq_index(load_table(spark, sf_dir, "embeddings"), idx_dir)
+    ivfpq_search(spark, idx_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm the serve plan
+    serve_best = None
+    for _pass in range(2):
+        t0 = time.time()
+        ivfpq_search(spark, idx_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = round(time.time() - t0, 3)
+        serve_best = dt if serve_best is None or dt < serve_best else serve_best
+    built = timings.get("q_ivfpq_serve")
+    out["ivfpq_serve"] = {
+        "build_plus_serve_sec": built,
+        "serve_only_sec": serve_best,
+    }
     # Round-over-round regression guard: compare the common query
     # subset against the latest recorded BENCH_r*.json so a
     # scale-safety patch cannot silently re-inflate fixture timings
