@@ -128,9 +128,11 @@ HEADLINE = (
     # over the near-dup graph; contrastive triple mining
     "q_triangle_count",
     "q_contrastive_pairs",
-    # added round 8 (third wave): snapshot-diff and drift monitoring
+    # added round 8 (third wave): snapshot-diff and drift monitoring,
+    # IVF-cell-bounded hard-negative mining
     "q_corpus_diff",
     "q_quality_drift",
+    "q_hard_negatives",
 )
 
 

@@ -730,3 +730,138 @@ def q_sparse_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos2_x1e8"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# X41 — hard-negative mining (IVF-cell-bounded)
+
+# Deterministic bound on the within-cell quadratic: a cell larger
+# than this is excluded from mining (the _LSH_BUCKET_CAP convention
+# — at scale the centroid count C grows with the corpus so healthy
+# cells stay bounded, and a pathological mega-cell is a training
+# signal problem, not something to brute-force through).
+_HARDNEG_CELL_CAP = 2048
+
+
+def _hardneg_oracle() -> str:
+    from .dedup import _PAIRS_CTE
+
+    return f"""
+        WITH {_PAIRS_CTE},
+        {_IVF_ASSIGN_SQL},
+        sizes AS (SELECT cid, count(*) AS n FROM a1 GROUP BY cid),
+        keepc AS (SELECT cid FROM sizes WHERE n <= {_HARDNEG_CELL_CAP}),
+        tagged AS (
+            SELECT a1.vec_id, a1.cid, e.embedding
+            FROM a1 JOIN embeddings e USING (vec_id)
+            JOIN keepc USING (cid)),
+        cand AS (
+            SELECT a.vec_id AS anchor, b.vec_id AS neg,
+                   list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     AS cos_raw
+            FROM tagged a JOIN tagged b
+              ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pairs p
+                WHERE p.pa = least(a.vec_id, b.vec_id)
+                  AND p.pb = greatest(a.vec_id, b.vec_id))),
+        rk AS (
+            SELECT anchor, neg, cos_raw,
+                   row_number() OVER (
+                       PARTITION BY anchor
+                       ORDER BY cos_raw DESC, neg ASC) AS rn
+            FROM cand)
+        SELECT anchor, neg AS hard_negative,
+               round(cos_raw, 4) AS cos_sim
+        FROM rk WHERE rn = 1
+    """
+
+
+@query(
+    "q_hard_negatives",
+    oracle=_hardneg_oracle(),
+    tags=("similarity", "pipeline", "embedding", "extension"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the complement of q_contrastive_pairs'
+    random ring negatives, and what contrastive training actually
+    wants: for every document, its most-similar NON-duplicate
+    neighbor (highest embedding cosine among IVF cell-mates,
+    excluding any LSH near-dup candidate pair), the example that
+    teaches the margin.
+
+    Scale shape: this is batch ANN self-search, IVF-bounded — every
+    vector is assigned its cell row-locally against the literal
+    codebook (zero shuffles, the _ivf_scored_literal E-step), the
+    tagged relation is checkpointed once and self-joined ONLY within
+    cells, so candidate work is Σ|cell|² instead of N² and the
+    per-cell cap bounds the worst case deterministically.  Dup
+    exclusion is an anti-join on the (lo, hi) candidate pair list;
+    the final top-1 is a per-anchor window (partitioned — map-side
+    WindowGroupLimit prunes to one row per anchor before the
+    exchange)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, qv = _collect_ivf_literals(emb, _QUERY_ID_IVF)
+    if qv is None:
+        return _empty_result(
+            emb, "anchor BIGINT, hard_negative BIGINT, cos_sim DOUBLE"
+        )
+    df = emb
+    for cid, cv in enumerate(cents):
+        df = df.withColumn(f"__c{cid}", _lit_vec(cv)).withColumn(
+            f"__cos{cid}", cosine_expr("embedding", f"__c{cid}")
+        )
+    cand_structs = ", ".join(
+        f"struct({cid} AS cid, __cos{cid} AS c)"
+        for cid in range(_N_CENTROIDS)
+    )
+    argmax = F.expr(
+        f"aggregate(array({cand_structs}), "
+        "struct(CAST(-1 AS INT) AS cid, CAST('-Infinity' AS DOUBLE) AS c), "
+        "(acc, x) -> IF(x.c > acc.c, x, acc)).cid"
+    )
+    tagged = df.select(
+        "vec_id", argmax.alias("cid"), "embedding"
+    ).localCheckpoint(eager=False)
+    keep_cells = (
+        tagged.groupBy("cid")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= _HARDNEG_CELL_CAP)
+        .select("cid")
+    )
+    kept = tagged.join(F.broadcast(keep_cells), "cid")
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("anchor"),
+        F.col("b.vec_id").alias("neg"),
+        cosine_expr("a.embedding", "b.embedding").alias("cos_raw"),
+    )
+    from .dedup import q_dedup_near
+
+    pairs = q_dedup_near(spark, sf_dir)
+    nondup = (
+        cand.withColumn("lo", F.least("anchor", "neg"))
+        .withColumn("hi", F.greatest("anchor", "neg"))
+        .join(
+            pairs.select(
+                F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi")
+            ),
+            ["lo", "hi"],
+            "left_anti",
+        )
+    )
+    w = W.partitionBy("anchor").orderBy(F.desc("cos_raw"), F.asc("neg"))
+    return (
+        nondup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("neg").alias("hard_negative"),
+            F.round("cos_raw", 4).alias("cos_sim"),
+        )
+    )

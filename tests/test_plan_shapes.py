@@ -475,6 +475,21 @@ def test_contrastive_pairs_candidate_bounded(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_hard_negatives_cell_bounded(plans):
+    """q_hard_negatives: the tagged (vec_id, cid, embedding) base is
+    checkpoint-fed (zero visible embeddings scans — assignment is a
+    row-local fold computed once), the within-cell self-join is an
+    equi-join on cid (never an all-pairs form), and the per-anchor
+    top-1 window carries a map-side WindowGroupLimit prune.  The two
+    documents scans are the inline LSH pair pipeline's own pinned
+    shape (ReusedExchange at runtime, see the q_dedup_near pins)."""
+    p = plans("q_hard_negatives")
+    assert p.count("embeddings.parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p
+
+
 def test_pq_recall_no_query_row_rescan(plans):
     """The probe vector rides as a plan literal (r07 close-out item
     1): q_pq_recall is two embeddings scans (codes side + exact
