@@ -156,10 +156,12 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     # of the modified group is the ~7-query r06-churn rollover from
     # the r07 window (identical semantics, locally re-verified).
     #
-    # Window arithmetic (r08): 1 fresh (q_image_decode) + ~15
-    # modified (the 12 above plus the BPE oracle promotion pair and
-    # the q_dsir_weights serve-split refactor) — everything fits with
-    # ~34 slots to spare for unchanged rotation.
+    # Window arithmetic (r08, final): 6 fresh (q_image_decode +
+    # q_triangle_count, q_contrastive_pairs, q_corpus_diff,
+    # q_quality_drift, q_hard_negatives — fresh group runs first
+    # automatically) + ~29 modified (the priority list below plus
+    # the r06-churn rollover) — everything fits inside ~50 slots
+    # with room for unchanged rotation.
     "q_boilerplate_strip",
     "q_simhash_near",
     "q_minhash_estimate",
