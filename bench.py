@@ -133,6 +133,7 @@ HEADLINE = (
     "q_corpus_diff",
     "q_quality_drift",
     "q_hard_negatives",
+    "q_comovement",
 )
 
 

@@ -304,3 +304,153 @@ def q_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derivation of the same shortcut)."""
     pts = synth_points(load_table(spark, sf_dir, "customer"))
     return proximity_pairs(pts, radius_m=_PROX_RADIUS_M)
+
+
+# ---------------------------------------------------------------------------
+# X42 — co-movement (convoy / companion) detection
+
+# Crowd-cell cap, the spatio-temporal analogue of _LSH_BUCKET_CAP: a
+# (cell, hour) shared by more than this many users is a crowd (a
+# station, a plaza), not a convoy — pairs from it are meaningless and
+# their count is quadratic in occupancy, so those cells are excluded
+# from pair generation deterministically.
+_CONVOY_CELL_CAP = 32
+_CONVOY_TOP = 20
+
+# Deterministic synthetic trajectory: the driver fixtures carry no
+# positions, so each user's cell at hour h is an md5 of their travel
+# GROUP (users travel in parties of 4; every 17th user wanders solo)
+# — the same md5→bigint recipe synth_points proved cross-engine,
+# giving the detector real convoys to find while the oracle re-derives
+# the identical world.
+_CELL_SPARK = (
+    "CAST(conv(substring(md5(concat('c:', grp, ':', CAST(hr AS STRING))),"
+    " 1, 4), 16, 10) AS BIGINT) % 4096"
+)
+_CELL_DUCK = (
+    "('0x' || substr(md5('c:' || grp || ':' || CAST(hr AS VARCHAR)), 1, 4))"
+    "::BIGINT % 4096"
+)
+
+
+@query(
+    "q_comovement",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                        AS BIGINT) AS hr,
+                   CASE WHEN user_id % 17 = 0
+                        THEN 'u' || CAST(user_id AS VARCHAR)
+                        ELSE 'g' || CAST(user_id // 4 AS VARCHAR) END AS grp
+            FROM events),
+        visits AS (
+            SELECT DISTINCT user_id, hr, {_CELL_DUCK} AS cell FROM ev),
+        occ AS (
+            SELECT cell, hr FROM visits GROUP BY cell, hr
+            HAVING count(*) <= {_CONVOY_CELL_CAP}),
+        kept AS (
+            SELECT v.* FROM visits v JOIN occ USING (cell, hr)),
+        sizes AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM kept GROUP BY user_id),
+        shared AS (
+            SELECT a.user_id AS ua, b.user_id AS ub,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b
+              ON a.cell = b.cell AND a.hr = b.hr
+             AND a.user_id < b.user_id
+            GROUP BY 1, 2)
+        SELECT ua, ub, n_shared,
+               CAST(10000 * n_shared // (sa.n + sb.n - n_shared)
+                    AS BIGINT) AS jaccard_x10k
+        FROM shared
+        JOIN sizes sa ON sa.user_id = ua
+        JOIN sizes sb ON sb.user_id = ub
+        ORDER BY n_shared DESC, jaccard_x10k DESC, ua ASC, ub ASC
+        LIMIT {_CONVOY_TOP}
+    """,
+    tags=("geo", "extension", "join", "timeseries"),
+)
+def q_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convoy / companion detection: the top user pairs by number of
+    shared (grid cell, hour) visits, with the Jaccard of their visit
+    sets — the spatio-temporal co-occurrence join behind
+    contact-tracing, convoy mining, and bot-ring detection.
+
+    Scale shape: trajectories collapse to DISTINCT (user, cell, hr)
+    visits first; pair generation is an equi self-join keyed on
+    (cell, hr) whose worst case is bounded by the crowd-cell cap
+    (quadratic-in-occupancy cells are crowds, not convoys — excluded
+    deterministically, the LSH bucket-cap posture in space-time); the
+    per-user set sizes join back on user id.  Nothing is ever
+    all-pairs across users and no row carries more than ids and two
+    bigint keys.  The visits relation is checkpointed once and feeds
+    all three consumers (occupancy filter, both join sides, sizes)."""
+    ev = load_table(spark, sf_dir, "events")
+    visits = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "CAST(unix_micros(ts) div 3600000000 AS BIGINT)"
+            ).alias("hr"),
+        )
+        .withColumn(
+            "grp",
+            F.expr(
+                "CASE WHEN user_id % 17 = 0 "
+                "THEN concat('u', CAST(user_id AS STRING)) "
+                "ELSE concat('g', CAST(user_id div 4 AS STRING)) END"
+            ),
+        )
+        .withColumn("cell", F.expr(_CELL_SPARK))
+        .select("user_id", "hr", "cell")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    occ = (
+        visits.groupBy("cell", "hr")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= _CONVOY_CELL_CAP)
+        .select("cell", "hr")
+    )
+    kept = visits.join(occ, ["cell", "hr"], "left_semi").localCheckpoint(
+        eager=False
+    )
+    sizes = kept.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("user_id").alias("ua"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("user_id").alias("ub"), F.col("n").alias("nb"))
+    return (
+        shared.join(sa, "ua")
+        .join(sb, "ub")
+        .select(
+            "ua",
+            "ub",
+            "n_shared",
+            F.expr(
+                "CAST(10000 * n_shared div (na + nb - n_shared) AS BIGINT)"
+            ).alias("jaccard_x10k"),
+        )
+        .orderBy(
+            F.desc("n_shared"),
+            F.desc("jaccard_x10k"),
+            F.asc("ua"),
+            F.asc("ub"),
+        )
+        .limit(_CONVOY_TOP)
+    )

@@ -490,6 +490,18 @@ def test_hard_negatives_cell_bounded(plans):
     assert "WindowGroupLimit" in p
 
 
+def test_comovement_checkpoint_fed_heap_topk(plans):
+    """q_comovement: the distinct-visits base is checkpointed once
+    (zero visible events scans — read at materialization) and feeds
+    the occupancy filter, both self-join sides, and the size lookups;
+    the pair join is an equi-join on (cell, hr) and the final top-20
+    is a heap (TakeOrderedAndProject), never a global sort."""
+    p = plans("q_comovement")
+    assert p.count("events.parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_pq_recall_no_query_row_rescan(plans):
     """The probe vector rides as a plan literal (r07 close-out item
     1): q_pq_recall is two embeddings scans (codes side + exact
