@@ -1,0 +1,173 @@
+"""First-class ``osm_xml`` format — Spark 4 Python Data Source API.
+
+``parse_osm_xml`` (osm_xml.py) distributes the reference's iterparse
+ETL through ``spark.read.text`` + ``mapInPandas``.  This module
+exposes the SAME parser as a registered source, so the five shaped
+OSM relations read like any built-in format:
+
+    spark.dataSource.register(OsmXmlDataSource)
+    nodes = (spark.read.format("osm_xml")
+             .option("table", "nodes")
+             .option("numPartitions", "8")
+             .load("/path/extract.osm"))
+
+The reader implements the parallel-read design a native FileFormat
+uses, in pure Python:
+
+* ``partitions()`` cuts the file into N byte ranges — the planner
+  sees real InputPartitions, so tasks schedule across the cluster
+  exactly like parquet splits.
+* Each task aligns its range to element boundaries with the SAME
+  "\\n  <" nesting-level-2 marker the lineSep scan uses (osmosis /
+  API layout, see osm_xml.py's layout note): a boundary whose
+  newline offset falls in [start, end) is OWNED by the task, and its
+  fragment runs to the NEXT boundary wherever that falls — so every
+  element is parsed exactly once with no coordination, the standard
+  split-alignment contract of record readers over splittable text.
+* Scanning is chunked (1 MiB reads, buffer compacted to the open
+  fragment) — per-task memory is bounded by one element plus one
+  chunk, the distributed analog of iterparse+clear.
+
+Fragments then flow through osm_xml._parse_fragment — one parser,
+two transports — so the data source is equivalence-tested against
+parse_osm_xml row-for-row (tests/test_osm_datasource.py, at several
+partition counts including ranges that cut mid-element).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+from .osm_xml import _TABLE_SCHEMAS, _parse_fragment
+
+_MARKER = b"\n  <"
+_CHUNK = 1 << 20
+
+
+class _ByteRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _iter_owned(path: str, start: int, end: int) -> Iterator[bytes]:
+    """Yield the raw bytes of every fragment whose boundary marker
+    newline sits in [start, end); each fragment extends to the next
+    marker (or EOF), possibly past ``end``."""
+    with open(path, "rb") as f:
+        f.seek(start)
+        buf = b""
+        off = start  # absolute file offset of buf[0]
+        pending: int | None = None  # abs offset of the open fragment body
+        while True:
+            chunk = f.read(_CHUNK)
+            if chunk:
+                buf += chunk
+            search_from = 0
+            while True:
+                i = buf.find(_MARKER, search_from)
+                if i < 0:
+                    break
+                m_off = off + i
+                if pending is not None:
+                    yield buf[pending - off : i]
+                    pending = None
+                if m_off >= end:
+                    return
+                pending = m_off + len(_MARKER)
+                search_from = i + len(_MARKER)
+            # compact: keep the open fragment, else just a marker tail
+            keep_abs = (
+                pending
+                if pending is not None
+                else off + max(0, len(buf) - (len(_MARKER) - 1))
+            )
+            buf = buf[keep_abs - off :]
+            off = keep_abs
+            if not chunk:
+                if pending is not None:
+                    yield buf  # last fragment runs to EOF
+                return
+
+
+def _entity_row(shaped: dict, cols: list[str]) -> tuple:
+    return tuple(shaped.get(c) for c in cols)
+
+
+class OsmXmlReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("osm_xml: a .load(<path>) is required")
+        self.table = options.get("table", "nodes")
+        if self.table not in _TABLE_SCHEMAS:
+            raise ValueError(
+                f"osm_xml: unknown table {self.table!r}; "
+                f"one of {sorted(_TABLE_SCHEMAS)}"
+            )
+        self.n_parts = max(1, int(options.get("numPartitions", "8")))
+        self.cols = [
+            field.split()[0]
+            for field in _TABLE_SCHEMAS[self.table].split(", ")
+        ]
+
+    def partitions(self):
+        size = os.path.getsize(self.path)
+        step = max(1, size // self.n_parts)
+        cuts = list(range(0, size, step))[: self.n_parts] + [size]
+        return [_ByteRange(s, e) for s, e in zip(cuts, cuts[1:]) if s < e]
+
+    def read(self, partition: _ByteRange):
+        want = self.table
+        kind_of = {
+            "nodes": "node",
+            "nodes_tags": "node",
+            "ways": "way",
+            "ways_tags": "way",
+            "ways_nodes": "way",
+            "relations": "relation",
+            "relations_tags": "relation",
+            "relation_members": "relation",
+        }[want]
+        child_key = {
+            "nodes_tags": "tags",
+            "ways_tags": "tags",
+            "relations_tags": "tags",
+            "ways_nodes": "nd",
+            "relation_members": "members",
+        }.get(want)
+        for frag in _iter_owned(self.path, partition.start, partition.end):
+            parsed = _parse_fragment(frag.decode("utf-8", errors="replace"))
+            if parsed is None or parsed[0] != kind_of:
+                continue
+            shaped = parsed[1]
+            if child_key is None:
+                yield _entity_row(shaped, self.cols)
+            else:
+                for child in shaped[child_key]:
+                    yield _entity_row(child, self.cols)
+
+
+class OsmXmlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "osm_xml"
+
+    def schema(self) -> str:
+        table = self.options.get("table", "nodes")
+        if table not in _TABLE_SCHEMAS:
+            raise ValueError(
+                f"osm_xml: unknown table {table!r}; "
+                f"one of {sorted(_TABLE_SCHEMAS)}"
+            )
+        return _TABLE_SCHEMAS[table]
+
+    def reader(self, schema) -> OsmXmlReader:
+        return OsmXmlReader(dict(self.options))

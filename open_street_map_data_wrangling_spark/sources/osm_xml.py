@@ -136,30 +136,39 @@ def read_osm_fragments(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("lineSep", "\n  <").text(path)
 
 
+def _parse_fragment(raw: str) -> tuple[str, dict] | None:
+    """One boundary-split fragment (lineSep scan or byte-range data
+    source — both split on the same "\\n  <" marker, so both lose the
+    element's leading '<' and possibly its own closing tag) → parsed
+    (kind, shaped) or None for non-element fragments."""
+    raw = raw.strip()
+    if not raw or raw.startswith(("?", "<?", "osm", "/", "bounds")):
+        return None
+    if not raw.startswith("<"):
+        # the boundary splitter consumed the leading '<'
+        raw = "<" + raw
+    # document close may ride on the final fragment
+    if raw.endswith("</osm>"):
+        raw = raw[: -len("</osm>")].rstrip()
+    parsed = _parse_element(raw)
+    if parsed is None and raw.startswith(("<node", "<way", "<relation")):
+        # the splitter consumed "\n  <" of the element's own
+        # closing tag — retry with it reconstructed
+        kind = (
+            "node"
+            if raw.startswith("<node")
+            else "way" if raw.startswith("<way") else "relation"
+        )
+        parsed = _parse_element(raw + f"</{kind}>")
+    return parsed
+
+
 def _frag_iter(batches: Iterator[pd.DataFrame], want: str) -> Iterator[pd.DataFrame]:
     nodes, node_tags, ways, way_tags, way_nodes = [], [], [], [], []
     rels, rel_tags, rel_members = [], [], []
     for pdf in batches:
         for raw in pdf["value"]:
-            raw = raw.strip()
-            if not raw or raw.startswith(("?", "<?", "osm", "/", "bounds")):
-                continue
-            if not raw.startswith("<"):
-                # the lineSep splitter consumed the leading '<'
-                raw = "<" + raw
-            # document close may ride on the final fragment
-            if raw.endswith("</osm>"):
-                raw = raw[: -len("</osm>")].rstrip()
-            parsed = _parse_element(raw)
-            if parsed is None and raw.startswith(("<node", "<way", "<relation")):
-                # the splitter consumed "\n  <" of the element's own
-                # closing tag — retry with it reconstructed
-                kind = (
-                    "node"
-                    if raw.startswith("<node")
-                    else "way" if raw.startswith("<way") else "relation"
-                )
-                parsed = _parse_element(raw + f"</{kind}>")
+            parsed = _parse_fragment(raw)
             if parsed is None:
                 continue
             kind, shaped = parsed
