@@ -101,6 +101,42 @@ def _entity_row(shaped: dict, cols: list[str]) -> tuple:
     return tuple(shaped.get(c) for c in cols)
 
 
+_KIND_OF = {
+    "nodes": "node",
+    "nodes_tags": "node",
+    "ways": "way",
+    "ways_tags": "way",
+    "ways_nodes": "way",
+    "relations": "relation",
+    "relations_tags": "relation",
+    "relation_members": "relation",
+}
+_CHILD_KEY = {
+    "nodes_tags": "tags",
+    "ways_tags": "tags",
+    "relations_tags": "tags",
+    "ways_nodes": "nd",
+    "relation_members": "members",
+}
+
+
+def _shape_rows(frags: Iterator[bytes], table: str, cols: list[str]):
+    """Fragment bytes → output tuples for one relation — the one
+    shaper both the batch byte-range reader and the streaming
+    file-drop reader run."""
+    kind, child_key = _KIND_OF[table], _CHILD_KEY.get(table)
+    for frag in frags:
+        parsed = _parse_fragment(frag.decode("utf-8", errors="replace"))
+        if parsed is None or parsed[0] != kind:
+            continue
+        shaped = parsed[1]
+        if child_key is None:
+            yield _entity_row(shaped, cols)
+        else:
+            for child in shaped[child_key]:
+                yield _entity_row(child, cols)
+
+
 class OsmXmlReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -125,34 +161,11 @@ class OsmXmlReader(DataSourceReader):
         return [_ByteRange(s, e) for s, e in zip(cuts, cuts[1:]) if s < e]
 
     def read(self, partition: _ByteRange):
-        want = self.table
-        kind_of = {
-            "nodes": "node",
-            "nodes_tags": "node",
-            "ways": "way",
-            "ways_tags": "way",
-            "ways_nodes": "way",
-            "relations": "relation",
-            "relations_tags": "relation",
-            "relation_members": "relation",
-        }[want]
-        child_key = {
-            "nodes_tags": "tags",
-            "ways_tags": "tags",
-            "relations_tags": "tags",
-            "ways_nodes": "nd",
-            "relation_members": "members",
-        }.get(want)
-        for frag in _iter_owned(self.path, partition.start, partition.end):
-            parsed = _parse_fragment(frag.decode("utf-8", errors="replace"))
-            if parsed is None or parsed[0] != kind_of:
-                continue
-            shaped = parsed[1]
-            if child_key is None:
-                yield _entity_row(shaped, self.cols)
-            else:
-                for child in shaped[child_key]:
-                    yield _entity_row(child, self.cols)
+        yield from _shape_rows(
+            _iter_owned(self.path, partition.start, partition.end),
+            self.table,
+            self.cols,
+        )
 
 
 class OsmXmlDataSource(DataSource):
@@ -171,3 +184,84 @@ class OsmXmlDataSource(DataSource):
 
     def reader(self, schema) -> OsmXmlReader:
         return OsmXmlReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> "OsmXmlStreamReader":
+        return OsmXmlStreamReader(dict(self.options))
+
+
+# ---------------------------------------------------------------------------
+# Streaming: file-drop ingestion from the same parser
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+def _rows_from_file(path: str, table: str, cols: list[str]):
+    """Every row of ``table`` in one OSM file — the shared shaper
+    over a single whole-file range."""
+    size = os.path.getsize(path)
+    yield from _shape_rows(_iter_owned(path, 0, size), table, cols)
+
+
+class OsmXmlStreamReader(SimpleDataSourceStreamReader):
+    """File-drop streaming: each micro-batch ingests the ``*.osm``
+    files that appeared in the watched directory since the last
+    offset.  The offset is the sorted, newline-joined list of
+    finished file names — files are the atomic unit (drop complete
+    extracts, the osmosis convention), so ``readBetweenOffsets``
+    replays any committed batch bit-for-bit from the name-set
+    difference, which is what makes restart recovery deterministic.
+
+    SimpleDataSourceStreamReader reads on the driver by design
+    (Spark's documented contract for the simple variant) — right for
+    the incremental-drop rates this models; a bulk backfill uses the
+    batch ``osm_xml`` format's byte-range partitions instead."""
+
+    def __init__(self, options: dict):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("osm_xml stream: a .load(<dir>) is required")
+        table = options.get("table", "nodes")
+        if table not in _TABLE_SCHEMAS:
+            raise ValueError(
+                f"osm_xml: unknown table {table!r}; "
+                f"one of {sorted(_TABLE_SCHEMAS)}"
+            )
+        self.table = table
+        self.cols = [
+            f.split()[0] for f in _TABLE_SCHEMAS[table].split(", ")
+        ]
+
+    def _listing(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.dir) if n.endswith(".osm")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": ""}
+
+    def _emit(self, names: list[str]) -> list[tuple]:
+        # a LIST, not a generator: the simple-reader contract pickles
+        # the batch's records into the streaming cache for replay
+        rows: list[tuple] = []
+        for n in names:
+            rows.extend(
+                _rows_from_file(
+                    os.path.join(self.dir, n), self.table, self.cols
+                )
+            )
+        return rows
+
+    def read(self, start: dict):
+        seen = set(start["files"].split("\n")) - {""}
+        now = self._listing()
+        new = [n for n in now if n not in seen]
+        end = {"files": "\n".join(sorted(seen | set(new)))}
+        return iter(self._emit(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start["files"].split("\n")) - {""}
+        upto = set(end["files"].split("\n")) - {""}
+        return iter(self._emit(sorted(upto - seen)))
+
+    def commit(self, end: dict) -> None:
+        pass

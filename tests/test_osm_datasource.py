@@ -89,3 +89,63 @@ def test_unknown_table_and_missing_path_raise(registered, xml_path):
         spark.read.format("osm_xml").option("table", "nope").load(
             xml_path
         ).collect()
+
+
+def test_stream_reader_ingests_file_drops(registered, tmp_path):
+    """readStream over the registered format: each micro-batch picks
+    up exactly the .osm files dropped since the last offset; after
+    two drops the memory sink equals the batch parse of both files,
+    and readBetweenOffsets replays a committed range bit-for-bit
+    (the restart-recovery contract)."""
+    spark = registered
+    from open_street_map_data_wrangling_spark.sources.osm_datasource import (
+        OsmXmlStreamReader,
+    )
+
+    watch = tmp_path / "drops"
+    watch.mkdir()
+    xml = _make_xml()
+    (watch / "a.osm").write_text(xml)
+
+    stream = (
+        spark.readStream.format("osm_xml")
+        .option("table", "nodes")
+        .load(str(watch))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("osm_stream_nodes")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_one = spark.table("osm_stream_nodes").count()
+        (watch / "b.osm").write_text(xml)
+        q.processAllAvailable()
+        n_two = spark.table("osm_stream_nodes").count()
+    finally:
+        q.stop()
+    batch_n = (
+        spark.read.format("osm_xml")
+        .option("table", "nodes")
+        .load(str(watch / "a.osm"))
+        .count()
+    )
+    assert batch_n > 0
+    assert n_one == batch_n
+    assert n_two == 2 * batch_n
+
+    # deterministic replay from the name-set difference
+    r = OsmXmlStreamReader({"path": str(watch), "table": "nodes"})
+    start = r.initialOffset()
+    rows, end = r.read(start)
+    assert sorted(end["files"].split("\n")) == ["a.osm", "b.osm"]
+    all_rows = sorted(rows)
+    again = sorted(r.readBetweenOffsets(start, end))
+    assert again == all_rows
+    mid = {"files": "a.osm"}
+    only_b = sorted(r.readBetweenOffsets(mid, end))
+    assert len(only_b) == batch_n
