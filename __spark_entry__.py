@@ -190,6 +190,9 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     "q_mm_extract",
     "q_multimodal",
     "q_compression_ratio",
+    # Late-r08 foreign-source hardening (TRY_CAST in the mix-class
+    # rule, identical both engines; oracle-re-verified):
+    "q_domain_mix",
 )
 
 

@@ -277,7 +277,12 @@ def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the op is pure expression logic at any source cardinality; swapping
 # in a broadcast (source, threshold) dim table is a one-line change.
 _MIX_CASE_SQL = (
-    "CASE (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4) "
+    # TRY_CAST (same spelling both engines): a source name outside
+    # the srcN convention extracts '' — under ANSI that cast crashed
+    # the whole query (found by the unicode/foreign-source sweep);
+    # NULL now falls through coalesce into the most-downsampled class
+    "CASE (coalesce(TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) "
+    "AS INT), 3) % 4) "
     "WHEN 0 THEN 'ffff' WHEN 1 THEN '7fff' WHEN 2 THEN '3fff' "
     "ELSE '1fff' END"
 )

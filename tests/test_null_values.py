@@ -20,6 +20,11 @@ now pins them:
   and the ADC lookup crashed on element_at(lut, 0); _with_qemb now
   drops uncodable rows (mirrored by WHERE embedding IS NOT NULL in
   _CODES_SQL), one rule shared by codes/ADC/recall/build/training.
+
+The fixture also carries CJK/emoji/RTL text rows under a source name
+outside the srcN convention — that layer's one find was
+q_domain_mix's ANSI CAST of the empty regexp_extract (fixed with
+TRY_CAST, identical both engines).
 """
 
 from __future__ import annotations
@@ -52,7 +57,25 @@ def nulls_sf_dir(spark, tmp_path_factory):
                 .withColumn("lang", F.lit(None).cast("string"))
                 .withColumn("doc_id", F.col("doc_id") + 1000000)
             )
-            df = df.unionByName(extra)
+            # unicode + foreign-source rows ride in the same sweep:
+            # CJK/emoji/RTL text and a source name outside the srcN
+            # convention (the latter crashed q_domain_mix's ANSI cast
+            # until TRY_CAST, the one hit this sweep ever found)
+            uni = spark.createDataFrame(
+                [
+                    (2000000 + i, txt, "xx", "uni", len(txt))
+                    for i, txt in enumerate(
+                        [
+                            "héllo wörld 東京タワー 🚀 emoji",
+                            "مرحبا بالعالم النص العربي",
+                            "ẞ ß ŉ ǅ mixed ÇÊ̈ combining",
+                        ]
+                    )
+                ],
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long",
+            )
+            df = df.unionByName(extra).unionByName(uni)
         elif t == "embeddings":
             extra = (
                 df.limit(2)
@@ -91,7 +114,7 @@ def test_null_payload_rows_surface_as_null_features(spark, nulls_sf_dir):
         r["doc_id"]: r
         for r in qs["q_mm_extract"].spark(spark, nulls_sf_dir).collect()
     }
-    null_rows = [r for d, r in mm.items() if d >= 1000000]
+    null_rows = [r for d, r in mm.items() if 1000000 <= d < 2000000]
     assert len(null_rows) == 2
     assert all(
         r["n_bytes"] is None and r["content_md5"] is None for r in null_rows
@@ -102,7 +125,9 @@ def test_null_payload_rows_surface_as_null_features(spark, nulls_sf_dir):
         .spark(spark, nulls_sf_dir)
         .collect()
     }
-    assert all(cr[d]["ratio_x10k"] is None for d in cr if d >= 1000000)
+    assert all(
+        cr[d]["ratio_x10k"] is None for d in cr if 1000000 <= d < 2000000
+    )
     codes = (
         qs["q_pq_codes"].spark(spark, nulls_sf_dir).collect()
     )
