@@ -156,12 +156,13 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     # of the modified group is the ~7-query r06-churn rollover from
     # the r07 window (identical semantics, locally re-verified).
     #
-    # Window arithmetic (r08, final): 6 fresh (q_image_decode +
+    # Window arithmetic (r08, final): 10 fresh (q_image_decode,
     # q_triangle_count, q_contrastive_pairs, q_corpus_diff,
-    # q_quality_drift, q_hard_negatives — fresh group runs first
-    # automatically) + ~29 modified (the priority list below plus
-    # the r06-churn rollover) — everything fits inside ~50 slots
-    # with room for unchanged rotation.
+    # q_quality_drift, q_hard_negatives, q_comovement, and the
+    # wave-4 trio q_winnow / q_label_prop / q_shard_plan — the
+    # fresh group runs first automatically) + ~29 modified (the
+    # priority list below plus the r06-churn rollover) — everything
+    # fits inside ~50 slots with room for unchanged rotation.
     "q_boilerplate_strip",
     "q_simhash_near",
     "q_minhash_estimate",

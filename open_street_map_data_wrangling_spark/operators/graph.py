@@ -308,3 +308,144 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.select("rank", "doc_id", "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous, fixed rounds)
+
+_LP_ITERS = 4
+
+
+def _lp_oracle() -> str:
+    """DuckDB twin of label_propagation_fixed: the update rule is a
+    FIXED number of synchronous rounds, so — exactly like _pr_oracle —
+    it unrolls into _LP_ITERS chained MATERIALIZED CTE pairs
+    (cnt_t, l_t).  The argmax is a deterministic window row_number
+    with the (count DESC, label ASC) tiebreak both engines share, so
+    the twin is bit-exact."""
+    iters = []
+    for t in range(_LP_ITERS):
+        iters.append(f"""
+        cnt{t + 1} AS MATERIALIZED (
+            SELECT e.dst AS doc_id, l.lab, CAST(count(*) AS BIGINT) AS c
+            FROM edges e JOIN l{t} l ON l.doc_id = e.src
+            GROUP BY e.dst, l.lab),
+        pick{t + 1} AS MATERIALIZED (
+            SELECT doc_id, lab FROM (
+                SELECT doc_id, lab,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, lab ASC) AS rn
+                FROM cnt{t + 1})
+            WHERE rn = 1),
+        l{t + 1} AS MATERIALIZED (
+            SELECT l.doc_id, coalesce(p.lab, l.lab) AS lab
+            FROM l{t} l LEFT JOIN pick{t + 1} p USING (doc_id))""")
+    chain = ",".join(iters)
+    return f"""
+        WITH {_PAIRS_CTE},
+        edges AS MATERIALIZED (
+            SELECT pa AS src, pb AS dst FROM pairs
+            UNION
+            SELECT pb AS src, pa AS dst FROM pairs),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT src AS doc_id, src AS lab FROM edges),{chain}
+        SELECT lab AS community,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM l{_LP_ITERS}
+        GROUP BY lab
+    """
+
+
+def label_propagation_fixed(pairs: DataFrame, iters: int = _LP_ITERS) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, made
+    deterministic) over an undirected pair list: returns
+    (doc_id, lab) after a FIXED number of rounds.
+
+    Update rule per round, for every node with >= 1 neighbor:
+      new_lab = argmax over neighbor labels of (count DESC, lab ASC)
+
+    The classic algorithm breaks count ties randomly and sweeps nodes
+    in random order; both choices are replaced with deterministic
+    ones (label ASC tiebreak, fully synchronous update), so the
+    result is a pure function of the edge list — the same
+    partitioning-invariance contract every other iterative op here
+    carries.  Fixed rounds rather than convergence (same argument as
+    pagerank_fixed): a bounded nightly job, and 4 synchronous rounds
+    propagate labels across diameter-4 neighborhoods, plenty to
+    separate dense template families from LSH chain artifacts.
+
+    Where connected components (q_dedup_clusters) answers
+    reachability and triangle counts (q_triangle_count) score local
+    cohesion, label propagation finds DENSITY communities: a chain
+    A-B-C-D collapses into one component but propagation keeps
+    distant labels alive, splitting weakly-bridged families.
+
+    Scale shape per round: one equi-join of the edge list with the
+    N-row label table on src + one groupBy (dst, lab) + one
+    per-node window argmax — every exchange hashes on node id, so
+    the edge list's partitioning is reused across all T rounds;
+    per-round localCheckpoint keeps the plan flat."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("lab"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        cnt = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("src"), "lab"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"), "lab")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        pick = (
+            cnt.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("doc_id").orderBy(
+                        F.desc("c"), F.asc("lab")
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("doc_id", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(pick, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("new_lab", "lab").alias("lab"),
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
+@query("q_label_prop", oracle=_lp_oracle(), tags=("graph", "iterative", "extension"))
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density communities of the near-dup candidate graph via 4
+    rounds of deterministic synchronous label propagation — one row
+    per surviving community with its size and doc-id span.  Pair
+    input is q_dedup_near (oracle-verified separately); the fixed
+    recurrence unrolls into 4 chained MATERIALIZED CTE groups in the
+    DuckDB twin (_lp_oracle), so the driver hash-checks the whole
+    iteration."""
+    labels = label_propagation_fixed(q_dedup_near(spark, sf_dir))
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )

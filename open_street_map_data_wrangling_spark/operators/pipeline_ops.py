@@ -1085,3 +1085,127 @@ def drift_report(c: DataFrame) -> DataFrame:
         .cast("int")
         .alias("log2_ratio_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Output shard planner (distributed two-stage prefix sum)
+
+_SHARD_BYTES = 4096  # fixture-scale shard budget; ~1 GiB in production
+
+
+@query(
+    "q_shard_plan",
+    oracle=f"""
+        WITH sized AS (
+            SELECT source, doc_id,
+                   CAST(coalesce(length(text), 0) AS BIGINT) AS bytes
+            FROM documents),
+        placed AS (
+            SELECT source, doc_id, bytes,
+                   CAST(coalesce(sum(bytes) OVER (
+                       ORDER BY source, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS global_before
+            FROM sized)
+        SELECT CAST(global_before // {_SHARD_BYTES} AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(max(doc_id) AS BIGINT) AS last_doc
+        FROM placed
+        GROUP BY 1
+    """,
+    tags=("pipeline", "extension", "sharding", "prefix-sum"),
+)
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform output-shard planner (X family): assign every document
+    a byte offset in the (source, doc_id)-ordered corpus and cut the
+    stream into fixed-byte shards — the plan a 100 TB export job
+    needs before writing training shards of near-equal size (ragged
+    shards skew downstream loader throughput).
+
+    The interesting part is HOW the global offset is computed.  The
+    oracle states the semantics directly: one global running sum over
+    ORDER BY (source, doc_id).  Executing that literally on Spark
+    would serialize the corpus through a single window task — the
+    canonical scale anti-pattern q_pack's docstring warns about.
+    Instead the classic two-stage distributed prefix sum:
+
+      1. per-source subtotals (one groupBy — tiny result, one row
+         per source),
+      2. running offsets over THAT table only (the single-partition
+         window touches #sources rows, not the corpus),
+      3. broadcast the offsets back and add the within-source
+         cumulative sum (window partitioned by source — fully
+         parallel).
+
+    global_before = source_offset + within-source cumsum-before, and
+    shard_id = global_before div SHARD_BYTES.  Bit-identical to the
+    oracle's single window because (source, doc_id) ordering nests.
+    Output is the per-shard manifest (count, bytes, source span), so
+    the result stays small at any corpus size.
+
+    The compiled plan reads documents TWICE (subtotal pass + place
+    pass) — that is the inherent shape of a distributed prefix sum
+    (offsets must exist before any row can be placed), not a diamond
+    to checkpoint-cut: the shared relation is corpus-sized, so
+    materializing it would cost more than the second pruned
+    (source, doc_id, length) scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.coalesce(F.length("text"), F.lit(0)).cast("bigint").alias("bytes"),
+    )
+    subtotal = sized.groupBy("source").agg(
+        F.sum("bytes").cast("bigint").alias("src_bytes")
+    )
+    # single-partition window over the per-source table only: bounded
+    # by the number of sources, never the corpus
+    offsets = subtotal.select(
+        "source",
+        F.coalesce(
+            F.sum("src_bytes").over(
+                W.orderBy("source").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("src_offset"),
+    )
+    within = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = (
+        sized.join(F.broadcast(offsets), "source")
+        .select(
+            "source",
+            "doc_id",
+            "bytes",
+            (
+                F.col("src_offset")
+                + F.coalesce(F.sum("bytes").over(within), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("global_before"),
+        )
+    )
+    return (
+        placed.groupBy(
+            F.expr(f"global_before div {_SHARD_BYTES}")
+            .cast("bigint")
+            .alias("shard_id")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("bytes").cast("bigint").alias("shard_bytes"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+    )

@@ -772,3 +772,100 @@ def lm_score_docs(docs: DataFrame, counts: DataFrame) -> DataFrame:
         .orderBy(F.desc("cbits_per_tok"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style local-minimum k-gram selection)
+
+_WINNOW_K = 3  # tokens per k-gram
+_WINNOW_W = 4  # winnowing window (k-grams per selection window)
+
+
+@query(
+    "q_winnow",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+            FROM documents),
+        feat AS (
+            SELECT doc_id, pos,
+                   CAST(ascii(substr(tok, 1, 1)) * 131 + length(tok) * 7
+                        AS BIGINT) AS h
+            FROM tok),
+        gram AS (
+            SELECT doc_id, pos,
+                   h + 31 * lead(h, 1) OVER w + 961 * lead(h, 2) OVER w AS g
+            FROM feat
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        winnowed AS (
+            SELECT doc_id,
+                   min(g) OVER v AS sel,
+                   count(g) OVER v AS n_in_frame
+            FROM gram WHERE g IS NOT NULL
+            WINDOW v AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING))
+        SELECT doc_id,
+               CAST(count(DISTINCT sel) AS BIGINT) AS n_fingerprints,
+               CAST(min(sel) AS BIGINT) AS fp_min,
+               CAST(sum(DISTINCT sel) AS BIGINT) AS fp_sum
+        FROM winnowed
+        WHERE n_in_frame = {_WINNOW_W}
+        GROUP BY doc_id
+    """,
+    tags=("text", "extension", "fingerprint", "winnowing"),
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (X4 family): the MOSS
+    local-minimum scheme (Schleimer, Wilkerson, Aiken, SIGMOD'03) —
+    hash every K-token gram, slide a W-gram window, keep each
+    window's minimum hash.  Guarantees every match of length
+    >= K + W - 1 tokens shares at least one selected fingerprint
+    while storing only ~2/(W+1) of the gram hashes — the classic
+    content-defined selection used for plagiarism/clone detection,
+    complementing q_fingerprint's whole-document rolling hash with a
+    SUBSTRING-match fingerprint set.
+
+    Integer arithmetic end-to-end (token feature as q_fingerprint's,
+    gram hash = base-31 combination via two lead()s), so both engines
+    agree bit-for-bit.  Only FULL windows select (count-over-frame
+    guard) — the tail of a document never winnows a short frame,
+    matching the paper's definition and keeping the result a pure
+    function of the token stream.
+
+    100 TB shape: every window (lead, min-over-frame) is partitioned
+    by doc_id, so the whole pipeline is ONE shuffle on doc_id; the
+    final groupBy doc_id lands on the same partitioning (no second
+    exchange).  No UDFs, no driver traffic; per-doc state is bounded
+    by document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    h = (
+        F.ascii(F.substring("tok", 1, 1)) * 131 + F.length("tok") * 7
+    ).cast("bigint")
+    wseq = W.partitionBy("doc_id").orderBy("pos")
+    gram = tk.select(
+        "doc_id",
+        "pos",
+        (
+            h + 31 * F.lead(h, 1).over(wseq) + 961 * F.lead(h, 2).over(wseq)
+        ).alias("g"),
+    ).where(F.col("g").isNotNull())
+    vframe = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, W.currentRow + _WINNOW_W - 1)
+    )
+    winnowed = gram.select(
+        "doc_id",
+        F.min("g").over(vframe).alias("sel"),
+        F.count("g").over(vframe).alias("n_in_frame"),
+    ).where(F.col("n_in_frame") == _WINNOW_W)
+    return winnowed.groupBy("doc_id").agg(
+        F.countDistinct("sel").cast("bigint").alias("n_fingerprints"),
+        F.min("sel").cast("bigint").alias("fp_min"),
+        F.sum_distinct(F.col("sel")).cast("bigint").alias("fp_sum"),
+    )

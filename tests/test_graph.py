@@ -121,3 +121,57 @@ def test_triangle_counts_match_bruteforce_on_fixture(spark):
         ).collect()
     }
     assert got == expected
+
+
+def _lp_replay(pairs: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    """Pure-Python synchronous label propagation with the
+    (count DESC, label ASC) tiebreak — the deterministic twin of
+    label_propagation_fixed."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for u in nbrs:
+                counts[lab[u]] = counts.get(lab[u], 0) + 1
+            new[v] = min(counts, key=lambda L: (-counts[L], L))
+        lab = new
+    return lab
+
+
+def test_label_prop_matches_pure_python_replay(spark):
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in q_dedup_near(spark, SF).collect()
+    ]
+    assert pairs
+    expected = _lp_replay(pairs, graph._LP_ITERS)
+    got = {
+        r["doc_id"]: r["lab"]
+        for r in graph.label_propagation_fixed(
+            q_dedup_near(spark, SF)
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_label_prop_toy_two_cliques_bridged(spark):
+    """Two 4-cliques joined by a single bridge edge are ONE connected
+    component but TWO propagation communities: the bridge carries
+    only one vote, so each clique's internal majority (label 1 resp.
+    label 11 after the min-tiebreak round) holds on both sides."""
+    k1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k2 = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in k1 + k2 + [(4, 11)]], "doc_a long, doc_b long"
+    )
+    lab = {
+        r["doc_id"]: r["lab"]
+        for r in graph.label_propagation_fixed(pairs).collect()
+    }
+    assert len({lab[v] for v in range(1, 5)}) == 1
+    assert len({lab[v] for v in range(11, 15)}) == 1
+    assert lab[1] != lab[11]

@@ -1348,3 +1348,51 @@ def test_hard_negatives_invariants(spark):
         lo, hi = sorted((r["anchor"], r["hard_negative"]))
         assert (lo, hi) not in pair_set
         assert -1.0 <= r["cos_sim"] <= 1.0
+
+
+def test_winnow_matches_python_replay_and_match_guarantee(spark, monkeypatch):
+    """q_winnow is bit-exact against a direct Python replay of the
+    winnowing scheme (k=3-gram base-31 hashes, w=4 full-window
+    minima), and exhibits the paper's guarantee: two documents
+    sharing a token run of length >= k + w - 1 = 6 share at least
+    one selected fingerprint."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+
+    shared = "the quick brown fox jumps over"  # 6 shared tokens
+    docs = [
+        (1, f"intro words {shared} tail one", "en", "s0"),
+        (2, f"{shared} completely different ending here", "en", "s1"),
+        (3, "no overlap with anything else at all", "en", "s0"),
+        (4, "tiny doc", "en", "s1"),  # < 6 tokens -> no full window
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    monkeypatch.setattr(tx, "load_table", lambda s, d, n: df)
+
+    def replay(text: str) -> set[int]:
+        toks = text.split(" ")
+        feat = [ord(t[0]) * 131 + len(t) * 7 for t in toks]
+        grams = [
+            feat[i] + 31 * feat[i + 1] + 961 * feat[i + 2]
+            for i in range(len(feat) - 2)
+        ]
+        w = tx._WINNOW_W
+        return {
+            min(grams[i : i + w]) for i in range(len(grams) - w + 1)
+        }
+
+    expected = {
+        doc_id: replay(text) for doc_id, text, _l, _s in docs
+        if len(text.split(" ")) >= tx._WINNOW_K + tx._WINNOW_W - 1
+    }
+    got = {
+        r["doc_id"]: (r["n_fingerprints"], r["fp_min"], r["fp_sum"])
+        for r in tx.q_winnow(spark, "_").collect()
+    }
+    assert set(got) == set(expected)  # doc 4 absent: no full window
+    for doc_id, sel in expected.items():
+        assert got[doc_id] == (len(sel), min(sel), sum(sel))
+    # the winnowing guarantee on the replayed fingerprint sets
+    assert expected[1] & expected[2], "shared 6-token run must share a print"
+    assert not (expected[1] & expected[3])

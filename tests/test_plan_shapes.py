@@ -509,3 +509,33 @@ def test_pq_recall_no_query_row_rescan(plans):
     p = plans("q_pq_recall")
     assert p.count("embeddings.parquet") == 2
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round8_wave4_scan_shapes(plans):
+    """Round-8 wave-4 ops enter with their scan budgets pinned:
+    q_winnow is the ideal shape — ONE documents scan, every window
+    (lead, min-over-frame) and the final groupBy partitioned by
+    doc_id so the whole op is one shuffle; q_shard_plan reads
+    documents exactly TWICE by design (the inherent two-pass shape
+    of a distributed prefix sum: subtotal pass, then place pass —
+    see its docstring for why a checkpoint cut would be worse);
+    q_label_prop follows the graph-family discipline (edge +
+    label checkpoints, zero visible corpus scans, equi-joins only)."""
+    assert plans("q_winnow").count("documents.parquet") == 1
+    assert plans("q_shard_plan").count("documents.parquet") == 2
+    p = plans("q_label_prop")
+    assert p.count("documents.parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_winnow_single_exchange_pipeline(plans):
+    """All three window specs and the final aggregation in q_winnow
+    hash-partition on doc_id: exactly one Exchange hashpartitioning
+    round for the doc column, no second shuffle for the groupBy."""
+    p = plans("q_winnow")
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", p)
+    assert exchanges, p
+    assert all(e.startswith("doc_id") for e in exchanges), exchanges
