@@ -134,6 +134,11 @@ HEADLINE = (
     "q_quality_drift",
     "q_hard_negatives",
     "q_comovement",
+    # added round 8 (fourth wave): winnowing fingerprints, label
+    # propagation communities, two-stage prefix-sum shard planner
+    "q_winnow",
+    "q_label_prop",
+    "q_shard_plan",
 )
 
 

@@ -1153,6 +1153,15 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing it would cost more than the second pruned
     (source, doc_id, length) scan."""
     docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest_fold(shard_manifest(shard_place(docs)))
+
+
+def shard_place(docs: DataFrame, base_offset: int = 0) -> DataFrame:
+    """Two-stage distributed prefix sum: every document gets its byte
+    offset in the (source, doc_id)-ordered stream, starting at
+    base_offset (0 for a one-shot plan; the stored end offset for an
+    incremental append batch).  Returns (source, doc_id, bytes,
+    global_before)."""
     sized = docs.select(
         "source",
         "doc_id",
@@ -1181,31 +1190,58 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    placed = (
-        sized.join(F.broadcast(offsets), "source")
-        .select(
-            "source",
-            "doc_id",
-            "bytes",
-            (
-                F.col("src_offset")
-                + F.coalesce(F.sum("bytes").over(within), F.lit(0))
-            )
-            .cast("bigint")
-            .alias("global_before"),
+    return sized.join(F.broadcast(offsets), "source").select(
+        "source",
+        "doc_id",
+        "bytes",
+        (
+            F.lit(base_offset).cast("bigint")
+            + F.col("src_offset")
+            + F.coalesce(F.sum("bytes").over(within), F.lit(0))
         )
+        .cast("bigint")
+        .alias("global_before"),
     )
-    return (
-        placed.groupBy(
-            F.expr(f"global_before div {_SHARD_BYTES}")
-            .cast("bigint")
-            .alias("shard_id")
-        )
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("bytes").cast("bigint").alias("shard_bytes"),
-            F.countDistinct("source").cast("bigint").alias("n_sources"),
-            F.min("doc_id").cast("bigint").alias("first_doc"),
-            F.max("doc_id").cast("bigint").alias("last_doc"),
+
+
+def shard_manifest(placed: DataFrame) -> DataFrame:
+    """Per-(shard, source) granular manifest — the mergeable state
+    unit of the incremental planner: every column re-aggregates with
+    sum/sum/min/max, so manifests of consecutive corpus chunks merge
+    additively into the one-shot manifest (streaming/jobs.
+    shard_manifest_merge_fn relies on exactly this)."""
+    return placed.groupBy(
+        F.expr(f"global_before div {_SHARD_BYTES}")
+        .cast("bigint")
+        .alias("shard_id"),
+        "source",
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
+def shard_manifest_fold(granular: DataFrame) -> DataFrame:
+    """Fold the granular (shard, source) manifest into the per-shard
+    result q_shard_plan reports; n_sources = count(*) because the
+    input is one row per (shard, source)."""
+    return granular.groupBy("shard_id").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("bytes").cast("bigint").alias("shard_bytes"),
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.min("first_doc").cast("bigint").alias("first_doc"),
+        F.max("last_doc").cast("bigint").alias("last_doc"),
+    )
+
+
+def shard_manifest_serve(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serve the shard manifest from the persisted granular store
+    maintained by streaming/jobs.shard_manifest_maintenance — a fold
+    over rows bounded by #shards × #sources, zero corpus scans."""
+    return shard_manifest_fold(
+        spark.read.parquet(store_dir).select(
+            "shard_id", "source", "n_docs", "bytes", "first_doc", "last_doc"
         )
     )

@@ -915,3 +915,81 @@ def drift_stats_maintenance(doc_stream: DataFrame, store_dir: str):
         .option("checkpointLocation", f"{store_dir}_ckpt")
         .start()
     )
+
+
+def shard_manifest_merge_fn(spark: SparkSession, store_dir: str):
+    """Incremental output-shard planning — pipeline_ops.q_shard_plan's
+    granular (shard, source) manifest kept current as corpus chunks
+    arrive IN (source, doc_id) ORDER (the append-only export
+    contract: a batch is placed after everything already planned).
+    The stored end offset is simply sum(bytes) over the store — no
+    separate state row — so placement is not idempotent and the
+    applied-batch markers ride the same stage-rename commit as every
+    other counter store here.  Every manifest column merges with
+    sum/sum/min/max at (shard_id, source) grain, which is why the
+    streamed store folded through shard_manifest_fold equals the
+    one-shot plan over the concatenated corpus (pytest-pinned)."""
+    from ..operators.pipeline_ops import shard_manifest, shard_place
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        jvm, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{store_dir}/_applied_{batch_id}"
+        )
+        if fs.exists(marker):
+            return
+        prior_markers = []
+        end_offset = 0
+        store = None
+        if fs.exists(store_path):
+            for status in fs.listStatus(store_path):
+                name = status.getPath().getName()
+                if name.startswith("_applied_"):
+                    prior_markers.append(name)
+            store = spark.read.parquet(store_dir).select(
+                "shard_id", "source", "n_docs", "bytes",
+                "first_doc", "last_doc",
+            )
+            # bounded scalar: one aggregate row over the tiny store
+            end_offset = (
+                store.agg(F.sum("bytes")).collect()[0][0] or 0
+            )
+        delta = shard_manifest(shard_place(batch_df, int(end_offset)))
+        if store is not None:
+            merged = (
+                store.unionByName(delta)
+                .groupBy("shard_id", "source")
+                .agg(
+                    F.sum("n_docs").cast("bigint").alias("n_docs"),
+                    F.sum("bytes").cast("bigint").alias("bytes"),
+                    F.min("first_doc").cast("bigint").alias("first_doc"),
+                    F.max("last_doc").cast("bigint").alias("last_doc"),
+                )
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        for name in prior_markers + [f"_applied_{batch_id}"]:
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(f"{stage_path}/{name}"), True
+            ).close()
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def shard_manifest_maintenance(doc_stream: DataFrame, store_dir: str):
+    """Continuous shard planning over an ordered document stream:
+    each micro-batch is placed after the stored end offset and its
+    granular manifest merges into the store; serving the full
+    per-shard manifest is pipeline_ops.shard_manifest_serve(store) —
+    a fold over #shards × #sources rows, zero corpus scans.  Returns
+    the StreamingQuery (caller stops it)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            shard_manifest_merge_fn(doc_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )

@@ -1088,3 +1088,65 @@ def test_drift_stats_maintenance_matches_batch_and_serves_report(
     # replay safety: marker present -> no-op
     drift_counts_merge_fn(spark, store)(b2, batch_id=1)
     assert store_rows() == expected
+
+
+def test_shard_manifest_maintenance_matches_one_shot_plan(spark, tmp_path):
+    """Incremental shard planning: streaming two corpus chunks that
+    arrive in (source, doc_id) order and folding the maintained
+    granular store must equal the ONE-SHOT q_shard_plan manifest over
+    the concatenated corpus — the append-only export contract with
+    zero corpus scans at serve time.  Replaying the merge with its
+    marker present is a no-op (placement is not idempotent)."""
+    import open_street_map_data_wrangling_spark.operators.pipeline_ops as po
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        shard_manifest_maintenance,
+        shard_manifest_merge_fn,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "shard_store")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", s, len(t)) for i, t, s in rows],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+
+    # chunk 2 is strictly after chunk 1 in (source, doc_id) order
+    b1 = mk(
+        [(1, "a" * 900, "s0"), (2, "b" * 2500, "s0"), (3, "c" * 700, "s1")]
+    )
+    b2 = mk(
+        [(4, "d" * 1800, "s2"), (5, "e" * 300, "s2"), (6, "f" * 4300, "s3")]
+    )
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = shard_manifest_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = b1.unionByName(b2)
+    expected = sorted(
+        tuple(r)
+        for r in po.shard_manifest_fold(
+            po.shard_manifest(po.shard_place(corpus))
+        ).collect()
+    )
+    served = sorted(
+        tuple(r) for r in po.shard_manifest_serve(spark, store).collect()
+    )
+    assert served == expected
+    assert len(served) >= 2  # the fixture spans multiple shards
+
+    # marker-gated redelivery: replaying batch 0 changes nothing
+    before = served
+    shard_manifest_merge_fn(spark, store)(b1, 0)
+    after = sorted(
+        tuple(r) for r in po.shard_manifest_serve(spark, store).collect()
+    )
+    assert after == before
