@@ -139,6 +139,7 @@ HEADLINE = (
     "q_winnow",
     "q_label_prop",
     "q_shard_plan",
+    "q_dup_spans",
 )
 
 

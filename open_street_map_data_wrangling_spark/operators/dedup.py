@@ -1546,3 +1546,137 @@ def boilerplate_rewrite(docs: DataFrame) -> DataFrame:
         .alias("new_text"),
         F.coalesce("removed", F.lit(0).cast("bigint")).alias("removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span coverage (ExactSubstr-style metric)
+
+_SPAN_K = 16  # tokens per overlapping gram (the paper uses 50 at scale)
+
+
+def _span_gram_terms(col: str) -> str:
+    """SQL terms of the stride-1 k-gram hash: Σ_d lead(h,d)*31^(d%8)
+    over the per-token feature column.  Relative-index weights keep
+    the hash SHIFT-INVARIANT (equal token runs hash equal at any
+    offset) — a position-mod weight like q_fingerprint's would
+    break exactly the cross-offset matches this metric exists to
+    find.  Identical text in Spark and DuckDB."""
+    return " + ".join(
+        f"lead({col}, {d}) OVER w * {31 ** (d % 8)}"
+        for d in range(_SPAN_K)
+    )
+
+
+@query(
+    "q_dup_spans",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+            FROM documents),
+        feat AS (
+            SELECT doc_id, pos,
+                   CAST(ascii(substr(tok, 1, 1)) * 131 + length(tok) * 7
+                        AS BIGINT) AS h
+            FROM tok),
+        gram AS (
+            SELECT doc_id, pos, {_span_gram_terms('h')} AS g
+            FROM feat
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        dupg AS (
+            SELECT g FROM gram WHERE g IS NOT NULL
+            GROUP BY g HAVING count(*) >= 2),
+        flagged AS (
+            SELECT gr.doc_id, gr.pos,
+                   CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+            FROM gram gr LEFT JOIN dupg d ON gr.g = d.g),
+        covered AS (
+            SELECT doc_id, pos,
+                   max(is_dup) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN {_SPAN_K - 1} PRECEDING
+                                     AND CURRENT ROW) AS cov
+            FROM flagged)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_toks,
+               CAST(sum(cov) AS BIGINT) AS dup_toks,
+               CAST(100 * sum(cov) // count(*) AS BIGINT) AS cov_pct
+        FROM covered
+        GROUP BY doc_id
+    """,
+    tags=("dedup", "extension", "exact-substr"),
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage — the ExactSubstr
+    dedup metric (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): for every document, the fraction of
+    token positions covered by some stride-1 k-token gram that
+    occurs MORE THAN ONCE in the corpus.  Overlapping grams at every
+    offset are the point: q_chunk_dedup's fixed non-overlapping
+    chunks miss duplicates at unaligned offsets; stride-1 grams
+    catch a repeated run wherever it starts, which is why the paper
+    dedups on suffix-array substring matches rather than chunks.
+
+    Pipeline: per-token integer feature -> shift-invariant k-gram
+    hash (relative-index weights, see _span_gram_terms) -> grams
+    occurring >= 2x (corpus-wide groupBy on the hash) -> dup-start
+    flags joined back -> positional coverage = window max over the
+    trailing k-1 frame (the union-of-intervals computed as a
+    per-doc window, never a self-join) -> per-doc coverage stats.
+
+    100 TB shape: gram rows are (bigint, bigint, bigint) — the
+    token TEXT never leaves the scan stage (the q_repetition
+    lesson); the hash-only gram base is localCheckpoint'd once so
+    the dup-set branch and the flag branch share one derivation
+    (the boilerplate_rewrite diamond cut — 1 documents scan total);
+    the dup-set groupBy shuffles uniformly on the hash; coverage is
+    a doc_id-partitioned window.  Docs shorter than K tokens have
+    no grams but still report (their positions can never be covered
+    by a full gram): dup_toks = 0, cov_pct = 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    h = (
+        F.ascii(F.substring("tok", 1, 1)) * 131 + F.length("tok") * 7
+    ).cast("bigint")
+    terms = " + ".join(
+        f"lead(h, {d}) OVER (PARTITION BY doc_id ORDER BY pos) * {31 ** (d % 8)}"
+        for d in range(_SPAN_K)
+    )
+    gram = (
+        tk.select("doc_id", "pos", h.alias("h"))
+        .selectExpr("doc_id", "pos", f"{terms} AS g")
+        .localCheckpoint(eager=False)
+    )
+    dupg = (
+        gram.where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("g")
+    )
+    flagged = gram.join(
+        dupg.withColumnRenamed("g", "dg"),
+        F.col("g") == F.col("dg"),
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("dg").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )
+    cov_w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_SPAN_K - 1), W.currentRow)
+    )
+    covered = flagged.select(
+        "doc_id", F.max("is_dup").over(cov_w).alias("cov")
+    )
+    return covered.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_toks"),
+        F.sum("cov").cast("bigint").alias("dup_toks"),
+        F.expr("CAST(100 * sum(cov) div count(*) AS BIGINT)").alias(
+            "cov_pct"
+        ),
+    )

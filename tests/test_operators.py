@@ -1396,3 +1396,38 @@ def test_winnow_matches_python_replay_and_match_guarantee(spark, monkeypatch):
     # the winnowing guarantee on the replayed fingerprint sets
     assert expected[1] & expected[2], "shared 6-token run must share a print"
     assert not (expected[1] & expected[3])
+
+
+def test_dup_spans_toy_coverage(spark, monkeypatch):
+    """q_dup_spans marks exactly the positions covered by a shared
+    >= K-token run (cross-doc), counts a within-doc repeat as
+    duplication too, and reports 0 for unique text."""
+    import open_street_map_data_wrangling_spark.operators.dedup as dd
+
+    k = dd._SPAN_K
+    run = " ".join(f"w{i}" for i in range(k))  # exactly K shared tokens
+    uniq1 = " ".join(f"a{i}" for i in range(5))
+    uniq2 = " ".join(f"b{i}" for i in range(7))
+    docs = [
+        (1, f"{uniq1} {run}", "en", "s0"),       # 5 + K tokens, K covered
+        (2, f"{run} {uniq2}", "en", "s1"),       # K + 7 tokens, K covered
+        (3, "x1 x2 x3 x4 x5", "en", "s0"),        # unique, short: cov 0
+        (4, f"{run} gap {run}", "en", "s1"),      # self-repeat also counts
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: df)
+    got = {
+        r["doc_id"]: (r["n_toks"], r["dup_toks"], r["cov_pct"])
+        for r in dd.q_dup_spans(spark, "_").collect()
+    }
+    assert got[1] == (5 + k, k, 100 * k // (5 + k))
+    assert got[2] == (k + 7, k, 100 * k // (k + 7))
+    assert got[3] == (5, 0, 0)
+    # doc 4: both runs fully covered (the shared gram repeats), the
+    # single 'gap' token is inside the trailing window of run 1's
+    # last gram start only if a dup gram starts within K-1 before it;
+    # run1's last start is at pos k (1-based), gap pos k+1 -> covered.
+    n4, d4, _ = got[4]
+    assert n4 == 2 * k + 1 and d4 >= 2 * k

@@ -539,3 +539,14 @@ def test_winnow_single_exchange_pipeline(plans):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", p)
     assert exchanges, p
     assert all(e.startswith("doc_id") for e in exchanges), exchanges
+
+
+def test_dup_spans_checkpoint_fed_single_derivation(plans):
+    """q_dup_spans: the hash-only gram base is checkpointed once
+    (0 visible documents scans — read at materialization), so the
+    dup-set groupBy and the flag join share one derivation; no
+    cartesian/BNLJ forms anywhere in the span pipeline."""
+    p = plans("q_dup_spans")
+    assert p.count("documents.parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
