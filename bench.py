@@ -140,6 +140,7 @@ HEADLINE = (
     "q_label_prop",
     "q_shard_plan",
     "q_dup_spans",
+    "q_winnow_pairs",
 )
 
 

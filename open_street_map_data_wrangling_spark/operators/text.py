@@ -779,12 +779,11 @@ def lm_score_docs(docs: DataFrame, counts: DataFrame) -> DataFrame:
 
 _WINNOW_K = 3  # tokens per k-gram
 _WINNOW_W = 4  # winnowing window (k-grams per selection window)
+_WINNOW_CROWD_CAP = 64  # a print shared by more docs is boilerplate
 
-
-@query(
-    "q_winnow",
-    oracle=f"""
-        WITH tok AS (
+# shared CTE chain ending in `winnowed` (doc_id, sel, n_in_frame) —
+# both winnow oracles build on it so the two stay definitionally tied
+_WINNOW_SQL_CTE = f"""tok AS (
             SELECT doc_id,
                    unnest(string_split(text, ' ')) AS tok,
                    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
@@ -805,7 +804,13 @@ _WINNOW_W = 4  # winnowing window (k-grams per selection window)
                    count(g) OVER v AS n_in_frame
             FROM gram WHERE g IS NOT NULL
             WINDOW v AS (PARTITION BY doc_id ORDER BY pos
-                         ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING))
+                         ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING))"""
+
+
+@query(
+    "q_winnow",
+    oracle=f"""
+        WITH {_WINNOW_SQL_CTE}
         SELECT doc_id,
                CAST(count(DISTINCT sel) AS BIGINT) AS n_fingerprints,
                CAST(min(sel) AS BIGINT) AS fp_min,
@@ -840,6 +845,17 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange).  No UDFs, no driver traffic; per-doc state is bounded
     by document length."""
     docs = load_table(spark, sf_dir, "documents")
+    return _winnow_base(docs).groupBy("doc_id").agg(
+        F.countDistinct("sel").cast("bigint").alias("n_fingerprints"),
+        F.min("sel").cast("bigint").alias("fp_min"),
+        F.sum_distinct(F.col("sel")).cast("bigint").alias("fp_sum"),
+    )
+
+
+def _winnow_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, sel) winnow selections, one row per FULL w-frame
+    (duplicates retained — q_winnow dedups inside its aggregate,
+    winnow_prints dedups relationally for the pair join)."""
     tk = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
@@ -859,13 +875,74 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(W.currentRow, W.currentRow + _WINNOW_W - 1)
     )
-    winnowed = gram.select(
+    return gram.select(
         "doc_id",
         F.min("g").over(vframe).alias("sel"),
         F.count("g").over(vframe).alias("n_in_frame"),
-    ).where(F.col("n_in_frame") == _WINNOW_W)
-    return winnowed.groupBy("doc_id").agg(
-        F.countDistinct("sel").cast("bigint").alias("n_fingerprints"),
-        F.min("sel").cast("bigint").alias("fp_min"),
-        F.sum_distinct(F.col("sel")).cast("bigint").alias("fp_sum"),
+    ).where(F.col("n_in_frame") == _WINNOW_W).select("doc_id", "sel")
+
+
+@query(
+    "q_winnow_pairs",
+    oracle=f"""
+        WITH {_WINNOW_SQL_CTE},
+        prints AS (
+            SELECT DISTINCT doc_id, sel FROM winnowed
+            WHERE n_in_frame = {_WINNOW_W}),
+        ok AS (
+            SELECT sel FROM prints
+            GROUP BY sel HAVING count(*) <= {_WINNOW_CROWD_CAP}),
+        elig AS (
+            SELECT p.doc_id, p.sel FROM prints p JOIN ok USING (sel))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM elig a JOIN elig b
+          ON a.sel = b.sel AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    """,
+    tags=("text", "dedup", "extension", "winnowing"),
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone-pair candidates from winnowing fingerprints — the MOSS
+    matching step: documents sharing >= 2 selected prints, ranked by
+    how many they share.  An exact-substring candidate generator
+    complementing MinHash-LSH (bag-of-shingles similarity) and
+    q_dup_spans (corpus-level coverage metric): a surviving pair
+    provably shares >= 2 runs of >= K+W-1 tokens (winnowing's match
+    guarantee), so the verify step can go straight to span alignment.
+
+    Crowd cap first (the LSH bucket-cap posture): a print shared by
+    more than {_WINNOW_CROWD_CAP} documents is boilerplate, and
+    joining through it would emit a quadratic candidate blowup for
+    zero dedup signal — cap BEFORE the self-join, so the worst
+    bucket is bounded deterministically.
+
+    100 TB shape: the distinct print relation is hash-only
+    (2 bigints/row, ~2/(W+1) prints per token) and localCheckpoint'd
+    ONCE feeding all three consumers (crowd count + both join
+    sides) — one corpus scan at materialization, zero visible; the
+    pair join is an equi-join on sel; the pair aggregate shuffles on
+    the (doc_a, doc_b) key."""
+    docs = load_table(spark, sf_dir, "documents")
+    prints = _winnow_base(docs).distinct().localCheckpoint(eager=False)
+    ok = (
+        prints.groupBy("sel")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") <= _WINNOW_CROWD_CAP)
+        .select("sel")
+    )
+    elig = prints.join(ok, "sel")
+    pairs = elig.alias("a").join(
+        elig.alias("b"),
+        (F.col("a.sel") == F.col("b.sel"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
     )

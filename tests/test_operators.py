@@ -1431,3 +1431,26 @@ def test_dup_spans_toy_coverage(spark, monkeypatch):
     # run1's last start is at pos k (1-based), gap pos k+1 -> covered.
     n4, d4, _ = got[4]
     assert n4 == 2 * k + 1 and d4 >= 2 * k
+
+
+def test_winnow_pairs_toy_clone_detection(spark, monkeypatch):
+    """Two documents sharing a long token run surface as a winnow
+    pair; unrelated documents never pair."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+
+    run = " ".join(f"w{i}" for i in range(14))
+    docs = [
+        (1, f"intro {run} alpha beta", "en", "s0"),
+        (2, f"{run} gamma delta other", "en", "s1"),
+        (3, "unrelated tokens only here nothing shared", "en", "s0"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    monkeypatch.setattr(tx, "load_table", lambda s, d, n: df)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in tx.q_winnow_pairs(spark, "_").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)

@@ -57,6 +57,10 @@ SAMPLE = (
     "q_funnel_window",         # chained window mins + guarded ratios
     "q_boilerplate_strip",     # corpus rewrite
     "q_ivfpq_serve",           # persisted-index build + serve
+    "q_winnow",                # winnowing full-window minima
+    "q_label_prop",            # fixed-round synchronous propagation
+    "q_shard_plan",            # two-stage distributed prefix sum
+    "q_dup_spans",             # stride-1 gram coverage windows
 )
 
 _ALT = {

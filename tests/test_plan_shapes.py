@@ -550,3 +550,15 @@ def test_dup_spans_checkpoint_fed_single_derivation(plans):
     assert p.count("documents.parquet") == 0
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_winnow_pairs_checkpoint_fed_capped(plans):
+    """q_winnow_pairs: the distinct print relation is checkpointed
+    once feeding the crowd count and both join sides (0 visible
+    documents scans), the pair join is an equi-join on the print
+    (no cartesian/BNLJ), and the crowd cap sits before the self-join
+    so no quadratic bucket can form."""
+    p = plans("q_winnow_pairs")
+    assert p.count("documents.parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
