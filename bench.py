@@ -141,6 +141,7 @@ HEADLINE = (
     "q_shard_plan",
     "q_dup_spans",
     "q_winnow_pairs",
+    "q_dup_strip",
 )
 
 

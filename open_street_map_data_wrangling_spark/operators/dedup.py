@@ -1554,6 +1554,29 @@ def boilerplate_rewrite(docs: DataFrame) -> DataFrame:
 _SPAN_K = 16  # tokens per overlapping gram (the paper uses 50 at scale)
 
 
+def _span_gram_base(docs: DataFrame) -> DataFrame:
+    """Checkpointed hash-only stride-1 gram base (doc_id, pos, g) —
+    g NULL on the last K-1 positions of each doc (no full gram).
+    Checkpointing keeps the corpus scan single even when several
+    branches (dup-set, flag join, rewrite) consume it, and the rows
+    are three bigints, so the materialization is cheap by design."""
+    tk = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    h = (
+        F.ascii(F.substring("tok", 1, 1)) * 131 + F.length("tok") * 7
+    ).cast("bigint")
+    terms = " + ".join(
+        f"lead(h, {d}) OVER (PARTITION BY doc_id ORDER BY pos) * {31 ** (d % 8)}"
+        for d in range(_SPAN_K)
+    )
+    return (
+        tk.select("doc_id", "pos", h.alias("h"))
+        .selectExpr("doc_id", "pos", f"{terms} AS g")
+        .localCheckpoint(eager=False)
+    )
+
+
 def _span_gram_terms(col: str) -> str:
     """SQL terms of the stride-1 k-gram hash: Σ_d lead(h,d)*31^(d%8)
     over the per-token feature column.  Relative-index weights keep
@@ -1633,22 +1656,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a doc_id-partitioned window.  Docs shorter than K tokens have
     no grams but still report (their positions can never be covered
     by a full gram): dup_toks = 0, cov_pct = 0."""
-    docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    h = (
-        F.ascii(F.substring("tok", 1, 1)) * 131 + F.length("tok") * 7
-    ).cast("bigint")
-    terms = " + ".join(
-        f"lead(h, {d}) OVER (PARTITION BY doc_id ORDER BY pos) * {31 ** (d % 8)}"
-        for d in range(_SPAN_K)
-    )
-    gram = (
-        tk.select("doc_id", "pos", h.alias("h"))
-        .selectExpr("doc_id", "pos", f"{terms} AS g")
-        .localCheckpoint(eager=False)
-    )
+    gram = _span_gram_base(load_table(spark, sf_dir, "documents"))
     dupg = (
         gram.where(F.col("g").isNotNull())
         .groupBy("g")
@@ -1679,4 +1687,152 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(100 * sum(cov) div count(*) AS BIGINT)").alias(
             "cov_pct"
         ),
+    )
+
+
+_SPAN_POS_BITS = 20  # composite canon key = doc_id * 2^20 + pos
+# (document positions < 1M tokens and doc ids < 2^43 — both hold for
+# any practical corpus; the key stays inside BIGINT either way)
+
+
+@query(
+    "q_dup_strip",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+            FROM documents),
+        feat AS (
+            SELECT doc_id, pos, tok,
+                   CAST(ascii(substr(tok, 1, 1)) * 131 + length(tok) * 7
+                        AS BIGINT) AS h
+            FROM tok),
+        gram AS (
+            SELECT doc_id, pos, {_span_gram_terms('h')} AS g
+            FROM feat
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        starts AS (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY g) >= 2 AS is_dup,
+                   doc_id * {1 << _SPAN_POS_BITS} + pos
+                     = min(doc_id * {1 << _SPAN_POS_BITS} + pos)
+                         OVER (PARTITION BY g) AS is_first
+            FROM gram WHERE g IS NOT NULL),
+        flags AS (
+            SELECT gr.doc_id, gr.pos,
+                   CASE WHEN s.is_dup THEN 1 ELSE 0 END AS dup_start,
+                   CASE WHEN s.is_dup AND s.is_first THEN 1 ELSE 0 END
+                     AS canon_start
+            FROM gram gr
+            LEFT JOIN starts s ON gr.doc_id = s.doc_id AND gr.pos = s.pos),
+        keepf AS (
+            SELECT doc_id, pos,
+                   CASE WHEN max(dup_start) OVER v = 1
+                             AND max(canon_start) OVER v = 0
+                        THEN 0 ELSE 1 END AS keep
+            FROM flags
+            WINDOW v AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN {_SPAN_K - 1} PRECEDING
+                         AND CURRENT ROW))
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_toks,
+               CAST(sum(k.keep) AS BIGINT) AS n_kept,
+               coalesce(string_agg(tok, ' ' ORDER BY t.pos)
+                          FILTER (WHERE k.keep = 1), '') AS new_text
+        FROM tok t JOIN keepf k ON t.doc_id = k.doc_id AND t.pos = k.pos
+        GROUP BY t.doc_id
+    """,
+    tags=("dedup", "extension", "exact-substr", "rewrite"),
+)
+def q_dup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup REWRITE (the removal step Lee et al. apply
+    after the q_dup_spans metric): drop every token position covered
+    by a duplicated k-gram EXCEPT where the covering gram's globally
+    FIRST occurrence (min doc_id*2^20+pos composite — deterministic,
+    layout-independent) protects it, then rebuild the text.  Each
+    duplicated run therefore survives exactly at its first corpus
+    position and vanishes everywhere else; unique text is untouched.
+    (When overlapping duplicated grams disagree — one canonical here,
+    one not — protection wins: a position inside ANY first-occurrence
+    span is kept.  Deterministic, and errs toward keeping text.)
+
+    100 TB shape: the hash-only gram base (_span_gram_base) is
+    checkpointed once; the dup/canonical classification is ONE window
+    pass partitioned by the gram hash (count + min over the same
+    partition — no second shuffle); flags join back on (doc_id, pos);
+    coverage/protection are trailing-window maxima per doc; only the
+    final rebuild touches token text, joined from a fresh pruned scan
+    on the SAME (doc_id, pos) key — text never rides the gram
+    shuffle.  2 documents scans total: gram pass + rebuild pass (the
+    q_shard_plan two-pass argument: the shared relation is
+    corpus-sized text, so a checkpoint would cost more than the
+    second pruned scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    gram = _span_gram_base(docs)
+    gwin = W.partitionBy("g")
+    composite = (
+        F.col("doc_id") * F.lit(1 << _SPAN_POS_BITS) + F.col("pos")
+    ).cast("bigint")
+    starts = (
+        gram.where(F.col("g").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            (F.count("*").over(gwin) >= 2).alias("is_dup"),
+            (composite == F.min(composite).over(gwin)).alias("is_first"),
+        )
+        .where(F.col("is_dup"))
+        .select(
+            "doc_id",
+            "pos",
+            F.lit(1).alias("dup_start"),
+            F.when(F.col("is_first"), 1).otherwise(0).alias("canon_start"),
+        )
+    )
+    flags = gram.select("doc_id", "pos").join(
+        starts, ["doc_id", "pos"], "left"
+    ).select(
+        "doc_id",
+        "pos",
+        F.coalesce("dup_start", F.lit(0)).alias("dup_start"),
+        F.coalesce("canon_start", F.lit(0)).alias("canon_start"),
+    )
+    vwin = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_SPAN_K - 1), W.currentRow)
+    )
+    keepf = flags.select(
+        "doc_id",
+        "pos",
+        F.when(
+            (F.max("dup_start").over(vwin) == 1)
+            & (F.max("canon_start").over(vwin) == 0),
+            0,
+        )
+        .otherwise(1)
+        .alias("keep"),
+    )
+    tk = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    joined = tk.join(keepf, ["doc_id", "pos"])
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("keep") == 1, F.struct("pos", "tok")
+                    )
+                )
+            ),
+            lambda s: s["tok"],
+        ),
+        " ",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_toks"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        kept_text.alias("new_text"),
     )

@@ -1454,3 +1454,32 @@ def test_winnow_pairs_toy_clone_detection(spark, monkeypatch):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert all(3 not in p for p in pairs)
+
+
+def test_dup_strip_keeps_first_occurrence_only(spark, monkeypatch):
+    """q_dup_strip: a run duplicated across two docs survives at its
+    globally first position and is removed from the later doc; unique
+    text is untouched."""
+    import open_street_map_data_wrangling_spark.operators.dedup as dd
+
+    k = dd._SPAN_K
+    run = " ".join(f"w{i}" for i in range(k))
+    uniq = "alpha beta gamma"
+    docs = [
+        (1, f"{run} {uniq}", "en", "s0"),   # first occurrence: kept whole
+        (2, f"pre {run} post", "en", "s1"),  # later copy: run stripped
+        (3, "x1 x2 x3 x4 x5", "en", "s0"),   # unique: untouched
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: df)
+    got = {
+        r["doc_id"]: (r["n_toks"], r["n_kept"], r["new_text"])
+        for r in dd.q_dup_strip(spark, "_").collect()
+    }
+    assert got[1] == (k + 3, k + 3, f"{run} {uniq}")
+    assert got[3] == (5, 5, "x1 x2 x3 x4 x5")
+    n2, kept2, text2 = got[2]
+    assert n2 == k + 2
+    assert kept2 == 2 and text2 == "pre post"

@@ -562,3 +562,13 @@ def test_winnow_pairs_checkpoint_fed_capped(plans):
     assert p.count("documents.parquet") == 0
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dup_strip_two_pass_no_text_on_gram_shuffle(plans):
+    """q_dup_strip reads documents exactly twice — the checkpointed
+    hash-only gram pass (invisible) plus the token rebuild pass —
+    and keeps every join an equi-join."""
+    p = plans("q_dup_strip")
+    assert p.count("documents.parquet") == 1  # rebuild scan; gram base checkpointed
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
