@@ -821,8 +821,17 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "struct(CAST(-1 AS INT) AS cid, CAST('-Infinity' AS DOUBLE) AS c), "
         "(acc, x) -> IF(x.c > acc.c, x, acc)).cid"
     )
+    # per-vector norm ONCE here (N folds) rather than inside the
+    # pair join (Σ|cell|² folds): each candidate pair then costs a
+    # single dot-product fold instead of cosine_expr's three — the
+    # same doubles in the same IEEE order, so results are unchanged
+    from ..functions.vectors import dot_expr
+
     tagged = df.select(
-        "vec_id", argmax.alias("cid"), "embedding"
+        "vec_id",
+        argmax.alias("cid"),
+        "embedding",
+        F.sqrt(dot_expr("embedding", "embedding")).alias("nrm"),
     ).localCheckpoint(eager=False)
     keep_cells = (
         tagged.groupBy("cid")
@@ -839,7 +848,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("anchor"),
         F.col("b.vec_id").alias("neg"),
-        cosine_expr("a.embedding", "b.embedding").alias("cos_raw"),
+        (
+            dot_expr("a.embedding", "b.embedding")
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cos_raw"),
     )
     from .dedup import q_dedup_near
 
