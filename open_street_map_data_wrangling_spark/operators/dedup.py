@@ -1559,34 +1559,47 @@ def _span_gram_base(docs: DataFrame) -> DataFrame:
     g NULL on the last K-1 positions of each doc (no full gram).
     Checkpointing keeps the corpus scan single even when several
     branches (dup-set, flag join, rewrite) consume it, and the rows
-    are three bigints, so the materialization is cheap by design."""
+    are two bigints plus a 32-hex md5, so the materialization stays
+    cheap by design.
+
+    g is the EXACT content hash: md5 of the k-token window itself
+    (tokens rejoined with the split delimiter, so the hash input IS
+    the original substring).  An earlier revision summed weak
+    per-token features (first-char/length) with cyclic weights; any
+    two runs agreeing only in (first char, length) per token
+    collided, and in q_dup_strip — a destructive rewrite — a
+    collision DELETED non-duplicate text.  md5 of the real window
+    makes a false merge 2^-128-improbable, the leads stay inside the
+    one per-doc window pass (no extra shuffle), and the hash remains
+    trivially shift-invariant because it depends only on window
+    content, never on position."""
     tk = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
-    h = (
-        F.ascii(F.substring("tok", 1, 1)) * 131 + F.length("tok") * 7
-    ).cast("bigint")
-    terms = " + ".join(
-        f"lead(h, {d}) OVER (PARTITION BY doc_id ORDER BY pos) * {31 ** (d % 8)}"
-        for d in range(_SPAN_K)
-    )
+    spark_w = "(PARTITION BY doc_id ORDER BY pos)"
     return (
-        tk.select("doc_id", "pos", h.alias("h"))
-        .selectExpr("doc_id", "pos", f"{terms} AS g")
+        tk.selectExpr(
+            "doc_id", "pos", f"{_span_gram_sql('tok', spark_w)} AS g"
+        )
         .localCheckpoint(eager=False)
     )
 
 
-def _span_gram_terms(col: str) -> str:
-    """SQL terms of the stride-1 k-gram hash: Σ_d lead(h,d)*31^(d%8)
-    over the per-token feature column.  Relative-index weights keep
-    the hash SHIFT-INVARIANT (equal token runs hash equal at any
-    offset) — a position-mod weight like q_fingerprint's would
-    break exactly the cross-offset matches this metric exists to
-    find.  Identical text in Spark and DuckDB."""
-    return " + ".join(
-        f"lead({col}, {d}) OVER w * {31 ** (d % 8)}"
-        for d in range(_SPAN_K)
+def _span_gram_sql(col: str, win: str = "w") -> str:
+    """SQL for the stride-1 exact k-gram hash, identical text in
+    Spark and DuckDB (win = a named window `w` for the oracles, an
+    inline `(PARTITION BY doc_id ORDER BY pos)` for selectExpr):
+    md5(concat_ws(' ', tok, lead(tok,1)…lead(tok,k-1))), gated to
+    NULL when the window runs off the document end (concat_ws
+    silently skips NULLs, which would otherwise hash a short tail
+    as a full gram)."""
+    leads = ", ".join(
+        f"lead({col}, {d}) OVER {win}" for d in range(1, _SPAN_K)
+    )
+    return (
+        f"CASE WHEN lead({col}, {_SPAN_K - 1}) OVER {win} IS NULL "
+        f"THEN NULL "
+        f"ELSE md5(concat_ws(' ', {col}, {leads})) END"
     )
 
 
@@ -1598,14 +1611,9 @@ def _span_gram_terms(col: str) -> str:
                    unnest(string_split(text, ' ')) AS tok,
                    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
             FROM documents),
-        feat AS (
-            SELECT doc_id, pos,
-                   CAST(ascii(substr(tok, 1, 1)) * 131 + length(tok) * 7
-                        AS BIGINT) AS h
-            FROM tok),
         gram AS (
-            SELECT doc_id, pos, {_span_gram_terms('h')} AS g
-            FROM feat
+            SELECT doc_id, pos, {_span_gram_sql('tok')} AS g
+            FROM tok
             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
         dupg AS (
             SELECT g FROM gram WHERE g IS NOT NULL
@@ -1640,16 +1648,17 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     catch a repeated run wherever it starts, which is why the paper
     dedups on suffix-array substring matches rather than chunks.
 
-    Pipeline: per-token integer feature -> shift-invariant k-gram
-    hash (relative-index weights, see _span_gram_terms) -> grams
-    occurring >= 2x (corpus-wide groupBy on the hash) -> dup-start
-    flags joined back -> positional coverage = window max over the
-    trailing k-1 frame (the union-of-intervals computed as a
-    per-doc window, never a self-join) -> per-doc coverage stats.
+    Pipeline: exact md5 k-gram hash of each token window (content
+    hash => shift-invariant by construction, see _span_gram_sql) ->
+    grams occurring >= 2x (corpus-wide groupBy on the hash) ->
+    dup-start flags joined back -> positional coverage = window max
+    over the trailing k-1 frame (the union-of-intervals computed as
+    a per-doc window, never a self-join) -> per-doc coverage stats.
 
-    100 TB shape: gram rows are (bigint, bigint, bigint) — the
-    token TEXT never leaves the scan stage (the q_repetition
-    lesson); the hash-only gram base is localCheckpoint'd once so
+    100 TB shape: gram rows are (bigint, bigint, md5-hex) — the
+    token TEXT never leaves the per-doc window stage (the
+    q_repetition lesson: only fixed-width hashes ride the corpus
+    shuffle); the hash-only gram base is localCheckpoint'd once so
     the dup-set branch and the flag branch share one derivation
     (the boilerplate_rewrite diamond cut — 1 documents scan total);
     the dup-set groupBy shuffles uniformly on the hash; coverage is
@@ -1703,14 +1712,9 @@ _SPAN_POS_BITS = 20  # composite canon key = doc_id * 2^20 + pos
                    unnest(string_split(text, ' ')) AS tok,
                    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
             FROM documents),
-        feat AS (
-            SELECT doc_id, pos, tok,
-                   CAST(ascii(substr(tok, 1, 1)) * 131 + length(tok) * 7
-                        AS BIGINT) AS h
-            FROM tok),
         gram AS (
-            SELECT doc_id, pos, {_span_gram_terms('h')} AS g
-            FROM feat
+            SELECT doc_id, pos, {_span_gram_sql('tok')} AS g
+            FROM tok
             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
         starts AS (
             SELECT doc_id, pos,
@@ -1756,6 +1760,11 @@ def q_dup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (When overlapping duplicated grams disagree — one canonical here,
     one not — protection wins: a position inside ANY first-occurrence
     span is kept.  Deterministic, and errs toward keeping text.)
+
+    Because this is a DESTRUCTIVE rewrite, the gram hash is the
+    exact md5 of the window content (_span_gram_base) — a removal
+    fires only when the k-token substrings are byte-identical up to
+    md5, never on a feature-hash coincidence.
 
     100 TB shape: the hash-only gram base (_span_gram_base) is
     checkpointed once; the dup/canonical classification is ONE window

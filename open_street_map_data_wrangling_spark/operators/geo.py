@@ -391,8 +391,14 @@ def q_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
     visits = (
         ev.select(
             "user_id",
+            # Floor division (not `div`, which truncates toward zero):
+            # DuckDB's `//` floors, and the two disagree on pre-1970
+            # timestamps (negative epoch micros).  Subtracting pmod
+            # first makes the numerator an exact multiple, so `div`
+            # then equals floor for any sign — pure integer, exact.
             F.expr(
-                "CAST(unix_micros(ts) div 3600000000 AS BIGINT)"
+                "CAST((unix_micros(ts) - pmod(unix_micros(ts), 3600000000))"
+                " div 3600000000 AS BIGINT)"
             ).alias("hr"),
         )
         .withColumn(

@@ -181,15 +181,19 @@ MM_DIMS_SCHEMA = "doc_id bigint, format string, width int, height int"
 
 def _image_dim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker over (doc_id, payload): real header decode
-    per payload via decode_image."""
+    per payload via decode_image.  NULL payloads (legal per the
+    registry's null-payload contract) yield NULL metadata instead of
+    crashing the Python worker — mirroring _extract_batches."""
     for pdf in batches:
-        decoded = pdf["payload"].map(decode_image)
+        decoded = pdf["payload"].map(
+            lambda b: decode_image(b) if b is not None else (None, None, None)
+        )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "format": decoded.map(lambda t: t[0]),
-                "width": decoded.map(lambda t: t[1]).astype("int32"),
-                "height": decoded.map(lambda t: t[2]).astype("int32"),
+                "width": decoded.map(lambda t: t[1]).astype("Int32"),
+                "height": decoded.map(lambda t: t[2]).astype("Int32"),
             }
         )
 

@@ -942,12 +942,19 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff is ONE full outer join co-partitioned on doc_id followed by
     a tiny (source × 4 statuses) aggregate.  Reading two real
     snapshot tables instead of two filtered branches of one table
-    changes nothing downstream of the projections."""
+    changes nothing downstream of the projections.
+
+    Presence is tracked with explicit non-null flags (in_o/in_n), not
+    hash-nullness: a document whose text is NULL (legal per the
+    null-payload contract) has a NULL md5 while the row exists, and
+    keying added/removed on the hash would misclassify it.  This
+    mirrors the oracle's ``doc_id IS NULL`` test exactly."""
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 7 != 0).select(
         "doc_id",
         F.col("source").alias("src_o"),
         F.md5("text").alias("h_o"),
+        F.lit(True).alias("in_o"),
     )
     new = docs.filter(F.col("doc_id") % 11 != 0).select(
         "doc_id",
@@ -957,11 +964,12 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" v2"))
             ).otherwise(F.col("text"))
         ).alias("h_n"),
+        F.lit(True).alias("in_n"),
     )
     j = old.join(new, ["doc_id"], "full_outer").select(
         F.coalesce("src_o", "src_n").alias("source"),
-        F.when(F.col("h_o").isNull(), "added")
-        .when(F.col("h_n").isNull(), "removed")
+        F.when(F.col("in_o").isNull(), "added")
+        .when(F.col("in_n").isNull(), "removed")
         .when(F.col("h_o") != F.col("h_n"), "changed")
         .otherwise("unchanged")
         .alias("status"),

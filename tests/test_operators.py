@@ -1245,6 +1245,25 @@ def test_extract_image_dims_spark_roundtrip(spark):
     assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 100, 50)
 
 
+def test_extract_image_dims_null_payload(spark):
+    """Regression (r08 advice): a NULL payload must yield NULL
+    metadata per the registry's null-payload contract, not crash the
+    Python worker — mirroring _extract_batches' guard."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        extract_image_dims,
+    )
+
+    rows = [(1, _valid_png(4, 8)), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_image_dims(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 4, 8)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == (
+        None,
+        None,
+        None,
+    )
+
+
 def test_dsir_persisted_stats_serve(spark, tmp_path):
     """DSIR build/serve split (r08, mirroring ivfpq_search and
     lm_score_docs): scoring a NEW batch from yesterday's PERSISTED
@@ -1483,3 +1502,39 @@ def test_dup_strip_keeps_first_occurrence_only(spark, monkeypatch):
     n2, kept2, text2 = got[2]
     assert n2 == k + 2
     assert kept2 == 2 and text2 == "pre post"
+
+
+def test_dup_strip_no_feature_hash_collision_deletion(spark, monkeypatch):
+    """Regression (r08 advice): the gram hash must be an EXACT
+    content hash.  The earlier per-token feature hash (first-char
+    ascii + length, cyclic weights) collided for any two runs whose
+    tokens merely agreed in (first character, length) — e.g.
+    'hello world' vs 'happy wings' token-for-token — and q_dup_strip
+    DELETED one of the two unique runs.  With md5-of-window grams,
+    two same-shape-but-different-content runs must both survive
+    intact, and q_dup_spans must report zero coverage for both."""
+    import open_street_map_data_wrangling_spark.operators.dedup as dd
+
+    k = dd._SPAN_K
+    # token i of each run: same first char, same length, different tail
+    run_a = " ".join(f"t{i}aa" for i in range(k))
+    run_b = " ".join(f"t{i}bb" for i in range(k))
+    docs = [
+        (1, run_a, "en", "s0"),
+        (2, run_b, "en", "s1"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: df)
+    stripped = {
+        r["doc_id"]: (r["n_kept"], r["new_text"])
+        for r in dd.q_dup_strip(spark, "_").collect()
+    }
+    assert stripped[1] == (k, run_a)
+    assert stripped[2] == (k, run_b)
+    spans = {
+        r["doc_id"]: r["dup_toks"]
+        for r in dd.q_dup_spans(spark, "_").collect()
+    }
+    assert spans[1] == 0 and spans[2] == 0
