@@ -588,19 +588,23 @@ _IVFPQ_NPROBE = 2
 
 
 def _collect_ivfpq_literals(emb: DataFrame):
-    """ONE bounded collect (vec_id <= {_QUERY_ID} = 18 rows) feeding
-    every literal the IVF-PQ stack needs: the quantized PQ codebook,
-    the quantized probe vector, and the RAW first-{sim._N_CENTROIDS}
-    centroid / probe vectors for the IVF cosine side."""
+    """ONE bounded collect (max(_K, C)+1 rows, C =
+    sim._n_centroids_for(count) — C tracks the corpus size like the
+    whole IVF family since r09) feeding every literal the IVF-PQ
+    stack needs: the quantized PQ codebook, the quantized probe
+    vector, and the RAW first-C centroid / probe vectors for the IVF
+    cosine side."""
     from . import similarity as sim
 
+    c = sim._n_centroids_for(emb.count())
+    hi = max(_K, c, _QUERY_ID + 1)
     rows = (
-        emb.filter(F.col("vec_id") <= _QUERY_ID)
+        emb.filter(F.col("vec_id") < hi)
         .select("vec_id", "embedding")
         .collect()
     )
     raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
-    needed = set(range(_K)) | set(range(sim._N_CENTROIDS)) | {_QUERY_ID}
+    needed = set(range(_K)) | set(range(c)) | {_QUERY_ID}
     if not needed <= raw.keys():
         # empty-input contract (tests/test_empty_input.py)
         return None, None, None, None
@@ -609,7 +613,7 @@ def _collect_ivfpq_literals(emb: DataFrame):
         [qv[s * _SUBDIM : (s + 1) * _SUBDIM] for qv in qs] for s in range(_M)
     ]
     qvec_q = _quantize(raw[_QUERY_ID])
-    cents = [raw[i] for i in range(sim._N_CENTROIDS)]
+    cents = [raw[i] for i in range(c)]
     return cb, qvec_q, cents, raw[_QUERY_ID]
 
 
@@ -874,22 +878,33 @@ def build_ivfpq_index(emb: DataFrame, path: str) -> None:
       sublevel the streaming maintenance job
       (streaming/jobs.ivfpq_index_maintenance) overwrites
       idempotently; the initial build is batch 0.
-    * ``seeds/`` — the raw vec_id <= {_QUERY_ID} rows (codebook
-      seeds, IVF centroids, and the demo probe vector): everything a
-      serving process needs to rebuild its plan literals WITHOUT ever
-      touching the corpus table again.
+    * ``seeds/`` — the raw first max(_K, C) rows plus the demo probe
+      vector (codebook seeds, the C IVF centroids, probe): everything
+      a serving process needs to rebuild its plan literals WITHOUT
+      ever touching the corpus table again.
+    * ``meta/`` — one row: the centroid count C the build derived
+      from the corpus size (sim._n_centroids_for).  Serving reads C
+      from here rather than re-counting the corpus, so build and
+      serve agree on the cell layout by construction.
 
     At 100 TB this is the deployment split the inline queries
     document: the build pass is one scan + one partitioned write,
     amortized over every query that follows."""
+    from . import similarity as sim
+
+    c = sim._n_centroids_for(emb.count())
+    hi = max(_K, c, _QUERY_ID + 1)
     ivfpq_code_table(emb).withColumn(
         "__batch", F.lit(0)
     ).write.mode("overwrite").partitionBy("cid", "__batch").parquet(
         f"{path}/codes"
     )
-    emb.filter(F.col("vec_id") <= _QUERY_ID).select(
+    emb.filter(F.col("vec_id") < hi).select(
         "vec_id", "embedding"
     ).write.mode("overwrite").parquet(f"{path}/seeds")
+    emb.sparkSession.createDataFrame(
+        [(int(c),)], "n_centroids INT"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def ivfpq_search(
@@ -910,11 +925,12 @@ def ivfpq_search(
 
     seeds = spark.read.parquet(f"{index_path}/seeds").collect()
     raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
-    from . import similarity as _sim
-
-    needed = (
-        set(range(_K)) | set(range(_sim._N_CENTROIDS)) | {query_id}
+    # the build-time centroid count rides in meta/ — serving derives
+    # the cell layout from the index, never by re-counting the corpus
+    c = int(
+        spark.read.parquet(f"{index_path}/meta").collect()[0]["n_centroids"]
     )
+    needed = set(range(_K)) | set(range(c)) | {query_id}
     if not needed <= raw.keys():
         # index built from an empty table has no seeds (and codes/
         # has no partition directories to read): serve empty — the
@@ -923,9 +939,8 @@ def ivfpq_search(
         return spark.createDataFrame([], "vec_id BIGINT, adc_d2 BIGINT")
     qs = [_quantize(raw[i]) for i in range(_K)]
     cb = [[qv[s * _SUBDIM : (s + 1) * _SUBDIM] for qv in qs] for s in range(_M)]
-    from . import similarity as sim
 
-    cents = [raw[i] for i in range(sim._N_CENTROIDS)]
+    cents = [raw[i] for i in range(c)]
     qv = raw[query_id]
     probes = _rank_cells_py(cents, qv)[:nprobe]
     lut = _adc_lut(cb, _quantize(qv))

@@ -724,7 +724,6 @@ def ivfpq_codes_merge_fn(spark: SparkSession, index_path: str):
     append-only unique across batches (new documents); re-embedding
     an existing id is a compaction event, not an append."""
     from ..operators import pq as pq_mod
-    from ..operators import similarity as sim
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -746,7 +745,11 @@ def ivfpq_codes_merge_fn(spark: SparkSession, index_path: str):
             [qv[s * pq_mod._SUBDIM : (s + 1) * pq_mod._SUBDIM] for qv in qs]
             for s in range(pq_mod._M)
         ]
-        cents = [raw[i] for i in range(sim._N_CENTROIDS)]
+        c = int(
+            bs.read.parquet(f"{index_path}/meta")
+            .collect()[0]["n_centroids"]
+        )
+        cents = [raw[i] for i in range(c)]
         coded = pq_mod._code_projection(
             batch_df.select("vec_id", "embedding"), cb, cents
         ).withColumn("__batch", F.lit(batch_id + 1))
