@@ -147,53 +147,36 @@ def _stamp_fingerprints() -> dict[str, str]:
 # registry are ignored; an empty tuple restores pure registration
 # order.
 _MODIFIED_PRIORITY: tuple[str, ...] = (
-    # Round 8: plan-shape fixes lead — the scan-collapse sweep hit
-    # q_boilerplate_strip (chunk-base checkpoint cut, 3→2 corpus
-    # reads), q_simhash_near (fingerprint checkpoint, 8→1 executed
-    # corpus scans) and q_minhash_estimate (candidate-shingle
-    # checkpoint, 7→2); q_pq_recall / q_pq_recall_trained share the
-    # _exact_top10 non-finite guard (semantics identical).  The rest
-    # of the modified group is the ~7-query r06-churn rollover from
-    # the r07 window (identical semantics, locally re-verified).
+    # Round 9: semantic fixes lead — q_dup_spans/q_dup_strip moved to
+    # EXACT md5 window grams (the r08-advice collision fix: a feature
+    # hash can no longer delete non-duplicate text), q_corpus_diff
+    # keys presence on explicit flags instead of hash-nullness, and
+    # q_comovement's hour bucket is true floor division.  The IVF/ANN
+    # family (q_ann_*, q_ivfpq_*, q_hard_negatives) re-derives its
+    # codebook size from the corpus count (C = clamp(N/256, 8, 512),
+    # shared cpick oracle CTE) and hard-negative mining degrades
+    # oversized cells to a deterministic md5 sample instead of
+    # dropping them; q_mixture_plan was refactored onto the shared
+    # mixture_flagged helper (byte-identical result); q_image_decode
+    # gained the NULL-payload guard.  All 13 locally oracle-verified
+    # at sf0.01 (most also at sf0.1).
     #
-    # Window arithmetic (r08, final): 10 fresh (q_image_decode,
-    # q_triangle_count, q_contrastive_pairs, q_corpus_diff,
-    # q_quality_drift, q_hard_negatives, q_comovement, and the
-    # wave-4 trio q_winnow / q_label_prop / q_shard_plan — the
-    # fresh group runs first automatically) + ~29 modified (the
-    # priority list below plus the r06-churn rollover) — everything
-    # fits inside ~50 slots with room for unchanged rotation.
-    "q_boilerplate_strip",
-    "q_simhash_near",
-    "q_minhash_estimate",
-    "q_pq_recall",
-    "q_pq_recall_trained",
-    # Late-r08 diamond cuts (head-table / filter-table checkpoint;
-    # semantics identical, locally oracle-verified):
-    "q_domain_shift",
-    "q_bloom_prune",
-    # Late-r08 empty-input hardening (typed-empty guards after the
-    # bounded collects; q_funnel_window's div-by-zero CASE changed
-    # BOTH engines identically — all 13 locally oracle-re-verified):
-    "q_funnel_window",
+    # Window arithmetic (r09): 1 fresh (q_training_corpus — the
+    # composed rewrite pipeline) + 13 modified below; everything fits
+    # inside ~50 slots with ample unchanged rotation.
+    "q_dup_strip",
+    "q_dup_spans",
+    "q_hard_negatives",
+    "q_corpus_diff",
+    "q_comovement",
     "q_ann_ivf",
     "q_ann_ivf_multiprobe",
-    "q_ann_lsh",
     "q_ann_recall",
     "q_ann_recall_multiprobe",
     "q_ivfpq_recall",
     "q_ivfpq_serve",
-    "q_pq_adc",
-    "q_pq_codes",
-    "q_semantic_dedup",
-    # Late-r08 null-payload hardening (NULL features from the pandas
-    # UDFs; PQ drops uncodable NULL embeddings, oracle mirrored):
-    "q_mm_extract",
-    "q_multimodal",
-    "q_compression_ratio",
-    # Late-r08 foreign-source hardening (TRY_CAST in the mix-class
-    # rule, identical both engines; oracle-re-verified):
-    "q_domain_mix",
+    "q_mixture_plan",
+    "q_image_decode",
 )
 
 

@@ -142,6 +142,9 @@ HEADLINE = (
     "q_dup_spans",
     "q_winnow_pairs",
     "q_dup_strip",
+    # added round 9: the composed rewrite pipeline (boilerplate strip
+    # -> ExactSubstr dup-strip -> mixture plan -> shard plan)
+    "q_training_corpus",
 )
 
 

@@ -187,3 +187,265 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole composition."""
     _, manifest = curate_corpus(spark, sf_dir)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# The REWRITE composition (r09): boilerplate strip → ExactSubstr
+# dup-strip → token-budget mixture → shard plan.  q_curation_manifest
+# above composes the doc-level SELECTION stages (dedup/quality/split);
+# this is its text-REWRITE sibling — the nightly job that edits and
+# re-packs the corpus rather than just choosing documents.
+
+
+def _training_corpus_oracle() -> str:
+    from .dedup import _SPAN_K, _SPAN_POS_BITS, _span_gram_sql
+    from .pipeline_ops import _SHARD_BYTES
+
+    gram_sql = _span_gram_sql("tok")
+    return f"""
+        WITH toks0 AS (
+            SELECT doc_id, lang, source, string_split(text, ' ') AS t
+            FROM documents),
+        chunks AS (
+            SELECT doc_id, i AS chunk_no,
+                   array_to_string(t[(i * 10 + 1):((i + 1) * 10)], ' ')
+                     AS chunk,
+                   md5(array_to_string(t[(i * 10 + 1):((i + 1) * 10)], ' '))
+                     AS chunk_hash
+            FROM toks0, unnest(range(0, (len(t) + 9) // 10)) AS r(i)),
+        freq AS (
+            SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+            FROM chunks GROUP BY chunk_hash),
+        clean AS (
+            SELECT c.doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN f.n_docs < 2 THEN c.chunk END,
+                       ' ' ORDER BY c.chunk_no), '') AS text
+            FROM chunks c JOIN freq f USING (chunk_hash)
+            GROUP BY c.doc_id),
+        tok AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+            FROM clean),
+        gram AS (
+            SELECT doc_id, pos, {gram_sql} AS g
+            FROM tok
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        starts AS (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY g) >= 2 AS is_dup,
+                   doc_id * {1 << _SPAN_POS_BITS} + pos
+                     = min(doc_id * {1 << _SPAN_POS_BITS} + pos)
+                         OVER (PARTITION BY g) AS is_first
+            FROM gram WHERE g IS NOT NULL),
+        flags AS (
+            SELECT gr.doc_id, gr.pos,
+                   CASE WHEN s.is_dup THEN 1 ELSE 0 END AS dup_start,
+                   CASE WHEN s.is_dup AND s.is_first THEN 1 ELSE 0 END
+                     AS canon_start
+            FROM gram gr
+            LEFT JOIN starts s ON gr.doc_id = s.doc_id AND gr.pos = s.pos),
+        keepf AS (
+            SELECT doc_id, pos,
+                   CASE WHEN max(dup_start) OVER v = 1
+                             AND max(canon_start) OVER v = 0
+                        THEN 0 ELSE 1 END AS keep
+            FROM flags
+            WINDOW v AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN {_SPAN_K - 1} PRECEDING
+                         AND CURRENT ROW)),
+        stripped AS (
+            SELECT t.doc_id,
+                   coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+                              FILTER (WHERE k.keep = 1), '') AS text
+            FROM tok t JOIN keepf k
+              ON t.doc_id = k.doc_id AND t.pos = k.pos
+            GROUP BY t.doc_id),
+        d AS (
+            SELECT s.doc_id, t0.lang, t0.source, s.text,
+                   len(string_split(s.text, ' ')) AS n_tok
+            FROM stripped s JOIN toks0 t0 USING (doc_id)),
+        lt AS (
+            SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lang_toks
+            FROM d GROUP BY lang),
+        tot AS (
+            SELECT CAST(sum(lang_toks) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS n_langs
+            FROM lt),
+        rates AS (
+            SELECT lt.lang,
+                   least(65536, ((tot.t // 2) * 65536)
+                                // (tot.n_langs * lt.lang_toks)) AS rate
+            FROM lt CROSS JOIN tot),
+        kept AS (
+            SELECT d.* FROM d JOIN rates r USING (lang)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                      ::BIGINT < r.rate),
+        sized AS (
+            SELECT source, doc_id, text,
+                   CAST(length(text) AS BIGINT) AS bytes
+            FROM kept),
+        placed AS (
+            SELECT doc_id, bytes,
+                   CAST(coalesce(sum(bytes) OVER (
+                       ORDER BY source, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS global_before
+            FROM sized),
+        shards AS (
+            SELECT global_before // {_SHARD_BYTES} AS shard_id,
+                   count(*) AS n_docs, sum(bytes) AS bytes
+            FROM placed GROUP BY 1)
+        SELECT stage, n_docs, n_tokens, n_bytes FROM (
+            SELECT 'input' AS stage,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+                   CAST(sum(length(array_to_string(t, ' '))) AS BIGINT)
+                     AS n_bytes
+            FROM toks0
+            UNION ALL SELECT 'boilerplate',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+                   CAST(sum(length(text)) AS BIGINT)
+            FROM clean
+            UNION ALL SELECT 'dup_strip',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+                   CAST(sum(length(text)) AS BIGINT)
+            FROM stripped
+            UNION ALL SELECT 'mixture',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(n_tok) AS BIGINT),
+                   CAST(sum(length(text)) AS BIGINT)
+            FROM kept
+            UNION ALL SELECT 'shard_plan',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(n_docs) AS BIGINT),
+                   CAST(sum(bytes) AS BIGINT)
+            FROM shards)
+    """
+
+
+def training_corpus(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(corpus, placed, manifest) — the composed REWRITE pipeline:
+
+    1. **Boilerplate strip** (dedup.boilerplate_rewrite): drop
+       10-token chunks shared by >= 2 docs, rebuild text.
+    2. **ExactSubstr dup-strip** (dedup.exactsubstr_rewrite) over
+       the CLEANED text: remove every duplicated k-token span except
+       at its globally first corpus position.
+    3. **Mixture plan** (pipeline_ops.mixture_flagged) over the
+       POST-rewrite token masses: half-the-tokens budget at equal
+       language shares, md5-Bernoulli keeps.
+    4. **Shard plan** (pipeline_ops.shard_place): two-stage
+       distributed prefix sum over the kept stream, fixed-byte
+       shard ids.
+
+    Ordering is deliberate: rewrites change token masses, so the
+    mixture MUST be planned after them (sampling first would leave
+    the budget wrong once spans are stripped), and sharding is by
+    final byte size.  Each stage's corpus-sized output is
+    localCheckpoint'd exactly once — every stage and every manifest
+    row reads its predecessor's materialization, never a re-derived
+    subtree (at deployment scale these checkpoints are the persisted
+    inter-stage tables a nightly pipeline writes anyway).  Documents
+    with NULL text drop out at the rewrite stages by contract (no
+    spans to strip, nothing to pack).
+
+    Returns: corpus = (doc_id, lang, source, text, n_tok) after
+    stage 3; placed = corpus + (bytes, global_before, shard_id);
+    manifest = (stage, n_docs, n_tokens, n_bytes) for all 5 stages —
+    for the shard_plan row n_docs counts SHARDS and n_tokens counts
+    placed documents (each stage name pins its own unit)."""
+    from .dedup import boilerplate_rewrite, exactsubstr_rewrite
+    from .pipeline_ops import _SHARD_BYTES, mixture_flagged, shard_place
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = (
+        boilerplate_rewrite(docs)
+        .select("doc_id", "lang", "source", F.col("new_text").alias("text"))
+        .localCheckpoint(eager=False)
+    )
+    stripped = (
+        exactsubstr_rewrite(clean)
+        .select("doc_id", F.col("new_text").alias("text"))
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    d = stripped.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    corpus = (
+        mixture_flagged(d)
+        .filter(F.col("keep"))
+        .select("doc_id", "lang", "source", "text", "n_tok")
+        .localCheckpoint(eager=False)
+    )
+    # shard_place returns only the placement keys; join the offsets
+    # back onto the checkpointed corpus so `placed` carries the text
+    # a sink writes (equi-join on doc_id over two reads of the same
+    # materialization)
+    placed = corpus.join(
+        shard_place(corpus).select("doc_id", "bytes", "global_before"),
+        "doc_id",
+    ).withColumn(
+        "shard_id",
+        F.expr(f"global_before div {_SHARD_BYTES}").cast("bigint"),
+    )
+
+    def _stage(name: str, df: DataFrame, text_col: str = "text") -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(F.split(text_col, " "))).cast("bigint").alias(
+                "n_tokens"
+            ),
+            F.sum(F.length(text_col)).cast("bigint").alias("n_bytes"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens", "n_bytes")
+
+    shards = placed.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("sh_docs"),
+        F.sum("bytes").cast("bigint").alias("sh_bytes"),
+    )
+    manifest = (
+        _stage("input", docs)
+        .unionByName(_stage("boilerplate", clean))
+        .unionByName(_stage("dup_strip", stripped))
+        .unionByName(_stage("mixture", corpus))
+        .unionByName(
+            shards.agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("sh_docs").cast("bigint").alias("n_tokens"),
+                F.sum("sh_bytes").cast("bigint").alias("n_bytes"),
+            ).select(
+                F.lit("shard_plan").alias("stage"),
+                "n_docs",
+                "n_tokens",
+                "n_bytes",
+            )
+        )
+    )
+    return corpus, placed, manifest
+
+
+@query(
+    "q_training_corpus",
+    oracle=_training_corpus_oracle(),
+    tags=("pipeline", "dedup", "rewrite", "sharding", "extension"),
+)
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage (docs, tokens, bytes) manifest of the composed
+    rewrite pipeline — boilerplate strip → ExactSubstr dup-strip →
+    token-budget mixture → shard plan — hash-checked against one
+    DuckDB recomputation of the entire four-stage composition (the
+    q_curation_manifest discipline applied to the r08 rewrite ops).
+    This is the audit a nightly corpus-rewrite run logs before
+    committing its output shards."""
+    _, _, manifest = training_corpus(spark, sf_dir)
+    return manifest

@@ -1777,7 +1777,15 @@ def q_dup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_shard_plan two-pass argument: the shared relation is
     corpus-sized text, so a checkpoint would cost more than the
     second pruned scan)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return exactsubstr_rewrite(load_table(spark, sf_dir, "documents"))
+
+
+def exactsubstr_rewrite(docs: DataFrame) -> DataFrame:
+    """Row-level ExactSubstr rewrite behind q_dup_strip — (doc_id,
+    n_toks, n_kept, new_text) over ANY (doc_id, text) frame, so the
+    curation composition (curation.write_training_corpus) can run it
+    on the boilerplate-stripped corpus rather than the raw table.
+    Plan shape documented on q_dup_strip."""
     gram = _span_gram_base(docs)
     gwin = W.partitionBy("g")
     composite = (

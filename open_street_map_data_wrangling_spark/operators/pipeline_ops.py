@@ -706,9 +706,35 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
     )
+    flagged = mixture_flagged(d)
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.first("rate").cast("bigint").alias("rate_x65536"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("docs_kept"),
+            F.first("lang_toks").cast("bigint").alias("toks_before"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("n_tok"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("toks_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def mixture_flagged(d: DataFrame) -> DataFrame:
+    """The stats-then-apply core of q_mixture_plan over ANY
+    (doc_id, lang, n_tok) frame: per-language keep rates for a
+    half-the-tokens budget at equal shares, applied as the
+    deterministic md5 16-bit Bernoulli.  Returns the input plus
+    (lang_toks, rate, keep).  Factored out so the curation
+    composition (curation.write_training_corpus) can plan its
+    mixture over the rewrite-stage corpus."""
     # lt feeds BOTH the rate computation and the (T, n_langs) roll-up;
     # without a cut Catalyst compiles the stats subtree twice (a third
-    # corpus scan).  5 rows — checkpoint once.
+    # corpus scan).  One row per language — checkpoint once.
     lt = (
         d.groupBy("lang")
         .agg(F.sum("n_tok").cast("bigint").alias("lang_toks"))
@@ -729,28 +755,13 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rate"),
         )
     )
-    flagged = d.join(F.broadcast(rates), "lang").withColumn(
+    return d.join(F.broadcast(rates), "lang").withColumn(
         "keep",
         F.expr(
             "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) "
             "AS BIGINT)"
         )
         < F.col("rate"),
-    )
-    return (
-        flagged.groupBy("lang")
-        .agg(
-            F.first("rate").cast("bigint").alias("rate_x65536"),
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum(F.col("keep").cast("bigint")).alias("docs_kept"),
-            F.first("lang_toks").cast("bigint").alias("toks_before"),
-            F.coalesce(
-                F.sum(F.when(F.col("keep"), F.col("n_tok"))), F.lit(0)
-            )
-            .cast("bigint")
-            .alias("toks_kept"),
-        )
-        .orderBy("lang")
     )
 
 

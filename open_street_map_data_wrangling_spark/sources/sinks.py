@@ -153,3 +153,34 @@ def write_clean_corpus(
         F.length("new_text").cast("bigint").alias("n_chars"),
     )
     write_parquet(cleaned, path, mode=mode, partition_by=partition_by)
+
+
+def write_training_corpus(spark, sf_dir: str, path: str) -> None:
+    """Materialize the full rewrite pipeline (curation.
+    training_corpus: boilerplate strip → ExactSubstr dup-strip →
+    mixture plan → shard plan) as the artifacts a training run
+    consumes:
+
+    * ``shards/`` — (doc_id, lang, source, text, n_tok, bytes)
+      parquet PARTITIONED BY shard_id: the loader reads one
+      near-uniform-byte directory per shard, and a resumable export
+      re-writes single shards idempotently.
+    * ``manifest/`` — the 5-stage (stage, n_docs, n_tokens, n_bytes)
+      audit q_training_corpus hash-checks, persisted next to the
+      data it describes (the provenance record reviewers diff
+      between nightly runs).
+
+    At 100 TB the partitionBy write is the only extra exchange over
+    the plan itself, and it shuffles exactly the bytes being
+    exported once — the same posture as write_clean_corpus."""
+    from pyspark.sql import functions as F
+
+    from ..operators.curation import training_corpus
+
+    _, placed, manifest = training_corpus(spark, sf_dir)
+    placed.select(
+        "doc_id", "lang", "source", "text", "n_tok", "bytes", "shard_id"
+    ).write.mode("overwrite").partitionBy("shard_id").parquet(
+        f"{path}/shards"
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")

@@ -1139,6 +1139,64 @@ def test_boilerplate_rewrite_roundtrip(spark, tmp_path, monkeypatch):
         assert r["chunks_removed"] == 0
 
 
+def test_write_training_corpus_sink_roundtrip(spark, tmp_path):
+    """write_training_corpus (r09): the composed rewrite pipeline's
+    artifacts round-trip — shards/ is partitioned by shard_id and its
+    contents reconcile exactly with the persisted manifest/ (doc,
+    token, and byte totals of the mixture stage; shard count of the
+    shard_plan stage), and stage sizes shrink monotonically through
+    the rewrites."""
+    from open_street_map_data_wrangling_spark.sources.sinks import (
+        write_training_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "tc")
+    write_training_corpus(spark, sf, out)
+    shards = spark.read.parquet(f"{out}/shards")
+    manifest = {
+        r["stage"]: r
+        for r in spark.read.parquet(f"{out}/manifest").collect()
+    }
+    assert set(manifest) == {
+        "input",
+        "boilerplate",
+        "dup_strip",
+        "mixture",
+        "shard_plan",
+    }
+    # rewrites only shrink; mixture only drops docs
+    assert manifest["boilerplate"]["n_bytes"] <= manifest["input"]["n_bytes"]
+    assert manifest["dup_strip"]["n_bytes"] <= manifest["boilerplate"]["n_bytes"]
+    assert manifest["mixture"]["n_docs"] <= manifest["dup_strip"]["n_docs"]
+    # shards reconcile with the mixture/shard_plan manifest rows
+    agg = shards.agg(
+        F.count("*").alias("n"),
+        F.sum("bytes").alias("b"),
+        F.sum("n_tok").alias("t"),
+        F.countDistinct("shard_id").alias("s"),
+    ).collect()[0]
+    assert agg["n"] == manifest["mixture"]["n_docs"]
+    assert agg["t"] == manifest["mixture"]["n_tokens"]
+    assert agg["b"] == manifest["mixture"]["n_bytes"]
+    assert agg["s"] == manifest["shard_plan"]["n_docs"]
+    assert agg["n"] == manifest["shard_plan"]["n_tokens"]
+    # every shard but the last stays under budget + one max doc
+    from open_street_map_data_wrangling_spark.operators.pipeline_ops import (
+        _SHARD_BYTES,
+    )
+
+    per_shard = {
+        r["shard_id"]: r["b"]
+        for r in shards.groupBy("shard_id")
+        .agg(F.sum("bytes").alias("b"))
+        .collect()
+    }
+    max_doc = shards.agg(F.max("bytes")).collect()[0][0]
+    for sid, b in per_shard.items():
+        assert b <= _SHARD_BYTES + max_doc
+
+
 def test_lm_surprisal_empty_train_split_degrades_not_crashes(
     spark, monkeypatch
 ):

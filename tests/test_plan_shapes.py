@@ -572,3 +572,17 @@ def test_dup_strip_two_pass_no_text_on_gram_shuffle(plans):
     assert p.count("documents.parquet") == 1  # rebuild scan; gram base checkpointed
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_training_corpus_stagewise_checkpoints(plans):
+    """q_training_corpus (r09 composition): each rewrite stage's
+    corpus-sized output is checkpointed exactly once, so the visible
+    plan reads documents ONCE (the input-manifest count row) and
+    every other stage/manifest branch consumes a materialization
+    (ExistingRDD), never a re-derived subtree; no all-pairs join
+    anywhere in the composition."""
+    p = plans("q_training_corpus")
+    assert p.count("documents.parquet") == 1
+    assert "ExistingRDD" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
