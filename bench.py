@@ -266,6 +266,40 @@ def main() -> None:
         "build_plus_serve_sec": built,
         "serve_only_sec": serve_best,
     }
+
+    # Hard-negative miner build/serve split (r09, mirroring the ivfpq
+    # numbers): q_hard_negatives' headline time is the full inline
+    # mining pass; a deployment builds the cell index nightly and
+    # serves "negatives for these K new docs" from a partition-pruned
+    # scan, so record build and serve-only separately.
+    from open_street_map_data_wrangling_spark.operators.similarity import (
+        build_hardneg_index,
+        hardneg_search,
+    )
+    from pyspark.sql import functions as _F
+
+    hn_dir = os.path.join(_tf.gettempdir(), "osm_spark_bench_hardneg")
+    emb_tbl = load_table(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    build_hardneg_index(emb_tbl, hn_dir)
+    hn_build = round(time.time() - t0, 3)
+    hn_batch = emb_tbl.filter(_F.col("vec_id") < 8)
+    hardneg_search(spark, hn_dir, hn_batch).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
+    hn_serve = None
+    for _pass in range(2):
+        t0 = time.time()
+        hardneg_search(spark, hn_dir, hn_batch).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = round(time.time() - t0, 3)
+        hn_serve = dt if hn_serve is None or dt < hn_serve else hn_serve
+    out["hardneg_serve"] = {
+        "inline_mining_sec": timings.get("q_hard_negatives"),
+        "index_build_sec": hn_build,
+        "serve_only_sec": hn_serve,
+    }
     # Round-over-round regression guard: compare the common query
     # subset against the latest recorded BENCH_r*.json so a
     # scale-safety patch cannot silently re-inflate fixture timings

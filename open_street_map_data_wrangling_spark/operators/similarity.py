@@ -933,3 +933,187 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 4).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining build/serve split (r09 — the ivfpq_search
+# pattern applied to X41): a nightly job persists the cell-tagged,
+# normed, CAP-sampled candidate relation partitioned by cid; serving
+# "negatives for these K new docs" is then a partition-pruned scan of
+# only the batch's cells — never a corpus self-join.
+
+
+def _collect_codebook(emb: DataFrame) -> list[list[float]] | None:
+    """The C-centroid codebook alone (no probe vector) as driver
+    values — C = _n_centroids_for(count), the bounded-collect class.
+    None when the table cannot seed a full codebook (empty input)."""
+    c = _n_centroids_for(emb.count())
+    rows = (
+        emb.filter(F.col("vec_id") < c).select("vec_id", "embedding").collect()
+    )
+    by_id = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    if any(i not in by_id for i in range(c)):
+        return None
+    return [by_id[i] for i in range(c)]
+
+
+def _with_cell(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Append the IVF cell id as a row-local argmax over the literal
+    codebook — the _ivf_scored_literal assignment without the query
+    cosine, shared by the index build and the serve-side batch
+    tagging so both sides agree bit-for-bit."""
+    out = df
+    for cid, cv in enumerate(cents):
+        out = out.withColumn(f"__c{cid}", _lit_vec(cv)).withColumn(
+            f"__cos{cid}", cosine_expr("embedding", f"__c{cid}")
+        )
+    cand_structs = ", ".join(
+        f"struct({cid} AS cid, __cos{cid} AS c)" for cid in range(len(cents))
+    )
+    argmax = F.expr(
+        f"aggregate(array({cand_structs}), "
+        "struct(CAST(-1 AS INT) AS cid, CAST('-Infinity' AS DOUBLE) AS c), "
+        "(acc, x) -> IF(x.c > acc.c, x, acc)).cid"
+    )
+    drop = [f"__c{i}" for i in range(len(cents))] + [
+        f"__cos{i}" for i in range(len(cents))
+    ]
+    return out.withColumn("cid", argmax).drop(*drop)
+
+
+_HARDNEG_CELLS_DDL = (
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, cid INT"
+)
+
+
+def build_hardneg_index(emb: DataFrame, path: str) -> None:
+    """Persist the mining artifacts under ``path``:
+
+    * ``cells/`` — (vec_id, embedding, nrm) parquet PARTITIONED BY
+      cid, already reduced to the ≤ _HARDNEG_CELL_CAP md5-rank
+      sample per cell (exactly q_hard_negatives' candidate side, so
+      a serve answers from the same candidate set inline mining
+      uses).  A probe reads only the batch's cells via
+      PartitionFilters — the IVF pruning made physical.
+    * ``seeds/`` — the first C raw vectors (codebook replay).
+    * ``meta/`` — the centroid count C the build derived from the
+      corpus size (the build_ivfpq_index convention), so serving
+      never re-counts the corpus.
+
+    At 100 TB the build is one corpus scan + one partitioned write
+    (amortized offline), and serve cost is |batch| × CAP dot folds
+    over a partition-pruned scan."""
+    spark = emb.sparkSession
+    cents = _collect_codebook(emb)
+    if cents is None:
+        spark.createDataFrame([], _HARDNEG_CELLS_DDL).write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(f"{path}/cells")
+        emb.select("vec_id", "embedding").write.mode("overwrite").parquet(
+            f"{path}/seeds"
+        )
+        spark.createDataFrame(
+            [(int(_C_MIN),)], "n_centroids INT"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return
+    tagged = _with_cell(emb.select("vec_id", "embedding"), cents).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_expr("embedding", "embedding")).alias("nrm"),
+        "cid",
+    )
+    rk_w = W.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    )
+    samp = (
+        tagged.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= _HARDNEG_CELL_CAP)
+        .drop("rk")
+    )
+    samp.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
+    emb.filter(F.col("vec_id") < len(cents)).select(
+        "vec_id", "embedding"
+    ).write.mode("overwrite").parquet(f"{path}/seeds")
+    spark.createDataFrame(
+        [(len(cents),)], "n_centroids INT"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def hardneg_search(
+    spark: SparkSession,
+    index_path: str,
+    queries_df: DataFrame,
+    exclude_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Hard negatives for a SMALL batch of new vectors (vec_id,
+    embedding) against the persisted cell index — the serving half
+    of the build/serve split: rebuild the codebook literals from
+    seeds/ + meta/ (bounded collect), tag each batch vector with its
+    cell row-locally, then ONE partition-pruned scan of cells/
+    restricted to the batch's cell ids (PartitionFilters — only
+    |batch| of the C directories are opened), a broadcast join of
+    the tiny batch onto those cells, one dot fold per candidate, and
+    a per-anchor top-1 (map-side WindowGroupLimit).  The batch's
+    distinct cell list is collected driver-side — bounded by the
+    batch size, the serve-batch contract.  ``exclude_pairs``
+    (doc_a < doc_b) anti-joins known duplicate pairs exactly like
+    inline mining."""
+    seeds = spark.read.parquet(f"{index_path}/seeds").collect()
+    raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
+    c = int(
+        spark.read.parquet(f"{index_path}/meta").collect()[0]["n_centroids"]
+    )
+    if any(i not in raw for i in range(c)):
+        return _empty_result(
+            queries_df, "anchor BIGINT, hard_negative BIGINT, cos_sim DOUBLE"
+        )
+    cents = [raw[i] for i in range(c)]
+    qd = _with_cell(queries_df.select("vec_id", "embedding"), cents).select(
+        F.col("vec_id").alias("anchor"),
+        "cid",
+        F.col("embedding").alias("qe"),
+        F.sqrt(dot_expr("embedding", "embedding")).alias("qnrm"),
+    )
+    qcells = sorted(r["cid"] for r in qd.select("cid").distinct().collect())
+    if not qcells:
+        return _empty_result(
+            queries_df, "anchor BIGINT, hard_negative BIGINT, cos_sim DOUBLE"
+        )
+    cells = spark.read.parquet(f"{index_path}/cells").filter(
+        F.col("cid").isin([int(x) for x in qcells])
+    )
+    scored = (
+        cells.join(F.broadcast(qd), "cid")
+        .filter(F.col("vec_id") != F.col("anchor"))
+        .select(
+            "anchor",
+            F.col("vec_id").alias("neg"),
+            (
+                dot_expr("embedding", "qe")
+                / (F.col("nrm") * F.col("qnrm"))
+            ).alias("cos_raw"),
+        )
+    )
+    if exclude_pairs is not None:
+        scored = (
+            scored.withColumn("lo", F.least("anchor", "neg"))
+            .withColumn("hi", F.greatest("anchor", "neg"))
+            .join(
+                exclude_pairs.select(
+                    F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi")
+                ),
+                ["lo", "hi"],
+                "left_anti",
+            )
+            .drop("lo", "hi")
+        )
+    w = W.partitionBy("anchor").orderBy(F.desc("cos_raw"), F.asc("neg"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("neg").alias("hard_negative"),
+            F.round("cos_raw", 4).alias("cos_sim"),
+        )
+    )

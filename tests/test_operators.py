@@ -1427,6 +1427,55 @@ def test_hard_negatives_invariants(spark):
         assert -1.0 <= r["cos_sim"] <= 1.0
 
 
+def test_hardneg_index_build_serve(spark, tmp_path):
+    """build_hardneg_index / hardneg_search (r09, the ivfpq
+    build/serve split applied to X41): serving negatives for a small
+    batch answers from the persisted cell index with a
+    partition-pruned cells/ scan (PartitionFilters on cid), returns
+    exactly one max-cosine negative per anchor drawn from the
+    anchor's cell sample, honors the exclude-pairs anti-join, and is
+    deterministic across calls."""
+    from open_street_map_data_wrangling_spark.operators.similarity import (
+        build_hardneg_index,
+        hardneg_search,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    idx = str(tmp_path / "hn")
+    build_hardneg_index(emb, idx)
+    meta = spark.read.parquet(f"{idx}/meta").collect()[0]
+    assert meta["n_centroids"] == 8  # fixture scale keeps C = 8
+    batch = emb.filter(F.col("vec_id") < 5)
+    served = hardneg_search(spark, idx, batch)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    rows = {r["anchor"]: r for r in served.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    for a, r in rows.items():
+        assert r["hard_negative"] != a
+        assert -1.0 <= r["cos_sim"] <= 1.0
+    # determinism
+    again = {r["anchor"]: r["hard_negative"]
+             for r in hardneg_search(spark, idx, batch).collect()}
+    assert again == {a: r["hard_negative"] for a, r in rows.items()}
+    # excluding the mined pair forces the runner-up (or drops the
+    # anchor if its cell sample had a single candidate)
+    excl = spark.createDataFrame(
+        [tuple(sorted((a, r["hard_negative"]))) for a, r in rows.items()],
+        "doc_a long, doc_b long",
+    )
+    served2 = {
+        r["anchor"]: r["hard_negative"]
+        for r in hardneg_search(spark, idx, batch, exclude_pairs=excl).collect()
+    }
+    for a, neg in served2.items():
+        assert neg != rows[a]["hard_negative"]
+
+
 def test_ivf_codebook_scales_with_corpus():
     """r09: the centroid count is derived from the corpus size
     (clamp(N // cell-target, 8, 512)) — the r08 verdict's one `weak`
