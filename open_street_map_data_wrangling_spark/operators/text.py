@@ -926,6 +926,17 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (doc_a, doc_b) key."""
     docs = load_table(spark, sf_dir, "documents")
     prints = _winnow_base(docs).distinct().localCheckpoint(eager=False)
+    return winnow_pairs_from(prints)
+
+
+def winnow_pairs_from(prints: DataFrame) -> DataFrame:
+    """The MOSS matching step over ANY distinct (doc_id, sel) print
+    relation — crowd cap BEFORE the self-join, pairs sharing >= 2
+    prints.  Shared by the inline q_winnow_pairs (prints freshly
+    winnowed from the corpus) and the streaming print store's serve
+    path (streaming/jobs.winnow_pairs_serve: prints read back from
+    the incrementally-maintained store), so both answer from one
+    definition."""
     ok = (
         prints.groupBy("sel")
         .agg(F.count("*").alias("n_docs"))

@@ -982,6 +982,70 @@ def shard_manifest_merge_fn(spark: SparkSession, store_dir: str):
     return merge
 
 
+def winnow_print_merge_fn(spark: SparkSession, store_dir: str):
+    """Set-union merge of each micro-batch's DISTINCT winnow prints
+    (text._winnow_base over the batch docs) into the store.  A
+    document's prints are a pure function of its text and the merge
+    is distinct-union, so the operation is IDEMPOTENT by
+    construction — a redelivered batch changes nothing and no
+    applied-batch markers are needed (the cheap half of the
+    idempotent-vs-marker trade documented on the CMS counter store);
+    the stage-rename commit still guards readers against torn
+    stores.  The store is the incremental clone-detection index: at
+    2 bigints per print and ~2/(W+1) prints per token it is a small
+    constant fraction of corpus size, and serving pairs never
+    re-reads any document."""
+    from ..operators.text import _winnow_base
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        delta = _winnow_base(
+            batch_df.select("doc_id", "text")
+        ).distinct()
+        if fs.exists(store_path):
+            merged = (
+                spark.read.parquet(store_dir)
+                .select("doc_id", "sel")
+                .unionByName(delta)
+                .distinct()
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def winnow_print_maintenance(doc_stream: DataFrame, store_dir: str):
+    """Continuous winnow fingerprinting over a document stream: each
+    micro-batch's prints set-union into the store; serving clone-pair
+    candidates is winnow_pairs_serve — the full MOSS matching step
+    over the store alone, zero corpus scans.  Returns the
+    StreamingQuery (caller stops it)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            winnow_print_merge_fn(doc_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+
+
+def winnow_pairs_serve(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Clone-pair candidates from the maintained print store —
+    text.winnow_pairs_from (crowd cap, >= 2 shared prints) over the
+    store relation, definitionally the same matching the inline
+    q_winnow_pairs runs, so streamed == batch is pinned in
+    tests/test_streaming.py."""
+    from ..operators.text import winnow_pairs_from
+
+    return winnow_pairs_from(
+        spark.read.parquet(store_dir).select("doc_id", "sel")
+    )
+
+
 def shard_manifest_maintenance(doc_stream: DataFrame, store_dir: str):
     """Continuous shard planning over an ordered document stream:
     each micro-batch is placed after the stored end offset and its

@@ -1090,6 +1090,66 @@ def test_drift_stats_maintenance_matches_batch_and_serves_report(
     assert store_rows() == expected
 
 
+def test_winnow_print_maintenance_matches_batch_and_is_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """Incremental clone-detection index (r09): streaming two corpus
+    chunks through winnow_print_maintenance and serving pairs from
+    the store must equal the one-shot q_winnow_pairs over the
+    concatenated corpus (streamed == batch, the store-fed contract
+    all five sibling stores pin), and replaying an already-applied
+    batch is a no-op because the distinct-union merge is idempotent
+    by construction (no markers needed)."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        winnow_pairs_serve,
+        winnow_print_maintenance,
+        winnow_print_merge_fn,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "winnow_store")
+    run = " ".join(f"w{i}" for i in range(14))
+    run2 = " ".join(f"z{i}" for i in range(12))
+    rows = [
+        (1, f"intro {run} alpha beta {run2}", "en", "s0"),
+        (2, f"{run} gamma delta {run2} tail", "en", "s1"),
+        (3, "unrelated tokens only here nothing shared", "en", "s0"),
+        (4, f"late {run} arrival chunk two", "fr", "s2"),
+        (5, "another lonely document entirely", "fr", "s2"),
+    ]
+    schema = "doc_id long, text string, lang string, source string"
+    b1 = spark.createDataFrame(rows[:3], schema)
+    b2 = spark.createDataFrame(rows[3:], schema)
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = winnow_print_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = b1.unionByName(b2)
+    monkeypatch.setattr(tx, "load_table", lambda s, d, n: corpus)
+    expected = sorted(
+        tuple(r) for r in tx.q_winnow_pairs(spark, "_").collect()
+    )
+    served = sorted(
+        tuple(r) for r in winnow_pairs_serve(spark, store).collect()
+    )
+    assert served == expected
+    assert any(p[:2] == (1, 2) for p in served)  # the clone pair
+
+    # idempotent redelivery: re-merging chunk 1 changes nothing
+    winnow_print_merge_fn(spark, store)(b1, 0)
+    after = sorted(
+        tuple(r) for r in winnow_pairs_serve(spark, store).collect()
+    )
+    assert after == served
+
+
 def test_shard_manifest_maintenance_matches_one_shot_plan(spark, tmp_path):
     """Incremental shard planning: streaming two corpus chunks that
     arrive in (source, doc_id) order and folding the maintained
