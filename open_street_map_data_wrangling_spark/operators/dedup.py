@@ -896,9 +896,20 @@ def q_dedup_near_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash-LSH (X2): identical pipeline to q_dedup_near
     (including the hot-bucket cap) but with xxhash64 as the hash
     family — JVM-intrinsic, no hex strings through the shuffle (8
-    longs instead of 8×32-char strings per doc). Not reproducible in
-    DuckDB → rows-only check; the algorithm is the one the md5 twin
-    hash-verifies."""
+    longs instead of 8×32-char strings per doc).
+
+    DELIBERATELY rows-only (r09 decision, closing the r08 verdict's
+    promotion question): xxhash64 IS the point of this query — the
+    bench contrast between the engine-native hash family and the
+    cross-engine-reproducible md5 family is the number a deployment
+    uses to size the dedup pass, and porting it to md5 would erase
+    exactly that signal while duplicating q_dedup_near.  DuckDB has
+    no xxhash64, so no exact SQL twin can exist; the ALGORITHM is
+    hash-verified through the md5 twin, and this query's own output
+    is pinned by a bit-exact Python replay of the xxhash64 pipeline
+    on a controlled-collision corpus (tests/test_operators.py::
+    test_lsh_hash_families_find_identical_dup_groups: both families
+    recover the identical candidate-pair set)."""
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
     mh = ex.groupBy("doc_id").agg(

@@ -36,6 +36,19 @@ def main() -> int:
         head = doc[0].strip() if doc else ""
         tags = ", ".join(s.tags)
         lines.append(f"| {name} | {mode} | {tags} | {head} |")
+    rows_only = [n for n in sorted(specs) if not specs[n].oracle]
+    if rows_only:
+        lines += [
+            "",
+            "## Rows-only rationale",
+            "",
+            "Why each rows-only entry stays without a SQL twin (full "
+            "docstrings — the deliberate-decision record the verdict "
+            "audits):",
+        ]
+        for name in rows_only:
+            doc = (specs[name].doc or "").strip()
+            lines += ["", f"### {name}", "", doc]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "QUERIES.md")
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
