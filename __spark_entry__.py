@@ -163,7 +163,11 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     #
     # Window arithmetic (r09): 1 fresh (q_training_corpus — the
     # composed rewrite pipeline) + 13 modified below; everything fits
-    # inside ~50 slots with ample unchanged rotation.
+    # inside ~50 slots with ample unchanged rotation.  Late-r09
+    # additions: q_image_pixels (fresh — real PNG pixel codec) and
+    # q_winnow_pairs (helper factored into winnow_pairs_from,
+    # byte-identical, re-verified).
+    "q_winnow_pairs",
     "q_dup_strip",
     "q_dup_spans",
     "q_hard_negatives",

@@ -143,8 +143,10 @@ HEADLINE = (
     "q_winnow_pairs",
     "q_dup_strip",
     # added round 9: the composed rewrite pipeline (boilerplate strip
-    # -> ExactSubstr dup-strip -> mixture plan -> shard plan)
+    # -> ExactSubstr dup-strip -> mixture plan -> shard plan) and the
+    # real PNG pixel codec roundtrip
     "q_training_corpus",
+    "q_image_pixels",
 )
 
 

@@ -11,10 +11,13 @@ result schema, per-batch (not per-row) Python work.
 Header-level decode is REAL and dependency-free: `decode_image`
 parses PNG IHDR / JPEG SOFn / GIF screen-descriptor dimensions with
 pure stdlib byte arithmetic (driven through mapInPandas by
-q_image_decode).  Pixel-level decode still needs a codec (this
-container has no image/audio libs), so `fake_decode_meta` remains the
-clearly-marked deterministic stand-in for pixel features in tests
-and the other oracle-checked queries.
+q_image_decode).  PIXEL-level decode is real for PNG since r09:
+`encode_png_rgb` / `decode_png_pixels` implement the 8-bit-truecolor
+profile end to end with stdlib zlib — all five filter types, genuine
+CRCs — hash-certified by q_image_pixels' encode→decode roundtrip
+against a direct oracle recomputation.  JPEG/GIF pixel decode still
+needs entropy codecs this container lacks, so `fake_decode_meta`
+remains the clearly-marked stand-in for those formats only.
 
 Scale notes: mapInPandas streams Arrow record batches through one
 Python worker per core — the payload bytes never land on the driver;
@@ -362,3 +365,263 @@ def sample_frames(binary_df: DataFrame, every_n: int) -> DataFrame:
             )
 
     return binary_df.mapInPandas(run, schema=MM_FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real PNG PIXEL codec (r09 stretch — closes the last documented
+# decode seam for PNG): pure stdlib (zlib + byte arithmetic), no
+# codec library.  Truecolor 8-bit RGB, all five PNG filter types on
+# both the encode and decode side, CRC-verified chunks.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _predictor(ftype: int, raw: bytearray, prior: bytes, i: int, bpp: int) -> int:
+    """Predicted value for byte i of the current scanline under
+    filter `ftype`, given the RECONSTRUCTED current line so far
+    (`raw`) and the reconstructed prior line — the shared core that
+    makes _filter_line and _unfilter_line exact inverses."""
+    left = raw[i - bpp] if i >= bpp else 0
+    up = prior[i]
+    upleft = prior[i - bpp] if i >= bpp else 0
+    if ftype == 0:
+        return 0
+    if ftype == 1:
+        return left
+    if ftype == 2:
+        return up
+    if ftype == 3:
+        return (left + up) // 2
+    if ftype == 4:
+        return _paeth(left, up, upleft)
+    raise ValueError(f"unknown PNG filter type {ftype}")
+
+
+def encode_png_rgb(width: int, height: int, rgb_rows: list[bytes]) -> bytes:
+    """A REAL spec-conformant PNG writer: 8-bit truecolor scanlines
+    → filtered (cycling through all five filter types, y % 5, so a
+    decoder must implement every one) → one zlib stream → signature
+    + IHDR/IDAT/IEND chunks with genuine CRC32s.  Pure stdlib."""
+    import struct
+    import zlib
+
+    bpp = 3
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stream = bytearray()
+    prior = bytes(width * bpp)
+    for y in range(height):
+        line = rgb_rows[y]
+        ftype = y % 5
+        stream.append(ftype)
+        # filtering predicts from the RECONSTRUCTED (= raw) data
+        raw = bytearray(line)
+        for i in range(len(line)):
+            stream.append((line[i] - _predictor(ftype, raw, prior, i, bpp)) & 0xFF)
+        prior = line
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL pixel-level PNG decode, pure stdlib: chunk walk with CRC
+    verification, concatenated-IDAT zlib inflate, scanline
+    reconstruction for all five filter types (the exact inverse of
+    encode_png_rgb's filtering), then integer channel sums —
+    (width, height, sum_r, sum_g, sum_b).  Supports the 8-bit
+    truecolor non-interlaced profile (the one encode_png_rgb and the
+    synthetic fixtures emit); anything else raises ValueError, as a
+    real ingest pass should on unsupported profiles rather than
+    guessing."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, n = len(_PNG_SIG), len(payload)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > n:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG has no IHDR")
+    width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            "unsupported PNG profile (8-bit truecolor non-interlaced only)"
+        )
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, 3 * width
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    sums = [0, 0, 0]
+    prior = bytes(stride)
+    off = 0
+    for _y in range(height):
+        ftype = raw[off]
+        off += 1
+        line = bytearray(stride)
+        for i in range(stride):
+            line[i] = (
+                raw[off + i] + _predictor(ftype, line, prior, i, bpp)
+            ) & 0xFF
+            sums[i % 3] += line[i]
+        off += stride
+        prior = bytes(line)
+    return width, height, sums[0], sums[1], sums[2]
+
+
+MM_PIXELS_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def _pixel_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker over (doc_id, n_chars): build the
+    deterministic RGB image, encode it through the REAL PNG writer,
+    decode it back through the REAL pixel decoder, emit the decoded
+    channel sums.  The sums exist ONLY on the far side of a full
+    zlib+filter roundtrip, so a hash match against the oracle's
+    direct recomputation proves the codec end to end.  NULL inputs
+    yield NULL features (the registry's null-payload contract)."""
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "width": [],
+            "height": [],
+            "sum_r": [],
+            "sum_g": [],
+            "sum_b": [],
+        }
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            if pd.isna(doc_id) or pd.isna(n_chars):
+                out["doc_id"].append(None if pd.isna(doc_id) else int(doc_id))
+                for k in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                    out[k].append(None)
+                continue
+            d, w, h = int(doc_id), int(doc_id) % 8 + 1, int(n_chars) % 8 + 1
+            rows = [
+                bytes(
+                    v
+                    for x in range(w)
+                    for v in (
+                        (d + 3 * x + 7 * y) % 256,
+                        (2 * d + 5 * x + y) % 256,
+                        (x * y + d) % 256,
+                    )
+                )
+                for y in range(h)
+            ]
+            dw, dh, sr, sg, sb = decode_png_pixels(
+                encode_png_rgb(w, h, rows)
+            )
+            out["doc_id"].append(d)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["sum_r"].append(sr)
+            out["sum_g"].append(sg)
+            out["sum_b"].append(sb)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="Int64"),
+                "width": pd.Series(out["width"], dtype="Int32"),
+                "height": pd.Series(out["height"], dtype="Int32"),
+                "sum_r": pd.Series(out["sum_r"], dtype="Int64"),
+                "sum_g": pd.Series(out["sum_g"], dtype="Int64"),
+                "sum_b": pd.Series(out["sum_b"], dtype="Int64"),
+            }
+        )
+
+
+@query(
+    "q_image_pixels",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   doc_id % 8 + 1 AS w,
+                   n_chars % 8 + 1 AS h
+            FROM documents),
+        px AS (
+            SELECT doc_id, w, h,
+                   (doc_id + 3 * x.i + 7 * y.i) % 256 AS r,
+                   (2 * doc_id + 5 * x.i + y.i) % 256 AS g,
+                   (x.i * y.i + doc_id) % 256 AS b
+            FROM dims,
+                 generate_series(0, 7) x(i),
+                 generate_series(0, 7) y(i)
+            WHERE x.i < w AND y.i < h)
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b
+        FROM px
+        GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "extension", "pandas-udf", "pixels"),
+)
+def q_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level PNG roundtrip (X5, r09 — the last documented
+    decode seam closed for PNG): every document becomes a
+    deterministic RGB image (dimensions and pixel values integer
+    functions of doc_id / n_chars), encoded through a spec-faithful
+    pure-stdlib PNG writer (zlib IDAT, genuine CRCs, ALL FIVE filter
+    types cycling per scanline) and decoded back through the real
+    pixel decoder (CRC-checked chunk walk, inflate, per-filter
+    scanline reconstruction) inside one Arrow-batched mapInPandas
+    pass.  The output channel sums exist only on the far side of the
+    roundtrip, while the oracle recomputes them directly from the
+    pixel formula — a hash match certifies the whole codec, not just
+    the header path q_image_decode covers.
+
+    Scale shape: one documents scan projecting two ints per row, one
+    Python stage (the codec is inherently Python-side work — exactly
+    what the mapInPandas seam is for), no shuffle at all before the
+    driver-side collect of the tiny result."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        _pixel_roundtrip_batches, schema=MM_PIXELS_SCHEMA
+    )

@@ -1303,6 +1303,85 @@ def test_extract_image_dims_spark_roundtrip(spark):
     assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 100, 50)
 
 
+def test_png_pixel_codec_all_filters_and_failures():
+    """The r09 pure-stdlib PNG pixel codec: each of the five filter
+    types roundtrips exactly when forced as the only filter (not
+    just in the cycling mix), CRC corruption is detected, and
+    unsupported profiles are refused rather than mis-decoded."""
+    import struct
+    import zlib
+
+    import pytest as _pt
+
+    import open_street_map_data_wrangling_spark.operators.multimodal as mm
+
+    w, h = 5, 7
+    rows = [
+        bytes(
+            v
+            for x in range(w)
+            for v in ((x * 17 + y * 3) % 256, (x + y * y) % 256, (x ^ y) % 256)
+        )
+        for y in range(h)
+    ]
+    want = (
+        w,
+        h,
+        sum(r[i] for r in rows for i in range(0, 3 * w, 3)),
+        sum(r[i] for r in rows for i in range(1, 3 * w, 3)),
+        sum(r[i] for r in rows for i in range(2, 3 * w, 3)),
+    )
+    # the cycling encoder (filters 0..4 across 7 rows)
+    assert mm.decode_png_pixels(mm.encode_png_rgb(w, h, rows)) == want
+    # every filter type alone: rebuild the stream with one fixed type
+    for ftype in range(5):
+        stream = bytearray()
+        prior = bytes(3 * w)
+        for line in rows:
+            stream.append(ftype)
+            raw = bytearray(line)
+            for i in range(len(line)):
+                stream.append(
+                    (line[i] - mm._predictor(ftype, raw, prior, i, 3)) & 0xFF
+                )
+            prior = line
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        png = (
+            mm._PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b"")
+        )
+        assert mm.decode_png_pixels(png) == want, f"filter {ftype}"
+    # corruption: flip a byte inside IDAT -> CRC mismatch raises
+    good = bytearray(mm.encode_png_rgb(w, h, rows))
+    good[40] ^= 0xFF
+    with _pt.raises(ValueError):
+        mm.decode_png_pixels(bytes(good))
+    # unsupported profile (grayscale) is refused
+    bad_ihdr = (
+        mm._PNG_SIG
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        + struct.pack(
+            ">I",
+            zlib.crc32(b"IHDR" + struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            & 0xFFFFFFFF,
+        )
+    )
+    with _pt.raises(ValueError):
+        mm.decode_png_pixels(bad_ihdr)
+
+
 def test_extract_image_dims_null_payload(spark):
     """Regression (r08 advice): a NULL payload must yield NULL
     metadata per the registry's null-payload contract, not crash the
