@@ -147,6 +147,10 @@ HEADLINE = (
     # real PNG pixel codec roundtrip
     "q_training_corpus",
     "q_image_pixels",
+    # added round 9 (second wave): length-bucketed batch planner,
+    # per-language tokenizer-fertility audit
+    "q_batch_plan",
+    "q_bpe_efficiency",
 )
 
 

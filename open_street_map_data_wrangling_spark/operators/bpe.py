@@ -282,3 +282,84 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", "token", F.length("token").cast("int").alias("token_len"),
         "n_occurrences",
     )
+
+
+# ---------------------------------------------------------------------------
+# X51 — per-language tokenizer-efficiency audit (r09)
+
+
+def _efficiency_oracle(steps: int = _BPE_STEPS) -> str:
+    return f"""
+        WITH {_bpe_chain_sql(steps)},
+        lw AS (
+            SELECT lang, w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY lang, w),
+        tok AS (
+            SELECT array_to_string(syms, '') AS w,
+                   CAST(len(syms) AS BIGINT) AS n_tok
+            FROM wf{steps})
+        SELECT lang,
+               CAST(sum(freq) AS BIGINT) AS n_words,
+               CAST(sum(freq * length(w)) AS BIGINT) AS n_chars,
+               CAST(sum(freq * n_tok) AS BIGINT) AS n_bpe_tokens,
+               CAST(100 * sum(freq * length(w)) // sum(freq * n_tok)
+                    AS BIGINT) AS chars_per_tok_x100
+        FROM lw JOIN tok USING (w)
+        GROUP BY lang
+    """
+
+
+@query(
+    "q_bpe_efficiency",
+    oracle=_efficiency_oracle(),
+    tags=("text", "iterative", "extension", "tokenizer"),
+)
+def q_bpe_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (X51): after learning the 8
+    merges corpus-wide, how efficiently does the vocabulary encode
+    EACH language — words, characters, BPE tokens, and integer
+    chars-per-token ×100 per lang.  This is the audit multilingual
+    tokenizer work ships (languages under-represented at training
+    time tokenize worse — lower chars/token — and the gap is the
+    signal that feeds the next mixture plan), composed entirely from
+    the promoted BPE machinery: training's final word-type state IS
+    the encoding, so per-language accounting is one (lang, word)
+    count join against the vocabulary-sized table.  The original
+    word is reconstructed from its symbol sequence (merges only
+    concatenate adjacent symbols, so the join key is exact).
+
+    Scale shape: one corpus scan for (lang, word) freqs, one
+    vocabulary-sized join keyed on the word, one ~#langs aggregate —
+    re-encoding documents never happens (the q_bpe_encode
+    broadcast-the-vocab argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, wf = train_bpe(spark, docs, return_state=True)
+    tok = wf.select(
+        F.expr("replace(trim(seq), ' ', '')").alias("w"),
+        F.expr("CAST(size(split(trim(seq), ' ')) AS BIGINT)").alias("n_tok"),
+    )
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    return (
+        lw.join(tok, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.length("w")).cast("bigint").alias(
+                "n_chars"
+            ),
+            F.sum(F.col("freq") * F.col("n_tok")).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+            F.expr(
+                "CAST(100 * sum(freq * length(w)) "
+                "div sum(freq * n_tok) AS BIGINT)"
+            ).alias("chars_per_tok_x100"),
+        )
+    )

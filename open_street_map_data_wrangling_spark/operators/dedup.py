@@ -1684,6 +1684,18 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") >= 2)
         .select("g")
     )
+    return span_coverage(gram, dupg)
+
+
+def span_coverage(gram: DataFrame, dupg: DataFrame) -> DataFrame:
+    """The coverage half of q_dup_spans over ANY (doc_id, pos, g)
+    gram base and ANY duplicated-gram set: dup-start flags joined
+    back, trailing-window positional coverage, per-doc stats.
+    Shared by the inline query (dup set derived from the same
+    corpus) and the streaming gram-count store's serve path
+    (streaming/jobs.span_dup_coverage_serve: dup set read from the
+    incrementally-maintained store), so both answer from one
+    definition."""
     flagged = gram.join(
         dupg.withColumnRenamed("g", "dg"),
         F.col("g") == F.col("dg"),

@@ -1264,3 +1264,124 @@ def shard_manifest_serve(spark: SparkSession, store_dir: str) -> DataFrame:
             "shard_id", "source", "n_docs", "bytes", "first_doc", "last_doc"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X50 — sequence-length-bucketed batch planner (r09)
+
+_CTX_MIN = 16   # smallest padded context
+_CTX_MAX = 64   # model context limit: longer docs are TRUNCATED
+_BATCH_TOKENS = 1024  # padded-token budget per batch
+
+
+@query(
+    "q_batch_plan",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents),
+        bucketed AS (
+            SELECT doc_id, n_tok,
+                   greatest({_CTX_MIN}, least({_CTX_MAX},
+                       1 << length(bin(n_tok - 1)))) AS ctx
+            FROM d WHERE n_tok >= 1)
+        SELECT CAST(ctx AS BIGINT) AS ctx,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST((count(*) + ({_BATCH_TOKENS} // ctx) - 1)
+                    // ({_BATCH_TOKENS} // ctx) AS BIGINT) AS n_batches,
+               CAST(sum(least(n_tok, ctx)) AS BIGINT) AS toks_real,
+               CAST(count(*) * ctx AS BIGINT) AS toks_padded,
+               CAST(count(*) FILTER (n_tok > ctx) AS BIGINT)
+                 AS n_truncated,
+               CAST(10000 * (count(*) * ctx - sum(least(n_tok, ctx)))
+                    // (count(*) * ctx) AS BIGINT) AS waste_x10k
+        FROM bucketed
+        GROUP BY ctx
+    """,
+    tags=("pipeline", "extension", "batching", "training"),
+)
+def q_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length-bucketed batch planner (X50): the loader-side
+    plan a training run derives before materializing batches — pad
+    each document to the next power-of-two context (clamped to
+    [{_CTX_MIN}, {_CTX_MAX}]; longer docs truncate, and the plan
+    REPORTS how many, because silent truncation is the classic
+    data-prep bug), group docs of one context size into batches of
+    {_BATCH_TOKENS}//ctx documents (constant padded tokens per batch
+    — the uniform-memory batching rule), and account padding waste
+    per bucket in basis points.  Bucketing by ceil-pow2 instead of
+    exact length is what makes the plan cacheable: a doc edit that
+    doesn't cross a power boundary doesn't move it.
+
+    Integer-exact in both engines: ceil-pow2 via the repo's
+    length(bin(n-1)) convention (shiftleft/<<), ceil-div as
+    (n + d - 1) div d, waste in 1/10000 units via truncating div.
+
+    Scale shape: ONE corpus pass projecting a single int per doc,
+    one groupBy on ~4 bucket keys (map-side partial dominates) —
+    no window, no join; the per-doc batch assignment a sink would
+    need is batch_assign below (a per-bucket window, parallel across
+    buckets), kept out of the plan's cost because the PLAN is what
+    gets logged and diffed nightly."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).filter(F.col("n_tok") >= 1).select(
+        "doc_id",
+        "n_tok",
+        F.expr(
+            f"greatest({_CTX_MIN}, least({_CTX_MAX}, "
+            "shiftleft(1, length(bin(n_tok - 1)))))"
+        ).alias("ctx"),
+    )
+    dpb = F.expr(f"{_BATCH_TOKENS} div ctx")
+    return b.groupBy(F.col("ctx").cast("bigint").alias("ctx")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr(
+            f"CAST((count(*) + ({_BATCH_TOKENS} div ctx) - 1) "
+            f"div ({_BATCH_TOKENS} div ctx) AS BIGINT)"
+        ).alias("n_batches"),
+        F.sum(F.least("n_tok", "ctx")).cast("bigint").alias("toks_real"),
+        (F.count("*") * F.col("ctx")).cast("bigint").alias("toks_padded"),
+        F.sum((F.col("n_tok") > F.col("ctx")).cast("bigint")).alias(
+            "n_truncated"
+        ),
+        F.expr(
+            "CAST(10000 * (count(*) * ctx - sum(least(n_tok, ctx))) "
+            "div (count(*) * ctx) AS BIGINT)"
+        ).alias("waste_x10k"),
+    )
+
+
+def batch_assign(docs: DataFrame) -> DataFrame:
+    """Per-document batch assignment behind q_batch_plan: (doc_id,
+    n_tok, ctx, batch_no) where batch_no numbers fixed-size batches
+    WITHIN each context bucket in md5(doc_id) order — deterministic
+    and layout-independent (the mixture/sampling convention), so a
+    re-run or a different partitioning produces the identical plan.
+    One window per bucket partition (parallel across buckets), no
+    global ordering anywhere."""
+    b = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).filter(F.col("n_tok") >= 1).select(
+        "doc_id",
+        "n_tok",
+        F.expr(
+            f"greatest({_CTX_MIN}, least({_CTX_MAX}, "
+            "shiftleft(1, length(bin(n_tok - 1)))))"
+        ).alias("ctx"),
+    )
+    w = W.partitionBy("ctx").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return b.select(
+        "doc_id",
+        "n_tok",
+        "ctx",
+        F.expr(
+            f"CAST((row_number() OVER (PARTITION BY ctx ORDER BY "
+            f"md5(CAST(doc_id AS STRING)) ASC, doc_id ASC) - 1) "
+            f"div ({_BATCH_TOKENS} div ctx) AS BIGINT)"
+        ).alias("batch_no"),
+    )

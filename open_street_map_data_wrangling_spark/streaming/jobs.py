@@ -982,6 +982,99 @@ def shard_manifest_merge_fn(spark: SparkSession, store_dir: str):
     return merge
 
 
+def span_gram_merge_fn(spark: SparkSession, store_dir: str):
+    """ExactSubstr gram-count maintenance — the corpus-wide
+    (g, cnt) table behind q_dup_spans' duplicated-gram set, kept
+    current over a document stream.  Counter addition is not
+    idempotent (the cms/drift lesson), so applied-batch markers ride
+    inside the stage dir and commit atomically with the counters.
+    The gram derivation is dedup._span_gram_base — the SAME exact
+    md5 window hash the batch query uses — so the streamed store's
+    cnt >= 2 set over the concatenated corpus equals the batch dup
+    set, and span_dup_coverage_serve scores any doc batch against
+    corpus history with zero history scans: the incremental "how
+    much of this new crawl is already in the corpus" gate."""
+    from ..operators.dedup import _span_gram_base
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        jvm, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{store_dir}/_applied_{batch_id}"
+        )
+        if fs.exists(marker):
+            return
+        delta = (
+            _span_gram_base(batch_df.select("doc_id", "text"))
+            .where(F.col("g").isNotNull())
+            .groupBy("g")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        prior_markers = []
+        if fs.exists(store_path):
+            for status in fs.listStatus(store_path):
+                name = status.getPath().getName()
+                if name.startswith("_applied_"):
+                    prior_markers.append(name)
+            merged = (
+                spark.read.parquet(store_dir)
+                .select("g", "cnt")
+                .unionByName(delta)
+                .groupBy("g")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        for name in prior_markers + [f"_applied_{batch_id}"]:
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(f"{stage_path}/{name}"), True
+            ).close()
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def span_gram_maintenance(doc_stream: DataFrame, store_dir: str):
+    """Continuous ExactSubstr gram counting over a document stream:
+    each micro-batch's full-gram counts merge additively into the
+    store (marker-gated).  The store is the incremental dedup gate's
+    state — span_dup_coverage_serve scores new documents against the
+    whole streamed history without re-reading it.  Returns the
+    StreamingQuery (caller stops it)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            span_gram_merge_fn(doc_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+
+
+def span_dup_coverage_serve(
+    spark: SparkSession, store_dir: str, docs: DataFrame
+) -> DataFrame:
+    """q_dup_spans' per-doc duplicated-span coverage for ANY document
+    frame, with the duplicated-gram set read from the maintained
+    store instead of derived from a corpus scan — dedup.span_coverage
+    over the batch's own gram base joined against the store's
+    cnt >= 2 grams.  For documents already merged into the store this
+    equals the batch q_dup_spans over the full streamed corpus
+    (pytest-pinned); for a NEW batch it answers "which spans of these
+    docs already exist in corpus history" before the batch is
+    admitted."""
+    from ..operators.dedup import _span_gram_base, span_coverage
+
+    dupg = (
+        spark.read.parquet(store_dir)
+        .where(F.col("cnt") >= 2)
+        .select("g")
+    )
+    return span_coverage(
+        _span_gram_base(docs.select("doc_id", "text")), dupg
+    )
+
+
 def winnow_print_merge_fn(spark: SparkSession, store_dir: str):
     """Set-union merge of each micro-batch's DISTINCT winnow prints
     (text._winnow_base over the batch docs) into the store.  A

@@ -1506,6 +1506,56 @@ def test_hard_negatives_invariants(spark):
         assert -1.0 <= r["cos_sim"] <= 1.0
 
 
+def test_batch_assign_consistent_with_plan(spark):
+    """batch_assign (X50): every batch within a bucket holds exactly
+    _BATCH_TOKENS // ctx docs except the last, batch numbering is
+    dense from 0, truncation is reported not silent, and the
+    assignment reconciles with q_batch_plan's per-bucket manifest
+    (same docs, same batch counts).  Repartitioning the input does
+    not move any document (md5-ordered determinism)."""
+    import open_street_map_data_wrangling_spark.operators.pipeline_ops as po
+
+    sf = "/root/testdata/sf0.001"
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    assigned = po.batch_assign(docs)
+    plan = {r["ctx"]: r for r in po.q_batch_plan(spark, sf).collect()}
+    got = assigned.groupBy("ctx").agg(
+        F.count("*").alias("n"),
+        (F.max("batch_no") + 1).alias("n_batches"),
+        F.countDistinct("batch_no").alias("dense"),
+    )
+    for r in got.collect():
+        p = plan[r["ctx"]]
+        assert r["n"] == p["n_docs"]
+        assert r["n_batches"] == p["n_batches"] == r["dense"]
+        dpb = po._BATCH_TOKENS // r["ctx"]
+        sizes = [
+            x["c"]
+            for x in assigned.filter(F.col("ctx") == r["ctx"])
+            .groupBy("batch_no")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        assert sizes.count(dpb) >= len(sizes) - 1  # only last may be short
+        assert all(s <= dpb for s in sizes)
+    # fixture has >64-token docs: truncation must be visible
+    assert sum(p["n_truncated"] for p in plan.values()) > 0
+    # layout independence
+    a1 = {
+        (r["doc_id"]): (r["ctx"], r["batch_no"])
+        for r in assigned.collect()
+    }
+    a2 = {
+        (r["doc_id"]): (r["ctx"], r["batch_no"])
+        for r in po.batch_assign(docs.repartition(13)).collect()
+    }
+    assert a1 == a2
+
+
 def test_hardneg_index_build_serve(spark, tmp_path):
     """build_hardneg_index / hardneg_search (r09, the ivfpq
     build/serve split applied to X41): serving negatives for a small

@@ -1090,6 +1090,80 @@ def test_drift_stats_maintenance_matches_batch_and_serves_report(
     assert store_rows() == expected
 
 
+def test_span_gram_store_matches_batch_and_gates_new_docs(
+    spark, tmp_path, monkeypatch
+):
+    """Incremental ExactSubstr gate (r09): streaming two corpus
+    chunks into the gram-count store and serving coverage for the
+    full corpus equals the one-shot q_dup_spans (streamed == batch —
+    cross-CHUNK duplicates only become visible once both chunks are
+    merged, which is exactly what the additive counts provide); a
+    brand-new doc repeating corpus text scores covered BEFORE being
+    merged (the admission-gate use); marker-gated redelivery is a
+    no-op."""
+    import open_street_map_data_wrangling_spark.operators.dedup as dd
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        span_dup_coverage_serve,
+        span_gram_maintenance,
+        span_gram_merge_fn,
+    )
+
+    k = dd._SPAN_K
+    run = " ".join(f"w{i}" for i in range(k))
+    uniq1 = " ".join(f"a{i}" for i in range(4))
+    uniq2 = " ".join(f"b{i}" for i in range(6))
+    rows = [
+        (1, f"{uniq1} {run}", "en", "s0"),      # chunk 1: run's 1st copy
+        (2, "x1 x2 x3 x4 x5", "en", "s0"),       # unique
+        (3, f"{run} {uniq2}", "en", "s1"),      # chunk 2: run's 2nd copy
+        (4, "y1 y2 y3 y4", "fr", "s1"),          # unique
+    ]
+    schema = "doc_id long, text string, lang string, source string"
+    b1 = spark.createDataFrame(rows[:2], schema)
+    b2 = spark.createDataFrame(rows[2:], schema)
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "gram_store")
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = span_gram_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = b1.unionByName(b2)
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: corpus)
+    expected = sorted(
+        tuple(r) for r in dd.q_dup_spans(spark, "_").collect()
+    )
+    served = sorted(
+        tuple(r)
+        for r in span_dup_coverage_serve(spark, store, corpus).collect()
+    )
+    assert served == expected
+    # the cross-chunk duplicate is visible: docs 1 and 3 covered
+    cov = {r[0]: r[2] for r in served}
+    assert cov[1] == k and cov[3] == k and cov[2] == 0
+
+    # admission gate: a NEW doc repeating the corpus run scores
+    # covered against history WITHOUT being merged first
+    newdoc = spark.createDataFrame(
+        [(99, f"fresh lead {run} trailer", "en", "s9")], schema
+    )
+    gate = span_dup_coverage_serve(spark, store, newdoc).collect()[0]
+    assert gate["dup_toks"] == k
+
+    # marker-gated redelivery: replaying chunk 1 changes nothing
+    span_gram_merge_fn(spark, store)(b1, 0)
+    again = sorted(
+        tuple(r)
+        for r in span_dup_coverage_serve(spark, store, corpus).collect()
+    )
+    assert again == served
+
+
 def test_winnow_print_maintenance_matches_batch_and_is_idempotent(
     spark, tmp_path, monkeypatch
 ):
