@@ -890,11 +890,23 @@ def build_ivfpq_index(emb: DataFrame, path: str) -> None:
     At 100 TB this is the deployment split the inline queries
     document: the build pass is one scan + one partitioned write,
     amortized over every query that follows."""
-    from . import similarity as sim
-
-    c = sim._n_centroids_for(emb.count())
+    # ONE bounded collect derives C, codebook, and centroids for both
+    # the code table and the seeds/meta artifacts — build pays a
+    # single corpus count, not one per consumer (r09 bench control
+    # caught the double-count as +0.6s of fixture job overhead)
+    cb, _, cents, _ = _collect_ivfpq_literals(emb)
+    if cb is None:
+        coded = _empty_result(
+            emb,
+            "vec_id BIGINT, cid INT, "
+            + ", ".join(f"code{s} INT" for s in range(_M)),
+        )
+        c = 0
+    else:
+        coded = _code_projection(emb, cb, cents)
+        c = len(cents)
     hi = max(_K, c, _QUERY_ID + 1)
-    ivfpq_code_table(emb).withColumn(
+    coded.withColumn(
         "__batch", F.lit(0)
     ).write.mode("overwrite").partitionBy("cid", "__batch").parquet(
         f"{path}/codes"
