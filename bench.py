@@ -151,6 +151,11 @@ HEADLINE = (
     # per-language tokenizer-fertility audit
     "q_batch_plan",
     "q_bpe_efficiency",
+    # added round 9 (third wave): margin-based bitext mining, fuzzy
+    # (near-dup) decontamination, k-core of the near-dup graph
+    "q_bitext_mine",
+    "q_fuzzy_contamination",
+    "q_kcore",
 )
 
 

@@ -1876,3 +1876,86 @@ def exactsubstr_rewrite(docs: DataFrame) -> DataFrame:
         F.sum("keep").cast("bigint").alias("n_kept"),
         kept_text.alias("new_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X53 — fuzzy (near-duplicate) test-set contamination (r09)
+
+
+def _fuzzy_contamination_oracle() -> str:
+    from .pipeline_ops import _SPLIT_SQL
+
+    return f"""
+        WITH {_PAIRS_CTE},
+        split AS (SELECT doc_id, {_SPLIT_SQL} AS sp FROM documents),
+        x AS (
+            SELECT CASE WHEN sa.sp = 'test' THEN p.pa ELSE p.pb END
+                     AS test_doc,
+                   CASE WHEN sa.sp = 'test' THEN p.pb ELSE p.pa END
+                     AS train_doc
+            FROM pairs p
+            JOIN split sa ON sa.doc_id = p.pa
+            JOIN split sb ON sb.doc_id = p.pb
+            WHERE sa.sp <> sb.sp)
+        SELECT test_doc,
+               CAST(count(*) AS BIGINT) AS n_train_neardups,
+               CAST(min(train_doc) AS BIGINT) AS example_train_doc
+        FROM x GROUP BY test_doc
+    """
+
+
+@query(
+    "q_fuzzy_contamination",
+    oracle=_fuzzy_contamination_oracle(),
+    tags=("dedup", "pipeline", "contamination", "lsh", "extension"),
+)
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE test-set contamination (X53): test documents
+    with an LSH near-dup candidate in the train split.
+    q_contamination catches verbatim n-gram overlap; an eval item
+    that was lightly paraphrased or partially rewritten from a
+    training document sails through the exact check and still leaks
+    the answer — which is why published decontamination protocols
+    run BOTH an exact n-gram pass and a fuzzy near-dup pass.  Output
+    is per test doc: how many train near-dups, plus the smallest
+    partner id as the auditable example.
+
+    Scale shape: all the heavy lifting is the audited LSH pipeline
+    (capped band buckets, row-local pair combinations — never a
+    self-join); the split tag is a rowwise md5 (free), the
+    cross-split filter runs on the PAIR table (|pairs| rows, not
+    |corpus|²), and the final aggregate shuffles on test_doc."""
+    from .pipeline_ops import _split_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _capped_band_pairs(_lsh_bands(minhash_sigs(docs)))
+    # the split relation feeds BOTH pair endpoints — checkpoint the
+    # (doc_id, 5-char split) projection once or Catalyst compiles the
+    # diamond as two extra documents scans
+    split = (
+        docs.select("doc_id", _split_col().alias("sp"))
+        .localCheckpoint(eager=False)
+    )
+    sa = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("sp").alias("sp_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("sp").alias("sp_b")
+    )
+    x = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("sp_a") != F.col("sp_b"))
+        .select(
+            F.when(F.col("sp_a") == "test", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("test_doc"),
+            F.when(F.col("sp_a") == "test", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("train_doc"),
+        )
+    )
+    return x.groupBy("test_doc").agg(
+        F.count("*").cast("bigint").alias("n_train_neardups"),
+        F.min("train_doc").cast("bigint").alias("example_train_doc"),
+    )

@@ -449,3 +449,82 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X54 — k-core decomposition of the near-dup graph (r09)
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION ALL SELECT pb, pa FROM pairs)"""
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""d{t} AS MATERIALIZED (
+            SELECT a, CAST(count(*) AS BIGINT) AS deg
+            FROM e{t - 1} GROUP BY a)""")
+        ctes.append(f"""k{t} AS MATERIALIZED (
+            SELECT a FROM d{t} WHERE deg >= {k})""")
+        ctes.append(f"""e{t} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{t - 1} e
+            JOIN k{t} x ON e.a = x.a
+            JOIN k{t} y ON e.b = y.a)""")
+    chain = ",\n        ".join(ctes)
+    return f"""
+        WITH {_PAIRS_CTE},
+        {chain}
+        SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+        FROM e{rounds} GROUP BY a
+    """
+
+
+@query(
+    "q_kcore",
+    oracle=_kcore_oracle(),
+    tags=("graph", "dedup", "iterative", "extension"),
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the near-dup candidate graph (X54): peel
+    nodes of degree < {_KCORE_K} repeatedly for {_KCORE_ROUNDS}
+    fixed rounds; what survives are the DENSELY interlinked
+    template/boilerplate families — the distinction a curation pass
+    wants over connected components, which chain loosely-linked docs
+    into one blob (a path is one component but has an empty 2-core),
+    and over raw degree, which a single hub inflates.  Output: every
+    surviving doc with its degree inside the peeled core.
+
+    Fixed rounds, not a convergence test (the q_pagerank budget
+    argument); the peel is monotone so extra rounds past the
+    fixpoint are identity, and tests/test_graph.py asserts round
+    {_KCORE_ROUNDS}+1 changes nothing on the fixture — the unrolled
+    MATERIALIZED-CTE oracle replays the identical {_KCORE_ROUNDS}
+    rounds, so this is hash-checked, not rows-only.
+
+    Scale shape: each round is one degree aggregate + one
+    self-equi-join of the shrinking edge list, all keyed on node id
+    (co-partitioned round to round); the edge list only ever
+    SHRINKS, and localCheckpoint per round keeps the plan flat (the
+    connected_components discipline)."""
+    docs_pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        docs_pairs.selectExpr("doc_a AS a", "doc_b AS b")
+        .unionByName(docs_pairs.selectExpr("doc_b AS a", "doc_a AS b"))
+        .localCheckpoint(eager=False)
+    )
+    for _t in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("a")
+        edges = (
+            edges.join(keep, "a")
+            .join(keep.withColumnRenamed("a", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return edges.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("core_deg")
+    )

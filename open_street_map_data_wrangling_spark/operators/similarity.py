@@ -1117,3 +1117,122 @@ def hardneg_search(
             F.round("cos_raw", 4).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X52 — margin-based bitext candidate mining (r09)
+
+_BITEXT_SRC_LANG = "en"
+_BITEXT_TGT_LANG = "de"
+
+
+@query(
+    "q_bitext_mine",
+    oracle=f"""
+        WITH {_IVF_ASSIGN_SQL},
+        src AS (
+            SELECT a1.vec_id, a1.cid, e.embedding
+            FROM a1 JOIN embeddings e USING (vec_id)
+            JOIN documents d ON d.doc_id = a1.vec_id
+            WHERE d.lang = '{_BITEXT_SRC_LANG}'),
+        tgt AS (
+            SELECT a1.vec_id, a1.cid, e.embedding
+            FROM a1 JOIN embeddings e USING (vec_id)
+            JOIN documents d ON d.doc_id = a1.vec_id
+            WHERE d.lang = '{_BITEXT_TGT_LANG}'),
+        cand AS (
+            SELECT s.vec_id AS src_doc, t.vec_id AS tgt_doc,
+                   list_cosine_similarity(
+                       s.embedding::DOUBLE[], t.embedding::DOUBLE[])
+                     AS cos_raw
+            FROM src s JOIN tgt t ON s.cid = t.cid),
+        rk AS (
+            SELECT src_doc, tgt_doc, cos_raw,
+                   row_number() OVER (
+                       PARTITION BY src_doc
+                       ORDER BY cos_raw DESC, tgt_doc ASC) AS rn
+            FROM cand),
+        agg AS (
+            SELECT src_doc,
+                   max(CASE WHEN rn = 1 THEN tgt_doc END) AS tgt_doc,
+                   max(CASE WHEN rn = 1 THEN cos_raw END) AS c1,
+                   max(CASE WHEN rn = 2 THEN cos_raw END) AS c2
+            FROM rk WHERE rn <= 2 GROUP BY src_doc)
+        SELECT src_doc, tgt_doc,
+               round(c1, 4) AS cos_sim,
+               round(c1 - c2, 4) AS margin
+        FROM agg WHERE c2 IS NOT NULL
+    """,
+    tags=("similarity", "extension", "bitext", "crosslingual"),
+)
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual bitext candidate mining (X52) — the
+    parallel-corpus step of a multilingual pretraining pipeline:
+    for every {_BITEXT_SRC_LANG} document, its nearest
+    {_BITEXT_TGT_LANG} document by embedding cosine plus the MARGIN
+    over the runner-up (Artetxe & Schwenk's margin criterion in its
+    top1-minus-top2 absolute form) — a large margin is the signal
+    that the pair is a translation rather than merely
+    topic-adjacent.  Docs whose cell offers fewer than two
+    candidates are excluded (no margin can be computed, and a
+    mined pair without a margin is exactly the false positive the
+    criterion exists to kill); target collisions are retained (the
+    downstream aligner resolves them).
+
+    Scale shape: the IVF cell assignment (scaled codebook,
+    _n_centroids_for) bounds the cross-language candidate join to
+    same-cell pairs — Σ|src-cell|·|tgt-cell|, never |src|×|tgt| —
+    exactly how production miners replace the all-pairs kNN with an
+    ANN prefilter; per-vector norms are hoisted out of the pair
+    join (the q_hard_negatives trick) so each candidate costs one
+    dot fold; top-2-per-source is a window with a map-side
+    WindowGroupLimit prune, folded to one row per source by a
+    conditional aggregate (no rank self-join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = _collect_codebook(emb)
+    if cents is None:
+        return _empty_result(
+            emb,
+            "src_doc BIGINT, tgt_doc BIGINT, cos_sim DOUBLE, margin DOUBLE",
+        )
+    tagged = (
+        _with_cell(emb.select("vec_id", "embedding"), cents)
+        .join(
+            docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+        )
+        .filter(F.col("lang").isin(_BITEXT_SRC_LANG, _BITEXT_TGT_LANG))
+        .select(
+            "vec_id",
+            "cid",
+            "lang",
+            "embedding",
+            F.sqrt(dot_expr("embedding", "embedding")).alias("nrm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    src = tagged.filter(F.col("lang") == _BITEXT_SRC_LANG).alias("s")
+    tgt = tagged.filter(F.col("lang") == _BITEXT_TGT_LANG).alias("t")
+    cand = src.join(tgt, F.col("s.cid") == F.col("t.cid")).select(
+        F.col("s.vec_id").alias("src_doc"),
+        F.col("t.vec_id").alias("tgt_doc"),
+        (
+            dot_expr("s.embedding", "t.embedding")
+            / (F.col("s.nrm") * F.col("t.nrm"))
+        ).alias("cos_raw"),
+    )
+    w = W.partitionBy("src_doc").orderBy(F.desc("cos_raw"), F.asc("tgt_doc"))
+    rk = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    agg = rk.groupBy("src_doc").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("tgt_doc"))).alias("tgt_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("cos_raw"))).alias("c1"),
+        F.max(F.when(F.col("rn") == 2, F.col("cos_raw"))).alias("c2"),
+    )
+    return agg.filter(F.col("c2").isNotNull()).select(
+        "src_doc",
+        "tgt_doc",
+        F.round("c1", 4).alias("cos_sim"),
+        F.round(F.col("c1") - F.col("c2"), 4).alias("margin"),
+    )

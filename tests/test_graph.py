@@ -175,3 +175,53 @@ def test_label_prop_toy_two_cliques_bridged(spark):
     assert len({lab[v] for v in range(1, 5)}) == 1
     assert len({lab[v] for v in range(11, 15)}) == 1
     assert lab[1] != lab[11]
+
+
+def test_kcore_toy_path_vs_clique_and_fixpoint(spark, monkeypatch):
+    """q_kcore semantics: a path is one connected component but has
+    an EMPTY 2-core (every peel round removes the endpoints); a
+    triangle + pendant keeps exactly the triangle at degree 2; and
+    the fixed 8-round peel is a fixpoint on the sf0.001 fixture (a
+    9th round removes nothing), so the fixed budget is not cutting
+    the peel short."""
+    import open_street_map_data_wrangling_spark.operators.graph as g
+    import open_street_map_data_wrangling_spark.operators.dedup as dd
+    from pyspark.sql import functions as F
+
+    # toy: path 1-2-3-4-5  +  triangle 10-11-12 with pendant 13
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12), (12, 13)],
+        "doc_a long, doc_b long",
+    )
+    monkeypatch.setattr(g, "q_dedup_near", lambda s, d: pairs)
+    got = {r["doc_id"]: r["core_deg"] for r in g.q_kcore(spark, "_").collect()}
+    assert got == {10: 2, 11: 2, 12: 2}
+
+    # fixture fixpoint: one more peel round changes nothing
+    monkeypatch.undo()
+    sf = "/root/testdata/sf0.001"
+    base = {
+        (r["doc_id"], r["core_deg"])
+        for r in g.q_kcore(spark, sf).collect()
+    }
+    real_pairs = dd.q_dedup_near(spark, sf).select("doc_a", "doc_b")
+    edges = real_pairs.selectExpr("doc_a AS a", "doc_b AS b").unionByName(
+        real_pairs.selectExpr("doc_b AS a", "doc_a AS b")
+    )
+    for _t in range(g._KCORE_ROUNDS + 1):
+        deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= g._KCORE_K).select("a")
+        edges = (
+            edges.join(keep, "a")
+            .join(keep.withColumnRenamed("a", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    extra = {
+        (r["a"], r["core_deg"])
+        for r in edges.groupBy("a")
+        .agg(F.count("*").cast("bigint").alias("core_deg"))
+        .collect()
+    }
+    assert {(d, c) for d, c in extra} == {(d, c) for d, c in base}

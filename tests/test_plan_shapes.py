@@ -586,3 +586,47 @@ def test_training_corpus_stagewise_checkpoints(plans):
     assert "ExistingRDD" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fuzzy_contamination_split_checkpointed(plans):
+    """q_fuzzy_contamination: the split projection is checkpointed
+    once (both pair endpoints consume the materialization), so the
+    only documents scans are the LSH pair pipeline's own pinned
+    pair; no all-pairs join anywhere."""
+    p = plans("q_fuzzy_contamination")
+    assert p.count("documents.parquet") == 2
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bitext_mine_cell_bounded_single_base(plans):
+    """q_bitext_mine: the cell-tagged bilingual base is checkpointed
+    once (0 visible scans), the cross-language candidate join is an
+    equi-join on cid, and the top-2-per-source window carries a
+    map-side WindowGroupLimit prune."""
+    p = plans("q_bitext_mine")
+    assert p.count("documents.parquet") == 0
+    assert p.count("embeddings.parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_kcore_shrinking_equi_join_rounds(plans):
+    """q_kcore: every peel round is a degree aggregate plus
+    node-keyed equi-joins over the checkpointed shrinking edge list
+    — zero visible corpus scans, no all-pairs form."""
+    p = plans("q_kcore")
+    assert p.count("documents.parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_training_corpus_no_cartesian_addendum(plans):
+    """q_batch_plan / q_bpe_efficiency / q_image_pixels: single
+    pruned documents scan each (q_bpe_efficiency's second pass rides
+    the checkpointed word-type state), no join blow-ups."""
+    for name in ("q_batch_plan", "q_image_pixels"):
+        p = plans(name)
+        assert p.count("documents.parquet") == 1, name
+        assert "CartesianProduct" not in p, name
