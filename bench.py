@@ -156,6 +156,7 @@ HEADLINE = (
     "q_bitext_mine",
     "q_fuzzy_contamination",
     "q_kcore",
+    "q_dedup_savings",
 )
 
 

@@ -1959,3 +1959,84 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_train_neardups"),
         F.min("train_doc").cast("bigint").alias("example_train_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X55 — dedup savings report (r09)
+
+
+@query(
+    "q_dedup_savings",
+    oracle=f"""
+        WITH RECURSIVE
+        {_PAIRS_CTE},
+        edges AS (SELECT pa AS a, pb AS b FROM pairs
+                  UNION SELECT pb, pa FROM pairs),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        lab AS (
+            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
+            FROM (SELECT DISTINCT a FROM edges) e
+            JOIN reach r ON r.src = e.a
+            GROUP BY e.a),
+        sized AS (
+            SELECT l.cluster_id, l.n,
+                   len(string_split(d.text, ' ')) AS n_tok
+            FROM lab l JOIN documents d ON d.doc_id = l.n)
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_toks,
+               CAST(sum(CASE WHEN n = cluster_id THEN n_tok END)
+                    AS BIGINT) AS kept_toks,
+               CAST(sum(n_tok) - sum(CASE WHEN n = cluster_id
+                                          THEN n_tok END)
+                    AS BIGINT) AS saved_toks
+        FROM sized
+        GROUP BY cluster_id
+    """,
+    tags=("dedup", "iterative", "pipeline", "extension"),
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report (X55) — the number a curation review
+    actually asks for: per near-dup CLUSTER (size >= 2; singletons
+    carry no savings and are excluded so the report is sized by
+    |dup families|, not |corpus|), how many documents and tokens it
+    holds, how many tokens the representative keeps, and how many
+    the dedup pass SAVES — the line items behind "dedup removed X%
+    of the corpus" in every pipeline writeup.
+
+    Composition: the audited LSH pair pipeline → pointer-doubling
+    connected components restricted to edge-touched nodes (the
+    singleton majority never enters a round) → one token-count join
+    against a pruned documents scan → a per-cluster aggregate.  The
+    oracle replays components via the recursive transitive-closure
+    CTE, so the whole composition is hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        q_dedup_near(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    lab = connected_components(pairs, nodes)
+    sized = lab.join(
+        docs.select(
+            F.col("doc_id").alias("n"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        ),
+        "n",
+    )
+    kept = F.when(F.col("n") == F.col("cluster_id"), F.col("n_tok"))
+    return sized.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_toks"),
+        F.sum(kept).cast("bigint").alias("kept_toks"),
+        (F.sum("n_tok") - F.sum(kept)).cast("bigint").alias("saved_toks"),
+    )

@@ -33,7 +33,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 # Explicit source schema — streaming readers must not infer (a schema
@@ -980,6 +980,93 @@ def shard_manifest_merge_fn(spark: SparkSession, store_dir: str):
         _commit_store(fs, store_path, stage_path)
 
     return merge
+
+
+def hardneg_cells_merge_fn(spark: SparkSession, index_path: str):
+    """Incremental maintenance of the hard-negative cell index
+    (similarity.build_hardneg_index must have run once): each
+    micro-batch of new (vec_id, embedding) rows is cell-tagged
+    against the PERSISTED codebook (seeds/ + meta/ — the ivfpq
+    maintenance convention: the build-time cell layout is pinned,
+    codebook refresh is a rebuild), normed, unioned with the stored
+    cells, and re-reduced to the ≤ _HARDNEG_CELL_CAP md5-rank-LOWEST
+    members per cell.  min-k of a union equals min-k of the union of
+    min-k's (the KMV-sketch merge property), so the maintained store
+    is IDENTICAL to a fresh build over the concatenated corpus
+    (pytest-pinned) and the set-semantics merge is idempotent — no
+    applied-batch markers, just the stage-rename commit.  The whole
+    store is ≤ C × CAP rows, so the rewrite is bounded regardless of
+    corpus size.  Append-only ids: re-embedding an existing id is the
+    rebuild path's job, as with the ivfpq codes compaction."""
+    from ..operators.similarity import (
+        _HARDNEG_CELL_CAP,
+        _with_cell,
+        dot_expr,
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        cells_path = jvm.org.apache.hadoop.fs.Path(f"{index_path}/cells")
+        stage_path = jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/cells_stage"
+        )
+        fs = cells_path.getFileSystem(hconf)
+        _recover_store(fs, cells_path, stage_path)
+        seeds = spark.read.parquet(f"{index_path}/seeds").collect()
+        raw = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in seeds
+        }
+        c = int(
+            spark.read.parquet(f"{index_path}/meta")
+            .collect()[0]["n_centroids"]
+        )
+        if any(i not in raw for i in range(c)):
+            return  # bootstrap index was empty: nothing to tag against
+        cents = [raw[i] for i in range(c)]
+        delta = _with_cell(
+            batch_df.select("vec_id", "embedding"), cents
+        ).select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot_expr("embedding", "embedding")).alias("nrm"),
+            "cid",
+        )
+        store = spark.read.parquet(f"{index_path}/cells").select(
+            "vec_id", "embedding", "nrm", "cid"
+        )
+        rk_w = W.partitionBy("cid").orderBy(
+            F.md5(F.col("vec_id").cast("string")).asc(),
+            F.col("vec_id").asc(),
+        )
+        merged = (
+            store.unionByName(delta)
+            .distinct()
+            .withColumn("rk", F.row_number().over(rk_w))
+            .filter(F.col("rk") <= _HARDNEG_CELL_CAP)
+            .drop("rk")
+        )
+        merged.write.mode("overwrite").partitionBy("cid").parquet(
+            str(stage_path)
+        )
+        _commit_store(fs, cells_path, stage_path)
+
+    return merge
+
+
+def hardneg_cells_maintenance(vec_stream: DataFrame, index_path: str):
+    """Continuous hard-negative index maintenance over a vector
+    stream: new embeddings fold into the bounded per-cell samples;
+    similarity.hardneg_search serves from the maintained cells/
+    unchanged.  Returns the StreamingQuery (caller stops it)."""
+    return (
+        vec_stream.writeStream.foreachBatch(
+            hardneg_cells_merge_fn(vec_stream.sparkSession, index_path)
+        )
+        .option("checkpointLocation", f"{index_path}/cells_ckpt")
+        .start()
+    )
 
 
 def span_gram_merge_fn(spark: SparkSession, store_dir: str):

@@ -1090,6 +1090,81 @@ def test_drift_stats_maintenance_matches_batch_and_serves_report(
     assert store_rows() == expected
 
 
+def test_hardneg_cells_maintenance_matches_rebuild(spark, tmp_path):
+    """Incremental hard-negative index (r09): bootstrapping the index
+    on chunk 1 and streaming chunk 2 through the maintenance job
+    yields EXACTLY the cells a fresh build over the concatenated
+    corpus produces (the min-k merge property), serving identical
+    negatives; re-merging a delivered chunk is a no-op (set-semantics
+    idempotence, no markers)."""
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.operators.similarity import (
+        build_hardneg_index,
+        hardneg_search,
+    )
+    from open_street_map_data_wrangling_spark.operators.similarity import (
+        _HARDNEG_CELL_CAP,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        hardneg_cells_maintenance,
+        hardneg_cells_merge_fn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 3 != 0)
+    # keep the codebook seeds in chunk 1 so the bootstrap build and
+    # the full build derive the same fixture-scale C=8 cell layout
+    b1 = b1.unionByName(emb.filter(F.col("vec_id") < 8)).distinct()
+    b2 = emb.join(b1.select("vec_id"), "vec_id", "left_anti")
+
+    inc = str(tmp_path / "inc")
+    build_hardneg_index(b1, inc)
+    src = str(tmp_path / "vec_src")
+    b2.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b2.schema).parquet(src)
+    q = hardneg_cells_maintenance(stream, inc)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = str(tmp_path / "full")
+    build_hardneg_index(emb, full)
+    cells_inc = {
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(f"{inc}/cells").collect()
+    }
+    cells_full = {
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(f"{full}/cells").collect()
+    }
+    assert cells_inc == cells_full and len(cells_inc) > 0
+
+    batch = emb.filter(F.col("vec_id") < 5)
+    served_inc = {
+        r["anchor"]: r["hard_negative"]
+        for r in hardneg_search(spark, inc, batch).collect()
+    }
+    served_full = {
+        r["anchor"]: r["hard_negative"]
+        for r in hardneg_search(spark, full, batch).collect()
+    }
+    assert served_inc == served_full
+
+    # idempotent redelivery
+    hardneg_cells_merge_fn(spark, inc)(b2, 0)
+    again = {
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(f"{inc}/cells").collect()
+    }
+    assert again == cells_inc
+
+
 def test_span_gram_store_matches_batch_and_gates_new_docs(
     spark, tmp_path, monkeypatch
 ):
