@@ -61,6 +61,17 @@ SAMPLE = (
     "q_label_prop",            # fixed-round synchronous propagation
     "q_shard_plan",            # two-stage distributed prefix sum
     "q_dup_spans",             # stride-1 gram coverage windows
+    # round 9 additions
+    "q_dup_strip",             # exact-md5-gram destructive rewrite
+    "q_training_corpus",       # 4-stage composed rewrite manifest
+    "q_hard_negatives",        # scaled codebook + md5 cell sampling
+    "q_batch_plan",            # ceil-pow2 buckets, integer waste
+    "q_bpe_efficiency",        # BPE state join, per-lang fertility
+    "q_bitext_mine",           # margin mining in IVF cells
+    "q_fuzzy_contamination",   # LSH pairs across the md5 split
+    "q_kcore",                 # fixed-round degree peel
+    "q_dedup_savings",         # component token accounting
+    "q_image_pixels",          # PNG codec roundtrip sums
 )
 
 _ALT = {
