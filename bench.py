@@ -157,6 +157,7 @@ HEADLINE = (
     "q_fuzzy_contamination",
     "q_kcore",
     "q_dedup_savings",
+    "q_text_search",
 )
 
 

@@ -957,3 +957,127 @@ def winnow_pairs_from(prints: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# X56 — inverted-index conjunctive search (r09)
+
+_SEARCH_TERMS = ("merge", "filter", "batch")  # fixed demo query (AND)
+_INDEX_BUCKETS = 64  # token-hash partition key of the persisted index
+
+
+@query(
+    "q_text_search",
+    oracle=f"""
+        WITH post AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+            WHERE tok IN {_SEARCH_TERMS!r}),
+        hits AS (
+            SELECT doc_id FROM post
+            GROUP BY doc_id
+            HAVING count(*) = {len(_SEARCH_TERMS)})
+        SELECT h.doc_id, d.source, d.lang,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+        FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+    """,
+    tags=("text", "extension", "search", "inverted-index"),
+)
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) token search (X56) — the corpus-inspection
+    query every curation team keeps around ("show me the documents
+    containing all of these terms"), in its index shape: explode to
+    postings, keep only the QUERY terms (at 100 TB: a partition-
+    pruned read of the persisted posting index, see build_text_index
+    — the inline form pushes `tok IN (...)` into the scan instead),
+    distinct per (doc, term), then docs matching ALL terms via the
+    count-distinct-equals-arity trick — never an N-way self-join of
+    posting lists, and the metadata join happens only for final
+    hits.
+
+    Scale shape: the posting filter reaches the scan as a predicate
+    on the exploded stream; the per-doc aggregate shuffles only
+    (doc_id, tok) pairs of the query terms (|terms| × df rows); the
+    hits ⋈ documents join is keyed on doc_id and sized by the
+    result.  build_text_index/text_search below persist the same
+    postings partitioned by token-hash bucket so a served query
+    opens |terms| of {_INDEX_BUCKETS} directories."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin(*_SEARCH_TERMS))
+        .distinct()
+    )
+    hits = (
+        post.groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"))
+        .filter(F.col("n_terms") == len(_SEARCH_TERMS))
+        .select("doc_id")
+    )
+    return hits.join(
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        ),
+        "doc_id",
+    )
+
+
+def build_text_index(docs: DataFrame, path: str) -> None:
+    """Persist the inverted index: DISTINCT (tok, doc_id) postings
+    parquet PARTITIONED BY bkt = pmod(xxhash64(tok), {_INDEX_BUCKETS})
+    — a served query reads only its terms' buckets
+    (PartitionFilters), and each bucket holds ~vocabulary/
+    {_INDEX_BUCKETS} terms' postings.  One corpus scan + one
+    partitioned write; the amortized offline step of
+    q_text_search's inline shape."""
+    post = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .withColumn(
+            "bkt",
+            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).cast("int"),
+        )
+    )
+    post.write.mode("overwrite").partitionBy("bkt").parquet(
+        f"{path}/postings"
+    )
+
+
+def text_search(
+    spark: SparkSession, index_path: str, terms: list[str]
+) -> DataFrame:
+    """Conjunctive search over the PERSISTED index: compute the
+    terms' buckets driver-side (pure function of the term — no jobs),
+    scan only those partitions, filter to the exact terms, and apply
+    the count-equals-arity intersection.  Returns (doc_id) hits;
+    callers join metadata as q_text_search does.  Zero corpus
+    scans."""
+    from pyspark.sql import Row
+
+    if not terms:
+        return spark.createDataFrame([], "doc_id BIGINT")
+    tdf = spark.createDataFrame([Row(tok=t) for t in set(terms)])
+    bkts = [
+        int(r["b"])
+        for r in tdf.select(
+            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    post = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("bkt").isin(bkts))
+        .filter(F.col("tok").isin(*set(terms)))
+    )
+    return (
+        post.groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("n_terms"))
+        .filter(F.col("n_terms") == len(set(terms)))
+        .select("doc_id")
+    )

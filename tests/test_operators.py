@@ -1506,6 +1506,37 @@ def test_hard_negatives_invariants(spark):
         assert -1.0 <= r["cos_sim"] <= 1.0
 
 
+def test_text_index_build_serve_matches_inline(spark, tmp_path):
+    """build_text_index / text_search (X56): serving the fixed demo
+    conjunction from the persisted posting index returns exactly the
+    inline q_text_search hit set, the served plan is partition-pruned
+    on the token-hash bucket (PartitionFilters), empty terms yield
+    empty, and a term absent from the corpus empties the
+    conjunction."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    idx = str(tmp_path / "tix")
+    tx.build_text_index(docs, idx)
+    served = tx.text_search(spark, idx, list(tx._SEARCH_TERMS))
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bkt" in plan
+    got = {r["doc_id"] for r in served.collect()}
+    want = {r["doc_id"] for r in tx.q_text_search(spark, sf).collect()}
+    assert got == want and got
+    assert tx.text_search(spark, idx, []).count() == 0
+    assert (
+        tx.text_search(
+            spark, idx, [tx._SEARCH_TERMS[0], "zz-not-a-word"]
+        ).count()
+        == 0
+    )
+
+
 def test_batch_assign_consistent_with_plan(spark):
     """batch_assign (X50): every batch within a bucket holds exactly
     _BATCH_TOKENS // ctx docs except the last, batch numbering is
