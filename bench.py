@@ -158,6 +158,7 @@ HEADLINE = (
     "q_kcore",
     "q_dedup_savings",
     "q_text_search",
+    "q_budget_select",
 )
 
 

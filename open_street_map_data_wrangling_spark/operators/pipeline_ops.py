@@ -1385,3 +1385,89 @@ def batch_assign(docs: DataFrame) -> DataFrame:
             f"div ({_BATCH_TOKENS} div ctx) AS BIGINT)"
         ).alias("batch_no"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X57 — budget-constrained best-first selection (r09)
+
+_SELECT_SHARE_DEN = 3  # keep the best ~1/3 of each source's tokens
+
+
+@query(
+    "q_budget_select",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tok,
+                   CAST(10000 * len(list_distinct(string_split(text, ' ')))
+                        // len(string_split(text, ' ')) AS BIGINT) AS q
+            FROM documents),
+        b AS (
+            SELECT source,
+                   CAST(sum(n_tok) // {_SELECT_SHARE_DEN} AS BIGINT)
+                     AS budget
+            FROM d GROUP BY source),
+        r AS (
+            SELECT d.*, b.budget,
+                   CAST(coalesce(sum(n_tok) OVER (
+                       PARTITION BY d.source
+                       ORDER BY q DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+            FROM d JOIN b USING (source)),
+        kept AS (SELECT * FROM r WHERE cum_before < budget)
+        SELECT source,
+               CAST(any_value(budget) AS BIGINT) AS budget_toks,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS toks_kept,
+               CAST(min(q) AS BIGINT) AS admission_bar_x10k
+        FROM kept GROUP BY source
+    """,
+    tags=("pipeline", "extension", "selection", "quality"),
+)
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained best-first selection (X57) — the OTHER
+    sampling regime next to q_mixture_plan's proportional Bernoulli:
+    rank every document within its source by quality (distinct-token
+    ratio ×10⁴ — integer-exact) and admit in rank order until the
+    source's token budget (1/{_SELECT_SHARE_DEN} of its mass) is
+    reached; a document STARTING under budget is admitted whole (the
+    deterministic greedy a curation pass actually runs).  Reports
+    per source the budget, what was admitted, and the ADMISSION BAR
+    — the lowest quality that made the cut, the number that tells a
+    data lead how deep into the quality tail the budget forces them.
+
+    Scale shape: one stats pass for the per-source budgets (tiny
+    table, broadcast back), then ONE per-source window (rank order +
+    trailing cumsum share the same sort — a single exchange+sort per
+    the q_funnel_steps discipline), aggregate on the kept rows.  No
+    global ordering anywhere; sources select in parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.selectExpr(
+        "doc_id",
+        "source",
+        "size(split(text, ' ')) AS n_tok",
+        "CAST(10000 * size(array_distinct(split(text, ' '))) "
+        "div size(split(text, ' ')) AS BIGINT) AS q",
+    )
+    b = d.groupBy("source").agg(
+        F.expr(f"CAST(sum(n_tok) div {_SELECT_SHARE_DEN} AS BIGINT)").alias(
+            "budget"
+        )
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = d.join(F.broadcast(b), "source").withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint"),
+    )
+    kept = r.filter(F.col("cum_before") < F.col("budget"))
+    return kept.groupBy("source").agg(
+        F.first("budget").cast("bigint").alias("budget_toks"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("toks_kept"),
+        F.min("q").cast("bigint").alias("admission_bar_x10k"),
+    )
