@@ -882,18 +882,20 @@ def build_ivfpq_index(emb: DataFrame, path: str) -> None:
       vector (codebook seeds, the C IVF centroids, probe): everything
       a serving process needs to rebuild its plan literals WITHOUT
       ever touching the corpus table again.
-    * ``meta/`` — one row: the centroid count C the build derived
-      from the corpus size (sim._n_centroids_for).  Serving reads C
-      from here rather than re-counting the corpus, so build and
-      serve agree on the cell layout by construction.
+      Each seeds row also carries ``n_centroids`` — the C the build
+      derived from the corpus size (sim._n_centroids_for) — so
+      serving learns the cell layout from the ONE seeds read it
+      already does, never by re-counting the corpus and with no
+      separate metadata file round-trip (r09 bench: the standalone
+      meta/ parquet cost two extra driver jobs per build+serve).
 
     At 100 TB this is the deployment split the inline queries
     document: the build pass is one scan + one partitioned write,
     amortized over every query that follows."""
     # ONE bounded collect derives C, codebook, and centroids for both
-    # the code table and the seeds/meta artifacts — build pays a
-    # single corpus count, not one per consumer (r09 bench control
-    # caught the double-count as +0.6s of fixture job overhead)
+    # the code table and the seeds artifact — build pays a single
+    # corpus count, not one per consumer (r09 bench control caught
+    # the double-count as +0.6s of fixture job overhead)
     cb, _, cents, _ = _collect_ivfpq_literals(emb)
     if cb is None:
         coded = _empty_result(
@@ -913,10 +915,9 @@ def build_ivfpq_index(emb: DataFrame, path: str) -> None:
     )
     emb.filter(F.col("vec_id") < hi).select(
         "vec_id", "embedding"
-    ).write.mode("overwrite").parquet(f"{path}/seeds")
-    emb.sparkSession.createDataFrame(
-        [(int(c),)], "n_centroids INT"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).withColumn("n_centroids", F.lit(int(c))).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/seeds")
 
 
 def ivfpq_search(
@@ -937,11 +938,12 @@ def ivfpq_search(
 
     seeds = spark.read.parquet(f"{index_path}/seeds").collect()
     raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
-    # the build-time centroid count rides in meta/ — serving derives
-    # the cell layout from the index, never by re-counting the corpus
-    c = int(
-        spark.read.parquet(f"{index_path}/meta").collect()[0]["n_centroids"]
-    )
+    # the build-time centroid count rides ON the seeds rows — the
+    # cell layout comes from the one read serving already does,
+    # never from re-counting the corpus
+    if not seeds:
+        return spark.createDataFrame([], "vec_id BIGINT, adc_d2 BIGINT")
+    c = int(seeds[0]["n_centroids"])
     needed = set(range(_K)) | set(range(c)) | {query_id}
     if not needed <= raw.keys():
         # index built from an empty table has no seeds (and codes/

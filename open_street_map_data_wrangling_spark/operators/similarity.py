@@ -996,9 +996,10 @@ def build_hardneg_index(emb: DataFrame, path: str) -> None:
       uses).  A probe reads only the batch's cells via
       PartitionFilters — the IVF pruning made physical.
     * ``seeds/`` — the first C raw vectors (codebook replay).
-    * ``meta/`` — the centroid count C the build derived from the
-      corpus size (the build_ivfpq_index convention), so serving
-      never re-counts the corpus.
+      Each seeds row carries ``n_centroids`` — the C the build
+      derived from the corpus size (the build_ivfpq_index
+      convention), so serving learns the cell layout from the one
+      seeds read it already does, never by re-counting the corpus.
 
     At 100 TB the build is one corpus scan + one partitioned write
     (amortized offline), and serve cost is |batch| × CAP dot folds
@@ -1009,12 +1010,9 @@ def build_hardneg_index(emb: DataFrame, path: str) -> None:
         spark.createDataFrame([], _HARDNEG_CELLS_DDL).write.mode(
             "overwrite"
         ).partitionBy("cid").parquet(f"{path}/cells")
-        emb.select("vec_id", "embedding").write.mode("overwrite").parquet(
-            f"{path}/seeds"
-        )
-        spark.createDataFrame(
-            [(int(_C_MIN),)], "n_centroids INT"
-        ).write.mode("overwrite").parquet(f"{path}/meta")
+        emb.select("vec_id", "embedding").withColumn(
+            "n_centroids", F.lit(int(_C_MIN))
+        ).write.mode("overwrite").parquet(f"{path}/seeds")
         return
     tagged = _with_cell(emb.select("vec_id", "embedding"), cents).select(
         "vec_id",
@@ -1033,10 +1031,9 @@ def build_hardneg_index(emb: DataFrame, path: str) -> None:
     samp.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
     emb.filter(F.col("vec_id") < len(cents)).select(
         "vec_id", "embedding"
-    ).write.mode("overwrite").parquet(f"{path}/seeds")
-    spark.createDataFrame(
-        [(len(cents),)], "n_centroids INT"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).withColumn("n_centroids", F.lit(len(cents))).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/seeds")
 
 
 def hardneg_search(
@@ -1048,7 +1045,8 @@ def hardneg_search(
     """Hard negatives for a SMALL batch of new vectors (vec_id,
     embedding) against the persisted cell index — the serving half
     of the build/serve split: rebuild the codebook literals from
-    seeds/ + meta/ (bounded collect), tag each batch vector with its
+    seeds/ (bounded collect; C rides on the seeds rows), tag each
+    batch vector with its
     cell row-locally, then ONE partition-pruned scan of cells/
     restricted to the batch's cell ids (PartitionFilters — only
     |batch| of the C directories are opened), a broadcast join of
@@ -1060,9 +1058,11 @@ def hardneg_search(
     inline mining."""
     seeds = spark.read.parquet(f"{index_path}/seeds").collect()
     raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
-    c = int(
-        spark.read.parquet(f"{index_path}/meta").collect()[0]["n_centroids"]
-    )
+    if not seeds:
+        return _empty_result(
+            queries_df, "anchor BIGINT, hard_negative BIGINT, cos_sim DOUBLE"
+        )
+    c = int(seeds[0]["n_centroids"])
     if any(i not in raw for i in range(c)):
         return _empty_result(
             queries_df, "anchor BIGINT, hard_negative BIGINT, cos_sim DOUBLE"

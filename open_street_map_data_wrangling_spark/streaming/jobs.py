@@ -745,10 +745,7 @@ def ivfpq_codes_merge_fn(spark: SparkSession, index_path: str):
             [qv[s * pq_mod._SUBDIM : (s + 1) * pq_mod._SUBDIM] for qv in qs]
             for s in range(pq_mod._M)
         ]
-        c = int(
-            bs.read.parquet(f"{index_path}/meta")
-            .collect()[0]["n_centroids"]
-        )
+        c = int(seeds[0]["n_centroids"]) if seeds else 0
         cents = [raw[i] for i in range(c)]
         coded = pq_mod._code_projection(
             batch_df.select("vec_id", "embedding"), cb, cents
@@ -986,7 +983,8 @@ def hardneg_cells_merge_fn(spark: SparkSession, index_path: str):
     """Incremental maintenance of the hard-negative cell index
     (similarity.build_hardneg_index must have run once): each
     micro-batch of new (vec_id, embedding) rows is cell-tagged
-    against the PERSISTED codebook (seeds/ + meta/ — the ivfpq
+    against the PERSISTED codebook (seeds/, whose rows carry the
+    build-time centroid count — the ivfpq
     maintenance convention: the build-time cell layout is pinned,
     codebook refresh is a rebuild), normed, unioned with the stored
     cells, and re-reduced to the ≤ _HARDNEG_CELL_CAP md5-rank-LOWEST
@@ -1018,11 +1016,8 @@ def hardneg_cells_merge_fn(spark: SparkSession, index_path: str):
             int(r["vec_id"]): [float(x) for x in r["embedding"]]
             for r in seeds
         }
-        c = int(
-            spark.read.parquet(f"{index_path}/meta")
-            .collect()[0]["n_centroids"]
-        )
-        if any(i not in raw for i in range(c)):
+        c = int(seeds[0]["n_centroids"]) if seeds else 0
+        if c == 0 or any(i not in raw for i in range(c)):
             return  # bootstrap index was empty: nothing to tag against
         cents = [raw[i] for i in range(c)]
         delta = _with_cell(

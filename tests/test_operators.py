@@ -1607,8 +1607,8 @@ def test_hardneg_index_build_serve(spark, tmp_path):
     emb = load_table(spark, sf, "embeddings")
     idx = str(tmp_path / "hn")
     build_hardneg_index(emb, idx)
-    meta = spark.read.parquet(f"{idx}/meta").collect()[0]
-    assert meta["n_centroids"] == 8  # fixture scale keeps C = 8
+    seeds_meta = spark.read.parquet(f"{idx}/seeds").collect()[0]
+    assert seeds_meta["n_centroids"] == 8  # fixture scale keeps C = 8
     batch = emb.filter(F.col("vec_id") < 5)
     served = hardneg_search(spark, idx, batch)
     plan = served._jdf.queryExecution().executedPlan().toString()
