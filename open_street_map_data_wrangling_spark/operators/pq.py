@@ -129,11 +129,18 @@ def pq_codes(emb: DataFrame, codebook: list[list[list[int]]]) -> DataFrame:
             f"slice(__q, {s * _SUBDIM + 1}, {_SUBDIM}), c.qc, "
             "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
         )
+        # transform-then-min: d2 is evaluated ONCE per centroid.  The
+        # earlier single-aggregate form inlined d2 in both the IF
+        # condition and the kept struct — higher-order lambdas run
+        # interpreted (no whole-stage codegen), so that doubled the
+        # entire distance arithmetic per fold step (measured ~2x on
+        # the PQ family's fixture times).  Strict < keeps the lowest
+        # cid on ties, identical to the previous fold's total order.
         fold = (
-            f"aggregate(__cb{s}, "
+            f"aggregate(transform(__cb{s}, c -> "
+            f"struct(c.cid AS bc, {d2} AS bd)), "
             f"struct(CAST(-1 AS INT) AS bc, CAST({_LONG_MAX} AS BIGINT) AS bd), "
-            f"(acc, c) -> IF({d2} < acc.bd, "
-            f"struct(c.cid AS bc, {d2} AS bd), acc)).bc"
+            f"(acc, x) -> IF(x.bd < acc.bd, x, acc)).bc"
         )
         df = df.withColumn(f"__cb{s}", entries)
         cols.append(F.expr(fold).alias(f"code{s}"))
@@ -639,14 +646,13 @@ def _ivfpq_base(
     Callers localCheckpoint the result; every downstream branch
     (candidate top-k, exact top-k, candidate count) is then a
     filter + heap that never re-touches the table."""
-    from .similarity import _lit_vec, cosine_expr as _cos
+    from .similarity import _with_cos_cols
 
     lut = _adc_lut(cb, qvec_q)
-    df = _with_qemb(emb).withColumn("__qv", _lit_vec(qv))
-    for cid, cv in enumerate(cents):
-        df = df.withColumn(f"__c{cid}", _lit_vec(cv)).withColumn(
-            f"__cos{cid}", _cos("embedding", f"__c{cid}")
-        )
+    # query vector folded in as a pseudo-centroid: its cosine shares
+    # the hoisted row self-norm (see _with_cos_cols) instead of
+    # re-folding norms per row per centroid
+    df = _with_cos_cols(_with_qemb(emb), cents + [qv])
     cand_structs = ", ".join(
         f"struct({cid} AS cid, __cos{cid} AS c)" for cid in range(len(cents))
     )
@@ -671,11 +677,18 @@ def _ivfpq_base(
             f"slice(__q, {s * _SUBDIM + 1}, {_SUBDIM}), c.qc, "
             "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
         )
+        # transform-then-min: d2 is evaluated ONCE per centroid.  The
+        # earlier single-aggregate form inlined d2 in both the IF
+        # condition and the kept struct — higher-order lambdas run
+        # interpreted (no whole-stage codegen), so that doubled the
+        # entire distance arithmetic per fold step (measured ~2x on
+        # the PQ family's fixture times).  Strict < keeps the lowest
+        # cid on ties, identical to the previous fold's total order.
         fold = (
-            f"aggregate(__cb{s}, "
+            f"aggregate(transform(__cb{s}, c -> "
+            f"struct(c.cid AS bc, {d2} AS bd)), "
             f"struct(CAST(-1 AS INT) AS bc, CAST({_LONG_MAX} AS BIGINT) AS bd), "
-            f"(acc, c) -> IF({d2} < acc.bd, "
-            f"struct(c.cid AS bc, {d2} AS bd), acc)).bc"
+            f"(acc, x) -> IF(x.bd < acc.bd, x, acc)).bc"
         )
         df = df.withColumn(f"__cb{s}", entries)
         adc_terms.append(
@@ -685,7 +698,7 @@ def _ivfpq_base(
     coded = df.select(
         "vec_id",
         argmax.alias("cid"),
-        _cos("embedding", "__qv").alias("cos_raw"),
+        F.col(f"__cos{len(cents)}").alias("cos_raw"),
         "__q",
         *[F.col(f"__cb{s}") for s in range(_M)],
         lut_lit.alias("__lut"),
@@ -826,13 +839,9 @@ def _code_projection(
     maintenance passes a micro-batch; both against the SAME persisted
     codebook literals, so maintained codes are byte-identical to what
     a full rebuild would produce."""
-    from .similarity import _lit_vec
+    from .similarity import _with_cos_cols
 
-    df = _with_qemb(vecs)
-    for cid, cv in enumerate(cents):
-        df = df.withColumn(f"__c{cid}", _lit_vec(cv)).withColumn(
-            f"__cos{cid}", cosine_expr("embedding", f"__c{cid}")
-        )
+    df = _with_cos_cols(_with_qemb(vecs), cents)
     cand_structs = ", ".join(
         f"struct({cid} AS cid, __cos{cid} AS c)" for cid in range(len(cents))
     )
@@ -857,11 +866,18 @@ def _code_projection(
             f"slice(__q, {s * _SUBDIM + 1}, {_SUBDIM}), c.qc, "
             "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
         )
+        # transform-then-min: d2 is evaluated ONCE per centroid.  The
+        # earlier single-aggregate form inlined d2 in both the IF
+        # condition and the kept struct — higher-order lambdas run
+        # interpreted (no whole-stage codegen), so that doubled the
+        # entire distance arithmetic per fold step (measured ~2x on
+        # the PQ family's fixture times).  Strict < keeps the lowest
+        # cid on ties, identical to the previous fold's total order.
         fold = (
-            f"aggregate(__cb{s}, "
+            f"aggregate(transform(__cb{s}, c -> "
+            f"struct(c.cid AS bc, {d2} AS bd)), "
             f"struct(CAST(-1 AS INT) AS bc, CAST({_LONG_MAX} AS BIGINT) AS bd), "
-            f"(acc, c) -> IF({d2} < acc.bd, "
-            f"struct(c.cid AS bc, {d2} AS bd), acc)).bc"
+            f"(acc, x) -> IF(x.bd < acc.bd, x, acc)).bc"
         )
         df = df.withColumn(f"__cb{s}", entries)
         cols.append(F.expr(fold).alias(f"code{s}"))
