@@ -159,6 +159,7 @@ HEADLINE = (
     "q_dedup_savings",
     "q_text_search",
     "q_budget_select",
+    "q_ann_lsh_multiprobe",
 )
 
 

@@ -1265,3 +1265,99 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c1", 4).alias("cos_sim"),
         F.round(F.col("c1") - F.col("c2"), 4).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X58 — multi-probe sign-LSH (r09)
+
+
+@query(
+    "q_ann_lsh_multiprobe",
+    oracle=f"""
+        WITH planes AS (
+            SELECT vec_id AS pid, embedding AS pemb FROM embeddings
+            WHERE vec_id < {_N_PLANES}),
+        codes AS (
+            SELECT e.vec_id,
+                   sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pemb::DOUBLE[]) > 0
+                            THEN CAST(power(2, p.pid) AS BIGINT) ELSE 0 END) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id),
+        qb AS (SELECT bucket FROM codes WHERE vec_id = {_QUERY_ID_IVF}),
+        probes AS (
+            SELECT qb.bucket AS pb FROM qb
+            UNION ALL
+            SELECT xor(qb.bucket, CAST(1 AS BIGINT) << g.i)
+            FROM qb, generate_series(0, {_N_PLANES - 1}) g(i)),
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID_IVF})
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4)
+                 AS cos_sim
+        FROM embeddings e
+        JOIN codes c ON e.vec_id = c.vec_id
+        JOIN probes ON c.bucket = probes.pb
+        CROSS JOIN q
+        WHERE e.vec_id <> {_QUERY_ID_IVF}
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                 e.vec_id ASC
+        LIMIT 5
+    """,
+    tags=("similarity", "extension", "ann", "lsh"),
+)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH (X58): probe the query's own bucket PLUS
+    every bucket at Hamming distance 1 (one flipped hyperplane bit) —
+    the standard multi-probe LSH recall knob (Lv et al., VLDB'07):
+    a near neighbor on the wrong side of ONE hyperplane lands in an
+    adjacent bucket, and probing those 1 + {_N_PLANES} buckets
+    recovers it without adding hash tables.  Everything else keeps
+    q_ann_lsh's join-free shape: plane literals, row-local sign-bit
+    bucket, a driver-side python replay of the identical sequential
+    dot folds for the probe list (the _rank_cells_py argument), one
+    scan + isin filter + heap.  With bucket-partitioned storage the
+    probe still prunes to 7 of 64 directories at scan time."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(
+            (F.col("vec_id") < _N_PLANES) | (F.col("vec_id") == _QUERY_ID_IVF)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    if _QUERY_ID_IVF not in raw or any(
+        i not in raw for i in range(_N_PLANES)
+    ):
+        return _empty_result(emb, "vec_id BIGINT, cos_sim DOUBLE")
+    planes = [raw[i] for i in range(_N_PLANES)]
+    qv = raw[_QUERY_ID_IVF]
+
+    def pydot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    qbucket = sum(
+        1 << pid for pid, p in enumerate(planes) if pydot(qv, p) > 0
+    )
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(_N_PLANES)]
+    df = emb.withColumn("__qv", _lit_vec(qv))
+    bucket = F.lit(0).cast("bigint")
+    for pid, p in enumerate(planes):
+        df = df.withColumn(f"__p{pid}", _lit_vec(p))
+        bucket = bucket + F.when(
+            dot_expr("embedding", f"__p{pid}") > 0,
+            F.lit(1 << pid).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        df.withColumn("__bucket", bucket)
+        .filter(
+            F.col("__bucket").isin(probes)
+            & (F.col("vec_id") != _QUERY_ID_IVF)
+        )
+        .select("vec_id", cosine_expr("embedding", "__qv").alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )

@@ -979,6 +979,70 @@ def shard_manifest_merge_fn(spark: SparkSession, store_dir: str):
     return merge
 
 
+def text_index_merge_fn(spark: SparkSession, index_path: str):
+    """Incremental inverted-index maintenance
+    (text.build_text_index's postings kept current over a document
+    stream): each micro-batch's DISTINCT (tok, doc_id) postings —
+    bucketed with the SAME token-hash rule the batch build uses —
+    set-union into postings/.  Idempotent by construction (the
+    winnow-print argument: postings are a pure function of the doc,
+    distinct-union absorbs redelivery), so no applied-batch markers;
+    stage-rename commit guards readers.  text.text_search serves
+    from the maintained index unchanged, and streamed == batch-built
+    is pytest-pinned."""
+    from ..operators.text import _INDEX_BUCKETS
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        store_path = jvm.org.apache.hadoop.fs.Path(f"{index_path}/postings")
+        stage_path = jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/postings_stage"
+        )
+        fs = store_path.getFileSystem(hconf)
+        _recover_store(fs, store_path, stage_path)
+        delta = (
+            batch_df.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .distinct()
+            .withColumn(
+                "bkt",
+                F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).cast("int"),
+            )
+        )
+        if fs.exists(store_path):
+            merged = (
+                spark.read.parquet(f"{index_path}/postings")
+                .select("doc_id", "tok", "bkt")
+                .unionByName(delta)
+                .distinct()
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").partitionBy("bkt").parquet(
+            str(stage_path)
+        )
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def text_index_maintenance(doc_stream: DataFrame, index_path: str):
+    """Continuous inverted-index upkeep over a document stream;
+    serving is text.text_search over the maintained postings —
+    zero corpus scans.  Returns the StreamingQuery (caller stops
+    it)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            text_index_merge_fn(doc_stream.sparkSession, index_path)
+        )
+        .option("checkpointLocation", f"{index_path}/postings_ckpt")
+        .start()
+    )
+
+
 def hardneg_cells_merge_fn(spark: SparkSession, index_path: str):
     """Incremental maintenance of the hard-negative cell index
     (similarity.build_hardneg_index must have run once): each

@@ -1090,6 +1090,65 @@ def test_drift_stats_maintenance_matches_batch_and_serves_report(
     assert store_rows() == expected
 
 
+def test_text_index_maintenance_matches_batch_build(spark, tmp_path):
+    """Incremental inverted index (r09): streaming two corpus chunks
+    through text_index_maintenance yields the same postings (and the
+    same conjunctive search hits, including cross-chunk conjunctions)
+    as build_text_index over the concatenated corpus; redelivery is a
+    no-op (idempotent distinct-union)."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        text_index_maintenance,
+        text_index_merge_fn,
+    )
+
+    schema = "doc_id long, text string, lang string, source string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s0"),
+         (2, "alpha delta", "en", "s0")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(3, "beta gamma epsilon", "fr", "s1"),
+         (4, "alpha beta zeta", "fr", "s1")],
+        schema,
+    )
+    src = str(tmp_path / "src")
+    inc = str(tmp_path / "inc_ix")
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = text_index_maintenance(stream, inc)
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = str(tmp_path / "full_ix")
+    tx.build_text_index(b1.unionByName(b2), full)
+    p_inc = {
+        (r["tok"], r["doc_id"], r["bkt"])
+        for r in spark.read.parquet(f"{inc}/postings").collect()
+    }
+    p_full = {
+        (r["tok"], r["doc_id"], r["bkt"])
+        for r in spark.read.parquet(f"{full}/postings").collect()
+    }
+    assert p_inc == p_full and p_inc
+    hits = {
+        r["doc_id"]
+        for r in tx.text_search(spark, inc, ["alpha", "beta"]).collect()
+    }
+    assert hits == {1, 4}
+    text_index_merge_fn(spark, inc)(b1, 0)
+    again = {
+        (r["tok"], r["doc_id"], r["bkt"])
+        for r in spark.read.parquet(f"{inc}/postings").collect()
+    }
+    assert again == p_inc
+
+
 def test_hardneg_cells_maintenance_matches_rebuild(spark, tmp_path):
     """Incremental hard-negative index (r09): bootstrapping the index
     on chunk 1 and streaming chunk 2 through the maintenance job
