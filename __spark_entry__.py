@@ -147,27 +147,24 @@ def _stamp_fingerprints() -> dict[str, str]:
 # registry are ignored; an empty tuple restores pure registration
 # order.
 _MODIFIED_PRIORITY: tuple[str, ...] = (
-    # Round 9: semantic fixes lead — q_dup_spans/q_dup_strip moved to
-    # EXACT md5 window grams (the r08-advice collision fix: a feature
-    # hash can no longer delete non-duplicate text), q_corpus_diff
-    # keys presence on explicit flags instead of hash-nullness, and
-    # q_comovement's hour bucket is true floor division.  The IVF/ANN
-    # family (q_ann_*, q_ivfpq_*, q_hard_negatives) re-derives its
-    # codebook size from the corpus count (C = clamp(N/256, 8, 512),
-    # shared cpick oracle CTE) and hard-negative mining degrades
-    # oversized cells to a deterministic md5 sample instead of
-    # dropping them; q_mixture_plan was refactored onto the shared
-    # mixture_flagged helper (byte-identical result); q_image_decode
-    # gained the NULL-payload guard.  All 13 locally oracle-verified
-    # at sf0.01 (most also at sf0.1).
+    # Round 9 (final): semantic fixes lead — q_dup_spans/q_dup_strip
+    # moved to EXACT md5 window grams (r08-advice collision fix),
+    # q_corpus_diff keys presence on explicit flags, q_comovement's
+    # hour bucket is true floor division, q_image_decode gained the
+    # NULL-payload guard.  The vector family (q_ann_*, q_pq_*,
+    # q_ivfpq_*, q_hard_negatives) derives its codebook size from
+    # the corpus count (C = clamp(N/256, 8, 512), shared cpick
+    # oracle CTE), carries C on the seeds rows of the persisted
+    # indexes, shares one hoisted-cosine assignment helper, and
+    # hard-negative mining degrades oversized cells to md5 sampling.
+    # q_mixture_plan/q_winnow_pairs/q_dedup_near_fast are
+    # helper-factoring or docstring-only changes (byte-identical
+    # results, locally re-verified).  All re-verified against DuckDB
+    # at sf0.01 this round (most also at sf0.1).
     #
-    # Window arithmetic (r09): 1 fresh (q_training_corpus — the
-    # composed rewrite pipeline) + 13 modified below; everything fits
-    # inside ~50 slots with ample unchanged rotation.  Late-r09
-    # additions: q_image_pixels (fresh — real PNG pixel codec) and
-    # q_winnow_pairs (helper factored into winnow_pairs_from,
-    # byte-identical, re-verified).
-    "q_winnow_pairs",
+    # Window arithmetic (r09): 11 fresh (X49-X58 + q_image_pixels,
+    # the fresh group runs first automatically) + 19 modified below
+    # — 30 slots, leaving ~20 for unchanged rotation.
     "q_dup_strip",
     "q_dup_spans",
     "q_hard_negatives",
@@ -179,8 +176,14 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     "q_ann_recall_multiprobe",
     "q_ivfpq_recall",
     "q_ivfpq_serve",
+    "q_pq_codes",
+    "q_pq_adc",
+    "q_pq_recall",
+    "q_pq_recall_trained",
     "q_mixture_plan",
     "q_image_decode",
+    "q_winnow_pairs",
+    "q_dedup_near_fast",
 )
 
 
