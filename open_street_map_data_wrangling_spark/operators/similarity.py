@@ -1013,6 +1013,7 @@ def _with_cell(df: DataFrame, cents: list[list[float]]) -> DataFrame:
 _HARDNEG_CELLS_DDL = (
     "vec_id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, cid INT"
 )
+_HARDNEG_SEEDS_DDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT"
 
 
 def build_hardneg_index(emb: DataFrame, path: str) -> None:
@@ -1085,7 +1086,14 @@ def hardneg_search(
     batch size, the serve-batch contract.  ``exclude_pairs``
     (doc_a < doc_b) anti-joins known duplicate pairs exactly like
     inline mining."""
-    seeds = spark.read.parquet(f"{index_path}/seeds").collect()
+    # explicit schema: an index built from an EMPTY corpus has a
+    # fileless seeds dir, and schema inference would raise where the
+    # contract wants a typed empty serve
+    seeds = (
+        spark.read.schema(_HARDNEG_SEEDS_DDL)
+        .parquet(f"{index_path}/seeds")
+        .collect()
+    )
     raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
     if not seeds:
         return _empty_result(
@@ -1108,7 +1116,9 @@ def hardneg_search(
         return _empty_result(
             queries_df, "anchor BIGINT, hard_negative BIGINT, cos_sim DOUBLE"
         )
-    cells = spark.read.parquet(f"{index_path}/cells").filter(
+    cells = spark.read.schema(_HARDNEG_CELLS_DDL).parquet(
+        f"{index_path}/cells"
+    ).filter(
         F.col("cid").isin([int(x) for x in qcells])
     )
     scored = (

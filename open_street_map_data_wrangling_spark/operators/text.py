@@ -1071,7 +1071,11 @@ def text_search(
         .collect()
     ]
     post = (
-        spark.read.parquet(f"{index_path}/postings")
+        # explicit schema: an index built from an empty corpus has a
+        # fileless postings dir; inference would raise where the
+        # contract wants an empty hit set
+        spark.read.schema("doc_id BIGINT, tok STRING, bkt INT")
+        .parquet(f"{index_path}/postings")
         .filter(F.col("bkt").isin(bkts))
         .filter(F.col("tok").isin(*set(terms)))
     )

@@ -1075,7 +1075,13 @@ def hardneg_cells_merge_fn(spark: SparkSession, index_path: str):
         )
         fs = cells_path.getFileSystem(hconf)
         _recover_store(fs, cells_path, stage_path)
-        seeds = spark.read.parquet(f"{index_path}/seeds").collect()
+        from ..operators.similarity import _HARDNEG_SEEDS_DDL
+
+        seeds = (
+            spark.read.schema(_HARDNEG_SEEDS_DDL)
+            .parquet(f"{index_path}/seeds")
+            .collect()
+        )
         raw = {
             int(r["vec_id"]): [float(x) for x in r["embedding"]]
             for r in seeds

@@ -1506,6 +1506,36 @@ def test_hard_negatives_invariants(spark):
         assert -1.0 <= r["cos_sim"] <= 1.0
 
 
+def test_serve_paths_empty_corpus_contract(spark, tmp_path):
+    """Empty-input contract for the r09 persisted-index serve paths
+    (the registry sweep covers queries, not these helpers): building
+    the hard-negative index and the text index from empty tables
+    writes readable artifacts, and serving from them returns typed
+    empty results instead of raising."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.operators.similarity import (
+        build_hardneg_index,
+        hardneg_search,
+    )
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    hn = str(tmp_path / "hn_empty")
+    build_hardneg_index(empty_emb, hn)
+    batch = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    assert hardneg_search(spark, hn, batch).count() == 0
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    tix = str(tmp_path / "tix_empty")
+    tx.build_text_index(empty_docs, tix)
+    assert tx.text_search(spark, tix, ["anything"]).count() == 0
+
+
 def test_text_index_build_serve_matches_inline(spark, tmp_path):
     """build_text_index / text_search (X56): serving the fixed demo
     conjunction from the persisted posting index returns exactly the
