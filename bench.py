@@ -315,6 +315,41 @@ def main() -> None:
         "index_build_sec": hn_build,
         "serve_only_sec": hn_serve,
     }
+
+    # ExactSubstr admission gate (r09): the gram-count store lets a
+    # crawler score a NEW batch's duplicated-span coverage against
+    # the whole corpus history with zero history scans — record the
+    # store build (one corpus pass) and the per-batch gate latency.
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        span_dup_coverage_serve,
+        span_gram_merge_fn,
+    )
+
+    sg_dir = os.path.join(_tf.gettempdir(), "osm_spark_bench_spangate")
+    import shutil
+
+    shutil.rmtree(sg_dir, ignore_errors=True)
+    docs_tbl = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    span_gram_merge_fn(spark, sg_dir)(docs_tbl, 0)
+    sg_build = round(time.time() - t0, 3)
+    gate_batch = docs_tbl.filter(_F.col("doc_id") % 97 == 0)
+    span_dup_coverage_serve(spark, sg_dir, gate_batch).write.format(
+        "noop"
+    ).mode("overwrite").save()  # warm
+    sg_serve = None
+    for _pass in range(2):
+        t0 = time.time()
+        span_dup_coverage_serve(spark, sg_dir, gate_batch).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        sg_serve = dt if sg_serve is None or dt < sg_serve else sg_serve
+    out["span_gate"] = {
+        "inline_metric_sec": timings.get("q_dup_spans"),
+        "store_build_sec": sg_build,
+        "gate_serve_sec": sg_serve,
+    }
     # Round-over-round regression guard: compare the common query
     # subset against the latest recorded BENCH_r*.json so a
     # scale-safety patch cannot silently re-inflate fixture timings
