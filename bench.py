@@ -160,6 +160,7 @@ HEADLINE = (
     "q_text_search",
     "q_budget_select",
     "q_ann_lsh_multiprobe",
+    "q_lsh_audit",
 )
 
 

@@ -2040,3 +2040,142 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept).cast("bigint").alias("kept_toks"),
         (F.sum("n_tok") - F.sum(kept)).cast("bigint").alias("saved_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X59 — LSH candidate-quality audit (r09)
+
+_AUDIT_PREFIX = "3"  # md5 first hex <= '3' -> deterministic ~25% sample
+_AUDIT_TAU_X10K = 3000  # "true near-dup" = exact Jaccard >= 0.30
+
+
+@query(
+    "q_lsh_audit",
+    oracle=f"""
+        WITH {_PAIRS_CTE},
+        samp AS (
+            SELECT doc_id FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  <= '{_AUDIT_PREFIX}'),
+        exs AS (
+            SELECT e.doc_id, e.sh FROM ex e JOIN samp USING (doc_id)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM exs GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS ta, b.doc_id AS tb, count(*) AS i
+            FROM exs a JOIN exs b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        truth AS (
+            SELECT ta, tb FROM inter
+            JOIN sizes sa ON sa.doc_id = ta
+            JOIN sizes sb ON sb.doc_id = tb
+            WHERE 10000 * i // (sa.n + sb.n - i) >= {_AUDIT_TAU_X10K}),
+        cand AS (
+            SELECT p.pa, p.pb FROM pairs p
+            JOIN samp s1 ON s1.doc_id = p.pa
+            JOIN samp s2 ON s2.doc_id = p.pb),
+        hits AS (
+            SELECT t.ta FROM truth t
+            JOIN cand c ON c.pa = t.ta AND c.pb = t.tb),
+        nums AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_docs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+                   (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits)
+        SELECT n_docs, n_true, n_cand, n_hits,
+               CASE WHEN n_cand = 0 THEN CAST(NULL AS BIGINT)
+                    ELSE 10000 * n_hits // n_cand END AS precision_x10k,
+               CASE WHEN n_true = 0 THEN CAST(NULL AS BIGINT)
+                    ELSE 10000 * n_hits // n_true END AS recall_x10k
+        FROM nums
+    """,
+    tags=("dedup", "lsh", "audit", "extension"),
+)
+def q_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-quality audit (X59) — the measurement a team
+    runs before touching the banding/cap knobs: on a deterministic
+    md5-prefix ~25% document sample, compute EXACT pairwise shingle
+    Jaccard (the ground truth LSH only approximates), call a pair a
+    true near-dup at Jaccard >= 0.30 (×10⁴ integer), and score the
+    audited LSH pipeline's candidate pairs against it — precision
+    (how much candidate volume is junk) and recall (what the bands
+    miss) in basis points, NULL-guarded when a side is empty.
+
+    Why a sample: exact all-pairs truth is inherently quadratic —
+    the audit bounds it to (corpus/4)² via the same md5-prefix rule
+    every sampler here uses (deterministic, layout-independent),
+    while the candidate side reuses the production pipeline
+    unchanged.  The exact-truth join is shingle-keyed (pairs sharing
+    no shingle have Jaccard 0 and are never materialized), not a
+    cartesian; at 100 TB the sample fraction shrinks (the audit
+    needs statistical power, not coverage) and everything else
+    scales as the audited pipeline itself.
+
+    One row out: sample size, true pairs, candidates, hits,
+    precision/recall ×10⁴."""
+    docs = load_table(spark, sf_dir, "documents")
+    samp = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        <= _AUDIT_PREFIX
+    ).select("doc_id")
+    ex = (
+        docs.join(samp, "doc_id", "left_semi")
+        .select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("ta"), F.col("b.doc_id").alias("tb")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "ta"), "ta")
+        .withColumnRenamed("n", "na")
+        .join(sizes.withColumnRenamed("doc_id", "tb"), "tb")
+        .withColumnRenamed("n", "nb")
+        .filter(
+            F.expr(f"10000 * i div (na + nb - i) >= {_AUDIT_TAU_X10K}")
+        )
+        .select("ta", "tb")
+    )
+    cand = (
+        q_dedup_near(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(samp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(samp.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    )
+    hits = truth.join(
+        cand,
+        (F.col("ta") == F.col("doc_a")) & (F.col("tb") == F.col("doc_b")),
+    )
+
+    def _cnt(df, name):
+        return df.agg(F.count("*").cast("bigint").alias(name))
+
+    nums = (
+        _cnt(samp, "n_docs")
+        .crossJoin(F.broadcast(_cnt(truth, "n_true")))
+        .crossJoin(F.broadcast(_cnt(cand, "n_cand")))
+        .crossJoin(F.broadcast(_cnt(hits, "n_hits")))
+    )
+    return nums.select(
+        "n_docs",
+        "n_true",
+        "n_cand",
+        "n_hits",
+        F.expr(
+            "CASE WHEN n_cand = 0 THEN CAST(NULL AS BIGINT) "
+            "ELSE 10000 * n_hits div n_cand END"
+        ).alias("precision_x10k"),
+        F.expr(
+            "CASE WHEN n_true = 0 THEN CAST(NULL AS BIGINT) "
+            "ELSE 10000 * n_hits div n_true END"
+        ).alias("recall_x10k"),
+    )
