@@ -72,6 +72,10 @@ SAMPLE = (
     "q_kcore",                 # fixed-round degree peel
     "q_dedup_savings",         # component token accounting
     "q_image_pixels",          # PNG codec roundtrip sums
+    "q_text_search",           # conjunctive posting intersection
+    "q_ann_lsh_multiprobe",    # Hamming-1 bucket probing
+    "q_lsh_audit",             # sampled exact-Jaccard audit
+    "q_budget_select",         # quality-ranked budget admission
 )
 
 _ALT = {
