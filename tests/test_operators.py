@@ -1506,6 +1506,46 @@ def test_hard_negatives_invariants(spark):
         assert -1.0 <= r["cos_sim"] <= 1.0
 
 
+def test_lsh_audit_invariants_and_planted_recall(spark, monkeypatch):
+    """q_lsh_audit (X59) semantics on a planted corpus: exact
+    duplicates inside the sample are true pairs AND candidates (LSH
+    guarantees exact copies collide in every band), so hits ==
+    true == cand there; counters obey hits <= min(true, cand) and
+    the basis-point ratios stay in [0, 10000]."""
+    import open_street_map_data_wrangling_spark.operators.dedup as dd
+
+    # doc_ids chosen so md5(doc_id) first hex <= '3' (in-sample) for
+    # the planted pair; filler docs land wherever they land
+    import hashlib
+
+    in_sample = [
+        i for i in range(200)
+        if hashlib.md5(str(i).encode()).hexdigest()[0] <= dd._AUDIT_PREFIX
+    ]
+    a, b = in_sample[0], in_sample[1]
+    dup_text = "planted duplicate run " + " ".join(f"t{i}" for i in range(20))
+    rows = [(a, dup_text, "en", "s0"), (b, dup_text, "en", "s1")]
+    filler_vocab = [f"w{i}" for i in range(300)]
+    import random
+
+    rng = random.Random(11)
+    next_id = 200
+    for _ in range(60):
+        rows.append(
+            (next_id, " ".join(rng.sample(filler_vocab, 24)), "en", "s0")
+        )
+        next_id += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    r = dd.q_lsh_audit(spark, "_").collect()[0]
+    assert r["n_hits"] <= min(r["n_true"], r["n_cand"])
+    assert r["n_true"] >= 1 and r["n_hits"] >= 1  # the planted pair
+    for k in ("precision_x10k", "recall_x10k"):
+        assert r[k] is None or 0 <= r[k] <= 10000
+
+
 def test_serve_paths_empty_corpus_contract(spark, tmp_path):
     """Empty-input contract for the r09 persisted-index serve paths
     (the registry sweep covers queries, not these helpers): building
