@@ -184,6 +184,12 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     "q_image_decode",
     "q_winnow_pairs",
     "q_dedup_near_fast",
+    # Late-r09: q_centroids' oracle hardened with an explicit ::DOUBLE
+    # cast (DuckDB was multiplying FLOAT x INT in single precision;
+    # the floor-div had been absorbing the +/-1 fixed-point steps by
+    # luck — caught while building q_embedding_health, re-verified
+    # green at sf0.01 + sf0.1)
+    "q_centroids",
 )
 
 

@@ -161,6 +161,7 @@ HEADLINE = (
     "q_budget_select",
     "q_ann_lsh_multiprobe",
     "q_lsh_audit",
+    "q_embedding_health",
 )
 
 

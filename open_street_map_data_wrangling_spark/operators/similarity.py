@@ -662,7 +662,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH q AS (
             SELECT label,
                    unnest(range(0, len(embedding))) AS pos,
-                   CAST(round(unnest(embedding) * 100000) AS BIGINT) AS qx
+                   -- ::DOUBLE first: DuckDB multiplies FLOAT x INT in
+                   -- single precision, which rounds ~1e-4 of elements
+                   -- to the neighboring fixed-point step vs Spark's
+                   -- double math (caught by q_embedding_health r09 —
+                   -- this query's floor-div only ever absorbed the
+                   -- +/-1s by luck)
+                   CAST(round(unnest(embedding)::DOUBLE * 100000)
+                        AS BIGINT) AS qx
             FROM embeddings)
         SELECT label,
                CAST(pos AS BIGINT) AS pos,
@@ -1370,4 +1377,80 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(5)
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X60 — embedding-health audit (r09)
+
+_NORM_Q = 100000  # 1e-5 fixed point (the q_centroids quantize)
+_COLLAPSE_Q2 = 10**8  # ||v||² < (0.01)² in quantized units² -> collapsed
+
+
+@query(
+    "q_embedding_health",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, label,
+                   CAST(round(unnest(embedding)::DOUBLE * {_NORM_Q})
+                        AS BIGINT) AS qx
+            FROM embeddings),
+        n2 AS (
+            SELECT vec_id, label,
+                   CAST(sum(qx * qx) AS BIGINT) AS q2,
+                   CAST(count(*) AS BIGINT) AS dim
+            FROM q GROUP BY vec_id, label)
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(min(dim) AS BIGINT) AS min_dim,
+               CAST(max(dim) AS BIGINT) AS max_dim,
+               CAST(min(q2) AS BIGINT) AS min_q2,
+               CAST(max(q2) AS BIGINT) AS max_q2,
+               CAST(sum(q2) // count(*) AS BIGINT) AS avg_q2,
+               CAST(count(*) FILTER (q2 < {_COLLAPSE_Q2}) AS BIGINT)
+                 AS n_collapsed
+        FROM n2 GROUP BY label
+    """,
+    tags=("similarity", "vector", "audit", "extension"),
+)
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health audit (X60) — the QA pass an embedding
+    pipeline runs before anything consumes the vectors: per label,
+    vector counts, dimension consistency (a ragged dim is an
+    ingestion bug), the quantized squared-norm envelope
+    (min/max/avg of Σ(round(x·1e5))² — integer-exact, the
+    q_centroids quantize, so both engines agree bit-for-bit without
+    float summation-order drift), and the COLLAPSE counter: vectors
+    with ||v|| < 0.01, the signature of a dead encoder or a
+    zero-init bug, which silently poisons every cosine downstream
+    (a near-zero norm makes cosine numerically meaningless).
+
+    Scale shape: one scan, row-local posexplode + per-vector
+    aggregate keyed on vec_id (uniform), then a ~|labels| roll-up —
+    map-side partials absorb the dimension fan-out exactly as
+    q_centroids'."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "label",
+        F.round(F.col("x").cast("double") * _NORM_Q)
+        .cast("bigint")
+        .alias("qx"),
+    )
+    n2 = q.groupBy("vec_id", "label").agg(
+        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("q2"),
+        F.count("*").cast("bigint").alias("dim"),
+    )
+    return n2.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.min("dim").cast("bigint").alias("min_dim"),
+        F.max("dim").cast("bigint").alias("max_dim"),
+        F.min("q2").cast("bigint").alias("min_q2"),
+        F.max("q2").cast("bigint").alias("max_q2"),
+        F.expr("CAST(sum(q2) div count(*) AS BIGINT)").alias("avg_q2"),
+        F.sum((F.col("q2") < _COLLAPSE_Q2).cast("bigint")).alias(
+            "n_collapsed"
+        ),
     )
