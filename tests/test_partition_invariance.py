@@ -76,6 +76,7 @@ SAMPLE = (
     "q_ann_lsh_multiprobe",    # Hamming-1 bucket probing
     "q_lsh_audit",             # sampled exact-Jaccard audit
     "q_budget_select",         # quality-ranked budget admission
+    "q_embedding_health",      # integer-quantized norm envelope
 )
 
 _ALT = {
