@@ -147,49 +147,18 @@ def _stamp_fingerprints() -> dict[str, str]:
 # registry are ignored; an empty tuple restores pure registration
 # order.
 _MODIFIED_PRIORITY: tuple[str, ...] = (
-    # Round 9 (final): semantic fixes lead — q_dup_spans/q_dup_strip
-    # moved to EXACT md5 window grams (r08-advice collision fix),
-    # q_corpus_diff keys presence on explicit flags, q_comovement's
-    # hour bucket is true floor division, q_image_decode gained the
-    # NULL-payload guard.  The vector family (q_ann_*, q_pq_*,
-    # q_ivfpq_*, q_hard_negatives) derives its codebook size from
-    # the corpus count (C = clamp(N/256, 8, 512), shared cpick
-    # oracle CTE), carries C on the seeds rows of the persisted
-    # indexes, shares one hoisted-cosine assignment helper, and
-    # hard-negative mining degrades oversized cells to md5 sampling.
-    # q_mixture_plan/q_winnow_pairs/q_dedup_near_fast are
-    # helper-factoring or docstring-only changes (byte-identical
-    # results, locally re-verified).  All re-verified against DuckDB
-    # at sf0.01 this round (most also at sf0.1).
-    #
-    # Window arithmetic (r09): 11 fresh (X49-X58 + q_image_pixels,
-    # the fresh group runs first automatically) + 19 modified below
-    # — 30 slots, leaving ~20 for unchanged rotation.
-    "q_dup_strip",
-    "q_dup_spans",
-    "q_hard_negatives",
-    "q_corpus_diff",
-    "q_comovement",
-    "q_ann_ivf",
-    "q_ann_ivf_multiprobe",
-    "q_ann_recall",
-    "q_ann_recall_multiprobe",
-    "q_ivfpq_recall",
+    # Round 10: the r09-ADVICE fixes touched two query closures —
+    # q_image_pixels' oracle gained the dims-level LEFT JOIN so a
+    # NULL doc_id/n_chars doc emits a NULL-features row (matching the
+    # worker, which already did), and q_ivfpq_serve's serve helper
+    # now reads seeds/ with an explicit schema so the empty-index
+    # guard is reachable.  Both re-verified green against DuckDB at
+    # sf0.01 this round.  The other advice fixes (bounded seeds
+    # fallback in build_hardneg_index, explicit postings schema in
+    # text_index_merge_fn) live outside every query closure and are
+    # pytest-pinned instead.
+    "q_image_pixels",
     "q_ivfpq_serve",
-    "q_pq_codes",
-    "q_pq_adc",
-    "q_pq_recall",
-    "q_pq_recall_trained",
-    "q_mixture_plan",
-    "q_image_decode",
-    "q_winnow_pairs",
-    "q_dedup_near_fast",
-    # Late-r09: q_centroids' oracle hardened with an explicit ::DOUBLE
-    # cast (DuckDB was multiplying FLOAT x INT in single precision;
-    # the floor-div had been absorbing the +/-1 fixed-point steps by
-    # luck — caught while building q_embedding_health, re-verified
-    # green at sf0.01 + sf0.1)
-    "q_centroids",
 )
 
 

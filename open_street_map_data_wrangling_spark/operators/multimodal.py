@@ -581,7 +581,8 @@ def _pixel_roundtrip_batches(
         WITH dims AS (
             SELECT doc_id,
                    doc_id % 8 + 1 AS w,
-                   n_chars % 8 + 1 AS h
+                   n_chars % 8 + 1 AS h,
+                   (doc_id IS NOT NULL AND n_chars IS NOT NULL) AS ok
             FROM documents),
         px AS (
             SELECT doc_id, w, h,
@@ -591,15 +592,22 @@ def _pixel_roundtrip_batches(
             FROM dims,
                  generate_series(0, 7) x(i),
                  generate_series(0, 7) y(i)
-            WHERE x.i < w AND y.i < h)
-        SELECT doc_id,
-               CAST(w AS INTEGER) AS width,
-               CAST(h AS INTEGER) AS height,
-               CAST(sum(r) AS BIGINT) AS sum_r,
-               CAST(sum(g) AS BIGINT) AS sum_g,
-               CAST(sum(b) AS BIGINT) AS sum_b
-        FROM px
-        GROUP BY doc_id, w, h
+            WHERE ok AND x.i < w AND y.i < h),
+        agg AS (
+            SELECT doc_id,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b
+            FROM px
+            GROUP BY doc_id, w, h)
+        -- dims-level LEFT JOIN: a doc with a NULL doc_id/n_chars
+        -- still emits a row with NULL features, matching the
+        -- worker's null-payload contract (r09 ADVICE item)
+        SELECT d.doc_id, a.width, a.height, a.sum_r, a.sum_g, a.sum_b
+        FROM dims d
+        LEFT JOIN agg a ON d.ok AND d.doc_id = a.doc_id
     """,
     tags=("multimodal", "extension", "pandas-udf", "pixels"),
 )

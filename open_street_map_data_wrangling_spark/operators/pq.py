@@ -952,7 +952,17 @@ def ivfpq_search(
     per row; the plan is FileScan -> Project -> TakeOrderedAndProject."""
     from .similarity import _rank_cells_py
 
-    seeds = spark.read.parquet(f"{index_path}/seeds").collect()
+    # explicit schema: an index built from an EMPTY corpus leaves a
+    # fileless seeds dir, and schema inference would raise before the
+    # empty-serve guard below could run (the _HARDNEG_SEEDS_DDL
+    # convention from hardneg_search)
+    seeds = (
+        spark.read.schema(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT"
+        )
+        .parquet(f"{index_path}/seeds")
+        .collect()
+    )
     raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
     # the build-time centroid count rides ON the seeds rows — the
     # cell layout comes from the one read serving already does,

@@ -1044,12 +1044,19 @@ def build_hardneg_index(emb: DataFrame, path: str) -> None:
     spark = emb.sparkSession
     cents = _collect_codebook(emb)
     if cents is None:
+        # Incomplete codebook (empty corpus, or a gap in vec_id
+        # 0..C-1): persist an explicitly-empty index.  seeds/ must
+        # stay BOUNDED — n_centroids=0 is the empty-index sentinel
+        # and the seed rows are capped at _C_MIN, so the serve-side
+        # collect is bounded no matter how large the gappy corpus is.
         spark.createDataFrame([], _HARDNEG_CELLS_DDL).write.mode(
             "overwrite"
         ).partitionBy("cid").parquet(f"{path}/cells")
-        emb.select("vec_id", "embedding").withColumn(
-            "n_centroids", F.lit(int(_C_MIN))
-        ).write.mode("overwrite").parquet(f"{path}/seeds")
+        emb.filter(F.col("vec_id") < int(_C_MIN)).select(
+            "vec_id", "embedding"
+        ).withColumn("n_centroids", F.lit(0)).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/seeds")
         return
     tagged = _with_cell(emb.select("vec_id", "embedding"), cents).select(
         "vec_id",
@@ -1107,6 +1114,12 @@ def hardneg_search(
             queries_df, "anchor BIGINT, hard_negative BIGINT, cos_sim DOUBLE"
         )
     c = int(seeds[0]["n_centroids"])
+    if c <= 0:
+        # n_centroids=0 is the empty-index sentinel written when the
+        # build could not seed a full codebook — serve typed-empty.
+        return _empty_result(
+            queries_df, "anchor BIGINT, hard_negative BIGINT, cos_sim DOUBLE"
+        )
     if any(i not in raw for i in range(c)):
         return _empty_result(
             queries_df, "anchor BIGINT, hard_negative BIGINT, cos_sim DOUBLE"

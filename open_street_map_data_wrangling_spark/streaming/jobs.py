@@ -1013,8 +1013,13 @@ def text_index_merge_fn(spark: SparkSession, index_path: str):
             )
         )
         if fs.exists(store_path):
+            # explicit schema (the text_search convention): an index
+            # bootstrapped from an empty corpus leaves a fileless
+            # postings dir that EXISTS, and schema inference would
+            # crash the first real micro-batch instead of merging
             merged = (
-                spark.read.parquet(f"{index_path}/postings")
+                spark.read.schema("doc_id BIGINT, tok STRING, bkt INT")
+                .parquet(f"{index_path}/postings")
                 .select("doc_id", "tok", "bkt")
                 .unionByName(delta)
                 .distinct()

@@ -1576,6 +1576,83 @@ def test_serve_paths_empty_corpus_contract(spark, tmp_path):
     assert tx.text_search(spark, tix, ["anything"]).count() == 0
 
 
+def test_hardneg_gappy_codebook_seeds_stay_bounded(spark, tmp_path):
+    """r09 ADVICE (medium): a LARGE corpus whose vec_ids are gappy in
+    0..C-1 (codebook unseedable) must still produce a BOUNDED seeds
+    artifact — the old fallback wrote the whole corpus to seeds/ and
+    hardneg_search collected it all driver-side before any guard.
+    Now the fallback writes ≤ _C_MIN rows with the n_centroids=0
+    empty-index sentinel, and serve returns typed empty."""
+    from open_street_map_data_wrangling_spark.operators.similarity import (
+        _C_MIN,
+        build_hardneg_index,
+        hardneg_search,
+    )
+
+    # 500 vectors, vec_id 3 missing -> _collect_codebook returns None
+    emb = spark.createDataFrame(
+        [
+            (i, [float(i % 7), float(i % 5)])
+            for i in range(500)
+            if i != 3
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    hn = str(tmp_path / "hn_gappy")
+    build_hardneg_index(emb, hn)
+    seeds = spark.read.schema(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT"
+    ).parquet(f"{hn}/seeds")
+    assert seeds.count() <= _C_MIN  # bounded, NOT the whole corpus
+    assert {r["n_centroids"] for r in seeds.collect()} == {0}
+    batch = spark.createDataFrame(
+        [(1000, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    served = hardneg_search(spark, hn, batch)
+    assert served.count() == 0
+    assert served.columns == ["anchor", "hard_negative", "cos_sim"]
+
+
+def test_ivfpq_search_empty_index_explicit_schema(spark, tmp_path):
+    """r09 ADVICE: an IVF-PQ index built from an empty corpus leaves
+    a fileless seeds dir; ivfpq_search must reach its empty-serve
+    guard (explicit read schema) instead of dying on inference."""
+    from open_street_map_data_wrangling_spark.operators import pq
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "ivfpq_empty")
+    pq.build_ivfpq_index(empty_emb, path)
+    served = pq.ivfpq_search(spark, path)
+    assert served.count() == 0
+    assert served.columns == ["vec_id", "adc_d2"]
+
+
+def test_text_index_merge_over_empty_bootstrap(spark, tmp_path):
+    """r09 ADVICE: postings/ bootstrapped from an EMPTY corpus exists
+    but is fileless; the first real micro-batch through
+    text_index_merge_fn must merge (explicit schema) instead of
+    crashing on schema inference."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        text_index_merge_fn,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    tix = str(tmp_path / "tix_boot")
+    tx.build_text_index(empty_docs, tix)
+    batch = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    text_index_merge_fn(spark, tix)(batch, 0)
+    hits = tx.text_search(spark, tix, ["alpha", "beta"])
+    assert [r["doc_id"] for r in hits.collect()] == [1]
+
+
 def test_text_index_build_serve_matches_inline(spark, tmp_path):
     """build_text_index / text_search (X56): serving the fixed demo
     conjunction from the persisted posting index returns exactly the
