@@ -159,6 +159,12 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     # pytest-pinned instead.
     "q_image_pixels",
     "q_ivfpq_serve",
+    # Wave 2: _adc_top10 gained a k parameter for q_ann_rerank's
+    # shortlist stage (default unchanged — byte-identical results for
+    # the historical callers, all re-verified green at sf0.01).
+    "q_pq_adc",
+    "q_pq_recall",
+    "q_pq_recall_trained",
 )
 
 

@@ -162,6 +162,10 @@ HEADLINE = (
     "q_ann_lsh_multiprobe",
     "q_lsh_audit",
     "q_embedding_health",
+    # round 10 additions (append-only)
+    "q_bm25",
+    "q_ann_rerank",
+    "q_temperature_mix",
 )
 
 

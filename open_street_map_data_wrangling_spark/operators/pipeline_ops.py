@@ -1471,3 +1471,153 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("toks_kept"),
         F.min("q").cast("bigint").alias("admission_bar_x10k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X63 — temperature-scaled language mixture (r10)
+
+
+def _isqrt_sql(n: str) -> str:
+    """Exact integer sqrt of the non-negative BIGINT expression ``n``,
+    engine-neutral: seed with floor(sqrt(double)) then correct the
+    possible one-off from binary64 rounding with integer compares —
+    bit-exact on both engines regardless of libm."""
+    g = f"CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({g} + 1) * ({g} + 1) <= {n} THEN {g} + 1 "
+        f"WHEN {g} * {g} > {n} THEN {g} - 1 ELSE {g} END)"
+    )
+
+
+def _temperature_rate_cols(divop: str) -> list[str]:
+    """Engine-neutral per-language columns over (lang_toks, sq, t, ss):
+    natural/target shares in basis points and the keep rate in
+    1/65536 units for an alpha = 0.5 temperature mix (target mass
+    proportional to sqrt of natural mass — the multilingual
+    rebalancing rule, exact via integer sqrt).  ``divop`` is the
+    engine's truncating integer division."""
+    return [
+        f"CASE WHEN t = 0 THEN 0 ELSE (lang_toks * 10000) {divop} t END"
+        " AS share_nat_bp",
+        f"CASE WHEN ss = 0 THEN 0 ELSE (sq * 10000) {divop} ss END"
+        " AS share_tgt_bp",
+        "CASE WHEN ss = 0 OR lang_toks = 0 THEN 0 "
+        "ELSE least(CAST(65536 AS BIGINT), "
+        f"(((t * sq) {divop} ss) * 65536) {divop} lang_toks) END"
+        " AS rate_x65536",
+    ]
+
+
+@query(
+    "q_temperature_mix",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents),
+        lt AS (
+            SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lang_toks
+            FROM d GROUP BY lang),
+        sq AS (
+            SELECT lang, lang_toks,
+                   {_isqrt_sql("lang_toks")} AS sq
+            FROM lt),
+        tot AS (
+            SELECT CAST(sum(lang_toks) AS BIGINT) AS t,
+                   CAST(sum(sq) AS BIGINT) AS ss
+            FROM sq),
+        rates AS (
+            SELECT sq.lang, sq.lang_toks,
+                   {", ".join(_temperature_rate_cols("//"))}
+            FROM sq CROSS JOIN tot),
+        flagged AS (
+            SELECT d.doc_id, d.lang, d.n_tok,
+                   r.lang_toks, r.share_nat_bp, r.share_tgt_bp,
+                   r.rate_x65536,
+                   (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                        ::BIGINT < r.rate_x65536) AS keep
+            FROM d JOIN rates r USING (lang))
+        SELECT lang,
+               CAST(any_value(lang_toks) AS BIGINT) AS toks_before,
+               CAST(any_value(share_nat_bp) AS BIGINT) AS share_nat_bp,
+               CAST(any_value(share_tgt_bp) AS BIGINT) AS share_tgt_bp,
+               CAST(any_value(rate_x65536) AS BIGINT) AS rate_x65536,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (keep) AS BIGINT) AS docs_kept,
+               CAST(coalesce(sum(n_tok) FILTER (keep), 0) AS BIGINT)
+                 AS toks_kept
+        FROM flagged
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("pipeline", "sampling", "mix", "temperature", "extension"),
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (X63): q_mixture_plan
+    targets EQUAL shares; multilingual training mixes (XLM-R-style)
+    interpolate between the natural distribution and uniform with a
+    temperature exponent — target mass proportional to
+    (natural mass)^alpha.  alpha = 0.5 makes the exponent an INTEGER
+    SQUARE ROOT (exact on both engines: a floor(sqrt(double)) seed
+    corrected one step with integer compares — no libm dependence),
+    so the whole plan stays hash-checkable: head languages are
+    down-weighted, tail languages gain relative share, and the keep
+    rate per language is derived from the same total token budget T
+    applied to the reshaped shares (the least(65536) clamp:
+    resampling never up-samples without replacement).  Reports, per
+    language, the natural and target shares in basis points, the
+    derived keep rate, and the achieved docs/tokens kept under the
+    deterministic md5 16-bit Bernoulli (identical keep rule to
+    q_mixture_plan / q_domain_mix, reproducible under reshuffles,
+    retries, and backfills).
+
+    Scale shape: one corpus pass for per-language token mass
+    (map-side partial, language cardinality is tiny), checkpoint-cut
+    so the (T, sum-sqrt) roll-up doesn't recompile the stats subtree,
+    rate table broadcast back onto the flag-and-aggregate pass —
+    stats-then-apply, two corpus scans total, no shuffle wider than
+    the language key."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    lt = (
+        d.groupBy("lang")
+        .agg(F.sum("n_tok").cast("bigint").alias("lang_toks"))
+        .localCheckpoint(eager=False)
+    )
+    sq = lt.select(
+        "lang", "lang_toks", F.expr(_isqrt_sql("lang_toks")).alias("sq")
+    )
+    tot = sq.agg(
+        F.sum("lang_toks").cast("bigint").alias("t"),
+        F.sum("sq").cast("bigint").alias("ss"),
+    )
+    rates = sq.crossJoin(F.broadcast(tot)).selectExpr(
+        "lang", "lang_toks", *_temperature_rate_cols("div")
+    )
+    flagged = d.join(F.broadcast(rates), "lang").withColumn(
+        "keep",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) "
+            "AS BIGINT)"
+        )
+        < F.col("rate_x65536"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.first("lang_toks").cast("bigint").alias("toks_before"),
+            F.first("share_nat_bp").cast("bigint").alias("share_nat_bp"),
+            F.first("share_tgt_bp").cast("bigint").alias("share_tgt_bp"),
+            F.first("rate_x65536").cast("bigint").alias("rate_x65536"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("docs_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("n_tok"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("toks_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -306,10 +306,12 @@ def _seed_codebook_query_raw(emb: DataFrame):
 
 
 def _adc_top10(
-    emb: DataFrame, cb: list[list[list[int]]], qvec: list[int]
+    emb: DataFrame, cb: list[list[list[int]]], qvec: list[int], k: int = 10
 ) -> DataFrame:
-    """ADC top-10 for any codebook: LUT computed once driver-side,
-    scoring is M element_at lookups per row + TakeOrderedAndProject."""
+    """ADC top-k (default 10) for any codebook: LUT computed once
+    driver-side, scoring is M element_at lookups per row +
+    TakeOrderedAndProject.  q_ann_rerank widens k for its shortlist
+    stage; every other caller keeps the historical top-10."""
     lut = _adc_lut(cb, qvec)
     lut_lit = F.array(
         *[F.array(*[F.lit(int(d)) for d in row]) for row in lut]
@@ -322,7 +324,7 @@ def _adc_top10(
             for s in range(_M)
         ).alias("adc_d2"),
     )
-    return adc.orderBy("adc_d2", "vec_id").limit(10)
+    return adc.orderBy("adc_d2", "vec_id").limit(k)
 
 
 @query(
@@ -1100,3 +1102,104 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
         "cid", "__batch"
     ).parquet(f"{path}/codes")
     fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+
+
+# ---------------------------------------------------------------------------
+# X62 — two-stage retrieval: ADC shortlist -> exact rerank (r10)
+
+_RERANK_SHORTLIST = 50
+_RERANK_K = 5
+_DIM = _M * _SUBDIM
+
+
+@query(
+    "q_ann_rerank",
+    oracle=f"""
+        WITH {_CODES_SQL},
+        {_ADC_SQL},
+        short AS (
+            SELECT vec_id, adc_d2 FROM adc
+            ORDER BY adc_d2, vec_id LIMIT {_RERANK_SHORTLIST}),
+        ex AS (
+            SELECT s.vec_id, s.adc_d2,
+                   CAST(sum(
+                       (CAST(round(e.embedding[g.i]::DOUBLE * {_QUANT})
+                             AS BIGINT)
+                        - CAST(round(q.embedding[g.i]::DOUBLE * {_QUANT})
+                               AS BIGINT))
+                     * (CAST(round(e.embedding[g.i]::DOUBLE * {_QUANT})
+                             AS BIGINT)
+                        - CAST(round(q.embedding[g.i]::DOUBLE * {_QUANT})
+                               AS BIGINT))
+                   ) AS BIGINT) AS exact_d2
+            FROM short s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            CROSS JOIN q
+            CROSS JOIN generate_series(1, {_DIM}) g(i)
+            GROUP BY 1, 2)
+        SELECT CAST(row_number() OVER (ORDER BY exact_d2, vec_id)
+                    AS INTEGER) AS rank,
+               vec_id, exact_d2, adc_d2
+        FROM ex
+        ORDER BY exact_d2, vec_id
+        LIMIT {_RERANK_K}
+    """,
+    tags=("similarity", "ann", "pq", "rerank", "extension"),
+)
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (X62) — THE production ANN serving
+    pattern: a cheap compressed-domain shortlist (PQ-ADC top-
+    {_RERANK_SHORTLIST}: 4 element_at lookups per row over the code
+    table, integer LUT math) followed by an exact rerank of ONLY the
+    shortlist against the raw vectors (quantized integer squared
+    distance — the q_centroids fixed-point recipe, so both engines
+    agree to the last bit), returning the top-{_RERANK_K} with both
+    distances so callers can audit the compression error directly.
+
+    Scale shape: stage 1 is the q_pq_adc compressed scan ending in a
+    {_RERANK_SHORTLIST}-row heap; stage 2 broadcasts that shortlist
+    into a hash join against ONE pruned (vec_id, embedding) scan —
+    the expensive exact math runs on {_RERANK_SHORTLIST} rows, never
+    the corpus, which is exactly why rerank architectures win at
+    100 TB: full-precision vectors are touched O(k), not O(N).  The
+    final top-{_RERANK_K} is a heap over the {_RERANK_SHORTLIST}
+    reranked rows, rank stamped on the bounded result."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, qvec, qraw = _seed_codebook_query_raw(emb)
+    if cb is None:
+        return _empty_result(
+            emb,
+            "rank INT, vec_id BIGINT, exact_d2 BIGINT, adc_d2 BIGINT",
+        )
+    short = _adc_top10(emb, cb, qvec, k=_RERANK_SHORTLIST)
+    qlit = "array(" + ", ".join(str(int(v)) + "L" for v in qvec) + ")"
+    exact = (
+        emb.join(F.broadcast(short), "vec_id")
+        .withColumn(
+            "__q",
+            F.expr(
+                f"transform(embedding, x -> "
+                f"CAST(round(CAST(x AS DOUBLE) * {_QUANT}) AS BIGINT))"
+            ),
+        )
+        .select(
+            "vec_id",
+            "adc_d2",
+            F.expr(
+                f"aggregate(zip_with(__q, {qlit}, "
+                "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
+            )
+            .cast("long")
+            .alias("exact_d2"),
+        )
+    )
+    top = exact.orderBy("exact_d2", "vec_id").limit(_RERANK_K)
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy("exact_d2", "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        "exact_d2",
+        "adc_d2",
+    )

@@ -1085,3 +1085,281 @@ def text_search(
         .filter(F.col("n_terms") == len(set(terms)))
         .select("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X61 — BM25 ranked retrieval (r10)
+
+_BM25_TERMS = ("merge", "filter", "batch")  # fixed demo query (OR, ranked)
+_BM25_K = 10
+# fixed-point BM25 constants: scale S, k1 = 1.2 (K1 = k1*S),
+# b = 0.75 (B = b*S); idf is the integer bit-length of the scaled
+# doc ratio (floor log2) — the q_lm_surprisal convention, so the
+# whole score is integer-exact cross-engine.
+_BM25_S = 10_000
+_BM25_K1 = 12_000
+_BM25_B = 7_500
+_BM25_IDF_SHIFT = 1_048_576  # 2^20 pre-shift inside the idf log
+
+
+def _bm25_contrib(i: int, divop: str) -> str:
+    """Per-term BM25 contribution as engine-neutral SQL text over
+    columns tf{i} (term frequency in the doc), dl (doc length), and
+    scalar columns n_docs / total_toks / df{i}.  ``divop`` is the
+    engine's truncating integer division ('div' for Spark, '//' for
+    DuckDB — identical on the non-negative operands used here).
+
+      idf_fp   = floor(log2(n_docs * 2^20 / df))        [bit-length]
+      norm_fp  = S - B + B * dl / avgdl                 [x S]
+      tfpart   = tf*(k1+1) / (tf + k1*norm)             [x S]
+      contrib  = idf_fp * tfpart_fp
+
+    Guarded so a term absent from the corpus (df = 0) or from the
+    doc (tf = 0) contributes exactly 0."""
+    norm = (
+        f"({_BM25_S} - {_BM25_B} + "
+        f"(({_BM25_B} * dl * n_docs) {divop} total_toks))"
+    )
+    denom = f"(tf{i} * {_BM25_S} + (({_BM25_K1} * {norm}) {divop} {_BM25_S}))"
+    tfpart = f"((tf{i} * {_BM25_K1 + _BM25_S} * {_BM25_S}) {divop} {denom})"
+    idf = (
+        f"(length(bin((n_docs * {_BM25_IDF_SHIFT}) {divop} df{i})) - 1)"
+    )
+    return (
+        f"CASE WHEN tf{i} = 0 OR df{i} = 0 THEN 0 "
+        f"ELSE {idf} * {tfpart} END"
+    )
+
+
+def _bm25_score_sql(divop: str) -> str:
+    return " + ".join(
+        f"({_bm25_contrib(i, divop)})" for i in range(len(_BM25_TERMS))
+    )
+
+
+def _bm25_tf_cols_sql(toks_expr: str, fn: str) -> list[str]:
+    """tf{i} column definitions counting each demo term inside the
+    tokenized text; ``fn`` is the engine's array-filter ('filter' for
+    Spark, 'list_filter' for DuckDB), size via the shared
+    engine-specific caller."""
+    return [
+        f"{fn}({toks_expr}, t -> t = '{t}')" for t in _BM25_TERMS
+    ]
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t <> '')) AS dl,
+                   {", ".join(
+                       f"len({e}) AS tf{i}"
+                       for i, e in enumerate(
+                           _bm25_tf_cols_sql(
+                               "list_filter(string_split(text, ' '), "
+                               "t -> t <> '')",
+                               "list_filter",
+                           )
+                       )
+                   )}
+            FROM documents),
+        st AS (
+            SELECT count(*) FILTER (WHERE dl > 0) AS n_docs,
+                   CAST(coalesce(sum(dl), 0) AS BIGINT) AS total_toks,
+                   {", ".join(
+                       f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+                       for i in range(len(_BM25_TERMS))
+                   )}
+            FROM base),
+        scored AS (
+            SELECT b.doc_id, b.source,
+                   CAST({_bm25_score_sql("//")} AS BIGINT) AS score_fp
+            FROM base b, st
+            WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0)
+        SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id)
+                    AS INTEGER) AS rank,
+               doc_id, source, score_fp
+        FROM scored
+        ORDER BY score_fp DESC, doc_id
+        LIMIT {_BM25_K}
+    """,
+    tags=("text", "extension", "search", "bm25", "ranking"),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (X61) — the ranked complement of
+    q_text_search's boolean AND: Okapi BM25 with k1 = 1.2, b = 0.75
+    over the fixed demo terms (OR semantics), top-{_BM25_K} documents.
+    The score is DEFINED in integer fixed-point (x10^4 parts, idf as
+    the bit-length floor-log2 of the scaled N/df ratio — the
+    q_lm_surprisal convention), so Spark and DuckDB agree to the last
+    bit with no transcendental in sight; it is rank-faithful to real
+    BM25 at whole-bit idf granularity.
+
+    Spark-first shape — ONE corpus scan and NO explode shuffle: term
+    frequencies and doc length are per-row higher-order array
+    functions (size(filter(split(...)))), so the narrow base relation
+    (doc_id, source, dl, tf x |terms|) is computed map-side and
+    localCheckpoint'd once to cut the stats/score diamond.  Corpus
+    statistics (N, total tokens, per-term df) are ONE 1-row aggregate
+    over that base, broadcast back as a scalar crossJoin (1-row BNLJ,
+    the established totals shape); scoring is a pure per-row integer
+    expression and the top-k is a {_BM25_K}-row heap
+    (TakeOrderedAndProject), rank stamped over the collected-size
+    result only.  build_bm25_index/bm25_search below persist the
+    postings so a served query never rescans the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_expr = "filter(split(text, ' '), t -> t != '')"
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"size({toks_expr})").cast("long").alias("dl"),
+        *[
+            F.expr(f"size({e})").cast("long").alias(f"tf{i}")
+            for i, e in enumerate(_bm25_tf_cols_sql(toks_expr, "filter"))
+        ],
+    ).localCheckpoint(eager=False)
+    n_tf = len(_BM25_TERMS)
+    st = base.agg(
+        F.count(F.when(F.col("dl") > 0, True)).alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_toks"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, True)).alias(f"df{i}")
+            for i in range(n_tf)
+        ],
+    )
+    hits = base.filter(
+        F.expr(" + ".join(f"tf{i}" for i in range(n_tf))) > 0
+    )
+    scored = hits.crossJoin(F.broadcast(st)).select(
+        "doc_id",
+        "source",
+        F.expr(_bm25_score_sql("div")).cast("long").alias("score_fp"),
+    )
+    top = scored.orderBy(F.desc("score_fp"), "doc_id").limit(_BM25_K)
+    w = W.orderBy(F.desc("score_fp"), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "source",
+        "score_fp",
+    )
+
+
+def build_bm25_index(docs: DataFrame, path: str) -> None:
+    """Persist the BM25 artifacts under ``path``:
+
+    * ``postings/`` — (tok, doc_id, tf, dl) parquet PARTITIONED BY
+      bkt = pmod(xxhash64(tok), {_INDEX_BUCKETS}); dl is denormalized
+      onto every posting so serving never joins a doc-stats table.
+    * ``stats/`` — ONE row (n_docs, total_toks): the corpus constants
+      the score needs, computed in the same build pass.
+
+    One corpus scan + one partitioned write + a 1-row write — the
+    amortized offline step of q_bm25's inline shape."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    post = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    ).withColumn(
+        "bkt", F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).cast("int")
+    )
+    post.select("doc_id", "tok", "tf", "dl", "bkt").write.mode(
+        "overwrite"
+    ).partitionBy("bkt").parquet(f"{path}/postings")
+    st = post.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_toks"),
+    )
+    st.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_search(
+    spark: SparkSession,
+    index_path: str,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k: int = _BM25_K,
+) -> DataFrame:
+    """BM25 top-k over the PERSISTED index — the serving half: read
+    the 1-row stats (bounded collect), compute the terms' buckets
+    driver-side (pure function of the term), ONE partition-pruned
+    scan of postings/ restricted to those buckets (PartitionFilters:
+    |terms| of {_INDEX_BUCKETS} directories), per-term df from the
+    pruned postings themselves, score as the same integer expression
+    inline q_bm25 compiles, and a k-row heap.  Zero corpus scans.
+    Returns (rank, doc_id, score_fp) — callers join metadata like
+    q_text_search does."""
+    from pyspark.sql import Row
+
+    stats = (
+        spark.read.schema("n_docs BIGINT, total_toks BIGINT")
+        .parquet(f"{index_path}/stats")
+        .collect()
+    )
+    if not stats or not terms or int(stats[0]["total_toks"]) <= 0:
+        return spark.createDataFrame(
+            [], "rank INT, doc_id BIGINT, score_fp BIGINT"
+        )
+    n_docs, total_toks = int(stats[0]["n_docs"]), int(stats[0]["total_toks"])
+    terms = tuple(dict.fromkeys(terms))  # dedupe, keep order
+    tdf = spark.createDataFrame([Row(tok=t) for t in terms])
+    bkts = [
+        int(r["b"])
+        for r in tdf.select(
+            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    post = (
+        spark.read.schema(
+            "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, bkt INT"
+        )
+        .parquet(f"{index_path}/postings")
+        .filter(F.col("bkt").isin(bkts))
+        .filter(F.col("tok").isin(*terms))
+    )
+    # per-term df from the pruned postings (|terms| x df rows), then
+    # pivot each posting row to (tf{i}, df{i}) columns so the shared
+    # _bm25_score_sql expression applies unchanged
+    df_by_term = post.groupBy("tok").agg(F.count("*").alias("df"))
+    joined = post.join(F.broadcast(df_by_term), "tok")
+    exprs = [F.col("doc_id"), F.lit(n_docs).alias("n_docs"),
+             F.lit(total_toks).alias("total_toks")]
+    for i, t in enumerate(terms):
+        exprs.append(
+            F.when(F.col("tok") == t, F.col("tf"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"tf{i}")
+        )
+        exprs.append(
+            F.when(F.col("tok") == t, F.col("df"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"df{i}")
+        )
+    exprs.append(F.col("dl"))
+    per_term = joined.select(*exprs)
+    # one posting row carries exactly one term's (tf, df); summing the
+    # per-term contributions per doc reassembles the full OR score
+    contrib = F.expr(_bm25_score_sql("div")).cast("long")
+    scored = (
+        per_term.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("long").alias("score_fp"))
+    )
+    top = scored.orderBy(F.desc("score_fp"), "doc_id").limit(k)
+    w = W.orderBy(F.desc("score_fp"), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "score_fp",
+    )

@@ -2012,3 +2012,80 @@ def test_dup_strip_no_feature_hash_collision_deletion(spark, monkeypatch):
         for r in dd.q_dup_spans(spark, "_").collect()
     }
     assert spans[1] == 0 and spans[2] == 0
+
+def test_bm25_index_build_serve_matches_inline(spark, tmp_path):
+    """build_bm25_index / bm25_search (X61): serving the fixed demo
+    terms from the persisted posting index returns exactly the inline
+    q_bm25 ranking (rank, doc_id, score_fp), the served plan is
+    partition-pruned on the token-hash bucket, empty terms / empty
+    corpus yield typed empty, and duplicate query terms don't double
+    count."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    idx = str(tmp_path / "bm25")
+    tx.build_bm25_index(docs, idx)
+    served = tx.bm25_search(spark, idx)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bkt" in plan
+    got = [(r["rank"], r["doc_id"], r["score_fp"]) for r in served.collect()]
+    want = [
+        (r["rank"], r["doc_id"], r["score_fp"])
+        for r in tx.q_bm25(spark, sf).collect()
+    ]
+    assert got == want and got
+    # duplicate terms are deduped, not double-counted
+    dup = tx.bm25_search(spark, idx, tx._BM25_TERMS + (tx._BM25_TERMS[0],))
+    assert [
+        (r["rank"], r["doc_id"], r["score_fp"]) for r in dup.collect()
+    ] == want
+    assert tx.bm25_search(spark, idx, ()).count() == 0
+    # empty corpus: bounded stats row, typed-empty serve
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    eidx = str(tmp_path / "bm25_empty")
+    tx.build_bm25_index(empty_docs, eidx)
+    e = tx.bm25_search(spark, eidx)
+    assert e.count() == 0
+    assert e.columns == ["rank", "doc_id", "score_fp"]
+
+def test_temperature_mix_reshapes_toward_tail(spark, monkeypatch):
+    """q_temperature_mix (X63): alpha = 0.5 temperature must move
+    share FROM the head language TO the tail (target share strictly
+    between uniform and natural), keep ALL of a tail language whose
+    natural mass is under its target, and down-sample the head; the
+    integer sqrt must be exact at perfect squares."""
+    import open_street_map_data_wrangling_spark.operators.pipeline_ops as po
+
+    rows = []
+    # head: 90 docs x 100 tokens = 9000 toks; tail: 10 docs x 10 = 100
+    for i in range(90):
+        rows.append((i, "en", " ".join(["w"] * 100)))
+    for i in range(10):
+        rows.append((1000 + i, "sw", " ".join(["w"] * 10)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    monkeypatch.setattr(po, "load_table", lambda s, d, n: docs)
+    out = {r["lang"]: r for r in po.q_temperature_mix(spark, "_").collect()}
+    en, sw = out["en"], out["sw"]
+    # natural: en ~ 9890 bp, sw ~ 109 bp; sqrt reshape: sqrt(9000)=94,
+    # sqrt(100)=10 -> target en ~ 9038 bp, sw ~ 961 bp
+    assert sw["share_tgt_bp"] > sw["share_nat_bp"]
+    assert en["share_tgt_bp"] < en["share_nat_bp"]
+    # tail target mass exceeds its natural mass -> keep everything
+    assert sw["rate_x65536"] == 65536
+    assert sw["docs_kept"] == sw["n_docs"] == 10
+    # head must be down-sampled (rate < 1, docs dropped)
+    assert en["rate_x65536"] < 65536
+    assert en["docs_kept"] < en["n_docs"]
+    # exact isqrt at a perfect square: sqrt(100) = 10 exactly
+    r = spark.sql(
+        "SELECT " + po._isqrt_sql("100") + " AS s"
+    ).collect()[0]["s"]
+    assert r == 10

@@ -77,6 +77,10 @@ SAMPLE = (
     "q_lsh_audit",             # sampled exact-Jaccard audit
     "q_budget_select",         # quality-ranked budget admission
     "q_embedding_health",      # integer-quantized norm envelope
+    # round 10 additions
+    "q_bm25",                  # integer fixed-point ranked retrieval
+    "q_ann_rerank",            # ADC shortlist -> exact integer rerank
+    "q_temperature_mix",       # integer-sqrt temperature shares
 )
 
 _ALT = {

@@ -630,3 +630,40 @@ def test_training_corpus_no_cartesian_addendum(plans):
         p = plans(name)
         assert p.count("documents.parquet") == 1, name
         assert "CartesianProduct" not in p, name
+
+
+def test_bm25_single_scan_heap_topk(plans):
+    """q_bm25 (X61, r10): the narrow tf/dl base is computed with
+    per-row array functions (no explode shuffle) and checkpoint-cut
+    before the stats/score diamond — ZERO visible corpus FileScans;
+    the 1-row stats ride the established scalar-broadcast shape and
+    the top-k is a heap, never a global sort."""
+    p = plans("q_bm25")
+    assert p.count("documents.parquet") == 0
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ann_rerank_two_stage_shape(plans):
+    """q_ann_rerank (X62, r10): stage 1 is the compressed ADC scan
+    ending in a shortlist heap, stage 2 broadcasts the shortlist into
+    a hash join against one embeddings scan — exact math on O(k)
+    rows, never a SortMergeJoin or cartesian over the corpus."""
+    p = plans("q_ann_rerank")
+    assert p.count("embeddings.parquet") == 2  # codes scan + rerank scan
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_temperature_mix_stats_then_apply(plans):
+    """q_temperature_mix (X63, r10): one checkpointed language-stats
+    base (the mixture_plan discipline), rate table broadcast onto the
+    flag pass — a single visible corpus scan, no corpus-wide
+    SortMergeJoin."""
+    p = plans("q_temperature_mix")
+    assert p.count("documents.parquet") == 1
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
