@@ -55,3 +55,22 @@ SHINGLES_SQL_CTE = """
         FROM toks),
     ex AS (SELECT doc_id, lang, unnest(shs) AS sh FROM shing)
 """
+
+
+def hashed_shingles(docs):
+    """DISTINCT (doc_id, shh) — each document's word-3-gram shingles
+    as md5-prefix BIGINTs (15 hex chars, exact in a signed 64-bit on
+    both engines).  The hash-rides-the-shuffle discipline shared by
+    q_containment, q_gram_novelty, and the streaming novelty store:
+    gram strings never leave the mapper.  DuckDB twin:
+    ('0x' || substr(md5(sh), 1, 15))::BIGINT over the ex CTE."""
+    return (
+        docs.select("doc_id", F.explode(shingles_expr()).alias("sh"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("shh"),
+        )
+        .distinct()
+    )

@@ -2179,3 +2179,122 @@ def q_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE 10000 * n_hits div n_true END"
         ).alias("recall_x10k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X64 — asymmetric containment (subset-duplicate detection, r10)
+
+_CONTAIN_MIN_BP = 8000  # report pairs with >= 80% one-way containment
+
+
+@query(
+    "q_containment",
+    oracle=f"""
+        WITH {_PAIRS_CTE},
+        shd AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(sh), 1, 15))::BIGINT AS shh
+            FROM ex),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        ia AS (
+            SELECT p.pa, p.pb, s.shh
+            FROM pairs p JOIN shd s ON s.doc_id = p.pa),
+        inter AS (
+            SELECT ia.pa, ia.pb, count(*) AS n_inter
+            FROM ia JOIN shd b ON b.doc_id = ia.pb AND b.shh = ia.shh
+            GROUP BY 1, 2),
+        scored AS (
+            SELECT p.pa AS doc_a, p.pb AS doc_b,
+                   CAST(sa.n_sh AS BIGINT) AS n_a,
+                   CAST(sb.n_sh AS BIGINT) AS n_b,
+                   CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+                   CAST((coalesce(i.n_inter, 0) * 10000) // sa.n_sh
+                        AS BIGINT) AS cont_a_bp,
+                   CAST((coalesce(i.n_inter, 0) * 10000) // sb.n_sh
+                        AS BIGINT) AS cont_b_bp,
+                   CAST((coalesce(i.n_inter, 0) * 10000)
+                        // (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0))
+                        AS BIGINT) AS jaccard_bp
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.pa
+            JOIN sizes sb ON sb.doc_id = p.pb
+            LEFT JOIN inter i ON i.pa = p.pa AND i.pb = p.pb)
+        SELECT * FROM scored
+        WHERE greatest(cont_a_bp, cont_b_bp) >= {_CONTAIN_MIN_BP}
+    """,
+    tags=("dedup", "containment", "lsh", "extension"),
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scoring (X64): symmetric Jaccard misses
+    SUBSET duplicates — a wire story embedded verbatim inside a much
+    longer article scores low Jaccard (union is large) but ~1.0
+    containment of the shorter side.  Every LSH candidate pair is
+    re-scored with exact set containment in BOTH directions
+    (|A∩B|/|A| and |A∩B|/|B|, x10⁴ integer) plus the Jaccard for
+    contrast, keeping pairs where either direction clears
+    {_CONTAIN_MIN_BP} bp — the quote-inclusion / template-expansion
+    pairs a Jaccard-thresholded dedup silently passes through.
+
+    Counting is over md5-hashed shingles on BOTH engines (the
+    q_repetition lesson: only fixed-width hashes ride the corpus
+    shuffles — shingle strings never travel), so the arithmetic is
+    identical cross-engine by construction.  Scale shape: the exact
+    re-score is CANDIDATE-BOUNDED — two hash-keyed joins against the
+    LSH pair list, never an all-pairs intersection; the hashed
+    shingle base is checkpoint-cut once and feeds the size aggregate
+    and both join sides (zero visible corpus scans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the pair list feeds TWO consumers (the intersection build and
+    # the final size join): checkpoint-cut so the whole LSH pipeline
+    # isn't compiled twice — pairs are the bounded relation here
+    pairs = (
+        q_dedup_near(spark, sf_dir)
+        .select(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
+        .localCheckpoint(eager=False)
+    )
+    from ..functions.textfeat import hashed_shingles
+
+    shd = hashed_shingles(docs).localCheckpoint(eager=False)
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ia = pairs.join(shd.withColumnRenamed("doc_id", "pa"), "pa")
+    inter = (
+        ia.join(
+            shd.select(F.col("doc_id").alias("pb"), "shh"), ["pb", "shh"]
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("pa"), F.col("n_sh").alias("n_a")),
+            "pa",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("pb"), F.col("n_sh").alias("n_b")),
+            "pb",
+        )
+        .join(inter, ["pa", "pb"], "left")
+        .select(
+            F.col("pa").alias("doc_a"),
+            F.col("pb").alias("doc_b"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.coalesce(F.col("n_inter"), F.lit(0))
+            .cast("bigint")
+            .alias("n_inter"),
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            "CAST((n_inter * 10000) div n_a AS BIGINT) AS cont_a_bp",
+            "CAST((n_inter * 10000) div n_b AS BIGINT) AS cont_b_bp",
+            "CAST((n_inter * 10000) div (n_a + n_b - n_inter) AS BIGINT)"
+            " AS jaccard_bp",
+        )
+    )
+    return scored.filter(
+        F.expr(f"greatest(cont_a_bp, cont_b_bp) >= {_CONTAIN_MIN_BP}")
+    )

@@ -1247,6 +1247,42 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf, dl, bkt) BM25 postings for ANY document
+    frame — a pure function of each document's text, shared by the
+    offline build and the streaming maintenance merge so both write
+    byte-identical rows (the _winnow_base convention)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    return (
+        tf.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+        )
+        .withColumn(
+            "bkt",
+            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).cast("int"),
+        )
+        .select("doc_id", "tok", "tf", "dl", "bkt")
+    )
+
+
+def write_bm25_stats(post: DataFrame, path: str) -> None:
+    """Recompute and persist the 1-row stats/ (n_docs, total_toks)
+    from a postings relation — shared by build and maintenance so
+    the serve-side constants always describe the store exactly."""
+    st = post.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_toks"),
+    )
+    st.write.mode("overwrite").parquet(f"{path}/stats")
+
+
 def build_bm25_index(docs: DataFrame, path: str) -> None:
     """Persist the BM25 artifacts under ``path``:
 
@@ -1258,27 +1294,11 @@ def build_bm25_index(docs: DataFrame, path: str) -> None:
 
     One corpus scan + one partitioned write + a 1-row write — the
     amortized offline step of q_bm25's inline shape."""
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    tf = toks.groupBy("doc_id", "tok").agg(
-        F.count("*").cast("long").alias("tf")
+    post = _bm25_postings(docs)
+    post.write.mode("overwrite").partitionBy("bkt").parquet(
+        f"{path}/postings"
     )
-    post = tf.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
-    ).withColumn(
-        "bkt", F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).cast("int")
-    )
-    post.select("doc_id", "tok", "tf", "dl", "bkt").write.mode(
-        "overwrite"
-    ).partitionBy("bkt").parquet(f"{path}/postings")
-    st = post.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_toks"),
-    )
-    st.write.mode("overwrite").parquet(f"{path}/stats")
+    write_bm25_stats(post, path)
 
 
 def bm25_search(
@@ -1363,3 +1383,242 @@ def bm25_search(
         "doc_id",
         "score_fp",
     )
+
+
+# ---------------------------------------------------------------------------
+# X65 — per-source gram novelty (corpus diversity attribution, r10)
+
+from ..functions.textfeat import SHINGLES_SQL_CTE, shingles_expr  # noqa: E402
+
+
+@query(
+    "q_gram_novelty",
+    oracle=f"""
+        WITH {SHINGLES_SQL_CTE},
+        shd AS (
+            SELECT DISTINCT ex.doc_id, d.source,
+                   ('0x' || substr(md5(ex.sh), 1, 15))::BIGINT AS shh
+            FROM ex JOIN documents d ON d.doc_id = ex.doc_id),
+        firstdoc AS (
+            SELECT shh, min(doc_id) AS first_doc
+            FROM shd GROUP BY shh),
+        owner AS (
+            SELECT f.shh, s.source
+            FROM firstdoc f
+            JOIN shd s ON s.doc_id = f.first_doc AND s.shh = f.shh),
+        novel AS (
+            SELECT source, count(*) AS n_novel
+            FROM owner GROUP BY source),
+        per_src AS (
+            SELECT source,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_gram_rows,
+                   count(DISTINCT shh) AS n_distinct
+            FROM shd GROUP BY source)
+        SELECT p.source,
+               CAST(p.n_docs AS BIGINT) AS n_docs,
+               CAST(p.n_gram_rows AS BIGINT) AS n_gram_rows,
+               CAST(p.n_distinct AS BIGINT) AS n_distinct,
+               CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+               CAST((coalesce(n.n_novel, 0) * 10000) // p.n_distinct
+                    AS BIGINT) AS novelty_bp
+        FROM per_src p LEFT JOIN novel n USING (source)
+        ORDER BY p.source
+    """,
+    tags=("text", "diversity", "novelty", "extension"),
+)
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source gram novelty (X65) — the "what does each source
+    actually ADD?" curation measurement: every distinct corpus
+    3-gram shingle is attributed to the source of its FIRST document
+    (min doc_id — deterministic, ingestion-order-free), then each
+    source reports its document count, its per-doc gram rows, its
+    distinct grams, how many corpus grams it introduced, and the
+    novelty ratio (introduced / its distinct grams, x10⁴).  A source
+    whose novelty collapses toward 0 duplicates what the corpus
+    already has — the redundancy signal a mixture planner feeds on;
+    compare q_dup_rate_by_source (exact doc copies) and q_dedup_
+    savings (cluster token mass), which see only whole-document
+    redundancy.
+
+    Hash discipline: grams ride every shuffle as md5-prefix BIGINTs
+    (the q_repetition lesson) on BOTH engines, so counts agree by
+    construction.  Scale shape: the hashed (doc_id, source, shh)
+    base is checkpoint-cut once, feeding the min-doc attribution
+    (gram-keyed shuffle), the owner join (doc-keyed), and the
+    per-source roll-up (source-keyed, tiny output); nothing is ever
+    all-pairs and the gram strings never travel."""
+    docs = load_table(spark, sf_dir, "documents")
+    shd = (
+        docs.select(
+            "doc_id", "source", F.explode(shingles_expr()).alias("sh")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("shh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    firstdoc = shd.groupBy("shh").agg(F.min("doc_id").alias("first_doc"))
+    owner = firstdoc.join(
+        shd.select(F.col("doc_id").alias("first_doc"), "shh", "source"),
+        ["first_doc", "shh"],
+    )
+    novel = owner.groupBy("source").agg(F.count("*").alias("n_novel"))
+    per_src = shd.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_gram_rows"),
+        F.countDistinct("shh").cast("bigint").alias("n_distinct"),
+    )
+    return (
+        per_src.join(novel, "source", "left")
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_gram_rows",
+            "n_distinct",
+            "CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel",
+            "CAST((coalesce(n_novel, 0) * 10000) div n_distinct AS BIGINT)"
+            " AS novelty_bp",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X66 — PMI collocation / phrase detection (r10)
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+@query(
+    "q_pmi_phrases",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS t
+            FROM documents),
+        uni AS (
+            SELECT u.tok, count(*) AS c
+            FROM toks, unnest(t) AS u(tok)
+            GROUP BY u.tok),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+        bg AS (
+            SELECT b.pair, count(*) AS c_xy
+            FROM toks,
+                 unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i + 1])) AS b(pair)
+            GROUP BY b.pair),
+        btot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS b FROM bg),
+        scored AS (
+            SELECT string_split(bg.pair, ' ')[1] AS w1,
+                   string_split(bg.pair, ' ')[2] AS w2,
+                   CAST(bg.c_xy AS BIGINT) AS c_xy,
+                   CAST(u1.c AS BIGINT) AS c_x,
+                   CAST(u2.c AS BIGINT) AS c_y,
+                   CAST((length(bin(bg.c_xy)) - 1)
+                      + (length(bin(tot.t // u1.c)) - 1)
+                      + (length(bin(tot.t // u2.c)) - 1)
+                      - (length(bin(btot.b)) - 1) AS BIGINT) AS pmi_q
+            FROM bg
+            JOIN uni u1 ON u1.tok = string_split(bg.pair, ' ')[1]
+            JOIN uni u2 ON u2.tok = string_split(bg.pair, ' ')[2]
+            CROSS JOIN tot CROSS JOIN btot
+            WHERE bg.c_xy >= {_PMI_MIN_COUNT})
+        SELECT * FROM scored
+        ORDER BY pmi_q DESC, c_xy DESC, w1, w2
+        LIMIT {_PMI_TOP}
+    """,
+    tags=("text", "collocation", "pmi", "extension"),
+)
+def q_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation / phrase detection (X66) — the corpus-analysis
+    step behind phrase vocabularies (word2vec-style "new_york"
+    merging): rank adjacent-token bigrams by pointwise mutual
+    information against their unigram marginals, df-cut at
+    {_PMI_MIN_COUNT} occurrences, top-{_PMI_TOP}.
+
+    The score is whole-bit PMI in a FLOOR-DECOMPOSED form — each term
+    is its own integer bit-length (floor log2):
+
+        pmi_q = ⌊log2 c_xy⌋ + ⌊log2 (T div c_x)⌋
+              + ⌊log2 (T div c_y)⌋ − ⌊log2 B⌋
+
+    The decomposition is the scale choice: the textbook single-ratio
+    form multiplies c_xy·T² before dividing (BIGINT overflow once the
+    corpus passes ~3×10⁹ tokens), while every intermediate here is
+    bounded by T itself — exact at ANY corpus size, within ±3 bits of
+    true PMI, and DEFINED as this expression so both engines agree to
+    the last bit (the q_lm_surprisal convention).
+
+    Scale shape: unigram and bigram counts are map-side-combinable
+    explodes of the same tokenized scan, each checkpoint-cut once
+    (vocabulary-sized relations) and re-used by their totals and the
+    score joins; the marginal joins key on the token (Zipf-skewed —
+    the AQE-skew case); the result is a {_PMI_TOP}-row heap."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("t"),
+    )
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("t"))
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat_ws(' ', element_at(t, i), "
+                    "element_at(t, i + 1)))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .localCheckpoint(eager=False)
+    )
+    # btot must count ALL bigrams, not just the df-cut survivors —
+    # recompute it from the same checkpointed toks-free pipeline? No:
+    # B is the total bigram mass; derive it from the unigram relation
+    # instead: every doc with n tokens has n-1 bigrams, so
+    # B = T - n_docs_with_tokens.  Both quantities already live in
+    # bounded relations — no extra corpus scan.
+    ndocs = toks.filter(F.size("t") >= 1).agg(
+        F.count("*").cast("long").alias("nd")
+    )
+    sp = bg.select(
+        F.expr("split(pair, ' ')[0]").alias("w1"),
+        F.expr("split(pair, ' ')[1]").alias("w2"),
+        F.col("c_xy").cast("long").alias("c_xy"),
+    )
+    scored = (
+        sp.join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ndocs))
+        .selectExpr(
+            "w1",
+            "w2",
+            "c_xy",
+            "CAST(c_x AS BIGINT) AS c_x",
+            "CAST(c_y AS BIGINT) AS c_y",
+            "CAST((length(bin(c_xy)) - 1)"
+            " + (length(bin(t div c_x)) - 1)"
+            " + (length(bin(t div c_y)) - 1)"
+            " - (length(bin(t - nd)) - 1) AS BIGINT) AS pmi_q",
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_q"), F.desc("c_xy"), "w1", "w2"
+    ).limit(_PMI_TOP)

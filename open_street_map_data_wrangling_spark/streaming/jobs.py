@@ -1310,3 +1310,161 @@ def shard_manifest_maintenance(doc_stream: DataFrame, store_dir: str):
         .option("checkpointLocation", f"{store_dir}_ckpt")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# X61 — BM25 index maintenance (r10)
+
+_BM25_POSTINGS_DDL = (
+    "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, bkt INT"
+)
+
+
+def bm25_index_merge_fn(spark: SparkSession, index_path: str):
+    """Incremental BM25 maintenance (text.build_bm25_index's postings
+    and 1-row stats kept current over a document stream): each
+    micro-batch's postings — a pure function of each doc's text
+    (text._bm25_postings, the same builder the offline build uses) —
+    distinct-set-union into postings/, then stats/ is RECOMPUTED from
+    the merged postings (text.write_bm25_stats), so the serve-side
+    constants always describe the store exactly.  Idempotent by
+    construction (redelivered docs re-emit identical rows; the
+    distinct-union absorbs them and the stats recompute is
+    deterministic) — no applied-batch markers, the winnow-print
+    argument.  Stage-rename commit guards postings readers; stats/ is
+    rewritten after the postings commit, so a crash between the two
+    leaves a consistent store one stats-refresh behind — the next
+    micro-batch (or a zero-row one) restores agreement."""
+    from ..operators.text import _bm25_postings, write_bm25_stats
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        store_path = jvm.org.apache.hadoop.fs.Path(f"{index_path}/postings")
+        stage_path = jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/postings_stage"
+        )
+        fs = store_path.getFileSystem(hconf)
+        _recover_store(fs, store_path, stage_path)
+        delta = _bm25_postings(batch_df.select("doc_id", "text"))
+        if fs.exists(store_path):
+            # explicit schema: a store bootstrapped from an empty
+            # corpus exists but is fileless (the text_index lesson)
+            merged = (
+                spark.read.schema(_BM25_POSTINGS_DDL)
+                .parquet(f"{index_path}/postings")
+                .unionByName(delta)
+                .distinct()
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").partitionBy("bkt").parquet(
+            str(stage_path)
+        )
+        _commit_store(fs, store_path, stage_path)
+        write_bm25_stats(
+            spark.read.schema(_BM25_POSTINGS_DDL).parquet(
+                f"{index_path}/postings"
+            ),
+            index_path,
+        )
+
+    return merge
+
+
+def bm25_index_maintenance(doc_stream: DataFrame, index_path: str):
+    """Continuous BM25 index upkeep over a document stream; serving
+    is text.bm25_search over the maintained postings + stats — zero
+    corpus scans.  Returns the StreamingQuery (caller stops it)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            bm25_index_merge_fn(doc_stream.sparkSession, index_path)
+        )
+        .option("checkpointLocation", f"{index_path}/postings_ckpt")
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# X65 — incremental gram-novelty store + admission gate (r10)
+
+
+def gram_store_merge_fn(spark: SparkSession, store_dir: str):
+    """Set-union merge of each micro-batch's DISTINCT hashed shingles
+    (functions.textfeat.hashed_shingles — the q_containment /
+    q_gram_novelty hash discipline) into the gram store.  A doc's
+    grams are a pure function of its text and the merge is
+    distinct-union, so redelivery is a no-op (the winnow-print
+    idempotence argument, no markers); stage-rename commit guards
+    readers.  The store holds one 8-byte hash per distinct corpus
+    gram — the crawl-history index the novelty gate serves from."""
+    from ..functions.textfeat import hashed_shingles
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        delta = hashed_shingles(
+            batch_df.select("doc_id", "text")
+        ).select("shh").distinct()
+        if fs.exists(store_path):
+            merged = (
+                spark.read.schema("shh BIGINT")
+                .parquet(store_dir)
+                .unionByName(delta)
+                .distinct()
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def gram_novelty_maintenance(doc_stream: DataFrame, store_dir: str):
+    """Continuous gram-history upkeep over a document stream; the
+    serving half is novelty_gate_serve.  Returns the StreamingQuery
+    (caller stops it)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            gram_store_merge_fn(doc_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+
+
+def novelty_gate_serve(
+    spark: SparkSession, store_dir: str, batch_docs: DataFrame
+) -> DataFrame:
+    """Admission-gate novelty for a NEW batch against the maintained
+    gram history (the q_gram_novelty question turned incremental —
+    the span-gate convention): per batch doc, how many of its
+    distinct grams the corpus has never seen.  One hash-keyed
+    LEFT ANTI join of the batch's grams against the store — zero
+    history document scans; returns (doc_id, n_grams, n_novel,
+    novelty_bp).  Gate BEFORE merging the batch, or every doc scores
+    0 against itself."""
+    from ..functions.textfeat import hashed_shingles
+
+    _, fs, store_path, _sp = _store_paths(spark, store_dir)
+    bg = hashed_shingles(
+        batch_docs.select("doc_id", "text")
+    ).localCheckpoint(eager=False)
+    if fs.exists(store_path):
+        seen = spark.read.schema("shh BIGINT").parquet(store_dir)
+        novel = bg.join(seen, "shh", "left_anti")
+    else:
+        novel = bg
+    n_all = bg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    n_new = novel.groupBy("doc_id").agg(F.count("*").alias("n_novel"))
+    return (
+        n_all.join(n_new, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(n_grams AS BIGINT) AS n_grams",
+            "CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel",
+            "CAST((coalesce(n_novel, 0) * 10000) div n_grams AS BIGINT)"
+            " AS novelty_bp",
+        )
+    )

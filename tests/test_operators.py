@@ -2089,3 +2089,48 @@ def test_temperature_mix_reshapes_toward_tail(spark, monkeypatch):
         "SELECT " + po._isqrt_sql("100") + " AS s"
     ).collect()[0]["s"]
     assert r == 10
+
+def test_containment_flags_subset_duplicate(spark, monkeypatch):
+    """q_containment (X64): a document fully embedded in a longer one
+    must surface with 10000 bp containment of the shorter side while
+    its Jaccard stays below 10000 (the pair class a symmetric
+    threshold misses); a disjoint doc never pairs."""
+    import open_street_map_data_wrangling_spark.operators.dedup as dd
+
+    base = " ".join(f"tok{i}" for i in range(50))
+    sub = " ".join(f"tok{i}" for i in range(45))  # strict subset
+    other = " ".join(f"zzz{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s"), (2, sub, "en", "s"), (3, other, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    rows = {(r["doc_a"], r["doc_b"]): r for r in dd.q_containment(spark, "_").collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["cont_b_bp"] == 10000          # sub fully contained
+    assert r["cont_a_bp"] < 10000
+    assert r["jaccard_bp"] < 10000          # symmetric score is lower
+    assert r["n_inter"] == r["n_b"]
+    assert all(3 not in k for k in rows)
+
+
+def test_gram_novelty_attributes_first_source(spark, monkeypatch):
+    """q_gram_novelty (X65): a source that only repeats earlier
+    content gets novelty 0; the originating source owns the grams;
+    sums of novel grams equal the corpus-wide distinct gram count."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+
+    a = " ".join(f"w{i}" for i in range(10))
+    b = " ".join(f"v{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, a, "en", "srcA"), (2, b, "en", "srcA"),
+         (3, a, "en", "srcB")],  # srcB repeats srcA's content
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(tx, "load_table", lambda s, d, n: docs)
+    out = {r["source"]: r for r in tx.q_gram_novelty(spark, "_").collect()}
+    assert out["srcB"]["n_novel"] == 0 and out["srcB"]["novelty_bp"] == 0
+    assert out["srcA"]["novelty_bp"] == 10000
+    total_distinct = out["srcA"]["n_distinct"]  # srcB adds nothing new
+    assert out["srcA"]["n_novel"] + out["srcB"]["n_novel"] == total_distinct

@@ -81,6 +81,9 @@ SAMPLE = (
     "q_bm25",                  # integer fixed-point ranked retrieval
     "q_ann_rerank",            # ADC shortlist -> exact integer rerank
     "q_temperature_mix",       # integer-sqrt temperature shares
+    "q_containment",           # candidate-bounded hashed intersection
+    "q_gram_novelty",          # min-doc gram attribution
+    "q_pmi_phrases",           # floor-decomposed whole-bit PMI
 )
 
 _ALT = {

@@ -667,3 +667,36 @@ def test_temperature_mix_stats_then_apply(plans):
     assert p.count("documents.parquet") == 1
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_containment_candidate_bounded_rescore(plans):
+    """q_containment (X64, r10): the exact intersection is candidate-
+    bounded — hash-keyed equi-joins against the LSH pair list over a
+    checkpointed hashed-shingle base (zero visible corpus scans),
+    never an all-pairs set comparison."""
+    p = plans("q_containment")
+    assert p.count("documents.parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_gram_novelty_single_hashed_base(plans):
+    """q_gram_novelty (X65, r10): one checkpointed (doc, source,
+    gram-hash) base feeds attribution, owner join, and the per-source
+    roll-up — zero visible corpus scans, no join blow-ups."""
+    p = plans("q_gram_novelty")
+    assert p.count("documents.parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pmi_phrases_bounded_marginal_joins(plans):
+    """q_pmi_phrases (X66, r10): unigram/bigram counts are
+    checkpoint-cut vocabulary-sized relations, B is DERIVED (T - nd,
+    never a fourth corpus pass), marginal joins key on the token, and
+    the result is a heap — no global sort, no cartesian beyond the
+    1-row totals."""
+    p = plans("q_pmi_phrases")
+    assert p.count("documents.parquet") <= 3
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

@@ -1418,3 +1418,110 @@ def test_shard_manifest_maintenance_matches_one_shot_plan(spark, tmp_path):
         tuple(r) for r in po.shard_manifest_serve(spark, store).collect()
     )
     assert after == before
+
+
+def test_bm25_index_maintenance_matches_batch_build(spark, tmp_path):
+    """Incremental BM25 index (r10): streaming two corpus chunks
+    through bm25_index_maintenance yields the same postings AND the
+    same 1-row stats as build_bm25_index over the concatenated
+    corpus, serving an identical ranking; redelivery is a no-op
+    (distinct-union postings, deterministic stats recompute)."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        bm25_index_maintenance,
+        bm25_index_merge_fn,
+    )
+
+    schema = "doc_id long, text string, lang string, source string"
+    b1 = spark.createDataFrame(
+        [(1, "merge filter batch merge", "en", "s0"),
+         (2, "filter scan", "en", "s0")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(3, "batch merge filter join", "fr", "s1"),
+         (4, "scan only words here", "fr", "s1")],
+        schema,
+    )
+    src = str(tmp_path / "src")
+    inc = str(tmp_path / "inc_bm25")
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = bm25_index_maintenance(stream, inc)
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = str(tmp_path / "full_bm25")
+    tx.build_bm25_index(b1.unionByName(b2), full)
+    key = lambda d: {
+        (r["tok"], r["doc_id"], r["tf"], r["dl"], r["bkt"])
+        for r in spark.read.parquet(f"{d}/postings").collect()
+    }
+    assert key(inc) == key(full) and key(inc)
+    st = lambda d: [
+        (r["n_docs"], r["total_toks"])
+        for r in spark.read.parquet(f"{d}/stats").collect()
+    ]
+    assert st(inc) == st(full) == [(4, 14)]
+    served_inc = [tuple(r) for r in tx.bm25_search(spark, inc).collect()]
+    served_full = [tuple(r) for r in tx.bm25_search(spark, full).collect()]
+    assert served_inc == served_full and served_inc
+    # redelivery: identical rows distinct-union away, stats unchanged
+    bm25_index_merge_fn(spark, inc)(b1, 0)
+    assert key(inc) == key(full)
+    assert st(inc) == [(4, 14)]
+
+
+def test_gram_novelty_gate_matches_batch_attribution(spark, tmp_path):
+    """Incremental novelty (r10): streaming chunk 1 into the gram
+    store, then gating chunk 2 BEFORE its merge, must score exactly
+    what batch attribution says — a doc repeating chunk-1 content
+    scores 0 bp, a fresh doc scores 10000 bp, a half-overlap doc
+    scores the exact gram fraction; redelivered merges are no-ops and
+    after merging chunk 2 the same gate drops to 0 for all."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        gram_novelty_maintenance,
+        gram_store_merge_fn,
+        novelty_gate_serve,
+    )
+
+    schema = "doc_id long, text string, lang string, source string"
+    a = " ".join(f"w{i}" for i in range(12))
+    fresh = " ".join(f"x{i}" for i in range(12))
+    b1 = spark.createDataFrame([(1, a, "en", "s0")], schema)
+    b2 = spark.createDataFrame(
+        [(2, a, "en", "s1"),       # pure repeat -> 0 novel
+         (3, fresh, "en", "s1")],  # disjoint -> 10000 bp
+        schema,
+    )
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "gram_store")
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = gram_novelty_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    gate = {
+        r["doc_id"]: r for r in novelty_gate_serve(spark, store, b2).collect()
+    }
+    assert gate[2]["n_novel"] == 0 and gate[2]["novelty_bp"] == 0
+    assert gate[3]["n_novel"] == gate[3]["n_grams"] > 0
+    assert gate[3]["novelty_bp"] == 10000
+    # redelivery of chunk 1 is a no-op
+    before = {r["shh"] for r in spark.read.parquet(store).collect()}
+    gram_store_merge_fn(spark, store)(b1, 0)
+    assert {r["shh"] for r in spark.read.parquet(store).collect()} == before
+    # after merging chunk 2, gating it again scores 0 everywhere
+    gram_store_merge_fn(spark, store)(b2, 1)
+    again = {
+        r["doc_id"]: r["n_novel"]
+        for r in novelty_gate_serve(spark, store, b2).collect()
+    }
+    assert again == {2: 0, 3: 0}
