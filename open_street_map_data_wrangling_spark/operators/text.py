@@ -1351,8 +1351,12 @@ def bm25_search(
     # _bm25_score_sql expression applies unchanged
     df_by_term = post.groupBy("tok").agg(F.count("*").alias("df"))
     joined = post.join(F.broadcast(df_by_term), "tok")
-    exprs = [F.col("doc_id"), F.lit(n_docs).alias("n_docs"),
-             F.lit(total_toks).alias("total_toks")]
+    # cast the scalar literals to BIGINT explicitly: a small Python
+    # int becomes an INT literal, and the idf's (n_docs * 2^20)
+    # product overflows 32-bit under ANSI mode once the corpus passes
+    # ~2k docs (caught by the sf0.1 bench serve split)
+    exprs = [F.col("doc_id"), F.lit(n_docs).cast("long").alias("n_docs"),
+             F.lit(total_toks).cast("long").alias("total_toks")]
     for i, t in enumerate(terms):
         exprs.append(
             F.when(F.col("tok") == t, F.col("tf"))
