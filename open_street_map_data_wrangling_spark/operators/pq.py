@@ -313,9 +313,12 @@ def _adc_top10(
     TakeOrderedAndProject.  q_ann_rerank widens k for its shortlist
     stage; every other caller keeps the historical top-10."""
     lut = _adc_lut(cb, qvec)
+    # explicit BIGINT elements: small distances would infer an INT
+    # array, and an ANSI-mode sum of 4 near-2^31 lookups can overflow
+    # before the final cast (the bm25_search literal lesson, r10)
     lut_lit = F.array(
         *[F.array(*[F.lit(int(d)) for d in row]) for row in lut]
-    )
+    ).cast("array<array<bigint>>")
     codes = pq_codes(emb, cb).filter(F.col("vec_id") != _QUERY_ID)
     adc = codes.withColumn("__lut", lut_lit).select(
         "vec_id",
@@ -986,7 +989,9 @@ def ivfpq_search(
     qv = raw[query_id]
     probes = _rank_cells_py(cents, qv)[:nprobe]
     lut = _adc_lut(cb, _quantize(qv))
-    lut_lit = F.array(*[F.array(*[F.lit(int(d)) for d in row]) for row in lut])
+    lut_lit = F.array(
+        *[F.array(*[F.lit(int(d)) for d in row]) for row in lut]
+    ).cast("array<array<bigint>>")  # see _adc_top10: INT-array inference
     adc = " + ".join(
         f"element_at(element_at(__lut, {s + 1}), code{s} + 1)" for s in range(_M)
     )
