@@ -169,6 +169,7 @@ HEADLINE = (
     "q_containment",
     "q_gram_novelty",
     "q_pmi_phrases",
+    "q_keep_best",
 )
 
 

@@ -2298,3 +2298,118 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         F.expr(f"greatest(cont_a_bp, cont_b_bp) >= {_CONTAIN_MIN_BP}")
     )
+
+
+# ---------------------------------------------------------------------------
+# X67 — quality-ranked cluster representative (r10)
+
+
+@query(
+    "q_keep_best",
+    oracle=f"""
+        WITH RECURSIVE
+        {_PAIRS_CTE},
+        edges AS (SELECT pa AS a, pb AS b FROM pairs
+                  UNION SELECT pb, pa FROM pairs),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        lab AS (
+            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
+            FROM (SELECT DISTINCT a FROM edges) e
+            JOIN reach r ON r.src = e.a
+            GROUP BY e.a),
+        sized AS (
+            SELECT l.cluster_id, l.n,
+                   len(string_split(d.text, ' ')) AS n_tok
+            FROM lab l JOIN documents d ON d.doc_id = l.n),
+        ranked AS (
+            SELECT cluster_id, n, n_tok,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_tok DESC, n ASC) AS rn
+            FROM sized)
+        SELECT s.cluster_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(CASE WHEN r.rn = 1 THEN r.n END) AS BIGINT)
+                 AS keep_id,
+               CAST(max(CASE WHEN r.rn = 1 THEN r.n_tok END) AS BIGINT)
+                 AS keep_toks,
+               CAST(sum(CASE WHEN s.n = s.cluster_id THEN s.n_tok END)
+                    AS BIGINT) AS minid_keep_toks,
+               CAST(max(CASE WHEN r.rn = 1 THEN r.n_tok END)
+                    - sum(CASE WHEN s.n = s.cluster_id THEN s.n_tok END)
+                    AS BIGINT) AS uplift_toks
+        FROM sized s
+        JOIN ranked r ON r.cluster_id = s.cluster_id AND r.n = s.n
+        GROUP BY s.cluster_id
+    """,
+    tags=("dedup", "iterative", "pipeline", "extension"),
+)
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked cluster representative (X67): the min-doc-id
+    survivor rule (q_dedup_exact / q_dedup_savings) is arbitrary —
+    production dedup keeps the BEST member of each near-dup family,
+    and with containment-style subset duplicates the longest member
+    is the superset document (keeping the min id can throw away the
+    full article and keep the embedded excerpt).  Per cluster:
+    members, the longest-member representative (ties to the lower
+    id), its token mass, what the min-id rule would have kept, and
+    the uplift — the tokens the quality-ranked policy rescues.
+
+    Composition: the audited LSH pipeline → pointer-doubling
+    connected components (edge-touched nodes only) → pruned token-
+    count join → per-cluster WindowGroupLimit argmax → one
+    aggregate.  The oracle replays components through the recursive
+    transitive-closure CTE, so the POLICY ITSELF is hash-checked,
+    not just the clustering."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        q_dedup_near(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    lab = connected_components(pairs, nodes)
+    sized = lab.join(
+        docs.select(
+            F.col("doc_id").alias("n"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        ),
+        "n",
+    ).localCheckpoint(eager=False)
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("n_tok"), F.asc("n")
+    )
+    best = (
+        sized.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("n").alias("keep_id"),
+            F.col("n_tok").alias("keep_toks"),
+        )
+    )
+    agg = sized.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n") == F.col("cluster_id"), F.col("n_tok"))
+        )
+        .cast("bigint")
+        .alias("minid_keep_toks"),
+    )
+    return agg.join(best, "cluster_id").select(
+        "cluster_id",
+        "n_docs",
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.col("keep_toks").cast("bigint").alias("keep_toks"),
+        "minid_keep_toks",
+        (F.col("keep_toks") - F.col("minid_keep_toks"))
+        .cast("bigint")
+        .alias("uplift_toks"),
+    )

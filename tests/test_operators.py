@@ -2134,3 +2134,26 @@ def test_gram_novelty_attributes_first_source(spark, monkeypatch):
     assert out["srcA"]["novelty_bp"] == 10000
     total_distinct = out["srcA"]["n_distinct"]  # srcB adds nothing new
     assert out["srcA"]["n_novel"] + out["srcB"]["n_novel"] == total_distinct
+
+def test_keep_best_rescues_superset_document(spark, monkeypatch):
+    """q_keep_best (X67): in a cluster where the MIN id is the short
+    embedded excerpt and a higher id is the full superset document,
+    the quality-ranked policy keeps the long member and the uplift
+    is exactly the token difference; a tie on length keeps the lower
+    id (uplift 0 vs the min-id rule when min id IS the longest)."""
+    import open_street_map_data_wrangling_spark.operators.dedup as dd
+
+    long_doc = " ".join(f"tok{i}" for i in range(40))
+    short_doc = " ".join(f"tok{i}" for i in range(36))  # subset, near-dup
+    docs = spark.createDataFrame(
+        [(1, short_doc, "en", "s"), (2, long_doc, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    rows = dd.q_keep_best(spark, "_").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cluster_id"] == 1          # min-id labeling
+    assert r["keep_id"] == 2             # but the LONG doc is kept
+    assert r["keep_toks"] == 40 and r["minid_keep_toks"] == 36
+    assert r["uplift_toks"] == 4

@@ -84,6 +84,7 @@ SAMPLE = (
     "q_containment",           # candidate-bounded hashed intersection
     "q_gram_novelty",          # min-doc gram attribution
     "q_pmi_phrases",           # floor-decomposed whole-bit PMI
+    "q_keep_best",             # quality-ranked cluster survivor
 )
 
 _ALT = {

@@ -700,3 +700,13 @@ def test_pmi_phrases_bounded_marginal_joins(plans):
     assert p.count("documents.parquet") <= 3
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_keep_best_group_limit_argmax(plans):
+    """q_keep_best (X67, r10): the per-cluster representative is a
+    WindowGroupLimit argmax over the checkpointed sized relation —
+    no corpus-wide sort, no cartesian."""
+    p = plans("q_keep_best")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
