@@ -170,6 +170,7 @@ HEADLINE = (
     "q_gram_novelty",
     "q_pmi_phrases",
     "q_keep_best",
+    "q_audio_pcm",
 )
 
 

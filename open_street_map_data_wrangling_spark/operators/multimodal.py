@@ -633,3 +633,160 @@ def q_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "n_chars").mapInPandas(
         _pixel_roundtrip_batches, schema=MM_PIXELS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# X68 — REAL WAV/PCM audio codec roundtrip (r10)
+
+_PCM_RATE = 16_000  # fixed sample rate for the synthetic fixtures
+
+
+def encode_wav_pcm16(samples: list[int], rate: int = _PCM_RATE) -> bytes:
+    """Spec-faithful mono 16-bit PCM WAV writer, pure stdlib: RIFF
+    header, fmt chunk (PCM, 1 channel, 16-bit), data chunk of
+    little-endian int16 frames — the audio twin of encode_png_rgb."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(struct.pack("<h", int(s)) for s in samples)
+        )
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL WAV decode, pure stdlib: RIFF/fmt validation via the wave
+    module, PCM frame unpack, integer sample statistics —
+    (n_samples, sample_rate, sum_abs, sum_sq).  Only the mono 16-bit
+    PCM profile the encoder emits is accepted; anything else raises
+    ValueError, as a real ingest should on unsupported profiles."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("unsupported WAV profile (mono 16-bit only)")
+        if w.getcomptype() != "NONE":
+            raise ValueError("unsupported WAV compression")
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if len(raw) != 2 * n:
+        raise ValueError("WAV frame data length mismatch")
+    samples = struct.unpack(f"<{n}h", raw)
+    return (
+        n,
+        rate,
+        sum(abs(s) for s in samples),
+        sum(s * s for s in samples),
+    )
+
+
+MM_PCM_SCHEMA = (
+    "doc_id bigint, n_samples int, sample_rate int, "
+    "sum_abs bigint, sum_sq bigint"
+)
+
+
+def _pcm_roundtrip_batches(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """mapInPandas worker over (doc_id, n_chars): build the
+    deterministic int16 sample vector, encode through the REAL WAV
+    writer, decode back through the real PCM reader, emit the decoded
+    sample statistics.  The stats exist only on the far side of a
+    full RIFF roundtrip (the q_image_pixels proof pattern).  NULL
+    inputs yield NULL features (the registry's null-payload
+    contract)."""
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "n_samples": [],
+            "sample_rate": [],
+            "sum_abs": [],
+            "sum_sq": [],
+        }
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            if pd.isna(doc_id) or pd.isna(n_chars):
+                out["doc_id"].append(
+                    None if pd.isna(doc_id) else int(doc_id)
+                )
+                for k in ("n_samples", "sample_rate", "sum_abs", "sum_sq"):
+                    out[k].append(None)
+                continue
+            d, n = int(doc_id), int(n_chars) % 32 + 8
+            samples = [
+                ((d * 7 + i * 13) % 65536) - 32768 for i in range(n)
+            ]
+            dn, dr, sa, sq = decode_wav_pcm16(encode_wav_pcm16(samples))
+            out["doc_id"].append(d)
+            out["n_samples"].append(dn)
+            out["sample_rate"].append(dr)
+            out["sum_abs"].append(sa)
+            out["sum_sq"].append(sq)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="Int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="Int32"),
+                "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+                "sum_abs": pd.Series(out["sum_abs"], dtype="Int64"),
+                "sum_sq": pd.Series(out["sum_sq"], dtype="Int64"),
+            }
+        )
+
+
+@query(
+    "q_audio_pcm",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   n_chars % 32 + 8 AS n,
+                   (doc_id IS NOT NULL AND n_chars IS NOT NULL) AS ok
+            FROM documents),
+        px AS (
+            SELECT doc_id, n,
+                   ((doc_id * 7 + g.i * 13) % 65536) - 32768 AS s
+            FROM dims, generate_series(0, 39) g(i)
+            WHERE ok AND g.i < n),
+        agg AS (
+            SELECT doc_id,
+                   CAST(n AS INTEGER) AS n_samples,
+                   CAST({_PCM_RATE} AS INTEGER) AS sample_rate,
+                   CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+                   CAST(sum(s * s) AS BIGINT) AS sum_sq
+            FROM px
+            GROUP BY doc_id, n)
+        SELECT d.doc_id, a.n_samples, a.sample_rate, a.sum_abs, a.sum_sq
+        FROM dims d
+        LEFT JOIN agg a ON d.ok AND d.doc_id = a.doc_id
+    """,
+    tags=("multimodal", "extension", "pandas-udf", "audio"),
+)
+def q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/PCM audio roundtrip (X68 — the audio seam closed the
+    way r09 closed PNG): every document becomes a deterministic mono
+    int16 sample vector (pure integer function of doc_id / n_chars),
+    encoded through a spec-faithful stdlib WAV writer (RIFF + fmt +
+    little-endian PCM frames) and decoded back through the real
+    reader (profile validation, frame unpack) inside one
+    Arrow-batched mapInPandas pass.  The emitted sample statistics
+    (count, rate, Σ|s|, Σs²) exist only on the far side of the
+    container roundtrip, while the oracle recomputes them directly
+    from the sample formula — a hash match certifies the codec, not
+    a fake.  NULL doc_id / n_chars rows emit NULL features (the
+    q_image_pixels dims-level LEFT JOIN contract).
+
+    Scale shape: one documents scan projecting two ints per row, one
+    Python stage (container codecs are inherently Python-side — the
+    mapInPandas seam), no shuffle before the driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        _pcm_roundtrip_batches, schema=MM_PCM_SCHEMA
+    )

@@ -2157,3 +2157,42 @@ def test_keep_best_rescues_superset_document(spark, monkeypatch):
     assert r["keep_id"] == 2             # but the LONG doc is kept
     assert r["keep_toks"] == 40 and r["minid_keep_toks"] == 36
     assert r["uplift_toks"] == 4
+
+def test_wav_codec_roundtrip_and_profile_rejects():
+    """encode_wav_pcm16 / decode_wav_pcm16 (X68): bit-exact roundtrip
+    of int16 extremes, correct integer stats, and profile rejection
+    for non-mono / non-16-bit / compressed containers."""
+    import io
+    import wave
+
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    payload = encode_wav_pcm16(samples, rate=8000)
+    n, rate, sum_abs, sum_sq = decode_wav_pcm16(payload)
+    assert n == len(samples) and rate == 8000
+    assert sum_abs == sum(abs(s) for s in samples)
+    assert sum_sq == sum(s * s for s in samples)
+    # profile rejection: stereo container
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00\x00")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(buf.getvalue())
+    # 8-bit container
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01")
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(buf.getvalue())

@@ -85,6 +85,7 @@ SAMPLE = (
     "q_gram_novelty",          # min-doc gram attribution
     "q_pmi_phrases",           # floor-decomposed whole-bit PMI
     "q_keep_best",             # quality-ranked cluster survivor
+    "q_audio_pcm",             # WAV/PCM codec roundtrip sums
 )
 
 _ALT = {

@@ -710,3 +710,12 @@ def test_keep_best_group_limit_argmax(plans):
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_audio_pcm_single_scan_no_shuffle(plans):
+    """q_audio_pcm (X68, r10): one pruned documents scan into one
+    Arrow Python stage — no join, no shuffle."""
+    p = plans("q_audio_pcm")
+    assert p.count("documents.parquet") == 1
+    assert "Exchange" not in p
+    assert "CartesianProduct" not in p
