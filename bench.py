@@ -171,6 +171,8 @@ HEADLINE = (
     "q_pmi_phrases",
     "q_keep_best",
     "q_audio_pcm",
+    "q_source_overlap",
+    "q_int8_quant",
 )
 
 

@@ -1467,3 +1467,98 @@ def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_collapsed"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X70 — int8 scalar-quantization audit (r10)
+
+_SQ_ERR_Q = 10_000_000  # 1e-7 fixed point for per-element recon error
+_SQ_MAX_Q = 100_000  # 1e-5 fixed point for the per-dim scale report
+
+
+@query(
+    "q_int8_quant",
+    oracle=f"""
+        WITH ex AS (
+            SELECT g.i - 1 AS pos, embedding[g.i]::DOUBLE AS x
+            FROM embeddings, generate_series(1, 64) g(i)
+            WHERE embedding IS NOT NULL),
+        mx AS (
+            SELECT pos, max(abs(x)) AS m FROM ex GROUP BY pos),
+        qd AS (
+            SELECT e.pos, e.x, mx.m,
+                   CASE WHEN mx.m = 0 THEN 0
+                        ELSE round(e.x * 127 / mx.m) END AS qv
+            FROM ex e JOIN mx USING (pos)),
+        er AS (
+            SELECT pos, m,
+                   CAST(round((x - qv * m / 127) * {_SQ_ERR_Q})
+                        AS BIGINT) AS e
+            FROM qd)
+        SELECT pos,
+               CAST(count(*) AS BIGINT) AS n_vals,
+               CAST(round(any_value(m) * {_SQ_MAX_Q}) AS BIGINT)
+                 AS max_abs_q,
+               CAST(sum(abs(e)) AS BIGINT) AS sum_abs_err,
+               CAST(sum(e * e) AS BIGINT) AS sum_sq_err
+        FROM er
+        GROUP BY pos
+        ORDER BY pos
+    """,
+    tags=("similarity", "quantization", "compression", "extension"),
+)
+def q_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit (X70) — the OTHER standard
+    embedding compression next to PQ: symmetric per-dimension int8
+    (q = round(x·127/max|x|), 4x smaller than float32), with the
+    reconstruction-error report that decides whether a deployment
+    can serve from the quantized copy.  Per dimension: value count,
+    the scale (max |x|, x10⁵), and the absolute/squared
+    reconstruction error summed in 1e-7 fixed point — integers, so
+    the sums are order-free and bit-identical cross-engine; the
+    float work (one multiply, one divide, one round per element) is
+    single-expression IEEE arithmetic both engines execute
+    identically, the q_centroids determinism recipe.
+
+    Scale shape: one embeddings scan exploding to (pos, x); the
+    per-dim scale is a 64-key map-side-combined aggregate
+    (checkpoint-cut, dimension-sized) broadcast back onto the same
+    exploded stream; everything after is per-row expressions into a
+    64-row result.  Nothing collects, nothing is all-pairs, and at
+    100 TB the only shuffle is 64-key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.filter(F.col("embedding").isNotNull()).select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        F.col("pos").cast("long").alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    mx = (
+        ex.groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    qd = ex.join(F.broadcast(mx), "pos").selectExpr(
+        "pos",
+        "m",
+        "CASE WHEN m = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE round(x * 127 / m) END AS qv",
+        "x",
+    )
+    er = qd.selectExpr(
+        "pos",
+        "m",
+        f"CAST(round((x - qv * m / 127) * {_SQ_ERR_Q}) AS BIGINT) AS e",
+    )
+    return (
+        er.groupBy("pos")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vals"),
+            F.expr(f"CAST(round(first(m) * {_SQ_MAX_Q}) AS BIGINT)").alias(
+                "max_abs_q"
+            ),
+            F.sum(F.abs(F.col("e"))).cast("bigint").alias("sum_abs_err"),
+            F.expr("CAST(sum(e * e) AS BIGINT)").alias("sum_sq_err"),
+        )
+        .orderBy("pos")
+    )

@@ -1626,3 +1626,104 @@ def q_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi_q"), F.desc("c_xy"), "w1", "w2"
     ).limit(_PMI_TOP)
+
+
+# ---------------------------------------------------------------------------
+# X69 — pairwise source overlap matrix (r10)
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+        WITH {SHINGLES_SQL_CTE},
+        shd AS (
+            SELECT DISTINCT d.source,
+                   ('0x' || substr(md5(ex.sh), 1, 15))::BIGINT AS shh
+            FROM ex JOIN documents d ON d.doc_id = ex.doc_id),
+        sizes AS (
+            SELECT source, count(*) AS n FROM shd GROUP BY source),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS n_inter
+            FROM shd a JOIN shd b
+              ON a.shh = b.shh AND a.source < b.source
+            GROUP BY 1, 2)
+        SELECT i.src_a, i.src_b,
+               CAST(sa.n AS BIGINT) AS n_a,
+               CAST(sb.n AS BIGINT) AS n_b,
+               CAST(i.n_inter AS BIGINT) AS n_inter,
+               CAST((i.n_inter * 10000) // (sa.n + sb.n - i.n_inter)
+                    AS BIGINT) AS jaccard_bp
+        FROM inter i
+        JOIN sizes sa ON sa.source = i.src_a
+        JOIN sizes sb ON sb.source = i.src_b
+    """,
+    tags=("text", "diversity", "overlap", "extension"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix (X69): gram-level Jaccard
+    between every pair of sources — "which feeds duplicate each
+    other" — the ORDER-FREE complement of q_gram_novelty (novelty
+    attributes each gram to its first source; this reports mutual
+    overlap symmetrically, so two mirrors of the same crawl light up
+    regardless of ingestion order).  Output: every source pair with
+    any shared gram, intersection size, and Jaccard in basis points.
+
+    Scale shape: the distinct (source, gram-hash) relation is
+    checkpoint-cut once; intersections come from ONE gram-keyed
+    aggregate that collect_set's the sources sharing each gram (a
+    set bounded by the SOURCE COUNT, not the corpus) and explodes
+    its ordered pairs row-locally — never a shd⋈shd self-join, whose
+    skew on boilerplate grams is the classic blow-up (the oracle
+    uses the self-join form, which is fine at fixture scale and
+    hash-identical).  The final size join touches #sources rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    shd = (
+        docs.select(
+            "source", F.explode(shingles_expr()).alias("sh")
+        )
+        .select(
+            "source",
+            F.expr(
+                "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("shh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = shd.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (
+        shd.groupBy("shh")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+                    "y -> struct(x AS src_a, y AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.src_a", "p.src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")),
+            "src_b",
+        )
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "CAST(n_a AS BIGINT) AS n_a",
+            "CAST(n_b AS BIGINT) AS n_b",
+            "CAST(n_inter AS BIGINT) AS n_inter",
+            "CAST((n_inter * 10000) div (n_a + n_b - n_inter) AS BIGINT)"
+            " AS jaccard_bp",
+        )
+    )

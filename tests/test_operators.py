@@ -2196,3 +2196,24 @@ def test_wav_codec_roundtrip_and_profile_rejects():
         w.writeframes(b"\x00\x01")
     with _pytest.raises(ValueError):
         decode_wav_pcm16(buf.getvalue())
+
+def test_source_overlap_symmetric_detection(spark, monkeypatch):
+    """q_source_overlap (X69): two sources with identical content
+    score 10000 bp regardless of which ingested first (the
+    order-free contrast to q_gram_novelty); disjoint pairs emit no
+    row; pair keys are ordered (src_a < src_b)."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+
+    a = " ".join(f"w{i}" for i in range(10))
+    b = " ".join(f"v{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, a, "en", "mirror2"), (2, a, "en", "mirror1"),
+         (3, b, "en", "solo")],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(tx, "load_table", lambda s, d, n: docs)
+    rows = {(r["src_a"], r["src_b"]): r
+            for r in tx.q_source_overlap(spark, "_").collect()}
+    assert set(rows) == {("mirror1", "mirror2")}
+    r = rows[("mirror1", "mirror2")]
+    assert r["jaccard_bp"] == 10000 and r["n_inter"] == r["n_a"] == r["n_b"]

@@ -86,6 +86,8 @@ SAMPLE = (
     "q_pmi_phrases",           # floor-decomposed whole-bit PMI
     "q_keep_best",             # quality-ranked cluster survivor
     "q_audio_pcm",             # WAV/PCM codec roundtrip sums
+    "q_source_overlap",        # gram-keyed source-pair matrix
+    "q_int8_quant",            # fixed-point recon-error sums
 )
 
 _ALT = {

@@ -719,3 +719,24 @@ def test_audio_pcm_single_scan_no_shuffle(plans):
     assert p.count("documents.parquet") == 1
     assert "Exchange" not in p
     assert "CartesianProduct" not in p
+
+
+def test_source_overlap_no_gram_self_join(plans):
+    """q_source_overlap (X69, r10): intersections come from a
+    gram-keyed collect_set + row-local pair explosion — NEVER a
+    shd⋈shd self-join (whose boilerplate-gram skew is the classic
+    quadratic blow-up).  One checkpointed base, no cartesian."""
+    p = plans("q_source_overlap")
+    assert p.count("documents.parquet") == 0
+    assert "SortMergeJoin" not in p  # pair build is aggregate-side
+    assert "CartesianProduct" not in p
+
+
+def test_int8_quant_dimension_keyed_only(plans):
+    """q_int8_quant (X70, r10): the per-dim scale is a 64-key
+    aggregate broadcast back onto the exploded stream — broadcast
+    join, no SMJ, no cartesian."""
+    p = plans("q_int8_quant")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
