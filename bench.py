@@ -173,6 +173,7 @@ HEADLINE = (
     "q_audio_pcm",
     "q_source_overlap",
     "q_int8_quant",
+    "q_int8_recall",
 )
 
 

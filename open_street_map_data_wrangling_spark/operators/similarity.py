@@ -1562,3 +1562,139 @@ def q_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# X71 — int8 serving recall audit (r10)
+
+_INT8_QUERY_ID = 42  # reuse the IVF probe
+_INT8_W_Q = 1_000_000  # 1e-6 fixed point for the per-dim weight m^2
+
+
+@query(
+    "q_int8_recall",
+    oracle=f"""
+        WITH ex AS (
+            SELECT vec_id, g.i - 1 AS pos, embedding[g.i]::DOUBLE AS x
+            FROM embeddings, generate_series(1, 64) g(i)
+            WHERE embedding IS NOT NULL),
+        w AS (
+            SELECT pos, max(abs(x)) AS m,
+                   CAST(round(max(abs(x)) * max(abs(x)) * {_INT8_W_Q})
+                        AS BIGINT) AS wq
+            FROM ex GROUP BY pos),
+        qq AS (
+            SELECT e.pos,
+                   CASE WHEN w.m = 0 THEN 0
+                        ELSE CAST(round(e.x * 127 / w.m) AS BIGINT)
+                   END * w.wq AS pw
+            FROM ex e JOIN w USING (pos)
+            WHERE e.vec_id = {_INT8_QUERY_ID}),
+        qs AS (
+            SELECT e.vec_id,
+                   CAST(sum(
+                       CASE WHEN w.m = 0 THEN 0
+                            ELSE CAST(round(e.x * 127 / w.m) AS BIGINT)
+                       END * qq.pw) AS BIGINT) AS s
+            FROM ex e
+            JOIN w USING (pos)
+            JOIN qq ON qq.pos = e.pos
+            WHERE e.vec_id <> {_INT8_QUERY_ID}
+            GROUP BY e.vec_id),
+        top10q AS (
+            SELECT vec_id FROM qs ORDER BY s DESC, vec_id LIMIT 10),
+        exact10 AS (
+            SELECT e.vec_id
+            FROM embeddings e
+            CROSS JOIN (SELECT embedding FROM embeddings
+                        WHERE vec_id = {_INT8_QUERY_ID}) q
+            WHERE e.vec_id <> {_INT8_QUERY_ID}
+              AND e.embedding IS NOT NULL
+            ORDER BY list_cosine_similarity(
+                         e.embedding::DOUBLE[], q.embedding::DOUBLE[]
+                     ) DESC, e.vec_id
+            LIMIT 10)
+        SELECT CAST(count(*) AS BIGINT) AS hits,
+               count(*) / 10.0 AS recall_at_10
+        FROM top10q JOIN exact10 USING (vec_id)
+    """,
+    tags=("similarity", "quantization", "ann", "recall", "extension"),
+)
+def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 serving recall audit (X71) — q_int8_quant measures
+    reconstruction error; this measures what a deployment actually
+    cares about: does TOP-K SURVIVE serving from the int8 copy?
+    The quantized score is an exact integer weighted dot
+    (Σ qx·qp·⌊m²·10⁶⌉ — the per-dim weight restores each dimension's
+    scale, so the ranking approximates the true dot product), its
+    top-10 is compared against the exact-cosine top-10 for the fixed
+    probe, and the hit count is the recall — the PQ-recall audit
+    pattern applied to scalar quantization.
+
+    Scale shape: the 64-dim scale vector is ONE dimension-keyed
+    aggregate collected driver-side (bounded, the codebook-collect
+    class) and re-enters as plan literals, so scoring is a row-local
+    zip_with fold over ONE corpus scan + a heap; the exact side is
+    the same one-scan heap every recall audit here uses; the final
+    join touches 10 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = emb.filter(F.col("embedding").isNotNull())
+    mrows = (
+        nn.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("m"))
+        .collect()
+    )
+    prows = (
+        nn.filter(F.col("vec_id") == _INT8_QUERY_ID)
+        .select("embedding")
+        .collect()
+    )
+    if not mrows or not prows:
+        return _empty_result(emb, "hits BIGINT, recall_at_10 DOUBLE")
+    m = [0.0] * (max(r["pos"] for r in mrows) + 1)
+    for r in mrows:
+        m[int(r["pos"])] = float(r["m"])
+    qraw = [float(x) for x in prows[0]["embedding"]]
+
+    def _q(x: float, mi: float) -> int:
+        from .pq import _half_up
+
+        return 0 if mi == 0 else _half_up(x * 127.0 / mi)
+
+    from .pq import _half_up
+
+    pw = [
+        _q(qraw[i], m[i]) * _half_up(m[i] * m[i] * _INT8_W_Q)
+        for i in range(len(m))
+    ]
+    m_lit = "array(" + ", ".join(f"{v!r}D" for v in m) + ")"
+    pw_lit = "array(" + ", ".join(f"{int(v)}L" for v in pw) + ")"
+    qx = (
+        f"zip_with(embedding, {m_lit}, (x, mm) -> CASE WHEN mm = 0D "
+        "THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(round(CAST(x AS DOUBLE) * 127 / mm) AS BIGINT) END)"
+    )
+    score = (
+        f"aggregate(zip_with({qx}, {pw_lit}, (a, b) -> a * b), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    top10q = (
+        nn.filter(F.col("vec_id") != _INT8_QUERY_ID)
+        .select("vec_id", F.expr(score).cast("long").alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    q_lit = "array(" + ", ".join(f"{v!r}D" for v in qraw) + ")"
+    exact10 = (
+        nn.filter(F.col("vec_id") != _INT8_QUERY_ID)
+        .select("vec_id", cosine_expr("embedding", q_lit).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    return top10q.join(exact10, "vec_id").agg(
+        F.count("*").cast("bigint").alias("hits"),
+        (F.count("*") / F.lit(10.0)).alias("recall_at_10"),
+    )

@@ -1468,3 +1468,101 @@ def novelty_gate_serve(
             " AS novelty_bp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X69 — incremental source-overlap store (r10)
+
+
+def source_gram_merge_fn(spark: SparkSession, store_dir: str):
+    """Set-union merge of each micro-batch's DISTINCT (source,
+    gram-hash) rows into the source-gram store — the q_source_overlap
+    base kept current over a document stream.  Pure function of each
+    doc, distinct-union: idempotent, no markers (the winnow-print
+    argument); stage-rename commit guards readers."""
+    from ..functions.textfeat import shingles_expr
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        delta = (
+            batch_df.select(
+                "source", F.explode(shingles_expr()).alias("sh")
+            )
+            .select(
+                "source",
+                F.expr(
+                    "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+                ).alias("shh"),
+            )
+            .distinct()
+        )
+        if fs.exists(store_path):
+            merged = (
+                spark.read.schema("source STRING, shh BIGINT")
+                .parquet(store_dir)
+                .unionByName(delta)
+                .distinct()
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def source_overlap_maintenance(doc_stream: DataFrame, store_dir: str):
+    """Continuous source-gram upkeep over a document stream; serving
+    is source_overlap_serve.  Returns the StreamingQuery."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            source_gram_merge_fn(doc_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+
+
+def source_overlap_serve(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The q_source_overlap matrix computed from the maintained store
+    alone — zero corpus scans; definitionally the same gram-keyed
+    collect_set + row-local pair explosion the inline query compiles,
+    so streamed == batch is pytest-pinned."""
+    shd = spark.read.schema("source STRING, shh BIGINT").parquet(store_dir)
+    sizes = shd.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (
+        shd.groupBy("shh")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+                    "y -> struct(x AS src_a, y AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.src_a", "p.src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")),
+            "src_b",
+        )
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "CAST(n_a AS BIGINT) AS n_a",
+            "CAST(n_b AS BIGINT) AS n_b",
+            "CAST(n_inter AS BIGINT) AS n_inter",
+            "CAST((n_inter * 10000) div (n_a + n_b - n_inter) AS BIGINT)"
+            " AS jaccard_bp",
+        )
+    )

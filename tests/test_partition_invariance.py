@@ -88,6 +88,7 @@ SAMPLE = (
     "q_audio_pcm",             # WAV/PCM codec roundtrip sums
     "q_source_overlap",        # gram-keyed source-pair matrix
     "q_int8_quant",            # fixed-point recon-error sums
+    "q_int8_recall",           # literal-scale integer ranking
 )
 
 _ALT = {

@@ -740,3 +740,13 @@ def test_int8_quant_dimension_keyed_only(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_int8_recall_literal_scales_one_scan_each_side(plans):
+    """q_int8_recall (X71, r10): the 64-dim scale vector re-enters as
+    plan literals (bounded collect), so each ranking side is one scan
+    + heap — no SMJ, no cartesian, WindowGroupLimit-free heaps."""
+    p = plans("q_int8_recall")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

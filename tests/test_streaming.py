@@ -1525,3 +1525,49 @@ def test_gram_novelty_gate_matches_batch_attribution(spark, tmp_path):
         for r in novelty_gate_serve(spark, store, b2).collect()
     }
     assert again == {2: 0, 3: 0}
+
+
+def test_source_overlap_maintenance_matches_inline(spark, tmp_path):
+    """Incremental source-overlap (r10): streaming two corpus chunks
+    into the source-gram store and serving the matrix from the store
+    yields exactly the inline q_source_overlap result over the
+    concatenated corpus; redelivery is a no-op."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        source_gram_merge_fn,
+        source_overlap_maintenance,
+        source_overlap_serve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "sg_store")
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = source_overlap_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    served = sorted(
+        tuple(r) for r in source_overlap_serve(spark, store).collect()
+    )
+    inline = sorted(
+        tuple(r) for r in tx.q_source_overlap(spark, sf).collect()
+    )
+    assert served == inline and served
+    before = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    source_gram_merge_fn(spark, store)(b1, 0)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(store).collect()
+    ) == before
