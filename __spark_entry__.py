@@ -165,6 +165,11 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     "q_pq_adc",
     "q_pq_recall",
     "q_pq_recall_trained",
+    # Wave 10: q_langid's oracle now reads from the shared
+    # _LANGID_SQL constant (byte-equivalent CTE chain, whitespace
+    # shifted) so q_langid_confusion scores the same classifier;
+    # re-verified green at sf0.01 + sf0.1.
+    "q_langid",
 )
 
 

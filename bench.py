@@ -174,6 +174,7 @@ HEADLINE = (
     "q_source_overlap",
     "q_int8_quant",
     "q_int8_recall",
+    "q_langid_confusion",
 )
 
 

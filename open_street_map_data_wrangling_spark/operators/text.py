@@ -48,10 +48,8 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_langid",
-    oracle="""
-        WITH tk AS (
+_LANGID_SQL = """
+        tk AS (
             SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         freq AS (SELECT lang, tok, count(*) AS cnt FROM tk GROUP BY lang, tok),
         prof AS (
@@ -68,6 +66,13 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT doc_id, plang, score,
                        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
                 FROM scores) WHERE rn = 1)
+"""
+
+
+@query(
+    "q_langid",
+    oracle=f"""
+        WITH {_LANGID_SQL}
         SELECT d.doc_id, d.lang AS true_lang, b.predicted_lang, b.score
         FROM documents d JOIN best b ON d.doc_id = b.doc_id
     """,
@@ -1726,4 +1731,65 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n_inter * 10000) div (n_a + n_b - n_inter) AS BIGINT)"
             " AS jaccard_bp",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X72 — language-ID confusion matrix (r10)
+
+
+@query(
+    "q_langid_confusion",
+    oracle=f"""
+        WITH {_LANGID_SQL},
+        joined AS (
+            SELECT d.lang AS true_lang, b.predicted_lang
+            FROM documents d JOIN best b ON b.doc_id = d.doc_id),
+        tot AS (
+            SELECT true_lang, count(*) AS n_true
+            FROM joined GROUP BY true_lang)
+        SELECT j.true_lang, j.predicted_lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST((count(*) * 10000) // any_value(t.n_true) AS BIGINT)
+                 AS share_of_true_bp,
+               (j.true_lang = j.predicted_lang) AS is_correct
+        FROM joined j JOIN tot t USING (true_lang)
+        GROUP BY j.true_lang, j.predicted_lang
+        ORDER BY j.true_lang, j.predicted_lang
+    """,
+    tags=("text", "extension", "langid", "evaluation"),
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (X72) — the classifier AUDIT next
+    to the classifier: per (true, predicted) language pair, document
+    count and its share of the true language's docs (x10⁴), plus the
+    diagonal flag — the standard eval artifact that tells a pipeline
+    owner WHICH languages the profile classifier confuses before
+    they trust its routing (per-true-language recall is the diagonal
+    share; off-diagonal cells are the misroutes).  Shares the exact
+    prediction CTE chain with q_langid (one definition, the shared-
+    constant discipline), so the audit scores the classifier the
+    registry actually ships.
+
+    Scale shape: everything heavy IS q_langid (broadcast profile
+    join + two hash aggs); the confusion roll-up adds one
+    language-pair-keyed aggregate (#langs² rows at most) and a
+    #langs-row totals join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = q_langid(spark, sf_dir).select("true_lang", "predicted_lang")
+    joined = pred.localCheckpoint(eager=False)
+    tot = joined.groupBy("true_lang").agg(F.count("*").alias("n_true"))
+    return (
+        joined.groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(F.broadcast(tot), "true_lang")
+        .selectExpr(
+            "true_lang",
+            "predicted_lang",
+            "n_docs",
+            "CAST((n_docs * 10000) div n_true AS BIGINT)"
+            " AS share_of_true_bp",
+            "(true_lang = predicted_lang) AS is_correct",
+        )
+        .orderBy("true_lang", "predicted_lang")
     )

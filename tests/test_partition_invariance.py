@@ -89,6 +89,7 @@ SAMPLE = (
     "q_source_overlap",        # gram-keyed source-pair matrix
     "q_int8_quant",            # fixed-point recon-error sums
     "q_int8_recall",           # literal-scale integer ranking
+    "q_langid_confusion",      # classifier-audit roll-up
 )
 
 _ALT = {

@@ -750,3 +750,13 @@ def test_int8_recall_literal_scales_one_scan_each_side(plans):
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_langid_confusion_rides_classifier(plans):
+    """q_langid_confusion (X72, r10): the heavy lifting is q_langid's
+    broadcast-profile join; the confusion roll-up is a checkpointed
+    #langs²-bounded aggregate — no cartesian, no extra corpus scans
+    past the classifier's own."""
+    p = plans("q_langid_confusion")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
