@@ -175,6 +175,7 @@ HEADLINE = (
     "q_int8_quant",
     "q_int8_recall",
     "q_langid_confusion",
+    "q_rrf_fusion",
 )
 
 

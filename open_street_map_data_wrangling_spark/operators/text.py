@@ -1152,10 +1152,44 @@ def _bm25_tf_cols_sql(toks_expr: str, fn: str) -> list[str]:
     ]
 
 
-@query(
-    "q_bm25",
-    oracle=f"""
-        WITH base AS (
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, score_fp) for every document matching any
+    demo term — the BM25 scoring core factored so q_bm25 (top-k) and
+    q_rrf_fusion (rank fusion) rank one definition.  Single-scan
+    array-function base, checkpoint-cut stats diamond, 1-row scalar
+    broadcast (see q_bm25's docstring for the full scale story)."""
+    toks_expr = "filter(split(text, ' '), t -> t != '')"
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"size({toks_expr})").cast("long").alias("dl"),
+        *[
+            F.expr(f"size({e})").cast("long").alias(f"tf{i}")
+            for i, e in enumerate(_bm25_tf_cols_sql(toks_expr, "filter"))
+        ],
+    ).localCheckpoint(eager=False)
+    n_tf = len(_BM25_TERMS)
+    st = base.agg(
+        F.count(F.when(F.col("dl") > 0, True)).alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_toks"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, True)).alias(f"df{i}")
+            for i in range(n_tf)
+        ],
+    )
+    hits = base.filter(
+        F.expr(" + ".join(f"tf{i}" for i in range(n_tf))) > 0
+    )
+    return hits.crossJoin(F.broadcast(st)).select(
+        "doc_id",
+        "source",
+        F.expr(_bm25_score_sql("div")).cast("long").alias("score_fp"),
+    )
+
+
+# shared BM25 oracle CTE chain (base -> st -> scored), reused
+# verbatim by q_bm25 and q_rrf_fusion so both score one definition
+_BM25_ORACLE_CTES = f"""base AS (
             SELECT doc_id, source,
                    len(list_filter(string_split(text, ' '),
                                    t -> t <> '')) AS dl,
@@ -1182,7 +1216,13 @@ def _bm25_tf_cols_sql(toks_expr: str, fn: str) -> list[str]:
             SELECT b.doc_id, b.source,
                    CAST({_bm25_score_sql("//")} AS BIGINT) AS score_fp
             FROM base b, st
-            WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0)
+            WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0)"""
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+        WITH {_BM25_ORACLE_CTES}
         SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id)
                     AS INTEGER) AS rank,
                doc_id, source, score_fp
@@ -1215,34 +1255,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     result only.  build_bm25_index/bm25_search below persist the
     postings so a served query never rescans the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    toks_expr = "filter(split(text, ' '), t -> t != '')"
-    base = docs.select(
-        "doc_id",
-        "source",
-        F.expr(f"size({toks_expr})").cast("long").alias("dl"),
-        *[
-            F.expr(f"size({e})").cast("long").alias(f"tf{i}")
-            for i, e in enumerate(_bm25_tf_cols_sql(toks_expr, "filter"))
-        ],
-    ).localCheckpoint(eager=False)
-    n_tf = len(_BM25_TERMS)
-    st = base.agg(
-        F.count(F.when(F.col("dl") > 0, True)).alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_toks"),
-        *[
-            F.count(F.when(F.col(f"tf{i}") > 0, True)).alias(f"df{i}")
-            for i in range(n_tf)
-        ],
-    )
-    hits = base.filter(
-        F.expr(" + ".join(f"tf{i}" for i in range(n_tf))) > 0
-    )
-    scored = hits.crossJoin(F.broadcast(st)).select(
-        "doc_id",
-        "source",
-        F.expr(_bm25_score_sql("div")).cast("long").alias("score_fp"),
-    )
-    top = scored.orderBy(F.desc("score_fp"), "doc_id").limit(_BM25_K)
+    top = _bm25_scored(docs).orderBy(
+        F.desc("score_fp"), "doc_id"
+    ).limit(_BM25_K)
     w = W.orderBy(F.desc("score_fp"), "doc_id")
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"),
@@ -1792,4 +1807,145 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(true_lang = predicted_lang) AS is_correct",
         )
         .orderBy("true_lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X73 — reciprocal-rank-fusion hybrid retrieval (r10)
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_LIST = 20  # candidates taken from each ranker
+_RRF_TOP = 10
+_RRF_QVEC = 0  # probe vector (q_vec_topk's _QUERY_ID_TOPK)
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=f"""
+        WITH {{bm_ctes}},
+        bm AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_fp DESC, doc_id)
+                     AS bm25_rank
+            FROM scored
+            ORDER BY score_fp DESC, doc_id LIMIT {_RRF_LIST}),
+        qv AS (SELECT embedding FROM embeddings
+               WHERE vec_id = {_RRF_QVEC}),
+        vec AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], qv.embedding::DOUBLE[]
+                       ) DESC, e.vec_id) AS vec_rank
+            FROM embeddings e CROSS JOIN qv
+            WHERE e.vec_id <> {_RRF_QVEC} AND e.embedding IS NOT NULL
+            ORDER BY list_cosine_similarity(
+                e.embedding::DOUBLE[], qv.embedding::DOUBLE[]
+            ) DESC, e.vec_id
+            LIMIT {_RRF_LIST}),
+        fused AS (
+            SELECT coalesce(bm.doc_id, vec.doc_id) AS doc_id,
+                   bm.bm25_rank, vec.vec_rank,
+                   CAST(coalesce(10000 // ({_RRF_K} + bm.bm25_rank), 0)
+                      + coalesce(10000 // ({_RRF_K} + vec.vec_rank), 0)
+                      AS BIGINT) AS rrf_fp
+            FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id)
+                    AS INTEGER) AS rank,
+               doc_id,
+               CAST(bm25_rank AS BIGINT) AS bm25_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank,
+               rrf_fp
+        FROM fused
+        ORDER BY rrf_fp DESC, doc_id
+        LIMIT {_RRF_TOP}
+    """.replace("{bm_ctes}", _BM25_ORACLE_CTES),
+    tags=("text", "similarity", "search", "hybrid", "rrf", "extension"),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (X73) — THE
+    standard lexical+semantic combiner: take the top-{_RRF_LIST}
+    from the BM25 ranker (the exact scored relation q_bm25 ships,
+    shared definition) and the top-{_RRF_LIST} from the vector
+    ranker (exact cosine to the fixed probe; doc_id aligns with
+    vec_id per the fixture contract q_multimodal established), fuse
+    with RRF(k={_RRF_K}) = Σ 1/(k + rank) in x10⁴ integer fixed
+    point, and return the top-{_RRF_TOP} with both source ranks —
+    docs found by only one ranker still fuse (the outer join), which
+    is exactly why RRF beats score mixing: ranks need no
+    cross-ranker calibration, and integer reciprocal ranks are
+    hash-exact where blended float scores would not be.
+
+    Scale shape: each ranker is its own audited plan (BM25:
+    single-scan array-function base + heap; vector: one scan + heap
+    with the probe as a plan literal); fusion touches 2x{_RRF_LIST}
+    rows — a full outer join on doc_id over bounded lists, then a
+    {_RRF_TOP}-row heap."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    w_bm = W.orderBy(F.desc("score_fp"), "doc_id")
+    bm = (
+        _bm25_scored(docs)
+        .orderBy(F.desc("score_fp"), "doc_id")
+        .limit(_RRF_LIST)
+        .select(
+            "doc_id",
+            F.row_number().over(w_bm).cast("long").alias("bm25_rank"),
+        )
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") == _RRF_QVEC)
+        .select("embedding")
+        .collect()
+    )
+    if not qrows:
+        return _rrf_empty(spark)
+    qlit = "array(" + ", ".join(
+        f"{float(x)!r}D" for x in qrows[0]["embedding"]
+    ) + ")"
+    from ..functions.vectors import cosine_expr
+
+    nn = emb.filter(
+        (F.col("vec_id") != _RRF_QVEC) & F.col("embedding").isNotNull()
+    )
+    w_vec = W.orderBy(F.desc("cos"), "doc_id")
+    vec = (
+        nn.select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_expr("embedding", qlit).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(_RRF_LIST)
+        .select(
+            "doc_id",
+            F.row_number().over(w_vec).cast("long").alias("vec_rank"),
+        )
+    )
+    fused = bm.join(vec, "doc_id", "full_outer").selectExpr(
+        "doc_id",
+        "bm25_rank",
+        "vec_rank",
+        f"CAST(coalesce(10000 div ({_RRF_K} + bm25_rank), 0) "
+        f"+ coalesce(10000 div ({_RRF_K} + vec_rank), 0) AS BIGINT)"
+        " AS rrf_fp",
+    )
+    w_out = W.orderBy(F.desc("rrf_fp"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf_fp"), "doc_id")
+        .limit(_RRF_TOP)
+        .select(
+            F.row_number().over(w_out).cast("int").alias("rank"),
+            "doc_id",
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            "rrf_fp",
+        )
+    )
+
+
+def _rrf_empty(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "rank INT, doc_id BIGINT, bm25_rank BIGINT, "
+        "vec_rank BIGINT, rrf_fp BIGINT",
     )

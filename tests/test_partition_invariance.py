@@ -90,6 +90,7 @@ SAMPLE = (
     "q_int8_quant",            # fixed-point recon-error sums
     "q_int8_recall",           # literal-scale integer ranking
     "q_langid_confusion",      # classifier-audit roll-up
+    "q_rrf_fusion",            # integer reciprocal-rank fusion
 )
 
 _ALT = {

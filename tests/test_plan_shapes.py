@@ -760,3 +760,12 @@ def test_langid_confusion_rides_classifier(plans):
     p = plans("q_langid_confusion")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rrf_fusion_bounded_outer_join(plans):
+    """q_rrf_fusion (X73, r10): each ranker ends in a heap; the
+    fusion outer join touches only the two bounded candidate lists —
+    no cartesian, no corpus-wide SMJ."""
+    p = plans("q_rrf_fusion")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
