@@ -176,6 +176,7 @@ HEADLINE = (
     "q_int8_recall",
     "q_langid_confusion",
     "q_rrf_fusion",
+    "q_vec_topk_filtered",
 )
 
 

@@ -1698,3 +1698,78 @@ def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("hits"),
         (F.count("*") / F.lit(10.0)).alias("recall_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X74 — filtered (hybrid-predicate) vector search (r10)
+
+_FILTERED_LABEL = 2
+_FILTERED_K = 10
+
+
+@query(
+    "q_vec_topk_filtered",
+    oracle=f"""
+        WITH q AS (SELECT embedding FROM embeddings
+                   WHERE vec_id = {_QUERY_ID_TOPK})
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4)
+                 AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> {_QUERY_ID_TOPK}
+          AND e.label = {_FILTERED_LABEL}
+          AND e.embedding IS NOT NULL
+        ORDER BY list_cosine_similarity(
+            e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+            e.vec_id
+        LIMIT {_FILTERED_K}
+    """,
+    tags=("similarity", "ann", "filtered", "extension"),
+)
+def q_vec_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (X74) — the "metadata predicate +
+    nearest neighbors" query every vector deployment serves
+    (pre-filtering, not post-filtering: restricting AFTER a fixed-k
+    ANN pass can return fewer than k survivors or none).  Cosine
+    top-{_FILTERED_K} to the fixed probe among label =
+    {_FILTERED_LABEL} vectors only; the label predicate reaches the
+    parquet scan as a PushedFilter (plan-pinned), so at 100 TB a
+    label-partitioned or z-ordered table prunes at the file level
+    BEFORE any distance math — the predicate makes the scan
+    cheaper, never the recall worse.
+
+    Scale shape: one pruned scan (PushedFilters: label =
+    {_FILTERED_LABEL}, IsNotNull(embedding)) + per-partition heap
+    (TakeOrderedAndProject); the probe is a plan literal from the
+    bounded 1-row collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") == _QUERY_ID_TOPK)
+        .select("embedding")
+        .collect()
+    )
+    if not qrows:
+        return _empty_result(
+            emb, "vec_id BIGINT, label INT, cos_sim DOUBLE"
+        )
+    qlit = "array(" + ", ".join(
+        f"{float(x)!r}D" for x in qrows[0]["embedding"]
+    ) + ")"
+    return (
+        emb.filter(
+            (F.col("vec_id") != _QUERY_ID_TOPK)
+            & (F.col("label") == _FILTERED_LABEL)
+            & F.col("embedding").isNotNull()
+        )
+        .select(
+            "vec_id",
+            "label",
+            cosine_expr("embedding", qlit).alias("__cos"),
+        )
+        .orderBy(F.desc("__cos"), "vec_id")
+        .limit(_FILTERED_K)
+        .select(
+            "vec_id", "label", F.round("__cos", 4).alias("cos_sim")
+        )
+    )

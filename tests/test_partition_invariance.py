@@ -91,6 +91,7 @@ SAMPLE = (
     "q_int8_recall",           # literal-scale integer ranking
     "q_langid_confusion",      # classifier-audit roll-up
     "q_rrf_fusion",            # integer reciprocal-rank fusion
+    "q_vec_topk_filtered",     # pushed-predicate vector top-k
 )
 
 _ALT = {

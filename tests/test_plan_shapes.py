@@ -769,3 +769,13 @@ def test_rrf_fusion_bounded_outer_join(plans):
     p = plans("q_rrf_fusion")
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_filtered_vec_search_pushes_label_predicate(plans):
+    """q_vec_topk_filtered (X74, r10): the metadata predicate reaches
+    the parquet scan (PushedFilters on label) so file-level pruning
+    happens BEFORE any distance math; top-k is a heap."""
+    p = plans("q_vec_topk_filtered")
+    assert "PushedFilters: [" in p and "label" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
