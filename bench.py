@@ -177,6 +177,7 @@ HEADLINE = (
     "q_langid_confusion",
     "q_rrf_fusion",
     "q_vec_topk_filtered",
+    "q_jaccard_hist",
 )
 
 

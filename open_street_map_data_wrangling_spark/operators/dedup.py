@@ -2413,3 +2413,102 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("uplift_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X75 — candidate-pair Jaccard histogram (threshold tuning, r10)
+
+
+@query(
+    "q_jaccard_hist",
+    oracle=f"""
+        WITH {_PAIRS_CTE},
+        shd AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(sh), 1, 15))::BIGINT AS shh
+            FROM ex),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        ia AS (
+            SELECT p.pa, p.pb, s.shh
+            FROM pairs p JOIN shd s ON s.doc_id = p.pa),
+        inter AS (
+            SELECT ia.pa, ia.pb, count(*) AS n_inter
+            FROM ia JOIN shd b ON b.doc_id = ia.pb AND b.shh = ia.shh
+            GROUP BY 1, 2),
+        jac AS (
+            SELECT p.pa, p.pb,
+                   (coalesce(i.n_inter, 0) * 10000)
+                       // (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0))
+                     AS j_bp
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.pa
+            JOIN sizes sb ON sb.doc_id = p.pb
+            LEFT JOIN inter i ON i.pa = p.pa AND i.pb = p.pb)
+        SELECT CAST(least(j_bp // 1000, 9) AS BIGINT) AS bucket,
+               CAST(least(j_bp // 1000, 9) * 1000 AS BIGINT) AS j_bp_lo,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM jac
+        GROUP BY 1, 2
+        ORDER BY bucket
+    """,
+    tags=("dedup", "lsh", "tuning", "extension"),
+)
+def q_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair Jaccard histogram (X75) — the threshold-PLACEMENT
+    artifact that completes the LSH tuning story: q_lsh_audit scores
+    precision/recall at one fixed τ; this shows the whole exact-
+    Jaccard distribution over the candidate pairs in ten 0.1-wide
+    buckets, so an operator SEES the bimodal gap (true dups cluster
+    high, band-collision noise clusters low) and places τ in the
+    valley instead of guessing.  Same hashed-shingle exact
+    intersection as q_containment (one definition class), bucketed
+    with integer div — hash-exact.
+
+    Scale shape: candidate-bounded exactly like q_containment (the
+    pair list and hashed-shingle base are each checkpoint-cut once;
+    intersections are hash-keyed equi-joins against the pair list);
+    the histogram is a 10-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.textfeat import hashed_shingles
+
+    pairs = (
+        q_dedup_near(spark, sf_dir)
+        .select(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
+        .localCheckpoint(eager=False)
+    )
+    shd = hashed_shingles(docs).localCheckpoint(eager=False)
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ia = pairs.join(shd.withColumnRenamed("doc_id", "pa"), "pa")
+    inter = (
+        ia.join(
+            shd.select(F.col("doc_id").alias("pb"), "shh"), ["pb", "shh"]
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("pa"), F.col("n_sh").alias("n_a")),
+            "pa",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("pb"), F.col("n_sh").alias("n_b")),
+            "pb",
+        )
+        .join(inter, ["pa", "pb"], "left")
+        .selectExpr(
+            "(coalesce(n_inter, 0) * 10000)"
+            " div (n_a + n_b - coalesce(n_inter, 0)) AS j_bp"
+        )
+    )
+    return (
+        jac.selectExpr("least(j_bp div 1000, 9) AS bucket")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .selectExpr(
+            "CAST(bucket AS BIGINT) AS bucket",
+            "CAST(bucket * 1000 AS BIGINT) AS j_bp_lo",
+            "n_pairs",
+        )
+        .orderBy("bucket")
+    )

@@ -92,6 +92,7 @@ SAMPLE = (
     "q_langid_confusion",      # classifier-audit roll-up
     "q_rrf_fusion",            # integer reciprocal-rank fusion
     "q_vec_topk_filtered",     # pushed-predicate vector top-k
+    "q_jaccard_hist",          # integer-bucketed candidate Jaccard
 )
 
 _ALT = {

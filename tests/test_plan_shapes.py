@@ -779,3 +779,13 @@ def test_filtered_vec_search_pushes_label_predicate(plans):
     assert "PushedFilters: [" in p and "label" in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_jaccard_hist_candidate_bounded(plans):
+    """q_jaccard_hist (X75, r10): same candidate-bounded rescore
+    class as q_containment — checkpointed pair list + hashed-shingle
+    base, zero visible corpus scans, no cartesian."""
+    p = plans("q_jaccard_hist")
+    assert p.count("documents.parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
