@@ -147,6 +147,15 @@ def _stamp_fingerprints() -> dict[str, str]:
 # registry are ignored; an empty tuple restores pure registration
 # order.
 _MODIFIED_PRIORITY: tuple[str, ...] = (
+    # Round 11: r10-ADVICE fixes — q_audio_pcm's oracle now uses
+    # explicit pmod (double-mod) on n_chars and the sample expression
+    # so negative inputs agree with the Python worker's non-negative
+    # %; _bm25_score_sql is parameterized by term count (demo-width
+    # default, so q_bm25/q_rrf_fusion compile byte-identically).  All
+    # re-verified green at sf0.01 this round.
+    "q_audio_pcm",
+    "q_bm25",
+    "q_rrf_fusion",
     # Round 10: the r09-ADVICE fixes touched two query closures —
     # q_image_pixels' oracle gained the dims-level LEFT JOIN so a
     # NULL doc_id/n_chars doc emits a NULL-features row (matching the

@@ -746,13 +746,18 @@ def _pcm_roundtrip_batches(
     "q_audio_pcm",
     oracle=f"""
         WITH dims AS (
+            -- pmod on both sides: Python's % is already non-negative
+            -- for a positive divisor, DuckDB's follows the dividend's
+            -- sign — the double-mod keeps the engines identical even
+            -- for negative n_chars / doc_id (r10 ADVICE)
             SELECT doc_id,
-                   n_chars % 32 + 8 AS n,
+                   ((n_chars % 32) + 32) % 32 + 8 AS n,
                    (doc_id IS NOT NULL AND n_chars IS NOT NULL) AS ok
             FROM documents),
         px AS (
             SELECT doc_id, n,
-                   ((doc_id * 7 + g.i * 13) % 65536) - 32768 AS s
+                   ((((doc_id * 7 + g.i * 13) % 65536) + 65536) % 65536)
+                       - 32768 AS s
             FROM dims, generate_series(0, 39) g(i)
             WHERE ok AND g.i < n),
         agg AS (

@@ -1136,9 +1136,17 @@ def _bm25_contrib(i: int, divop: str) -> str:
     )
 
 
-def _bm25_score_sql(divop: str) -> str:
+def _bm25_score_sql(divop: str, n_terms: int | None = None) -> str:
+    """Full OR score as the sum of per-term contributions over columns
+    tf0..tf{n-1} / df0..df{n-1}.  ``n_terms`` defaults to the fixed
+    demo-query width (q_bm25 / q_rrf_fusion); bm25_search passes the
+    caller's actual term count so arbitrary-width queries compile
+    (fewer than 3 terms used to raise an unresolved-column error and
+    more than 3 silently dropped the tail — r10 ADVICE)."""
+    if n_terms is None:
+        n_terms = len(_BM25_TERMS)
     return " + ".join(
-        f"({_bm25_contrib(i, divop)})" for i in range(len(_BM25_TERMS))
+        f"({_bm25_contrib(i, divop)})" for i in range(n_terms)
     )
 
 
@@ -1393,8 +1401,9 @@ def bm25_search(
     exprs.append(F.col("dl"))
     per_term = joined.select(*exprs)
     # one posting row carries exactly one term's (tf, df); summing the
-    # per-term contributions per doc reassembles the full OR score
-    contrib = F.expr(_bm25_score_sql("div")).cast("long")
+    # per-term contributions per doc reassembles the full OR score.
+    # Width follows the CALLER's term count, not the demo query's.
+    contrib = F.expr(_bm25_score_sql("div", len(terms))).cast("long")
     scored = (
         per_term.withColumn("contrib", contrib)
         .groupBy("doc_id")

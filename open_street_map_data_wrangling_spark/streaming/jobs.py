@@ -1325,13 +1325,20 @@ def bm25_index_merge_fn(spark: SparkSession, index_path: str):
     and 1-row stats kept current over a document stream): each
     micro-batch's postings — a pure function of each doc's text
     (text._bm25_postings, the same builder the offline build uses) —
-    distinct-set-union into postings/, then stats/ is RECOMPUTED from
-    the merged postings (text.write_bm25_stats), so the serve-side
-    constants always describe the store exactly.  Idempotent by
-    construction (redelivered docs re-emit identical rows; the
-    distinct-union absorbs them and the stats recompute is
-    deterministic) — no applied-batch markers, the winnow-print
-    argument.  Stage-rename commit guards postings readers; stats/ is
+    merged doc-replace-wise into postings/, then stats/ is RECOMPUTED
+    from the merged postings (text.write_bm25_stats), so the
+    serve-side constants always describe the store exactly.  The
+    merge anti-joins existing postings on the batch's doc_ids BEFORE
+    the union, so a doc re-ingested with MODIFIED text replaces its
+    old rows wholesale (last-write-wins per doc) — the plain
+    distinct-union kept both generations, leaving two dl values per
+    doc and nondeterministic served stats (r10 ADVICE).  Idempotent
+    for redelivery (replacing rows with byte-identical rows is a
+    no-op and the stats recompute is deterministic) — no
+    applied-batch markers.  Stage-rename commit guards readers; the
+    anti-join keys are the micro-batch's bounded doc set broadcast
+    against the store, so the merge stays a store-sized map-side
+    pass, never a shuffle of the store.  stats/ is
     rewritten after the postings commit, so a crash between the two
     leaves a consistent store one stats-refresh behind — the next
     micro-batch (or a zero-row one) restores agreement."""
@@ -1349,13 +1356,19 @@ def bm25_index_merge_fn(spark: SparkSession, index_path: str):
         delta = _bm25_postings(batch_df.select("doc_id", "text"))
         if fs.exists(store_path):
             # explicit schema: a store bootstrapped from an empty
-            # corpus exists but is fileless (the text_index lesson)
-            merged = (
+            # corpus exists but is fileless (the text_index lesson).
+            # Doc-replace merge: drop the store's rows for every doc
+            # in this batch (left_anti on the batch's bounded doc set,
+            # broadcast), THEN union the fresh postings — a modified
+            # re-ingest replaces its old generation instead of
+            # coexisting with it.
+            batch_docs = batch_df.select("doc_id").distinct()
+            kept = (
                 spark.read.schema(_BM25_POSTINGS_DDL)
                 .parquet(f"{index_path}/postings")
-                .unionByName(delta)
-                .distinct()
+                .join(F.broadcast(batch_docs), "doc_id", "left_anti")
             )
+            merged = kept.unionByName(delta)
         else:
             merged = delta
         merged.write.mode("overwrite").partitionBy("bkt").parquet(

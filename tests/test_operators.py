@@ -2054,6 +2054,66 @@ def test_bm25_index_build_serve_matches_inline(spark, tmp_path):
     assert e.count() == 0
     assert e.columns == ["rank", "doc_id", "score_fp"]
 
+def test_bm25_search_arbitrary_term_width(spark, tmp_path):
+    """bm25_search with a term count != the 3-term demo query (r10
+    ADVICE): 2-term and 4-term queries must compile (the score
+    builder follows len(terms), not the demo constant) and match an
+    independent pure-Python twin of the fixed-point score on a toy
+    corpus."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+
+    corpus = [
+        (1, "merge filter batch merge scan"),
+        (2, "filter scan scan join"),
+        (3, "batch merge filter join probe"),
+        (4, "probe join words here"),
+        (5, "merge merge merge"),
+    ]
+    docs = spark.createDataFrame(
+        [(d, t, "en", "s0") for d, t in corpus],
+        "doc_id long, text string, lang string, source string",
+    )
+    idx = str(tmp_path / "bm25w")
+    tx.build_bm25_index(docs, idx)
+
+    def py_bm25(terms, k=10):
+        S, K1, B, SHIFT = (
+            tx._BM25_S, tx._BM25_K1, tx._BM25_B, tx._BM25_IDF_SHIFT,
+        )
+        toks = {d: [w for w in t.split(" ") if w] for d, t in corpus}
+        dl = {d: len(ws) for d, ws in toks.items()}
+        n_docs = sum(1 for v in dl.values() if v > 0)
+        total = sum(dl.values())
+        scores = {}
+        for d, ws in toks.items():
+            sc = 0
+            for t in dict.fromkeys(terms):
+                tf = ws.count(t)
+                df = sum(1 for w2 in toks.values() if t in w2)
+                if tf == 0 or df == 0:
+                    continue
+                idf = ((n_docs * SHIFT) // df).bit_length() - 1
+                norm = S - B + (B * dl[d] * n_docs) // total
+                denom = tf * S + (K1 * norm) // S
+                sc += idf * ((tf * (K1 + S) * S) // denom)
+            if any(w in ws for w in terms):
+                scores[d] = sc
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+
+    for terms in (
+        ("merge", "join"),                       # 2 terms
+        ("merge", "filter", "join", "probe"),    # 4 terms
+        ("probe",),                              # 1 term
+        ("merge", "filter", "batch", "join", "zzz_absent"),  # 5, one df=0
+    ):
+        got = [
+            (r["rank"], r["doc_id"], r["score_fp"])
+            for r in tx.bm25_search(spark, idx, terms).collect()
+        ]
+        assert got == py_bm25(terms), terms
+
+
 def test_temperature_mix_reshapes_toward_tail(spark, monkeypatch):
     """q_temperature_mix (X63): alpha = 0.5 temperature must move
     share FROM the head language TO the tail (target share strictly

@@ -1424,8 +1424,10 @@ def test_bm25_index_maintenance_matches_batch_build(spark, tmp_path):
     """Incremental BM25 index (r10): streaming two corpus chunks
     through bm25_index_maintenance yields the same postings AND the
     same 1-row stats as build_bm25_index over the concatenated
-    corpus, serving an identical ranking; redelivery is a no-op
-    (distinct-union postings, deterministic stats recompute)."""
+    corpus, serving an identical ranking; redelivery is a no-op and a
+    doc re-ingested with MODIFIED text replaces its old posting rows
+    wholesale (doc-replace anti-join merge, r10 ADVICE) instead of
+    coexisting with them."""
     import open_street_map_data_wrangling_spark.operators.text as tx
     from open_street_map_data_wrangling_spark.streaming.jobs import (
         bm25_index_maintenance,
@@ -1470,10 +1472,30 @@ def test_bm25_index_maintenance_matches_batch_build(spark, tmp_path):
     served_inc = [tuple(r) for r in tx.bm25_search(spark, inc).collect()]
     served_full = [tuple(r) for r in tx.bm25_search(spark, full).collect()]
     assert served_inc == served_full and served_inc
-    # redelivery: identical rows distinct-union away, stats unchanged
+    # redelivery: replacing rows with identical rows is a no-op
     bm25_index_merge_fn(spark, inc)(b1, 0)
     assert key(inc) == key(full)
     assert st(inc) == [(4, 14)]
+    # modified re-ingest: doc 1's text changes; its OLD postings
+    # (incl. the old dl=4) must vanish, store == fresh build over the
+    # updated corpus, and the served dl is single-valued per doc
+    b1_mod = spark.createDataFrame(
+        [(1, "merge join join", "en", "s0")], schema
+    )
+    bm25_index_merge_fn(spark, inc)(b1_mod, 1)
+    updated = b1_mod.unionByName(
+        b1.filter("doc_id <> 1")
+    ).unionByName(b2)
+    full2 = str(tmp_path / "full_bm25_v2")
+    tx.build_bm25_index(updated, full2)
+    assert key(inc) == key(full2)
+    dls = {
+        (r["doc_id"], r["dl"])
+        for r in spark.read.parquet(f"{inc}/postings").collect()
+    }
+    assert len({d for d, _ in dls}) == len(dls)  # one dl per doc
+    assert (1, 3) in dls and (1, 4) not in dls
+    assert st(inc) == [(4, 13)]
 
 
 def test_gram_novelty_gate_matches_batch_attribution(spark, tmp_path):
