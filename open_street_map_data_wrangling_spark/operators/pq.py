@@ -837,13 +837,22 @@ def ivfpq_code_table(emb: DataFrame) -> DataFrame:
 
 
 def _code_projection(
-    vecs: DataFrame, cb: list[list[list[int]]], cents: list[list[float]]
+    vecs: DataFrame,
+    cb: list[list[list[int]]],
+    cents: list[list[float]],
+    with_embedding: bool = False,
 ) -> DataFrame:
     """The shared (vec_id, cid, code*) projection over ANY vector
     frame — the batch build passes the corpus, the streaming index
     maintenance passes a micro-batch; both against the SAME persisted
     codebook literals, so maintained codes are byte-identical to what
-    a full rebuild would produce."""
+    a full rebuild would produce.  ``with_embedding=True`` carries the
+    raw float vector through as a trailing column (default off —
+    byte-identical results for historical callers): the index build
+    stores it IN the codes files, where parquet column pruning makes
+    it free for the ADC scan (which reads only vec_id + code*) and
+    gives the exact-rerank serve stage (rrf_search) a
+    cell-partitioned raw-vector store with zero extra writes."""
     from .similarity import _with_cos_cols
 
     df = _with_cos_cols(_with_qemb(vecs), cents)
@@ -856,6 +865,8 @@ def _code_projection(
         "(acc, x) -> IF(x.c > acc.c, x, acc)).cid"
     )
     cols = [F.col("vec_id"), argmax.alias("cid")]
+    if with_embedding:
+        cols.append(F.col("embedding"))
     for s, scents in enumerate(cb):
         entries = F.array(
             *[
@@ -921,12 +932,16 @@ def build_ivfpq_index(emb: DataFrame, path: str) -> None:
     if cb is None:
         coded = _empty_result(
             emb,
-            "vec_id BIGINT, cid INT, "
+            "vec_id BIGINT, cid INT, embedding ARRAY<FLOAT>, "
             + ", ".join(f"code{s} INT" for s in range(_M)),
         )
         c = 0
     else:
-        coded = _code_projection(emb, cb, cents)
+        # with_embedding: the raw vector rides in the codes files —
+        # column-pruned away by the ADC scan, partition-pruned raw
+        # storage for rrf_search's exact rerank (IVF-Flat colocated
+        # with the PQ codes, one artifact, one maintenance write)
+        coded = _code_projection(emb, cb, cents, with_embedding=True)
         c = len(cents)
     hi = max(_K, c, _QUERY_ID + 1)
     coded.withColumn(
@@ -939,6 +954,33 @@ def build_ivfpq_index(emb: DataFrame, path: str) -> None:
     ).withColumn("n_centroids", F.lit(int(c))).write.mode(
         "overwrite"
     ).parquet(f"{path}/seeds")
+
+
+def _load_ivfpq_seeds(
+    spark: SparkSession, index_path: str, query_id: int
+):
+    """Read the tiny seeds parquet (ONE bounded collect) and return
+    (raw, c): raw = {vec_id: [float]} for the codebook/centroid/query
+    seed rows, c = build-time centroid count.  Returns (None, 0) when
+    the index was built from an empty corpus or the seeds don't cover
+    the requested query id — callers serve typed-empty.  Shared by
+    ivfpq_search and text.rrf_search so both rebuild identical plan
+    literals from the one read serving already does."""
+    seeds = (
+        spark.read.schema(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT"
+        )
+        .parquet(f"{index_path}/seeds")
+        .collect()
+    )
+    if not seeds:
+        return None, 0
+    raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
+    c = int(seeds[0]["n_centroids"])
+    needed = set(range(_K)) | set(range(c)) | {query_id}
+    if not needed <= raw.keys():
+        return None, 0
+    return raw, c
 
 
 def ivfpq_search(
@@ -957,30 +999,15 @@ def ivfpq_search(
     per row; the plan is FileScan -> Project -> TakeOrderedAndProject."""
     from .similarity import _rank_cells_py
 
-    # explicit schema: an index built from an EMPTY corpus leaves a
-    # fileless seeds dir, and schema inference would raise before the
-    # empty-serve guard below could run (the _HARDNEG_SEEDS_DDL
-    # convention from hardneg_search)
-    seeds = (
-        spark.read.schema(
-            "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT"
-        )
-        .parquet(f"{index_path}/seeds")
-        .collect()
-    )
-    raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
-    # the build-time centroid count rides ON the seeds rows — the
-    # cell layout comes from the one read serving already does,
-    # never from re-counting the corpus
-    if not seeds:
-        return spark.createDataFrame([], "vec_id BIGINT, adc_d2 BIGINT")
-    c = int(seeds[0]["n_centroids"])
-    needed = set(range(_K)) | set(range(c)) | {query_id}
-    if not needed <= raw.keys():
-        # index built from an empty table has no seeds (and codes/
-        # has no partition directories to read): serve empty — the
-        # same contract as the inline queries, detected from the
-        # seeds collect that already happened
+    # explicit schema inside the loader: an index built from an EMPTY
+    # corpus leaves a fileless seeds dir, and schema inference would
+    # raise before the empty-serve guard could run (the
+    # _HARDNEG_SEEDS_DDL convention from hardneg_search); the
+    # build-time centroid count rides ON the seeds rows — the cell
+    # layout comes from the one read serving already does, never from
+    # re-counting the corpus
+    raw, c = _load_ivfpq_seeds(spark, index_path, query_id)
+    if raw is None:
         return spark.createDataFrame([], "vec_id BIGINT, adc_d2 BIGINT")
     qs = [_quantize(raw[i]) for i in range(_K)]
     cb = [[qv[s * _SUBDIM : (s + 1) * _SUBDIM] for qv in qs] for s in range(_M)]
@@ -1093,7 +1120,8 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
         )
         .filter(F.col("__rn") == 1)
         .select(
-            "vec_id", "cid", *[f"code{s}" for s in range(_M)],
+            "vec_id", "cid", "embedding",
+            *[f"code{s}" for s in range(_M)],
             F.lit(0).alias("__batch"),
         )
     )

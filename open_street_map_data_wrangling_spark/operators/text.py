@@ -1374,11 +1374,17 @@ def bm25_search(
         .filter(F.col("bkt").isin(bkts))
         .filter(F.col("tok").isin(*terms))
     )
-    # per-term df from the pruned postings (|terms| x df rows), then
-    # pivot each posting row to (tf{i}, df{i}) columns so the shared
-    # _bm25_score_sql expression applies unchanged
-    df_by_term = post.groupBy("tok").agg(F.count("*").alias("df"))
-    joined = post.join(F.broadcast(df_by_term), "tok")
+    # per-term df as a count window over the pruned postings — ONE
+    # scan of the |terms| pruned buckets instead of the r10
+    # aggregate-then-join-back shape (which scanned them twice); the
+    # partition-by-tok exchange moves only the pruned posting rows.
+    # Then pivot each posting row to (tf{i}, df{i}) columns so the
+    # shared _bm25_score_sql expression applies unchanged
+    from pyspark.sql import Window as _Win
+
+    joined = post.withColumn(
+        "df", F.count("*").over(_Win.partitionBy("tok"))
+    )
     # cast the scalar literals to BIGINT explicitly: a small Python
     # int becomes an INT literal, and the idf's (n_docs * 2^20)
     # product overflows 32-bit under ANSI mode once the corpus passes
@@ -1958,3 +1964,233 @@ def _rrf_empty(spark: SparkSession) -> DataFrame:
         "rank INT, doc_id BIGINT, bm25_rank BIGINT, "
         "vec_rank BIGINT, rrf_fp BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# X76 — served hybrid retrieval: persisted BM25 + IVF index, zero
+# corpus scans (r11, closing the retrieval lifecycle VERDICT r10 §2)
+
+from .similarity import _IVF_ASSIGN_SQL, _ivf_qcells_sql  # noqa: E402
+
+_RRF_NPROBE = 4  # cells probed by the served vector leg
+
+
+def _rrf_fuse(bm: DataFrame, vec: DataFrame, k: int) -> DataFrame:
+    """RRF(k={_RRF_K}) fusion of two bounded (doc_id, *_rank) lists —
+    the exact integer formula q_rrf_fusion defined, factored so the
+    inline and served paths fuse one definition.  Full outer join over
+    2×list rows, then a k-row heap."""
+    fused = bm.join(vec, "doc_id", "full_outer").selectExpr(
+        "doc_id",
+        "bm25_rank",
+        "vec_rank",
+        f"CAST(coalesce(10000 div ({_RRF_K} + bm25_rank), 0) "
+        f"+ coalesce(10000 div ({_RRF_K} + vec_rank), 0) AS BIGINT)"
+        " AS rrf_fp",
+    )
+    w_out = W.orderBy(F.desc("rrf_fp"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf_fp"), "doc_id")
+        .limit(k)
+        .select(
+            F.row_number().over(w_out).cast("int").alias("rank"),
+            "doc_id",
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            "rrf_fp",
+        )
+    )
+
+
+def rrf_search(
+    spark: SparkSession,
+    bm25_path: str,
+    ivfpq_path: str,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    query_id: int = _RRF_QVEC,
+    nprobe: int = _RRF_NPROBE,
+    shortlist: int | None = None,
+    list_n: int = _RRF_LIST,
+    k: int = _RRF_TOP,
+) -> DataFrame:
+    """Hybrid retrieval over PERSISTED indexes — the serving half of
+    q_rrf_fusion, with ZERO corpus scans:
+
+    * lexical leg: bm25_search over the posting index (1-row stats
+      collect + ONE partition-pruned postings scan, PartitionFilters
+      on the token-hash bucket), top-``list_n`` → bm25_rank;
+    * vector leg: seeds parquet → plan literals + probe-cell ranking
+      (pq._load_ivfpq_seeds, the one bounded read IVF serving already
+      does), then ONE partition-pruned scan of codes/ restricted to
+      the ``nprobe`` probed cells reading ONLY (vec_id, embedding) —
+      the raw vectors ride in the codes files where parquet column
+      pruning hides them from the ADC path — and an EXACT double
+      cosine rerank of the probed candidates (the q_rrf_fusion
+      arithmetic verbatim), top-``list_n`` → vec_rank;
+    * fusion: the shared integer RRF formula, top-``k``.
+
+    ``shortlist=L`` inserts the PQ-ADC compressed top-L between the
+    probe and the exact rerank (the q_ann_rerank stage) so the
+    full-precision math touches O(L), not O(cell) rows — the knob for
+    cells too large to rerank exactly.  It is OFF by default because
+    it trades recall for arithmetic: on the fixture the exact top-20's
+    worst ADC rank inside the probed cells is 333 (sf0.1), so L=50
+    would demote true neighbors, while the probed cells themselves do
+    contain the entire exact top-20 at nprobe={_RRF_NPROBE} (measured
+    across sf0.001/0.01/0.1).  Exact-within-probed-cells is the
+    IVF-Flat posture: at 100 TB the rerank still reads only
+    nprobe/C of the vector bytes, partition-pruned."""
+    from ..functions.vectors import cosine_expr
+    from .pq import (
+        _K as _PQ_K,
+        _M as _PQ_M,
+        _SUBDIM as _PQ_SUBDIM,
+        _adc_lut,
+        _load_ivfpq_seeds,
+        _quantize,
+    )
+    from .similarity import _rank_cells_py
+
+    bm = bm25_search(spark, bm25_path, terms, k=list_n).select(
+        "doc_id", F.col("rank").cast("long").alias("bm25_rank")
+    )
+    raw, c = _load_ivfpq_seeds(spark, ivfpq_path, query_id)
+    if raw is None:
+        vec = spark.createDataFrame([], "doc_id BIGINT, vec_rank BIGINT")
+        return _rrf_fuse(bm, vec, k)
+    qv = raw[query_id]
+    probes = _rank_cells_py([raw[i] for i in range(c)], qv)[:nprobe]
+    cand = (
+        spark.read.parquet(f"{ivfpq_path}/codes")
+        .filter(F.col("cid").isin([int(p) for p in probes]))
+        .filter(F.col("vec_id") != query_id)
+    )
+    if shortlist is not None:
+        cb = [
+            [
+                _quantize(raw[i])[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+                for i in range(_PQ_K)
+            ]
+            for s in range(_PQ_M)
+        ]
+        lut = _adc_lut(cb, _quantize(qv))
+        lut_lit = F.array(
+            *[F.array(*[F.lit(int(d)) for d in row]) for row in lut]
+        ).cast("array<array<bigint>>")
+        adc = " + ".join(
+            f"element_at(element_at(__lut, {s + 1}), code{s} + 1)"
+            for s in range(_PQ_M)
+        )
+        cand = (
+            cand.withColumn("__lut", lut_lit)
+            .select(
+                "vec_id",
+                "embedding",
+                F.expr(f"CAST({adc} AS BIGINT)").alias("adc_d2"),
+            )
+            .orderBy("adc_d2", "vec_id")
+            .limit(shortlist)
+        )
+    qlit = "array(" + ", ".join(f"{float(x)!r}D" for x in qv) + ")"
+    w_vec = W.orderBy(F.desc("cos"), "doc_id")
+    vec = (
+        cand.select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_expr("embedding", qlit).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(list_n)
+        .select(
+            "doc_id",
+            F.row_number().over(w_vec).cast("long").alias("vec_rank"),
+        )
+    )
+    return _rrf_fuse(bm, vec, k)
+
+
+@query(
+    "q_rrf_served",
+    oracle=f"""
+        WITH {{bm_ctes}},
+        bm AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_fp DESC, doc_id)
+                     AS bm25_rank
+            FROM scored
+            ORDER BY score_fp DESC, doc_id LIMIT {_RRF_LIST}),
+        {{ivf_assign}},
+        {{qcells}},
+        qv AS (SELECT embedding FROM embeddings
+               WHERE vec_id = {_RRF_QVEC}),
+        vecr AS (
+            SELECT e.vec_id,
+                   list_cosine_similarity(
+                       e.embedding::DOUBLE[], qv.embedding::DOUBLE[]
+                   ) AS cos
+            FROM embeddings e
+            JOIN a1 ON e.vec_id = a1.vec_id
+            JOIN qc ON a1.cid = qc.qcid
+            CROSS JOIN qv
+            WHERE e.vec_id <> {_RRF_QVEC} AND e.embedding IS NOT NULL),
+        vec AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY cos DESC, vec_id)
+                     AS vec_rank
+            FROM vecr
+            ORDER BY cos DESC, vec_id LIMIT {_RRF_LIST}),
+        fused AS (
+            SELECT coalesce(bm.doc_id, vec.doc_id) AS doc_id,
+                   bm.bm25_rank, vec.vec_rank,
+                   CAST(coalesce(10000 // ({_RRF_K} + bm.bm25_rank), 0)
+                      + coalesce(10000 // ({_RRF_K} + vec.vec_rank), 0)
+                      AS BIGINT) AS rrf_fp
+            FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id)
+                    AS INTEGER) AS rank,
+               doc_id,
+               CAST(bm25_rank AS BIGINT) AS bm25_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank,
+               rrf_fp
+        FROM fused
+        ORDER BY rrf_fp DESC, doc_id
+        LIMIT {_RRF_TOP}
+    """.replace("{bm_ctes}", _BM25_ORACLE_CTES)
+    .replace("{ivf_assign}", _IVF_ASSIGN_SQL)
+    .replace("{qcells}", _ivf_qcells_sql(_RRF_QVEC, _RRF_NPROBE)),
+    tags=("text", "similarity", "search", "hybrid", "rrf", "serve",
+          "extension"),
+)
+def q_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval SERVED from persisted indexes (X76) — the
+    deployment twin of q_rrf_fusion: build the BM25 posting index and
+    the IVF-PQ index under deterministic temp dirs (one corpus scan
+    each — at deployment the amortized offline step plus streaming
+    maintenance), then answer the fused top-{_RRF_TOP} entirely from
+    the artifacts via rrf_search: postings partition-pruned to the
+    query terms' hash buckets, raw vectors partition-pruned to the
+    {_RRF_NPROBE} probed IVF cells, exact cosine rerank of only those
+    candidates, integer RRF fusion.  ZERO scans of documents or
+    embeddings at serve time (plan pinned in
+    tests/test_plan_shapes.py).
+
+    The oracle recomputes the identical stack relationally from the
+    corpus tables — BM25 CTE chain shared verbatim with
+    q_bm25/q_rrf_fusion, IVF assignment + probe-cell CTEs shared with
+    the q_ann_ivf family — so a green row proves the persisted
+    artifacts serve byte-faithfully.  On the fixture the probed cells
+    contain the entire exact top-{_RRF_LIST}, so the served result
+    also EQUALS q_rrf_fusion's exhaustive ranking (pinned in
+    tests/test_operators.py)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from .pq import build_ivfpq_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"osm_spark_rrf_{tag}")
+    build_bm25_index(docs, f"{base}/bm25")
+    build_ivfpq_index(emb, f"{base}/ivfpq")
+    return rrf_search(spark, f"{base}/bm25", f"{base}/ivfpq")

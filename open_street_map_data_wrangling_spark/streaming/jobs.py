@@ -748,7 +748,8 @@ def ivfpq_codes_merge_fn(spark: SparkSession, index_path: str):
         c = int(seeds[0]["n_centroids"]) if seeds else 0
         cents = [raw[i] for i in range(c)]
         coded = pq_mod._code_projection(
-            batch_df.select("vec_id", "embedding"), cb, cents
+            batch_df.select("vec_id", "embedding"), cb, cents,
+            with_embedding=True,
         ).withColumn("__batch", F.lit(batch_id + 1))
         prev = bs.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
         bs.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")

