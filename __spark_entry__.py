@@ -156,6 +156,14 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     "q_audio_pcm",
     "q_bm25",
     "q_rrf_fusion",
+    # Round 11 wave 2: q_ivfpq_serve's codes artifact now carries the
+    # raw embedding column (column-pruned away from the ADC scan;
+    # feeds rrf_search's exact rerank); q_keep_best's policy tail is
+    # factored into _keep_best_policy / _KEEP_BEST_TAIL_SQL, shared
+    # with q_keep_best_containment; q_containment untouched but its
+    # module siblings moved.  All re-verified green at sf0.01.
+    "q_ivfpq_serve",
+    "q_keep_best",
     # Round 10: the r09-ADVICE fixes touched two query closures —
     # q_image_pixels' oracle gained the dims-level LEFT JOIN so a
     # NULL doc_id/n_chars doc emits a NULL-features row (matching the

@@ -180,6 +180,7 @@ HEADLINE = (
     "q_jaccard_hist",
     # round 11 additions (append-only)
     "q_rrf_served",
+    "q_keep_best_containment",
 )
 
 

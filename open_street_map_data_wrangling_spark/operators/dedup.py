@@ -2303,25 +2303,10 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X67 — quality-ranked cluster representative (r10)
 
-
-@query(
-    "q_keep_best",
-    oracle=f"""
-        WITH RECURSIVE
-        {_PAIRS_CTE},
-        edges AS (SELECT pa AS a, pb AS b FROM pairs
-                  UNION SELECT pb, pa FROM pairs),
-        reach(src, dst) AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-        ),
-        lab AS (
-            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
-            FROM (SELECT DISTINCT a FROM edges) e
-            JOIN reach r ON r.src = e.a
-            GROUP BY e.a),
-        sized AS (
+# the keep-best policy tail (sized -> ranked -> final aggregate),
+# shared verbatim by the q_keep_best and q_keep_best_containment
+# oracles so both policies are literally one SQL definition
+_KEEP_BEST_TAIL_SQL = """sized AS (
             SELECT l.cluster_id, l.n,
                    len(string_split(d.text, ' ')) AS n_tok
             FROM lab l JOIN documents d ON d.doc_id = l.n),
@@ -2343,7 +2328,27 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS uplift_toks
         FROM sized s
         JOIN ranked r ON r.cluster_id = s.cluster_id AND r.n = s.n
-        GROUP BY s.cluster_id
+        GROUP BY s.cluster_id"""
+
+
+@query(
+    "q_keep_best",
+    oracle=f"""
+        WITH RECURSIVE
+        {_PAIRS_CTE},
+        edges AS (SELECT pa AS a, pb AS b FROM pairs
+                  UNION SELECT pb, pa FROM pairs),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        lab AS (
+            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
+            FROM (SELECT DISTINCT a FROM edges) e
+            JOIN reach r ON r.src = e.a
+            GROUP BY e.a),
+        {_KEEP_BEST_TAIL_SQL}
     """,
     tags=("dedup", "iterative", "pipeline", "extension"),
 )
@@ -2370,6 +2375,15 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .localCheckpoint()
     )
+    return _keep_best_policy(docs, pairs)
+
+
+def _keep_best_policy(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The quality-ranked representative policy over ANY (a, b) edge
+    list — components, longest-member argmax, min-id counterfactual —
+    factored so q_keep_best (LSH edges) and q_keep_best_containment
+    (LSH ∪ containment edges) rank one definition.  ``pairs`` must be
+    bounded/checkpointed by the caller."""
     nodes = (
         pairs.select(F.col("a").alias("n"))
         .unionByName(pairs.select(F.col("b").alias("n")))
@@ -2413,6 +2427,159 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("uplift_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X77 — containment-aware clustering (r11)
+
+_CONTAIN_POST_CAP = 8  # max posting length considered for candidates
+
+
+@query(
+    "q_keep_best_containment",
+    oracle=f"""
+        WITH RECURSIVE
+        {_PAIRS_CTE},
+        shd AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(sh), 1, 15))::BIGINT AS shh
+            FROM ex),
+        post AS (
+            SELECT doc_id, shh,
+                   count(*) OVER (PARTITION BY shh) AS pc
+            FROM shd),
+        ccand AS (
+            SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+            FROM post a JOIN post b
+              ON a.shh = b.shh AND a.doc_id < b.doc_id
+            WHERE a.pc <= {_CONTAIN_POST_CAP}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        ia AS (
+            SELECT c.pa, c.pb, s.shh
+            FROM ccand c JOIN shd s ON s.doc_id = c.pa),
+        inter AS (
+            SELECT ia.pa, ia.pb, count(*) AS n_inter
+            FROM ia JOIN shd b ON b.doc_id = ia.pb AND b.shh = ia.shh
+            GROUP BY 1, 2),
+        cpairs AS (
+            SELECT c.pa, c.pb
+            FROM ccand c
+            JOIN sizes sa ON sa.doc_id = c.pa
+            JOIN sizes sb ON sb.doc_id = c.pb
+            JOIN inter i ON i.pa = c.pa AND i.pb = c.pb
+            WHERE greatest((i.n_inter * 10000) // sa.n_sh,
+                           (i.n_inter * 10000) // sb.n_sh)
+                  >= {_CONTAIN_MIN_BP}),
+        alledges AS (SELECT pa, pb FROM pairs
+                     UNION SELECT pa, pb FROM cpairs),
+        edges AS (SELECT pa AS a, pb AS b FROM alledges
+                  UNION SELECT pb, pa FROM alledges),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        lab AS (
+            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
+            FROM (SELECT DISTINCT a FROM edges) e
+            JOIN reach r ON r.src = e.a
+            GROUP BY e.a),
+        {_KEEP_BEST_TAIL_SQL}
+    """,  # noqa: E501 — shared tail interpolated
+    tags=("dedup", "containment", "iterative", "pipeline", "extension"),
+)
+def q_keep_best_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-aware clustering (X77) — closes the gap VERDICT
+    r10 named: q_keep_best's edge set is the LSH candidate list, and
+    MinHash band collisions are a function of SYMMETRIC Jaccard, so
+    an excerpt embedded in a much longer article (J ≈ |B|/|A|, small)
+    rarely ever becomes an edge — the exact subset-duplicate class
+    q_containment measures never reached the representative policy.
+
+    Here the edge set is the UNION of (a) the audited LSH candidates
+    and (b) containment-verified pairs from a rare-shingle inverted
+    index: postings longer than {_CONTAIN_POST_CAP} docs are dropped
+    (boilerplate shingles by definition — the _capped_band_pairs /
+    prefix-cap posture, bounding candidates at cap²/2 per shingle BY
+    CONSTRUCTION), surviving co-posting pairs are exactly scored with
+    the q_containment arithmetic, and pairs ≥ {_CONTAIN_MIN_BP} bp
+    one-way containment become edges.  Components + the keep-best
+    policy then run over the merged graph (shared _keep_best_policy /
+    _KEEP_BEST_TAIL_SQL definitions, so the policy itself is
+    hash-checked against q_keep_best's).  Because the superset doc is
+    the longest member of its cluster, the policy now keeps the full
+    article and retires the excerpt — the exact failure the min-id
+    rule and the Jaccard-only edge set shared.
+
+    Scale shape: the posting-cap count rides the SAME
+    hashpartitioning(shh) exchange the candidate self-join needs;
+    the exact containment joins touch only capped candidates; both
+    pair relations are checkpoint-cut before fanning into the
+    multi-consumer scoring/cluster stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.textfeat import hashed_shingles
+
+    lsh = q_dedup_near(spark, sf_dir).select(
+        F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
+    )
+    shd = hashed_shingles(docs).localCheckpoint(eager=False)
+    post = (
+        shd.withColumn("pc", F.count("*").over(W.partitionBy("shh")))
+        .filter(F.col("pc") <= _CONTAIN_POST_CAP)
+        .select("doc_id", "shh")
+    )
+    ca, cb = post.alias("ca"), post.alias("cb")
+    ccand = (
+        ca.join(
+            cb,
+            (F.col("ca.shh") == F.col("cb.shh"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .select(
+            F.col("ca.doc_id").alias("pa"),
+            F.col("cb.doc_id").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ia = ccand.join(shd.withColumnRenamed("doc_id", "pa"), "pa")
+    inter = (
+        ia.join(
+            shd.select(F.col("doc_id").alias("pb"), "shh"), ["pb", "shh"]
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    cpairs = (
+        ccand.join(
+            sizes.select(
+                F.col("doc_id").alias("pa"), F.col("n_sh").alias("n_a")
+            ),
+            "pa",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("pb"), F.col("n_sh").alias("n_b")
+            ),
+            "pb",
+        )
+        .join(inter, ["pa", "pb"])
+        .filter(
+            F.expr(
+                f"greatest((n_inter * 10000) div n_a, "
+                f"(n_inter * 10000) div n_b) >= {_CONTAIN_MIN_BP}"
+            )
+        )
+        .select("pa", "pb")
+    )
+    pairs = (
+        lsh.unionByName(cpairs)
+        .distinct()
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .localCheckpoint()
+    )
+    return _keep_best_policy(docs, pairs)
 
 
 # ---------------------------------------------------------------------------

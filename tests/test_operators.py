@@ -2264,6 +2264,55 @@ def test_keep_best_rescues_superset_document(spark, monkeypatch):
     assert r["keep_toks"] == 40 and r["minid_keep_toks"] == 36
     assert r["uplift_toks"] == 4
 
+def test_keep_best_containment_clusters_excerpt_lsh_misses(
+    spark, monkeypatch
+):
+    """q_keep_best_containment (X77): an excerpt embedded verbatim in
+    a much longer article has low symmetric Jaccard (union is the
+    long doc), so the MinHash-LSH edge set misses the pair and
+    q_keep_best leaves the excerpt unclustered — while the
+    containment edge (100% one-way) clusters it and the policy keeps
+    the superset document.  Also: a pair sharing only over-cap
+    boilerplate shingles must NOT become a containment edge (the
+    posting cap is the candidate bound, not a heuristic)."""
+    import open_street_map_data_wrangling_spark.operators.dedup as dd
+
+    # doc 2 = 120-token article; doc 1 = its 12-token excerpt:
+    # J = 10/118 ~ 0.08 -> band-collision probability ~ 0.003
+    article = " ".join(f"w{i}" for i in range(120))
+    excerpt = " ".join(f"w{i}" for i in range(50, 62))
+    # docs 10..29 all share ONE common 5-token boilerplate run (its
+    # shingles post to 20 docs, over the cap of 8) plus unique tails
+    boiler = "the quick brown fox jumps"
+    rows = [(1, excerpt, "en", "s"), (2, article, "en", "s")] + [
+        (10 + i, f"{boiler} u{i}a u{i}b u{i}c u{i}d", "en", "s")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    monkeypatch.setattr(dd, "load_table", lambda s, d, n: docs)
+    base = {r["cluster_id"]: r for r in dd.q_keep_best(spark, "_").collect()}
+    assert 1 not in base  # LSH alone never edges the excerpt pair
+    got = {
+        r["cluster_id"]: r
+        for r in dd.q_keep_best_containment(spark, "_").collect()
+    }
+    assert 1 in got
+    r = got[1]
+    assert r["keep_id"] == 2          # the superset article survives
+    assert r["n_docs"] == 2
+    assert r["keep_toks"] == 120 and r["minid_keep_toks"] == 12
+    assert r["uplift_toks"] == 108
+    # boilerplate-only pairs: postings over the cap are dropped, and
+    # the unique tails keep every pairwise containment far below
+    # 8000 bp even where LSH banded them together — no giant cluster
+    # swallowing docs 10..29 via the shared run alone
+    for cid, rr in got.items():
+        if cid >= 10:
+            assert rr["n_docs"] < 20
+
+
 def test_wav_codec_roundtrip_and_profile_rejects():
     """encode_wav_pcm16 / decode_wav_pcm16 (X68): bit-exact roundtrip
     of int16 extremes, correct integer stats, and profile rejection
