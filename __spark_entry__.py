@@ -164,6 +164,10 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     # module siblings moved.  All re-verified green at sf0.01.
     "q_ivfpq_serve",
     "q_keep_best",
+    # Round 11 wave 3: q_int8_recall's scoring core factored into
+    # _int8_recall_audit (explicit scales), shared with the served
+    # int8_recall_served path; re-verified green at sf0.01.
+    "q_int8_recall",
     # Round 10: the r09-ADVICE fixes touched two query closures —
     # q_image_pixels' oracle gained the dims-level LEFT JOIN so a
     # NULL doc_id/n_chars doc emits a NULL-features row (matching the

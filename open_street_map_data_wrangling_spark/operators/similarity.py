@@ -1639,12 +1639,7 @@ def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     join touches 10 rows."""
     emb = load_table(spark, sf_dir, "embeddings")
     nn = emb.filter(F.col("embedding").isNotNull())
-    mrows = (
-        nn.select(F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("m"))
-        .collect()
-    )
+    mrows = _int8_scales(nn).collect()
     prows = (
         nn.filter(F.col("vec_id") == _INT8_QUERY_ID)
         .select("embedding")
@@ -1652,17 +1647,40 @@ def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not mrows or not prows:
         return _empty_result(emb, "hits BIGINT, recall_at_10 DOUBLE")
-    m = [0.0] * (max(r["pos"] for r in mrows) + 1)
+    m = [0.0] * (max(int(r["pos"]) for r in mrows) + 1)
     for r in mrows:
         m[int(r["pos"])] = float(r["m"])
     qraw = [float(x) for x in prows[0]["embedding"]]
+    return _int8_recall_audit(nn, m, qraw)
+
+
+def _int8_scales(nn: DataFrame) -> DataFrame:
+    """(pos BIGINT, m DOUBLE) — per-dimension max|x| over any
+    non-null embedding frame: the int8 quantization scale vector.  A
+    pure max aggregate, so it is order-free, exactly mergeable
+    (max-of-maxes), and idempotent under redelivery — the properties
+    the incremental scale store (streaming/jobs.int8_scales_*) leans
+    on.  Shared by q_int8_recall, the batch store build, and the
+    streaming merge so all three derive one definition."""
+    return (
+        nn.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("m"))
+        .select(F.col("pos").cast("long").alias("pos"), "m")
+    )
+
+
+def _int8_recall_audit(
+    nn: DataFrame, m: list[float], qraw: list[float]
+) -> DataFrame:
+    """The q_int8_recall scoring core over EXPLICIT scales — the
+    64-dim scale vector and probe enter as plan literals, so the
+    inline audit (scales freshly aggregated) and the served audit
+    (scales read from the maintained store) rank one definition."""
+    from .pq import _half_up
 
     def _q(x: float, mi: float) -> int:
-        from .pq import _half_up
-
         return 0 if mi == 0 else _half_up(x * 127.0 / mi)
-
-    from .pq import _half_up
 
     pw = [
         _q(qraw[i], m[i]) * _half_up(m[i] * m[i] * _INT8_W_Q)
@@ -1698,6 +1716,49 @@ def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("hits"),
         (F.count("*") / F.lit(10.0)).alias("recall_at_10"),
     )
+
+
+def build_int8_scales(emb: DataFrame, path: str) -> None:
+    """Persist the per-dim int8 scale store (pos, m) — the offline
+    backfill; streaming/jobs.int8_scales_maintenance keeps it current
+    as vectors arrive (max-merge, idempotent).  64 rows for the
+    fixture dim: the bounded artifact int8 serving reads instead of
+    re-aggregating the corpus per query."""
+    _int8_scales(
+        emb.filter(F.col("embedding").isNotNull())
+    ).write.mode("overwrite").parquet(path)
+
+
+def int8_recall_served(
+    spark: SparkSession, emb: DataFrame, scales_path: str
+) -> DataFrame:
+    """q_int8_recall SERVED from the maintained scale store: ONE
+    bounded read of scales/ (dimension-sized) replaces the corpus
+    re-aggregation — the deployment failure this closes is serving
+    int8 scores against scales that predate corpus growth (stale
+    scales mis-weight every new out-of-range value).  Max-merge keeps
+    the store current and monotone: scales only grow as data arrives;
+    a re-embedding that SHRINKS a dimension's range is a rebuild
+    event (build_int8_scales), the same contract as ivfpq
+    compaction."""
+    rows = (
+        spark.read.schema("pos BIGINT, m DOUBLE")
+        .parquet(scales_path)
+        .collect()
+    )
+    nn = emb.filter(F.col("embedding").isNotNull())
+    prows = (
+        nn.filter(F.col("vec_id") == _INT8_QUERY_ID)
+        .select("embedding")
+        .collect()
+    )
+    if not rows or not prows:
+        return _empty_result(emb, "hits BIGINT, recall_at_10 DOUBLE")
+    m = [0.0] * (max(int(r["pos"]) for r in rows) + 1)
+    for r in rows:
+        m[int(r["pos"])] = float(r["m"])
+    qraw = [float(x) for x in prows[0]["embedding"]]
+    return _int8_recall_audit(nn, m, qraw)
 
 
 # ---------------------------------------------------------------------------

@@ -781,6 +781,58 @@ def ivfpq_index_maintenance(vec_stream: DataFrame, index_path: str):
     )
 
 
+def int8_scales_merge_fn(spark: SparkSession, store_dir: str):
+    """Incremental int8 scale store (X70/X71 serving): merge each
+    micro-batch's per-dimension max|x| into the (pos, m) store with a
+    per-dim MAX — max is idempotent and commutative (the HLL-register
+    argument), so redelivered batches are no-ops and no applied-batch
+    markers are needed; stage-rename commit guards readers.  The
+    store is MONOTONE: scales only grow as vectors arrive — exactly
+    what int8 serving needs after corpus growth (the r10 VERDICT
+    deployment failure: serving from scales that predate new
+    out-of-range values mis-weights every dimension they widened).  A
+    re-embedding that shrinks a dimension's range is a rebuild event
+    (similarity.build_int8_scales), the ivfpq-compaction contract."""
+    from ..operators.similarity import _int8_scales
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        delta = _int8_scales(
+            batch_df.filter(F.col("embedding").isNotNull())
+        )
+        if fs.exists(store_path):
+            merged = (
+                spark.read.schema("pos BIGINT, m DOUBLE")
+                .parquet(store_dir)
+                .unionByName(delta)
+                .groupBy("pos")
+                .agg(F.max("m").alias("m"))
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def int8_scales_maintenance(vec_stream: DataFrame, store_dir: str):
+    """Continuous int8 scale upkeep over a (vec_id, embedding)
+    stream; serving is similarity.int8_recall_served (or any int8
+    scorer) reading the 64-row store instead of re-aggregating the
+    corpus.  Returns the StreamingQuery (caller stops it)."""
+    return (
+        vec_stream.writeStream.foreachBatch(
+            int8_scales_merge_fn(vec_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+
+
 def lm_counts_merge_fn(spark: SparkSession, store_dir: str):
     """Unigram-LM vocabulary maintenance — exact (tok, c) counts over
     the TRAIN split of a document stream, kept current so the

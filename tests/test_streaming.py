@@ -1498,6 +1498,65 @@ def test_bm25_index_maintenance_matches_batch_build(spark, tmp_path):
     assert st(inc) == [(4, 13)]
 
 
+def test_int8_scales_maintenance_matches_batch_and_serves(spark, tmp_path):
+    """Incremental int8 scale store (r11): streaming two vector
+    chunks through int8_scales_maintenance yields EXACTLY the batch
+    build over the concatenated corpus (per-dim max is exactly
+    mergeable — float max of the same doubles, no arithmetic);
+    redelivery is a no-op; the MONOTONE property holds (a chunk with
+    smaller values cannot shrink a scale); and int8_recall_served
+    from the maintained store equals the inline q_int8_recall audit
+    at the fixture."""
+    import open_street_map_data_wrangling_spark.operators.similarity as sim
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        int8_scales_maintenance,
+        int8_scales_merge_fn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    b1 = emb.filter(F.col("vec_id") < 200)
+    b2 = emb.filter(F.col("vec_id") >= 200)
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "int8_scales")
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = int8_scales_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    full = str(tmp_path / "int8_scales_full")
+    sim.build_int8_scales(emb, full)
+    scales = lambda d: {
+        (r["pos"], r["m"]) for r in spark.read.parquet(d).collect()
+    }
+    want = scales(full)
+    assert scales(store) == want and want
+    # redelivery: max-of-max is idempotent
+    int8_scales_merge_fn(spark, store)(b1, 0)
+    assert scales(store) == want
+    # monotone: a shrunken re-embedding cannot pull a scale down
+    tiny = b1.withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(x * 0.1 AS FLOAT))"),
+    )
+    int8_scales_merge_fn(spark, store)(tiny, 1)
+    assert scales(store) == want
+    # serve == inline: the recall audit from the maintained store
+    served = [
+        tuple(r)
+        for r in sim.int8_recall_served(spark, emb, store).collect()
+    ]
+    inline = [tuple(r) for r in sim.q_int8_recall(spark, sf).collect()]
+    assert served == inline and served
+
+
 def test_gram_novelty_gate_matches_batch_attribution(spark, tmp_path):
     """Incremental novelty (r10): streaming chunk 1 into the gram
     store, then gating chunk 2 BEFORE its merge, must score exactly
