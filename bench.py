@@ -181,6 +181,7 @@ HEADLINE = (
     # round 11 additions (append-only)
     "q_rrf_served",
     "q_keep_best_containment",
+    "q_image_jpeg",
 )
 
 

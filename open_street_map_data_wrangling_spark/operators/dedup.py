@@ -2114,13 +2114,26 @@ def q_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     One row out: sample size, true pairs, candidates, hits,
     precision/recall ×10⁴."""
     docs = load_table(spark, sf_dir, "documents")
-    samp = docs.filter(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-        <= _AUDIT_PREFIX
-    ).select("doc_id")
+    # checkpoint discipline (r11, the q_containment lesson applied to
+    # the whole audit): samp feeds 3 consumers, the sampled shingle
+    # base feeds 3 (sizes + both exact-truth join sides), truth and
+    # cand feed 2 each — uncut, every consumer recompiled its entire
+    # upstream (the sample filter, the shingle explosion, and for
+    # cand the full LSH pipeline), a 25-visible-scan plan.  Each
+    # relation is cut once where it fans out; the branches are
+    # filters/joins/heaps over the materialized bases.
+    samp = (
+        docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            <= _AUDIT_PREFIX
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
     ex = (
         docs.join(samp, "doc_id", "left_semi")
         .select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
+        .localCheckpoint(eager=False)
     )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
@@ -2144,12 +2157,14 @@ def q_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"10000 * i div (na + nb - i) >= {_AUDIT_TAU_X10K}")
         )
         .select("ta", "tb")
+        .localCheckpoint(eager=False)
     )
     cand = (
         q_dedup_near(spark, sf_dir)
         .select("doc_a", "doc_b")
         .join(samp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(samp.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .localCheckpoint(eager=False)
     )
     hits = truth.join(
         cand,

@@ -795,3 +795,508 @@ def q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "n_chars").mapInPandas(
         _pcm_roundtrip_batches, schema=MM_PCM_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# X78 — REAL baseline-JFIF (JPEG) grayscale codec roundtrip (r11)
+#
+# The last multimodal seam with only header-level coverage
+# (q_image_decode reads SOF dimensions; VERDICT r10 item 7).  This is
+# a spec-faithful ITU T.81 baseline sequential DCT codec for the
+# 8-bit single-component (grayscale, 1x1 sampling) profile, pure
+# stdlib + numpy: real marker structure (SOI/APP0/DQT/SOF0/DHT/SOS/
+# EOI), the standard Annex K luminance Huffman tables, canonical
+# code construction, byte stuffing, DC prediction, zigzag, and a
+# separable float64 DCT/IDCT pair.
+#
+# Exactness argument (what lets a LOSSY codec be hash-certified):
+# the fixture images are CONSTANT PER 8x8 BLOCK and the quantization
+# table is all ones, so the FDCT of every block is a single DC
+# coefficient 8*(v-128) (the AC terms are ~1e-13 float residue that
+# the coefficient round snaps to exactly 0) and the IDCT recovers v
+# to within ~1e-13 before the pixel round — the roundtrip is
+# bit-exact BY CONSTRUCTION for this image class while every
+# container/entropy/prediction stage runs for real.  Arbitrary AC
+# coefficients are covered at the entropy layer by a direct
+# coefficient roundtrip test (tests/test_operators.py) — ZRL runs,
+# EOB, high categories — where no DCT is involved.
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+# ITU T.81 Annex K.3: luminance DC (categories 0..11)
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+# Annex K.5: luminance AC (162 run/size symbols)
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = tuple(
+    int(h, 16)
+    for h in (
+        "01 02 03 00 04 11 05 12 21 31 41 06 13 51 61 07 22 71 14 32 "
+        "81 91 a1 08 23 42 b1 c1 15 52 d1 f0 24 33 62 72 82 09 0a 16 "
+        "17 18 19 1a 25 26 27 28 29 2a 34 35 36 37 38 39 3a 43 44 45 "
+        "46 47 48 49 4a 53 54 55 56 57 58 59 5a 63 64 65 66 67 68 69 "
+        "6a 73 74 75 76 77 78 79 7a 83 84 85 86 87 88 89 8a 92 93 94 "
+        "95 96 97 98 99 9a a2 a3 a4 a5 a6 a7 a8 a9 aa b2 b3 b4 b5 b6 "
+        "b7 b8 b9 ba c2 c3 c4 c5 c6 c7 c8 c9 ca d2 d3 d4 d5 d6 d7 d8 "
+        "d9 da e1 e2 e3 e4 e5 e6 e7 e8 e9 ea f1 f2 f3 f4 f5 f6 f7 f8 "
+        "f9 fa"
+    ).split()
+)
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """symbol -> (code, length) via the T.81 canonical construction
+    (Figures C.1-C.3): counts per length, codes assigned in value
+    order, doubled between lengths."""
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_dct_matrix():
+    """A[u, x] = c(u)/2 * cos((2x+1)*u*pi/16) — FDCT is A @ P @ A.T
+    over level-shifted pixels, IDCT is A.T @ S @ A (orthonormal)."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = cu / 2.0 * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, extend-bits) per T.81 F.1.2.1: category is the bit
+    length of |v|; negative values store v + 2^cat - 1."""
+    cat = abs(v).bit_length()
+    return cat, (v if v >= 0 else v + (1 << cat) - 1)
+
+
+def _jpeg_entropy_encode(coef_blocks: list[list[int]]) -> bytes:
+    """Entropy-code quantized coefficient blocks (each 64 ints in
+    NATURAL order) with the Annex K luminance tables: DC prediction +
+    category bits, AC run/size with ZRL and EOB.  Exposed separately
+    so the AC Huffman layer is testable with arbitrary coefficients
+    (no DCT in the loop)."""
+    dc = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    pred = 0
+    for blk in coef_blocks:
+        diff = blk[0] - pred
+        pred = blk[0]
+        cat, bits = _jpeg_magnitude(diff)
+        c, ln = dc[cat]
+        w.put(c, ln)
+        if cat:
+            w.put(bits, cat)
+        zz = [blk[_JPEG_ZIGZAG[k]] for k in range(64)]
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac[0xF0]  # ZRL: 16 zeros
+                w.put(c, ln)
+                run -= 16
+            cat, bits = _jpeg_magnitude(zz[k])
+            c, ln = ac[(run << 4) | cat]
+            w.put(c, ln)
+            w.put(bits, cat)
+            run = 0
+        if last_nz < 63:
+            c, ln = ac[0x00]  # EOB
+            w.put(c, ln)
+    return w.flush()
+
+
+def encode_jpeg_gray(width: int, height: int, rows: list[bytes]) -> bytes:
+    """Spec-faithful baseline-JFIF encoder for 8-bit grayscale:
+    replicate-pad to 8x8 MCUs, separable float64 FDCT, unit
+    quantization table, Annex K Huffman entropy coding, full marker
+    structure.  ``rows`` is ``height`` rows of ``width`` bytes."""
+    import struct
+
+    import numpy as np
+
+    img = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+        height, width
+    )
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    padded[:height, :width] = img
+    if width < bw * 8:  # replicate-pad right edge
+        padded[:height, width:] = padded[:height, width - 1 : width]
+    if height < bh * 8:  # replicate-pad bottom edge
+        padded[height:, :] = padded[height - 1 : height, :]
+    a = _jpeg_dct_matrix()
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            p = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            s = a @ p @ a.T
+            blocks.append([int(v) for v in np.round(s).astype(np.int64).ravel()])
+    scan = _jpeg_entropy_encode(blocks)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xFFE0, b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += seg(0xFFDB, b"\x00" + bytes([1] * 64))  # DQT 0: unit table
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0)),
+    )  # SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
+    out += seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+    )  # DHT class 0 id 0
+    out += seg(
+        0xFFC4,
+        b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )  # DHT class 1 id 0
+    out += seg(0xFFDA, bytes((1, 1, 0x00, 0, 63, 0)))  # SOS
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader with byte-unstuffing; stops at any
+    non-stuffing marker (EOI)."""
+
+    def __init__(self, data: bytes, off: int):
+        self.data = data
+        self.off = off
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.off >= len(self.data):
+                raise ValueError("jpeg: truncated entropy segment")
+            b = self.data[self.off]
+            self.off += 1
+            if b == 0xFF:
+                nxt = self.data[self.off] if self.off < len(self.data) else None
+                if nxt == 0x00:
+                    self.off += 1  # stuffed FF
+                else:
+                    raise ValueError("jpeg: marker inside entropy data")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_decode_tables(bits, vals):
+    """(length, code) -> symbol decode map from the canonical
+    construction (the encoder map inverted)."""
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _jpeg_canonical_codes(bits, vals).items()
+    }
+
+
+def _jpeg_read_symbol(r: "_JpegBitReader", table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def _jpeg_extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def _jpeg_entropy_decode(
+    data: bytes, off: int, n_blocks: int, dc_table, ac_table
+) -> list[list[int]]:
+    """Inverse of _jpeg_entropy_encode: n_blocks coefficient blocks
+    in natural order (DC prediction undone, zigzag unwound)."""
+    r = _JpegBitReader(data, off)
+    pred = 0
+    blocks = []
+    for _ in range(n_blocks):
+        zz = [0] * 64
+        cat = _jpeg_read_symbol(r, dc_table)
+        pred += _jpeg_extend(r.bits(cat), cat)
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = _jpeg_read_symbol(r, ac_table)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("jpeg: AC run past block end")
+            zz[k] = _jpeg_extend(r.bits(rs & 15), rs & 15)
+            k += 1
+        blk = [0] * 64
+        for k in range(64):
+            blk[_JPEG_ZIGZAG[k]] = zz[k]
+        blocks.append(blk)
+    return blocks
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, int]:
+    """Real baseline-JFIF decoder for the 8-bit grayscale 1x1
+    profile: marker walk, DQT/DHT/SOF0 parse with profile
+    validation, Huffman entropy decode with unstuffing, dequantize,
+    IDCT, level shift + clamp, crop to the SOF dimensions.  Returns
+    (width, height, sum_pix, sum_sq) over the cropped image.
+    Rejects progressive (SOF2), multi-component, subsampled, or
+    non-8-bit streams."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    qtables: dict[int, list[int]] = {}
+    dc_table = ac_table = None
+    width = height = None
+    off = 2
+    while off < len(payload):
+        if payload[off] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = payload[off + 1]
+        off += 2
+        if marker == 0xD9:  # EOI without a scan
+            raise ValueError("jpeg: no scan data")
+        ln = struct.unpack(">H", payload[off : off + 2])[0]
+        body = payload[off + 2 : off + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                if body[p] >> 4 != 0:
+                    raise ValueError("jpeg: 16-bit DQT unsupported")
+                qtables[body[p] & 15] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 15
+                bits = tuple(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = tuple(body[p + 17 : p + 17 + nv])
+                tab = _jpeg_decode_tables(bits, vals)
+                if cls == 0 and tid == 0:
+                    dc_table = tab
+                elif cls == 1 and tid == 0:
+                    ac_table = tab
+                p += 17 + nv
+        elif marker == 0xC0:
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("jpeg: only 8-bit grayscale supported")
+            if body[7] != 0x11:
+                raise ValueError("jpeg: subsampling unsupported")
+            qid = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: non-baseline SOF unsupported")
+        elif marker == 0xDA:
+            if width is None or dc_table is None or ac_table is None:
+                raise ValueError("jpeg: SOS before SOF/DHT")
+            scan_off = off + ln
+            bw, bh = (width + 7) // 8, (height + 7) // 8
+            blocks = _jpeg_entropy_decode(
+                payload, scan_off, bw * bh, dc_table, ac_table
+            )
+            q = np.array(qtables[qid], dtype=np.float64)
+            # DQT stores the table in zigzag order; unwind to natural
+            qn = np.zeros(64)
+            for k in range(64):
+                qn[_JPEG_ZIGZAG[k]] = q[k]
+            a = _jpeg_dct_matrix()
+            img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+            for i, blk in enumerate(blocks):
+                s = (np.array(blk, dtype=np.float64) * qn).reshape(8, 8)
+                p = np.round(a.T @ s @ a) + 128.0
+                by, bx = divmod(i, bw)
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    p, 0, 255
+                ).astype(np.int64)
+            crop = img[:height, :width]
+            return (
+                int(width),
+                int(height),
+                int(crop.sum()),
+                int((crop * crop).sum()),
+            )
+        off += ln
+    raise ValueError("jpeg: no SOS marker")
+
+
+MM_JPEG_SCHEMA = (
+    "doc_id bigint, width int, height int, sum_pix bigint, sum_sq bigint"
+)
+
+
+def _jpeg_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker over (doc_id, n_chars): build the
+    deterministic block-constant grayscale image, encode through the
+    REAL baseline-JFIF writer, decode back through the real decoder
+    (markers, Huffman, dequant, IDCT, crop), emit the decoded pixel
+    statistics — which exist only on the far side of the full
+    roundtrip (the q_image_pixels proof pattern).  NULL inputs yield
+    NULL features."""
+    for pdf in batches:
+        out = {
+            "doc_id": [], "width": [], "height": [],
+            "sum_pix": [], "sum_sq": [],
+        }
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            if pd.isna(doc_id) or pd.isna(n_chars):
+                out["doc_id"].append(
+                    None if pd.isna(doc_id) else int(doc_id)
+                )
+                for k in ("width", "height", "sum_pix", "sum_sq"):
+                    out[k].append(None)
+                continue
+            d = int(doc_id)
+            w = ((int(doc_id) % 12) + 12) % 12 + 5
+            h = ((int(n_chars) % 12) + 12) % 12 + 5
+            rows = [
+                bytes(
+                    (((d * 11 + (x // 8) * 5 + (y // 8) * 3) % 256) + 256)
+                    % 256
+                    for x in range(w)
+                )
+                for y in range(h)
+            ]
+            dw, dh, sp, sq = decode_jpeg_gray(encode_jpeg_gray(w, h, rows))
+            out["doc_id"].append(d)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["sum_pix"].append(sp)
+            out["sum_sq"].append(sq)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="Int64"),
+                "width": pd.Series(out["width"], dtype="Int32"),
+                "height": pd.Series(out["height"], dtype="Int32"),
+                "sum_pix": pd.Series(out["sum_pix"], dtype="Int64"),
+                "sum_sq": pd.Series(out["sum_sq"], dtype="Int64"),
+            }
+        )
+
+
+@query(
+    "q_image_jpeg",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   ((doc_id % 12) + 12) % 12 + 5 AS w,
+                   ((n_chars % 12) + 12) % 12 + 5 AS h,
+                   (doc_id IS NOT NULL AND n_chars IS NOT NULL) AS ok
+            FROM documents),
+        blk AS (
+            SELECT doc_id, w, h,
+                   (((doc_id * 11 + bx.i * 5 + by.i * 3) % 256) + 256)
+                       % 256 AS v,
+                   least(8, w - bx.i * 8) * least(8, h - by.i * 8)
+                       AS n_px
+            FROM dims,
+                 generate_series(0, 2) bx(i),
+                 generate_series(0, 2) by(i)
+            WHERE ok AND bx.i * 8 < w AND by.i * 8 < h),
+        agg AS (
+            SELECT doc_id,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(sum(n_px * v) AS BIGINT) AS sum_pix,
+                   CAST(sum(n_px * v * v) AS BIGINT) AS sum_sq
+            FROM blk
+            GROUP BY doc_id, w, h)
+        SELECT d.doc_id, a.width, a.height, a.sum_pix, a.sum_sq
+        FROM dims d
+        LEFT JOIN agg a ON d.ok AND d.doc_id = a.doc_id
+    """,
+    tags=("multimodal", "extension", "pandas-udf", "jpeg", "pixels"),
+)
+def q_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JFIF (JPEG) roundtrip (X78) — closes the last
+    multimodal seam that had only header coverage: every document
+    becomes a deterministic block-constant grayscale image (5..16 px
+    per side, so non-multiple-of-8 dimensions exercise the
+    replicate-pad + crop path), encoded through a spec-faithful
+    T.81 baseline encoder (real Annex K Huffman tables, canonical
+    code construction, byte stuffing, DC prediction, zigzag,
+    separable float64 FDCT, full JFIF marker structure) and decoded
+    back through the real decoder inside one Arrow-batched
+    mapInPandas pass.  Block-constant pixels + a unit quantization
+    table make the lossy pipeline bit-exact BY CONSTRUCTION (each
+    block is a single DC coefficient; see the module comment), so
+    the oracle can recompute the decoded statistics directly from
+    the block-value formula — a hash match certifies the whole
+    codec.  The AC Huffman layer (runs, ZRL, EOB, high categories)
+    is covered by a direct coefficient roundtrip pytest.  NULL
+    doc_id / n_chars rows emit NULL features (dims-level LEFT JOIN
+    contract).
+
+    Scale shape: one documents scan projecting two ints per row, one
+    Python stage, no shuffle before the driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        _jpeg_roundtrip_batches, schema=MM_JPEG_SCHEMA
+    )

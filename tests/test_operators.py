@@ -2313,6 +2313,63 @@ def test_keep_best_containment_clusters_excerpt_lsh_misses(
             assert rr["n_docs"] < 20
 
 
+def test_jpeg_codec_roundtrip_entropy_and_profile_rejects():
+    """encode_jpeg_gray / decode_jpeg_gray (X78): bit-exact roundtrip
+    of block-constant images including DC-swing extremes (0/255
+    blocks) and non-multiple-of-8 dimensions (replicate-pad + crop);
+    the AC Huffman layer recovers arbitrary sparse coefficient blocks
+    exactly (runs, ZRL, category extremes, index-63 tails); profile
+    rejection for progressive SOF, missing SOI, and marker-corrupted
+    entropy data."""
+    import pytest as _pytest
+
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _jpeg_decode_tables,
+        _jpeg_entropy_decode,
+        _jpeg_entropy_encode,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    # DC-swing extremes across a 2x2 block grid
+    vals = {(0, 0): 0, (1, 0): 255, (0, 1): 255, (1, 1): 0}
+    rows = [bytes(vals[(x // 8, y // 8)] for x in range(16)) for y in range(16)]
+    got = decode_jpeg_gray(encode_jpeg_gray(16, 16, rows))
+    assert got == (16, 16, 2 * 64 * 255, 2 * 64 * 255 * 255)
+    # non-multiple-of-8 dims: pad is replicated, crop restores 10x12
+    rows = [bytes((37 + 5 * (x // 8) + 3 * (y // 8)) % 256 for x in range(10))
+            for y in range(12)]
+    w, h, sp, sq = decode_jpeg_gray(encode_jpeg_gray(10, 12, rows))
+    assert (w, h) == (10, 12)
+    assert sp == sum(sum(r) for r in rows)
+    # AC entropy layer: exact coefficient recovery with ZRL + tails
+    blocks = [
+        [0] * 64,
+        [5] + [0] * 62 + [-7],                      # 62-zero run to k=63
+        [-1016] + [3, 0, 0, -1, 0] + [0] * 58,
+        [1016] + [0] * 31 + [1023] + [0] * 31,      # 31-zero run (ZRL+15)
+    ]
+    data = _jpeg_entropy_encode(blocks)
+    out = _jpeg_entropy_decode(
+        data, 0, len(blocks),
+        _jpeg_decode_tables(_JPEG_DC_BITS, _JPEG_DC_VALS),
+        _jpeg_decode_tables(_JPEG_AC_BITS, _JPEG_AC_VALS),
+    )
+    assert out == blocks
+    # profile rejections
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x00")  # no SOI
+    payload = bytearray(encode_jpeg_gray(8, 8, [bytes([9] * 8)] * 8))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # progressive SOF2
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(payload))
+
+
 def test_wav_codec_roundtrip_and_profile_rejects():
     """encode_wav_pcm16 / decode_wav_pcm16 (X68): bit-exact roundtrip
     of int16 extremes, correct integer stats, and profile rejection
