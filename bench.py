@@ -182,6 +182,7 @@ HEADLINE = (
     "q_rrf_served",
     "q_keep_best_containment",
     "q_image_jpeg",
+    "q_maxsim",
 )
 
 

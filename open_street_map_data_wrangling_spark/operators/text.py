@@ -2194,3 +2194,210 @@ def q_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_bm25_index(docs, f"{base}/bm25")
     build_ivfpq_index(emb, f"{base}/ivfpq")
     return rrf_search(spark, f"{base}/bm25", f"{base}/ivfpq")
+
+
+# ---------------------------------------------------------------------------
+# X79 — late-interaction retrieval (ColBERT-style MaxSim, r11)
+#
+# Per-token query/document vectors with per-query-token max
+# similarity summed: score(Q, D) = sum over q in Q of max over t in D
+# of sim(q, t) — the late-interaction shape between bi-encoder
+# (q_vec_topk: one vector per doc) and cross-encoder.  Token vectors
+# are deterministic 16-dim integer embeddings derived from md5(tok)
+# bytes (each lane = hex pair - 128; the container ships no trained
+# encoder, and the md5 lanes are the established cross-engine
+# determinism currency), and sim is the exact integer dot product —
+# so the whole score has an exact DuckDB twin.
+
+_MAXSIM_DIM = 16
+_MAXSIM_K = 10
+
+
+def _maxsim_qvec(term: str) -> list[int]:
+    """Deterministic 16-lane integer vector for a token — Python twin
+    of the in-plan md5-byte expression (worker and driver agree
+    because md5 is md5)."""
+    import hashlib
+
+    h = hashlib.md5(term.encode()).hexdigest()
+    return [int(h[2 * i : 2 * i + 2], 16) - 128 for i in range(_MAXSIM_DIM)]
+
+
+def _maxsim_dot_sql(qv: list[int], byte_expr) -> str:
+    """Integer dot product of a literal query vector against the
+    md5-lane vector of a token column; ``byte_expr(i)`` renders lane
+    i of the token (engine-specific hex extraction)."""
+    return " + ".join(
+        f"({qv[i]}) * ({byte_expr(i)})" for i in range(_MAXSIM_DIM)
+    )
+
+
+def _maxsim_oracle(terms: tuple[str, ...]) -> str:
+    def byte(i: int) -> str:
+        return f"(('0x' || substr(md5(t.tok), {2 * i + 1}, 2))::BIGINT - 128)"
+
+    dots = ",\n                   ".join(
+        f"CAST({_maxsim_dot_sql(_maxsim_qvec(t), byte)} AS BIGINT) AS d{j}"
+        for j, t in enumerate(terms)
+    )
+    maxes = " + ".join(f"max(d{j})" for j in range(len(terms)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+            WHERE tok <> ''),
+        cand AS (
+            SELECT DISTINCT doc_id FROM toks
+            WHERE tok IN ({in_list})),
+        tv AS (
+            SELECT t.doc_id,
+                   {dots}
+            FROM toks t JOIN cand USING (doc_id)),
+        sc AS (
+            SELECT doc_id, CAST({maxes} AS BIGINT) AS maxsim
+            FROM tv GROUP BY doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY maxsim DESC, doc_id)
+                    AS INTEGER) AS rank,
+               doc_id, maxsim
+        FROM sc
+        ORDER BY maxsim DESC, doc_id
+        LIMIT {_MAXSIM_K}
+    """
+
+
+def _maxsim_scored(
+    toks: DataFrame,
+    terms: tuple[str, ...],
+    k: int,
+    cand: DataFrame | None = None,
+) -> DataFrame:
+    """(rank, doc_id, maxsim) over a DISTINCT (doc_id, tok) relation:
+    candidates = docs containing any query term (semi-join — the
+    late-interaction pass is CANDIDATE-BOUNDED, never corpus x
+    terms), then per query term the max integer dot over each
+    candidate's token vectors, summed.  Shared by the inline query
+    (tokens from the corpus scan, candidates derived in place) and
+    maxsim_search (tokens AND candidates from the partition-pruned
+    posting index — passed explicitly so the served plan stays two
+    index scans)."""
+
+    def byte(i: int) -> str:
+        return (
+            f"(CAST(conv(substring(md5(tok), {2 * i + 1}, 2), 16, 10) "
+            f"AS BIGINT) - 128)"
+        )
+
+    if cand is None:
+        cand = (
+            toks.filter(F.col("tok").isin(*terms))
+            .select("doc_id")
+            .distinct()
+        )
+    tv = toks.join(cand, "doc_id").select(
+        "doc_id",
+        *[
+            F.expr(_maxsim_dot_sql(_maxsim_qvec(t), byte))
+            .cast("long")
+            .alias(f"d{j}")
+            for j, t in enumerate(terms)
+        ],
+    )
+    sc = tv.groupBy("doc_id").agg(
+        F.expr(
+            " + ".join(f"max(d{j})" for j in range(len(terms)))
+        )
+        .cast("long")
+        .alias("maxsim")
+    )
+    top = sc.orderBy(F.desc("maxsim"), "doc_id").limit(k)
+    w = W.orderBy(F.desc("maxsim"), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "maxsim",
+    )
+
+
+@query(
+    "q_maxsim",
+    oracle=_maxsim_oracle(_BM25_TERMS),
+    tags=("text", "similarity", "search", "late-interaction", "maxsim",
+          "extension"),
+)
+def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (X79) — ColBERT-style MaxSim over
+    the fixed demo terms: score(Q, D) = Σ_q max_t dot(v(q), v(t))
+    with deterministic 16-lane md5-byte token vectors and exact
+    integer dots, top-{_MAXSIM_K}.  The shape that matters is the
+    CANDIDATE BOUND: the expensive per-token interaction runs only
+    over docs sharing at least one query term (semi-join), never
+    corpus × query — at 100 TB the candidate list comes from the
+    posting index (maxsim_search below, partition-pruned to the
+    terms' buckets) and this inline form is its hash-checked
+    semantic twin.
+
+    Scale shape: one corpus scan to the distinct (doc, tok)
+    relation; the term filter + semi-join bound the interaction set;
+    per-row integer expressions (16 lanes × |terms|), one 64-ish-key
+    max aggregate per doc, a {_MAXSIM_K}-row heap."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return _maxsim_scored(toks, _BM25_TERMS, _MAXSIM_K)
+
+
+def maxsim_search(
+    spark: SparkSession,
+    index_path: str,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k: int = _MAXSIM_K,
+) -> DataFrame:
+    """MaxSim over the PERSISTED BM25 posting index — zero corpus
+    scans: candidate doc_ids from ONE partition-pruned postings scan
+    (PartitionFilters on the terms' hash buckets — the plan-pinned
+    candidate source), then the candidates' full token rows from a
+    postings read semi-joined on the broadcast candidate list (the
+    posting table IS the distinct (doc, tok) relation MaxSim needs),
+    and the shared _maxsim_scored interaction.  At 100 TB the second
+    read is an index-only broadcast-semi-join scan — full-precision
+    interaction touches O(candidate tokens), never the corpus."""
+    terms = tuple(dict.fromkeys(terms))
+    if not terms:
+        return spark.createDataFrame(
+            [], "rank INT, doc_id BIGINT, maxsim BIGINT"
+        )
+    from pyspark.sql import Row
+
+    tdf = spark.createDataFrame([Row(tok=t) for t in terms])
+    bkts = [
+        int(r["b"])
+        for r in tdf.select(
+            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    post_ddl = "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, bkt INT"
+    cand = (
+        spark.read.schema(post_ddl)
+        .parquet(f"{index_path}/postings")
+        .filter(F.col("bkt").isin(bkts))
+        .filter(F.col("tok").isin(*terms))
+        .select("doc_id")
+        .distinct()
+    )
+    toks = (
+        spark.read.schema(post_ddl)
+        .parquet(f"{index_path}/postings")
+        .join(F.broadcast(cand), "doc_id", "left_semi")
+        .select("doc_id", "tok")
+    )
+    return _maxsim_scored(toks, terms, k, cand=cand)

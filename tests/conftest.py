@@ -18,3 +18,83 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Fast CI lane (r11): the suite's measured >=2.5s tail — registry-wide
+# sweeps, streaming soaks, build/serve roundtrips — is auto-marked
+# `slow` by name here (one maintainable set, no per-file decorator
+# drift).  `pytest -m "not slow"` is the <5-minute iteration lane;
+# plain `pytest tests/` still runs everything (CI / judge lane).
+# Names measured from a full --durations run at r11 HEAD; a renamed
+# test silently falls back into the fast lane, which only costs lane
+# time, never coverage.
+
+_SLOW_TESTS = {
+    "test_all_bucket_pairs_equals_bruteforce",
+    "test_ann_recall_family_is_checkpoint_fed",
+    "test_asof_join_matches_python",
+    "test_bm25_index_build_serve_matches_inline",
+    "test_bm25_index_maintenance_matches_batch_build",
+    "test_bpe_merges_match_pure_python_replay",
+    "test_capped_band_pairs_drop_semantics",
+    "test_cms_counter_maintenance_needs_and_uses_markers",
+    "test_datasource_matches_mapinpandas_path",
+    "test_drift_stats_maintenance_matches_batch_and_serves_report",
+    "test_etl_to_sqlite_reference_migration",
+    "test_every_registered_query_survives_empty_tables",
+    "test_every_registered_query_survives_null_payloads",
+    "test_full_etl_roundtrip",
+    "test_geohash_clustering_buys_prefix_and_bbox_skipping",
+    "test_greedy_chain_rejects_semantics",
+    "test_hardneg_cells_maintenance_matches_rebuild",
+    "test_hardneg_index_build_serve",
+    "test_hll_sketch_maintenance_matches_batch_and_survives_replay",
+    "test_incremental_hourly_rollup",
+    "test_incremental_near_dedup_stream",
+    "test_int8_scales_maintenance_matches_batch_and_serves",
+    "test_interval_bucket_join_equals_nlj",
+    "test_ivf_lloyd_training_improves_assignment_quality",
+    "test_ivfpq_compaction_folds_history_and_applies_updates",
+    "test_ivfpq_index_maintenance_matches_rebuild_and_survives_replay",
+    "test_ivfpq_maintenance_soak_survives_restarts",
+    "test_ivfpq_persisted_index_matches_inline",
+    "test_kcore_toy_path_vs_clique_and_fixpoint",
+    "test_keep_best_containment_clusters_excerpt_lsh_misses",
+    "test_lm_vocab_maintenance_matches_batch_and_serves_scoring",
+    "test_maxsim_served_matches_inline_and_prunes",
+    "test_near_dedup_merge_is_retry_safe",
+    "test_near_dedup_soak_restart_and_redeliver",
+    "test_no_cartesian_products_anywhere",
+    "test_oracle_checked_queries_emit_only_hash_safe_dtypes",
+    "test_pagerank_matches_pure_python_replay_bit_for_bit",
+    "test_pagerank_top20_is_stable",
+    "test_pq_trained_recall_never_below_seed",
+    "test_pq_training_reduces_quantization_error",
+    "test_rrf_served_is_partition_pruned",
+    "test_rrf_served_matches_inline_fusion",
+    "test_sampled_queries_identical_under_relayout",
+    "test_scd2_dimension_maintenance",
+    "test_scd2_merge_is_idempotent_on_retry",
+    "test_scd2_merge_matches_python",
+    "test_scd2_soak_survives_restarts",
+    "test_scd2_three_generations_and_empty_batch",
+    "test_semantic_dedup_matches_numpy_replay",
+    "test_shard_manifest_maintenance_matches_one_shot_plan",
+    "test_source_overlap_maintenance_matches_inline",
+    "test_span_gram_store_matches_batch_and_gates_new_docs",
+    "test_stream_reader_ingests_file_drops",
+    "test_text_index_maintenance_matches_batch_build",
+    "test_update_stamps_is_idempotent_and_sound",
+    "test_weighted_sample_rule_matches_python",
+    "test_winnow_print_maintenance_matches_batch_and_is_idempotent",
+    "test_write_training_corpus_sink_roundtrip",
+    "test_bm25_search_arbitrary_term_width",
+    "test_jpeg_codec_roundtrip_entropy_and_profile_rejects",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

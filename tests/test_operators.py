@@ -2313,6 +2313,74 @@ def test_keep_best_containment_clusters_excerpt_lsh_misses(
             assert rr["n_docs"] < 20
 
 
+def test_maxsim_served_matches_inline_and_prunes(spark, tmp_path):
+    """maxsim_search (X79): serving MaxSim from the persisted posting
+    index returns exactly the inline q_maxsim ranking (the posting
+    table IS the distinct (doc, tok) relation), the candidate scan is
+    partition-pruned on the token-hash bucket, the corpus table is
+    never read, empty terms yield typed empty, and a term absent from
+    the corpus contributes nothing (its max over candidates is still
+    summed — pinned on a toy corpus against a pure-Python MaxSim)."""
+    import hashlib
+
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    idx = str(tmp_path / "bm25")
+    tx.build_bm25_index(docs, idx)
+    served = tx.maxsim_search(spark, idx)
+    p = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "bkt" in p
+    assert "documents.parquet" not in p
+    got = [tuple(r) for r in served.collect()]
+    want = [tuple(r) for r in tx.q_maxsim(spark, sf).collect()]
+    assert got == want and got
+    assert tx.maxsim_search(spark, idx, ()).count() == 0
+
+    # pure-Python twin on a toy corpus, 2 terms
+    corpus = [
+        (1, "merge filter alpha beta"),
+        (2, "gamma delta merge"),
+        (3, "unrelated words only"),
+    ]
+    toy = spark.createDataFrame(
+        [(d, t, "en", "s") for d, t in corpus],
+        "doc_id long, text string, lang string, source string",
+    )
+    tidx = str(tmp_path / "toy_idx")
+    tx.build_bm25_index(toy, tidx)
+
+    def vec(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return [int(h[2 * i : 2 * i + 2], 16) - 128 for i in range(16)]
+
+    def py_maxsim(terms):
+        scores = {}
+        for d, t in corpus:
+            toks = set(w for w in t.split() if w)
+            if not toks & set(terms):
+                continue
+            scores[d] = sum(
+                max(
+                    sum(a * b for a, b in zip(vec(q), vec(w)))
+                    for w in toks
+                )
+                for q in terms
+            )
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+
+    for terms in (("merge", "alpha"), ("gamma",)):
+        got = [
+            tuple(r) for r in tx.maxsim_search(spark, tidx, terms).collect()
+        ]
+        assert got == py_maxsim(terms), terms
+
+
 def test_jpeg_codec_roundtrip_entropy_and_profile_rejects():
     """encode_jpeg_gray / decode_jpeg_gray (X78): bit-exact roundtrip
     of block-constant images including DC-swing extremes (0/255
