@@ -183,6 +183,7 @@ HEADLINE = (
     "q_keep_best_containment",
     "q_image_jpeg",
     "q_maxsim",
+    "q_image_gif",
 )
 
 

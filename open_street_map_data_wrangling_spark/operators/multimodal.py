@@ -1300,3 +1300,294 @@ def q_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "n_chars").mapInPandas(
         _jpeg_roundtrip_batches, schema=MM_JPEG_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# X80 — REAL GIF87a (LZW) codec roundtrip (r11)
+#
+# The last codec seam: a spec-faithful GIF87a 8-bit grayscale codec,
+# pure stdlib — logical screen descriptor, 256-entry global color
+# table, image descriptor, REAL variable-width LZW with clear/EOI
+# codes, dictionary growth to 4096 with mid-stream resets, LSB-first
+# bit packing, 255-byte sub-block framing.  LZW is LOSSLESS, so the
+# roundtrip is bit-exact for ARBITRARY pixel patterns — no
+# block-constant restriction like the (inherently lossy) JPEG seam.
+
+_GIF_MCS = 8  # LZW minimum code size for a 256-color image
+
+
+def encode_gif_gray(width: int, height: int, rows: list[bytes]) -> bytes:
+    """GIF87a encoder for 8-bit grayscale: identity palette, one
+    image, real LZW compression (dictionary, growing code width,
+    4096-entry reset)."""
+    import struct
+
+    out = bytearray(b"GIF87a")
+    # logical screen descriptor: global table, 8 bits/channel, 256
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):  # grayscale identity palette
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(_GIF_MCS)
+
+    clear, eoi = 1 << _GIF_MCS, (1 << _GIF_MCS) + 1
+    codes = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width_: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first packing
+        nbits += width_
+        while nbits >= 8:
+            codes.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    data = b"".join(rows)
+    cw = _GIF_MCS + 1
+    table = {bytes([i]): i for i in range(256)}
+    next_code = eoi + 1
+    put(clear, cw)
+    cur = data[:1]
+    for b in data[1:]:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur], cw)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << cw) + 1 and cw < 12:
+            cw += 1
+        if next_code == 4097:  # table full: reset (real GIF behavior)
+            put(clear, cw)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = eoi + 1
+            cw = _GIF_MCS + 1
+        cur = bytes([b])
+    put(table[cur], cw)
+    put(eoi, cw)
+    if nbits:
+        codes.append(acc & 0xFF)
+    for off in range(0, len(codes), 255):  # sub-block framing
+        chunk = codes[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_gray(payload: bytes) -> tuple[int, int, int, int]:
+    """Real GIF87a/89a decoder for the 8-bit grayscale single-image
+    profile: screen/image descriptor parse, sub-block reassembly,
+    variable-width LSB-first LZW with clear/EOI and the KwKwK case,
+    palette application.  Returns (width, height, sum_pix, sum_sq)
+    over the decoded grayscale pixels.  Rejects interlaced images,
+    local color tables, and non-grayscale palettes."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    sw, sh, packed, _, _ = struct.unpack("<HHBBB", payload[6:13])
+    off = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        palette = payload[off : off + 3 * n]
+        off += 3 * n
+    while off < len(payload):
+        b = payload[off]
+        if b == 0x21:  # extension: skip sub-blocks
+            off += 2
+            while payload[off]:
+                off += 1 + payload[off]
+            off += 1
+        elif b == 0x2C:
+            left, top, width, height, ipacked = struct.unpack(
+                "<HHHHB", payload[off + 1 : off + 10]
+            )
+            off += 10
+            if ipacked & 0x40:
+                raise ValueError("gif: interlaced unsupported")
+            if ipacked & 0x80:
+                raise ValueError("gif: local color table unsupported")
+            if palette is None:
+                raise ValueError("gif: no color table")
+            gray = []
+            for i in range(len(palette) // 3):
+                r, g, bl = palette[3 * i : 3 * i + 3]
+                if not (r == g == bl):
+                    raise ValueError("gif: non-grayscale palette")
+                gray.append(r)
+            mcs = payload[off]
+            off += 1
+            data = bytearray()
+            while payload[off]:
+                ln = payload[off]
+                data += payload[off + 1 : off + 1 + ln]
+                off += 1 + ln
+            off += 1
+            # LZW decode (LSB-first)
+            clear, eoi = 1 << mcs, (1 << mcs) + 1
+            cw = mcs + 1
+            table: list[bytes] = [bytes([i]) for i in range(1 << mcs)]
+            table += [b"", b""]  # clear, eoi placeholders
+            acc = nbits = pos = 0
+            prev = None
+            pixels = bytearray()
+
+            def read_code() -> int:
+                nonlocal acc, nbits, pos
+                while nbits < cw:
+                    if pos >= len(data):
+                        raise ValueError("gif: truncated LZW stream")
+                    acc |= data[pos] << nbits
+                    pos += 1
+                    nbits += 8
+                code = acc & ((1 << cw) - 1)
+                acc >>= cw
+                nbits -= cw
+                return code
+
+            while True:
+                code = read_code()
+                if code == clear:
+                    table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+                    cw = mcs + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    break
+                if prev is None:
+                    entry = table[code]
+                elif code < len(table):
+                    entry = table[code]
+                    table.append(prev + entry[:1])
+                else:  # KwKwK
+                    entry = prev + prev[:1]
+                    table.append(entry)
+                if prev is not None and len(table) - 1 == (1 << cw) - 1 \
+                        and cw < 12:
+                    cw += 1
+                pixels += entry
+                prev = entry
+            if len(pixels) != width * height:
+                raise ValueError("gif: pixel count mismatch")
+            sp = sq = 0
+            for idx in pixels:
+                v = gray[idx]
+                sp += v
+                sq += v * v
+            return int(width), int(height), sp, sq
+        elif b == 0x3B:
+            raise ValueError("gif: no image block")
+        else:
+            raise ValueError("gif: unknown block")
+    raise ValueError("gif: truncated")
+
+
+MM_GIF_SCHEMA = (
+    "doc_id bigint, width int, height int, sum_pix bigint, sum_sq bigint"
+)
+
+
+def _gif_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker over (doc_id, n_chars): deterministic
+    ARBITRARY-pattern grayscale image -> real GIF87a/LZW encode ->
+    real decode -> decoded pixel statistics (q_image_pixels proof
+    pattern; LZW is lossless so no pixel restriction).  NULL inputs
+    yield NULL features."""
+    for pdf in batches:
+        out = {
+            "doc_id": [], "width": [], "height": [],
+            "sum_pix": [], "sum_sq": [],
+        }
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            if pd.isna(doc_id) or pd.isna(n_chars):
+                out["doc_id"].append(
+                    None if pd.isna(doc_id) else int(doc_id)
+                )
+                for k in ("width", "height", "sum_pix", "sum_sq"):
+                    out[k].append(None)
+                continue
+            d = int(doc_id)
+            w = ((int(doc_id) % 14) + 14) % 14 + 3
+            h = ((int(n_chars) % 14) + 14) % 14 + 3
+            rows = [
+                bytes(
+                    (((d * 13 + 7 * x + 11 * y) % 256) + 256) % 256
+                    for x in range(w)
+                )
+                for y in range(h)
+            ]
+            dw, dh, sp, sq = decode_gif_gray(encode_gif_gray(w, h, rows))
+            out["doc_id"].append(d)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["sum_pix"].append(sp)
+            out["sum_sq"].append(sq)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="Int64"),
+                "width": pd.Series(out["width"], dtype="Int32"),
+                "height": pd.Series(out["height"], dtype="Int32"),
+                "sum_pix": pd.Series(out["sum_pix"], dtype="Int64"),
+                "sum_sq": pd.Series(out["sum_sq"], dtype="Int64"),
+            }
+        )
+
+
+@query(
+    "q_image_gif",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   ((doc_id % 14) + 14) % 14 + 3 AS w,
+                   ((n_chars % 14) + 14) % 14 + 3 AS h,
+                   (doc_id IS NOT NULL AND n_chars IS NOT NULL) AS ok
+            FROM documents),
+        px AS (
+            SELECT doc_id, w, h,
+                   (((doc_id * 13 + 7 * x.i + 11 * y.i) % 256) + 256)
+                       % 256 AS v
+            FROM dims,
+                 generate_series(0, 16) x(i),
+                 generate_series(0, 16) y(i)
+            WHERE ok AND x.i < w AND y.i < h),
+        agg AS (
+            SELECT doc_id,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(sum(v) AS BIGINT) AS sum_pix,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq
+            FROM px
+            GROUP BY doc_id, w, h)
+        SELECT d.doc_id, a.width, a.height, a.sum_pix, a.sum_sq
+        FROM dims d
+        LEFT JOIN agg a ON d.ok AND d.doc_id = a.doc_id
+    """,
+    tags=("multimodal", "extension", "pandas-udf", "gif", "pixels"),
+)
+def q_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF87a/LZW roundtrip (X80) — closes the LAST codec seam
+    (PNG r09, WAV r10, JPEG r11 earlier this round): every document
+    becomes a deterministic arbitrary-pattern grayscale image (3..16
+    px per side), encoded through a spec-faithful GIF87a writer
+    (identity palette, real variable-width LZW with dictionary
+    growth, clear/EOI codes and 4096-entry resets, LSB-first bit
+    packing, sub-block framing) and decoded back through the real
+    reader (incl. the KwKwK case) inside one Arrow-batched
+    mapInPandas pass.  LZW is lossless, so unlike the JPEG seam no
+    pixel restriction is needed — the oracle recomputes the decoded
+    stats directly from the pixel formula, and a hash match
+    certifies the full compression stack.  NULL doc_id / n_chars
+    rows emit NULL features.
+
+    Scale shape: one documents scan projecting two ints per row, one
+    Python stage, no shuffle before the driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        _gif_roundtrip_batches, schema=MM_GIF_SCHEMA
+    )

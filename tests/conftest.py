@@ -72,6 +72,7 @@ _SLOW_TESTS = {
     "test_pq_trained_recall_never_below_seed",
     "test_pq_training_reduces_quantization_error",
     "test_rrf_served_is_partition_pruned",
+    "test_rrf_search_over_maintained_stores_matches_batch",
     "test_rrf_served_matches_inline_fusion",
     "test_sampled_queries_identical_under_relayout",
     "test_scd2_dimension_maintenance",

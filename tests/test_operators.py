@@ -921,6 +921,13 @@ def test_ivfpq_compaction_folds_history_and_applies_updates(spark, tmp_path):
         assert by_id[v + 100] == by_id[v]  # updated ids wear donor codes
     # serving still works over the compacted layout
     assert len(pq.ivfpq_search(spark, path).collect()) == 10
+    # r11: the raw-vector column survives compaction (the rerank store
+    # rides in codes/), and the updated ids carry the DONOR embedding
+    embs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in codes.select("vec_id", "embedding").collect()
+    }
+    assert embs[100] == embs[0] and len(embs) == 500
 
 
 def test_boilerplate_strip_cross_document_rule(spark, monkeypatch):
@@ -2379,6 +2386,50 @@ def test_maxsim_served_matches_inline_and_prunes(spark, tmp_path):
             tuple(r) for r in tx.maxsim_search(spark, tidx, terms).collect()
         ]
         assert got == py_maxsim(terms), terms
+
+
+def test_gif_codec_roundtrip_kwkwk_reset_and_profile_rejects():
+    """encode_gif_gray / decode_gif_gray (X80): lossless LZW
+    roundtrip of arbitrary patterns including the KwKwK case
+    (constant runs force code == next_code), a dictionary-reset-sized
+    image (> 4096 entries), 1x1 minimum, and profile rejections
+    (bad signature, interlace flag, non-grayscale palette)."""
+    import pytest as _pytest
+
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    # KwKwK: constant image — every step emits the just-added code
+    rows = [bytes([7] * 20)] * 20
+    assert decode_gif_gray(encode_gif_gray(20, 20, rows)) == (
+        20, 20, 400 * 7, 400 * 49,
+    )
+    # 1x1 minimum
+    assert decode_gif_gray(encode_gif_gray(1, 1, [bytes([255])])) == (
+        1, 1, 255, 255 * 255,
+    )
+    # dictionary reset: 300x300 structured pattern (> 4096 entries)
+    w = h = 300
+    rows = [bytes((x * y + x + y) % 256 for x in range(w)) for y in range(h)]
+    got = decode_gif_gray(encode_gif_gray(w, h, rows))
+    assert got == (
+        w, h,
+        sum(sum(r) for r in rows),
+        sum(v * v for r in rows for v in r),
+    )
+    with _pytest.raises(ValueError):
+        decode_gif_gray(b"NOTGIF" + b"\x00" * 20)
+    payload = bytearray(encode_gif_gray(8, 8, [bytes(range(8))] * 8))
+    img = payload.find(b"\x2c")
+    payload[img + 9] |= 0x40  # set interlace flag
+    with _pytest.raises(ValueError):
+        decode_gif_gray(bytes(payload))
+    payload = bytearray(encode_gif_gray(8, 8, [bytes(range(8))] * 8))
+    payload[13 + 3 * 9] = (payload[13 + 3 * 9] + 1) % 256  # break gray
+    with _pytest.raises(ValueError):
+        decode_gif_gray(bytes(payload))
 
 
 def test_jpeg_codec_roundtrip_entropy_and_profile_rejects():

@@ -1557,6 +1557,67 @@ def test_int8_scales_maintenance_matches_batch_and_serves(spark, tmp_path):
     assert served == inline and served
 
 
+def test_rrf_search_over_maintained_stores_matches_batch(spark, tmp_path):
+    """Hybrid-serve composition coherence (r11): rrf_search composes
+    TWO maintained stores — BM25 postings (doc-replace merge) and the
+    IVF codes-with-vectors table (leaf-partition overwrite).  Feeding
+    half the fixture as a base build and streaming the other half
+    through BOTH maintenance jobs must serve the exact fused ranking
+    the batch builds over the full corpus serve.  This pins the
+    cross-store contract the individual maintenance tests cannot see:
+    both legs' artifacts describe the same corpus generation."""
+    import open_street_map_data_wrangling_spark.operators.pq as pq
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        bm25_index_merge_fn,
+        ivfpq_codes_merge_fn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    maint = str(tmp_path / "maint")
+    tx.build_bm25_index(docs.filter("doc_id < 250"), f"{maint}/bm25")
+    pq.build_ivfpq_index(
+        emb.filter("vec_id < 250"), f"{maint}/ivfpq"
+    )
+    bm25_index_merge_fn(spark, f"{maint}/bm25")(
+        docs.filter("doc_id >= 250"), 0
+    )
+    ivfpq_codes_merge_fn(spark, f"{maint}/ivfpq")(
+        emb.filter("vec_id >= 250"), 0
+    )
+    full = str(tmp_path / "full")
+    tx.build_bm25_index(docs, f"{full}/bm25")
+    pq.build_ivfpq_index(emb, f"{full}/ivfpq")
+    got = [
+        tuple(r)
+        for r in tx.rrf_search(
+            spark, f"{maint}/bm25", f"{maint}/ivfpq"
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in tx.rrf_search(
+            spark, f"{full}/bm25", f"{full}/ivfpq"
+        ).collect()
+    ]
+    assert got == want and got
+    # the maxsim serve leg composes off the same maintained postings
+    ms_got = [
+        tuple(r)
+        for r in tx.maxsim_search(spark, f"{maint}/bm25").collect()
+    ]
+    ms_want = [
+        tuple(r)
+        for r in tx.maxsim_search(spark, f"{full}/bm25").collect()
+    ]
+    assert ms_got == ms_want and ms_got
+
+
 def test_gram_novelty_gate_matches_batch_attribution(spark, tmp_path):
     """Incremental novelty (r10): streaming chunk 1 into the gram
     store, then gating chunk 2 BEFORE its merge, must score exactly
