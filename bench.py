@@ -184,6 +184,7 @@ HEADLINE = (
     "q_image_jpeg",
     "q_maxsim",
     "q_image_gif",
+    "q_epoch_shuffle",
 )
 
 

@@ -1621,3 +1621,104 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# X81 — seeded epoch shuffle (reproducible training order, r11)
+
+_SHUF_SEED = "epoch0"  # fixed demo seed; epoch_shuffle takes any
+_SHUF_SHARD = 100  # documents per output shard
+_SHUF_BUCKETS = 64  # hash-RANGE buckets for the distributed rank
+
+
+def epoch_shuffle(
+    docs: DataFrame, seed: str = _SHUF_SEED, shard_size: int = _SHUF_SHARD
+) -> DataFrame:
+    """(pos, doc_id, shard): the SEEDED GLOBAL PERMUTATION a training
+    run reads the corpus in — reproducible across reruns and cluster
+    layouts because the order is a pure function of (seed, doc_id):
+    h = first 15 md5 hex chars of "seed:doc_id" (a 60-bit uniform
+    key), total order (h, doc_id), pos = 1-based rank, shard =
+    (pos-1) div shard_size.  Different epochs pass different seeds
+    and get independent permutations with zero state.
+
+    Scale shape — NO single-partition global window: positions come
+    from the classic range-bucketed two-pass rank (the q_shard_plan
+    prefix-sum posture).  h's top bits split the keyspace into
+    {_SHUF_BUCKETS} ORDERED range buckets (h div 2^54), ranks are a
+    per-bucket window (hashpartitioning on the bucket — balanced
+    because h is uniform), bucket offsets are ONE bounded
+    ≤{_SHUF_BUCKETS}-row aggregate prefix-summed driver-side and
+    broadcast back.  At 100 TB this is exactly Spark's
+    sort-shuffle geometry, with the per-bucket rank replacing a
+    global zipWithIndex barrier."""
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('{seed}', ':', "
+        f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    keyed = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", h.alias("h"))
+        .withColumn("bkt", F.expr(f"h div {1 << 54}").cast("int"))
+    )
+    counts = {
+        int(r["bkt"]): int(r["n"])
+        for r in keyed.groupBy("bkt").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(_SHUF_BUCKETS):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_expr = (
+        "CASE bkt "
+        + " ".join(f"WHEN {b} THEN {offsets[b]}L" for b in sorted(counts))
+        + " END"
+    )
+    w = W.partitionBy("bkt").orderBy("h", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .select(
+            (F.expr(off_expr) + F.col("rk")).cast("long").alias("pos"),
+            "doc_id",
+        )
+        .withColumn(
+            "shard",
+            F.expr(f"CAST((pos - 1) div {shard_size} AS BIGINT)"),
+        )
+        .orderBy("pos")
+    )
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('{_SHUF_SEED}:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM documents
+            WHERE doc_id IS NOT NULL),
+        r AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY h, doc_id) AS pos
+            FROM h)
+        SELECT CAST(pos AS BIGINT) AS pos,
+               doc_id,
+               CAST((pos - 1) // {_SHUF_SHARD} AS BIGINT) AS shard
+        FROM r
+        ORDER BY pos
+    """,
+    tags=("pipeline", "extension", "shuffle", "training-order",
+          "prefix-sum"),
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded epoch shuffle (X81) — the reproducible-training-order
+    manifest: every document's position in the epoch's global
+    permutation plus its output shard, as a pure function of
+    (seed, doc_id).  The oracle replays the permutation with ONE
+    global window; the engine side earns its 100 TB posture with the
+    range-bucketed two-pass rank instead (per-bucket windows over a
+    uniform 60-bit key + a bounded driver-side offset prefix sum) —
+    hash equality proves the distributed rank IS the global rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs)

@@ -73,6 +73,7 @@ _SLOW_TESTS = {
     "test_pq_training_reduces_quantization_error",
     "test_rrf_served_is_partition_pruned",
     "test_rrf_search_over_maintained_stores_matches_batch",
+    "test_epoch_shuffle_is_seeded_permutation",
     "test_rrf_served_matches_inline_fusion",
     "test_sampled_queries_identical_under_relayout",
     "test_scd2_dimension_maintenance",

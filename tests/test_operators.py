@@ -2388,6 +2388,38 @@ def test_maxsim_served_matches_inline_and_prunes(spark, tmp_path):
         assert got == py_maxsim(terms), terms
 
 
+def test_epoch_shuffle_is_seeded_permutation(spark):
+    """epoch_shuffle (X81): positions are a 1..N permutation, shards
+    fill to exactly shard_size (last partial), a different seed gives
+    a genuinely different order (same membership), and the order is
+    layout-independent — repartitioning the input changes nothing
+    (the distributed rank is a pure function of seed and doc_id)."""
+    import open_street_map_data_wrangling_spark.operators.pipeline_ops as po
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = po.epoch_shuffle(docs, seed="epoch0", shard_size=100).collect()
+    n = len(a)
+    assert sorted(r["pos"] for r in a) == list(range(1, n + 1))
+    assert {r["doc_id"] for r in a} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in a)
+    for s, c in sizes.items():
+        assert c == 100 or (s == max(sizes) and c == n % 100 or c == 100)
+    b = po.epoch_shuffle(docs, seed="epoch1", shard_size=100).collect()
+    assert [r["doc_id"] for r in b] != [r["doc_id"] for r in a]
+    assert {r["doc_id"] for r in b} == {r["doc_id"] for r in a}
+    c = po.epoch_shuffle(
+        docs.repartition(17), seed="epoch0", shard_size=100
+    ).collect()
+    assert [tuple(r) for r in c] == [tuple(r) for r in a]
+
+
 def test_gif_codec_roundtrip_kwkwk_reset_and_profile_rejects():
     """encode_gif_gray / decode_gif_gray (X80): lossless LZW
     roundtrip of arbitrary patterns including the KwKwK case
