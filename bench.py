@@ -185,6 +185,7 @@ HEADLINE = (
     "q_maxsim",
     "q_image_gif",
     "q_epoch_shuffle",
+    "q_loader_batches",
 )
 
 

@@ -1722,3 +1722,130 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash equality proves the distributed rank IS the global rank."""
     docs = load_table(spark, sf_dir, "documents")
     return epoch_shuffle(docs)
+
+
+# ---------------------------------------------------------------------------
+# X82 — data-loader batches along the epoch order (r11)
+
+_LOADER_BUDGET = 2_000  # token budget per training batch
+
+
+@query(
+    "q_loader_batches",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   ('0x' || substr(md5('{_SHUF_SEED}:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM documents
+            WHERE doc_id IS NOT NULL),
+        r AS (
+            SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY h, doc_id) AS pos,
+                   coalesce(sum(n_tok) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS toks_before
+            FROM h),
+        b AS (
+            SELECT pos, doc_id, n_tok,
+                   toks_before // {_LOADER_BUDGET} AS batch
+            FROM r)
+        SELECT CAST(batch AS BIGINT) AS batch,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(pos) AS BIGINT) AS first_pos,
+               CAST(max(pos) AS BIGINT) AS last_pos,
+               CAST(sum(n_tok) AS BIGINT) AS toks
+        FROM b
+        GROUP BY batch
+        ORDER BY batch
+    """,
+    tags=("pipeline", "extension", "training-order", "batching",
+          "prefix-sum"),
+)
+def q_loader_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-loader batch manifest (X82) — the step AFTER the epoch
+    shuffle: walking the seeded permutation in order, documents fill
+    token-budget batches of {_LOADER_BUDGET} (a doc belongs to the
+    batch its RUNNING-TOKEN START falls in — greedy fill, boundary
+    doc may overflow, the standard streaming-loader semantic), and
+    the manifest reports each batch's doc count, position span, and
+    token mass.  Together with q_epoch_shuffle this is the exact
+    (shard, batch) addressing a distributed trainer replays — pure
+    function of (seed, corpus), so every rerun loads identical
+    batches.
+
+    Scale shape: the running prefix sum along the permutation uses
+    the SAME range-bucketed two-pass trick as the rank — per-bucket
+    running sums (window over the ordered hash range) plus ONE
+    bounded ≤{_SHUF_BUCKETS}-row driver-side aggregate carrying each
+    bucket's (row offset, token offset); no single-partition window
+    anywhere on the engine side, while the oracle uses one global
+    window — hash equality proves the distributed prefix sum exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('{_SHUF_SEED}', ':', "
+        f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    keyed = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+            h.alias("h"),
+        )
+        .withColumn("bkt", F.expr(f"h div {1 << 54}").cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    stats = {
+        int(r["bkt"]): (int(r["n"]), int(r["t"]))
+        for r in keyed.groupBy("bkt")
+        .agg(F.count("*").alias("n"), F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    row_off, tok_off, racc, tacc = {}, {}, 0, 0
+    for b in range(_SHUF_BUCKETS):
+        row_off[b], tok_off[b] = racc, tacc
+        n, t = stats.get(b, (0, 0))
+        racc += n
+        tacc += t
+    roff = (
+        "CASE bkt "
+        + " ".join(f"WHEN {b} THEN {row_off[b]}L" for b in sorted(stats))
+        + " END"
+    )
+    toff = (
+        "CASE bkt "
+        + " ".join(f"WHEN {b} THEN {tok_off[b]}L" for b in sorted(stats))
+        + " END"
+    )
+    w = W.partitionBy("bkt").orderBy("h", "doc_id")
+    ranked = keyed.select(
+        "doc_id",
+        "n_tok",
+        (F.expr(roff) + F.row_number().over(w).cast("long")).alias("pos"),
+        (
+            F.expr(toff)
+            + F.coalesce(
+                F.sum("n_tok").over(
+                    w.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            )
+        ).alias("toks_before"),
+    )
+    return (
+        ranked.withColumn(
+            "batch",
+            F.expr(f"CAST(toks_before div {_LOADER_BUDGET} AS BIGINT)"),
+        )
+        .groupBy("batch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+            F.max("pos").cast("bigint").alias("last_pos"),
+            F.sum("n_tok").cast("bigint").alias("toks"),
+        )
+        .orderBy("batch")
+    )

@@ -2420,6 +2420,37 @@ def test_epoch_shuffle_is_seeded_permutation(spark):
     assert [tuple(r) for r in c] == [tuple(r) for r in a]
 
 
+def test_loader_batches_fill_budget_and_tile_positions(spark):
+    """q_loader_batches (X82): batches tile the permutation's
+    position space contiguously (batch b's last_pos + 1 = batch
+    b+1's first_pos), every batch except the last carries at least
+    the token budget (greedy start-assignment means the boundary doc
+    overflows INTO its own batch's mass), and the batch 0 first_pos
+    is 1 — consistent with q_epoch_shuffle's rank origin."""
+    import open_street_map_data_wrangling_spark.operators.pipeline_ops as po
+
+    rows = sorted(
+        (
+            tuple(r)
+            for r in po.q_loader_batches(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        ),
+    )
+    assert rows and rows[0][0] == 0 and rows[0][2] == 1
+    for (b1, _, f1, l1, t1), (b2, _, f2, _, _) in zip(rows, rows[1:]):
+        assert b2 == b1 + 1 and f2 == l1 + 1
+    # the EXACT greedy-start invariant: each batch's starting token
+    # offset (cumulative mass of all earlier batches) falls inside
+    # its own budget window [b*B, (b+1)*B) — that is what "a doc
+    # belongs to the batch its running-token start falls in" means
+    B = po._LOADER_BUDGET
+    cum = 0
+    for b, _, _, _, toks in rows:
+        assert b * B <= cum < (b + 1) * B, (b, cum)
+        cum += toks
+
+
 def test_gif_codec_roundtrip_kwkwk_reset_and_profile_rejects():
     """encode_gif_gray / decode_gif_gray (X80): lossless LZW
     roundtrip of arbitrary patterns including the KwKwK case
