@@ -93,6 +93,14 @@ SAMPLE = (
     "q_rrf_fusion",            # integer reciprocal-rank fusion
     "q_vec_topk_filtered",     # pushed-predicate vector top-k
     "q_jaccard_hist",          # integer-bucketed candidate Jaccard
+    # round 11 additions
+    "q_keep_best_containment",  # LSH ∪ containment edge clustering
+    "q_image_jpeg",            # baseline-JFIF codec roundtrip sums
+    "q_image_gif",             # GIF87a/LZW codec roundtrip sums
+    "q_maxsim",                # candidate-bounded integer MaxSim
+    "q_epoch_shuffle",         # seeded permutation, two-pass rank
+    "q_loader_batches",        # prefix-sum token batching
+    "q_rrf_served",            # persisted-index hybrid serve
 )
 
 _ALT = {

@@ -769,3 +769,79 @@ def test_funnel_window_oracle_matches_simulation(events):
     oracle = load_all_queries()["q_funnel_window"].oracle
     row = con.execute(oracle).fetchone()
     assert (row[0], row[1], row[2]) == (s1, s2, s3)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    data=st.data(),
+)
+def test_gif_lzw_roundtrip_property(w, h, data):
+    """Property (X80): GIF87a/LZW is lossless — ANY pixel matrix
+    roundtrips to exact stats.  Pure-Python property, no Spark job
+    per example (codec layer only; the Spark seam is pinned by
+    q_image_gif's oracle)."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    rows = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w, max_size=w
+                )
+            )
+        )
+        for _ in range(h)
+    ]
+    got = decode_gif_gray(encode_gif_gray(w, h, rows))
+    assert got == (
+        w,
+        h,
+        sum(sum(r) for r in rows),
+        sum(v * v for r in rows for v in r),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    bw=st.integers(min_value=1, max_value=3),
+    bh=st.integers(min_value=1, max_value=3),
+    data=st.data(),
+)
+def test_jpeg_block_constant_roundtrip_property(bw, bh, data):
+    """Property (X78): the JPEG exactness argument holds for ANY
+    block-constant value grid, not just the fixture formula — each
+    8x8 block one free byte, full Huffman/DC-prediction/DCT pipeline,
+    bit-exact stats."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    vals = [
+        [data.draw(st.integers(0, 255)) for _ in range(bw)]
+        for _ in range(bh)
+    ]
+    w, h = bw * 8, bh * 8
+    rows = [
+        bytes(vals[y // 8][x // 8] for x in range(w)) for y in range(h)
+    ]
+    got = decode_jpeg_gray(encode_jpeg_gray(w, h, rows))
+    assert got == (
+        w,
+        h,
+        sum(64 * v for r in vals for v in r),
+        sum(64 * v * v for r in vals for v in r),
+    )
