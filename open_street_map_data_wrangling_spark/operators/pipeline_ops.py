@@ -1669,11 +1669,14 @@ def epoch_shuffle(
     for b in range(_SHUF_BUCKETS):
         offsets[b] = acc
         acc += counts.get(b, 0)
+    # a CASE needs >= 1 WHEN arm: on an EMPTY corpus (zero observed
+    # buckets — registry empty-input contract) fall back to a plain
+    # 0 literal; the branch is row-free anyway
     off_expr = (
         "CASE bkt "
         + " ".join(f"WHEN {b} THEN {offsets[b]}L" for b in sorted(counts))
-        + " END"
-    )
+        + " ELSE 0L END"
+    ) if counts else "0L"
     w = W.partitionBy("bkt").orderBy("h", "doc_id")
     return (
         keyed.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -1810,16 +1813,18 @@ def q_loader_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, t = stats.get(b, (0, 0))
         racc += n
         tacc += t
+    # empty-corpus guard: a CASE needs >= 1 WHEN arm (the
+    # epoch_shuffle empty-input fix); branches are row-free then
     roff = (
         "CASE bkt "
         + " ".join(f"WHEN {b} THEN {row_off[b]}L" for b in sorted(stats))
-        + " END"
-    )
+        + " ELSE 0L END"
+    ) if stats else "0L"
     toff = (
         "CASE bkt "
         + " ".join(f"WHEN {b} THEN {tok_off[b]}L" for b in sorted(stats))
-        + " END"
-    )
+        + " ELSE 0L END"
+    ) if stats else "0L"
     w = W.partitionBy("bkt").orderBy("h", "doc_id")
     ranked = keyed.select(
         "doc_id",
