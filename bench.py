@@ -186,6 +186,7 @@ HEADLINE = (
     "q_image_gif",
     "q_epoch_shuffle",
     "q_loader_batches",
+    "q_loss_mask",
 )
 
 

@@ -2694,3 +2694,117 @@ def q_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# X83 — loss-mask manifest (mask duplicated spans, don't delete, r11)
+
+
+@query(
+    "q_loss_mask",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+            FROM documents),
+        gram AS (
+            SELECT doc_id, pos, {_span_gram_sql('tok')} AS g
+            FROM tok
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        dupg AS (
+            SELECT g FROM gram WHERE g IS NOT NULL
+            GROUP BY g HAVING count(*) >= 2),
+        flagged AS (
+            SELECT gr.doc_id, gr.pos,
+                   CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+            FROM gram gr LEFT JOIN dupg d ON gr.g = d.g),
+        covered AS (
+            SELECT doc_id, pos,
+                   max(is_dup) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN {_SPAN_K - 1} PRECEDING
+                                     AND CURRENT ROW) AS cov
+            FROM flagged),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM covered WHERE cov = 1)
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS span_toks
+        FROM isl
+        GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start
+    """,
+    tags=("dedup", "extension", "exact-substr", "loss-mask"),
+)
+def q_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask manifest (X83) — the NON-destructive consumption of
+    ExactSubstr duplication: production trainers usually keep the
+    text intact and MASK duplicated spans out of the loss instead of
+    deleting them (deletion changes the token stream the model sees;
+    masking only changes what it is graded on).  For every document,
+    the maximal contiguous runs of positions covered by some
+    corpus-duplicated stride-1 {_SPAN_K}-gram, merged into
+    (span_start, span_end, span_toks) intervals — exactly the spans
+    q_dup_spans counts and q_dup_strip deletes, emitted as the
+    manifest a data loader joins by doc_id.
+
+    Interval merging is the classic islands trick: among covered
+    positions, pos − rank(pos) is constant within each contiguous
+    run, so ONE per-doc window + a groupBy replaces any
+    self-join/interval-union machinery.  Scale shape inherits
+    q_dup_spans': hash-only gram base checkpointed once (1 corpus
+    scan), uniform hash-keyed dup-set groupBy, doc-partitioned
+    windows; output is one row per masked span."""
+    gram = _span_gram_base(load_table(spark, sf_dir, "documents"))
+    dupg = (
+        gram.where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("g")
+    )
+    flagged = gram.join(
+        dupg.withColumnRenamed("g", "dg"),
+        F.col("g") == F.col("dg"),
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("dg").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )
+    cov_w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_SPAN_K - 1), W.currentRow)
+    )
+    covered = flagged.select(
+        "doc_id", "pos", F.max("is_dup").over(cov_w).alias("cov")
+    )
+    isl_w = W.partitionBy("doc_id").orderBy("pos")
+    isl = covered.filter(F.col("cov") == 1).select(
+        "doc_id",
+        "pos",
+        (
+            F.col("pos").cast("long")
+            - F.row_number().over(isl_w).cast("long")
+        ).alias("grp"),
+    )
+    # +1: the engine gram base numbers positions 0-based (posexplode)
+    # while the manifest contract — and the oracle's unnest(range) —
+    # is 1-based token positions; earlier span consumers only
+    # aggregated counts, so this is the first place the convention
+    # becomes visible
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            (F.min("pos") + 1).cast("bigint").alias("span_start"),
+            (F.max("pos") + 1).cast("bigint").alias("span_end"),
+            F.count("*").cast("bigint").alias("span_toks"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_toks")
+        .orderBy("doc_id", "span_start")
+    )

@@ -75,6 +75,7 @@ _SLOW_TESTS = {
     "test_rrf_search_over_maintained_stores_matches_batch",
     "test_epoch_shuffle_is_seeded_permutation",
     "test_loader_batches_fill_budget_and_tile_positions",
+    "test_loss_mask_spans_agree_with_dup_spans",
     "test_rrf_served_matches_inline_fusion",
     "test_sampled_queries_identical_under_relayout",
     "test_scd2_dimension_maintenance",

@@ -2451,6 +2451,39 @@ def test_loader_batches_fill_budget_and_tile_positions(spark):
         cum += toks
 
 
+def test_loss_mask_spans_agree_with_dup_spans(spark):
+    """q_loss_mask (X83): per-doc masked token mass must equal
+    q_dup_spans' dup_toks EXACTLY (one coverage definition, two
+    consumers), spans are disjoint maximal runs (gap >= 1 between
+    consecutive spans, no overlaps), and bounds are 1-based within
+    the doc's token count."""
+    import open_street_map_data_wrangling_spark.operators.dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    spans = {}
+    for r in dd.q_loss_mask(spark, sf).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_toks"])
+        )
+    stats = {
+        r["doc_id"]: (r["n_toks"], r["dup_toks"])
+        for r in dd.q_dup_spans(spark, sf).collect()
+    }
+    assert spans  # fixture corpus has duplicated spans
+    for doc, ss in spans.items():
+        ss.sort()
+        n_toks, dup_toks = stats[doc]
+        assert sum(t for _, _, t in ss) == dup_toks
+        for (s, e, t) in ss:
+            assert 1 <= s <= e <= n_toks and t == e - s + 1
+        for (_, e1, _), (s2, _, _) in zip(ss, ss[1:]):
+            assert s2 > e1 + 1  # maximal runs: adjacent would merge
+    docs_with_mask = set(spans)
+    fully_clean = {d for d, (_, dup) in stats.items() if dup == 0}
+    assert docs_with_mask.isdisjoint(fully_clean)
+    assert docs_with_mask | fully_clean == set(stats)
+
+
 def test_gif_codec_roundtrip_kwkwk_reset_and_profile_rejects():
     """encode_gif_gray / decode_gif_gray (X80): lossless LZW
     roundtrip of arbitrary patterns including the KwKwK case

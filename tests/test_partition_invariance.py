@@ -101,6 +101,7 @@ SAMPLE = (
     "q_epoch_shuffle",         # seeded permutation, two-pass rank
     "q_loader_batches",        # prefix-sum token batching
     "q_rrf_served",            # persisted-index hybrid serve
+    "q_loss_mask",             # islands-merged dup-span intervals
 )
 
 _ALT = {

@@ -340,6 +340,23 @@ def test_rrf_served_is_partition_pruned(plans):
     assert "bkt" in p and "cid" in p
 
 
+def test_epoch_order_family_has_no_single_partition_window(plans):
+    """q_epoch_shuffle / q_loader_batches: the global rank and the
+    running token prefix sum must compile to a BUCKET-partitioned
+    window (hashpartitioning on the ordered hash-range bucket) plus a
+    range-partitioned output sort — NEVER a SinglePartition exchange,
+    which is the global-window trap that serializes the whole corpus
+    through one task at 100 TB.  The bounded ≤64-row offset
+    prefix-sum lives driver-side and leaves no plan node."""
+    import re
+
+    for q in ("q_epoch_shuffle", "q_loader_batches"):
+        p = plans(q)
+        assert "SinglePartition" not in p, q
+        assert re.search(r"hashpartitioning\(bkt", p), q
+        assert "rangepartitioning" in p, q
+
+
 def test_plan_report_fresh_and_scan_claims_hold():
     """PLAN_REPORT.md is the judge-facing evidence artifact; a stale
     one silently re-reports plan defects that were already fixed (the
