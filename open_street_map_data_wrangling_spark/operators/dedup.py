@@ -2767,6 +2767,15 @@ def q_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") >= 2)
         .select("g")
     )
+    return span_mask(gram, dupg)
+
+
+def span_mask(gram: DataFrame, dupg: DataFrame) -> DataFrame:
+    """The interval-manifest half of q_loss_mask over ANY
+    (doc_id, pos, g) gram base and ANY duplicated-gram set — the
+    span_coverage convention: shared by the inline query (dup set
+    from the same corpus) and the streaming gram store's serve path
+    (streaming/jobs.loss_mask_serve), so both emit one definition."""
     flagged = gram.join(
         dupg.withColumnRenamed("g", "dg"),
         F.col("g") == F.col("dg"),

@@ -1632,3 +1632,27 @@ def source_overlap_serve(spark: SparkSession, store_dir: str) -> DataFrame:
             " AS jaccard_bp",
         )
     )
+
+
+def loss_mask_serve(
+    spark: SparkSession, store_dir: str, docs: DataFrame
+) -> DataFrame:
+    """q_loss_mask's duplicated-span interval manifest for ANY
+    document frame, with the duplicated-gram set read from the
+    maintained span-gram store instead of a corpus scan
+    (dedup.span_mask over the batch's own gram base — the
+    span_dup_coverage_serve pattern applied to the masking consumer).
+    For documents already merged into the store this equals the batch
+    q_loss_mask over the full streamed corpus (pytest-pinned); for a
+    NEW batch it yields the loss mask its docs would need against
+    corpus history."""
+    from ..operators.dedup import _span_gram_base, span_mask
+
+    dupg = (
+        spark.read.parquet(store_dir)
+        .where(F.col("cnt") >= 2)
+        .select("g")
+    )
+    return span_mask(
+        _span_gram_base(docs.select("doc_id", "text")), dupg
+    )

@@ -1297,6 +1297,24 @@ def test_span_gram_store_matches_batch_and_gates_new_docs(
     )
     assert again == served
 
+    # r11: the loss-mask consumer serves the identical intervals from
+    # the same store — masks for merged docs == batch q_loss_mask,
+    # and the NEW doc's mask lands exactly on the repeated run
+    # (positions 3..3+k-1 after the 2-token lead, 1-based)
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        loss_mask_serve,
+    )
+
+    mask_expected = sorted(
+        tuple(r) for r in dd.q_loss_mask(spark, "_").collect()
+    )
+    mask_served = sorted(
+        tuple(r) for r in loss_mask_serve(spark, store, corpus).collect()
+    )
+    assert mask_served == mask_expected and mask_served
+    new_mask = loss_mask_serve(spark, store, newdoc).collect()
+    assert [tuple(r) for r in new_mask] == [(99, 3, 2 + k, k)]
+
 
 def test_winnow_print_maintenance_matches_batch_and_is_idempotent(
     spark, tmp_path, monkeypatch
