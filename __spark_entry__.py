@@ -164,6 +164,11 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     # module siblings moved.  All re-verified green at sf0.01.
     "q_ivfpq_serve",
     "q_keep_best",
+    # Round 11 wave 12: _bm25_contrib refactored into the named-column
+    # _bm25_contrib_cols (byte-identical expression text for the
+    # pivoted callers — q_bm25/q_rrf_fusion/q_rrf_served re-verified
+    # green at sf0.01 post-refactor; the long form feeds q_bm25_batch).
+    "q_bm25_batch",
     # Round 11 wave 3: q_int8_recall's scoring core factored into
     # _int8_recall_audit (explicit scales), shared with the served
     # int8_recall_served path; re-verified green at sf0.01.

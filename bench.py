@@ -187,6 +187,7 @@ HEADLINE = (
     "q_epoch_shuffle",
     "q_loader_batches",
     "q_loss_mask",
+    "q_bm25_batch",
 )
 
 

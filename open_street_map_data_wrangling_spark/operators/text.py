@@ -1107,12 +1107,12 @@ _BM25_B = 7_500
 _BM25_IDF_SHIFT = 1_048_576  # 2^20 pre-shift inside the idf log
 
 
-def _bm25_contrib(i: int, divop: str) -> str:
-    """Per-term BM25 contribution as engine-neutral SQL text over
-    columns tf{i} (term frequency in the doc), dl (doc length), and
-    scalar columns n_docs / total_toks / df{i}.  ``divop`` is the
-    engine's truncating integer division ('div' for Spark, '//' for
-    DuckDB — identical on the non-negative operands used here).
+def _bm25_contrib_cols(tf: str, df: str, divop: str) -> str:
+    """Single-term BM25 contribution as engine-neutral SQL text over
+    NAMED tf/df columns plus dl and scalar columns n_docs /
+    total_toks.  ``divop`` is the engine's truncating integer
+    division ('div' for Spark, '//' for DuckDB — identical on the
+    non-negative operands used here).
 
       idf_fp   = floor(log2(n_docs * 2^20 / df))        [bit-length]
       norm_fp  = S - B + B * dl / avgdl                 [x S]
@@ -1120,20 +1120,28 @@ def _bm25_contrib(i: int, divop: str) -> str:
       contrib  = idf_fp * tfpart_fp
 
     Guarded so a term absent from the corpus (df = 0) or from the
-    doc (tf = 0) contributes exactly 0."""
+    doc (tf = 0) contributes exactly 0.  The pivoted per-query form
+    (_bm25_contrib) and the batched long form (q_bm25_batch, one
+    row per (query, doc, term)) compile THIS one arithmetic."""
     norm = (
         f"({_BM25_S} - {_BM25_B} + "
         f"(({_BM25_B} * dl * n_docs) {divop} total_toks))"
     )
-    denom = f"(tf{i} * {_BM25_S} + (({_BM25_K1} * {norm}) {divop} {_BM25_S}))"
-    tfpart = f"((tf{i} * {_BM25_K1 + _BM25_S} * {_BM25_S}) {divop} {denom})"
+    denom = f"({tf} * {_BM25_S} + (({_BM25_K1} * {norm}) {divop} {_BM25_S}))"
+    tfpart = f"(({tf} * {_BM25_K1 + _BM25_S} * {_BM25_S}) {divop} {denom})"
     idf = (
-        f"(length(bin((n_docs * {_BM25_IDF_SHIFT}) {divop} df{i})) - 1)"
+        f"(length(bin((n_docs * {_BM25_IDF_SHIFT}) {divop} {df})) - 1)"
     )
     return (
-        f"CASE WHEN tf{i} = 0 OR df{i} = 0 THEN 0 "
+        f"CASE WHEN {tf} = 0 OR {df} = 0 THEN 0 "
         f"ELSE {idf} * {tfpart} END"
     )
+
+
+def _bm25_contrib(i: int, divop: str) -> str:
+    """Per-term contribution over the pivoted tf{i}/df{i} columns —
+    see _bm25_contrib_cols for the arithmetic."""
+    return _bm25_contrib_cols(f"tf{i}", f"df{i}", divop)
 
 
 def _bm25_score_sql(divop: str, n_terms: int | None = None) -> str:
@@ -2401,3 +2409,206 @@ def maxsim_search(
         .select("doc_id", "tok")
     )
     return _maxsim_scored(toks, terms, k, cand=cand)
+
+
+# ---------------------------------------------------------------------------
+# X84 — batched multi-query BM25 (one pass per query SET, r11)
+
+_BM25_BATCH_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("merge", "filter")),
+    (1, ("batch",)),
+    (2, ("merge", "filter", "batch")),
+)
+_BM25_BATCH_K = 5
+
+_BM25_BATCH_QT_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in _BM25_BATCH_QUERIES for t in ts
+)
+
+
+@query(
+    "q_bm25_batch",
+    oracle=f"""
+        WITH post AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY doc_id, tok),
+        dlt AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+            FROM post GROUP BY doc_id),
+        st AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(dl), 0) AS BIGINT) AS total_toks
+            FROM dlt),
+        qt(qid, tok) AS (VALUES {_BM25_BATCH_QT_SQL}),
+        dfq AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS df
+            FROM post GROUP BY tok),
+        sc AS (
+            SELECT q.qid, p.doc_id,
+                   CAST(sum({_bm25_contrib_cols('p.tf', 'd.df', '//')})
+                        AS BIGINT) AS score_fp
+            FROM qt q
+            JOIN post p USING (tok)
+            JOIN dfq d USING (tok)
+            JOIN dlt l ON l.doc_id = p.doc_id
+            CROSS JOIN st
+            GROUP BY 1, 2),
+        r AS (
+            SELECT qid, doc_id, score_fp,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score_fp DESC, doc_id)
+                     AS rank
+            FROM sc)
+        SELECT CAST(qid AS BIGINT) AS qid,
+               CAST(rank AS INTEGER) AS rank,
+               doc_id, score_fp
+        FROM r WHERE rank <= {_BM25_BATCH_K}
+        ORDER BY qid, rank
+    """.replace("{dl}", "l.dl"),
+    tags=("text", "extension", "search", "bm25", "ranking", "batch"),
+)
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query BM25 (X84) — the scan-amortization shape a
+    real search tier runs: a whole query SET (here the fixed 3-query
+    demo table) answered in ONE pass over the corpus instead of one
+    job per query.  The long form replaces q_bm25's per-query pivoted
+    columns: one row per (query, doc, matched term), the SAME integer
+    contribution arithmetic (_bm25_contrib_cols — literally the
+    expression q_bm25 compiles), a (qid, doc) sum, and a per-query
+    top-{_BM25_BATCH_K} via rank-filter (WindowGroupLimit pushes the
+    per-query heap map-side).
+
+    Scale shape: the postings relation is built once (one corpus
+    scan), df is a term-keyed aggregate of it, the query table
+    broadcasts onto the postings (|queries|x|terms| rows — tiny), and
+    nothing downstream exceeds candidate volume.  At 100 TB batching
+    N queries costs ONE corpus pass + N heaps instead of N passes —
+    the amortization bm25_search_many applies to the PERSISTED index
+    (zero corpus scans, bucket pruning over the union of the batch's
+    terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = _bm25_postings(docs).select("doc_id", "tok", "tf", "dl")
+    st = post.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_toks"),
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_BATCH_QUERIES for t in ts],
+        "qid long, tok string",
+    )
+    from pyspark.sql import Window as _Win
+
+    # semi-restrict the postings to the batch's tokens BEFORE any
+    # aggregate: df for a token is the same whether counted over the
+    # full posting table or its token-filtered slice, and the oracle
+    # (which aggregates the full table) proves the equivalence by
+    # hash — only the matched slice ever shuffles here
+    postq = post.join(
+        F.broadcast(qt.select("tok").distinct()), "tok", "left_semi"
+    )
+    dfq = postq.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    joined = (
+        postq.join(F.broadcast(qt), "tok")
+        .join(F.broadcast(dfq), "tok")
+        .crossJoin(F.broadcast(st))
+    )
+    sc = (
+        joined.withColumn(
+            "contrib",
+            F.expr(_bm25_contrib_cols("tf", "df", "div")).cast("long"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").cast("long").alias("score_fp"))
+    )
+    w = _Win.partitionBy("qid").orderBy(F.desc("score_fp"), "doc_id")
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_BATCH_K)
+        .select("qid", "rank", "doc_id", "score_fp")
+        .orderBy("qid", "rank")
+    )
+
+
+def bm25_search_many(
+    spark: SparkSession,
+    index_path: str,
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = _BM25_BATCH_QUERIES,
+    k: int = _BM25_BATCH_K,
+) -> DataFrame:
+    """q_bm25_batch over the PERSISTED posting index — N queries, ONE
+    partition-pruned postings scan over the UNION of the batch's
+    token buckets, zero corpus scans: stats from the 1-row artifact,
+    per-term df from the pruned postings (a window, the bm25_search
+    shape), the shared long-form contribution arithmetic, per-query
+    WindowGroupLimit heaps.  Returns (qid, rank, doc_id, score_fp).
+    Per-query results are IDENTICAL to calling bm25_search once per
+    query (pytest-pinned) — batching changes the cost, not the
+    answer."""
+    from pyspark.sql import Row, Window as _Win
+
+    queries = tuple((int(q), tuple(dict.fromkeys(ts))) for q, ts in queries)
+    all_terms = tuple(dict.fromkeys(t for _, ts in queries for t in ts))
+    if not queries or not all_terms:
+        return spark.createDataFrame(
+            [], "qid BIGINT, rank INT, doc_id BIGINT, score_fp BIGINT"
+        )
+    stats = (
+        spark.read.schema("n_docs BIGINT, total_toks BIGINT")
+        .parquet(f"{index_path}/stats")
+        .collect()
+    )
+    if not stats or int(stats[0]["total_toks"]) <= 0:
+        return spark.createDataFrame(
+            [], "qid BIGINT, rank INT, doc_id BIGINT, score_fp BIGINT"
+        )
+    n_docs, total_toks = int(stats[0]["n_docs"]), int(stats[0]["total_toks"])
+    tdf = spark.createDataFrame([Row(tok=t) for t in all_terms])
+    bkts = [
+        int(r["b"])
+        for r in tdf.select(
+            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    post = (
+        spark.read.schema(
+            "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, bkt INT"
+        )
+        .parquet(f"{index_path}/postings")
+        .filter(F.col("bkt").isin(bkts))
+        .filter(F.col("tok").isin(*all_terms))
+        .withColumn("df", F.count("*").over(_Win.partitionBy("tok")))
+    )
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in queries for t in ts], "qid long, tok string"
+    )
+    sc = (
+        post.join(F.broadcast(qt), "tok")
+        .select(
+            "qid",
+            "doc_id",
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.lit(total_toks).cast("long").alias("total_toks"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "dl",
+        )
+        .withColumn(
+            "contrib",
+            F.expr(_bm25_contrib_cols("tf", "df", "div")).cast("long"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").cast("long").alias("score_fp"))
+    )
+    w = _Win.partitionBy("qid").orderBy(F.desc("score_fp"), "doc_id")
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score_fp")
+        .orderBy("qid", "rank")
+    )

@@ -2320,6 +2320,42 @@ def test_keep_best_containment_clusters_excerpt_lsh_misses(
             assert rr["n_docs"] < 20
 
 
+def test_bm25_search_many_equals_per_query_serving(spark, tmp_path):
+    """bm25_search_many (X84): batching N queries over the persisted
+    index returns, per qid, EXACTLY what bm25_search returns for that
+    query alone (same k) — batching changes the cost, not the answer.
+    Also: the batch plan is partition-pruned on the union of the
+    batch's buckets, never reads the corpus, empty query sets yield
+    typed empty, and a query whose terms are absent from the corpus
+    simply yields no rows for its qid."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = str(tmp_path / "bm25")
+    tx.build_bm25_index(docs, idx)
+    queries = tx._BM25_BATCH_QUERIES + ((7, ("zzz_absent",)),)
+    batch = tx.bm25_search_many(spark, idx, queries, k=5)
+    p = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "bkt" in p
+    assert "documents.parquet" not in p
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], r["score_fp"])
+        )
+    for qid, terms in queries:
+        solo = [
+            (r["rank"], r["doc_id"], r["score_fp"])
+            for r in tx.bm25_search(spark, idx, terms, k=5).collect()
+        ]
+        assert got.get(qid, []) == solo, qid
+    assert 7 not in got  # absent-term query: no rows, no error
+    assert tx.bm25_search_many(spark, idx, ()).count() == 0
+
+
 def test_maxsim_served_matches_inline_and_prunes(spark, tmp_path):
     """maxsim_search (X79): serving MaxSim from the persisted posting
     index returns exactly the inline q_maxsim ranking (the posting

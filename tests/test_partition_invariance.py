@@ -102,6 +102,7 @@ SAMPLE = (
     "q_loader_batches",        # prefix-sum token batching
     "q_rrf_served",            # persisted-index hybrid serve
     "q_loss_mask",             # islands-merged dup-span intervals
+    "q_bm25_batch",            # one-pass multi-query ranked retrieval
 )
 
 _ALT = {
