@@ -188,6 +188,7 @@ HEADLINE = (
     "q_loader_batches",
     "q_loss_mask",
     "q_bm25_batch",
+    "q_ivfpq_batch",
 )
 
 

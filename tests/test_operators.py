@@ -2356,6 +2356,54 @@ def test_bm25_search_many_equals_per_query_serving(spark, tmp_path):
     assert tx.bm25_search_many(spark, idx, ()).count() == 0
 
 
+def test_ivfpq_search_many_equals_per_query_serving(spark, tmp_path):
+    """ivfpq_search_many (X85): batching N probes over the persisted
+    index returns, per qid, EXACTLY what ivfpq_search returns for
+    that probe alone; the batch plan prunes the codes scan to the
+    UNION of the batch's probe cells and never reads the corpus;
+    empty query sets and empty indexes yield typed empty."""
+    import open_street_map_data_wrangling_spark.operators.pq as pq
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    pq.build_ivfpq_index(emb, idx)
+    qids = (0, 17, 42)
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(list(qids))).collect()
+    }
+    batch = pq.ivfpq_search_many(spark, idx, qvecs, k=10)
+    p = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "cid" in p
+    assert "embeddings.parquet" not in p
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["adc_d2"]))
+    # solo comparison only for probes the seeds artifact covers
+    # (vec_id < max(K, C, 18)): ivfpq_search reads its probe FROM the
+    # seeds, so qid 42 serves typed-empty solo — the batch API's
+    # caller-supplied vectors REMOVE that limitation (its qid-42
+    # answer is proven by the q_ivfpq_batch oracle instead)
+    for qid in (0, 17):
+        solo = [
+            (r["vec_id"], r["adc_d2"])
+            for r in pq.ivfpq_search(spark, idx, query_id=qid).collect()
+        ]
+        assert got[qid] == solo, qid
+    assert len(got[42]) == 10
+    assert pq.ivfpq_search(spark, idx, query_id=42).count() == 0
+    assert pq.ivfpq_search_many(spark, idx, {}).count() == 0
+    eidx = str(tmp_path / "ivfpq_empty")
+    pq.build_ivfpq_index(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        eidx,
+    )
+    assert pq.ivfpq_search_many(spark, eidx, qvecs).count() == 0
+
+
 def test_maxsim_served_matches_inline_and_prunes(spark, tmp_path):
     """maxsim_search (X79): serving MaxSim from the persisted posting
     index returns exactly the inline q_maxsim ranking (the posting

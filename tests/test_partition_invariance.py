@@ -103,6 +103,7 @@ SAMPLE = (
     "q_rrf_served",            # persisted-index hybrid serve
     "q_loss_mask",             # islands-merged dup-span intervals
     "q_bm25_batch",            # one-pass multi-query ranked retrieval
+    "q_ivfpq_batch",           # union-cell batched ANN serving
 )
 
 _ALT = {
