@@ -189,6 +189,7 @@ HEADLINE = (
     "q_loss_mask",
     "q_bm25_batch",
     "q_ivfpq_batch",
+    "q_rrf_batch",
 )
 
 

@@ -2612,3 +2612,271 @@ def bm25_search_many(
         .select("qid", "rank", "doc_id", "score_fp")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X86 — batched hybrid retrieval (r11 capstone: N fused queries,
+# two pruned index scans, zero corpus scans)
+
+# fixed demo batch: (qid, terms, probe vec_id) — probe vectors are
+# corpus rows here (bounded 3-row read in the registry query); the
+# serve API takes raw vectors from the caller
+_RRF_BATCH: tuple[tuple[int, tuple[str, ...], int], ...] = (
+    (0, ("merge", "filter"), 0),
+    (1, ("batch",), 17),
+    (2, ("merge", "filter", "batch"), 42),
+)
+
+
+def rrf_search_many(
+    spark: SparkSession,
+    bm25_path: str,
+    ivfpq_path: str,
+    queries: dict[int, tuple[tuple[str, ...], list[float], int | None]],
+    nprobe: int = _RRF_NPROBE,
+    list_n: int = _RRF_LIST,
+    k: int = _RRF_TOP,
+) -> DataFrame:
+    """Batched hybrid retrieval — the whole query set fused with TWO
+    pruned index scans and zero corpus scans: the lexical leg is
+    bm25_search_many (one postings scan over the union of the
+    batch's token buckets), the vector leg is one codes scan over
+    the UNION of every query's probe cells with an exact per-query
+    cosine rerank (raw vectors ride in codes/; per-query probe cells
+    and query-vector literals enter as broadcast tables), and the
+    RRF fusion + per-query top-k run over 2×list_n rows per query.
+    ``queries`` maps qid -> (terms, raw query vector, vec_id to
+    exclude or None — the self-row when the probe is a corpus
+    vector).  Batching N hybrid queries costs two scans + N heaps
+    instead of 2N scans."""
+    from pyspark.sql import Window as _Win
+
+    from ..functions.vectors import cosine_expr
+    from .pq import _load_ivfpq_seeds
+    from .similarity import _rank_cells_py
+
+    empty_ddl = (
+        "qid BIGINT, rank INT, doc_id BIGINT, bm25_rank BIGINT, "
+        "vec_rank BIGINT, rrf_fp BIGINT"
+    )
+    if not queries:
+        return spark.createDataFrame([], empty_ddl)
+    bm = bm25_search_many(
+        spark,
+        bm25_path,
+        tuple((qid, ts) for qid, (ts, _, _) in sorted(queries.items())),
+        k=list_n,
+    ).select("qid", "doc_id", F.col("rank").cast("long").alias("bm25_rank"))
+
+    raw, c = _load_ivfpq_seeds(spark, ivfpq_path, 0)
+    if raw is None:
+        vec = spark.createDataFrame(
+            [], "qid BIGINT, doc_id BIGINT, vec_rank BIGINT"
+        )
+    else:
+        cents = [raw[i] for i in range(c)]
+        probe_rows, qv_rows, union_cells = [], [], set()
+        for qid, (_, qv, excl) in sorted(queries.items()):
+            qvf = [float(x) for x in qv]
+            cells = _rank_cells_py(cents, qvf)[:nprobe]
+            union_cells.update(int(p) for p in cells)
+            probe_rows += [(int(qid), int(p)) for p in cells]
+            qv_rows.append(
+                (int(qid), qvf, -1 if excl is None else int(excl))
+            )
+        probes = spark.createDataFrame(probe_rows, "qid LONG, cid INT")
+        qvdf = spark.createDataFrame(
+            qv_rows, "qid LONG, qvec ARRAY<DOUBLE>, excl LONG"
+        )
+        scored = (
+            spark.read.parquet(f"{ivfpq_path}/codes")
+            .filter(F.col("cid").isin(sorted(union_cells)))
+            .select("vec_id", "cid", "embedding")
+            .join(F.broadcast(probes), "cid")
+            .join(F.broadcast(qvdf), "qid")
+            .filter(F.col("vec_id") != F.col("excl"))
+            .select(
+                "qid",
+                F.col("vec_id").alias("doc_id"),
+                cosine_expr("embedding", "qvec").alias("cos"),
+            )
+        )
+        w_vec = _Win.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
+        vec = (
+            scored.withColumn(
+                "vec_rank", F.row_number().over(w_vec).cast("long")
+            )
+            .filter(F.col("vec_rank") <= list_n)
+            .select("qid", "doc_id", "vec_rank")
+        )
+    fused = bm.join(vec, ["qid", "doc_id"], "full_outer").selectExpr(
+        "qid",
+        "doc_id",
+        "bm25_rank",
+        "vec_rank",
+        f"CAST(coalesce(10000 div ({_RRF_K} + bm25_rank), 0) "
+        f"+ coalesce(10000 div ({_RRF_K} + vec_rank), 0) AS BIGINT)"
+        " AS rrf_fp",
+    )
+    w_out = _Win.partitionBy("qid").orderBy(F.desc("rrf_fp"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w_out).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "rank",
+            "doc_id",
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            "rrf_fp",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+def _rrf_batch_oracle() -> str:
+    from .similarity import _IVF_ASSIGN_SQL
+
+    qt_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts, _ in _RRF_BATCH for t in ts
+    )
+    pv_vals = ", ".join(f"({qid}, {pv})" for qid, _, pv in _RRF_BATCH)
+    return f"""
+        WITH post AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY doc_id, tok),
+        dlt AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+            FROM post GROUP BY doc_id),
+        st AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(dl), 0) AS BIGINT) AS total_toks
+            FROM dlt),
+        qt(qid, tok) AS (VALUES {qt_vals}),
+        dfq AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS df
+            FROM post GROUP BY tok),
+        scb AS (
+            SELECT q.qid, p.doc_id,
+                   CAST(sum({_bm25_contrib_cols('p.tf', 'd.df', '//')})
+                        AS BIGINT) AS score_fp
+            FROM qt q
+            JOIN post p USING (tok)
+            JOIN dfq d USING (tok)
+            JOIN dlt l ON l.doc_id = p.doc_id
+            CROSS JOIN st
+            GROUP BY 1, 2),
+        bmr AS (
+            SELECT qid, doc_id, bm25_rank FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY score_fp DESC, doc_id)
+                         AS bm25_rank
+                FROM scb)
+            WHERE bm25_rank <= {_RRF_LIST}),
+        {_IVF_ASSIGN_SQL},
+        qv AS (
+            SELECT q.qid, q.pvid, e.embedding
+            FROM (VALUES {pv_vals}) q(qid, pvid)
+            JOIN embeddings e ON e.vec_id = q.pvid),
+        qcb AS (
+            SELECT qid, cid AS qcid FROM (
+                SELECT qv.qid, c.cid,
+                       row_number() OVER (
+                           PARTITION BY qv.qid
+                           ORDER BY list_cosine_similarity(
+                               c.cemb::DOUBLE[], qv.embedding::DOUBLE[]
+                           ) DESC, c.cid ASC) AS qrn
+                FROM cents c CROSS JOIN qv)
+            WHERE qrn <= {_RRF_NPROBE}),
+        vecr AS (
+            SELECT qcb.qid, e.vec_id,
+                   list_cosine_similarity(
+                       e.embedding::DOUBLE[], qv.embedding::DOUBLE[]
+                   ) AS cos
+            FROM embeddings e
+            JOIN a1 ON e.vec_id = a1.vec_id
+            JOIN qcb ON a1.cid = qcb.qcid
+            JOIN qv ON qv.qid = qcb.qid
+            WHERE e.vec_id <> qv.pvid AND e.embedding IS NOT NULL),
+        vecb AS (
+            SELECT qid, vec_id AS doc_id, vec_rank FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, vec_id)
+                         AS vec_rank
+                FROM vecr)
+            WHERE vec_rank <= {_RRF_LIST}),
+        fusedb AS (
+            SELECT coalesce(b.qid, v.qid) AS qid,
+                   coalesce(b.doc_id, v.doc_id) AS doc_id,
+                   b.bm25_rank, v.vec_rank,
+                   CAST(coalesce(10000 // ({_RRF_K} + b.bm25_rank), 0)
+                      + coalesce(10000 // ({_RRF_K} + v.vec_rank), 0)
+                      AS BIGINT) AS rrf_fp
+            FROM bmr b
+            FULL OUTER JOIN vecb v
+              ON b.qid = v.qid AND b.doc_id = v.doc_id),
+        rb AS (
+            SELECT qid, doc_id, bm25_rank, vec_rank, rrf_fp,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY rrf_fp DESC, doc_id)
+                     AS rank
+            FROM fusedb)
+        SELECT CAST(qid AS BIGINT) AS qid,
+               CAST(rank AS INTEGER) AS rank,
+               doc_id,
+               CAST(bm25_rank AS BIGINT) AS bm25_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank,
+               rrf_fp
+        FROM rb WHERE rank <= {_RRF_TOP}
+        ORDER BY qid, rank
+    """
+
+
+@query(
+    "q_rrf_batch",
+    oracle=_rrf_batch_oracle(),
+    tags=("text", "similarity", "search", "hybrid", "rrf", "batch",
+          "serve", "extension"),
+)
+def q_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid retrieval (X86) — the round's serving capstone:
+    the fixed 3-query demo batch (terms + probe vector each) fused
+    through rrf_search_many over persisted indexes — ONE postings
+    scan (union token buckets), ONE codes scan (union probe cells,
+    exact per-query cosine rerank from the in-codes raw vectors),
+    integer RRF, per-query top-{_RRF_TOP}.  The oracle replays all
+    three queries' full lexical + vector + fusion stacks in one
+    relational chain, so a green row proves the batch path answers
+    every query exactly as the per-query machinery would — at the
+    cost of 2 scans instead of 2N."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from .pq import build_ivfpq_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"osm_spark_rrfb_{tag}")
+    build_bm25_index(docs, f"{base}/bm25")
+    build_ivfpq_index(emb, f"{base}/ivfpq")
+    pvids = [pv for _, _, pv in _RRF_BATCH]
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(pvids))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    queries = {
+        qid: (ts, qrows[pv], pv) for qid, ts, pv in _RRF_BATCH
+    }
+    return rrf_search_many(
+        spark, f"{base}/bm25", f"{base}/ivfpq", queries
+    )

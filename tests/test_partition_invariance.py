@@ -104,6 +104,7 @@ SAMPLE = (
     "q_loss_mask",             # islands-merged dup-span intervals
     "q_bm25_batch",            # one-pass multi-query ranked retrieval
     "q_ivfpq_batch",           # union-cell batched ANN serving
+    "q_rrf_batch",             # two-scan batched hybrid fusion
 )
 
 _ALT = {
