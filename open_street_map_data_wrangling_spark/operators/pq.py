@@ -1400,10 +1400,13 @@ def q_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"osm_spark_ivfpq_batch_{tag}"
     )
     build_ivfpq_index(emb, path)
+    # NULL-embedding probes drop out (registry null-input contract);
+    # an empty probe set serves typed empty
     qrows = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in emb.filter(
             F.col("vec_id").isin(list(_IVFPQ_BATCH_QIDS))
+            & F.col("embedding").isNotNull()
         )
         .select("vec_id", "embedding")
         .collect()

@@ -2870,12 +2870,20 @@ def q_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pvids = [pv for _, _, pv in _RRF_BATCH]
     qrows = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id").isin(pvids))
+        for r in emb.filter(
+            F.col("vec_id").isin(pvids)
+            & F.col("embedding").isNotNull()
+        )
         .select("vec_id", "embedding")
         .collect()
     }
+    # registry empty/null-input contract: probes missing from the
+    # corpus (empty table, NULL embedding) drop out of the batch —
+    # an empty batch serves typed empty
     queries = {
-        qid: (ts, qrows[pv], pv) for qid, ts, pv in _RRF_BATCH
+        qid: (ts, qrows[pv], pv)
+        for qid, ts, pv in _RRF_BATCH
+        if pv in qrows
     }
     return rrf_search_many(
         spark, f"{base}/bm25", f"{base}/ivfpq", queries
