@@ -169,6 +169,10 @@ _MODIFIED_PRIORITY: tuple[str, ...] = (
     # pivoted callers — q_bm25/q_rrf_fusion/q_rrf_served re-verified
     # green at sf0.01 post-refactor; the long form feeds q_bm25_batch).
     "q_bm25_batch",
+    # Round 11 wave 4: q_lsh_audit's four fan-out relations are each
+    # checkpoint-cut (25 visible scans -> 0); result hash re-verified
+    # unchanged at sf0.01.
+    "q_lsh_audit",
     # Round 11 wave 3: q_int8_recall's scoring core factored into
     # _int8_recall_audit (explicit scales), shared with the served
     # int8_recall_served path; re-verified green at sf0.01.
