@@ -190,6 +190,7 @@ HEADLINE = (
     "q_bm25_batch",
     "q_ivfpq_batch",
     "q_rrf_batch",
+    "q_maxsim_batch",
 )
 
 

@@ -2888,3 +2888,214 @@ def q_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_search_many(
         spark, f"{base}/bm25", f"{base}/ivfpq", queries
     )
+
+
+# ---------------------------------------------------------------------------
+# X87 — batched MaxSim (late interaction completes the batch matrix)
+
+_MAXSIM_BATCH: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("merge", "filter")),
+    (1, ("batch",)),
+    (2, ("merge", "filter", "batch")),
+)
+
+
+def _maxsim_pair_dot_sql(qcol: str, tcol: str, hexfn) -> str:
+    """Integer dot product between the md5-lane vectors of TWO token
+    columns — both sides derived in-engine (no driver literals), so
+    the batched form needs no per-query plan constants; ``hexfn(col,
+    i)`` renders lane i of a column (engine-specific hex extract)."""
+    return " + ".join(
+        f"(({hexfn(qcol, i)}) - 128) * (({hexfn(tcol, i)}) - 128)"
+        for i in range(_MAXSIM_DIM)
+    )
+
+
+def _maxsim_batch_scored(
+    toks: DataFrame, qt: DataFrame, k: int
+) -> DataFrame:
+    """(qid, rank, doc_id, maxsim) over a DISTINCT (doc_id, tok)
+    relation and a (qid, qtok) query table: candidates per query =
+    docs sharing a term with THAT query, then per (qid, qtok, doc)
+    the max integer dot over the doc's token vectors, summed per
+    (qid, doc), per-query WindowGroupLimit top-k.  Shared by the
+    inline q_maxsim_batch and maxsim_search_many."""
+    from pyspark.sql import Window as _Win
+
+    # lane vectors are hoisted to EACH SIDE before the pair join: one
+    # md5 + 16 substr/conv per (doc, tok) row and per (qid, qtok) row,
+    # so the pair-volume work is a pure 16-lane integer zip_with fold
+    # — the r11 first cut extracted lanes AT pair volume (2 md5 + 32
+    # string ops per candidate×token×term row) and ran 8.3 s at
+    # sf0.1; this shape does the string work at token volume.  The
+    # oracle keeps the direct per-pair expression — same integers,
+    # hash-identical, which is the proof the hoist is sound.
+    lanes = (
+        f"transform(sequence(0, {_MAXSIM_DIM - 1}), i -> "
+        f"CAST(conv(substring(__h, i * 2 + 1, 2), 16, 10) AS BIGINT)"
+        f" - 128)"
+    )
+    toksv = (
+        toks.withColumn("__h", F.md5("tok"))
+        .withColumn("tv", F.expr(lanes))
+        .drop("__h")
+    )
+    qtv = (
+        qt.withColumn("__h", F.md5("qtok"))
+        .withColumn("qv", F.expr(lanes))
+        .drop("__h")
+    )
+    cand = (
+        toks.join(
+            F.broadcast(qt.withColumnRenamed("qtok", "tok")), "tok"
+        )
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    pairs = cand.join(toksv, "doc_id").join(F.broadcast(qtv), "qid")
+    best = (
+        pairs.withColumn(
+            "d",
+            F.expr(
+                "aggregate(zip_with(qv, tv, (a, b) -> a * b), 0L, "
+                "(acc, v) -> acc + v)"
+            ).cast("long"),
+        )
+        .groupBy("qid", "qtok", "doc_id")
+        .agg(F.max("d").alias("m"))
+    )
+    sc = best.groupBy("qid", "doc_id").agg(
+        F.sum("m").cast("long").alias("maxsim")
+    )
+    w = _Win.partitionBy("qid").orderBy(F.desc("maxsim"), "doc_id")
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "maxsim")
+        .orderBy("qid", "rank")
+    )
+
+
+def _maxsim_batch_oracle() -> str:
+    def hexfn(col: str, i: int) -> str:
+        return f"(('0x' || substr(md5({col}), {2 * i + 1}, 2))::BIGINT)"
+
+    qt_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _MAXSIM_BATCH for t in ts
+    )
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+            WHERE tok <> ''),
+        qt(qid, qtok) AS (VALUES {qt_vals}),
+        cand AS (
+            SELECT DISTINCT q.qid, t.doc_id
+            FROM qt q JOIN toks t ON t.tok = q.qtok),
+        best AS (
+            SELECT c.qid, q.qtok, c.doc_id,
+                   max({_maxsim_pair_dot_sql('q.qtok', 't.tok', hexfn)})
+                     AS m
+            FROM cand c
+            JOIN toks t ON t.doc_id = c.doc_id
+            JOIN qt q ON q.qid = c.qid
+            GROUP BY 1, 2, 3),
+        sc AS (
+            SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS maxsim
+            FROM best GROUP BY qid, doc_id),
+        r AS (
+            SELECT qid, doc_id, maxsim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY maxsim DESC, doc_id)
+                     AS rank
+            FROM sc)
+        SELECT CAST(qid AS BIGINT) AS qid,
+               CAST(rank AS INTEGER) AS rank,
+               doc_id, maxsim
+        FROM r WHERE rank <= {_MAXSIM_K}
+        ORDER BY qid, rank
+    """
+
+
+@query(
+    "q_maxsim_batch",
+    oracle=_maxsim_batch_oracle(),
+    tags=("text", "similarity", "search", "late-interaction", "maxsim",
+          "batch", "extension"),
+)
+def q_maxsim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched MaxSim (X87) — late interaction joins the batch matrix
+    (lexical q_bm25_batch, vector q_ivfpq_batch, hybrid q_rrf_batch):
+    the fixed 3-query demo set scored in ONE pass, candidates bounded
+    PER QUERY (docs sharing a term with that query), per-(query,
+    term, doc) max integer dot, per-query top-{_MAXSIM_K}.  Unlike
+    the solo form, BOTH sides of the dot derive from md5 lanes
+    in-engine (no per-query plan literals), so the batch needs no
+    driver-side vector construction at any batch size — query terms
+    are data, not plan constants.  maxsim_search_many serves the
+    identical rankings from the persisted posting index."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in _MAXSIM_BATCH for t in ts],
+        "qid long, qtok string",
+    )
+    return _maxsim_batch_scored(toks, qt, _MAXSIM_K)
+
+
+def maxsim_search_many(
+    spark: SparkSession,
+    index_path: str,
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = _MAXSIM_BATCH,
+    k: int = _MAXSIM_K,
+) -> DataFrame:
+    """q_maxsim_batch over the PERSISTED posting index — zero corpus
+    scans: the batch's candidate doc set from ONE postings scan
+    pruned to the UNION of every query's token buckets, the
+    candidates' full token rows via a broadcast semi-join, then the
+    shared batched interaction.  Per-qid results are IDENTICAL to
+    maxsim_search solo (pytest-pinned)."""
+    from pyspark.sql import Row
+
+    queries = tuple((int(q), tuple(dict.fromkeys(ts))) for q, ts in queries)
+    all_terms = tuple(dict.fromkeys(t for _, ts in queries for t in ts))
+    if not queries or not all_terms:
+        return spark.createDataFrame(
+            [], "qid BIGINT, rank INT, doc_id BIGINT, maxsim BIGINT"
+        )
+    tdf = spark.createDataFrame([Row(tok=t) for t in all_terms])
+    bkts = [
+        int(r["b"])
+        for r in tdf.select(
+            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    post_ddl = "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, bkt INT"
+    cand_docs = (
+        spark.read.schema(post_ddl)
+        .parquet(f"{index_path}/postings")
+        .filter(F.col("bkt").isin(bkts))
+        .filter(F.col("tok").isin(*all_terms))
+        .select("doc_id")
+        .distinct()
+    )
+    toks = (
+        spark.read.schema(post_ddl)
+        .parquet(f"{index_path}/postings")
+        .join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .select("doc_id", "tok")
+    )
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in queries for t in ts], "qid long, qtok string"
+    )
+    return _maxsim_batch_scored(toks, qt, k)

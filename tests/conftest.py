@@ -97,6 +97,7 @@ _SLOW_TESTS = {
     "test_bm25_search_many_equals_per_query_serving",
     "test_ivfpq_search_many_equals_per_query_serving",
     "test_rrf_search_many_equals_per_query_serving",
+    "test_maxsim_search_many_equals_per_query_serving",
     "test_jpeg_codec_roundtrip_entropy_and_profile_rejects",
 }
 

@@ -2455,6 +2455,37 @@ def test_rrf_search_many_equals_per_query_serving(spark, tmp_path):
     assert tx.rrf_search_many(spark, bmp, pqp, {}).count() == 0
 
 
+def test_maxsim_search_many_equals_per_query_serving(spark, tmp_path):
+    """maxsim_search_many (X87): the batched late-interaction path
+    returns, per qid, EXACTLY what maxsim_search returns for that
+    query's terms alone (the hoisted lane vectors are the same
+    integers as the solo form's literal query vectors); the plan
+    never reads the corpus; empty batches yield typed empty."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = str(tmp_path / "bm25")
+    tx.build_bm25_index(docs, idx)
+    batch = tx.maxsim_search_many(spark, idx, tx._MAXSIM_BATCH)
+    p = batch._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in p
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], r["maxsim"])
+        )
+    for qid, terms in tx._MAXSIM_BATCH:
+        solo = [
+            (r["rank"], r["doc_id"], r["maxsim"])
+            for r in tx.maxsim_search(spark, idx, terms).collect()
+        ]
+        assert got[qid] == solo, qid
+    assert tx.maxsim_search_many(spark, idx, ()).count() == 0
+
+
 def test_maxsim_served_matches_inline_and_prunes(spark, tmp_path):
     """maxsim_search (X79): serving MaxSim from the persisted posting
     index returns exactly the inline q_maxsim ranking (the posting

@@ -105,6 +105,7 @@ SAMPLE = (
     "q_bm25_batch",            # one-pass multi-query ranked retrieval
     "q_ivfpq_batch",           # union-cell batched ANN serving
     "q_rrf_batch",             # two-scan batched hybrid fusion
+    "q_maxsim_batch",          # in-engine lane-vector MaxSim batch
 )
 
 _ALT = {
