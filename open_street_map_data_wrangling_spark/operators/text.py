@@ -2491,7 +2491,15 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero corpus scans, bucket pruning over the union of the batch's
     terms)."""
     docs = load_table(spark, sf_dir, "documents")
-    post = _bm25_postings(docs).select("doc_id", "tok", "tf", "dl")
+    # the postings relation feeds three consumers (stats aggregate,
+    # token slice, df aggregate) — checkpoint-cut once so the corpus
+    # scan + explode compile once, not per branch (the q_containment
+    # diamond discipline; uncut this was a 3-scan plan)
+    post = (
+        _bm25_postings(docs)
+        .select("doc_id", "tok", "tf", "dl")
+        .localCheckpoint(eager=False)
+    )
     st = post.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_toks"),
