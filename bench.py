@@ -194,7 +194,59 @@ HEADLINE = (
 )
 
 
+def _fold_stamps() -> None:
+    """Round-close hygiene (VERDICT r11 #1): fold every committed
+    CORRECTNESS round into STAMPS.json so the driver's ~50-slot
+    verification window never burns slots re-verifying already-green
+    queries.  The tool is a pure function of committed history, so
+    running it here — the one script the driver executes every round —
+    makes the fold mechanical.  Best-effort: a failure must never take
+    the benchmark down with it."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        run = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "update_stamps.py")],
+            cwd=here,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        print("stamps:", (run.stdout or run.stderr).strip().splitlines()[0], file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 - advisory only
+        print(f"stamps: fold skipped ({exc})", file=sys.stderr)
+
+
+def _compact_line(out: dict, cap: int = 1900) -> str:
+    """A single JSON line guaranteed under ``cap`` characters: the
+    driver's stdout line scanner drops lines past ~2k chars (BENCH_r06
+    through r11 all recorded ``parsed: null`` once the full per-query
+    dict outgrew the window; r05's 66-query line still parsed), so the
+    machine-readable record must fit.  Headline fields stay
+    schema-compatible with the full line; the per-query dict keeps the
+    slowest queries first until the budget runs out, and ``n_queries``
+    records how many were measured in total."""
+    base = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": len(out["queries"]),
+        "queries": {},
+    }
+    if "common_subset" in out:
+        base["common_subset"] = out["common_subset"]
+    for name, sec in sorted(out["queries"].items(), key=lambda kv: -kv[1]):
+        base["queries"][name] = sec
+        if len(json.dumps(base)) > cap:
+            del base["queries"][name]
+            break
+    return json.dumps(base)
+
+
 def main() -> None:
+    _fold_stamps()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     specs = load_all_queries()
@@ -479,6 +531,12 @@ def main() -> None:
                     ),
                     file=sys.stderr,
                 )
+    # Two stdout lines, by design (VERDICT r11 #6): the compact line
+    # fits the driver's per-line parse window no matter how many
+    # headline queries exist; the full line follows, so the recorded
+    # 2000-char tail still carries recoverable per-query pairs and
+    # the serve-split sections for the judge.
+    print(_compact_line(out))
     print(json.dumps(out))
     spark.stop()
 

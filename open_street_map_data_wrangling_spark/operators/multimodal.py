@@ -1153,8 +1153,17 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, int]:
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: non-baseline SOF unsupported")
         elif marker == 0xDA:
-            if width is None or dc_table is None or ac_table is None:
-                raise ValueError("jpeg: SOS before SOF/DHT")
+            # qid is defined by the SOF parse, so the quant-table check
+            # belongs with the other SOS preconditions — a stream with
+            # SOS before any DQT must fail the ValueError contract, not
+            # KeyError at qtables[qid] (ADVICE r11).
+            if (
+                width is None
+                or dc_table is None
+                or ac_table is None
+                or qid not in qtables
+            ):
+                raise ValueError("jpeg: SOS before SOF/DHT/DQT")
             scan_off = off + ln
             bw, bh = (width + 7) // 8, (height + 7) // 8
             blocks = _jpeg_entropy_decode(
@@ -1366,6 +1375,18 @@ def encode_gif_gray(width: int, height: int, rows: list[bytes]) -> bytes:
             cw = _GIF_MCS + 1
         cur = bytes([b])
     put(table[cur], cw)
+    # The decoder's table lags the encoder's by one: while processing
+    # this final data code it appends one more entry (index
+    # next_code-1) and applies its width-bump rule BEFORE reading the
+    # next code, so EOI must be written at the width the decoder will
+    # read it with.  Without this mirror-bump, a stream whose final
+    # append lands exactly on index (1<<cw)-1 has the decoder read EOI
+    # one bit wider than written (ADVICE r11: truncation at an exact
+    # bump boundary, e.g. a 255-px all-distinct-bigram ramp).  The
+    # power-of-two condition implies next_code > 258, i.e. the decoder
+    # really did append (its first post-clear code appends nothing).
+    if next_code == (1 << cw) and cw < 12:
+        cw += 1
     put(eoi, cw)
     if nbits:
         codes.append(acc & 0xFF)

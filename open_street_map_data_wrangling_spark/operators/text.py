@@ -1107,12 +1107,15 @@ _BM25_B = 7_500
 _BM25_IDF_SHIFT = 1_048_576  # 2^20 pre-shift inside the idf log
 
 
-def _bm25_contrib_cols(tf: str, df: str, divop: str) -> str:
+def _bm25_contrib_cols(tf: str, df: str, divop: str, dl: str = "dl") -> str:
     """Single-term BM25 contribution as engine-neutral SQL text over
-    NAMED tf/df columns plus dl and scalar columns n_docs /
+    NAMED tf/df/dl columns plus scalar columns n_docs /
     total_toks.  ``divop`` is the engine's truncating integer
     division ('div' for Spark, '//' for DuckDB — identical on the
-    non-negative operands used here).
+    non-negative operands used here).  ``dl`` is passed qualified
+    (e.g. 'l.dl') by the batch oracles, where a future column added
+    to the `post` CTE could otherwise make the bare name ambiguous
+    (ADVICE r11: the old `.replace("{dl}", ...)` was a dead no-op).
 
       idf_fp   = floor(log2(n_docs * 2^20 / df))        [bit-length]
       norm_fp  = S - B + B * dl / avgdl                 [x S]
@@ -1125,7 +1128,7 @@ def _bm25_contrib_cols(tf: str, df: str, divop: str) -> str:
     row per (query, doc, term)) compile THIS one arithmetic."""
     norm = (
         f"({_BM25_S} - {_BM25_B} + "
-        f"(({_BM25_B} * dl * n_docs) {divop} total_toks))"
+        f"(({_BM25_B} * {dl} * n_docs) {divop} total_toks))"
     )
     denom = f"({tf} * {_BM25_S} + (({_BM25_K1} * {norm}) {divop} {_BM25_S}))"
     tfpart = f"(({tf} * {_BM25_K1 + _BM25_S} * {_BM25_S}) {divop} {denom})"
@@ -2449,7 +2452,7 @@ _BM25_BATCH_QT_SQL = ", ".join(
             FROM post GROUP BY tok),
         sc AS (
             SELECT q.qid, p.doc_id,
-                   CAST(sum({_bm25_contrib_cols('p.tf', 'd.df', '//')})
+                   CAST(sum({_bm25_contrib_cols('p.tf', 'd.df', '//', 'l.dl')})
                         AS BIGINT) AS score_fp
             FROM qt q
             JOIN post p USING (tok)
@@ -2468,7 +2471,7 @@ _BM25_BATCH_QT_SQL = ", ".join(
                doc_id, score_fp
         FROM r WHERE rank <= {_BM25_BATCH_K}
         ORDER BY qid, rank
-    """.replace("{dl}", "l.dl"),
+    """,
     tags=("text", "extension", "search", "bm25", "ranking", "batch"),
 )
 def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2770,7 +2773,7 @@ def _rrf_batch_oracle() -> str:
             FROM post GROUP BY tok),
         scb AS (
             SELECT q.qid, p.doc_id,
-                   CAST(sum({_bm25_contrib_cols('p.tf', 'd.df', '//')})
+                   CAST(sum({_bm25_contrib_cols('p.tf', 'd.df', '//', 'l.dl')})
                         AS BIGINT) AS score_fp
             FROM qt q
             JOIN post p USING (tok)

@@ -2694,6 +2694,58 @@ def test_gif_codec_roundtrip_kwkwk_reset_and_profile_rejects():
         decode_gif_gray(bytes(payload))
 
 
+def test_gif_codec_width_bump_boundary_roundtrip():
+    """ADVICE r11 (medium): the decoder appends one more table entry
+    while consuming the FINAL data code and bumps its code width when
+    that entry lands exactly on index (1<<cw)-1; the encoder must
+    mirror that bump before writing EOI or the decoder reads EOI one
+    bit wider than written.  Exercised at every reachable bump
+    boundary (next_code hits 512/1024/2048 at the final emission) via
+    all-distinct-bigram ramps, plus the original 8445-px de Bruijn
+    prefix repro that raised 'gif: truncated LZW stream'."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    def roundtrip(data: bytes) -> None:
+        got = decode_gif_gray(encode_gif_gray(len(data), 1, [data]))
+        assert got == (
+            len(data), 1, sum(data), sum(v * v for v in data),
+        )
+
+    # ramp of n distinct-bigram pixels ends with next_code == 258+(n-1)
+    for n in (254, 255, 256, 510, 511, 766, 767, 768):
+        roundtrip(bytes(i % 256 for i in range(n)))
+    db = bytearray()
+    for a in range(256):
+        for b in range(256):
+            if len(db) < 8445:
+                db += bytes((a, b))
+    roundtrip(bytes(db[:8445]))
+
+
+def test_jpeg_sos_before_dqt_raises_value_error():
+    """ADVICE r11 (low): a stream with SOS before any DQT segment must
+    fail the ValueError malformed-profile contract, not KeyError at
+    qtables[qid].  Built by stripping the DQT segment out of a valid
+    encoder output."""
+    import pytest as _pytest
+
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    payload = bytearray(encode_jpeg_gray(8, 8, [bytes([128] * 8)] * 8))
+    i = payload.find(b"\xff\xdb")  # DQT marker
+    assert i >= 0
+    seg_len = (payload[i + 2] << 8) | payload[i + 3]
+    del payload[i : i + 2 + seg_len]
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(payload))
+
+
 def test_jpeg_codec_roundtrip_entropy_and_profile_rejects():
     """encode_jpeg_gray / decode_jpeg_gray (X78): bit-exact roundtrip
     of block-constant images including DC-swing extremes (0/255
