@@ -191,6 +191,8 @@ HEADLINE = (
     "q_ivfpq_batch",
     "q_rrf_batch",
     "q_maxsim_batch",
+    # added round 12
+    "q_tombstone_served",
 )
 
 

@@ -1137,6 +1137,72 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
     fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
 
 
+def purge_ivfpq_index(
+    spark: SparkSession, path: str, deleted: DataFrame
+) -> None:
+    """Tombstone purge of the persisted IVF-PQ index — the delete
+    half of the lifecycle (build → maintain → compact → DELETE):
+    drop the deleted vec_ids' rows (PQ codes AND the colocated raw
+    vectors) from codes/ in one broadcast anti-join rewrite, so no
+    serve path — ADC probe, exact rerank, hybrid fusion — can ever
+    surface a deleted id again.  ``deleted`` is a (vec_id) frame,
+    request-sized.
+
+    seeds/ rows are MODEL PARAMETERS, not corpus rows: the codebook
+    seeds, IVF centroids, and demo probe (vec_id below the build's
+    seed horizon).  Purging one of those from codes/ would stop it
+    being retrievABLE while its raw vector kept parameterizing every
+    lookup — silent half-compliance — so a deleted id that is also a
+    seed raises instead: forgetting a model parameter means
+    RETRAINING (build_ivfpq_index over the filtered corpus), a
+    different operation with a different cost, and the caller must
+    choose it explicitly.  The guard is one bounded seeds read
+    semi-joined against the request set.
+
+    For non-seed ids the purged store is row-identical to a fresh
+    build over the filtered corpus (same frozen model — pinned in
+    tests/test_tombstone.py), and q_tombstone_served's oracle proves
+    the served ADC ranking equals the filtered recompute.
+    Stage-then-swap commit, same as compact_ivfpq_index: the rewrite
+    reads the files it replaces."""
+    dele = deleted.select("vec_id").distinct()
+    seeds = spark.read.schema(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT"
+    ).parquet(f"{path}/seeds")
+    if not seeds.head(1):
+        # index built from an empty corpus: fileless seeds AND
+        # fileless codes (the build's _empty_result branch) — nothing
+        # to purge, and a schemaless codes read would raise before
+        # the anti-join could no-op (the empty-input sweep contract)
+        return
+    hit = (
+        seeds.join(F.broadcast(dele), "vec_id", "left_semi")
+        .select("vec_id")
+        .collect()
+    )
+    if hit:
+        ids = sorted(int(r["vec_id"]) for r in hit)
+        raise ValueError(
+            f"ivfpq purge: ids {ids[:8]} are codebook/centroid/probe "
+            "seeds (model parameters); forgetting them requires a "
+            "model rebuild — build_ivfpq_index over the filtered "
+            "corpus — not a row purge"
+        )
+    kept = (
+        spark.read.parquet(f"{path}/codes")
+        .join(F.broadcast(dele), "vec_id", "left_anti")
+    )
+    stage = f"{path}/codes_purge_stage"
+    kept.write.mode("overwrite").partitionBy("cid", "__batch").parquet(stage)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(f"{path}/codes").getFileSystem(hconf)
+    spark.read.parquet(stage).write.mode("overwrite").partitionBy(
+        "cid", "__batch"
+    ).parquet(f"{path}/codes")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+
+
 # ---------------------------------------------------------------------------
 # X62 — two-stage retrieval: ADC shortlist -> exact rerank (r10)
 

@@ -1340,6 +1340,53 @@ def build_bm25_index(docs: DataFrame, path: str) -> None:
     write_bm25_stats(post, path)
 
 
+def purge_bm25_index(
+    spark: SparkSession, index_path: str, deleted: DataFrame
+) -> None:
+    """Tombstone purge of the persisted BM25 index — the delete half
+    of the index lifecycle (build → maintain → update → DELETE):
+    drop every posting of the deleted doc_ids, then RECOMPUTE stats/
+    from the surviving postings, so the served idf/avgdl constants
+    describe the post-deletion corpus exactly.  ``deleted`` is a
+    (doc_id) frame — request-sized, broadcast into ONE store-wide
+    anti-join pass; a deleted doc's tokens hash across all {_INDEX_BUCKETS}
+    bucket partitions, so the honest cost IS a full postings rewrite
+    (the same pass a compaction pays).  Because tf/dl are per-doc
+    pure functions of text, the purged store is ROW-IDENTICAL to a
+    fresh build over the filtered corpus — pinned in
+    tests/test_tombstone.py, and q_tombstone_served's oracle proves
+    the SERVED ranking equals the filtered-corpus recompute.
+    Stage-rename commit (streaming.jobs protocol) guards readers; a
+    crash between the postings commit and the stats refresh leaves a
+    consistent store one stats-refresh behind, restored by the next
+    maintenance batch (the bm25_index_merge_fn contract)."""
+    from ..streaming.jobs import _commit_store, _recover_store
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    store_path = jvm.org.apache.hadoop.fs.Path(f"{index_path}/postings")
+    stage_path = jvm.org.apache.hadoop.fs.Path(
+        f"{index_path}/postings_stage"
+    )
+    fs = store_path.getFileSystem(hconf)
+    _recover_store(fs, store_path, stage_path)
+    ddl = "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, bkt INT"
+    kept = (
+        spark.read.schema(ddl)
+        .parquet(f"{index_path}/postings")
+        .join(
+            F.broadcast(deleted.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    kept.write.mode("overwrite").partitionBy("bkt").parquet(str(stage_path))
+    _commit_store(fs, store_path, stage_path)
+    write_bm25_stats(
+        spark.read.schema(ddl).parquet(f"{index_path}/postings"), index_path
+    )
+
+
 def bm25_search(
     spark: SparkSession,
     index_path: str,
@@ -3110,3 +3157,237 @@ def maxsim_search_many(
         [(q, t) for q, ts in queries for t in ts], "qid long, qtok string"
     )
     return _maxsim_batch_scored(toks, qt, k)
+
+
+# ---------------------------------------------------------------------------
+# X88 — tombstone propagation into the serving stores (r12)
+#
+# q_tombstone_delete (pipeline_ops.py) audits right-to-be-forgotten
+# against the CORPUS; until this round a deleted doc_id kept
+# surfacing from every persisted serving artifact — BM25 postings,
+# IVF-PQ codes, span-gram counters, winnow prints — until a full
+# rebuild.  Updates got their lifecycle story in r11 (doc-replace
+# merge, ivfpq compaction); this closes the delete half: purge
+# functions per store (purge_bm25_index above, pq.purge_ivfpq_index,
+# streaming.jobs.purge_span_gram_store / purge_winnow_store) plus
+# this end-to-end proof that after the purge NO serve path — bm25,
+# ADC probe, hybrid RRF, late-interaction MaxSim — returns a
+# tombstoned id, and that every served ranking equals the
+# filtered-corpus recompute (the oracle), stats and all.
+
+# The demo tombstone set: ids >= _TOMB_MIN with id % _TOMB_MOD ==
+# _TOMB_RES — deterministic, ~1/5 of the fixture corpus, and floored
+# ABOVE the IVF-PQ seed horizon (max(_K, C, query_id+1) = 18 at
+# every test scale) so the frozen serving model is untouched and
+# purge == filtered rebuild holds exactly (ids below the horizon are
+# model parameters; purge_ivfpq_index raises on them by contract).
+_TOMB_MIN = 32
+_TOMB_MOD = 5
+_TOMB_RES = 0
+
+
+def _tomb_keep_sql(col: str) -> str:
+    """SQL predicate keeping NON-tombstoned ids — shared by every
+    oracle leg so the filtered recompute and the Spark-side request
+    set can never drift."""
+    return (
+        f"NOT ({col} >= {_TOMB_MIN} AND {col} % {_TOMB_MOD} = {_TOMB_RES})"
+    )
+
+
+def _tombstone_oracle() -> str:
+    """Four-leg filtered recompute: each serve path's existing oracle
+    chain over the corpus MINUS the tombstone set.  The lexical legs
+    (bm25, maxsim, rrf's bm25 arm) filter `documents` outright —
+    the purged postings ARE a fresh build over the filtered corpus,
+    stats included.  The vector legs keep the MODEL CTEs (codebook,
+    centroids, probe cells) over the FULL embeddings — purge freezes
+    the model, exactly like the purged store keeps its seeds/ — and
+    filter only the candidate rows.  Leg CTEs stay inside their own
+    parenthesized subqueries so the four chains' names never
+    collide."""
+    from .pq import _CODES_SQL, _IVFPQ_NPROBE, _QUERY_ID, _SUBDIM, _d2_terms
+
+    keep_doc = _tomb_keep_sql("doc_id")
+    assert _BM25_ORACLE_CTES.count("FROM documents") == 1
+    bm_f = _BM25_ORACLE_CTES.replace(
+        "FROM documents", f"FROM documents WHERE {keep_doc}"
+    )
+    bm_leg = f"""
+        SELECT 'bm25' AS path, rank, doc_id, score_fp FROM (
+          WITH {bm_f}
+          SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id)
+                      AS INTEGER) AS rank,
+                 doc_id, score_fp
+          FROM scored ORDER BY score_fp DESC, doc_id LIMIT {_BM25_K})"""
+    ivf_leg = f"""
+        SELECT 'ivfpq' AS path, rank, vec_id AS doc_id,
+               adc_d2 AS score_fp FROM (
+          WITH {_CODES_SQL},
+          {_IVF_ASSIGN_SQL},
+          {_ivf_qcells_sql(_QUERY_ID, _IVFPQ_NPROBE)},
+          q AS (SELECT embedding FROM embeddings
+                WHERE vec_id = {_QUERY_ID}),
+          lut AS (
+              SELECT subs.s, seeds.cid, sum({_d2_terms('q', 'seeds')}) AS d2
+              FROM q CROSS JOIN subs CROSS JOIN seeds
+              CROSS JOIN generate_series(1, {_SUBDIM}) g(i)
+              GROUP BY 1, 2),
+          ivfcand AS (
+              SELECT a1.vec_id FROM a1 JOIN qc ON a1.cid = qc.qcid
+              WHERE a1.vec_id <> {_QUERY_ID}
+                AND {_tomb_keep_sql('a1.vec_id')}),
+          adcq AS (
+              SELECT c.vec_id,
+                     CAST(l0.d2 + l1.d2 + l2.d2 + l3.d2 AS BIGINT) AS adc_d2
+              FROM codes c
+              JOIN ivfcand USING (vec_id)
+              JOIN lut l0 ON l0.s = 0 AND l0.cid = c.code0
+              JOIN lut l1 ON l1.s = 1 AND l1.cid = c.code1
+              JOIN lut l2 ON l2.s = 2 AND l2.cid = c.code2
+              JOIN lut l3 ON l3.s = 3 AND l3.cid = c.code3)
+          SELECT CAST(row_number() OVER (ORDER BY adc_d2, vec_id) AS INT)
+                   AS rank,
+                 vec_id, adc_d2
+          FROM adcq ORDER BY adc_d2, vec_id LIMIT 10)"""
+    rrf_leg = f"""
+        SELECT 'rrf' AS path, rank, doc_id, rrf_fp AS score_fp FROM (
+          WITH {bm_f},
+          bm AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score_fp DESC, doc_id)
+                       AS bm25_rank
+              FROM scored
+              ORDER BY score_fp DESC, doc_id LIMIT {_RRF_LIST}),
+          {_IVF_ASSIGN_SQL},
+          {_ivf_qcells_sql(_RRF_QVEC, _RRF_NPROBE)},
+          qv AS (SELECT embedding FROM embeddings
+                 WHERE vec_id = {_RRF_QVEC}),
+          vecr AS (
+              SELECT e.vec_id,
+                     list_cosine_similarity(
+                         e.embedding::DOUBLE[], qv.embedding::DOUBLE[]
+                     ) AS cos
+              FROM embeddings e
+              JOIN a1 ON e.vec_id = a1.vec_id
+              JOIN qc ON a1.cid = qc.qcid
+              CROSS JOIN qv
+              WHERE e.vec_id <> {_RRF_QVEC} AND e.embedding IS NOT NULL
+                AND {_tomb_keep_sql('e.vec_id')}),
+          vec AS (
+              SELECT vec_id AS doc_id,
+                     row_number() OVER (ORDER BY cos DESC, vec_id)
+                       AS vec_rank
+              FROM vecr ORDER BY cos DESC, vec_id LIMIT {_RRF_LIST}),
+          fused AS (
+              SELECT coalesce(bm.doc_id, vec.doc_id) AS doc_id,
+                     CAST(coalesce(10000 // ({_RRF_K} + bm.bm25_rank), 0)
+                        + coalesce(10000 // ({_RRF_K} + vec.vec_rank), 0)
+                        AS BIGINT) AS rrf_fp
+              FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id)
+          SELECT CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id)
+                      AS INTEGER) AS rank,
+                 doc_id, rrf_fp
+          FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT {_RRF_TOP})"""
+    ms = _maxsim_oracle(_BM25_TERMS)
+    assert ms.count("FROM documents") == 1
+    ms_f = ms.replace("FROM documents", f"FROM documents WHERE {keep_doc}")
+    ms_leg = (
+        f"SELECT 'maxsim' AS path, rank, doc_id, maxsim AS score_fp "
+        f"FROM ({ms_f})"
+    )
+    return (
+        bm_leg
+        + "\n        UNION ALL\n"
+        + ivf_leg
+        + "\n        UNION ALL\n"
+        + rrf_leg
+        + "\n        UNION ALL\n"
+        + ms_leg
+        + "\n        ORDER BY path, rank"
+    )
+
+
+@query(
+    "q_tombstone_served",
+    oracle=_tombstone_oracle(),
+    tags=("pipeline", "deletion", "compliance", "serve", "search",
+          "extension"),
+)
+def q_tombstone_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone propagation, SERVED (X88): build the BM25 posting
+    index and the IVF-PQ index, purge the tombstone set from BOTH
+    persisted stores (purge_bm25_index / pq.purge_ivfpq_index), then
+    answer all four serve paths — lexical BM25, vector ADC probe,
+    hybrid RRF, late-interaction MaxSim — entirely from the purged
+    artifacts and return the union (path, rank, doc_id, score_fp).
+    A hash-green row proves two things at once: no deleted id
+    surfaces from ANY serve path, and every served ranking equals
+    the filtered-corpus recompute — including the BM25 idf/avgdl
+    constants, which the purge RECOMPUTES from the surviving
+    postings (a purge that only dropped rows would leave stale stats
+    and fail this oracle).
+
+    Scale shape: the builds are the amortized offline step (one
+    corpus scan each); the purges are one broadcast anti-join
+    rewrite per store (request-sized tombstone set, never a corpus
+    scan); the serves are the same partition-pruned index scans as
+    q_rrf_served — zero corpus scans after the purge."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as _Win
+
+    from .pq import build_ivfpq_index, ivfpq_search, purge_ivfpq_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"osm_spark_tomb_{tag}")
+    build_bm25_index(docs, f"{base}/bm25")
+    build_ivfpq_index(emb, f"{base}/ivfpq")
+    tomb_pred = (F.col("doc_id") >= _TOMB_MIN) & (
+        F.col("doc_id") % _TOMB_MOD == _TOMB_RES
+    )
+    tomb = docs.filter(tomb_pred).select("doc_id")
+    purge_bm25_index(spark, f"{base}/bm25", tomb)
+    purge_ivfpq_index(
+        spark,
+        f"{base}/ivfpq",
+        emb.filter(
+            (F.col("vec_id") >= _TOMB_MIN)
+            & (F.col("vec_id") % _TOMB_MOD == _TOMB_RES)
+        ).select("vec_id"),
+    )
+    bm = bm25_search(spark, f"{base}/bm25").select(
+        F.lit("bm25").alias("path"), "rank", "doc_id", "score_fp"
+    )
+    iv_top = ivfpq_search(spark, f"{base}/ivfpq")
+    iv = iv_top.select(
+        F.lit("ivfpq").alias("path"),
+        F.row_number()
+        .over(_Win.orderBy("adc_d2", "vec_id"))
+        .cast("int")
+        .alias("rank"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("adc_d2").alias("score_fp"),
+    )
+    rr = rrf_search(spark, f"{base}/bm25", f"{base}/ivfpq").select(
+        F.lit("rrf").alias("path"),
+        "rank",
+        "doc_id",
+        F.col("rrf_fp").alias("score_fp"),
+    )
+    mx = maxsim_search(spark, f"{base}/bm25").select(
+        F.lit("maxsim").alias("path"),
+        "rank",
+        "doc_id",
+        F.col("maxsim").alias("score_fp"),
+    )
+    return (
+        bm.unionByName(iv)
+        .unionByName(rr)
+        .unionByName(mx)
+        .orderBy("path", "rank")
+    )

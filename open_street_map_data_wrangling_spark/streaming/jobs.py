@@ -1349,6 +1349,83 @@ def winnow_pairs_serve(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
+def purge_span_gram_store(
+    spark: SparkSession, store_dir: str, deleted_docs: DataFrame
+) -> None:
+    """Tombstone purge of the ExactSubstr gram-count store: subtract
+    the deleted documents' gram counts (dedup._span_gram_base over
+    the SAME text the maintenance merge once added — counters are
+    additive, so subtraction is exact) and drop grams whose count
+    reaches zero.  ``deleted_docs`` is a (doc_id, text) frame: a
+    counter store keeps no per-doc rows, so forgetting a doc needs
+    its text one last time — the deletion request runs BEFORE the
+    corpus rewrite drops the row (the q_tombstone_delete audit's
+    ordering).  The purged store equals a rebuild from the filtered
+    corpus (pinned in tests/test_tombstone.py).  Applied-batch
+    markers are carried into the stage dir unchanged — a purge is
+    not a batch and must not disturb redelivery detection —
+    and the stage-rename commit guards readers as ever."""
+    from ..operators.dedup import _span_gram_base
+
+    jvm, fs, store_path, stage_path = _store_paths(spark, store_dir)
+    _recover_store(fs, store_path, stage_path)
+    if not fs.exists(store_path):
+        return
+    neg = (
+        _span_gram_base(deleted_docs.select("doc_id", "text"))
+        .where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg((-F.count("*")).cast("bigint").alias("cnt"))
+    )
+    prior_markers = [
+        status.getPath().getName()
+        for status in fs.listStatus(store_path)
+        if status.getPath().getName().startswith("_applied_")
+    ]
+    merged = (
+        spark.read.parquet(store_dir)
+        .select("g", "cnt")
+        .unionByName(neg)
+        .groupBy("g")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .where(F.col("cnt") > 0)
+    )
+    merged.write.mode("overwrite").parquet(str(stage_path))
+    for name in prior_markers:
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{stage_path}/{name}"), True
+        ).close()
+    _commit_store(fs, store_path, stage_path)
+
+
+def purge_winnow_store(
+    spark: SparkSession, store_dir: str, deleted: DataFrame
+) -> None:
+    """Tombstone purge of the winnow-print store: drop the deleted
+    doc_ids' print rows in one broadcast anti-join rewrite, so
+    winnow_pairs_serve can never again pair a forgotten document.
+    The store keys prints BY doc_id (unlike the span-gram counters),
+    so the request set alone suffices — no text replay.  Set-union
+    state needs no markers (the merge is idempotent); stage-rename
+    commit guards readers.  Purged store == rebuild from the
+    filtered corpus, pinned in tests/test_tombstone.py."""
+    _, fs, store_path, stage_path = _store_paths(spark, store_dir)
+    _recover_store(fs, store_path, stage_path)
+    if not fs.exists(store_path):
+        return
+    kept = (
+        spark.read.parquet(store_dir)
+        .select("doc_id", "sel")
+        .join(
+            F.broadcast(deleted.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    kept.write.mode("overwrite").parquet(str(stage_path))
+    _commit_store(fs, store_path, stage_path)
+
+
 def shard_manifest_maintenance(doc_stream: DataFrame, store_dir: str):
     """Continuous shard planning over an ordered document stream:
     each micro-batch is placed after the stored end offset and its

@@ -340,6 +340,23 @@ def test_rrf_served_is_partition_pruned(plans):
     assert "bkt" in p and "cid" in p
 
 
+def test_tombstone_served_reads_only_purged_indexes(plans):
+    """The four-way post-purge serve (q_tombstone_served): the
+    returned plan must read ONLY purged index artifacts — never the
+    documents or embeddings corpus tables — with the postings scans
+    partition-pruned on the token-hash bucket and the codes scans on
+    the probed IVF cells.  Seven index scans total (bm25 1, rrf's two
+    legs, maxsim's candidate+token pair, ivfpq's codes probe); if a
+    corpus table ever reappears here the purge stopped being the
+    thing that answers queries."""
+    p = plans("q_tombstone_served")
+    assert "documents.parquet" not in p
+    assert "embeddings.parquet" not in p
+    assert p.count("Scan parquet") <= 7
+    assert "PartitionFilters" in p
+    assert "bkt" in p and "cid" in p
+
+
 def test_epoch_order_family_has_no_single_partition_window(plans):
     """q_epoch_shuffle / q_loader_batches: the global rank and the
     running token prefix sum must compile to a BUCKET-partitioned

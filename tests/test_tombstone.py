@@ -1,0 +1,182 @@
+"""Tombstone propagation into the serving stores (X88, r12).
+
+q_tombstone_delete audits right-to-be-forgotten against the corpus;
+these tests pin the other half of the contract: purging a deletion
+request from each persisted serving artifact leaves a store
+ROW-IDENTICAL to a fresh build over the filtered corpus (stats
+included), no serve path ever surfaces a deleted id again, and the
+IVF-PQ purge refuses to silently "forget" a model parameter.
+"""
+
+from pyspark.sql import functions as F
+
+from open_street_map_data_wrangling_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+# the demo tombstone predicate (text._TOMB_*): ids >= 32, id % 5 == 0
+TOMB = "(doc_id >= 32 AND doc_id % 5 = 0)"
+TOMB_VEC = "(vec_id >= 32 AND vec_id % 5 = 0)"
+
+
+def _is_tomb(i: int) -> bool:
+    return i >= 32 and i % 5 == 0
+
+
+def test_purge_bm25_index_matches_filtered_rebuild(spark, tmp_path):
+    """purge_bm25_index == build_bm25_index over the filtered corpus:
+    identical posting rows AND identical recomputed stats (n_docs,
+    total_toks) — a purge that only dropped rows would serve stale
+    idf/avgdl and fail the stats half."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+
+    docs = load_table(spark, SF, "documents")
+    purged = str(tmp_path / "bm25_purged")
+    rebuilt = str(tmp_path / "bm25_rebuilt")
+    tx.build_bm25_index(docs, purged)
+    tx.purge_bm25_index(spark, purged, docs.filter(TOMB).select("doc_id"))
+    tx.build_bm25_index(docs.filter(f"NOT {TOMB}"), rebuilt)
+
+    rows = lambda d: {
+        (r["tok"], r["doc_id"], r["tf"], r["dl"], r["bkt"])
+        for r in spark.read.parquet(f"{d}/postings").collect()
+    }
+    assert rows(purged) == rows(rebuilt) and rows(purged)
+    st = lambda d: [
+        (r["n_docs"], r["total_toks"])
+        for r in spark.read.parquet(f"{d}/stats").collect()
+    ]
+    assert st(purged) == st(rebuilt)
+    served_p = [tuple(r) for r in tx.bm25_search(spark, purged).collect()]
+    served_r = [tuple(r) for r in tx.bm25_search(spark, rebuilt).collect()]
+    assert served_p == served_r and served_p
+    assert not any(_is_tomb(r[1]) for r in served_p)
+
+
+def test_purge_ivfpq_index_matches_filtered_rebuild(spark, tmp_path):
+    """purge_ivfpq_index == build_ivfpq_index over the filtered
+    corpus under the frozen model (tombstones above the seed horizon
+    leave seeds/ identical, so the rebuild derives the same codebook
+    and centroids), and the served ADC ranking matches."""
+    import open_street_map_data_wrangling_spark.operators.pq as pq
+
+    emb = load_table(spark, SF, "embeddings")
+    purged = str(tmp_path / "ivfpq_purged")
+    rebuilt = str(tmp_path / "ivfpq_rebuilt")
+    pq.build_ivfpq_index(emb, purged)
+    pq.purge_ivfpq_index(
+        spark, purged, emb.filter(TOMB_VEC).select("vec_id")
+    )
+    pq.build_ivfpq_index(emb.filter(f"NOT {TOMB_VEC}"), rebuilt)
+
+    rows = lambda d: {
+        (r["vec_id"], r["cid"], r["code0"], r["code1"], r["code2"],
+         r["code3"], r["__batch"])
+        for r in spark.read.parquet(f"{d}/codes").collect()
+    }
+    assert rows(purged) == rows(rebuilt) and rows(purged)
+    assert not any(_is_tomb(vid) for vid, *_ in rows(purged))
+    served_p = [tuple(r) for r in pq.ivfpq_search(spark, purged).collect()]
+    served_r = [tuple(r) for r in pq.ivfpq_search(spark, rebuilt).collect()]
+    assert served_p == served_r and served_p
+
+
+def test_purge_ivfpq_index_refuses_model_seeds(spark, tmp_path):
+    """A deletion request that names a codebook/centroid/probe seed
+    must raise, not half-comply: the id's raw vector would keep
+    parameterizing every lookup after its codes row vanished.
+    Forgetting a model parameter is a retrain, and the caller must
+    choose it explicitly."""
+    import pytest
+
+    import open_street_map_data_wrangling_spark.operators.pq as pq
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq_seedguard")
+    pq.build_ivfpq_index(emb, path)
+    with pytest.raises(ValueError, match="model parameters"):
+        pq.purge_ivfpq_index(
+            spark, path, emb.filter("vec_id = 3").select("vec_id")
+        )
+    # and the store is untouched: the guard fires before any write
+    assert spark.read.parquet(f"{path}/codes").filter(
+        "vec_id = 3"
+    ).count() == 1
+
+
+def test_purge_span_gram_store_matches_filtered_rebuild(spark, tmp_path):
+    """Counter subtraction is exact: purging the deleted docs' gram
+    counts (their text replayed one last time, pre-rewrite) leaves
+    the store equal to a rebuild over the filtered corpus, zero-count
+    grams dropped, applied-batch markers preserved."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        purge_span_gram_store,
+        span_gram_merge_fn,
+    )
+
+    docs = load_table(spark, SF, "documents").filter("doc_id < 80").select(
+        "doc_id", "text"
+    )
+    purged = str(tmp_path / "span_purged")
+    rebuilt = str(tmp_path / "span_rebuilt")
+    span_gram_merge_fn(spark, purged)(docs, 0)
+    purge_span_gram_store(spark, purged, docs.filter(TOMB))
+    span_gram_merge_fn(spark, rebuilt)(docs.filter(f"NOT {TOMB}"), 0)
+
+    cnt = lambda d: {
+        (r["g"], r["cnt"]) for r in spark.read.parquet(d).collect()
+    }
+    assert cnt(purged) == cnt(rebuilt) and cnt(purged)
+    assert not any(c <= 0 for _, c in cnt(purged))
+    # redelivery detection survives the purge: the marker is intact,
+    # so re-applying batch 0 stays a no-op
+    span_gram_merge_fn(spark, purged)(docs, 0)
+    assert cnt(purged) == cnt(rebuilt)
+
+
+def test_purge_winnow_store_matches_filtered_rebuild(spark, tmp_path):
+    """Print rows key by doc_id, so the purge is a pure anti-join:
+    store == rebuild over the filtered corpus and the served clone
+    pairs can never name a forgotten doc."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        purge_winnow_store,
+        winnow_pairs_serve,
+        winnow_print_merge_fn,
+    )
+
+    docs = load_table(spark, SF, "documents").filter("doc_id < 80").select(
+        "doc_id", "text"
+    )
+    purged = str(tmp_path / "win_purged")
+    rebuilt = str(tmp_path / "win_rebuilt")
+    winnow_print_merge_fn(spark, purged)(docs, 0)
+    purge_winnow_store(spark, purged, docs.filter(TOMB).select("doc_id"))
+    winnow_print_merge_fn(spark, rebuilt)(docs.filter(f"NOT {TOMB}"), 0)
+
+    prints = lambda d: {
+        (r["doc_id"], r["sel"]) for r in spark.read.parquet(d).collect()
+    }
+    assert prints(purged) == prints(rebuilt) and prints(purged)
+    pairs_p = {tuple(r) for r in winnow_pairs_serve(spark, purged).collect()}
+    pairs_r = {tuple(r) for r in winnow_pairs_serve(spark, rebuilt).collect()}
+    assert pairs_p == pairs_r
+    assert not any(
+        _is_tomb(a) or _is_tomb(b) for a, b, *_ in pairs_p
+    )
+
+
+def test_tombstone_served_never_surfaces_deleted(spark):
+    """End-to-end: after the purges, all four serve paths — bm25,
+    ivfpq ADC, hybrid rrf, maxsim — answer from the stores and none
+    returns a tombstoned id.  (The hash gate separately proves each
+    ranking equals the filtered-corpus recompute.)"""
+    from open_street_map_data_wrangling_spark.operators.text import (
+        q_tombstone_served,
+    )
+
+    rows = q_tombstone_served(spark, SF).collect()
+    assert {r["path"] for r in rows} == {"bm25", "ivfpq", "rrf", "maxsim"}
+    assert not any(_is_tomb(r["doc_id"]) for r in rows)
+    for path in ("bm25", "ivfpq", "rrf", "maxsim"):
+        ranks = sorted(r["rank"] for r in rows if r["path"] == path)
+        assert ranks == list(range(1, len(ranks) + 1)) and ranks
