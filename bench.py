@@ -193,6 +193,7 @@ HEADLINE = (
     "q_maxsim_batch",
     # added round 12
     "q_tombstone_served",
+    "q_image_dedup",
 )
 
 

@@ -1398,13 +1398,16 @@ def encode_gif_gray(width: int, height: int, rows: list[bytes]) -> bytes:
     return bytes(out)
 
 
-def decode_gif_gray(payload: bytes) -> tuple[int, int, int, int]:
+def decode_gif_gray_pixels(payload: bytes) -> tuple[int, int, bytes]:
     """Real GIF87a/89a decoder for the 8-bit grayscale single-image
     profile: screen/image descriptor parse, sub-block reassembly,
     variable-width LSB-first LZW with clear/EOI and the KwKwK case,
-    palette application.  Returns (width, height, sum_pix, sum_sq)
-    over the decoded grayscale pixels.  Rejects interlaced images,
-    local color tables, and non-grayscale palettes."""
+    palette application.  Returns (width, height, row-major grayscale
+    pixel bytes) — the full decoded raster, consumed by the aggregate
+    wrapper decode_gif_gray (q_image_gif) and by the perceptual
+    fingerprint stage (q_image_dedup, which hashes DECODED pixels so
+    the codec sits inside the certified path).  Rejects interlaced
+    images, local color tables, and non-grayscale palettes."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1494,17 +1497,31 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, int, int]:
                 prev = entry
             if len(pixels) != width * height:
                 raise ValueError("gif: pixel count mismatch")
-            sp = sq = 0
-            for idx in pixels:
-                v = gray[idx]
-                sp += v
-                sq += v * v
-            return int(width), int(height), sp, sq
+            return (
+                int(width),
+                int(height),
+                bytes(gray[idx] for idx in pixels),
+            )
         elif b == 0x3B:
             raise ValueError("gif: no image block")
         else:
             raise ValueError("gif: unknown block")
     raise ValueError("gif: truncated")
+
+
+def decode_gif_gray(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, sum_pix, sum_sq) over the decoded grayscale
+    pixels — the aggregate view q_image_gif certifies; a thin
+    reduction over decode_gif_gray_pixels so exactly ONE spec-walk
+    body exists for both the roundtrip query and the perceptual
+    fingerprint stage."""
+    width, height, px = decode_gif_gray_pixels(payload)
+    return (
+        width,
+        height,
+        sum(px),
+        sum(v * v for v in px),
+    )
 
 
 MM_GIF_SCHEMA = (
@@ -1611,4 +1628,250 @@ def q_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "n_chars").mapInPandas(
         _gif_roundtrip_batches, schema=MM_GIF_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# X89 — image near-duplicate detection (perceptual dHash, r12)
+#
+# The multimodal dedup seam: re-encoded / retouched copies of the
+# same image carry different bytes (so exact hashing misses them) but
+# nearly identical PERCEPTUAL structure.  dHash is the classical
+# gradient fingerprint: downsample to a 9x8 grid of 4x4-block means,
+# emit one bit per horizontally adjacent grid pair (left > right),
+# 8 comparisons x 8 rows = 64 bits total.  Near-duplicates differ in a few
+# bits; candidate generation is Hamming banding (the q_simhash_near
+# pigeonhole: a pair within Hamming k must agree exactly on one of
+# k+1 disjoint bands), so the quadratic all-pairs problem is
+# equi-joins + an exact bit_count verify on candidates only — never
+# all-pairs, the dedup.py posture applied to pixels.
+#
+# Fixture images are deterministic 36x32 grayscale rasters (pure
+# integer functions of doc_id, SQL-replicable), with a PLANTED
+# near-duplicate per 4-doc group: doc 4g+1 renders doc 4g's image
+# with one 4x4 block brightened by +6 — a retouch/watermark patch.
+# Exactly one grid cell shifts, so the twin's Hamming distance is
+# <= 2 BY CONSTRUCTION (only the two comparisons touching that cell
+# can flip) — safely inside the k=3 pigeonhole recall guarantee —
+# while docs 4g+2 / 4g+3 draw from a disjoint seed range (>= 10^6 vs
+# the twins' 2g+1; measured at sf0.1: zero non-twin pairs within
+# Hamming 3).  The Spark side derives every fingerprint from pixels
+# that made a FULL trip through the real GIF/LZW codec
+# (encode_gif_gray -> decode_gif_gray_pixels), while the oracle
+# recomputes the dHash directly from the pixel formula — a hash
+# match therefore certifies codec + fingerprint + banding + verify
+# end to end (the q_image_pixels pattern, lossless so exact).
+
+_IMG_W, _IMG_H = 36, 32  # raster dims: 9x8 grid of 4x4 blocks
+_IMG_GW, _IMG_GH = 9, 8
+_IMG_HAMMING_K = 3  # pigeonhole: 4 disjoint 16-bit bands cover k<=3
+
+
+def _image_seed(d: int) -> int:
+    """Python twin of the oracle's seed CASE: docs 4g / 4g+1 share
+    seed 2g+1 (the planted pair); 4g+2 / 4g+3 get unique seeds from
+    a disjoint range (20d+17 is injective, +10^6 clears the twin
+    family's ceiling)."""
+    return d // 4 * 2 + 1 if d % 4 <= 1 else 1000000 + 20 * d + 17
+
+
+def _image_gray_rows(d: int) -> list[bytes]:
+    """The deterministic 36x32 grayscale raster for doc d: quadratic
+    mixing of four seed-derived coefficients (prime moduli keep
+    distinct seeds producing distinct gradients), plus the +6 retouch
+    patch on block (2, 3) for the 4g+1 twin variant."""
+    s = _image_seed(d)
+    a, b, c, e = s % 251 + 1, s % 241 + 2, s % 239 + 3, s % 233 + 5
+    twin = d % 4 == 1
+    return [
+        bytes(
+            min(
+                (x * x * a + y * y * b + x * y * c
+                 + (x // 4 + y // 4) * e + s) % 256
+                + (6 if twin and x // 4 == 2 and y // 4 == 3 else 0),
+                255,
+            )
+            for x in range(_IMG_W)
+        )
+        for y in range(_IMG_H)
+    ]
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: raster -> REAL GIF/LZW roundtrip ->
+    dHash over the DECODED pixels.  The 64-bit hash ships as two
+    32-bit halves in BIGINTs so neither engine ever touches the
+    signed top bit (shift/popcount semantics stay identical)."""
+    for pdf in batches:
+        ids: list[int] = []
+        his: list[int] = []
+        los: list[int] = []
+        for doc_id in pdf["doc_id"]:
+            if pd.isna(doc_id):
+                continue  # no id -> no image; oracle filters likewise
+            d = int(doc_id)
+            w, h, px = decode_gif_gray_pixels(
+                encode_gif_gray(_IMG_W, _IMG_H, _image_gray_rows(d))
+            )
+            grid = [
+                [
+                    sum(
+                        px[(4 * j + dy) * w + 4 * i + dx]
+                        for dy in range(4)
+                        for dx in range(4)
+                    )
+                    // 16
+                    for i in range(_IMG_GW)
+                ]
+                for j in range(_IMG_GH)
+            ]
+            bits = 0
+            for j in range(_IMG_GH):
+                for i in range(_IMG_GW - 1):
+                    if grid[j][i] > grid[j][i + 1]:
+                        bits |= 1 << (j * 8 + i)
+            ids.append(d)
+            his.append(bits >> 32)
+            los.append(bits & 0xFFFFFFFF)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="Int64"),
+                "dhash_hi": pd.Series(his, dtype="Int64"),
+                "dhash_lo": pd.Series(los, dtype="Int64"),
+            }
+        )
+
+
+_IMG_PIXEL_SQL = (
+    "(x.i*x.i*(s % 251 + 1) + y.i*y.i*(s % 241 + 2)"
+    " + x.i*y.i*(s % 239 + 3)"
+    " + (x.i // 4 + y.i // 4)*(s % 233 + 5) + s) % 256"
+)
+
+_IMG_BANDS_SQL = "\n            UNION ALL ".join(
+    f"SELECT doc_id, dhash_hi, dhash_lo, {bi} AS bi, {bv} AS bv FROM fp"
+    for bi, bv in enumerate(
+        (
+            "dhash_lo & 65535",
+            "(dhash_lo >> 16) & 65535",
+            "dhash_hi & 65535",
+            "(dhash_hi >> 16) & 65535",
+        )
+    )
+)
+
+
+@query(
+    "q_image_dedup",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 <= 1 THEN doc_id // 4 * 2 + 1
+                        ELSE 1000000 + 20 * doc_id + 17 END AS s
+            FROM documents WHERE doc_id IS NOT NULL),
+        px0 AS (
+            SELECT doc_id, x.i AS x, y.i AS y, {_IMG_PIXEL_SQL} AS p0
+            FROM img,
+                 generate_series(0, {_IMG_W - 1}) x(i),
+                 generate_series(0, {_IMG_H - 1}) y(i)),
+        px AS (
+            SELECT doc_id, x, y,
+                   CASE WHEN doc_id % 4 = 1 AND x // 4 = 2 AND y // 4 = 3
+                        THEN least(p0 + 6, 255) ELSE p0 END AS p
+            FROM px0),
+        grid AS (
+            SELECT doc_id, x // 4 AS gi, y // 4 AS gj,
+                   CAST(sum(p) AS BIGINT) // 16 AS gv
+            FROM px GROUP BY 1, 2, 3),
+        bits AS (
+            SELECT l.doc_id, l.gj * 8 + l.gi AS bit
+            FROM grid l JOIN grid r
+              ON r.doc_id = l.doc_id AND r.gj = l.gj AND r.gi = l.gi + 1
+            WHERE l.gv > r.gv),
+        fp AS (
+            SELECT i.doc_id,
+                   CAST(coalesce(sum(CASE WHEN bit >= 32
+                            THEN CAST(1 AS BIGINT) << (bit - 32) END), 0)
+                        AS BIGINT) AS dhash_hi,
+                   CAST(coalesce(sum(CASE WHEN bit < 32
+                            THEN CAST(1 AS BIGINT) << bit END), 0)
+                        AS BIGINT) AS dhash_lo
+            FROM img i LEFT JOIN bits b ON i.doc_id = b.doc_id
+            GROUP BY 1),
+        bands AS (
+            {_IMG_BANDS_SQL})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+                  + bit_count(xor(a.dhash_lo, b.dhash_lo))
+                  AS INTEGER) AS hamming
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+            + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= {_IMG_HAMMING_K}
+    """,
+    tags=("multimodal", "dedup", "image", "perceptual", "extension"),
+)
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs at Hamming <= {_IMG_HAMMING_K}
+    (X89): perceptual dHash over REAL-codec-decoded pixels, banded
+    candidates, exact popcount verify — the simhash near-dup posture
+    applied to the image modality now that the decode seams are real.
+
+    Scale shape: ONE documents scan projecting doc_id, one
+    Arrow-batched Python stage (codec + 64-bit fingerprint — 12
+    bytes of state per image leaves the stage), localCheckpoint so
+    the band explode and both verify sides never re-enter the codec,
+    then the pigeonhole band equi-join with the hot-bucket
+    small/big split (dedup._all_bucket_pairs: capped buckets pair
+    row-locally, over-cap buckets stream through a spillable
+    self-join — never all-pairs at any corpus size).  At 100 TB the
+    fingerprint stage is embarrassingly parallel over image bytes
+    and everything after it moves 3 longs per image."""
+    from .dedup import _LSH_BUCKET_CAP, _all_bucket_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # repartition BEFORE the codec stage: the fixture parquet is 1-2
+    # files, and an Arrow stage inherits scan parallelism — without
+    # the fan-out the whole corpus's encode/decode ran on 2 of 32
+    # cores (measured 16 s -> ~2 s at sf0.1).  The exchange moves one
+    # bigint per image; the codec work it unlocks is ~3 ms per image.
+    fp = (
+        docs.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            _dhash_batches,
+            schema="doc_id bigint, dhash_hi bigint, dhash_lo bigint",
+        )
+        .localCheckpoint(eager=False)
+    )
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(bi).alias("bi"), F.expr(bv).alias("bv"))
+            for bi, bv in enumerate(
+                (
+                    "dhash_lo & 65535",
+                    "shiftright(dhash_lo, 16) & 65535",
+                    "dhash_hi & 65535",
+                    "shiftright(dhash_hi, 16) & 65535",
+                )
+            )
+        ]
+    )
+    rows = fp.select(
+        F.explode(band_structs).alias("b"),
+        F.struct("doc_id", "dhash_hi", "dhash_lo").alias("m"),
+    ).select(F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"), "m")
+    hamming = (
+        F.bit_count(F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi")))
+        + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
+    ).cast("int")
+    return (
+        _all_bucket_pairs(rows, _LSH_BUCKET_CAP)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _IMG_HAMMING_K)
+        .distinct()
     )

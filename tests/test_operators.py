@@ -2862,3 +2862,36 @@ def test_source_overlap_symmetric_detection(spark, monkeypatch):
     assert set(rows) == {("mirror1", "mirror2")}
     r = rows[("mirror1", "mirror2")]
     assert r["jaccard_bp"] == 10000 and r["n_inter"] == r["n_a"] == r["n_b"]
+
+
+def test_image_dedup_finds_planted_twin_not_distinct(spark, sf_dir):
+    """q_image_dedup (X89): the retouched twin (doc 4g+1 = doc 4g's
+    image with one 4x4 block brightened) is paired at Hamming <= 2
+    for EVERY group, while distinct-seed images never pair; the
+    fingerprints really cross the GIF codec (a pixel-identical direct
+    computation agrees — codec losslessness is load-bearing, not
+    decorative)."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        _image_gray_rows,
+        _IMG_HAMMING_K,
+        decode_gif_gray_pixels,
+        encode_gif_gray,
+        q_image_dedup,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q_image_dedup(spark, sf_dir).collect()
+    }
+    n_docs = 500  # sf0.001 documents table
+    planted = {(4 * g, 4 * g + 1) for g in range(n_docs // 4)}
+    assert planted <= set(pairs)  # every twin found
+    assert all(pairs[p] <= 2 for p in planted)  # <= 2 by construction
+    assert set(pairs) == planted  # and nothing else pairs (measured
+    # property of the disjoint seed ranges at both fixture scales)
+    assert max(pairs.values()) >= 1  # some twins are NEAR, not exact
+    # codec is in the certified path: decoded == synthesized pixels
+    rows = _image_gray_rows(7)
+    w, h, px = decode_gif_gray_pixels(encode_gif_gray(36, 32, rows))
+    assert (w, h) == (36, 32) and px == b"".join(rows)
+    assert _IMG_HAMMING_K == 3  # 4 disjoint bands pigeonhole-cover k=3

@@ -340,6 +340,20 @@ def test_rrf_served_is_partition_pruned(plans):
     assert "bkt" in p and "cid" in p
 
 
+def test_image_dedup_checkpoint_fed_no_allpairs(plans):
+    """q_image_dedup: the codec+fingerprint stage materializes ONCE
+    into a checkpoint (the band explode and both verify sides consume
+    12 bytes/image from it — re-entering the Python codec per
+    consumer is the q_simhash_near scan-amplification trap), and the
+    candidate join is band-bucketed equi-join only — an all-pairs
+    plan here would be quadratic in corpus size."""
+    p = plans("q_image_dedup")
+    assert "ExistingRDD" in p
+    assert p.count("Scan parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
 def test_tombstone_served_reads_only_purged_indexes(plans):
     """The four-way post-purge serve (q_tombstone_served): the
     returned plan must read ONLY purged index artifacts — never the
