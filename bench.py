@@ -194,6 +194,8 @@ HEADLINE = (
     # added round 12
     "q_tombstone_served",
     "q_image_dedup",
+    "q_bpe_token_counts",
+    "q_loader_batches_model",
 )
 
 

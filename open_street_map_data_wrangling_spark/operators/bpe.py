@@ -363,3 +363,108 @@ def q_bpe_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_tok_x100"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X90 — corpus-scale BPE encode: per-document model-token counts (r12)
+
+
+def bpe_vocab_table(wf: DataFrame) -> DataFrame:
+    """(w, n_tok) — the trained tokenizer as a RELATION: each word
+    type reconstructed from its final symbol sequence (merges only
+    concatenate adjacent symbols, so the concat IS the original word
+    and the key is exact/unique), with the number of model tokens
+    the vocabulary spends on it.  This table is the X31 doc's scale
+    recipe made first-class: encoding the CORPUS is a broadcast join
+    of this vocabulary-sized table back onto words — the merge
+    regexes never run per document."""
+    return wf.select(
+        F.expr("replace(trim(seq), ' ', '')").alias("w"),
+        F.expr("CAST(size(split(trim(seq), ' ')) AS BIGINT)").alias(
+            "n_tok"
+        ),
+    )
+
+
+def bpe_doc_token_counts(docs: DataFrame, tok: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_model_toks) for every document with at
+    least one word: one corpus scan exploded to words, ONE broadcast
+    join against the trained vocabulary (vocabulary-sized by Heaps'
+    law — millions of rows at 100 TB, broadcastable; were it not,
+    the same plan shuffles on the word key), one per-doc aggregate.
+    Every corpus word is in the vocabulary by construction (the
+    vocabulary was learned from this corpus), so the inner join
+    drops nothing."""
+    words = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    return (
+        words.join(F.broadcast(tok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_model_toks"),
+        )
+    )
+
+
+def _token_counts_oracle(steps: int = _BPE_STEPS) -> str:
+    return f"""
+        WITH {_bpe_chain_sql(steps)},
+        tok AS (
+            SELECT array_to_string(syms, '') AS w,
+                   CAST(len(syms) AS BIGINT) AS n_tok
+            FROM wf{steps}),
+        dw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id IS NOT NULL),
+        per AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_tok) AS BIGINT) AS n_model_toks
+            FROM dw JOIN tok USING (w)
+            WHERE w <> ''
+            GROUP BY doc_id)
+        SELECT doc_id, n_words, n_model_toks,
+               CAST(100 * n_model_toks // n_words AS BIGINT)
+                 AS toks_per_100_words
+        FROM per
+        ORDER BY doc_id
+    """
+
+
+@query(
+    "q_bpe_token_counts",
+    oracle=_token_counts_oracle(),
+    tags=("text", "iterative", "extension", "tokenizer", "encode"),
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE encode (X90) — the materialized per-document
+    MODEL-token accounting (VERDICT r11 #4): after learning the 8
+    merges, every document's whitespace-word count, model-token
+    count under the trained vocabulary, and integer fertility
+    (tokens per 100 words).  This is the number every
+    token-budgeted pipeline stage actually needs — loader batches,
+    batch plans, and billing all count MODEL tokens, not whitespace
+    — and q_loader_batches_model re-expresses the loader seam on
+    exactly this column (consistency pinned in tests/test_bpe.py).
+
+    Scale shape: training iterates on the vocabulary-sized word-type
+    table (never the corpus); the encode is ONE corpus scan exploded
+    to words + ONE broadcast vocabulary join + a per-doc aggregate —
+    the merge regexes run zero times per document.  The oracle
+    replays the identical accounting through the unrolled
+    MATERIALIZED-CTE training chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, wf = train_bpe(spark, docs, return_state=True)
+    per = bpe_doc_token_counts(docs, bpe_vocab_table(wf))
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_model_toks",
+        F.expr("CAST(100 * n_model_toks div n_words AS BIGINT)").alias(
+            "toks_per_100_words"
+        ),
+    ).orderBy("doc_id")

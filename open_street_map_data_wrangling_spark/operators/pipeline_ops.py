@@ -1787,20 +1787,40 @@ def q_loader_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere on the engine side, while the oracle uses one global
     window — hash equality proves the distributed prefix sum exact."""
     docs = load_table(spark, sf_dir, "documents")
+    keyed = _epoch_keyed_tokens(
+        docs, F.size(F.split("text", " ")).cast("long")
+    )
+    return _loader_manifest(_ordered_token_prefix(keyed), _LOADER_BUDGET)
+
+
+def _epoch_keyed_tokens(docs: DataFrame, n_tok_col) -> DataFrame:
+    """(doc_id, n_tok, h, bkt) — the epoch-shuffle key (60-bit md5 of
+    (seed, doc_id)) and its range bucket attached to a caller-chosen
+    per-doc token measure; checkpointed because the prefix-sum pass
+    consumes it twice (bucket stats + the windowed rank)."""
     h = F.expr(
         f"CAST(conv(substring(md5(concat('{_SHUF_SEED}', ':', "
         f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
     )
-    keyed = (
+    return (
         docs.filter(F.col("doc_id").isNotNull())
-        .select(
-            "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
-            h.alias("h"),
-        )
+        .select("doc_id", n_tok_col.alias("n_tok"), h.alias("h"))
         .withColumn("bkt", F.expr(f"h div {1 << 54}").cast("int"))
         .localCheckpoint(eager=False)
     )
+
+
+def _ordered_token_prefix(keyed: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, pos, toks_before) along the epoch order — the
+    range-bucketed two-pass global rank + running token prefix sum:
+    per-bucket windows over the ordered hash range plus ONE bounded
+    ≤{_SHUF_BUCKETS}-row driver-side aggregate carrying each bucket's
+    (row offset, token offset).  No single-partition window anywhere;
+    the oracles use one global window and the hash gate proves the
+    distributed prefix sum exact.  Shared by the whitespace-token
+    loader (q_loader_batches) and the model-token loader
+    (q_loader_batches_model), so the two manifests can only differ
+    in the token measure, never in the order arithmetic."""
     stats = {
         int(r["bkt"]): (int(r["n"]), int(r["t"]))
         for r in keyed.groupBy("bkt")
@@ -1826,7 +1846,7 @@ def q_loader_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " ELSE 0L END"
     ) if stats else "0L"
     w = W.partitionBy("bkt").orderBy("h", "doc_id")
-    ranked = keyed.select(
+    return keyed.select(
         "doc_id",
         "n_tok",
         (F.expr(roff) + F.row_number().over(w).cast("long")).alias("pos"),
@@ -1840,10 +1860,15 @@ def q_loader_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("toks_before"),
     )
+
+
+def _loader_manifest(ranked: DataFrame, budget: int) -> DataFrame:
+    """Greedy token-budget batch manifest over the ordered prefix:
+    a doc belongs to the batch its running-token START falls in."""
     return (
         ranked.withColumn(
             "batch",
-            F.expr(f"CAST(toks_before div {_LOADER_BUDGET} AS BIGINT)"),
+            F.expr(f"CAST(toks_before div {budget} AS BIGINT)"),
         )
         .groupBy("batch")
         .agg(
@@ -1853,4 +1878,93 @@ def q_loader_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("toks"),
         )
         .orderBy("batch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X91 — loader batches budgeted in MODEL tokens (r12)
+
+from .bpe import _bpe_chain_sql, _BPE_STEPS  # noqa: E402
+
+_LOADER_BUDGET_MODEL = 4_000  # model-token budget per training batch
+
+
+@query(
+    "q_loader_batches_model",
+    oracle=f"""
+        WITH {_bpe_chain_sql(_BPE_STEPS)},
+        tok AS (
+            SELECT array_to_string(syms, '') AS w,
+                   CAST(len(syms) AS BIGINT) AS n_tok
+            FROM wf{_BPE_STEPS}),
+        dw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id IS NOT NULL),
+        per AS (
+            SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_model_toks
+            FROM dw JOIN tok USING (w)
+            WHERE w <> ''
+            GROUP BY doc_id),
+        h AS (
+            SELECT d.doc_id,
+                   coalesce(per.n_model_toks, 0) AS n_tok,
+                   ('0x' || substr(md5('{_SHUF_SEED}:'
+                        || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            WHERE d.doc_id IS NOT NULL),
+        r AS (
+            SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY h, doc_id) AS pos,
+                   coalesce(sum(n_tok) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS toks_before
+            FROM h),
+        b AS (
+            SELECT pos, doc_id, n_tok,
+                   toks_before // {_LOADER_BUDGET_MODEL} AS batch
+            FROM r)
+        SELECT CAST(batch AS BIGINT) AS batch,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(pos) AS BIGINT) AS first_pos,
+               CAST(max(pos) AS BIGINT) AS last_pos,
+               CAST(sum(n_tok) AS BIGINT) AS toks
+        FROM b
+        GROUP BY batch
+        ORDER BY batch
+    """,
+    tags=("pipeline", "extension", "training-order", "batching",
+          "prefix-sum", "tokenizer"),
+)
+def q_loader_batches_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader batches budgeted in MODEL tokens (X91) — closing the
+    seam VERDICT r11 #4 named: q_loader_batches budgeted batches in
+    whitespace tokens while the trainer's actual cost is model
+    tokens.  Same epoch order, same greedy fill, same two-pass
+    distributed prefix sum (_ordered_token_prefix — shared code, so
+    the two manifests can only differ in the token measure), but the
+    per-doc mass is q_bpe_token_counts' n_model_toks: train the 8
+    merges, broadcast the vocabulary onto words, aggregate per doc
+    (docs with zero words ride at mass 0 via a LEFT join so the
+    permutation still covers the whole corpus).  Budget
+    {_LOADER_BUDGET_MODEL} model tokens per batch.  Consistency with
+    q_bpe_token_counts is pinned in tests/test_bpe.py: the manifest's
+    total token mass equals the per-doc counts' sum.
+
+    Scale shape: training iterates on the word-type table; the
+    encode is one corpus scan + one broadcast vocabulary join + a
+    per-doc aggregate; the manifest adds per-bucket windows and one
+    bounded ≤{_SHUF_BUCKETS}-row driver prefix sum — no
+    single-partition window, no second corpus scan."""
+    from .bpe import bpe_doc_token_counts, bpe_vocab_table, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, wf = train_bpe(spark, docs, return_state=True)
+    per = bpe_doc_token_counts(docs, bpe_vocab_table(wf))
+    keyed = _epoch_keyed_tokens(
+        docs.join(per.select("doc_id", "n_model_toks"), "doc_id", "left"),
+        F.coalesce(F.col("n_model_toks"), F.lit(0)).cast("long"),
+    )
+    return _loader_manifest(
+        _ordered_token_prefix(keyed), _LOADER_BUDGET_MODEL
     )

@@ -117,3 +117,41 @@ def test_bpe_encode_matches_pure_python_replay(spark):
     # the learned merges actually show up in the served vocabulary:
     # at least one top token is multi-character
     assert any(ln > 1 for _, _, ln, _ in got)
+
+
+def test_model_token_counts_consistent_with_loader_manifest(spark):
+    """X90/X91 consistency: the model-token loader manifest's total
+    mass equals q_bpe_token_counts' per-doc sum (same vocabulary,
+    same corpus — the two seams VERDICT r11 #4 said should meet),
+    every batch's start offset lies in its own budget window (the
+    greedy-fill invariant from q_loader_batches), and per-doc model
+    tokens are bounded by words below and characters above (a merge
+    only ever concatenates)."""
+    from open_street_map_data_wrangling_spark.operators.bpe import (
+        q_bpe_token_counts,
+    )
+    from open_street_map_data_wrangling_spark.operators.pipeline_ops import (
+        _LOADER_BUDGET_MODEL,
+        q_loader_batches_model,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    per = q_bpe_token_counts(spark, sf).collect()
+    assert per
+    for r in per:
+        assert r["n_words"] <= r["n_model_toks"]  # >= 1 token per word
+    total = sum(r["n_model_toks"] for r in per)
+    man = q_loader_batches_model(spark, sf).collect()
+    assert sum(r["toks"] for r in man) == total
+    # greedy-fill: batch b starts in [b*B, (b+1)*B) of the running sum
+    start = 0
+    for r in sorted(man, key=lambda r: r["batch"]):
+        assert start // _LOADER_BUDGET_MODEL == r["batch"]
+        start += r["toks"]
+    # chars upper bound: one token can never span beyond its word
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    chars = {
+        d["doc_id"]: sum(len(w) for w in (d["text"] or "").split(" ") if w)
+        for d in docs
+    }
+    assert all(r["n_model_toks"] <= chars[r["doc_id"]] for r in per)

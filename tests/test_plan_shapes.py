@@ -381,7 +381,8 @@ def test_epoch_order_family_has_no_single_partition_window(plans):
     prefix-sum lives driver-side and leaves no plan node."""
     import re
 
-    for q in ("q_epoch_shuffle", "q_loader_batches"):
+    for q in ("q_epoch_shuffle", "q_loader_batches",
+              "q_loader_batches_model"):
         p = plans(q)
         assert "SinglePartition" not in p, q
         assert re.search(r"hashpartitioning\(bkt", p), q
