@@ -196,6 +196,7 @@ HEADLINE = (
     "q_image_dedup",
     "q_bpe_token_counts",
     "q_loader_batches_model",
+    "q_ivfpq_batch_filtered",
 )
 
 

@@ -841,6 +841,7 @@ def _code_projection(
     cb: list[list[list[int]]],
     cents: list[list[float]],
     with_embedding: bool = False,
+    meta: tuple[str, ...] = (),
 ) -> DataFrame:
     """The shared (vec_id, cid, code*) projection over ANY vector
     frame — the batch build passes the corpus, the streaming index
@@ -867,6 +868,11 @@ def _code_projection(
     cols = [F.col("vec_id"), argmax.alias("cid")]
     if with_embedding:
         cols.append(F.col("embedding"))
+    # metadata columns ride through the projection for free (they are
+    # already on the input rows) — the filtered-serving story needs
+    # them IN the codes files so per-query predicates reach the index
+    # scan as pushed filters, never a corpus join at serve time
+    cols.extend(F.col(m) for m in meta)
     for s, scents in enumerate(cb):
         entries = F.array(
             *[
@@ -900,7 +906,9 @@ def _code_projection(
     return df.select(*cols)
 
 
-def build_ivfpq_index(emb: DataFrame, path: str) -> None:
+def build_ivfpq_index(
+    emb: DataFrame, path: str, meta: tuple[str, ...] = ()
+) -> None:
     """Persist the serving artifacts under ``path``:
 
     * ``codes/`` — (vec_id, code0..3) parquet PARTITIONED BY
@@ -929,10 +937,15 @@ def build_ivfpq_index(emb: DataFrame, path: str) -> None:
     # corpus count, not one per consumer (r09 bench control caught
     # the double-count as +0.6s of fixture job overhead)
     cb, _, cents, _ = _collect_ivfpq_literals(emb)
+    meta_ddl = "".join(
+        f", {m} {emb.schema[m].dataType.simpleString()}" for m in meta
+    )
     if cb is None:
         coded = _empty_result(
             emb,
-            "vec_id BIGINT, cid INT, embedding ARRAY<FLOAT>, "
+            "vec_id BIGINT, cid INT, embedding ARRAY<FLOAT>"
+            + meta_ddl
+            + ", "
             + ", ".join(f"code{s} INT" for s in range(_M)),
         )
         c = 0
@@ -940,8 +953,11 @@ def build_ivfpq_index(emb: DataFrame, path: str) -> None:
         # with_embedding: the raw vector rides in the codes files —
         # column-pruned away by the ADC scan, partition-pruned raw
         # storage for rrf_search's exact rerank (IVF-Flat colocated
-        # with the PQ codes, one artifact, one maintenance write)
-        coded = _code_projection(emb, cb, cents, with_embedding=True)
+        # with the PQ codes, one artifact, one maintenance write);
+        # meta columns likewise ride along for filtered serving
+        coded = _code_projection(
+            emb, cb, cents, with_embedding=True, meta=meta
+        )
         c = len(cents)
     hi = max(_K, c, _QUERY_ID + 1)
     coded.withColumn(
@@ -1318,6 +1334,8 @@ def ivfpq_search_many(
     nprobe: int = _IVFPQ_NPROBE,
     k: int = 10,
     exclude_self: bool = True,
+    filters: dict[int, int] | None = None,
+    filter_col: str = "label",
 ) -> DataFrame:
     """Batched ADC top-k over the PERSISTED index — N probe vectors
     answered by ONE partition-pruned codes scan over the UNION of
@@ -1332,7 +1350,21 @@ def ivfpq_search_many(
     embeddings from outside the index; nothing here requires the
     probes to be corpus rows — ``exclude_self`` drops vec_id == qid
     for the audit case where they are).  Batching N queries costs
-    one scan of the union cells + N heaps instead of N scans."""
+    one scan of the union cells + N heaps instead of N scans.
+
+    ``filters`` maps qid -> required ``filter_col`` value — the
+    PRE-filtering metadata predicate (restricting AFTER a fixed-k
+    ANN pass can starve: the unfiltered top-k may contain fewer than
+    k — or zero — survivors of the label, tests/test_tombstone.py's
+    sibling pin in test_operators.py).  The predicate is applied at
+    TWO levels: the union of every query's requested values is
+    pushed into the codes scan itself (PushedFilters — the index
+    built with ``meta`` carries the column, so row groups prune
+    before any ADC math), and the per-query equality rides the
+    broadcast probe table so each query sees only ITS label's rows.
+    Queries absent from ``filters`` stay unfiltered (their probe
+    rows carry NULL, which also disables the scan-level pushdown —
+    an unfiltered query must see every label)."""
     from pyspark.sql import Window as _Win
 
     from .similarity import _rank_cells_py
@@ -1352,14 +1384,21 @@ def ivfpq_search_many(
         for s in range(_M)
     ]
     cents = [raw[i] for i in range(c)]
+    filters = filters or {}
     probe_rows, lut_rows, union_cells = [], [], set()
     for qid, qv in sorted(queries.items()):
         cells = _rank_cells_py(cents, [float(x) for x in qv])[:nprobe]
         union_cells.update(int(p) for p in cells)
-        probe_rows += [(int(qid), int(p)) for p in cells]
+        flt = filters.get(qid)
+        probe_rows += [
+            (int(qid), int(p), None if flt is None else int(flt))
+            for p in cells
+        ]
         lut = _adc_lut(cb, _quantize([float(x) for x in qv]))
         lut_rows.append((int(qid), [[int(d) for d in row] for row in lut]))
-    probes = spark.createDataFrame(probe_rows, "qid LONG, cid INT")
+    probes = spark.createDataFrame(
+        probe_rows, "qid LONG, cid INT, __flt INT"
+    )
     luts = spark.createDataFrame(
         lut_rows, "qid LONG, lut ARRAY<ARRAY<BIGINT>>"
     )
@@ -1370,10 +1409,25 @@ def ivfpq_search_many(
     codes = spark.read.parquet(f"{index_path}/codes").filter(
         F.col("cid").isin(sorted(union_cells))
     )
+    if filters and all(q in filters for q in queries):
+        # every query is filtered: the union of requested values is a
+        # scan-level pushed filter — row groups prune before any ADC
+        # arithmetic (with one unfiltered query this would be wrong:
+        # it must see every value)
+        codes = codes.filter(
+            F.col(filter_col).isin(sorted({int(v) for v in filters.values()}))
+        )
     scored = (
         codes.join(F.broadcast(probes), "cid")
         .join(F.broadcast(luts), "qid")
-        .select("qid", "vec_id", F.expr(f"CAST({adc} AS BIGINT)").alias("adc_d2"))
+    )
+    if filters:
+        scored = scored.filter(
+            F.col("__flt").isNull()
+            | (F.col(filter_col) == F.col("__flt"))
+        )
+    scored = scored.select(
+        "qid", "vec_id", F.expr(f"CAST({adc} AS BIGINT)").alias("adc_d2")
     )
     if exclude_self:
         scored = scored.filter(F.col("vec_id") != F.col("qid"))
@@ -1479,4 +1533,122 @@ def q_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     return ivfpq_search_many(
         spark, path, qrows, k=_IVFPQ_BATCH_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# X92 — filtered batched vector serving (r12)
+
+_IVFPQ_BATCH_FILTERS = {0: 2, 17: 5, 42: 7}  # qid -> required label
+
+
+def _ivfpq_batch_filtered_oracle() -> str:
+    from .similarity import _IVF_ASSIGN_SQL
+
+    qf_vals = ", ".join(
+        f"({q}, {lbl})" for q, lbl in sorted(_IVFPQ_BATCH_FILTERS.items())
+    )
+    return f"""
+        WITH {_CODES_SQL},
+        {_IVF_ASSIGN_SQL},
+        qf(qid, flabel) AS (VALUES {qf_vals}),
+        qv AS (
+            SELECT qf.qid, e.embedding
+            FROM qf JOIN embeddings e ON e.vec_id = qf.qid),
+        qcb AS (
+            SELECT qid, cid AS qcid FROM (
+                SELECT qv.qid, c.cid,
+                       row_number() OVER (
+                           PARTITION BY qv.qid
+                           ORDER BY list_cosine_similarity(
+                               c.cemb::DOUBLE[], qv.embedding::DOUBLE[]
+                           ) DESC, c.cid ASC) AS qrn
+                FROM cents c CROSS JOIN qv)
+            WHERE qrn <= {_IVFPQ_NPROBE}),
+        lutb AS (
+            SELECT qv.qid, subs.s, seeds.cid,
+                   sum({_d2_terms('qv', 'seeds')}) AS d2
+            FROM qv CROSS JOIN subs CROSS JOIN seeds
+            CROSS JOIN generate_series(1, {_SUBDIM}) g(i)
+            GROUP BY 1, 2, 3),
+        candb AS (
+            SELECT qcb.qid, a1.vec_id
+            FROM a1
+            JOIN qcb ON a1.cid = qcb.qcid
+            JOIN embeddings me ON me.vec_id = a1.vec_id
+            JOIN qf ON qf.qid = qcb.qid AND me.label = qf.flabel
+            WHERE a1.vec_id <> qcb.qid),
+        adcb AS (
+            SELECT cb.qid, c.vec_id,
+                   CAST(l0.d2 + l1.d2 + l2.d2 + l3.d2 AS BIGINT) AS adc_d2
+            FROM codes c
+            JOIN candb cb ON cb.vec_id = c.vec_id
+            JOIN lutb l0 ON l0.qid = cb.qid AND l0.s = 0 AND l0.cid = c.code0
+            JOIN lutb l1 ON l1.qid = cb.qid AND l1.s = 1 AND l1.cid = c.code1
+            JOIN lutb l2 ON l2.qid = cb.qid AND l2.s = 2 AND l2.cid = c.code2
+            JOIN lutb l3 ON l3.qid = cb.qid AND l3.s = 3 AND l3.cid = c.code3),
+        rb AS (
+            SELECT qid, vec_id, adc_d2,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc_d2, vec_id) AS rank
+            FROM adcb)
+        SELECT CAST(qid AS BIGINT) AS qid,
+               CAST(rank AS INTEGER) AS rank,
+               vec_id, adc_d2
+        FROM rb WHERE rank <= {_IVFPQ_BATCH_K}
+        ORDER BY qid, rank
+    """
+
+
+@query(
+    "q_ivfpq_batch_filtered",
+    oracle=_ivfpq_batch_filtered_oracle(),
+    tags=("similarity", "ann", "pq", "ivf", "batch", "filtered",
+          "extension"),
+)
+def q_ivfpq_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered batched vector serving (X92, VERDICT r11 #5) —
+    production vector search is almost always "top-k NEAR this,
+    WHERE metadata" — composing q_vec_topk_filtered's PRE-filtering
+    rationale with the X85 batch path: the index is built with the
+    label column riding IN the codes files (meta=("label",) — free
+    at build, parquet column pruning hides it from unfiltered
+    serves), and each of the 3 demo queries carries its own required
+    label.  The union of requested labels prunes the codes SCAN
+    (PushedFilters, on top of the union-probe-cell PartitionFilters)
+    and the per-query equality rides the broadcast probe table — so
+    every query ranks ONLY its label's vectors inside its probe
+    cells: pre-filtering, full k available, never the post-filter
+    starvation (an unfiltered top-{_IVFPQ_BATCH_K} then filtered
+    keeps ~1/10 of k on this fixture's 10-label column —
+    pinned in tests/test_operators.py).
+
+    Scale shape: identical to q_ivfpq_batch plus one pushed
+    predicate — no corpus scan, no extra join; the oracle replays
+    probe + LUT + ADC + the label predicate relationally."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"osm_spark_ivfpq_fbatch_{tag}"
+    )
+    build_ivfpq_index(emb, path, meta=("label",))
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            F.col("vec_id").isin(list(_IVFPQ_BATCH_FILTERS))
+            & F.col("embedding").isNotNull()
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    return ivfpq_search_many(
+        spark,
+        path,
+        qrows,
+        k=_IVFPQ_BATCH_K,
+        filters={q: l for q, l in _IVFPQ_BATCH_FILTERS.items() if q in qrows},
     )

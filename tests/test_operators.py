@@ -2895,3 +2895,65 @@ def test_image_dedup_finds_planted_twin_not_distinct(spark, sf_dir):
     w, h, px = decode_gif_gray_pixels(encode_gif_gray(36, 32, rows))
     assert (w, h) == (36, 32) and px == b"".join(rows)
     assert _IMG_HAMMING_K == 3  # 4 disjoint bands pigeonhole-cover k=3
+
+
+def test_filtered_batch_search_avoids_post_filter_starvation(spark, sf_dir):
+    """q_ivfpq_batch_filtered (X92): PRE-filtering (predicate pushed
+    into the index scan, per-query equality on the probe table)
+    returns the full k per query, while post-filtering the UNFILTERED
+    top-k — the naive composition — starves: on this 10-label fixture
+    an unfiltered top-5 keeps ~k/10 survivors of any one label.  Also
+    pins that every returned row really carries the query's required
+    label and that per-qid results are the label-restricted ADC
+    ranking (subset sanity vs a larger unfiltered cut)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.operators.pq import (
+        _IVFPQ_BATCH_FILTERS,
+        _IVFPQ_BATCH_K,
+        build_ivfpq_index,
+        ivfpq_search_many,
+        q_ivfpq_batch_filtered,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in emb.select("vec_id", "label").collect()
+    }
+    got = q_ivfpq_batch_filtered(spark, sf_dir).collect()
+    per_qid = {q: [r for r in got if r["qid"] == q] for q in _IVFPQ_BATCH_FILTERS}
+    for q, want_label in _IVFPQ_BATCH_FILTERS.items():
+        assert len(per_qid[q]) == _IVFPQ_BATCH_K  # full k, no starvation
+        assert all(labels[r["vec_id"]] == want_label for r in per_qid[q])
+    # the naive composition: unfiltered top-k, then filter -> starved
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"osm_spark_ivfpq_fbatch_{tag}")
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            F.col("vec_id").isin(list(_IVFPQ_BATCH_FILTERS))
+        ).collect()
+    }
+    unfiltered = ivfpq_search_many(
+        spark, path, qrows, k=_IVFPQ_BATCH_K
+    ).collect()
+    for q, want_label in _IVFPQ_BATCH_FILTERS.items():
+        survivors = [
+            r for r in unfiltered
+            if r["qid"] == q and labels[r["vec_id"]] == want_label
+        ]
+        assert len(survivors) < _IVFPQ_BATCH_K  # post-filter starves
+        # and pre-filter's result is exactly the label-restricted
+        # ranking: its ADC distances extend the survivors' prefix
+        pre_ids = [r["vec_id"] for r in per_qid[q]]
+        assert [s["vec_id"] for s in survivors] == [
+            v for v in pre_ids if v in {s["vec_id"] for s in survivors}
+        ]

@@ -340,6 +340,19 @@ def test_rrf_served_is_partition_pruned(plans):
     assert "bkt" in p and "cid" in p
 
 
+def test_ivfpq_batch_filtered_pushes_label_predicate(plans):
+    """q_ivfpq_batch_filtered: the union of the batch's requested
+    labels must reach the codes FileScan as a data filter (the index
+    carries the label column, so row groups prune before any ADC
+    arithmetic) ON TOP of the union-probe-cell partition pruning —
+    and the corpus table stays untouched at serve time (the bounded
+    probe-vector collect is the only embeddings read, driver-side)."""
+    p = plans("q_ivfpq_batch_filtered")
+    assert "PartitionFilters" in p and "cid" in p
+    assert "label" in p and "IN (2,5,7)" in p
+    assert "WindowGroupLimit" in p
+
+
 def test_image_dedup_checkpoint_fed_no_allpairs(plans):
     """q_image_dedup: the codec+fingerprint stage materializes ONCE
     into a checkpoint (the band explode and both verify sides consume
