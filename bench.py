@@ -197,6 +197,7 @@ HEADLINE = (
     "q_bpe_token_counts",
     "q_loader_batches_model",
     "q_ivfpq_batch_filtered",
+    "q_proximity_served",
 )
 
 

@@ -460,3 +460,172 @@ def q_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_CONVOY_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# X93 — persisted spatial grid index + batched radius serving (r12)
+#
+# q_proximity_join answers "all pairs within r" inline; a deployment
+# also serves the other direction — "what is NEAR these N points?" —
+# against a corpus ingested long ago.  The persisted form of the
+# grid: points parquet partitioned by SUPERBLOCKS of the radius-
+# derived cells (block = cell // _GEO_BLOCK — raw cells as partition
+# dirs would scatter a large corpus into millions of tiny files; a
+# block is still small enough that a 3x3 cell probe touches at most
+# 4 blocks), with the exact cell ids riding as data columns.  A
+# batch of N query points is answered by ONE scan partition-pruned
+# to the union of their probe blocks (PartitionFilters — the spatial
+# twin of ivfpq_search_many's union-cell pruning), an equi-join
+# against the broadcast 9-cell probe table, and the exact haversine
+# on candidates only.
+
+_GEO_BLOCK = 8  # grid cells per partition-dir axis
+_PROX_SERVE_RADIUS = 2000.0  # serve-demo radius (meters)
+_PROX_SERVE_QIDS = (6, 104, 112)  # fixed demo query points
+_GEO_STORE_DDL = (
+    "id BIGINT, lat DOUBLE, lon DOUBLE, cx BIGINT, cy BIGINT, "
+    "gbx BIGINT, gby BIGINT"
+)
+
+
+def _geo_cells(radius_m: float, max_abs_lat: float = 66.0):
+    """(lat_cell, lon_cell) — the proximity_pairs sizing contract
+    shared by build and serve so probe cells and stored cells can
+    never disagree."""
+    return (
+        radius_m / 111_000.0,
+        radius_m / (111_000.0 * math.cos(math.radians(max_abs_lat))),
+    )
+
+
+def build_geo_index(
+    pts: DataFrame, path: str, radius_m: float = _PROX_SERVE_RADIUS
+) -> None:
+    """Persist (id, lat, lon, cx, cy) partitioned by the cell
+    superblock (gbx, gby).  One scan + one partitioned write — the
+    amortized offline step; at 100 TB this is the same write-time
+    clustering story as the geohash/Z-order layout, with the block
+    size keeping file counts O(occupied blocks), not O(cells)."""
+    lat_cell, lon_cell = _geo_cells(radius_m)
+    coded = pts.selectExpr(
+        "id",
+        "lat",
+        "lon",
+        f"CAST(floor(lat / {lat_cell}) AS BIGINT) AS cx",
+        f"CAST(floor(lon / {lon_cell}) AS BIGINT) AS cy",
+    ).selectExpr(
+        "*",
+        f"CAST(floor(cx / {_GEO_BLOCK}) AS BIGINT) AS gbx",
+        f"CAST(floor(cy / {_GEO_BLOCK}) AS BIGINT) AS gby",
+    )
+    coded.write.mode("overwrite").partitionBy("gbx", "gby").parquet(path)
+
+
+def proximity_search(
+    spark: SparkSession,
+    store_dir: str,
+    points: dict[int, tuple[float, float]],
+    radius_m: float = _PROX_SERVE_RADIUS,
+) -> DataFrame:
+    """Batched radius queries over the PERSISTED grid index: for each
+    (qid -> (lat, lon)) query point, every stored point within
+    ``radius_m`` (excluding the point whose id equals qid — the
+    audit case where queries are corpus rows).  Driver-side: each
+    query's 3x3 probe cells and their ≤4 superblocks (pure
+    arithmetic).  Engine-side: ONE store scan pruned to the union of
+    probe blocks (PartitionFilters), an equi-join against the
+    broadcast (qid, cell) probe table, exact haversine on candidates
+    only.  Zero scans of the original point table; N queries cost
+    one pruned scan instead of N."""
+    if not points:
+        return spark.createDataFrame(
+            [], "qid BIGINT, id BIGINT, dist_m DOUBLE"
+        )
+    lat_cell, lon_cell = _geo_cells(radius_m)
+    probe_rows, blocks = [], set()
+    for qid, (qlat, qlon) in sorted(points.items()):
+        cx0 = math.floor(qlat / lat_cell)
+        cy0 = math.floor(qlon / lon_cell)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cx, cy = cx0 + dx, cy0 + dy
+                probe_rows.append(
+                    (int(qid), float(qlat), float(qlon), cx, cy)
+                )
+                blocks.add((cx // _GEO_BLOCK, cy // _GEO_BLOCK))
+    probes = spark.createDataFrame(
+        probe_rows, "qid LONG, qlat DOUBLE, qlon DOUBLE, cx LONG, cy LONG"
+    )
+    block_pred = None
+    for bx, by in sorted(blocks):
+        cond = (F.col("gbx") == int(bx)) & (F.col("gby") == int(by))
+        block_pred = cond if block_pred is None else (block_pred | cond)
+    store = (
+        spark.read.schema(_GEO_STORE_DDL)
+        .parquet(store_dir)
+        .filter(block_pred)
+    )
+    dist = _HAVERSINE.format(
+        lat1="qlat", lon1="qlon", lat2="lat", lon2="lon"
+    )
+    return (
+        store.join(F.broadcast(probes), ["cx", "cy"])
+        .where(F.col("id") != F.col("qid"))
+        .selectExpr(
+            "qid", "id", f"CAST(round({dist}, 1) AS DOUBLE) AS dist_m"
+        )
+        .where(F.col("dist_m") <= radius_m)
+        .orderBy("qid", "dist_m", "id")
+    )
+
+
+@query(
+    "q_proximity_served",
+    oracle=f"""
+        WITH {_PTS_CTE},
+        qp AS (
+            SELECT id AS qid, lat AS qlat, lon AS qlon
+            FROM pts WHERE id IN {_PROX_SERVE_QIDS}),
+        d AS (
+            SELECT qp.qid, b.id,
+                   CAST(round({_HAVERSINE.format(
+                       lat1="qp.qlat", lon1="qp.qlon",
+                       lat2="b.lat", lon2="b.lon")}, 1) AS DOUBLE)
+                     AS dist_m
+            FROM qp JOIN pts b ON b.id <> qp.qid)
+        SELECT qid, id, dist_m
+        FROM d
+        WHERE dist_m <= {_PROX_SERVE_RADIUS}
+        ORDER BY qid, dist_m, id
+    """,
+    tags=("geo", "serve", "batch", "extension"),
+)
+def q_proximity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched radius queries SERVED from the persisted spatial grid
+    (X93, VERDICT r11 #8): build the superblock-partitioned point
+    index once (the amortized offline step), then answer all
+    {len(_PROX_SERVE_QIDS)} demo radius queries from the store alone
+    — one partition-pruned scan (union of the queries' probe
+    blocks), broadcast 9-cell probe table, exact haversine on
+    candidates.  The oracle is the deliberate OPPOSITE shape —
+    brute-force O(n·q) over every point — so a green row proves the
+    cell sizing and the block pruning lose no border point (the
+    q_proximity_join differential discipline, now covering the
+    PERSISTED layout too).  Query points enter as caller data
+    (bounded {len(_PROX_SERVE_QIDS)}-row collect of the synthetic
+    points; a real serving tier gets coordinates from the request)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    pts = synth_points(load_table(spark, sf_dir, "customer"))
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"osm_spark_geo_{tag}")
+    build_geo_index(pts, path)
+    qrows = {
+        int(r["id"]): (float(r["lat"]), float(r["lon"]))
+        for r in pts.filter(
+            F.col("id").isin(list(_PROX_SERVE_QIDS))
+        ).collect()
+    }
+    return proximity_search(spark, path, qrows)

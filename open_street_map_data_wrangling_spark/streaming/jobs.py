@@ -1426,6 +1426,127 @@ def purge_winnow_store(
     _commit_store(fs, store_path, stage_path)
 
 
+def contamination_bands_merge_fn(spark: SparkSession, store_dir: str):
+    """Set-union merge of each micro-batch's DISTINCT MinHash-LSH
+    band rows (dedup.minhash_sigs + dedup._lsh_bands — the SAME band
+    derivation inline q_fuzzy_contamination runs) into the
+    train-split contamination store.  A doc's bands are a pure
+    function of its text and the merge is distinct-union, so the
+    operation is IDEMPOTENT (the winnow-store half of the
+    idempotent-vs-marker trade — no applied-batch markers);
+    stage-rename commit guards readers.  The store is the standing
+    eval gate's state: ~4 rows × (8 bytes + a ~26-char band value)
+    per train doc, and checking a NEW test set against the whole
+    train history never re-reads a train document
+    (contamination_check below)."""
+    from ..operators.dedup import _lsh_bands, minhash_sigs
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        delta = _lsh_bands(
+            minhash_sigs(batch_df.select("doc_id", "text"))
+        ).distinct()
+        if fs.exists(store_path):
+            merged = (
+                spark.read.schema(_CONTAM_BANDS_DDL)
+                .parquet(store_dir)
+                .unionByName(delta)
+                .distinct()
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+_CONTAM_BANDS_DDL = "doc_id BIGINT, bi INT, bv STRING"
+
+
+def contamination_bands_maintenance(doc_stream: DataFrame, store_dir: str):
+    """Continuous LSH-band fingerprinting of the training corpus:
+    each micro-batch's band rows set-union into the store, so the
+    fuzzy decontamination gate (contamination_check) always reflects
+    everything the model will train on.  Returns the StreamingQuery
+    (caller stops it)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            contamination_bands_merge_fn(doc_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+
+
+def contamination_check(
+    spark: SparkSession,
+    store_dir: str,
+    docs: DataFrame,
+    cap: int | None = None,
+) -> DataFrame:
+    """The SERVED fuzzy decontamination gate (VERDICT r11 #7):
+    q_fuzzy_contamination's per-test-doc audit for ANY candidate
+    eval batch, answered from the maintained train-band store with
+    ZERO train-corpus scans — the real deployment shape, where the
+    eval set arrives long after the crawl was ingested.
+
+    Semantics replayed exactly from the inline query: the batch's
+    band rows (same minhash/band derivation), bucket sizes counted
+    over store ∪ batch (the inline pass counts members across BOTH
+    splits), over-cap buckets dropped (template collisions carry no
+    near-dup signal — dedup._capped_band_pairs' contract), then the
+    cross join store×batch within surviving buckets, DISTINCT
+    (test, train) pairs, per-test aggregate.  When the batch is the
+    fixture's test split and the store holds its train split this
+    EQUALS inline q_fuzzy_contamination (pytest-pinned); for a new
+    eval batch it answers the same question against corpus history.
+
+    Scale shape: one Python-free pass over the batch (bands are
+    column expressions), one store-sized equi-join on (bi, bv) with
+    the hot buckets pruned by the same cap prepass, one per-test
+    aggregate.  The store never leaves parquet except for matching
+    band values."""
+    from ..operators.dedup import (
+        _LSH_BUCKET_CAP,
+        _lsh_bands,
+        minhash_sigs,
+    )
+
+    cap = _LSH_BUCKET_CAP if cap is None else cap
+    qb = _lsh_bands(
+        minhash_sigs(docs.select("doc_id", "text"))
+    ).localCheckpoint(eager=False)
+    store = spark.read.schema(_CONTAM_BANDS_DDL).parquet(store_dir)
+    sizes = (
+        store.select("bi", "bv")
+        .unionByName(qb.select("bi", "bv"))
+        .groupBy("bi", "bv")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= cap)
+        .select("bi", "bv")
+    )
+    pairs = (
+        qb.select(
+            "bi", "bv", F.col("doc_id").alias("test_doc")
+        )
+        .join(sizes.hint("shuffle_hash"), ["bi", "bv"])
+        .join(
+            store.select(
+                "bi", "bv", F.col("doc_id").alias("train_doc")
+            ),
+            ["bi", "bv"],
+        )
+        .select("test_doc", "train_doc")
+        .distinct()
+    )
+    return pairs.groupBy("test_doc").agg(
+        F.count("*").cast("bigint").alias("n_train_neardups"),
+        F.min("train_doc").cast("bigint").alias("example_train_doc"),
+    )
+
+
 def shard_manifest_maintenance(doc_stream: DataFrame, store_dir: str):
     """Continuous shard planning over an ordered document stream:
     each micro-batch is placed after the stored end offset and its

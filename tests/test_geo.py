@@ -287,3 +287,57 @@ def test_geohash_clustering_buys_prefix_and_bbox_skipping(spark, tmp_path):
     assert files_touched(iddir, bbox_pred) == n_files
     assert files_touched(geodir, prefix_pred) <= n_files // 4
     assert files_touched(geodir, bbox_pred) <= n_files // 2
+
+
+def test_proximity_search_matches_brute_force(spark, tmp_path):
+    """X93 serve == inline: radius queries over the persisted grid
+    index return exactly the brute-force haversine answer (the
+    pruning differential — block pruning + 3x3 cells lose no border
+    point), a query id never returns itself, and results arrive
+    sorted per query."""
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.operators.geo import (
+        _HAVERSINE,
+        _PROX_SERVE_QIDS,
+        _PROX_SERVE_RADIUS,
+        build_geo_index,
+        proximity_search,
+        synth_points,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    pts = synth_points(
+        load_table(spark, "/root/testdata/sf0.001", "customer")
+    )
+    path = str(tmp_path / "geo_idx")
+    build_geo_index(pts, path)
+    qrows = {
+        int(r["id"]): (float(r["lat"]), float(r["lon"]))
+        for r in pts.filter(F.col("id").isin(list(_PROX_SERVE_QIDS))).collect()
+    }
+    served = [
+        tuple(r) for r in proximity_search(spark, path, qrows).collect()
+    ]
+    brute = []
+    allpts = pts.collect()
+    import math as m
+
+    def hav(a, b, c, d):
+        return 2 * 6371000 * m.asin(m.sqrt(
+            m.sin(m.radians(c - a) / 2) ** 2
+            + m.cos(m.radians(a)) * m.cos(m.radians(c))
+            * m.sin(m.radians(d - b) / 2) ** 2))
+
+    for qid, (qlat, qlon) in sorted(qrows.items()):
+        for r in allpts:
+            if r["id"] == qid:
+                continue
+            d = round(hav(qlat, qlon, r["lat"], r["lon"]), 1)
+            if d <= _PROX_SERVE_RADIUS:
+                brute.append((qid, r["id"], d))
+    brute.sort(key=lambda t: (t[0], t[2], t[1]))
+    assert served == brute and served
+    assert not any(q == i for q, i, _ in served)

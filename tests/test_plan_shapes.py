@@ -340,6 +340,19 @@ def test_rrf_served_is_partition_pruned(plans):
     assert "bkt" in p and "cid" in p
 
 
+def test_proximity_served_is_partition_pruned(plans):
+    """q_proximity_served: the serve plan must read ONLY the grid
+    store — one FileScan, never the customer table — with the union
+    of the queries' probe superblocks as PartitionFilters (gbx/gby):
+    the spatial realization of index pruning, the property that
+    keeps a batch of radius queries reading O(probe blocks) of a
+    100 TB point corpus."""
+    p = plans("q_proximity_served")
+    assert p.count("Scan parquet") == 1
+    assert "customer.parquet" not in p
+    assert "PartitionFilters" in p and "gbx" in p and "gby" in p
+
+
 def test_ivfpq_batch_filtered_pushes_label_predicate(plans):
     """q_ivfpq_batch_filtered: the union of the batch's requested
     labels must reach the codes FileScan as a data filter (the index

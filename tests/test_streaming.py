@@ -1731,3 +1731,64 @@ def test_source_overlap_maintenance_matches_inline(spark, tmp_path):
     assert sorted(
         tuple(r) for r in spark.read.parquet(store).collect()
     ) == before
+
+
+def test_contamination_store_serves_inline_gate(spark, tmp_path):
+    """Served fuzzy decontamination (r12): streaming the TRAIN split
+    in two chunks through contamination_bands_maintenance builds a
+    band store equal to the batch derivation (set-union, idempotent
+    on redelivery), and contamination_check over the fixture's test
+    split answers EXACTLY inline q_fuzzy_contamination — the eval
+    gate runs against corpus history with zero train-corpus scans."""
+    import open_street_map_data_wrangling_spark.operators.dedup as dd
+    from open_street_map_data_wrangling_spark.operators.pipeline_ops import (
+        _split_col,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        contamination_bands_maintenance,
+        contamination_bands_merge_fn,
+        contamination_check,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").withColumn(
+        "sp", _split_col()
+    )
+    train = docs.filter("sp = 'train'").select("doc_id", "text")
+    test = docs.filter("sp = 'test'").select("doc_id", "text")
+    b1 = train.filter("doc_id < 250")
+    b2 = train.filter("doc_id >= 250")
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "contam_bands")
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = contamination_bands_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # streamed == batch: one merge of the whole train split
+    full = str(tmp_path / "contam_bands_full")
+    contamination_bands_merge_fn(spark, full)(train, 0)
+    rows = lambda d: {
+        (r["doc_id"], r["bi"], r["bv"])
+        for r in spark.read.parquet(d).collect()
+    }
+    assert rows(store) == rows(full) and rows(store)
+    # redelivery: distinct-union is a no-op
+    contamination_bands_merge_fn(spark, store)(b1, 0)
+    assert rows(store) == rows(full)
+
+    served = {
+        tuple(r) for r in contamination_check(spark, store, test).collect()
+    }
+    inline = {
+        tuple(r) for r in dd.q_fuzzy_contamination(spark, sf).collect()
+    }
+    assert served == inline and served
