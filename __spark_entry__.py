@@ -147,6 +147,25 @@ def _stamp_fingerprints() -> dict[str, str]:
 # registry are ignored; an empty tuple restores pure registration
 # order.
 _MODIFIED_PRIORITY: tuple[str, ...] = (
+    # Round 12: the r11-ADVICE fixes (GIF LZW end-of-stream width
+    # sync, JPEG DQT guard, bm25 batch-oracle dl qualification)
+    # touched the codec and bm25 closures; build_ivfpq_index gained
+    # the meta-columns parameter (X92) which rotates every
+    # ivfpq-store dependent; q_loader_batches' prefix sum is factored
+    # into _ordered_token_prefix / _loader_manifest (shared with the
+    # X91 model-token variant).  ALL 10 re-verified green at sf0.01
+    # this round (plus the 6 new r12 queries, which lead the window
+    # as never-stamped).
+    "q_image_gif",
+    "q_image_jpeg",
+    "q_bm25_batch",
+    "q_rrf_batch",
+    "q_bm25",
+    "q_rrf_fusion",
+    "q_rrf_served",
+    "q_ivfpq_serve",
+    "q_ivfpq_batch",
+    "q_loader_batches",
     # Round 11: r10-ADVICE fixes — q_audio_pcm's oracle now uses
     # explicit pmod (double-mod) on n_chars and the sample expression
     # so negative inputs agree with the Python worker's non-negative
