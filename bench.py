@@ -198,6 +198,7 @@ HEADLINE = (
     "q_loader_batches_model",
     "q_ivfpq_batch_filtered",
     "q_proximity_served",
+    "q_image_dedup_clusters",
 )
 
 

@@ -1761,10 +1761,10 @@ _IMG_BANDS_SQL = "\n            UNION ALL ".join(
 )
 
 
-@query(
-    "q_image_dedup",
-    oracle=f"""
-        WITH img AS (
+# The full fingerprint CTE chain (image formula -> grid -> dHash ->
+# bands), shared by the pair oracle and the X95 clustering oracle so
+# the two can never drift.
+_IMG_FP_CTES = f"""img AS (
             SELECT doc_id,
                    CASE WHEN doc_id % 4 <= 1 THEN doc_id // 4 * 2 + 1
                         ELSE 1000000 + 20 * doc_id + 17 END AS s
@@ -1799,7 +1799,9 @@ _IMG_BANDS_SQL = "\n            UNION ALL ".join(
             FROM img i LEFT JOIN bits b ON i.doc_id = b.doc_id
             GROUP BY 1),
         bands AS (
-            {_IMG_BANDS_SQL})
+            {_IMG_BANDS_SQL})"""
+
+_IMG_PAIRS_SQL = f"""
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
                   + bit_count(xor(a.dhash_lo, b.dhash_lo))
@@ -1807,7 +1809,14 @@ _IMG_BANDS_SQL = "\n            UNION ALL ".join(
         FROM bands a JOIN bands b
           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
-            + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= {_IMG_HAMMING_K}
+            + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= {_IMG_HAMMING_K}"""
+
+
+@query(
+    "q_image_dedup",
+    oracle=f"""
+        WITH {_IMG_FP_CTES}
+        {_IMG_PAIRS_SQL}
     """,
     tags=("multimodal", "dedup", "image", "perceptual", "extension"),
 )
@@ -1836,14 +1845,48 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cores (measured 16 s -> ~2 s at sf0.1).  The exchange moves one
     # bigint per image; the codec work it unlocks is ~3 ms per image.
     fp = (
+        image_fingerprints(docs)
+        .localCheckpoint(eager=False)
+    )
+    rows = _image_band_rows(fp)
+    hamming = _image_hamming_col()
+    return (
+        _all_bucket_pairs(rows, _LSH_BUCKET_CAP)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _IMG_HAMMING_K)
+        .distinct()
+    )
+
+
+def image_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, dhash_hi, dhash_lo) for every document's image —
+    the codec + dHash stage, shared by the inline query, the
+    streaming fingerprint store, and the served dedup gate so all
+    three hash the same pixels the same way.  Repartitions BEFORE
+    the codec stage: the fixture parquet is 1-2 files and an Arrow
+    stage inherits scan parallelism — without the fan-out the whole
+    corpus's encode/decode ran on 2 of 32 cores (measured 16 s ->
+    ~2 s at sf0.1); the exchange moves one bigint per image."""
+    spark = docs.sparkSession
+    return (
         docs.select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(
             _dhash_batches,
             schema="doc_id bigint, dhash_hi bigint, dhash_lo bigint",
         )
-        .localCheckpoint(eager=False)
     )
+
+
+def _image_band_rows(fp: DataFrame) -> DataFrame:
+    """(bi, bv, m) band rows over a fingerprint relation — the
+    pigeonhole decomposition (4 disjoint 16-bit bands cover Hamming
+    <= {_IMG_HAMMING_K}), m = the full fingerprint struct for the
+    exact verify."""
     band_structs = F.array(
         *[
             F.struct(F.lit(bi).alias("bi"), F.expr(bv).alias("bv"))
@@ -1857,21 +1900,85 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    rows = fp.select(
+    return fp.select(
         F.explode(band_structs).alias("b"),
         F.struct("doc_id", "dhash_hi", "dhash_lo").alias("m"),
     ).select(F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"), "m")
-    hamming = (
+
+
+def _image_hamming_col():
+    """Exact 64-bit Hamming distance between the a/b fingerprint
+    structs of a candidate pair (two 32-bit halves — no signed
+    top-bit trap in either engine)."""
+    return (
         F.bit_count(F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi")))
         + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
     ).cast("int")
-    return (
-        _all_bucket_pairs(rows, _LSH_BUCKET_CAP)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= _IMG_HAMMING_K)
+
+
+# ---------------------------------------------------------------------------
+# X95 — image dedup clusters + representative policy (r12)
+
+
+@query(
+    "q_image_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_IMG_FP_CTES},
+        ipairs AS ({_IMG_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM ipairs
+            UNION SELECT doc_b, doc_a FROM ipairs),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        lab AS (
+            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
+            FROM (SELECT DISTINCT a FROM edges) e
+            JOIN reach r ON r.src = e.a
+            GROUP BY e.a)
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_images,
+               CAST(count(*) - 1 AS BIGINT) AS n_removed,
+               CAST(max(n) AS BIGINT) AS max_doc
+        FROM lab
+        GROUP BY cluster_id
+    """,
+    tags=("multimodal", "dedup", "image", "iterative", "extension"),
+)
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup CLUSTERS (X95) — the keep-one-copy decision on
+    top of X89's near-dup pairs: connected components over the
+    Hamming-<= {_IMG_HAMMING_K} pair graph, representative = min
+    image id (which IS the kept copy, so n_removed is the dedup
+    yield per family).  Only edge-touched images enter the
+    iteration — the singleton majority never pays a components
+    round (the q_dedup_savings discipline).  The oracle replays
+    components via the recursive transitive-closure CTE over the
+    SHARED fingerprint chain, so fingerprints, banding, verify, and
+    the iterative clustering are all one hash check.
+
+    Scale shape: X89's plan (one codec stage, capped band join)
+    plus pointer-doubling label propagation over |pairs| edges —
+    at the fixture all families are planted twins (n_images = 2),
+    and a cluster never exceeds the transitive closure of
+    band-collision candidates by construction."""
+    from .dedup import connected_components
+
+    pairs = (
+        q_image_dedup(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("n")))
         .distinct()
+    )
+    lab = connected_components(pairs, nodes)
+    return lab.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_images"),
+        (F.count("*") - 1).cast("bigint").alias("n_removed"),
+        F.max("n").cast("bigint").alias("max_doc"),
     )

@@ -1547,6 +1547,98 @@ def contamination_check(
     )
 
 
+_IMAGE_PRINTS_DDL = "doc_id BIGINT, dhash_hi BIGINT, dhash_lo BIGINT"
+
+
+def image_prints_merge_fn(spark: SparkSession, store_dir: str):
+    """Set-union merge of each micro-batch's image dHash fingerprints
+    (multimodal.image_fingerprints — the SAME codec + hash stage the
+    inline q_image_dedup runs) into the perceptual-fingerprint store.
+    A fingerprint is a pure function of the image bytes and the merge
+    is distinct-union, so the operation is IDEMPOTENT (no markers);
+    stage-rename commit guards readers.  12 bytes of state per image
+    makes the store a negligible fraction of any image corpus, and
+    checking a NEW image batch for near-duplicates of corpus history
+    never re-decodes a stored image (image_dedup_check below)."""
+    from ..operators.multimodal import image_fingerprints
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        delta = image_fingerprints(batch_df.select("doc_id")).distinct()
+        if fs.exists(store_path):
+            merged = (
+                spark.read.schema(_IMAGE_PRINTS_DDL)
+                .parquet(store_dir)
+                .unionByName(delta)
+                .distinct()
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def image_prints_maintenance(doc_stream: DataFrame, store_dir: str):
+    """Continuous perceptual fingerprinting over an image-document
+    stream: each micro-batch's dHashes set-union into the store, so
+    the near-duplicate admission gate (image_dedup_check) always
+    reflects the full ingest history.  Returns the StreamingQuery
+    (caller stops it)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            image_prints_merge_fn(doc_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+
+
+def image_dedup_check(
+    spark: SparkSession, store_dir: str, docs: DataFrame
+) -> DataFrame:
+    """The SERVED image near-dup gate: for a NEW image batch, every
+    (new_doc, corpus_doc, hamming) pair within Hamming <=
+    multimodal._IMG_HAMMING_K of the maintained fingerprint store —
+    "is this upload a re-encoded/retouched copy of something we
+    already have?" answered with ZERO decodes of corpus history.
+    The batch pays one codec pass (its own images); candidates come
+    from the pigeonhole band equi-join of batch bands against store
+    bands — NO cap-drop here, matching inline q_image_dedup, whose
+    over-cap buckets route through the spillable self-join rather
+    than being dropped (perceptual recall is the product) — then
+    the exact popcount verify on candidates only.  For a batch ∪
+    store covering the corpus this equals the inline query's
+    cross-subset (pytest-pinned); a re-ingested id is excluded
+    (same doc_id is an update, not a duplicate)."""
+    from ..operators.multimodal import (
+        _IMG_HAMMING_K,
+        _image_band_rows,
+        _image_hamming_col,
+        image_fingerprints,
+    )
+
+    qf = image_fingerprints(docs.select("doc_id")).localCheckpoint(
+        eager=False
+    )
+    store = spark.read.schema(_IMAGE_PRINTS_DDL).parquet(store_dir)
+    qb = _image_band_rows(qf).withColumnRenamed("m", "a")
+    sb = _image_band_rows(store).withColumnRenamed("m", "b")
+    return (
+        qb.join(sb, ["bi", "bv"])
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("corpus_doc"),
+            _image_hamming_col().alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _IMG_HAMMING_K)
+        .distinct()
+    )
+
+
 def shard_manifest_maintenance(doc_stream: DataFrame, store_dir: str):
     """Continuous shard planning over an ordered document stream:
     each micro-batch is placed after the stored end offset and its

@@ -1792,3 +1792,67 @@ def test_contamination_store_serves_inline_gate(spark, tmp_path):
         tuple(r) for r in dd.q_fuzzy_contamination(spark, sf).collect()
     }
     assert served == inline and served
+
+
+def test_image_prints_store_serves_dedup_gate(spark, tmp_path):
+    """Standing image-dedup gate (r12): streaming half the corpus's
+    images through image_prints_maintenance builds a fingerprint
+    store equal to the batch derivation (idempotent set-union), and
+    image_dedup_check over the OTHER half returns exactly the inline
+    q_image_dedup pairs that cross the halves — upload screening
+    against ingest history with zero corpus re-decodes."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        image_fingerprints,
+        q_image_dedup,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        image_dedup_check,
+        image_prints_maintenance,
+        image_prints_merge_fn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    old = docs.filter("doc_id % 2 = 0")   # ingest history
+    new = docs.filter("doc_id % 2 = 1")   # the arriving batch
+    b1 = old.filter("doc_id < 250")
+    b2 = old.filter("doc_id >= 250")
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "image_prints")
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = image_prints_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    prints = lambda d: {
+        tuple(r) for r in spark.read.parquet(d).collect()
+    }
+    batch_fp = {tuple(r) for r in image_fingerprints(old).collect()}
+    assert prints(store) == batch_fp and batch_fp
+    # redelivery no-op
+    image_prints_merge_fn(spark, store)(b1, 0)
+    assert prints(store) == batch_fp
+
+    served = {
+        (r["new_doc"], r["corpus_doc"], r["hamming"])
+        for r in image_dedup_check(spark, store, new).collect()
+    }
+    # inline pairs that cross the halves (planted twins 4g/4g+1
+    # always do — one id even, one odd)
+    inline = {
+        tuple(r) for r in q_image_dedup(spark, sf).collect()
+    }
+    cross = {
+        (b if b % 2 == 1 else a, a if b % 2 == 1 else b, h)
+        for a, b, h in inline
+        if (a % 2) != (b % 2)
+    }
+    assert served == cross and served
