@@ -1398,6 +1398,96 @@ def purge_span_gram_store(
     _commit_store(fs, store_path, stage_path)
 
 
+def purge_text_index(
+    spark: SparkSession, index_path: str, deleted: DataFrame
+) -> None:
+    """Tombstone purge of the inverted text index
+    (text.build_text_index postings): drop every (tok, doc_id)
+    posting of the deleted doc_ids in one broadcast anti-join
+    rewrite, preserving the token-hash bucket partitioning.  Like
+    the BM25 purge, a deleted doc's tokens hash across all buckets,
+    so the honest cost is a store-wide pass; unlike BM25 there are
+    no corpus stats to refresh (q_text_search ranks by plain match
+    counts).  Purged store == fresh build over the filtered corpus
+    (tests/test_tombstone.py)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    store_path = jvm.org.apache.hadoop.fs.Path(f"{index_path}/postings")
+    stage_path = jvm.org.apache.hadoop.fs.Path(
+        f"{index_path}/postings_stage"
+    )
+    fs = store_path.getFileSystem(hconf)
+    _recover_store(fs, store_path, stage_path)
+    kept = (
+        spark.read.schema("doc_id BIGINT, tok STRING, bkt INT")
+        .parquet(f"{index_path}/postings")
+        .join(
+            F.broadcast(deleted.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    kept.write.mode("overwrite").partitionBy("bkt").parquet(str(stage_path))
+    _commit_store(fs, store_path, stage_path)
+
+
+def purge_image_prints(
+    spark: SparkSession, store_dir: str, deleted: DataFrame
+) -> None:
+    """Tombstone purge of the perceptual image-fingerprint store:
+    one broadcast anti-join on doc_id — a forgotten image can never
+    again be named by image_dedup_check.  Set-union state, no
+    markers; stage-rename commit.  == filtered rebuild
+    (tests/test_tombstone.py)."""
+    _, fs, store_path, stage_path = _store_paths(spark, store_dir)
+    _recover_store(fs, store_path, stage_path)
+    if not fs.exists(store_path):
+        return
+    kept = (
+        spark.read.schema(_IMAGE_PRINTS_DDL)
+        .parquet(store_dir)
+        .join(
+            F.broadcast(deleted.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    kept.write.mode("overwrite").parquet(str(stage_path))
+    _commit_store(fs, store_path, stage_path)
+
+
+def purge_contamination_bands(
+    spark: SparkSession, store_dir: str, deleted: DataFrame
+) -> None:
+    """Tombstone purge of the train-split LSH band store: anti-join
+    on doc_id — a forgotten training document can never again be
+    cited as a contamination partner by contamination_check.
+    == filtered rebuild (tests/test_tombstone.py).
+
+    Contrast documented for the stores this family CANNOT purge
+    row-wise: the gram-novelty store keeps only DISTINCT gram hashes
+    (a gram may be shared by surviving docs, so forgetting one doc's
+    contribution needs a corpus recount — rebuild, not purge), and
+    the HLL/KMV/CMS sketch stores are fold-only by construction.
+    Those are rebuild-required under deletion, the standard sketch
+    contract."""
+    _, fs, store_path, stage_path = _store_paths(spark, store_dir)
+    _recover_store(fs, store_path, stage_path)
+    if not fs.exists(store_path):
+        return
+    kept = (
+        spark.read.schema(_CONTAM_BANDS_DDL)
+        .parquet(store_dir)
+        .join(
+            F.broadcast(deleted.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    kept.write.mode("overwrite").parquet(str(stage_path))
+    _commit_store(fs, store_path, stage_path)
+
+
 def purge_winnow_store(
     spark: SparkSession, store_dir: str, deleted: DataFrame
 ) -> None:

@@ -180,3 +180,69 @@ def test_tombstone_served_never_surfaces_deleted(spark):
     for path in ("bm25", "ivfpq", "rrf", "maxsim"):
         ranks = sorted(r["rank"] for r in rows if r["path"] == path)
         assert ranks == list(range(1, len(ranks) + 1)) and ranks
+
+
+def test_purge_text_index_matches_filtered_rebuild(spark, tmp_path):
+    """purge_text_index == build_text_index over the filtered
+    corpus, and text_search never returns a purged doc."""
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        purge_text_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    purged = str(tmp_path / "ti_purged")
+    rebuilt = str(tmp_path / "ti_rebuilt")
+    tx.build_text_index(docs, purged)
+    purge_text_index(spark, purged, docs.filter(TOMB).select("doc_id"))
+    tx.build_text_index(docs.filter(f"NOT {TOMB}"), rebuilt)
+    rows = lambda d: {
+        (r["tok"], r["doc_id"], r["bkt"])
+        for r in spark.read.parquet(f"{d}/postings").collect()
+    }
+    assert rows(purged) == rows(rebuilt) and rows(purged)
+    terms = ["merge", "filter"]
+    sp = sorted(
+        r["doc_id"] for r in tx.text_search(spark, purged, terms).collect()
+    )
+    sr = sorted(
+        r["doc_id"] for r in tx.text_search(spark, rebuilt, terms).collect()
+    )
+    assert sp == sr and sp
+    assert not any(_is_tomb(d) for d in sp)
+
+
+def test_purge_image_prints_and_contamination_bands(spark, tmp_path):
+    """The r12 stores get the same delete story: both anti-join
+    purges equal a rebuild over the filtered inputs, and the serve
+    paths (image_dedup_check / contamination_check) never name a
+    purged id again."""
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        contamination_bands_merge_fn,
+        contamination_check,
+        image_dedup_check,
+        image_prints_merge_fn,
+        purge_contamination_bands,
+        purge_image_prints,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    old = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    new = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+
+    ip, ir = str(tmp_path / "ip_p"), str(tmp_path / "ip_r")
+    image_prints_merge_fn(spark, ip)(old, 0)
+    purge_image_prints(spark, ip, old.filter(TOMB))
+    image_prints_merge_fn(spark, ir)(old.filter(f"NOT {TOMB}"), 0)
+    rows = lambda d: {tuple(r) for r in spark.read.parquet(d).collect()}
+    assert rows(ip) == rows(ir) and rows(ip)
+    gate = image_dedup_check(spark, ip, new).collect()
+    assert not any(_is_tomb(r["corpus_doc"]) for r in gate)
+
+    cp, cr = str(tmp_path / "cb_p"), str(tmp_path / "cb_r")
+    contamination_bands_merge_fn(spark, cp)(old, 0)
+    purge_contamination_bands(spark, cp, old.filter(TOMB))
+    contamination_bands_merge_fn(spark, cr)(old.filter(f"NOT {TOMB}"), 0)
+    assert rows(cp) == rows(cr) and rows(cp)
+    cg = contamination_check(spark, cp, new).collect()
+    assert not any(_is_tomb(r["example_train_doc"]) for r in cg)
