@@ -199,6 +199,7 @@ HEADLINE = (
     "q_ivfpq_batch_filtered",
     "q_proximity_served",
     "q_image_dedup_clusters",
+    "q_bm25_batch_filtered",
 )
 
 

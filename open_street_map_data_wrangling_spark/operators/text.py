@@ -1286,17 +1286,22 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_postings(docs: DataFrame) -> DataFrame:
-    """(doc_id, tok, tf, dl, bkt) BM25 postings for ANY document
-    frame — a pure function of each document's text, shared by the
-    offline build and the streaming maintenance merge so both write
-    byte-identical rows (the _winnow_base convention)."""
+def _bm25_postings(docs: DataFrame, meta: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, tok, tf, dl[, meta...], bkt) BM25 postings for ANY
+    document frame — a pure function of each document's text, shared
+    by the offline build and the streaming maintenance merge so both
+    write byte-identical rows (the _winnow_base convention).
+    ``meta`` names doc-level metadata columns to denormalize onto
+    every posting (the filtered-serving story, mirroring
+    pq._code_projection's meta) — they ride the groupBy key for free
+    (functionally dependent on doc_id) and default to absent, so
+    historical stores stay byte-identical."""
     from pyspark.sql import Window
 
     toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        "doc_id", *meta, F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    tf = toks.groupBy("doc_id", "tok").agg(
+    tf = toks.groupBy("doc_id", "tok", *meta).agg(
         F.count("*").cast("long").alias("tf")
     )
     return (
@@ -1307,7 +1312,7 @@ def _bm25_postings(docs: DataFrame) -> DataFrame:
             "bkt",
             F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).cast("int"),
         )
-        .select("doc_id", "tok", "tf", "dl", "bkt")
+        .select("doc_id", "tok", "tf", "dl", *meta, "bkt")
     )
 
 
@@ -1322,7 +1327,9 @@ def write_bm25_stats(post: DataFrame, path: str) -> None:
     st.write.mode("overwrite").parquet(f"{path}/stats")
 
 
-def build_bm25_index(docs: DataFrame, path: str) -> None:
+def build_bm25_index(
+    docs: DataFrame, path: str, meta: tuple[str, ...] = ()
+) -> None:
     """Persist the BM25 artifacts under ``path``:
 
     * ``postings/`` — (tok, doc_id, tf, dl) parquet PARTITIONED BY
@@ -1332,8 +1339,11 @@ def build_bm25_index(docs: DataFrame, path: str) -> None:
       the score needs, computed in the same build pass.
 
     One corpus scan + one partitioned write + a 1-row write — the
-    amortized offline step of q_bm25's inline shape."""
-    post = _bm25_postings(docs)
+    amortized offline step of q_bm25's inline shape.  ``meta`` names
+    doc-level metadata columns to carry into the postings files for
+    filtered serving (bm25_search_many's per-query predicates);
+    column pruning hides them from every unfiltered serve."""
+    post = _bm25_postings(docs, meta=meta)
     post.write.mode("overwrite").partitionBy("bkt").parquet(
         f"{path}/postings"
     )
@@ -2596,6 +2606,8 @@ def bm25_search_many(
     index_path: str,
     queries: tuple[tuple[int, tuple[str, ...]], ...] = _BM25_BATCH_QUERIES,
     k: int = _BM25_BATCH_K,
+    filters: dict[int, str] | None = None,
+    filter_col: str = "source",
 ) -> DataFrame:
     """q_bm25_batch over the PERSISTED posting index — N queries, ONE
     partition-pruned postings scan over the UNION of the batch's
@@ -2605,7 +2617,19 @@ def bm25_search_many(
     WindowGroupLimit heaps.  Returns (qid, rank, doc_id, score_fp).
     Per-query results are IDENTICAL to calling bm25_search once per
     query (pytest-pinned) — batching changes the cost, not the
-    answer."""
+    answer.
+
+    ``filters`` maps qid -> required ``filter_col`` value (the index
+    must have been built with meta carrying that column).  Filtered
+    lexical semantics are the Lucene convention: the predicate
+    restricts CANDIDATES, while idf/avgdl stay corpus-global — a
+    doc's score does not change because the caller filtered.  That
+    is also why, unlike ivfpq_search_many, NO source predicate is
+    pushed into the scan: per-term df is computed FROM the scanned
+    postings, and pre-filtering the scan would silently turn global
+    idf into per-source idf.  The per-query equality rides the
+    broadcast query-term table after the df window; queries absent
+    from ``filters`` stay unfiltered (NULL rows)."""
     from pyspark.sql import Row, Window as _Win
 
     queries = tuple((int(q), tuple(dict.fromkeys(ts))) for q, ts in queries)
@@ -2633,9 +2657,13 @@ def bm25_search_many(
         .distinct()
         .collect()
     ]
+    filters = filters or {}
+    meta_ddl = f", {filter_col} STRING" if filters else ""
     post = (
         spark.read.schema(
-            "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, bkt INT"
+            "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT"
+            + meta_ddl
+            + ", bkt INT"
         )
         .parquet(f"{index_path}/postings")
         .filter(F.col("bkt").isin(bkts))
@@ -2643,10 +2671,21 @@ def bm25_search_many(
         .withColumn("df", F.count("*").over(_Win.partitionBy("tok")))
     )
     qt = spark.createDataFrame(
-        [(q, t) for q, ts in queries for t in ts], "qid long, tok string"
+        [
+            (q, t, filters.get(q))
+            for q, ts in queries
+            for t in ts
+        ],
+        "qid long, tok string, __flt string",
     )
+    joined = post.join(F.broadcast(qt), "tok")
+    if filters:
+        joined = joined.filter(
+            F.col("__flt").isNull()
+            | (F.col(filter_col) == F.col("__flt"))
+        )
     sc = (
-        post.join(F.broadcast(qt), "tok")
+        joined
         .select(
             "qid",
             "doc_id",
@@ -3390,4 +3429,105 @@ def q_tombstone_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rr)
         .unionByName(mx)
         .orderBy("path", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X97 — filtered batched lexical serving (r12)
+
+_BM25_BATCH_FILTERED: tuple[tuple[int, tuple[str, ...], str], ...] = (
+    (0, ("merge", "filter"), "src1"),
+    (1, ("batch",), "src3"),
+    (2, ("merge", "filter", "batch"), "src7"),
+)
+
+_BM25_FILT_QT_SQL = ", ".join(
+    f"({qid}, '{t}', '{src}')"
+    for qid, ts, src in _BM25_BATCH_FILTERED
+    for t in ts
+)
+
+
+@query(
+    "q_bm25_batch_filtered",
+    oracle=f"""
+        WITH post AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY doc_id, tok),
+        dlt AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+            FROM post GROUP BY doc_id),
+        st AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(dl), 0) AS BIGINT) AS total_toks
+            FROM dlt),
+        srcd AS (SELECT doc_id, source FROM documents),
+        qt(qid, tok, fsource) AS (VALUES {_BM25_FILT_QT_SQL}),
+        dfq AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS df
+            FROM post GROUP BY tok),
+        sc AS (
+            SELECT q.qid, p.doc_id,
+                   CAST(sum({_bm25_contrib_cols('p.tf', 'd.df', '//', 'l.dl')})
+                        AS BIGINT) AS score_fp
+            FROM qt q
+            JOIN post p USING (tok)
+            JOIN dfq d USING (tok)
+            JOIN dlt l ON l.doc_id = p.doc_id
+            JOIN srcd s ON s.doc_id = p.doc_id AND s.source = q.fsource
+            CROSS JOIN st
+            GROUP BY 1, 2),
+        r AS (
+            SELECT qid, doc_id, score_fp,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score_fp DESC, doc_id)
+                     AS rank
+            FROM sc)
+        SELECT CAST(qid AS BIGINT) AS qid,
+               CAST(rank AS INTEGER) AS rank,
+               doc_id, score_fp
+        FROM r WHERE rank <= {_BM25_BATCH_K}
+        ORDER BY qid, rank
+    """,
+    tags=("text", "extension", "search", "bm25", "ranking", "batch",
+          "filtered"),
+)
+def q_bm25_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered batched BM25 (X97) — the lexical half of the
+    filtered-serving dimension (X92 covered vectors): the index is
+    built with the source column riding in the postings files
+    (meta=("source",) — column-pruned away from unfiltered serves),
+    and each demo query carries its own required source.  Filtered
+    lexical semantics per the Lucene convention: the predicate
+    restricts CANDIDATES while idf/avgdl stay corpus-global — which
+    is exactly why the oracle's dfq/st CTEs aggregate the UNFILTERED
+    postings and only sc applies the per-query source equality, and
+    why the serve path computes the df window BEFORE the predicate
+    (a scan-level source pushdown here would silently turn global
+    idf into per-source idf — the documented contrast with
+    ivfpq_search_many's pushdown, where nothing statistical derives
+    from the scan).
+
+    Scale shape: identical to q_bm25_batch plus one broadcast-joined
+    equality — the postings scan stays pruned to the union of the
+    batch's token-hash buckets, zero corpus scans."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"osm_spark_bm25_fbatch_{tag}"
+    )
+    build_bm25_index(docs, path, meta=("source",))
+    return bm25_search_many(
+        spark,
+        path,
+        queries=tuple((q, ts) for q, ts, _ in _BM25_BATCH_FILTERED),
+        filters={q: src for q, ts, src in _BM25_BATCH_FILTERED},
     )

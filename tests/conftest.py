@@ -99,6 +99,20 @@ _SLOW_TESTS = {
     "test_rrf_search_many_equals_per_query_serving",
     "test_maxsim_search_many_equals_per_query_serving",
     "test_jpeg_codec_roundtrip_entropy_and_profile_rejects",
+    # r12 additions (build/serve roundtrips and registry queries on
+    # real fixtures — each measured >= 15 s)
+    "test_purge_bm25_index_matches_filtered_rebuild",
+    "test_purge_ivfpq_index_matches_filtered_rebuild",
+    "test_purge_text_index_matches_filtered_rebuild",
+    "test_purge_image_prints_and_contamination_bands",
+    "test_tombstone_served_never_surfaces_deleted",
+    "test_image_dedup_finds_planted_twin_not_distinct",
+    "test_filtered_batch_search_avoids_post_filter_starvation",
+    "test_filtered_bm25_batch_keeps_global_idf",
+    "test_model_token_counts_consistent_with_loader_manifest",
+    "test_contamination_store_serves_inline_gate",
+    "test_image_prints_store_serves_dedup_gate",
+    "test_proximity_search_matches_brute_force",
 }
 
 

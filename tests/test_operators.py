@@ -2957,3 +2957,54 @@ def test_filtered_batch_search_avoids_post_filter_starvation(spark, sf_dir):
         assert [s["vec_id"] for s in survivors] == [
             v for v in pre_ids if v in {s["vec_id"] for s in survivors}
         ]
+
+
+def test_filtered_bm25_batch_keeps_global_idf(spark, sf_dir):
+    """q_bm25_batch_filtered (X97): every returned doc carries its
+    query's required source; post-filtering the unfiltered top-k
+    starves on this 20-source fixture; and — the semantics pin — a
+    doc's score under the filter EQUALS its unfiltered score
+    (filters restrict candidates, never re-weight idf: the Lucene
+    convention, and the reason no source predicate is pushed into
+    the postings scan)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from open_street_map_data_wrangling_spark.operators.text import (
+        _BM25_BATCH_FILTERED,
+        _BM25_BATCH_K,
+        bm25_search_many,
+        q_bm25_batch_filtered,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = {
+        int(r["doc_id"]): r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    got = q_bm25_batch_filtered(spark, sf_dir).collect()
+    want = {q: s for q, _, s in _BM25_BATCH_FILTERED}
+    assert {r["qid"] for r in got} == set(want)
+    for r in got:
+        assert src[r["doc_id"]] == want[r["qid"]]
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"osm_spark_bm25_fbatch_{tag}"
+    )
+    queries = tuple((q, ts) for q, ts, _ in _BM25_BATCH_FILTERED)
+    # starvation: unfiltered top-k then filter keeps < k per query
+    unf = bm25_search_many(spark, path, queries=queries).collect()
+    for q, s in want.items():
+        kept = [r for r in unf if r["qid"] == q and src[r["doc_id"]] == s]
+        assert len(kept) < _BM25_BATCH_K
+    # global idf: same (qid, doc) scores with and without the filter
+    wide = {
+        (r["qid"], r["doc_id"]): r["score_fp"]
+        for r in bm25_search_many(spark, path, queries=queries, k=10**6).collect()
+    }
+    for r in got:
+        assert wide[(r["qid"], r["doc_id"])] == r["score_fp"]

@@ -340,6 +340,27 @@ def test_rrf_served_is_partition_pruned(plans):
     assert "bkt" in p and "cid" in p
 
 
+def test_bm25_batch_filtered_prunes_buckets_not_sources(plans):
+    """q_bm25_batch_filtered: the postings scan stays pruned to the
+    union of the batch's token-hash buckets (PartitionFilters on
+    bkt) with NO source predicate pushed into it — per-term df is
+    computed from the scanned postings, and a scan-level source
+    filter would silently turn global idf into per-source idf.  The
+    per-query equality lives above the df window instead; zero
+    corpus scans."""
+    p = plans("q_bm25_batch_filtered")
+    assert "documents.parquet" not in p
+    assert "PartitionFilters" in p and "bkt" in p
+    # the source column is read (ReadSchema) but never pushed as a
+    # scan filter — 'source' must not appear in the pushed/partition
+    # filter clauses
+    import re
+
+    scan = re.search(r"PushedFilters: \[[^\]]*\]", p)
+    assert scan and "source" not in scan.group(0)
+    assert "WindowGroupLimit" in p
+
+
 def test_proximity_served_is_partition_pruned(plans):
     """q_proximity_served: the serve plan must read ONLY the grid
     store — one FileScan, never the customer table — with the union
