@@ -484,7 +484,7 @@ _PROX_SERVE_RADIUS = 2000.0  # serve-demo radius (meters)
 _PROX_SERVE_QIDS = (6, 104, 112)  # fixed demo query points
 _GEO_STORE_DDL = (
     "id BIGINT, lat DOUBLE, lon DOUBLE, cx BIGINT, cy BIGINT, "
-    "gbx BIGINT, gby BIGINT"
+    "gbx BIGINT, gby BIGINT, __batch INT"
 )
 
 
@@ -498,16 +498,15 @@ def _geo_cells(radius_m: float, max_abs_lat: float = 66.0):
     )
 
 
-def build_geo_index(
-    pts: DataFrame, path: str, radius_m: float = _PROX_SERVE_RADIUS
-) -> None:
-    """Persist (id, lat, lon, cx, cy) partitioned by the cell
-    superblock (gbx, gby).  One scan + one partitioned write — the
-    amortized offline step; at 100 TB this is the same write-time
-    clustering story as the geohash/Z-order layout, with the block
-    size keeping file counts O(occupied blocks), not O(cells)."""
+def geo_code_points(
+    pts: DataFrame, radius_m: float = _PROX_SERVE_RADIUS
+) -> DataFrame:
+    """(id, lat, lon, cx, cy, gbx, gby) — the grid/superblock
+    projection over ANY point frame, shared by the offline build and
+    the streaming maintenance merge so both write byte-identical
+    rows (the _bm25_postings convention)."""
     lat_cell, lon_cell = _geo_cells(radius_m)
-    coded = pts.selectExpr(
+    return pts.selectExpr(
         "id",
         "lat",
         "lon",
@@ -518,7 +517,26 @@ def build_geo_index(
         f"CAST(floor(cx / {_GEO_BLOCK}) AS BIGINT) AS gbx",
         f"CAST(floor(cy / {_GEO_BLOCK}) AS BIGINT) AS gby",
     )
-    coded.write.mode("overwrite").partitionBy("gbx", "gby").parquet(path)
+
+
+def build_geo_index(
+    pts: DataFrame, path: str, radius_m: float = _PROX_SERVE_RADIUS
+) -> None:
+    """Persist (id, lat, lon, cx, cy) partitioned by the cell
+    superblock (gbx, gby) plus the ingest-batch sublevel __batch
+    (the ivfpq codes layout: the initial build is batch 0, the
+    streaming maintenance job leaf-overwrites its own __batch
+    partitions — replay safety from the LAYOUT, no markers).  One
+    scan + one partitioned write — the amortized offline step; at
+    100 TB this is the same write-time clustering story as the
+    geohash/Z-order layout, with the block size keeping file counts
+    O(occupied blocks), not O(cells)."""
+    coded = geo_code_points(pts, radius_m).withColumn(
+        "__batch", F.lit(0)
+    )
+    coded.write.mode("overwrite").partitionBy(
+        "gbx", "gby", "__batch"
+    ).parquet(path)
 
 
 def proximity_search(

@@ -1488,6 +1488,89 @@ def purge_contamination_bands(
     _commit_store(fs, store_path, stage_path)
 
 
+def geo_points_merge_fn(spark: SparkSession, store_dir: str):
+    """foreachBatch body for geo_index_maintenance: project each
+    micro-batch of (id, lat, lon) points through the SAME grid/
+    superblock coding the offline build uses (geo.geo_code_points —
+    byte-identical rows), stamp them with this batch's id, and
+    dynamic-partition-overwrite into
+    ``gbx=*/gby=*/__batch=<id>/`` leaves.  Replay safety comes from
+    the LAYOUT (the ivfpq codes contract): a redelivered batch
+    rewrites exactly its own leaf partitions and cannot double-append
+    or touch other batches.  Contract: point ids are append-only
+    unique across batches; a moved point is an update event —
+    purge + re-ingest, not an append."""
+    from ..operators.geo import geo_code_points
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bs = batch_df.sparkSession
+        coded = geo_code_points(
+            batch_df.select("id", "lat", "lon")
+        ).withColumn("__batch", F.lit(batch_id + 1))
+        prev = bs.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+        bs.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+        try:
+            coded.write.mode("overwrite").partitionBy(
+                "gbx", "gby", "__batch"
+            ).parquet(store_dir)
+        finally:
+            bs.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return merge
+
+
+def geo_index_maintenance(point_stream: DataFrame, store_dir: str):
+    """Streaming freshness for the spatial grid index: new points
+    land in their superblock's leaf partitions as they arrive, so
+    proximity_search always serves the full ingest history without a
+    rebuild.  Returns the StreamingQuery (caller stops it)."""
+    return (
+        point_stream.writeStream.foreachBatch(
+            geo_points_merge_fn(point_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+
+
+def purge_geo_index(
+    spark: SparkSession, store_dir: str, deleted: DataFrame
+) -> None:
+    """Tombstone purge of the spatial grid index: drop the deleted
+    point ids in one broadcast anti-join rewrite, preserving the
+    superblock + batch partitioning (stage-then-swap, the
+    compact_ivfpq_index commit shape — the rewrite reads the files
+    it replaces).  A forgotten point can never again be returned by
+    proximity_search; == filtered rebuild pinned in
+    tests/test_tombstone.py."""
+    from ..operators.geo import _GEO_STORE_DDL
+
+    kept = (
+        spark.read.schema(_GEO_STORE_DDL)
+        .parquet(store_dir)
+        .join(
+            F.broadcast(deleted.select("id").distinct()),
+            "id",
+            "left_anti",
+        )
+    )
+    stage = f"{store_dir}_purge_stage"
+    kept.write.mode("overwrite").partitionBy(
+        "gbx", "gby", "__batch"
+    ).parquet(stage)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(store_dir).getFileSystem(hconf)
+    spark.read.schema(_GEO_STORE_DDL).parquet(stage).write.mode(
+        "overwrite"
+    ).partitionBy("gbx", "gby", "__batch").parquet(store_dir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+
+
 def purge_winnow_store(
     spark: SparkSession, store_dir: str, deleted: DataFrame
 ) -> None:

@@ -113,6 +113,7 @@ _SLOW_TESTS = {
     "test_contamination_store_serves_inline_gate",
     "test_image_prints_store_serves_dedup_gate",
     "test_proximity_search_matches_brute_force",
+    "test_geo_index_maintenance_replay_and_purge",
 }
 
 

@@ -341,3 +341,78 @@ def test_proximity_search_matches_brute_force(spark, tmp_path):
     brute.sort(key=lambda t: (t[0], t[2], t[1]))
     assert served == brute and served
     assert not any(q == i for q, i, _ in served)
+
+
+def test_geo_index_maintenance_replay_and_purge(spark, tmp_path):
+    """X93 lifecycle: streaming two point chunks through
+    geo_index_maintenance yields the same rows a batch build over
+    the concatenated points produces (same grid coding, __batch
+    aside); a redelivered batch is a no-op (leaf-overwrite layout);
+    proximity_search over the maintained store equals the batch
+    store; and purge_geo_index == rebuild over the filtered points
+    with the purged id never served again."""
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.operators.geo import (
+        _PROX_SERVE_QIDS,
+        build_geo_index,
+        proximity_search,
+        synth_points,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        geo_index_maintenance,
+        geo_points_merge_fn,
+        purge_geo_index,
+    )
+
+    pts = synth_points(
+        load_table(spark, "/root/testdata/sf0.001", "customer")
+    )
+    b1 = pts.filter("id <= 75")
+    b2 = pts.filter("id > 75")
+    src = str(tmp_path / "src")
+    inc = str(tmp_path / "geo_inc")
+    full = str(tmp_path / "geo_full")
+    # bootstrap: batch build over the first chunk, stream the second
+    build_geo_index(b1, inc)
+    b2.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b2.schema).parquet(src)
+    q = geo_index_maintenance(stream, inc)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    build_geo_index(pts, full)
+    rows = lambda d: {
+        (r["id"], r["cx"], r["cy"], r["gbx"], r["gby"])
+        for r in spark.read.parquet(d).collect()
+    }
+    assert rows(inc) == rows(full) and rows(inc)
+    # replay: same batch id overwrites its own leaves — no-op
+    geo_points_merge_fn(spark, inc)(b2, 0)
+    assert rows(inc) == rows(full)
+    qrows = {
+        int(r["id"]): (float(r["lat"]), float(r["lon"]))
+        for r in pts.filter(
+            F.col("id").isin(list(_PROX_SERVE_QIDS))
+        ).collect()
+    }
+    s_inc = [tuple(r) for r in proximity_search(spark, inc, qrows).collect()]
+    s_full = [tuple(r) for r in proximity_search(spark, full, qrows).collect()]
+    assert s_inc == s_full and s_inc
+    # purge: forget the nearest neighbor of the first demo query
+    victim = s_inc[0][1]
+    purge_geo_index(spark, inc, pts.filter(F.col("id") == victim))
+    rebuilt = str(tmp_path / "geo_rebuilt")
+    build_geo_index(pts.filter(F.col("id") != victim), rebuilt)
+    assert rows(inc) == rows(rebuilt)
+    s_purged = [
+        tuple(r) for r in proximity_search(spark, inc, qrows).collect()
+    ]
+    assert not any(r[1] == victim for r in s_purged)
+    assert s_purged == [
+        tuple(r) for r in proximity_search(spark, rebuilt, qrows).collect()
+    ]
