@@ -1127,6 +1127,10 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
     from pyspark.sql import Window as _W
 
     codes = spark.read.parquet(f"{path}/codes")
+    # drop/withColumn, not an explicit column list: a store built
+    # with meta columns (filtered serving) must keep them through
+    # compaction — the earlier fixed select silently stripped the
+    # label column from meta stores (the meta-lifecycle pytest)
     latest = (
         codes.withColumn(
             "__rn",
@@ -1135,11 +1139,8 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
             ),
         )
         .filter(F.col("__rn") == 1)
-        .select(
-            "vec_id", "cid", "embedding",
-            *[f"code{s}" for s in range(_M)],
-            F.lit(0).alias("__batch"),
-        )
+        .drop("__rn")
+        .withColumn("__batch", F.lit(0))
     )
     stage = f"{path}/codes_compact_stage"
     latest.write.mode("overwrite").partitionBy("cid", "__batch").parquet(stage)

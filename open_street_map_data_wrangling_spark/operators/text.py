@@ -1369,7 +1369,16 @@ def purge_bm25_index(
     Stage-rename commit (streaming.jobs protocol) guards readers; a
     crash between the postings commit and the stats refresh leaves a
     consistent store one stats-refresh behind, restored by the next
-    maintenance batch (the bm25_index_merge_fn contract)."""
+    maintenance batch (the bm25_index_merge_fn contract).
+
+    The postings schema is INFERRED, not fixed: a store built with
+    meta columns (filtered serving) must keep them through a purge —
+    a fixed-DDL read here silently stripped the source column from
+    meta stores (caught by the meta-lifecycle pytest).  A fileless
+    store (empty-corpus build) has nothing to purge and returns
+    unchanged."""
+    from pyspark.errors import AnalysisException
+
     from ..streaming.jobs import _commit_store, _recover_store
 
     jvm = spark._jvm
@@ -1380,20 +1389,19 @@ def purge_bm25_index(
     )
     fs = store_path.getFileSystem(hconf)
     _recover_store(fs, store_path, stage_path)
-    ddl = "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, bkt INT"
-    kept = (
-        spark.read.schema(ddl)
-        .parquet(f"{index_path}/postings")
-        .join(
-            F.broadcast(deleted.select("doc_id").distinct()),
-            "doc_id",
-            "left_anti",
-        )
+    try:
+        post = spark.read.parquet(f"{index_path}/postings")
+    except AnalysisException:
+        return  # fileless (empty-corpus) store: nothing to purge
+    kept = post.join(
+        F.broadcast(deleted.select("doc_id").distinct()),
+        "doc_id",
+        "left_anti",
     )
     kept.write.mode("overwrite").partitionBy("bkt").parquet(str(stage_path))
     _commit_store(fs, store_path, stage_path)
     write_bm25_stats(
-        spark.read.schema(ddl).parquet(f"{index_path}/postings"), index_path
+        spark.read.parquet(f"{index_path}/postings"), index_path
     )
 
 

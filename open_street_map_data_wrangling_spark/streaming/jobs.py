@@ -703,7 +703,9 @@ def cms_counter_maintenance(doc_stream: DataFrame, store_dir: str):
     )
 
 
-def ivfpq_codes_merge_fn(spark: SparkSession, index_path: str):
+def ivfpq_codes_merge_fn(
+    spark: SparkSession, index_path: str, meta: tuple[str, ...] = ()
+):
     """foreachBatch body for ivfpq_index_maintenance, exposed so
     tests can drive replays directly.
 
@@ -748,8 +750,8 @@ def ivfpq_codes_merge_fn(spark: SparkSession, index_path: str):
         c = int(seeds[0]["n_centroids"]) if seeds else 0
         cents = [raw[i] for i in range(c)]
         coded = pq_mod._code_projection(
-            batch_df.select("vec_id", "embedding"), cb, cents,
-            with_embedding=True,
+            batch_df.select("vec_id", "embedding", *meta), cb, cents,
+            with_embedding=True, meta=meta,
         ).withColumn("__batch", F.lit(batch_id + 1))
         prev = bs.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
         bs.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
@@ -763,7 +765,9 @@ def ivfpq_codes_merge_fn(spark: SparkSession, index_path: str):
     return merge
 
 
-def ivfpq_index_maintenance(vec_stream: DataFrame, index_path: str):
+def ivfpq_index_maintenance(
+    vec_stream: DataFrame, index_path: str, meta: tuple[str, ...] = ()
+):
     """Streaming IVF-PQ index freshness: keep the persisted codes
     table (operators/pq.build_ivfpq_index) current as new vectors
     arrive, so ivfpq_search always serves the full corpus without a
@@ -774,7 +778,7 @@ def ivfpq_index_maintenance(vec_stream: DataFrame, index_path: str):
     Returns the StreamingQuery (caller stops it)."""
     return (
         vec_stream.writeStream.foreachBatch(
-            ivfpq_codes_merge_fn(vec_stream.sparkSession, index_path)
+            ivfpq_codes_merge_fn(vec_stream.sparkSession, index_path, meta)
         )
         .option("checkpointLocation", f"{index_path}_ckpt")
         .start()
@@ -1831,12 +1835,9 @@ def shard_manifest_maintenance(doc_stream: DataFrame, store_dir: str):
 # ---------------------------------------------------------------------------
 # X61 — BM25 index maintenance (r10)
 
-_BM25_POSTINGS_DDL = (
-    "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, bkt INT"
-)
-
-
-def bm25_index_merge_fn(spark: SparkSession, index_path: str):
+def bm25_index_merge_fn(
+    spark: SparkSession, index_path: str, meta: tuple[str, ...] = ()
+):
     """Incremental BM25 maintenance (text.build_bm25_index's postings
     and 1-row stats kept current over a document stream): each
     micro-batch's postings — a pure function of each doc's text
@@ -1869,7 +1870,18 @@ def bm25_index_merge_fn(spark: SparkSession, index_path: str):
         )
         fs = store_path.getFileSystem(hconf)
         _recover_store(fs, store_path, stage_path)
-        delta = _bm25_postings(batch_df.select("doc_id", "text"))
+        delta = _bm25_postings(
+            batch_df.select("doc_id", "text", *meta), meta=meta
+        )
+        meta_ddl = "".join(
+            f", {m} {batch_df.schema[m].dataType.simpleString()}"
+            for m in meta
+        )
+        ddl = (
+            "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT"
+            + meta_ddl
+            + ", bkt INT"
+        )
         if fs.exists(store_path):
             # explicit schema: a store bootstrapped from an empty
             # corpus exists but is fileless (the text_index lesson).
@@ -1880,7 +1892,7 @@ def bm25_index_merge_fn(spark: SparkSession, index_path: str):
             # coexisting with it.
             batch_docs = batch_df.select("doc_id").distinct()
             kept = (
-                spark.read.schema(_BM25_POSTINGS_DDL)
+                spark.read.schema(ddl)
                 .parquet(f"{index_path}/postings")
                 .join(F.broadcast(batch_docs), "doc_id", "left_anti")
             )
@@ -1892,22 +1904,22 @@ def bm25_index_merge_fn(spark: SparkSession, index_path: str):
         )
         _commit_store(fs, store_path, stage_path)
         write_bm25_stats(
-            spark.read.schema(_BM25_POSTINGS_DDL).parquet(
-                f"{index_path}/postings"
-            ),
+            spark.read.schema(ddl).parquet(f"{index_path}/postings"),
             index_path,
         )
 
     return merge
 
 
-def bm25_index_maintenance(doc_stream: DataFrame, index_path: str):
+def bm25_index_maintenance(
+    doc_stream: DataFrame, index_path: str, meta: tuple[str, ...] = ()
+):
     """Continuous BM25 index upkeep over a document stream; serving
     is text.bm25_search over the maintained postings + stats — zero
     corpus scans.  Returns the StreamingQuery (caller stops it)."""
     return (
         doc_stream.writeStream.foreachBatch(
-            bm25_index_merge_fn(doc_stream.sparkSession, index_path)
+            bm25_index_merge_fn(doc_stream.sparkSession, index_path, meta)
         )
         .option("checkpointLocation", f"{index_path}/postings_ckpt")
         .start()

@@ -246,3 +246,81 @@ def test_purge_image_prints_and_contamination_bands(spark, tmp_path):
     assert rows(cp) == rows(cr) and rows(cp)
     cg = contamination_check(spark, cp, new).collect()
     assert not any(_is_tomb(r["example_train_doc"]) for r in cg)
+
+
+def test_meta_store_lifecycle_preserves_filter_columns(spark, tmp_path):
+    """Meta-built stores keep their metadata columns through EVERY
+    lifecycle op — purge, compaction, and streaming maintenance
+    (fixed-DDL reads / explicit selects silently stripped them
+    before this pin), and filtered serving still answers correctly
+    afterwards."""
+    from pyspark.sql import functions as F
+
+    import open_street_map_data_wrangling_spark.operators.pq as pq
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        bm25_index_merge_fn,
+        ivfpq_codes_merge_fn,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+
+    # BM25 meta store: build half, stream the other half in, purge
+    bmp = str(tmp_path / "bm25_meta")
+    tx.build_bm25_index(docs.filter("doc_id < 250"), bmp, meta=("source",))
+    bm25_index_merge_fn(spark, bmp, meta=("source",))(
+        docs.filter("doc_id >= 250"), 0
+    )
+    tx.purge_bm25_index(spark, bmp, docs.filter(TOMB).select("doc_id"))
+    cols = spark.read.parquet(f"{bmp}/postings").columns
+    assert "source" in cols
+    rebuilt = str(tmp_path / "bm25_meta_rebuilt")
+    tx.build_bm25_index(
+        docs.filter(f"NOT {TOMB}"), rebuilt, meta=("source",)
+    )
+    rows = lambda d: {
+        (r["tok"], r["doc_id"], r["tf"], r["dl"], r["source"], r["bkt"])
+        for r in spark.read.parquet(f"{d}/postings").collect()
+    }
+    assert rows(bmp) == rows(rebuilt) and rows(bmp)
+    served = tx.bm25_search_many(
+        spark, bmp,
+        queries=((0, ("merge", "filter")),),
+        filters={0: "src1"},
+    ).collect()
+    src = {
+        int(r["doc_id"]): r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    assert served and all(src[r["doc_id"]] == "src1" for r in served)
+    assert not any(_is_tomb(r["doc_id"]) for r in served)
+
+    # IVF-PQ meta store: build half, stream half, compact, purge
+    ivp = str(tmp_path / "ivfpq_meta")
+    pq.build_ivfpq_index(
+        emb.filter("vec_id < 250"), ivp, meta=("label",)
+    )
+    ivfpq_codes_merge_fn(spark, ivp, meta=("label",))(
+        emb.filter("vec_id >= 250"), 0
+    )
+    pq.compact_ivfpq_index(spark, ivp)
+    pq.purge_ivfpq_index(spark, ivp, emb.filter(TOMB_VEC).select("vec_id"))
+    cols = spark.read.parquet(f"{ivp}/codes").columns
+    assert "label" in cols
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id IN (0, 17)").collect()
+    }
+    got = pq.ivfpq_search_many(
+        spark, ivp, qrows, k=5, filters={0: 2, 17: 5}
+    ).collect()
+    labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in emb.select("vec_id", "label").collect()
+    }
+    want = {0: 2, 17: 5}
+    assert got and all(
+        labels[r["vec_id"]] == want[r["qid"]] for r in got
+    )
+    assert not any(_is_tomb(r["vec_id"]) for r in got)
