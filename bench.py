@@ -200,6 +200,7 @@ HEADLINE = (
     "q_proximity_served",
     "q_image_dedup_clusters",
     "q_bm25_batch_filtered",
+    "q_multimodal_dedup",
 )
 
 

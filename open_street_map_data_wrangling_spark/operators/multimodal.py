@@ -1982,3 +1982,139 @@ def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - 1).cast("bigint").alias("n_removed"),
         F.max("n").cast("bigint").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X98 — multimodal dedup (text ∪ image evidence, one decision) (r12)
+
+# the image chain re-labeled so its CTE names cannot collide with the
+# text pipeline's (_PAIRS_CTE also defines a `bands`)
+_IMG_FP_CTES_I = _IMG_FP_CTES.replace("bands AS (", "ibands AS (")
+_IMG_PAIRS_SQL_I = _IMG_PAIRS_SQL.replace("bands", "ibands")
+
+
+def _multimodal_dedup_oracle() -> str:
+    from .dedup import _PAIRS_CTE
+
+    return f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        {_IMG_FP_CTES_I},
+        ipairs AS ({_IMG_PAIRS_SQL_I}),
+        edges AS (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs
+            UNION SELECT doc_a, doc_b FROM ipairs
+            UNION SELECT doc_b, doc_a FROM ipairs),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        lab AS (
+            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
+            FROM (SELECT DISTINCT a FROM edges) e
+            JOIN reach r ON r.src = e.a
+            GROUP BY e.a),
+        tc AS (
+            SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_text_pairs
+            FROM pairs p JOIN lab l ON l.n = p.pa GROUP BY 1),
+        ic AS (
+            SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_image_pairs
+            FROM ipairs p JOIN lab l ON l.n = p.doc_a GROUP BY 1)
+        SELECT l.cluster_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(min(tc.n_text_pairs), 0) AS BIGINT)
+                 AS n_text_pairs,
+               CAST(coalesce(min(ic.n_image_pairs), 0) AS BIGINT)
+                 AS n_image_pairs,
+               CASE WHEN coalesce(min(tc.n_text_pairs), 0) > 0
+                     AND coalesce(min(ic.n_image_pairs), 0) > 0
+                    THEN 'both'
+                    WHEN coalesce(min(tc.n_text_pairs), 0) > 0
+                    THEN 'text' ELSE 'image' END AS modality
+        FROM lab l
+        LEFT JOIN tc ON tc.cluster_id = l.cluster_id
+        LEFT JOIN ic ON ic.cluster_id = l.cluster_id
+        GROUP BY l.cluster_id
+    """
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle=_multimodal_dedup_oracle(),
+    tags=("multimodal", "dedup", "image", "text", "iterative",
+          "extension"),
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL dedup (X98) — the capstone the X89 family was built
+    toward: one duplicate-family decision over the union of BOTH
+    evidence channels.  A scraped page re-hosted with paraphrased
+    text keeps its images; a re-encoded image gallery keeps its
+    captions — each channel alone misses half the copies, so the
+    edges of the cluster graph are the text MinHash-LSH pairs
+    (q_dedup_near) UNION the perceptual image pairs (q_image_dedup),
+    and connected components make the keep-one decision across
+    modalities: a text-pair (a,b) and an image-pair (b,c) land a, b,
+    c in ONE family.  Per cluster: size, per-channel edge counts,
+    and the modality attribution ('text' / 'image' / 'both') a
+    curation review reads first.
+
+    Scale shape: both pair pipelines are the audited capped/banded
+    shapes (never all-pairs); the union is |pairs|-sized; components
+    run pointer-doubling over edge-touched nodes only.  The oracle
+    replays the ENTIRE composition — shingle minhash bands, image
+    fingerprint chain, and the transitive closure — relationally."""
+    from .dedup import connected_components, q_dedup_near
+
+    tpairs = (
+        q_dedup_near(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    ipairs = (
+        q_image_dedup(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    edges = tpairs.unionByName(ipairs).distinct()
+    nodes = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    lab = connected_components(edges, nodes)
+    tc = (
+        tpairs.join(lab, tpairs["a"] == lab["n"])
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_text_pairs"))
+    )
+    ic = (
+        ipairs.join(lab, ipairs["a"] == lab["n"])
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_image_pairs"))
+    )
+    per = (
+        lab.groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(tc, "cluster_id", "left")
+        .join(ic, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_docs",
+            F.coalesce("n_text_pairs", F.lit(0)).cast("bigint").alias(
+                "n_text_pairs"
+            ),
+            F.coalesce("n_image_pairs", F.lit(0)).cast("bigint").alias(
+                "n_image_pairs"
+            ),
+        )
+    )
+    return per.withColumn(
+        "modality",
+        F.when(
+            (F.col("n_text_pairs") > 0) & (F.col("n_image_pairs") > 0),
+            "both",
+        )
+        .when(F.col("n_text_pairs") > 0, "text")
+        .otherwise("image"),
+    )

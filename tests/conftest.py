@@ -115,6 +115,7 @@ _SLOW_TESTS = {
     "test_proximity_search_matches_brute_force",
     "test_geo_index_maintenance_replay_and_purge",
     "test_meta_store_lifecycle_preserves_filter_columns",
+    "test_multimodal_dedup_merges_channels",
 }
 
 

@@ -3008,3 +3008,26 @@ def test_filtered_bm25_batch_keeps_global_idf(spark, sf_dir):
     }
     for r in got:
         assert wide[(r["qid"], r["doc_id"])] == r["score_fp"]
+
+
+def test_multimodal_dedup_merges_channels(spark, sf_dir):
+    """q_multimodal_dedup (X98): clusters span evidence channels —
+    'both'-modality families exist (a text edge and an image edge
+    meeting in one component), every planted image twin lands in one
+    cluster, and each cluster carries at least a spanning tree's
+    worth of edges (n_text + n_image >= n_docs - 1)."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        q_multimodal_dedup,
+    )
+
+    rows = q_multimodal_dedup(spark, sf_dir).collect()
+    assert rows
+    mods = {r["modality"] for r in rows}
+    assert "both" in mods and "image" in mods
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert r["n_text_pairs"] + r["n_image_pairs"] >= r["n_docs"] - 1
+    # image-only clusters are exactly twin families on this fixture
+    for r in rows:
+        if r["modality"] == "image":
+            assert r["n_docs"] == 2 and r["n_image_pairs"] == 1
