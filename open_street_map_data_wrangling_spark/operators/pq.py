@@ -1180,8 +1180,21 @@ def purge_ivfpq_index(
     build over the filtered corpus (same frozen model — pinned in
     tests/test_tombstone.py), and q_tombstone_served's oracle proves
     the served ADC ranking equals the filtered recompute.
-    Stage-then-swap commit, same as compact_ivfpq_index: the rewrite
-    reads the files it replaces."""
+    Commit is the streaming stores' rename protocol (ADVICE r12: a
+    second overwrite into the live path deletes the live dir before
+    rewriting, so a crash mid-commit left the serving store
+    missing/partial): the staged rewrite is fully written, then the
+    live codes dir is deleted and the stage RENAMED over it — the
+    only crash window is delete→rename, and the recover step at the
+    top of every purge/compact/serve-adjacent rewrite closes it."""
+    from ..streaming.jobs import _commit_store, _recover_store
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    codes_path = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
+    stage_path = jvm.org.apache.hadoop.fs.Path(f"{path}/codes_purge_stage")
+    fs = codes_path.getFileSystem(hconf)
+    _recover_store(fs, codes_path, stage_path)
     dele = deleted.select("vec_id").distinct()
     seeds = spark.read.schema(
         "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT"
@@ -1209,15 +1222,10 @@ def purge_ivfpq_index(
         spark.read.parquet(f"{path}/codes")
         .join(F.broadcast(dele), "vec_id", "left_anti")
     )
-    stage = f"{path}/codes_purge_stage"
-    kept.write.mode("overwrite").partitionBy("cid", "__batch").parquet(stage)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(f"{path}/codes").getFileSystem(hconf)
-    spark.read.parquet(stage).write.mode("overwrite").partitionBy(
-        "cid", "__batch"
-    ).parquet(f"{path}/codes")
-    fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+    kept.write.mode("overwrite").partitionBy("cid", "__batch").parquet(
+        str(stage_path)
+    )
+    _commit_store(fs, codes_path, stage_path)
 
 
 # ---------------------------------------------------------------------------

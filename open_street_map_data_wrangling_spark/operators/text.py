@@ -2666,6 +2666,26 @@ def bm25_search_many(
         .collect()
     ]
     filters = filters or {}
+    if filters:
+        # Fail fast on a misconfigured index (ADVICE r12): forcing the
+        # meta column into the read schema makes a missing/mistyped
+        # column read as all-NULL, which silently starves every
+        # filtered query.  One parquet-footer schema inspection
+        # catches it before any scan.
+        actual = spark.read.parquet(f"{index_path}/postings").schema
+        if filter_col not in actual.names:
+            raise ValueError(
+                f"bm25_search_many: index at {index_path} has no meta "
+                f"column {filter_col!r} (built without meta?); filtered "
+                f"search needs build_bm25_index(..., meta including "
+                f"{filter_col!r})"
+            )
+        ftype = actual[filter_col].dataType.simpleString()
+        if ftype != "string":
+            raise ValueError(
+                f"bm25_search_many: meta column {filter_col!r} is "
+                f"{ftype}, expected string"
+            )
     meta_ddl = f", {filter_col} STRING" if filters else ""
     post = (
         spark.read.schema(

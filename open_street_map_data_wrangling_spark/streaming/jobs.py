@@ -1368,12 +1368,36 @@ def purge_span_gram_store(
     corpus (pinned in tests/test_tombstone.py).  Applied-batch
     markers are carried into the stage dir unchanged — a purge is
     not a batch and must not disturb redelivery detection —
-    and the stage-rename commit guards readers as ever."""
+    and the stage-rename commit guards readers as ever.
+
+    Counter subtraction is NOT idempotent (the same hazard the
+    _applied_ markers close for additive merges), so each deletion
+    request also commits a ``_purged_<request-hash>`` marker into the
+    store dir atomically with the counters it subtracted: the hash is
+    md5 over the sorted deleted doc_ids, so a retried or redelivered
+    request no-ops instead of subtracting shared gram counts a second
+    time (ADVICE r12: a double purge silently under-counted grams
+    shared with surviving docs)."""
     from ..operators.dedup import _span_gram_base
 
     jvm, fs, store_path, stage_path = _store_paths(spark, store_dir)
     _recover_store(fs, store_path, stage_path)
     if not fs.exists(store_path):
+        return
+    req_row = (
+        deleted_docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .distinct()
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+            ).alias("h")
+        )
+        .collect()[0]
+    )
+    purged_marker = jvm.org.apache.hadoop.fs.Path(
+        f"{store_dir}/_purged_{req_row['h']}"
+    )
+    if fs.exists(purged_marker):
         return
     neg = (
         _span_gram_base(deleted_docs.select("doc_id", "text"))
@@ -1384,7 +1408,7 @@ def purge_span_gram_store(
     prior_markers = [
         status.getPath().getName()
         for status in fs.listStatus(store_path)
-        if status.getPath().getName().startswith("_applied_")
+        if status.getPath().getName().startswith(("_applied_", "_purged_"))
     ]
     merged = (
         spark.read.parquet(store_dir)
@@ -1395,7 +1419,9 @@ def purge_span_gram_store(
         .where(F.col("cnt") > 0)
     )
     merged.write.mode("overwrite").parquet(str(stage_path))
-    for name in prior_markers:
+    # the new _purged_ marker rides in the stage dir so the rename
+    # commits it atomically with the subtracted counters it certifies
+    for name in prior_markers + [f"_purged_{req_row['h']}"]:
         fs.create(
             jvm.org.apache.hadoop.fs.Path(f"{stage_path}/{name}"), True
         ).close()
@@ -1546,13 +1572,20 @@ def purge_geo_index(
 ) -> None:
     """Tombstone purge of the spatial grid index: drop the deleted
     point ids in one broadcast anti-join rewrite, preserving the
-    superblock + batch partitioning (stage-then-swap, the
-    compact_ivfpq_index commit shape — the rewrite reads the files
-    it replaces).  A forgotten point can never again be returned by
-    proximity_search; == filtered rebuild pinned in
-    tests/test_tombstone.py."""
+    superblock + batch partitioning.  Commit is the store rename
+    protocol (ADVICE r12: a second overwrite into the live path
+    deletes the live dir before rewriting, so a crash mid-commit
+    left the store missing/partial) — stage fully written, then
+    delete-old + rename, with _recover_store closing the
+    delete→rename window on the next call.  A forgotten point can
+    never again be returned by proximity_search; == filtered rebuild
+    pinned in tests/test_tombstone.py."""
     from ..operators.geo import _GEO_STORE_DDL
 
+    _, fs, store_path, stage_path = _store_paths(spark, store_dir)
+    _recover_store(fs, store_path, stage_path)
+    if not fs.exists(store_path):
+        return
     kept = (
         spark.read.schema(_GEO_STORE_DDL)
         .parquet(store_dir)
@@ -1562,17 +1595,10 @@ def purge_geo_index(
             "left_anti",
         )
     )
-    stage = f"{store_dir}_purge_stage"
     kept.write.mode("overwrite").partitionBy(
         "gbx", "gby", "__batch"
-    ).parquet(stage)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(store_dir).getFileSystem(hconf)
-    spark.read.schema(_GEO_STORE_DDL).parquet(stage).write.mode(
-        "overwrite"
-    ).partitionBy("gbx", "gby", "__batch").parquet(store_dir)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+    ).parquet(str(stage_path))
+    _commit_store(fs, store_path, stage_path)
 
 
 def purge_winnow_store(
@@ -1696,9 +1722,16 @@ def contamination_check(
         minhash_sigs(docs.select("doc_id", "text"))
     ).localCheckpoint(eager=False)
     store = spark.read.schema(_CONTAM_BANDS_DDL).parquet(store_dir)
+    # Bucket sizes count DISTINCT (doc_id, bi, bv) across store ∪
+    # batch (ADVICE r12): a doc re-checked after ingestion sits in
+    # both sides, and counting it twice can push a bucket past the
+    # cap, dropping pairs the inline semantics would keep.  Each side
+    # holds one row per (doc, band), so distinct removes exactly the
+    # cross-side overlap.
     sizes = (
-        store.select("bi", "bv")
-        .unionByName(qb.select("bi", "bv"))
+        store.select("doc_id", "bi", "bv")
+        .unionByName(qb.select("doc_id", "bi", "bv"))
+        .distinct()
         .groupBy("bi", "bv")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") <= cap)

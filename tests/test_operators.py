@@ -2354,6 +2354,16 @@ def test_bm25_search_many_equals_per_query_serving(spark, tmp_path):
         assert got.get(qid, []) == solo, qid
     assert 7 not in got  # absent-term query: no rows, no error
     assert tx.bm25_search_many(spark, idx, ()).count() == 0
+    # fail-fast on misconfiguration (ADVICE r12): this index was
+    # built WITHOUT meta, so a filtered call must raise instead of
+    # silently reading the forced meta column as all-NULL (which
+    # starved every filtered query to zero rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no meta column"):
+        tx.bm25_search_many(
+            spark, idx, queries, k=5, filters={1: "web"}
+        )
 
 
 def test_ivfpq_search_many_equals_per_query_serving(spark, tmp_path):

@@ -1792,6 +1792,18 @@ def test_contamination_store_serves_inline_gate(spark, tmp_path):
         tuple(r) for r in dd.q_fuzzy_contamination(spark, sf).collect()
     }
     assert served == inline and served
+    # overlap dedup (ADVICE r12): re-checking docs that were already
+    # ingested must not double-count them in the bucket-size prepass —
+    # a batch of train ∪ test still answers exactly the inline gate
+    # for the test docs (a doc in both sides counts once toward cap)
+    overlap = {
+        tuple(r)
+        for r in contamination_check(
+            spark, store, train.unionByName(test)
+        ).collect()
+    }
+    test_ids = {r["doc_id"] for r in test.select("doc_id").collect()}
+    assert {t for t in overlap if t[0] in test_ids} == inline
 
 
 def test_image_prints_store_serves_dedup_gate(spark, tmp_path):

@@ -132,6 +132,11 @@ def test_purge_span_gram_store_matches_filtered_rebuild(spark, tmp_path):
     # so re-applying batch 0 stays a no-op
     span_gram_merge_fn(spark, purged)(docs, 0)
     assert cnt(purged) == cnt(rebuilt)
+    # and the purge itself is retry-safe (ADVICE r12): a redelivered
+    # deletion request hits its _purged_ marker and no-ops instead of
+    # subtracting shared gram counts a second time
+    purge_span_gram_store(spark, purged, docs.filter(TOMB))
+    assert cnt(purged) == cnt(rebuilt)
 
 
 def test_purge_winnow_store_matches_filtered_rebuild(spark, tmp_path):
