@@ -201,6 +201,9 @@ HEADLINE = (
     "q_image_dedup_clusters",
     "q_bm25_batch_filtered",
     "q_multimodal_dedup",
+    # added round 13: the two serving gates gone driver-visible
+    "q_contamination_served",
+    "q_image_gate",
 )
 
 
