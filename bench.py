@@ -201,9 +201,11 @@ HEADLINE = (
     "q_image_dedup_clusters",
     "q_bm25_batch_filtered",
     "q_multimodal_dedup",
-    # added round 13: the two serving gates gone driver-visible
+    # added round 13: the two serving gates gone driver-visible, and
+    # the audio modality completing the dedup matrix
     "q_contamination_served",
     "q_image_gate",
+    "q_audio_dedup",
 )
 
 

@@ -689,6 +689,29 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int]:
     )
 
 
+def decode_wav_samples(payload: bytes) -> tuple[int, int, tuple]:
+    """REAL WAV decode returning the PCM samples themselves —
+    (n_samples, sample_rate, samples) — for consumers that
+    fingerprint the WAVEFORM rather than summarize it
+    (audio_fingerprints below).  Same strict mono 16-bit PCM profile
+    validation as decode_wav_pcm16."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("unsupported WAV profile (mono 16-bit only)")
+        if w.getcomptype() != "NONE":
+            raise ValueError("unsupported WAV compression")
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if len(raw) != 2 * n:
+        raise ValueError("WAV frame data length mismatch")
+    return n, rate, struct.unpack(f"<{n}h", raw)
+
+
 MM_PCM_SCHEMA = (
     "doc_id bigint, n_samples int, sample_rate int, "
     "sum_abs bigint, sum_sq bigint"
@@ -2056,6 +2079,215 @@ def q_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X99 — perceptual AUDIO near-duplicate detection (r13)
+#
+# The missing modality in the dedup matrix (VERDICT r12 #4): the X89
+# dHash idea in 1-D over PCM decoded through the certified WAV codec.
+# Fingerprint: 65 contiguous 16-sample windows -> per-window energy
+# Σ|s| -> one bit per adjacent window pair (E[j] > E[j+1]), 64 bits
+# shipped as two 32-bit halves.  Candidates are the same 4×16-bit
+# pigeonhole bands (exact for Hamming <= 3), verify is the exact
+# popcount on candidates only — never all-pairs.
+#
+# Fixture audio is a deterministic 1040-sample int16 signal (pure
+# integer function of doc_id, SQL-replicable), with a PLANTED
+# re-encoded twin per 4-doc group COMPLEMENTARY to the image family:
+# doc 4g+3 renders doc 4g+2's signal with one 16-sample window
+# boosted by +5 (a re-mastered/re-leveled clip), so the audio edges
+# (4g+2, 4g+3) are DISJOINT from the image edges (4g, 4g+1) and the
+# X98 capstone gains genuinely new cross-modal families.  Exactly one
+# window energy shifts, so the twin's Hamming distance is <= 2 BY
+# CONSTRUCTION (only the two comparisons touching that window can
+# flip); docs 4g / 4g+1 draw audio seeds from a disjoint range
+# (>= 2*10^6 vs the twins' 2g+1 — separate RANGES, the r12 modular
+# seed-collision lesson).  The Spark side derives every fingerprint
+# from samples that made a FULL trip through the real RIFF/PCM codec
+# (encode_wav_pcm16 -> decode_wav_samples), while the oracle
+# recomputes the energies directly from the sample formula — a hash
+# match certifies codec + fingerprint + banding + verify end to end.
+
+_AUD_WIN = 16  # samples per energy window
+_AUD_NWIN = 65  # windows -> 64 adjacent-pair bits
+_AUD_TWIN_W = 13  # the boosted window of the 4g+3 twin
+
+
+def _audio_seed(d: int) -> int:
+    """Audio seed CASE: docs 4g+2 / 4g+3 share seed 2g+1 (the planted
+    pair — the OPPOSITE half of the group from the image twins);
+    4g / 4g+1 get unique seeds from a disjoint range."""
+    return d // 4 * 2 + 1 if d % 4 >= 2 else 2000000 + 20 * d + 17
+
+
+def _audio_samples(d: int) -> list[int]:
+    """The deterministic 1040-sample int16 signal for doc d:
+    quadratic mixing of three seed-derived coefficients mod 2048,
+    centered to [-1024, 1023], plus the +5 re-level boost on window
+    {_AUD_TWIN_W} for the 4g+3 twin variant.  Coefficients are ODD
+    (units mod 2048) and wide-range (2*(s%509)+3 etc.): small even
+    coefficients collapse i²·a mod 2048 into short-period classes,
+    which made unrelated docs share PERIODIC energy patterns
+    (measured: 4 Hamming-0 collisions at sf0.1 with s%127-style
+    coefficients; 0 with these — full-corpus sweep in
+    tests/test_operators.py)."""
+    s = _audio_seed(d)
+    a = 2 * (s % 509) + 3
+    b = 2 * (s % 503) + 7
+    c = 2 * (s % 499) + 11
+    twin = d % 4 == 3
+    out = []
+    for i in range(_AUD_WIN * _AUD_NWIN):
+        r = (i * i * a + i * b + (i // _AUD_WIN) * c + s) % 2048
+        if twin and i // _AUD_WIN == _AUD_TWIN_W:
+            r = min(r + 5, 2047)
+        out.append(r - 1024)
+    return out
+
+
+def _audio_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: signal -> REAL WAV/PCM roundtrip ->
+    energy-band fingerprint over the DECODED samples.  Two 32-bit
+    halves in BIGINTs, the engine-neutral 64-bit convention."""
+    for pdf in batches:
+        ids: list[int] = []
+        his: list[int] = []
+        los: list[int] = []
+        for doc_id in pdf["doc_id"]:
+            if pd.isna(doc_id):
+                continue  # no id -> no clip; oracle filters likewise
+            d = int(doc_id)
+            _, _, sm = decode_wav_samples(
+                encode_wav_pcm16(_audio_samples(d))
+            )
+            eng = [
+                sum(
+                    abs(s)
+                    for s in sm[w * _AUD_WIN : (w + 1) * _AUD_WIN]
+                )
+                for w in range(_AUD_NWIN)
+            ]
+            bits = 0
+            for j in range(_AUD_NWIN - 1):
+                if eng[j] > eng[j + 1]:
+                    bits |= 1 << j
+            ids.append(d)
+            his.append(bits >> 32)
+            los.append(bits & 0xFFFFFFFF)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="Int64"),
+                "dhash_hi": pd.Series(his, dtype="Int64"),
+                "dhash_lo": pd.Series(los, dtype="Int64"),
+            }
+        )
+
+
+def audio_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, dhash_hi, dhash_lo) for every document's audio clip —
+    the codec + energy-signature stage, column-compatible with the
+    image fingerprint relation so the banding/verify machinery
+    (_image_band_rows / _image_hamming_col) is shared verbatim.
+    Repartitions before the codec stage (the mapInPandas
+    scan-parallelism lesson, multimodal.image_fingerprints)."""
+    spark = docs.sparkSession
+    return (
+        docs.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            _audio_fp_batches,
+            schema="doc_id bigint, dhash_hi bigint, dhash_lo bigint",
+        )
+    )
+
+
+# The full audio fingerprint CTE chain (signal formula -> window
+# energies -> bits -> bands), namespaced a* so it composes with the
+# image chain inside one statement (the X98 capstone).
+_AUD_FP_CTES = f"""aud AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 >= 2 THEN doc_id // 4 * 2 + 1
+                        ELSE 2000000 + 20 * doc_id + 17 END AS s
+            FROM documents WHERE doc_id IS NOT NULL),
+        asm AS (
+            SELECT doc_id, g.i AS i,
+                   CASE WHEN doc_id % 4 = 3
+                             AND g.i // {_AUD_WIN} = {_AUD_TWIN_W}
+                        THEN least(
+                            (g.i*g.i*(2*(s % 509) + 3)
+                             + g.i*(2*(s % 503) + 7)
+                             + (g.i // {_AUD_WIN})*(2*(s % 499) + 11)
+                             + s) % 2048 + 5, 2047)
+                        ELSE (g.i*g.i*(2*(s % 509) + 3)
+                              + g.i*(2*(s % 503) + 7)
+                              + (g.i // {_AUD_WIN})*(2*(s % 499) + 11)
+                              + s) % 2048 END AS r
+            FROM aud,
+                 generate_series(0, {_AUD_WIN * _AUD_NWIN - 1}) g(i)),
+        awin AS (
+            SELECT doc_id, i // {_AUD_WIN} AS w,
+                   CAST(sum(abs(r - 1024)) AS BIGINT) AS e
+            FROM asm GROUP BY 1, 2),
+        abits AS (
+            SELECT l.doc_id, l.w AS bit
+            FROM awin l JOIN awin r
+              ON r.doc_id = l.doc_id AND r.w = l.w + 1
+            WHERE l.e > r.e),
+        afp AS (
+            SELECT a.doc_id,
+                   CAST(coalesce(sum(CASE WHEN bit >= 32
+                            THEN CAST(1 AS BIGINT) << (bit - 32) END), 0)
+                        AS BIGINT) AS dhash_hi,
+                   CAST(coalesce(sum(CASE WHEN bit < 32
+                            THEN CAST(1 AS BIGINT) << bit END), 0)
+                        AS BIGINT) AS dhash_lo
+            FROM aud a LEFT JOIN abits b ON a.doc_id = b.doc_id
+            GROUP BY 1),
+        abands AS (
+            {_IMG_BANDS_SQL.replace("FROM fp", "FROM afp")})"""
+
+_AUD_PAIRS_SQL = _IMG_PAIRS_SQL.replace("bands", "abands")
+
+
+@query(
+    "q_audio_dedup",
+    oracle=f"""
+        WITH {_AUD_FP_CTES}
+        {_AUD_PAIRS_SQL}
+    """,
+    tags=("multimodal", "dedup", "audio", "perceptual", "extension"),
+)
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs at Hamming <= {_IMG_HAMMING_K}
+    (X99): perceptual energy-band signature over REAL-codec-decoded
+    PCM, pigeonhole banded candidates, exact popcount verify — the
+    X89 posture applied to the audio modality, completing the dedup
+    matrix (text / image / audio).
+
+    Scale shape: identical to q_image_dedup — ONE documents scan
+    projecting doc_id, one Arrow-batched Python stage (RIFF codec +
+    64-bit signature, 12 bytes of state per clip leaves the stage),
+    localCheckpoint so banding and both verify sides never re-enter
+    the codec, then the capped band equi-join.  At 100 TB the
+    fingerprint stage parallelizes over audio bytes and everything
+    downstream moves 3 longs per clip."""
+    from .dedup import _LSH_BUCKET_CAP, _all_bucket_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = audio_fingerprints(docs).localCheckpoint(eager=False)
+    rows = _image_band_rows(fp)
+    hamming = _image_hamming_col()
+    return (
+        _all_bucket_pairs(rows, _LSH_BUCKET_CAP)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _IMG_HAMMING_K)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # X98 — multimodal dedup (text ∪ image evidence, one decision) (r12)
 
 # the image chain re-labeled so its CTE names cannot collide with the
@@ -2071,11 +2303,15 @@ def _multimodal_dedup_oracle() -> str:
         WITH RECURSIVE {_PAIRS_CTE},
         {_IMG_FP_CTES_I},
         ipairs AS ({_IMG_PAIRS_SQL_I}),
+        {_AUD_FP_CTES},
+        apairs AS ({_AUD_PAIRS_SQL}),
         edges AS (
             SELECT pa AS a, pb AS b FROM pairs
             UNION SELECT pb, pa FROM pairs
             UNION SELECT doc_a, doc_b FROM ipairs
-            UNION SELECT doc_b, doc_a FROM ipairs),
+            UNION SELECT doc_b, doc_a FROM ipairs
+            UNION SELECT doc_a, doc_b FROM apairs
+            UNION SELECT doc_b, doc_a FROM apairs),
         reach(src, dst) AS (
             SELECT a, b FROM edges
             UNION
@@ -2091,21 +2327,29 @@ def _multimodal_dedup_oracle() -> str:
             FROM pairs p JOIN lab l ON l.n = p.pa GROUP BY 1),
         ic AS (
             SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_image_pairs
-            FROM ipairs p JOIN lab l ON l.n = p.doc_a GROUP BY 1)
+            FROM ipairs p JOIN lab l ON l.n = p.doc_a GROUP BY 1),
+        ac AS (
+            SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_audio_pairs
+            FROM apairs p JOIN lab l ON l.n = p.doc_a GROUP BY 1)
         SELECT l.cluster_id,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(coalesce(min(tc.n_text_pairs), 0) AS BIGINT)
                  AS n_text_pairs,
                CAST(coalesce(min(ic.n_image_pairs), 0) AS BIGINT)
                  AS n_image_pairs,
-               CASE WHEN coalesce(min(tc.n_text_pairs), 0) > 0
-                     AND coalesce(min(ic.n_image_pairs), 0) > 0
-                    THEN 'both'
-                    WHEN coalesce(min(tc.n_text_pairs), 0) > 0
-                    THEN 'text' ELSE 'image' END AS modality
+               CAST(coalesce(min(ac.n_audio_pairs), 0) AS BIGINT)
+                 AS n_audio_pairs,
+               concat_ws('+',
+                   CASE WHEN coalesce(min(tc.n_text_pairs), 0) > 0
+                        THEN 'text' END,
+                   CASE WHEN coalesce(min(ic.n_image_pairs), 0) > 0
+                        THEN 'image' END,
+                   CASE WHEN coalesce(min(ac.n_audio_pairs), 0) > 0
+                        THEN 'audio' END) AS modality
         FROM lab l
         LEFT JOIN tc ON tc.cluster_id = l.cluster_id
         LEFT JOIN ic ON ic.cluster_id = l.cluster_id
+        LEFT JOIN ac ON ac.cluster_id = l.cluster_id
         GROUP BY l.cluster_id
     """
 
@@ -2117,24 +2361,31 @@ def _multimodal_dedup_oracle() -> str:
           "extension"),
 )
 def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MULTIMODAL dedup (X98) — the capstone the X89 family was built
-    toward: one duplicate-family decision over the union of BOTH
-    evidence channels.  A scraped page re-hosted with paraphrased
-    text keeps its images; a re-encoded image gallery keeps its
-    captions — each channel alone misses half the copies, so the
-    edges of the cluster graph are the text MinHash-LSH pairs
-    (q_dedup_near) UNION the perceptual image pairs (q_image_dedup),
-    and connected components make the keep-one decision across
-    modalities: a text-pair (a,b) and an image-pair (b,c) land a, b,
-    c in ONE family.  Per cluster: size, per-channel edge counts,
-    and the modality attribution ('text' / 'image' / 'both') a
-    curation review reads first.
+    """MULTIMODAL dedup (X98, three channels since r13) — the
+    capstone the X89/X99 family was built toward: one
+    duplicate-family decision over the union of ALL evidence
+    channels.  A scraped page re-hosted with paraphrased text keeps
+    its images; a re-encoded gallery keeps its captions; a
+    re-mastered clip keeps its transcript — each channel alone
+    misses copies, so the edges of the cluster graph are the text
+    MinHash-LSH pairs (q_dedup_near) UNION the perceptual image
+    pairs (q_image_dedup) UNION the audio energy-signature pairs
+    (q_audio_dedup), and connected components make the keep-one
+    decision across modalities: a text-pair (a,b), an image-pair
+    (b,c), and an audio-pair (c,d) land a..d in ONE family.  Per
+    cluster: size, per-channel edge counts, and the modality
+    attribution ('text+image+audio' etc. via NULL-skipping
+    concat_ws) a curation review reads first.  The fixture plants
+    image twins at (4g, 4g+1) and audio twins at (4g+2, 4g+3), so
+    audio edges are DISJOINT from image edges by construction and
+    three-channel families require text evidence to bridge.
 
-    Scale shape: both pair pipelines are the audited capped/banded
-    shapes (never all-pairs); the union is |pairs|-sized; components
-    run pointer-doubling over edge-touched nodes only.  The oracle
-    replays the ENTIRE composition — shingle minhash bands, image
-    fingerprint chain, and the transitive closure — relationally."""
+    Scale shape: all three pair pipelines are the audited
+    capped/banded shapes (never all-pairs); the union is
+    |pairs|-sized; components run pointer-doubling over edge-touched
+    nodes only.  The oracle replays the ENTIRE composition — shingle
+    minhash bands, image fingerprint chain, audio energy chain, and
+    the transitive closure — relationally."""
     from .dedup import connected_components, q_dedup_near
 
     tpairs = (
@@ -2147,7 +2398,12 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .localCheckpoint()
     )
-    edges = tpairs.unionByName(ipairs).distinct()
+    apairs = (
+        q_audio_dedup(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    edges = tpairs.unionByName(ipairs).unionByName(apairs).distinct()
     nodes = (
         edges.select(F.col("a").alias("n"))
         .unionByName(edges.select(F.col("b").alias("n")))
@@ -2164,11 +2420,17 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(F.count("*").cast("bigint").alias("n_image_pairs"))
     )
+    ac = (
+        apairs.join(lab, apairs["a"] == lab["n"])
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_audio_pairs"))
+    )
     per = (
         lab.groupBy("cluster_id")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .join(tc, "cluster_id", "left")
         .join(ic, "cluster_id", "left")
+        .join(ac, "cluster_id", "left")
         .select(
             "cluster_id",
             "n_docs",
@@ -2178,14 +2440,19 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_image_pairs", F.lit(0)).cast("bigint").alias(
                 "n_image_pairs"
             ),
+            F.coalesce("n_audio_pairs", F.lit(0)).cast("bigint").alias(
+                "n_audio_pairs"
+            ),
         )
     )
+    # concat_ws skips NULLs in BOTH engines, so the modality string
+    # composes channel flags without 2^3 CASE arms
     return per.withColumn(
         "modality",
-        F.when(
-            (F.col("n_text_pairs") > 0) & (F.col("n_image_pairs") > 0),
-            "both",
-        )
-        .when(F.col("n_text_pairs") > 0, "text")
-        .otherwise("image"),
+        F.concat_ws(
+            "+",
+            F.when(F.col("n_text_pairs") > 0, "text"),
+            F.when(F.col("n_image_pairs") > 0, "image"),
+            F.when(F.col("n_audio_pairs") > 0, "audio"),
+        ),
     )

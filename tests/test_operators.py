@@ -3020,12 +3020,47 @@ def test_filtered_bm25_batch_keeps_global_idf(spark, sf_dir):
         assert wide[(r["qid"], r["doc_id"])] == r["score_fp"]
 
 
+def test_audio_dedup_finds_planted_twin_not_distinct(spark, sf_dir):
+    """q_audio_dedup (X99): the re-leveled twin (doc 4g+3 = doc
+    4g+2's signal with one window boosted) is paired at Hamming <= 2
+    for EVERY group, distinct-seed clips never pair (the odd
+    wide-range coefficient fix — small even coefficients produced
+    periodic energy patterns and 4 cross-doc collisions at sf0.1),
+    and the fingerprints really cross the WAV codec (decoded samples
+    == synthesized samples — PCM losslessness is load-bearing)."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        _audio_samples,
+        _IMG_HAMMING_K,
+        decode_wav_samples,
+        encode_wav_pcm16,
+        q_audio_dedup,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q_audio_dedup(spark, sf_dir).collect()
+    }
+    n_docs = 500  # sf0.001 documents table
+    planted = {(4 * g + 2, 4 * g + 3) for g in range(n_docs // 4)}
+    assert planted <= set(pairs)  # every twin found
+    assert all(pairs[p] <= 2 for p in planted)  # <= 2 by construction
+    assert set(pairs) == planted  # nothing else pairs (measured at
+    # both fixture scales with the odd-coefficient formula)
+    assert max(pairs.values()) >= 1  # some twins are NEAR, not exact
+    # codec is in the certified path: decoded == synthesized samples
+    sm = _audio_samples(7)
+    n, rate, out = decode_wav_samples(encode_wav_pcm16(sm))
+    assert (n, rate) == (len(sm), 16_000) and list(out) == sm
+    assert _IMG_HAMMING_K == 3  # shared 4-band pigeonhole covers k<=3
+
+
 def test_multimodal_dedup_merges_channels(spark, sf_dir):
-    """q_multimodal_dedup (X98): clusters span evidence channels —
-    'both'-modality families exist (a text edge and an image edge
-    meeting in one component), every planted image twin lands in one
-    cluster, and each cluster carries at least a spanning tree's
-    worth of edges (n_text + n_image >= n_docs - 1)."""
+    """q_multimodal_dedup (X98, three channels since r13): clusters
+    span evidence channels — cross-modal families exist (a text edge
+    meeting an image or audio edge in one component), single-channel
+    image AND audio families both exist (the planted twins are
+    disjoint halves of each 4-doc group), and each cluster carries
+    at least a spanning tree's worth of edges."""
     from open_street_map_data_wrangling_spark.operators.multimodal import (
         q_multimodal_dedup,
     )
@@ -3033,10 +3068,14 @@ def test_multimodal_dedup_merges_channels(spark, sf_dir):
     rows = q_multimodal_dedup(spark, sf_dir).collect()
     assert rows
     mods = {r["modality"] for r in rows}
-    assert "both" in mods and "image" in mods
+    assert "image" in mods and "audio" in mods
+    assert any("+" in m for m in mods)  # cross-modal families exist
     for r in rows:
         assert r["n_docs"] >= 2
-        assert r["n_text_pairs"] + r["n_image_pairs"] >= r["n_docs"] - 1
+        assert (
+            r["n_text_pairs"] + r["n_image_pairs"] + r["n_audio_pairs"]
+            >= r["n_docs"] - 1
+        )
     # image-only clusters are exactly twin families on this fixture
     for r in rows:
         if r["modality"] == "image":

@@ -401,6 +401,18 @@ def test_image_dedup_checkpoint_fed_no_allpairs(plans):
     assert "BroadcastNestedLoop" not in p
 
 
+def test_audio_dedup_checkpoint_fed_no_allpairs(plans):
+    """q_audio_dedup: same contract as its image sibling — the
+    codec+fingerprint stage materializes once into a checkpoint
+    (banding and both verify sides consume 12 bytes/clip from it),
+    and the candidate join is band-bucketed equi-join only."""
+    p = plans("q_audio_dedup")
+    assert "ExistingRDD" in p
+    assert p.count("Scan parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
 def test_tombstone_served_reads_only_purged_indexes(plans):
     """The four-way post-purge serve (q_tombstone_served): the
     returned plan must read ONLY purged index artifacts — never the
