@@ -147,11 +147,17 @@ def _stamp_fingerprints() -> dict[str, str]:
 # registry are ignored; an empty tuple restores pure registration
 # order.
 _MODIFIED_PRIORITY: tuple[str, ...] = (
-    # Round 13: bm25_search_many gained the fail-fast meta-column
-    # validation (r12 ADVICE), which rotates its two dependent
-    # queries; both re-verified green at sf0.01 this round.
+    # Round 13: q_multimodal_dedup gained the audio channel (new
+    # output columns + concat_ws modality — re-verified green at
+    # sf0.01 AND sf0.1 this round); bm25_search_many gained the
+    # fail-fast meta-column validation (r12 ADVICE) and
+    # rrf_search_many / maxsim_search_many gained the filters
+    # machinery (X100/X101), rotating their dependents — ALL
+    # re-verified green at sf0.01 this round.
+    "q_multimodal_dedup",
     "q_bm25_batch_filtered",
     "q_rrf_batch",
+    "q_maxsim_batch",
     # Round 12: the r11-ADVICE fixes (GIF LZW end-of-stream width
     # sync, JPEG DQT guard, bm25 batch-oracle dl qualification)
     # touched the codec and bm25 closures; build_ivfpq_index gained

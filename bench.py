@@ -206,6 +206,8 @@ HEADLINE = (
     "q_contamination_served",
     "q_image_gate",
     "q_audio_dedup",
+    "q_rrf_batch_filtered",
+    "q_maxsim_batch_filtered",
 )
 
 

@@ -2761,6 +2761,8 @@ def rrf_search_many(
     nprobe: int = _RRF_NPROBE,
     list_n: int = _RRF_LIST,
     k: int = _RRF_TOP,
+    filters: dict[int, str] | None = None,
+    filter_col: str = "source",
 ) -> DataFrame:
     """Batched hybrid retrieval — the whole query set fused with TWO
     pruned index scans and zero corpus scans: the lexical leg is
@@ -2773,7 +2775,21 @@ def rrf_search_many(
     ``queries`` maps qid -> (terms, raw query vector, vec_id to
     exclude or None — the self-row when the probe is a corpus
     vector).  Batching N hybrid queries costs two scans + N heaps
-    instead of 2N scans."""
+    instead of 2N scans.
+
+    ``filters`` maps qid -> required ``filter_col`` value — ONE
+    metadata predicate applied coherently to BOTH legs (r13, the
+    X92/X97 machinery composed): the lexical leg inherits
+    bm25_search_many's Lucene convention (candidates restricted,
+    idf/avgdl stay corpus-global — no scan pushdown, both indexes
+    must carry ``filter_col`` in their files), the vector leg
+    inherits ivfpq_search_many's pushdown (the union of requested
+    values prunes the codes scan when every query is filtered —
+    nothing statistical derives from that scan — and the per-query
+    equality rides the broadcast query table).  Each leg's list_n
+    shortlist is therefore a PRE-filtered ranking — full list depth
+    of survivors, never post-filter starvation — and the fused ranks
+    are ranks among the query's own label."""
     from pyspark.sql import Window as _Win
 
     from ..functions.vectors import cosine_expr
@@ -2784,6 +2800,7 @@ def rrf_search_many(
         "qid BIGINT, rank INT, doc_id BIGINT, bm25_rank BIGINT, "
         "vec_rank BIGINT, rrf_fp BIGINT"
     )
+    filters = filters or {}
     if not queries:
         return spark.createDataFrame([], empty_ddl)
     bm = bm25_search_many(
@@ -2791,6 +2808,8 @@ def rrf_search_many(
         bm25_path,
         tuple((qid, ts) for qid, (ts, _, _) in sorted(queries.items())),
         k=list_n,
+        filters=filters,
+        filter_col=filter_col,
     ).select("qid", "doc_id", F.col("rank").cast("long").alias("bm25_rank"))
 
     raw, c = _load_ivfpq_seeds(spark, ivfpq_path, 0)
@@ -2807,24 +2826,47 @@ def rrf_search_many(
             union_cells.update(int(p) for p in cells)
             probe_rows += [(int(qid), int(p)) for p in cells]
             qv_rows.append(
-                (int(qid), qvf, -1 if excl is None else int(excl))
+                (
+                    int(qid),
+                    qvf,
+                    -1 if excl is None else int(excl),
+                    filters.get(qid),
+                )
             )
         probes = spark.createDataFrame(probe_rows, "qid LONG, cid INT")
         qvdf = spark.createDataFrame(
-            qv_rows, "qid LONG, qvec ARRAY<DOUBLE>, excl LONG"
+            qv_rows,
+            "qid LONG, qvec ARRAY<DOUBLE>, excl LONG, __flt STRING",
         )
+        vcols = ["vec_id", "cid", "embedding"] + (
+            [filter_col] if filters else []
+        )
+        codes = spark.read.parquet(f"{ivfpq_path}/codes").filter(
+            F.col("cid").isin(sorted(union_cells))
+        )
+        if filters and all(q in filters for q in queries):
+            # every query is filtered: the union of requested values
+            # prunes the codes scan (the X92 rationale — the exact
+            # cosine rerank derives nothing statistical from the scan,
+            # the contrast with the lexical leg's df window)
+            codes = codes.filter(
+                F.col(filter_col).isin(sorted(set(filters.values())))
+            )
         scored = (
-            spark.read.parquet(f"{ivfpq_path}/codes")
-            .filter(F.col("cid").isin(sorted(union_cells)))
-            .select("vec_id", "cid", "embedding")
+            codes.select(*vcols)
             .join(F.broadcast(probes), "cid")
             .join(F.broadcast(qvdf), "qid")
             .filter(F.col("vec_id") != F.col("excl"))
-            .select(
-                "qid",
-                F.col("vec_id").alias("doc_id"),
-                cosine_expr("embedding", "qvec").alias("cos"),
+        )
+        if filters:
+            scored = scored.filter(
+                F.col("__flt").isNull()
+                | (F.col(filter_col) == F.col("__flt"))
             )
+        scored = scored.select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            cosine_expr("embedding", "qvec").alias("cos"),
         )
         w_vec = _Win.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
         vec = (
@@ -3037,14 +3079,28 @@ def _maxsim_pair_dot_sql(qcol: str, tcol: str, hexfn) -> str:
 
 
 def _maxsim_batch_scored(
-    toks: DataFrame, qt: DataFrame, k: int
+    toks: DataFrame,
+    qt: DataFrame,
+    k: int,
+    qf: DataFrame | None = None,
+    dsrc: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, rank, doc_id, maxsim) over a DISTINCT (doc_id, tok)
     relation and a (qid, qtok) query table: candidates per query =
     docs sharing a term with THAT query, then per (qid, qtok, doc)
     the max integer dot over the doc's token vectors, summed per
     (qid, doc), per-query WindowGroupLimit top-k.  Shared by the
-    inline q_maxsim_batch and maxsim_search_many."""
+    inline q_maxsim_batch and maxsim_search_many.
+
+    ``qf`` (qid, __flt) + ``dsrc`` (doc_id, __src) optionally
+    restrict CANDIDATES per query to docs whose metadata equals the
+    query's required value (r13 filtered serving) — applied at the
+    |candidates| relation, before any lane extraction, so filtered
+    queries pay the interaction arithmetic only for their own
+    label's docs.  A doc's MaxSim score is a pure per-(query, doc)
+    quantity (no corpus statistics), so filtering candidates cannot
+    change a surviving doc's score — pinned in
+    tests/test_operators.py."""
     from pyspark.sql import Window as _Win
 
     # lane vectors are hoisted to EACH SIDE before the pair join: one
@@ -3077,6 +3133,16 @@ def _maxsim_batch_scored(
         .select("qid", "doc_id")
         .distinct()
     )
+    if qf is not None:
+        cand = (
+            cand.join(F.broadcast(qf), "qid", "left")
+            .join(dsrc, "doc_id", "left")
+            .filter(
+                F.col("__flt").isNull()
+                | (F.col("__src") == F.col("__flt"))
+            )
+            .select("qid", "doc_id")
+        )
     pairs = cand.join(toksv, "doc_id").join(F.broadcast(qtv), "qid")
     best = (
         pairs.withColumn(
@@ -3181,13 +3247,26 @@ def maxsim_search_many(
     index_path: str,
     queries: tuple[tuple[int, tuple[str, ...]], ...] = _MAXSIM_BATCH,
     k: int = _MAXSIM_K,
+    filters: dict[int, str] | None = None,
+    filter_col: str = "source",
 ) -> DataFrame:
     """q_maxsim_batch over the PERSISTED posting index — zero corpus
     scans: the batch's candidate doc set from ONE postings scan
     pruned to the UNION of every query's token buckets, the
     candidates' full token rows via a broadcast semi-join, then the
     shared batched interaction.  Per-qid results are IDENTICAL to
-    maxsim_search solo (pytest-pinned)."""
+    maxsim_search solo (pytest-pinned).
+
+    ``filters`` maps qid -> required ``filter_col`` value (the index
+    must carry the column via build_bm25_index meta — validated
+    fail-fast, never a silent all-NULL read).  Candidates are
+    PRE-filtered per query; the doc metadata comes for free from the
+    SAME pruned candidate scan (any posting row of a candidate doc
+    carries its source), so the filtered path adds zero extra
+    scans.  MaxSim has no corpus-global statistics, so unlike BM25
+    there is no idf-corruption hazard in any placement — candidates
+    convention is chosen for coherence with the rest of the filtered
+    matrix."""
     from pyspark.sql import Row
 
     queries = tuple((int(q), tuple(dict.fromkeys(ts))) for q, ts in queries)
@@ -3196,6 +3275,16 @@ def maxsim_search_many(
         return spark.createDataFrame(
             [], "qid BIGINT, rank INT, doc_id BIGINT, maxsim BIGINT"
         )
+    filters = filters or {}
+    if filters:
+        actual = spark.read.parquet(f"{index_path}/postings").schema
+        if filter_col not in actual.names:
+            raise ValueError(
+                f"maxsim_search_many: index at {index_path} has no meta "
+                f"column {filter_col!r} (built without meta?); filtered "
+                f"search needs build_bm25_index(..., meta including "
+                f"{filter_col!r})"
+            )
     tdf = spark.createDataFrame([Row(tok=t) for t in all_terms])
     bkts = [
         int(r["b"])
@@ -3205,15 +3294,19 @@ def maxsim_search_many(
         .distinct()
         .collect()
     ]
-    post_ddl = "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, bkt INT"
-    cand_docs = (
+    meta_ddl = f", {filter_col} STRING" if filters else ""
+    post_ddl = (
+        "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT"
+        + meta_ddl
+        + ", bkt INT"
+    )
+    pruned = (
         spark.read.schema(post_ddl)
         .parquet(f"{index_path}/postings")
         .filter(F.col("bkt").isin(bkts))
         .filter(F.col("tok").isin(*all_terms))
-        .select("doc_id")
-        .distinct()
     )
+    cand_docs = pruned.select("doc_id").distinct()
     toks = (
         spark.read.schema(post_ddl)
         .parquet(f"{index_path}/postings")
@@ -3223,7 +3316,17 @@ def maxsim_search_many(
     qt = spark.createDataFrame(
         [(q, t) for q, ts in queries for t in ts], "qid long, qtok string"
     )
-    return _maxsim_batch_scored(toks, qt, k)
+    qf = dsrc = None
+    if filters:
+        qf = spark.createDataFrame(
+            [(int(q), v) for q, v in sorted(filters.items())],
+            "qid long, __flt string",
+        )
+        dsrc = (
+            pruned.select("doc_id", F.col(filter_col).alias("__src"))
+            .distinct()
+        )
+    return _maxsim_batch_scored(toks, qt, k, qf=qf, dsrc=dsrc)
 
 
 # ---------------------------------------------------------------------------
@@ -3558,4 +3661,316 @@ def q_bm25_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         queries=tuple((q, ts) for q, ts, _ in _BM25_BATCH_FILTERED),
         filters={q: src for q, ts, src in _BM25_BATCH_FILTERED},
+    )
+
+
+# ---------------------------------------------------------------------------
+# X100 — filtered batched HYBRID serving (r13)
+#
+# VERDICT r12 #5: production hybrid retrieval is almost always
+# filtered ("top-k about X, WHERE source = Y"), and the filtered
+# dimension stopped at the single-leg paths (X92 vector, X97
+# lexical).  This composes both conventions under ONE per-query
+# predicate: the lexical leg restricts candidates while idf/avgdl
+# stay corpus-global (X97's Lucene convention — no scan pushdown),
+# the vector leg pushes the union of requested values into the codes
+# scan (X92 — nothing statistical derives from it) with the
+# per-query equality on the broadcast query table.  Both list_n
+# shortlists are PRE-filtered rankings, so fusion sees full-depth
+# survivor lists — never post-filter starvation.
+
+_RRF_BATCH_FILTERED: tuple[tuple[int, tuple[str, ...], int, str], ...] = (
+    (0, ("merge", "filter"), 0, "src1"),
+    (1, ("batch",), 17, "src3"),
+    (2, ("merge", "filter", "batch"), 42, "src7"),
+)
+
+
+def _rrf_batch_filtered_oracle() -> str:
+    from .similarity import _IVF_ASSIGN_SQL
+
+    qt_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts, _, _ in _RRF_BATCH_FILTERED
+        for t in ts
+    )
+    pv_vals = ", ".join(
+        f"({qid}, {pv})" for qid, _, pv, _ in _RRF_BATCH_FILTERED
+    )
+    qf_vals = ", ".join(
+        f"({qid}, '{src}')" for qid, _, _, src in _RRF_BATCH_FILTERED
+    )
+    return f"""
+        WITH post AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY doc_id, tok),
+        dlt AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+            FROM post GROUP BY doc_id),
+        st AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(dl), 0) AS BIGINT) AS total_toks
+            FROM dlt),
+        qt(qid, tok) AS (VALUES {qt_vals}),
+        qf(qid, fsrc) AS (VALUES {qf_vals}),
+        -- dfq/st aggregate the UNFILTERED postings: the Lucene
+        -- convention — the predicate restricts candidates, never the
+        -- corpus statistics
+        dfq AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS df
+            FROM post GROUP BY tok),
+        scb AS (
+            SELECT q.qid, p.doc_id,
+                   CAST(sum({_bm25_contrib_cols('p.tf', 'd.df', '//', 'l.dl')})
+                        AS BIGINT) AS score_fp
+            FROM qt q
+            JOIN post p USING (tok)
+            JOIN dfq d USING (tok)
+            JOIN dlt l ON l.doc_id = p.doc_id
+            JOIN qf ON qf.qid = q.qid
+            JOIN documents dd
+              ON dd.doc_id = p.doc_id AND dd.source = qf.fsrc
+            CROSS JOIN st
+            GROUP BY 1, 2),
+        bmr AS (
+            SELECT qid, doc_id, bm25_rank FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY score_fp DESC, doc_id)
+                         AS bm25_rank
+                FROM scb)
+            WHERE bm25_rank <= {_RRF_LIST}),
+        {_IVF_ASSIGN_SQL},
+        qv AS (
+            SELECT q.qid, q.pvid, e.embedding
+            FROM (VALUES {pv_vals}) q(qid, pvid)
+            JOIN embeddings e ON e.vec_id = q.pvid),
+        qcb AS (
+            SELECT qid, cid AS qcid FROM (
+                SELECT qv.qid, c.cid,
+                       row_number() OVER (
+                           PARTITION BY qv.qid
+                           ORDER BY list_cosine_similarity(
+                               c.cemb::DOUBLE[], qv.embedding::DOUBLE[]
+                           ) DESC, c.cid ASC) AS qrn
+                FROM cents c CROSS JOIN qv)
+            WHERE qrn <= {_RRF_NPROBE}),
+        vecr AS (
+            SELECT qcb.qid, e.vec_id,
+                   list_cosine_similarity(
+                       e.embedding::DOUBLE[], qv.embedding::DOUBLE[]
+                   ) AS cos
+            FROM embeddings e
+            JOIN a1 ON e.vec_id = a1.vec_id
+            JOIN qcb ON a1.cid = qcb.qcid
+            JOIN qv ON qv.qid = qcb.qid
+            JOIN qf ON qf.qid = qcb.qid
+            JOIN documents md
+              ON md.doc_id = e.vec_id AND md.source = qf.fsrc
+            WHERE e.vec_id <> qv.pvid AND e.embedding IS NOT NULL),
+        vecb AS (
+            SELECT qid, vec_id AS doc_id, vec_rank FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, vec_id)
+                         AS vec_rank
+                FROM vecr)
+            WHERE vec_rank <= {_RRF_LIST}),
+        fusedb AS (
+            SELECT coalesce(b.qid, v.qid) AS qid,
+                   coalesce(b.doc_id, v.doc_id) AS doc_id,
+                   b.bm25_rank, v.vec_rank,
+                   CAST(coalesce(10000 // ({_RRF_K} + b.bm25_rank), 0)
+                      + coalesce(10000 // ({_RRF_K} + v.vec_rank), 0)
+                      AS BIGINT) AS rrf_fp
+            FROM bmr b
+            FULL OUTER JOIN vecb v
+              ON b.qid = v.qid AND b.doc_id = v.doc_id),
+        rb AS (
+            SELECT qid, doc_id, bm25_rank, vec_rank, rrf_fp,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY rrf_fp DESC, doc_id)
+                     AS rank
+            FROM fusedb)
+        SELECT CAST(qid AS BIGINT) AS qid,
+               CAST(rank AS INTEGER) AS rank,
+               doc_id,
+               CAST(bm25_rank AS BIGINT) AS bm25_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank,
+               rrf_fp
+        FROM rb WHERE rank <= {_RRF_TOP}
+        ORDER BY qid, rank
+    """
+
+
+@query(
+    "q_rrf_batch_filtered",
+    oracle=_rrf_batch_filtered_oracle(),
+    tags=("text", "similarity", "search", "hybrid", "rrf", "batch",
+          "filtered", "serve", "extension"),
+)
+def q_rrf_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered batched hybrid retrieval (X100): the fixed 3-query
+    demo batch, each query carrying its own required source, fused
+    through rrf_search_many over persisted indexes BUILT WITH the
+    source column riding in both artifacts (postings meta AND codes
+    meta — the vector side's source joins in from documents at build
+    time, vec_id == doc_id on this fixture).  One pruned postings
+    scan, one doubly-pruned codes scan (union probe cells AS
+    PartitionFilters + union sources AS PushedFilters), per-leg
+    PRE-filtered list_n shortlists, integer RRF, per-query
+    top-{_RRF_TOP}.  The oracle replays both legs with the
+    per-query predicate in exactly the documented place for each:
+    candidates-only for BM25 (dfq/st stay unfiltered), candidate
+    rows for the vector leg — so a green hash proves the
+    per-leg filter semantics, not just the fusion."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from .pq import build_ivfpq_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"osm_spark_rrffb_{tag}")
+    build_bm25_index(docs, f"{base}/bm25", meta=("source",))
+    build_ivfpq_index(
+        emb.join(
+            docs.select(
+                F.col("doc_id").alias("vec_id"), "source"
+            ),
+            "vec_id",
+            "left",
+        ),
+        f"{base}/ivfpq",
+        meta=("source",),
+    )
+    pvids = [pv for _, _, pv, _ in _RRF_BATCH_FILTERED]
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            F.col("vec_id").isin(pvids)
+            & F.col("embedding").isNotNull()
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    queries = {
+        qid: (ts, qrows[pv], pv)
+        for qid, ts, pv, _ in _RRF_BATCH_FILTERED
+        if pv in qrows
+    }
+    return rrf_search_many(
+        spark,
+        f"{base}/bm25",
+        f"{base}/ivfpq",
+        queries,
+        filters={
+            q: src
+            for q, _, pv, src in _RRF_BATCH_FILTERED
+            if pv in qrows
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# X101 — filtered batched MaxSim serving (r13)
+
+_MAXSIM_BATCH_FILTERED: tuple[tuple[int, tuple[str, ...], str], ...] = (
+    (0, ("merge", "filter"), "src1"),
+    (1, ("batch",), "src3"),
+    (2, ("merge", "filter", "batch"), "src7"),
+)
+
+
+def _maxsim_batch_filtered_oracle() -> str:
+    def hexfn(col: str, i: int) -> str:
+        return f"(('0x' || substr(md5({col}), {2 * i + 1}, 2))::BIGINT)"
+
+    qt_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts, _ in _MAXSIM_BATCH_FILTERED
+        for t in ts
+    )
+    qf_vals = ", ".join(
+        f"({qid}, '{src}')" for qid, _, src in _MAXSIM_BATCH_FILTERED
+    )
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+            WHERE tok <> ''),
+        qt(qid, qtok) AS (VALUES {qt_vals}),
+        qf(qid, fsrc) AS (VALUES {qf_vals}),
+        cand AS (
+            SELECT DISTINCT q.qid, t.doc_id
+            FROM qt q
+            JOIN toks t ON t.tok = q.qtok
+            JOIN qf ON qf.qid = q.qid
+            JOIN documents dd
+              ON dd.doc_id = t.doc_id AND dd.source = qf.fsrc),
+        best AS (
+            SELECT c.qid, q.qtok, c.doc_id,
+                   max({_maxsim_pair_dot_sql('q.qtok', 't.tok', hexfn)})
+                     AS m
+            FROM cand c
+            JOIN toks t ON t.doc_id = c.doc_id
+            JOIN qt q ON q.qid = c.qid
+            GROUP BY 1, 2, 3),
+        sc AS (
+            SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS maxsim
+            FROM best GROUP BY qid, doc_id),
+        r AS (
+            SELECT qid, doc_id, maxsim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY maxsim DESC, doc_id)
+                     AS rank
+            FROM sc)
+        SELECT CAST(qid AS BIGINT) AS qid,
+               CAST(rank AS INTEGER) AS rank,
+               doc_id, maxsim
+        FROM r WHERE rank <= {_MAXSIM_K}
+        ORDER BY qid, rank
+    """
+
+
+@query(
+    "q_maxsim_batch_filtered",
+    oracle=_maxsim_batch_filtered_oracle(),
+    tags=("text", "similarity", "search", "late-interaction", "maxsim",
+          "batch", "filtered", "serve", "extension"),
+)
+def q_maxsim_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered batched MaxSim (X101) — late interaction completes
+    the filtered serving matrix (lexical X97, vector X92, hybrid
+    X100): the fixed 3-query demo batch, each with its own required
+    source, served from the persisted posting index built with
+    meta=("source",).  Candidates are PRE-filtered per query at the
+    |candidates| relation — the doc's source comes from the SAME
+    pruned scan that found the candidates, zero extra scans — so
+    each query pays interaction arithmetic only for its own label's
+    docs and gets a full top-{_MAXSIM_K} of survivors (the
+    post-filter starvation pin lives in tests/test_operators.py).
+    MaxSim scores are pure per-(query, doc) quantities, so a
+    surviving doc's score equals its unfiltered score — also
+    pinned."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"osm_spark_maxsim_fbatch_{tag}"
+    )
+    build_bm25_index(docs, path, meta=("source",))
+    return maxsim_search_many(
+        spark,
+        path,
+        queries=tuple((q, ts) for q, ts, _ in _MAXSIM_BATCH_FILTERED),
+        filters={q: src for q, ts, src in _MAXSIM_BATCH_FILTERED},
     )

@@ -2494,6 +2494,122 @@ def test_maxsim_search_many_equals_per_query_serving(spark, tmp_path):
         ]
         assert got[qid] == solo, qid
     assert tx.maxsim_search_many(spark, idx, ()).count() == 0
+    # fail-fast on misconfiguration (the bm25_search_many contract
+    # extended to MaxSim): this index has no meta, so a filtered
+    # call raises instead of silently starving on an all-NULL read
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no meta column"):
+        tx.maxsim_search_many(
+            spark, idx, tx._MAXSIM_BATCH, filters={1: "web"}
+        )
+
+
+def test_filtered_rrf_batch_prefilters_both_legs(spark, sf_dir):
+    """q_rrf_batch_filtered (X100): every returned doc carries its
+    query's required source; post-filtering the UNFILTERED hybrid
+    top-k starves on this 20-source fixture; and the bm25 leg keeps
+    corpus-global idf (a surviving doc's lexical score under the
+    filter equals its unfiltered score — the X97 pin, surviving
+    composition into the hybrid)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = {
+        int(r["doc_id"]): r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    got = tx.q_rrf_batch_filtered(spark, sf_dir).collect()
+    want = {q: s for q, _, _, s in tx._RRF_BATCH_FILTERED}
+    assert {r["qid"] for r in got} == set(want)
+    for r in got:
+        assert src[r["doc_id"]] == want[r["qid"]]
+    # starvation: the unfiltered hybrid top-k post-filtered keeps < k
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"osm_spark_rrffb_{tag}")
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            F.col("vec_id").isin([pv for _, _, pv, _ in tx._RRF_BATCH_FILTERED])
+            & F.col("embedding").isNotNull()
+        ).collect()
+    }
+    queries = {
+        q: (ts, qrows[pv], pv) for q, ts, pv, _ in tx._RRF_BATCH_FILTERED
+    }
+    unf = tx.rrf_search_many(
+        spark, f"{base}/bm25", f"{base}/ivfpq", queries
+    ).collect()
+    for q, s in want.items():
+        kept = [r for r in unf if r["qid"] == q and src[r["doc_id"]] == s]
+        assert len(kept) < tx._RRF_TOP
+    # global idf on the lexical leg: same (qid, doc) bm25 scores
+    # with and without the filter
+    terms = tuple((q, ts) for q, ts, _, _ in tx._RRF_BATCH_FILTERED)
+    wide = {
+        (r["qid"], r["doc_id"]): r["score_fp"]
+        for r in tx.bm25_search_many(
+            spark, f"{base}/bm25", terms, k=10**6
+        ).collect()
+    }
+    flt = tx.bm25_search_many(
+        spark, f"{base}/bm25", terms, k=10**6, filters=want
+    ).collect()
+    assert flt
+    for r in flt:
+        assert wide[(r["qid"], r["doc_id"])] == r["score_fp"]
+
+
+def test_filtered_maxsim_batch_keeps_scores(spark, sf_dir):
+    """q_maxsim_batch_filtered (X101): every returned doc carries its
+    query's required source; post-filtering the unfiltered top-k
+    starves; and a surviving doc's MaxSim score EQUALS its unfiltered
+    score (no corpus statistics anywhere in the interaction — the
+    filter can only restrict, never re-weight)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import open_street_map_data_wrangling_spark.operators.text as tx
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = {
+        int(r["doc_id"]): r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    got = tx.q_maxsim_batch_filtered(spark, sf_dir).collect()
+    want = {q: s for q, _, s in tx._MAXSIM_BATCH_FILTERED}
+    assert {r["qid"] for r in got} == set(want)
+    for r in got:
+        assert src[r["doc_id"]] == want[r["qid"]]
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"osm_spark_maxsim_fbatch_{tag}"
+    )
+    queries = tuple((q, ts) for q, ts, _ in tx._MAXSIM_BATCH_FILTERED)
+    unf = tx.maxsim_search_many(spark, path, queries).collect()
+    for q, s in want.items():
+        kept = [r for r in unf if r["qid"] == q and src[r["doc_id"]] == s]
+        assert len(kept) < tx._MAXSIM_K
+    wide = {
+        (r["qid"], r["doc_id"]): r["maxsim"]
+        for r in tx.maxsim_search_many(
+            spark, path, queries, k=10**6
+        ).collect()
+    }
+    for r in got:
+        assert wide[(r["qid"], r["doc_id"])] == r["maxsim"]
 
 
 def test_maxsim_served_matches_inline_and_prunes(spark, tmp_path):

@@ -387,6 +387,39 @@ def test_ivfpq_batch_filtered_pushes_label_predicate(plans):
     assert "WindowGroupLimit" in p
 
 
+def test_rrf_batch_filtered_pushes_per_leg_semantics(plans):
+    """q_rrf_batch_filtered: the per-leg filter placement is a PLAN
+    property — the union of requested sources must reach the codes
+    scan as a PushedFilter (X92 semantics: nothing statistical
+    derives from it) while the postings scan must NOT carry a source
+    pushdown (X97 semantics: df is computed from the scanned
+    postings; pushing would corrupt global idf).  Zero corpus
+    scans."""
+    import re
+
+    p = plans("q_rrf_batch_filtered")
+    assert "documents.parquet" not in p
+    assert "embeddings.parquet" not in p
+    assert "PartitionFilters" in p and "bkt" in p and "cid" in p
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("In(source, [src1,src3,src7]" in s for s in pushed)
+    assert not any("source" in s and "In(tok" in s for s in pushed)
+    assert "WindowGroupLimit" in p
+
+
+def test_maxsim_batch_filtered_reads_only_index(plans):
+    """q_maxsim_batch_filtered: candidates, their metadata, and the
+    token rows all come from the persisted posting index (the doc's
+    source rides in the same pruned scan that found it) — zero
+    corpus scans, no cartesian, per-query heaps."""
+    p = plans("q_maxsim_batch_filtered")
+    assert "documents.parquet" not in p
+    assert p.count("Scan parquet") <= 5
+    assert "PartitionFilters" in p and "bkt" in p
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+
+
 def test_image_dedup_checkpoint_fed_no_allpairs(plans):
     """q_image_dedup: the codec+fingerprint stage materializes ONCE
     into a checkpoint (the band explode and both verify sides consume
