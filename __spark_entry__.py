@@ -148,16 +148,23 @@ def _stamp_fingerprints() -> dict[str, str]:
 # order.
 _MODIFIED_PRIORITY: tuple[str, ...] = (
     # Round 13: q_multimodal_dedup gained the audio channel (new
-    # output columns + concat_ws modality — re-verified green at
-    # sf0.01 AND sf0.1 this round); bm25_search_many gained the
-    # fail-fast meta-column validation (r12 ADVICE) and
+    # output columns + concat_ws modality); bm25_search_many gained
+    # the fail-fast meta-column validation (r12 ADVICE);
     # rrf_search_many / maxsim_search_many gained the filters
-    # machinery (X100/X101), rotating their dependents — ALL
-    # re-verified green at sf0.01 this round.
+    # machinery (X100/X101); and every inline-build serving query
+    # switched to the content-tagged build cache
+    # (operators/index_cache.py — VERDICT r12 #6).  ALL rotated
+    # dependents re-verified green at sf0.01 AND sf0.1 this round.
     "q_multimodal_dedup",
-    "q_bm25_batch_filtered",
+    "q_tombstone_served",
+    "q_rrf_served",
     "q_rrf_batch",
     "q_maxsim_batch",
+    "q_bm25_batch_filtered",
+    "q_ivfpq_serve",
+    "q_ivfpq_batch",
+    "q_ivfpq_batch_filtered",
+    "q_proximity_served",
     # Round 12: the r11-ADVICE fixes (GIF LZW end-of-stream width
     # sync, JPEG DQT guard, bm25 batch-oracle dl qualification)
     # touched the codec and bm25 closures; build_ivfpq_index gained

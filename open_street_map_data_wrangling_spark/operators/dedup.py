@@ -1994,33 +1994,29 @@ def q_contamination_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     check is one band derivation over the TEST split only, one
     store-sized equi-join on (bi, bv) with hot buckets pruned by the
     cap prepass, one per-test aggregate."""
-    import hashlib as _hl
-    import os
-    import tempfile
+    import sys
 
-    from ..streaming.jobs import (
-        _store_paths,
-        contamination_bands_merge_fn,
-        contamination_check,
-    )
+    from .. import streaming as _streaming  # noqa: F401
+    from ..streaming import jobs as _jobs
+    from .index_cache import cached
     from .pipeline_ops import _split_col
 
     docs = load_table(spark, sf_dir, "documents")
     split = docs.select("doc_id", "text", _split_col().alias("sp"))
     train = split.filter("sp = 'train'").select("doc_id", "text")
     test = split.filter("sp = 'test'").select("doc_id", "text")
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    store = os.path.join(
-        tempfile.gettempdir(), f"osm_spark_contam_srv_{tag}"
+    # content-tagged build cache (VERDICT r12 #6): a stale store from
+    # an older builder version can never alias in (the token is in
+    # the dir name), and repeated bench/driver runs skip the train
+    # scan entirely
+    store = cached(
+        "contam_bands",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], _jobs),
+        lambda p: _jobs.contamination_bands_merge_fn(spark, p)(train, 0),
     )
-    # hermetic build: a stale store from an older builder version
-    # would poison the idempotent union, so start from nothing
-    _, fs, store_path, stage_path = _store_paths(spark, store)
-    for p in (store_path, stage_path):
-        if fs.exists(p):
-            fs.delete(p, True)
-    contamination_bands_merge_fn(spark, store)(train, 0)
-    return contamination_check(spark, store, test)
+    return _jobs.contamination_check(spark, store, test)
 
 
 # ---------------------------------------------------------------------------

@@ -632,14 +632,18 @@ def q_proximity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERSISTED layout too).  Query points enter as caller data
     (bounded {len(_PROX_SERVE_QIDS)}-row collect of the synthetic
     points; a real serving tier gets coordinates from the request)."""
-    import hashlib as _hl
-    import os
-    import tempfile
+    import sys
+
+    from .index_cache import cached
 
     pts = synth_points(load_table(spark, sf_dir, "customer"))
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"osm_spark_geo_{tag}")
-    build_geo_index(pts, path)
+    path = cached(
+        "geo",
+        sf_dir,
+        ("customer",),
+        (sys.modules[__name__],),
+        lambda p: build_geo_index(pts, p),
+    )
     qrows = {
         int(r["id"]): (float(r["lat"]), float(r["lon"]))
         for r in pts.filter(

@@ -1,0 +1,102 @@
+"""Content-tagged build cache for persisted serving artifacts
+(VERDICT r12 #6).
+
+The served-index queries (q_rrf_served, q_*_batch*, q_ivfpq_serve,
+q_tombstone_served, the standing gates) are HERMETIC by design: each
+builds its artifacts from the fixture corpus before serving, so the
+driver can verify any one of them in isolation.  But the builds are
+pure functions of (input data, builder code, build parameters) — and
+the bench/driver/pytest loop re-ran every one of them on every call,
+~15-20 s of repeated identical builds per bench pass at sf0.1.
+
+``cached`` keeps the hermetic contract while skipping byte-identical
+rebuilds: the artifact lives under a temp dir whose name embeds a
+token hashed from
+
+* the SOURCE of every module the build depends on (whole-module
+  hashing on purpose: a missed helper edit must invalidate, because a
+  stale index built by old code would silently diverge from the
+  current oracle — the correctness gate is the thing being protected),
+* a (name, size, mtime_ns) signature of every input table's files
+  (regenerated fixtures invalidate even at the same path), and
+* an ``extra`` discriminator for build parameters (meta columns,
+  purge composition, ...).
+
+A ``_built_<token>`` marker INSIDE the dir commits the build: written
+only after the build function returns, invisible to parquet readers
+(underscore prefix), and because the token is also in the DIR NAME a
+code/data change can never alias onto a stale dir — it lands in a
+fresh one.  A crash mid-build leaves no marker and the next call
+rebuilds with overwrite semantics.  Mutating consumers (the tombstone
+query purges its stores) get their own token via ``extra`` so shared
+read-only artifacts are never poisoned; re-running a cached
+build+purge composition is idempotent by those purges' contracts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import os
+import tempfile
+from typing import Callable, Iterable
+
+
+def _input_sig(sf_dir: str, tables: Iterable[str]) -> str:
+    """(name, size, mtime_ns) of every file under each input table's
+    parquet path — cheap (os.stat only) and regeneration-sensitive."""
+    parts = []
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            for root, _, files in os.walk(path):
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    parts.append(f"{t}/{f}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.exists(path):
+            st = os.stat(path)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            parts.append(f"{t}:absent")
+    return ";".join(parts)
+
+
+def _modules_sig(modules: Iterable) -> str:
+    """Concatenated source of the builder-owning modules — the
+    conservative invalidation key (any edit anywhere in the module
+    rebuilds; correctness beats cache hits)."""
+    return "".join(inspect.getsource(m) for m in modules)
+
+
+def cached(
+    kind: str,
+    sf_dir: str,
+    tables: tuple[str, ...],
+    modules: tuple,
+    build_fn: Callable[[str], None],
+    extra: str = "",
+) -> str:
+    """Return the path of the ``kind`` artifact for ``sf_dir``,
+    building it via ``build_fn(path)`` only when no current-token
+    build exists.  See the module docstring for the token contract."""
+    token = hashlib.md5(
+        (
+            _modules_sig(modules)
+            + "|"
+            + _input_sig(sf_dir, tables)
+            + "|"
+            + extra
+            + "|"
+            + os.path.abspath(sf_dir)
+        ).encode()
+    ).hexdigest()[:16]
+    path = os.path.join(
+        tempfile.gettempdir(), f"osm_spark_idx_{kind}_{token}"
+    )
+    marker = os.path.join(path, f"_built_{token}")
+    if not os.path.exists(marker):
+        build_fn(path)
+        os.makedirs(path, exist_ok=True)
+        with open(marker, "w"):
+            pass
+    return path

@@ -2052,30 +2052,26 @@ def q_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join of batch bands against store bands and the exact
     verify on candidates — at 100 TB the gate's cost tracks upload
     volume, never corpus size."""
-    import hashlib as _hl
-    import os
-    import tempfile
+    import sys
 
-    from ..streaming.jobs import (
-        _store_paths,
-        image_dedup_check,
-        image_prints_merge_fn,
-    )
+    from ..streaming import jobs as _jobs
+    from .index_cache import cached
 
     docs = load_table(spark, sf_dir, "documents")
     history = docs.filter("doc_id % 2 = 0").select("doc_id")
     uploads = docs.filter("doc_id % 2 = 1").select("doc_id")
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    store = os.path.join(
-        tempfile.gettempdir(), f"osm_spark_imgprints_srv_{tag}"
+    # content-tagged build cache (VERDICT r12 #6): the history half's
+    # codec pass is the dominant cost and a pure function of (ids,
+    # codec source) — repeated bench/driver runs skip it, and a
+    # builder edit lands in a fresh token-named dir
+    store = cached(
+        "image_prints",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], _jobs),
+        lambda p: _jobs.image_prints_merge_fn(spark, p)(history, 0),
     )
-    # hermetic build: drop any stale store before the idempotent union
-    _, fs, store_path, stage_path = _store_paths(spark, store)
-    for p in (store_path, stage_path):
-        if fs.exists(p):
-            fs.delete(p, True)
-    image_prints_merge_fn(spark, store)(history, 0)
-    return image_dedup_check(spark, store, uploads)
+    return _jobs.image_dedup_check(spark, store, uploads)
 
 
 # ---------------------------------------------------------------------------

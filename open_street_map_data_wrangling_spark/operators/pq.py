@@ -906,6 +906,30 @@ def _code_projection(
     return df.select(*cols)
 
 
+def ensure_ivfpq_index(
+    emb: DataFrame, sf_dir: str, meta: tuple[str, ...] = ()
+) -> str:
+    """Build-or-reuse the persisted IVF-PQ artifacts for ``sf_dir``
+    under the content-tagged cache (index_cache.cached): shared by
+    every read-only ivfpq consumer with the same (input, builder
+    module, meta) — q_ivfpq_serve and q_ivfpq_batch reuse ONE build,
+    the label-meta variant gets its own.  Mutating consumers must
+    pass a discriminating build via index_cache directly (the
+    tombstone composition does)."""
+    import sys
+
+    from .index_cache import cached
+
+    kind = "ivfpq" + ("".join(f"_{m}" for m in meta))
+    return cached(
+        kind,
+        sf_dir,
+        ("embeddings",),
+        (sys.modules[__name__],),
+        lambda p: build_ivfpq_index(emb, p, meta=meta),
+    )
+
+
 def build_ivfpq_index(
     emb: DataFrame, path: str, meta: tuple[str, ...] = ()
 ) -> None:
@@ -1095,14 +1119,8 @@ def q_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifacts are byte-faithful to the inline derivation.  Plan
     pinned in tests/test_plan_shapes.py: the serve scan is 1
     partition-pruned FileScan of codes/, 0 of embeddings."""
-    import hashlib as _hl
-    import os
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"osm_spark_ivfpq_{tag}")
-    build_ivfpq_index(emb, path)
+    path = ensure_ivfpq_index(emb, sf_dir)
     served = ivfpq_search(spark, path)
     from pyspark.sql import Window as _W
 
@@ -1519,16 +1537,8 @@ def q_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ivfpq_serve machinery would.  Probe vectors enter as CALLER
     data (collected corpus rows here, bounded 3-row read) — the
     serve path itself never touches the corpus."""
-    import hashlib as _hl
-    import os
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"osm_spark_ivfpq_batch_{tag}"
-    )
-    build_ivfpq_index(emb, path)
+    path = ensure_ivfpq_index(emb, sf_dir)
     # NULL-embedding probes drop out (registry null-input contract);
     # an empty probe set serves typed empty
     qrows = {
@@ -1635,16 +1645,8 @@ def q_ivfpq_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to q_ivfpq_batch plus one pushed
     predicate — no corpus scan, no extra join; the oracle replays
     probe + LUT + ADC + the label predicate relationally."""
-    import hashlib as _hl
-    import os
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"osm_spark_ivfpq_fbatch_{tag}"
-    )
-    build_ivfpq_index(emb, path, meta=("label",))
+    path = ensure_ivfpq_index(emb, sf_dir, meta=("label",))
     qrows = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in emb.filter(

@@ -1350,6 +1350,30 @@ def build_bm25_index(
     write_bm25_stats(post, path)
 
 
+def ensure_bm25_index(
+    docs: DataFrame, sf_dir: str, meta: tuple[str, ...] = ()
+) -> str:
+    """Build-or-reuse the persisted BM25 artifacts for ``sf_dir``
+    under the content-tagged cache (index_cache.cached — VERDICT r12
+    #6): every read-only consumer with the same (input, builder
+    module, meta) shares ONE build — q_rrf_served / q_rrf_batch
+    reuse the plain index, the three source-meta filtered queries
+    reuse the meta one.  Mutating consumers (the tombstone purge
+    composition) cache their own discriminated artifact instead."""
+    import sys
+
+    from .index_cache import cached
+
+    kind = "bm25" + ("".join(f"_{m}" for m in meta))
+    return cached(
+        kind,
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__],),
+        lambda p: build_bm25_index(docs, p, meta=meta),
+    )
+
+
 def purge_bm25_index(
     spark: SparkSession, index_path: str, deleted: DataFrame
 ) -> None:
@@ -2257,19 +2281,15 @@ def q_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     contain the entire exact top-{_RRF_LIST}, so the served result
     also EQUALS q_rrf_fusion's exhaustive ranking (pinned in
     tests/test_operators.py)."""
-    import hashlib as _hl
-    import os
-    import tempfile
-
-    from .pq import build_ivfpq_index
+    from .pq import ensure_ivfpq_index
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"osm_spark_rrf_{tag}")
-    build_bm25_index(docs, f"{base}/bm25")
-    build_ivfpq_index(emb, f"{base}/ivfpq")
-    return rrf_search(spark, f"{base}/bm25", f"{base}/ivfpq")
+    return rrf_search(
+        spark,
+        ensure_bm25_index(docs, sf_dir),
+        ensure_ivfpq_index(emb, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3022,18 +3042,12 @@ def q_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational chain, so a green row proves the batch path answers
     every query exactly as the per-query machinery would — at the
     cost of 2 scans instead of 2N."""
-    import hashlib as _hl
-    import os
-    import tempfile
-
-    from .pq import build_ivfpq_index
+    from .pq import ensure_ivfpq_index
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"osm_spark_rrfb_{tag}")
-    build_bm25_index(docs, f"{base}/bm25")
-    build_ivfpq_index(emb, f"{base}/ivfpq")
+    bm25_path = ensure_bm25_index(docs, sf_dir)
+    ivfpq_path = ensure_ivfpq_index(emb, sf_dir)
     pvids = [pv for _, _, pv in _RRF_BATCH]
     qrows = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
@@ -3052,9 +3066,7 @@ def q_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qid, ts, pv in _RRF_BATCH
         if pv in qrows
     }
-    return rrf_search_many(
-        spark, f"{base}/bm25", f"{base}/ivfpq", queries
-    )
+    return rrf_search_many(spark, bm25_path, ivfpq_path, queries)
 
 
 # ---------------------------------------------------------------------------
@@ -3502,33 +3514,48 @@ def q_tombstone_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan each); the purges are one broadcast anti-join
     rewrite per store (request-sized tombstone set, never a corpus
     scan); the serves are the same partition-pruned index scans as
-    q_rrf_served — zero corpus scans after the purge."""
-    import hashlib as _hl
-    import os
-    import tempfile
+    q_rrf_served — zero corpus scans after the purge.  The whole
+    build→purge composition is ONE cached artifact (index_cache,
+    extra="tomb" — it MUTATES its stores, so it must never share the
+    read-only queries' plain indexes; re-running the composition on
+    a cached dir is idempotent by the purges' anti-join/stats
+    contracts, but the marker means it never has to)."""
+    import sys
 
     from pyspark.sql import Window as _Win
 
-    from .pq import build_ivfpq_index, ivfpq_search, purge_ivfpq_index
+    from . import pq as _pq
+    from .index_cache import cached
+    from .pq import ivfpq_search, purge_ivfpq_index
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"osm_spark_tomb_{tag}")
-    build_bm25_index(docs, f"{base}/bm25")
-    build_ivfpq_index(emb, f"{base}/ivfpq")
-    tomb_pred = (F.col("doc_id") >= _TOMB_MIN) & (
-        F.col("doc_id") % _TOMB_MOD == _TOMB_RES
-    )
-    tomb = docs.filter(tomb_pred).select("doc_id")
-    purge_bm25_index(spark, f"{base}/bm25", tomb)
-    purge_ivfpq_index(
-        spark,
-        f"{base}/ivfpq",
-        emb.filter(
-            (F.col("vec_id") >= _TOMB_MIN)
-            & (F.col("vec_id") % _TOMB_MOD == _TOMB_RES)
-        ).select("vec_id"),
+
+    def _build_and_purge(base: str) -> None:
+        build_bm25_index(docs, f"{base}/bm25")
+        _pq.build_ivfpq_index(emb, f"{base}/ivfpq")
+        tomb_pred = (F.col("doc_id") >= _TOMB_MIN) & (
+            F.col("doc_id") % _TOMB_MOD == _TOMB_RES
+        )
+        purge_bm25_index(
+            spark, f"{base}/bm25", docs.filter(tomb_pred).select("doc_id")
+        )
+        purge_ivfpq_index(
+            spark,
+            f"{base}/ivfpq",
+            emb.filter(
+                (F.col("vec_id") >= _TOMB_MIN)
+                & (F.col("vec_id") % _TOMB_MOD == _TOMB_RES)
+            ).select("vec_id"),
+        )
+
+    base = cached(
+        "tomb",
+        sf_dir,
+        ("documents", "embeddings"),
+        (sys.modules[__name__], _pq),
+        _build_and_purge,
+        extra=f"tomb:{_TOMB_MIN}:{_TOMB_MOD}:{_TOMB_RES}",
     )
     bm = bm25_search(spark, f"{base}/bm25").select(
         F.lit("bm25").alias("path"), "rank", "doc_id", "score_fp"
@@ -3646,16 +3673,8 @@ def q_bm25_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to q_bm25_batch plus one broadcast-joined
     equality — the postings scan stays pruned to the union of the
     batch's token-hash buckets, zero corpus scans."""
-    import hashlib as _hl
-    import os
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents")
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"osm_spark_bm25_fbatch_{tag}"
-    )
-    build_bm25_index(docs, path, meta=("source",))
+    path = ensure_bm25_index(docs, sf_dir, meta=("source",))
     return bm25_search_many(
         spark,
         path,
@@ -3827,27 +3846,31 @@ def q_rrf_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates-only for BM25 (dfq/st stay unfiltered), candidate
     rows for the vector leg — so a green hash proves the
     per-leg filter semantics, not just the fusion."""
-    import hashlib as _hl
-    import os
-    import tempfile
+    import sys
 
-    from .pq import build_ivfpq_index
+    from . import pq as _pq
+    from .index_cache import cached
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"osm_spark_rrffb_{tag}")
-    build_bm25_index(docs, f"{base}/bm25", meta=("source",))
-    build_ivfpq_index(
-        emb.join(
-            docs.select(
-                F.col("doc_id").alias("vec_id"), "source"
+    bm25_path = ensure_bm25_index(docs, sf_dir, meta=("source",))
+    # the source-meta codes store joins its metadata in from
+    # documents at build time (vec_id == doc_id on this fixture), so
+    # its cache key covers BOTH input tables
+    ivfpq_path = cached(
+        "ivfpq_srcjoin",
+        sf_dir,
+        ("embeddings", "documents"),
+        (sys.modules[__name__], _pq),
+        lambda p: _pq.build_ivfpq_index(
+            emb.join(
+                docs.select(F.col("doc_id").alias("vec_id"), "source"),
+                "vec_id",
+                "left",
             ),
-            "vec_id",
-            "left",
+            p,
+            meta=("source",),
         ),
-        f"{base}/ivfpq",
-        meta=("source",),
     )
     pvids = [pv for _, _, pv, _ in _RRF_BATCH_FILTERED]
     qrows = {
@@ -3866,8 +3889,8 @@ def q_rrf_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     return rrf_search_many(
         spark,
-        f"{base}/bm25",
-        f"{base}/ivfpq",
+        bm25_path,
+        ivfpq_path,
         queries,
         filters={
             q: src
@@ -3958,16 +3981,8 @@ def q_maxsim_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     MaxSim scores are pure per-(query, doc) quantities, so a
     surviving doc's score equals its unfiltered score — also
     pinned."""
-    import hashlib as _hl
-    import os
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents")
-    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"osm_spark_maxsim_fbatch_{tag}"
-    )
-    build_bm25_index(docs, path, meta=("source",))
+    path = ensure_bm25_index(docs, sf_dir, meta=("source",))
     return maxsim_search_many(
         spark,
         path,

@@ -2533,8 +2533,15 @@ def test_filtered_rrf_batch_prefilters_both_legs(spark, sf_dir):
     for r in got:
         assert src[r["doc_id"]] == want[r["qid"]]
     # starvation: the unfiltered hybrid top-k post-filtered keeps < k
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"osm_spark_rrffb_{tag}")
+    # (the plain indexes come from the shared build cache — one
+    # build, reused byte-identically here)
+    from open_street_map_data_wrangling_spark.operators.pq import (
+        ensure_ivfpq_index,
+    )
+
+    bm25_path = tx.ensure_bm25_index(docs, sf_dir)
+    ivfpq_path = ensure_ivfpq_index(emb, sf_dir)
+    bm25_meta = tx.ensure_bm25_index(docs, sf_dir, meta=("source",))
     qrows = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in emb.filter(
@@ -2546,7 +2553,7 @@ def test_filtered_rrf_batch_prefilters_both_legs(spark, sf_dir):
         q: (ts, qrows[pv], pv) for q, ts, pv, _ in tx._RRF_BATCH_FILTERED
     }
     unf = tx.rrf_search_many(
-        spark, f"{base}/bm25", f"{base}/ivfpq", queries
+        spark, bm25_path, ivfpq_path, queries
     ).collect()
     for q, s in want.items():
         kept = [r for r in unf if r["qid"] == q and src[r["doc_id"]] == s]
@@ -2557,11 +2564,11 @@ def test_filtered_rrf_batch_prefilters_both_legs(spark, sf_dir):
     wide = {
         (r["qid"], r["doc_id"]): r["score_fp"]
         for r in tx.bm25_search_many(
-            spark, f"{base}/bm25", terms, k=10**6
+            spark, bm25_meta, terms, k=10**6
         ).collect()
     }
     flt = tx.bm25_search_many(
-        spark, f"{base}/bm25", terms, k=10**6, filters=want
+        spark, bm25_meta, terms, k=10**6, filters=want
     ).collect()
     assert flt
     for r in flt:
@@ -2593,10 +2600,7 @@ def test_filtered_maxsim_batch_keeps_scores(spark, sf_dir):
     assert {r["qid"] for r in got} == set(want)
     for r in got:
         assert src[r["doc_id"]] == want[r["qid"]]
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"osm_spark_maxsim_fbatch_{tag}"
-    )
+    path = tx.ensure_bm25_index(docs, sf_dir, meta=("source",))
     queries = tuple((q, ts) for q, ts, _ in tx._MAXSIM_BATCH_FILTERED)
     unf = tx.maxsim_search_many(spark, path, queries).collect()
     for q, s in want.items():
@@ -3060,8 +3064,12 @@ def test_filtered_batch_search_avoids_post_filter_starvation(spark, sf_dir):
         assert len(per_qid[q]) == _IVFPQ_BATCH_K  # full k, no starvation
         assert all(labels[r["vec_id"]] == want_label for r in per_qid[q])
     # the naive composition: unfiltered top-k, then filter -> starved
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"osm_spark_ivfpq_fbatch_{tag}")
+    # (same label-meta index via the shared build cache)
+    from open_street_map_data_wrangling_spark.operators.pq import (
+        ensure_ivfpq_index,
+    )
+
+    path = ensure_ivfpq_index(emb, sf_dir, meta=("label",))
     qrows = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in emb.filter(
@@ -3117,10 +3125,11 @@ def test_filtered_bm25_batch_keeps_global_idf(spark, sf_dir):
     assert {r["qid"] for r in got} == set(want)
     for r in got:
         assert src[r["doc_id"]] == want[r["qid"]]
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"osm_spark_bm25_fbatch_{tag}"
+    from open_street_map_data_wrangling_spark.operators.text import (
+        ensure_bm25_index,
     )
+
+    path = ensure_bm25_index(docs, sf_dir, meta=("source",))
     queries = tuple((q, ts) for q, ts, _ in _BM25_BATCH_FILTERED)
     # starvation: unfiltered top-k then filter keeps < k per query
     unf = bm25_search_many(spark, path, queries=queries).collect()
