@@ -208,6 +208,7 @@ HEADLINE = (
     "q_audio_dedup",
     "q_rrf_batch_filtered",
     "q_maxsim_batch_filtered",
+    "q_family_registry",
 )
 
 

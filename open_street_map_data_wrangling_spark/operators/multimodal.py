@@ -2452,3 +2452,99 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_audio_pairs") > 0, "audio"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X102 — incremental multimodal family registry, driver-visible (r13)
+
+
+def _family_registry_oracle() -> str:
+    from .dedup import _PAIRS_CTE
+
+    return f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        {_IMG_FP_CTES_I},
+        ipairs AS ({_IMG_PAIRS_SQL_I}),
+        {_AUD_FP_CTES},
+        apairs AS ({_AUD_PAIRS_SQL}),
+        edges AS (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs
+            UNION SELECT doc_a, doc_b FROM ipairs
+            UNION SELECT doc_b, doc_a FROM ipairs
+            UNION SELECT doc_a, doc_b FROM apairs
+            UNION SELECT doc_b, doc_a FROM apairs),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        lab AS (
+            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
+            FROM (SELECT DISTINCT a FROM edges) e
+            JOIN reach r ON r.src = e.a
+            GROUP BY e.a)
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+        FROM lab GROUP BY cluster_id
+    """
+
+
+@query(
+    "q_family_registry",
+    oracle=_family_registry_oracle(),
+    tags=("multimodal", "dedup", "iterative", "streaming", "serve",
+          "extension"),
+)
+def q_family_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-family REGISTRY (X102, VERDICT r12 #7):
+    the three channels' edges (text LSH ∪ image dHash ∪ audio
+    energy pairs) folded into a MAINTAINED labeling in two
+    interleaved batches — split by (a + b) parity, so families
+    regularly need a chunk-2 edge to bridge two chunk-1 fragments —
+    via streaming/jobs.family_registry_merge_fn: endpoints mapped to
+    current cluster ids, the batch CONTRACTED to inter-cluster
+    edges, pointer-doubling components over the touched clusters
+    only, one relabel join.  Served per-family report
+    (cluster_id, n_docs) from the store alone.
+
+    The oracle recomputes batch connected components over ALL edges
+    in one recursive chain — so a hash-green row proves the
+    incremental merge sequence lands on EXACTLY the from-scratch
+    clustering (same partition, same min-id representatives), the
+    property that lets a 100 TB registry absorb daily edge deltas at
+    |touched components| cost instead of re-clustering the corpus."""
+    import sys
+
+    from ..streaming import jobs as _jobs
+    from .dedup import q_dedup_near
+    from .index_cache import cached
+
+    tpairs = q_dedup_near(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    ipairs = q_image_dedup(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    apairs = q_audio_dedup(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    edges = (
+        tpairs.unionByName(ipairs).unionByName(apairs)
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _merge_chunks(store: str) -> None:
+        merge = _jobs.family_registry_merge_fn(spark, store)
+        merge(edges.where((F.col("a") + F.col("b")) % 2 == 0), 0)
+        merge(edges.where((F.col("a") + F.col("b")) % 2 == 1), 1)
+
+    store = cached(
+        "family_registry",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], _jobs),
+        _merge_chunks,
+        extra="2chunk-parity",
+    )
+    return _jobs.family_registry_serve(spark, store)

@@ -2164,3 +2164,131 @@ def loss_mask_serve(
     return span_mask(
         _span_gram_base(docs.select("doc_id", "text")), dupg
     )
+
+
+# ---------------------------------------------------------------------------
+# X102 — incremental multimodal duplicate-family registry (r13)
+
+_FAMILY_DDL = "n BIGINT, cluster_id BIGINT"
+
+
+def family_registry_merge_fn(spark: SparkSession, store_dir: str):
+    """Incremental connected-components merge for the duplicate-
+    family registry (VERDICT r12 #7): X95/X98 recomputed components
+    from scratch each run; this store folds NEW edge batches (any
+    channel — text LSH, image dHash, audio energy pairs) into a
+    maintained (n, cluster_id) labeling, re-labeling ONLY touched
+    components.
+
+    Per batch: map each edge endpoint to its current cluster id
+    (unlabeled endpoints are their own provisional cluster),
+    CONTRACT the batch to inter-cluster edges (intra-cluster edges
+    vanish — the common case for redelivered or repeated evidence),
+    run the pointer-doubling components over the contracted graph —
+    sized by |touched clusters|, not |registry| — and rewrite labels
+    through one left join.  Representative stays the MIN member id:
+    cluster ids are min node ids by induction, and the contracted
+    components take the min of mins, so the registry after any batch
+    sequence is row-identical to a batch recompute over the union of
+    all edges (pinned in tests/test_streaming.py, including under
+    interleaved channels and redelivery).
+
+    Retry-safety: IDEMPOTENT by construction, no markers — a
+    redelivered batch's edges contract to self-loops against the
+    labels they already produced, the touched set is empty, and the
+    rewrite is bit-identical.  Stage-rename commit guards readers."""
+    from ..operators.dedup import connected_components
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        e = (
+            batch_df.select(
+                F.col("a").cast("bigint").alias("a"),
+                F.col("b").cast("bigint").alias("b"),
+            )
+            .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .distinct()
+            .localCheckpoint()
+        )
+        if fs.exists(store_path):
+            lab = (
+                spark.read.schema(_FAMILY_DDL)
+                .parquet(store_dir)
+                .localCheckpoint()
+            )
+        else:
+            lab = spark.createDataFrame([], _FAMILY_DDL)
+        la = lab.select(F.col("n").alias("a"), F.col("cluster_id").alias("ca"))
+        lb = lab.select(F.col("n").alias("b"), F.col("cluster_id").alias("cb"))
+        ce = (
+            e.join(la, "a", "left")
+            .join(lb, "b", "left")
+            .select(
+                F.coalesce("ca", "a").alias("a"),
+                F.coalesce("cb", "b").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        ends = (
+            e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .distinct()
+        )
+        newn = ends.join(lab.select("n"), "n", "left_anti").select(
+            "n", F.col("n").alias("cluster_id")
+        )
+        base = lab.unionByName(newn)
+        if ce.head(1):
+            nodes = (
+                ce.select(F.col("a").alias("n"))
+                .unionByName(ce.select(F.col("b").alias("n")))
+                .distinct()
+            )
+            relab = connected_components(ce, nodes).select(
+                F.col("n").alias("cluster_id"),
+                F.col("cluster_id").alias("__new"),
+            )
+            merged = base.join(relab, "cluster_id", "left").select(
+                "n",
+                F.coalesce("__new", "cluster_id")
+                .cast("bigint")
+                .alias("cluster_id"),
+            )
+        else:
+            merged = base
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def family_registry_maintenance(edge_stream: DataFrame, store_dir: str):
+    """Continuous duplicate-family maintenance over an (a, b) edge
+    stream: each micro-batch folds into the registry via the
+    incremental contracted-components merge, so "which family is doc
+    X in" is answerable at any moment from |edge-touched nodes| rows
+    of state without ever re-running a pair pipeline.  Returns the
+    StreamingQuery (caller stops it)."""
+    return (
+        edge_stream.writeStream.foreachBatch(
+            family_registry_merge_fn(edge_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+
+
+def family_registry_serve(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Per-family report from the maintained registry — (cluster_id,
+    n_docs) over the label store alone, zero pair pipelines, zero
+    corpus scans.  Equals the same aggregate over a batch
+    connected-components recompute (q_family_registry's oracle)."""
+    return (
+        spark.read.schema(_FAMILY_DDL)
+        .parquet(store_dir)
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )

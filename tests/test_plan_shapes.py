@@ -478,6 +478,17 @@ def test_multimodal_dedup_checkpoint_cuts_hold(plans):
     assert "BroadcastNestedLoop" not in p
 
 
+def test_family_registry_serves_from_store_only(plans):
+    """q_family_registry: the served per-family report must read
+    ONLY the maintained label store — one parquet scan, zero
+    documents scans, no pair pipeline in the serve plan (the edge
+    folding happened at merge time, behind the cache)."""
+    p = plans("q_family_registry")
+    assert "documents.parquet" not in p
+    assert p.count("Scan parquet") == 1
+    assert "CartesianProduct" not in p
+
+
 def test_contamination_served_checks_from_store_only(plans):
     """q_contamination_served: the gate's returned plan must answer
     from the band STORE plus the test batch's checkpointed bands —

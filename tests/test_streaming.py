@@ -1868,3 +1868,75 @@ def test_image_prints_store_serves_dedup_gate(spark, tmp_path):
         if (a % 2) != (b % 2)
     }
     assert served == cross and served
+
+
+def test_family_registry_streams_to_batch_clustering(spark, tmp_path):
+    """Incremental family registry (X102): streaming the three
+    channels' edges in interleaved chunks through
+    family_registry_maintenance lands on EXACTLY the batch
+    connected-components labeling (same partition, same min-id
+    representatives); a redelivered chunk contracts to self-loops
+    and is a bit-identical no-op (the restart soak); the served
+    per-family report equals the batch aggregate."""
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        connected_components,
+        q_dedup_near,
+    )
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        q_audio_dedup,
+        q_image_dedup,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        family_registry_maintenance,
+        family_registry_merge_fn,
+        family_registry_serve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sel = lambda df: df.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    edges = (
+        sel(q_dedup_near(spark, sf))
+        .unionByName(sel(q_image_dedup(spark, sf)))
+        .unionByName(sel(q_audio_dedup(spark, sf)))
+        .distinct()
+        .localCheckpoint()
+    )
+    c1 = edges.where((F.col("a") + F.col("b")) % 2 == 0)
+    c2 = edges.where((F.col("a") + F.col("b")) % 2 == 1)
+    src = str(tmp_path / "edges_src")
+    store = str(tmp_path / "family_registry")
+    c1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(edges.schema).parquet(src)
+    q = family_registry_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        c2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    nodes = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    batch = {
+        tuple(r) for r in connected_components(edges, nodes).collect()
+    }
+    labels = lambda d: {tuple(r) for r in spark.read.parquet(d).collect()}
+    assert labels(store) == batch and batch
+    # restart soak: redeliver chunk 1, then an EMPTY batch — both
+    # bit-identical no-ops (contracted edge set empty)
+    family_registry_merge_fn(spark, store)(c1, 0)
+    assert labels(store) == batch
+    family_registry_merge_fn(spark, store)(c1.limit(0), 7)
+    assert labels(store) == batch
+    served = {
+        tuple(r) for r in family_registry_serve(spark, store).collect()
+    }
+    from collections import Counter
+
+    want = Counter(cid for _, cid in batch)
+    assert served == {(cid, n) for cid, n in want.items()}
