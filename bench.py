@@ -209,6 +209,16 @@ HEADLINE = (
     "q_rrf_batch_filtered",
     "q_maxsim_batch_filtered",
     "q_family_registry",
+    # video modality (X103/X104): frame extraction + temporal near-dup
+    "q_video_frames",
+    "q_video_dedup",
+    # registry delete lifecycle (X105)
+    "q_registry_purge",
+    # filtered spatial serving (X106)
+    "q_proximity_served_filtered",
+    # audio/video admission gates (X107)
+    "q_audio_gate",
+    "q_video_gate",
 )
 
 

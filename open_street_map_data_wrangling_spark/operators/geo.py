@@ -499,17 +499,23 @@ def _geo_cells(radius_m: float, max_abs_lat: float = 66.0):
 
 
 def geo_code_points(
-    pts: DataFrame, radius_m: float = _PROX_SERVE_RADIUS
+    pts: DataFrame,
+    radius_m: float = _PROX_SERVE_RADIUS,
+    meta: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, lat, lon, cx, cy, gbx, gby) — the grid/superblock
-    projection over ANY point frame, shared by the offline build and
-    the streaming maintenance merge so both write byte-identical
-    rows (the _bm25_postings convention)."""
+    """(id, lat, lon[, meta...], cx, cy, gbx, gby) — the grid/
+    superblock projection over ANY point frame, shared by the offline
+    build and the streaming maintenance merge so both write
+    byte-identical rows (the _bm25_postings convention).  ``meta``
+    names metadata columns of ``pts`` that ride IN the index files
+    (the X92 codes-file convention) so filtered serving never joins
+    back to the source table."""
     lat_cell, lon_cell = _geo_cells(radius_m)
     return pts.selectExpr(
         "id",
         "lat",
         "lon",
+        *meta,
         f"CAST(floor(lat / {lat_cell}) AS BIGINT) AS cx",
         f"CAST(floor(lon / {lon_cell}) AS BIGINT) AS cy",
     ).selectExpr(
@@ -520,10 +526,13 @@ def geo_code_points(
 
 
 def build_geo_index(
-    pts: DataFrame, path: str, radius_m: float = _PROX_SERVE_RADIUS
+    pts: DataFrame,
+    path: str,
+    radius_m: float = _PROX_SERVE_RADIUS,
+    meta: tuple[str, ...] = (),
 ) -> None:
-    """Persist (id, lat, lon, cx, cy) partitioned by the cell
-    superblock (gbx, gby) plus the ingest-batch sublevel __batch
+    """Persist (id, lat, lon[, meta...], cx, cy) partitioned by the
+    cell superblock (gbx, gby) plus the ingest-batch sublevel __batch
     (the ivfpq codes layout: the initial build is batch 0, the
     streaming maintenance job leaf-overwrites its own __batch
     partitions — replay safety from the LAYOUT, no markers).  One
@@ -531,7 +540,7 @@ def build_geo_index(
     100 TB this is the same write-time clustering story as the
     geohash/Z-order layout, with the block size keeping file counts
     O(occupied blocks), not O(cells)."""
-    coded = geo_code_points(pts, radius_m).withColumn(
+    coded = geo_code_points(pts, radius_m, meta).withColumn(
         "__batch", F.lit(0)
     )
     coded.write.mode("overwrite").partitionBy(
@@ -544,6 +553,8 @@ def proximity_search(
     store_dir: str,
     points: dict[int, tuple[float, float]],
     radius_m: float = _PROX_SERVE_RADIUS,
+    filters: dict[int, int] | None = None,
+    meta_col: str = "cat",
 ) -> DataFrame:
     """Batched radius queries over the PERSISTED grid index: for each
     (qid -> (lat, lon)) query point, every stored point within
@@ -554,11 +565,23 @@ def proximity_search(
     probe blocks (PartitionFilters), an equi-join against the
     broadcast (qid, cell) probe table, exact haversine on candidates
     only.  Zero scans of the original point table; N queries cost
-    one pruned scan instead of N."""
+    one pruned scan instead of N.
+
+    ``filters`` (X106) maps qid -> required ``meta_col`` value.  The
+    metadata rides IN the index files (built with
+    build_geo_index(meta=...)), nothing statistical derives from the
+    scan, so the UNION of requested values pushes into the scan
+    (PushedFilters, on top of the PartitionFilters block pruning —
+    the X92 vector convention); per-query equality comes from the
+    broadcast probe table.  Fails fast on an index built without the
+    column — a forced schema would read it as all-NULL and silently
+    starve every filtered query (the r12 bm25 ADVICE defect class)."""
     if not points:
         return spark.createDataFrame(
             [], "qid BIGINT, id BIGINT, dist_m DOUBLE"
         )
+    if filters is not None and set(filters) - set(points):
+        raise ValueError("filters reference unknown qids")
     lat_cell, lon_cell = _geo_cells(radius_m)
     probe_rows, blocks = [], set()
     for qid, (qlat, qlon) in sorted(points.items()):
@@ -578,18 +601,38 @@ def proximity_search(
     for bx, by in sorted(blocks):
         cond = (F.col("gbx") == int(bx)) & (F.col("gby") == int(by))
         block_pred = cond if block_pred is None else (block_pred | cond)
-    store = (
-        spark.read.schema(_GEO_STORE_DDL)
-        .parquet(store_dir)
-        .filter(block_pred)
-    )
+    ddl = _GEO_STORE_DDL
+    if filters is not None:
+        if meta_col not in spark.read.parquet(store_dir).columns:
+            raise ValueError(
+                f"geo index at {store_dir} has no metadata column "
+                f"{meta_col!r} — rebuild with build_geo_index(meta=...)"
+            )
+        ddl = _GEO_STORE_DDL.replace(
+            "cx BIGINT", f"{meta_col} BIGINT, cx BIGINT"
+        )
+    store = spark.read.schema(ddl).parquet(store_dir).filter(block_pred)
+    if filters is not None:
+        store = store.filter(
+            F.col(meta_col).isin(sorted(set(filters.values())))
+        )
+        fl = spark.createDataFrame(
+            sorted((int(q), int(c)) for q, c in filters.items()),
+            "qid LONG, __qcat LONG",
+        )
+        probes = probes.join(F.broadcast(fl), "qid", "left")
     dist = _HAVERSINE.format(
         lat1="qlat", lon1="qlon", lat2="lat", lon2="lon"
     )
+    out = store.join(F.broadcast(probes), ["cx", "cy"]).where(
+        F.col("id") != F.col("qid")
+    )
+    if filters is not None:
+        out = out.where(
+            F.col("__qcat").isNull() | (F.col(meta_col) == F.col("__qcat"))
+        )
     return (
-        store.join(F.broadcast(probes), ["cx", "cy"])
-        .where(F.col("id") != F.col("qid"))
-        .selectExpr(
+        out.selectExpr(
             "qid", "id", f"CAST(round({dist}, 1) AS DOUBLE) AS dist_m"
         )
         .where(F.col("dist_m") <= radius_m)
@@ -651,3 +694,71 @@ def q_proximity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     }
     return proximity_search(spark, path, qrows)
+
+
+@query(
+    "q_proximity_served_filtered",
+    oracle=f"""
+        WITH {_PTS_CTE},
+        qp AS (
+            SELECT id AS qid, lat AS qlat, lon AS qlon
+            FROM pts WHERE id IN {_PROX_SERVE_QIDS}),
+        d AS (
+            SELECT qp.qid, b.id,
+                   CAST(round({_HAVERSINE.format(
+                       lat1="qp.qlat", lon1="qp.qlon",
+                       lat2="b.lat", lon2="b.lon")}, 1) AS DOUBLE)
+                     AS dist_m
+            FROM qp JOIN pts b
+              ON b.id <> qp.qid AND b.id % 7 = (qp.qid + 1) % 7)
+        SELECT qid, id, dist_m
+        FROM d
+        WHERE dist_m <= {_PROX_SERVE_RADIUS}
+        ORDER BY qid, dist_m, id
+    """,
+    tags=("geo", "serve", "batch", "filtered", "extension"),
+)
+def q_proximity_served_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED batched radius serving (X106): the filtered
+    dimension (X92 vector / X97 lexical / X100 hybrid / X101
+    late-interaction) reaches the spatial index — "points within
+    2 km of each query, restricted to the query's required
+    category".  The category rides IN the index files
+    (build_geo_index(meta=("cat",)), the X92 codes-file convention),
+    so the serve is still ONE store scan: PartitionFilters prune to
+    the union of probe blocks AND the union of requested categories
+    pushes into the scan (nothing statistical derives from it —
+    radius results are per-point, unlike BM25's corpus-global idf),
+    with per-query equality on the broadcast probe table.  The
+    oracle brute-forces O(n·q) with the category predicate inline,
+    so a green row proves the metadata path loses no border point;
+    proximity_search fails fast on a meta-less index rather than
+    silently starving (the r12 bm25 ADVICE defect class)."""
+    import sys
+
+    from .index_cache import cached
+
+    pts = synth_points(load_table(spark, sf_dir, "customer")).selectExpr(
+        "*", "CAST(id % 7 AS BIGINT) AS cat"
+    )
+    path = cached(
+        "geo_cat",
+        sf_dir,
+        ("customer",),
+        (sys.modules[__name__],),
+        lambda p: build_geo_index(pts, p, meta=("cat",)),
+    )
+    qrows = {
+        int(r["id"]): (float(r["lat"]), float(r["lon"]))
+        for r in pts.filter(
+            F.col("id").isin(list(_PROX_SERVE_QIDS))
+        ).collect()
+    }
+    return proximity_search(
+        spark,
+        path,
+        qrows,
+        filters={qid: (qid + 1) % 7 for qid in qrows},
+    )

@@ -1348,20 +1348,13 @@ def q_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GIF_MCS = 8  # LZW minimum code size for a 256-color image
 
 
-def encode_gif_gray(width: int, height: int, rows: list[bytes]) -> bytes:
-    """GIF87a encoder for 8-bit grayscale: identity palette, one
-    image, real LZW compression (dictionary, growing code width,
-    4096-entry reset)."""
-    import struct
-
-    out = bytearray(b"GIF87a")
-    # logical screen descriptor: global table, 8 bits/channel, 256
-    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
-    for i in range(256):  # grayscale identity palette
-        out += bytes((i, i, i))
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
-    out.append(_GIF_MCS)
-
+def _gif_lzw_compress(data: bytes) -> bytes:
+    """The LZW code stream (pre-sub-block-framing) for one image's
+    index data: dictionary build, growing code width, 4096-entry
+    reset, and the decoder-mirror width bump on EOI.  Extracted from
+    encode_gif_gray in r13 so the animation encoder shares the
+    certified body byte-for-byte — the single-image output is
+    unchanged."""
     clear, eoi = 1 << _GIF_MCS, (1 << _GIF_MCS) + 1
     codes = bytearray()
     acc = nbits = 0
@@ -1375,7 +1368,6 @@ def encode_gif_gray(width: int, height: int, rows: list[bytes]) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    data = b"".join(rows)
     cw = _GIF_MCS + 1
     table = {bytes([i]): i for i in range(256)}
     next_code = eoi + 1
@@ -1413,12 +1405,88 @@ def encode_gif_gray(width: int, height: int, rows: list[bytes]) -> bytes:
     put(eoi, cw)
     if nbits:
         codes.append(acc & 0xFF)
-    for off in range(0, len(codes), 255):  # sub-block framing
+    return bytes(codes)
+
+
+def _gif_subblocks(codes: bytes) -> bytes:
+    """255-byte sub-block framing + block terminator for one image's
+    LZW code stream."""
+    out = bytearray()
+    for off in range(0, len(codes), 255):
         chunk = codes[off : off + 255]
         out.append(len(chunk))
         out += chunk
-    out += b"\x00\x3b"  # block terminator + trailer
+    out.append(0)
     return bytes(out)
+
+
+def encode_gif_gray(width: int, height: int, rows: list[bytes]) -> bytes:
+    """GIF87a encoder for 8-bit grayscale: identity palette, one
+    image, real LZW compression (dictionary, growing code width,
+    4096-entry reset)."""
+    import struct
+
+    out = bytearray(b"GIF87a")
+    # logical screen descriptor: global table, 8 bits/channel, 256
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):  # grayscale identity palette
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(_GIF_MCS)
+    out += _gif_subblocks(_gif_lzw_compress(b"".join(rows)))
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int) -> bytearray:
+    """Variable-width LSB-first LZW decode (clear/EOI, the KwKwK
+    case, decoder-side width bump) for one image's reassembled code
+    bytes -> index stream.  Extracted from decode_gif_gray_pixels in
+    r13 so the animation decoder shares the certified body."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    cw = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)]
+    table += [b"", b""]  # clear, eoi placeholders
+    acc = nbits = pos = 0
+    prev = None
+    pixels = bytearray()
+
+    def read_code() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < cw:
+            if pos >= len(data):
+                raise ValueError("gif: truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << cw) - 1)
+        acc >>= cw
+        nbits -= cw
+        return code
+
+    while True:
+        code = read_code()
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            cw = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        if prev is not None and len(table) - 1 == (1 << cw) - 1 \
+                and cw < 12:
+            cw += 1
+        pixels += entry
+        prev = entry
+    return pixels
 
 
 def decode_gif_gray_pixels(payload: bytes) -> tuple[int, int, bytes]:
@@ -1474,50 +1542,7 @@ def decode_gif_gray_pixels(payload: bytes) -> tuple[int, int, bytes]:
                 data += payload[off + 1 : off + 1 + ln]
                 off += 1 + ln
             off += 1
-            # LZW decode (LSB-first)
-            clear, eoi = 1 << mcs, (1 << mcs) + 1
-            cw = mcs + 1
-            table: list[bytes] = [bytes([i]) for i in range(1 << mcs)]
-            table += [b"", b""]  # clear, eoi placeholders
-            acc = nbits = pos = 0
-            prev = None
-            pixels = bytearray()
-
-            def read_code() -> int:
-                nonlocal acc, nbits, pos
-                while nbits < cw:
-                    if pos >= len(data):
-                        raise ValueError("gif: truncated LZW stream")
-                    acc |= data[pos] << nbits
-                    pos += 1
-                    nbits += 8
-                code = acc & ((1 << cw) - 1)
-                acc >>= cw
-                nbits -= cw
-                return code
-
-            while True:
-                code = read_code()
-                if code == clear:
-                    table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
-                    cw = mcs + 1
-                    prev = None
-                    continue
-                if code == eoi:
-                    break
-                if prev is None:
-                    entry = table[code]
-                elif code < len(table):
-                    entry = table[code]
-                    table.append(prev + entry[:1])
-                else:  # KwKwK
-                    entry = prev + prev[:1]
-                    table.append(entry)
-                if prev is not None and len(table) - 1 == (1 << cw) - 1 \
-                        and cw < 12:
-                    cw += 1
-                pixels += entry
-                prev = entry
+            pixels = _gif_lzw_decompress(bytes(data), mcs)
             if len(pixels) != width * height:
                 raise ValueError("gif: pixel count mismatch")
             return (
@@ -1811,7 +1836,7 @@ _IMG_FP_CTES = f"""img AS (
             FROM grid l JOIN grid r
               ON r.doc_id = l.doc_id AND r.gj = l.gj AND r.gi = l.gi + 1
             WHERE l.gv > r.gv),
-        fp AS (
+        fp AS MATERIALIZED (
             SELECT i.doc_id,
                    CAST(coalesce(sum(CASE WHEN bit >= 32
                             THEN CAST(1 AS BIGINT) << (bit - 32) END), 0)
@@ -1821,7 +1846,7 @@ _IMG_FP_CTES = f"""img AS (
                         AS BIGINT) AS dhash_lo
             FROM img i LEFT JOIN bits b ON i.doc_id = b.doc_id
             GROUP BY 1),
-        bands AS (
+        bands AS MATERIALIZED (
             {_IMG_BANDS_SQL})"""
 
 _IMG_PAIRS_SQL = f"""
@@ -1947,7 +1972,7 @@ def _image_hamming_col():
     "q_image_dedup_clusters",
     oracle=f"""
         WITH RECURSIVE {_IMG_FP_CTES},
-        ipairs AS ({_IMG_PAIRS_SQL}),
+        ipairs AS MATERIALIZED ({_IMG_PAIRS_SQL}),
         edges AS (
             SELECT doc_a AS a, doc_b AS b FROM ipairs
             UNION SELECT doc_b, doc_a FROM ipairs),
@@ -1956,7 +1981,7 @@ def _image_hamming_col():
             UNION
             SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
         ),
-        lab AS (
+        lab AS MATERIALIZED (
             SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
             FROM (SELECT DISTINCT a FROM edges) e
             JOIN reach r ON r.src = e.a
@@ -2227,7 +2252,7 @@ _AUD_FP_CTES = f"""aud AS (
             FROM awin l JOIN awin r
               ON r.doc_id = l.doc_id AND r.w = l.w + 1
             WHERE l.e > r.e),
-        afp AS (
+        afp AS MATERIALIZED (
             SELECT a.doc_id,
                    CAST(coalesce(sum(CASE WHEN bit >= 32
                             THEN CAST(1 AS BIGINT) << (bit - 32) END), 0)
@@ -2237,7 +2262,7 @@ _AUD_FP_CTES = f"""aud AS (
                         AS BIGINT) AS dhash_lo
             FROM aud a LEFT JOIN abits b ON a.doc_id = b.doc_id
             GROUP BY 1),
-        abands AS (
+        abands AS MATERIALIZED (
             {_IMG_BANDS_SQL.replace("FROM fp", "FROM afp")})"""
 
 _AUD_PAIRS_SQL = _IMG_PAIRS_SQL.replace("bands", "abands")
@@ -2284,11 +2309,476 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X103 — REAL animated video codec: GIF89a multi-frame + GCE (r13)
+#
+# The video seam closes the way r09 closed PNG, r10 WAV, r11 JPEG and
+# GIF87a: the one genuinely stdlib-expressible VIDEO container is the
+# GIF89a animation (multi-frame, per-frame Graphic Control Extension
+# carrying the presentation delay), and its compression core is the
+# SAME LZW this module already certifies — so the animation codec
+# reuses _gif_lzw_compress/_gif_lzw_decompress verbatim and adds only
+# the 89a framing: NETSCAPE looping application extension, one GCE +
+# image descriptor + code stream per frame.
+
+
+def encode_gif_anim(
+    width: int,
+    height: int,
+    frames: list[list[bytes]],
+    delays_cs: list[int],
+) -> bytes:
+    """GIF89a animation encoder for 8-bit grayscale: identity global
+    palette, NETSCAPE2.0 loop extension, then per frame a Graphic
+    Control Extension (disposal=1, delay in centiseconds, no
+    transparency) + full-frame image descriptor + real LZW stream."""
+    import struct
+
+    if not frames or len(frames) != len(delays_cs):
+        raise ValueError("gif-anim: frames/delays mismatch")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):  # grayscale identity palette
+        out += bytes((i, i, i))
+    # NETSCAPE2.0 application extension: loop forever — a generic
+    # extension the decoder must SKIP, exercising the 0x21 sub-block
+    # walk on a block that is not a GCE.
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for rows, delay in zip(frames, delays_cs):
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(_GIF_MCS)
+        out += _gif_subblocks(_gif_lzw_compress(b"".join(rows)))
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def decode_gif_anim(payload: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """Real GIF89a animation decoder for the 8-bit grayscale
+    full-frame profile: screen descriptor + global palette parse,
+    Graphic Control Extension delay capture (spec: a GCE governs
+    exactly the next image; delay resets to 0 after it is consumed),
+    generic extension skipping (NETSCAPE et al.), per-frame sub-block
+    reassembly + shared LZW decode, grayscale palette application.
+    Returns (width, height, [(delay_cs, row-major pixels), ...]).
+    Rejects interlace, local color tables, partial-frame rectangles,
+    and non-grayscale palettes — same strictness as the single-image
+    decoder."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif-anim: bad signature")
+    sw, sh, packed, _, _ = struct.unpack("<HHBBB", payload[6:13])
+    off = 13
+    if not packed & 0x80:
+        raise ValueError("gif-anim: no global color table")
+    n = 2 << (packed & 7)
+    palette = payload[off : off + 3 * n]
+    off += 3 * n
+    gray = []
+    for i in range(n):
+        r, g, b = palette[3 * i : 3 * i + 3]
+        if not (r == g == b):
+            raise ValueError("gif-anim: non-grayscale palette")
+        gray.append(r)
+    frames: list[tuple[int, bytes]] = []
+    delay = 0  # no GCE before an image -> delay 0 per spec
+    while off < len(payload):
+        blk = payload[off]
+        if blk == 0x21:  # extension block
+            if payload[off + 1] == 0xF9:  # Graphic Control Extension
+                if payload[off + 2] != 4:
+                    raise ValueError("gif-anim: bad GCE block size")
+                delay = payload[off + 4] | (payload[off + 5] << 8)
+            off += 2
+            while payload[off]:  # generic sub-block skip
+                off += 1 + payload[off]
+            off += 1
+        elif blk == 0x2C:  # image descriptor
+            left, top, width, height, ipacked = struct.unpack(
+                "<HHHHB", payload[off + 1 : off + 10]
+            )
+            off += 10
+            if ipacked & 0x40:
+                raise ValueError("gif-anim: interlaced unsupported")
+            if ipacked & 0x80:
+                raise ValueError("gif-anim: local color table unsupported")
+            if (left, top, width, height) != (0, 0, sw, sh):
+                raise ValueError("gif-anim: partial-frame unsupported")
+            mcs = payload[off]
+            off += 1
+            data = bytearray()
+            while payload[off]:
+                ln = payload[off]
+                data += payload[off + 1 : off + 1 + ln]
+                off += 1 + ln
+            off += 1
+            idx = _gif_lzw_decompress(bytes(data), mcs)
+            if len(idx) != width * height:
+                raise ValueError("gif-anim: pixel count mismatch")
+            frames.append((delay, bytes(gray[i] for i in idx)))
+            delay = 0  # a GCE governs exactly one image
+        elif blk == 0x3B:
+            break
+        else:
+            raise ValueError("gif-anim: unknown block")
+    if not frames:
+        raise ValueError("gif-anim: no frames")
+    return int(sw), int(sh), frames
+
+
+MM_VIDEO_SCHEMA = (
+    "doc_id bigint, frame_idx int, delay_cs int, width int, height int, "
+    "sum_pix bigint, sum_sq bigint"
+)
+
+
+def _video_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker over (doc_id, n_chars): deterministic
+    multi-frame grayscale video (2..6 frames, per-frame delay 4+f
+    centiseconds) -> real GIF89a animation encode -> real decode ->
+    per-frame pixel statistics, one OUTPUT ROW PER FRAME — the
+    row-exploding Arrow shape a real frame-extraction stage has.
+    NULL inputs yield a single all-NULL-feature row (the dims-level
+    LEFT JOIN contract shared with q_image_gif / q_audio_pcm)."""
+    cols = (
+        "frame_idx", "delay_cs", "width", "height", "sum_pix", "sum_sq",
+    )
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in ("doc_id",) + cols}
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            if pd.isna(doc_id) or pd.isna(n_chars):
+                out["doc_id"].append(
+                    None if pd.isna(doc_id) else int(doc_id)
+                )
+                for k in cols:
+                    out[k].append(None)
+                continue
+            d = int(doc_id)
+            w = ((d % 10) + 10) % 10 + 4
+            h = ((int(n_chars) % 7) + 7) % 7 + 3
+            nf = ((d % 5) + 5) % 5 + 2
+            frames = [
+                [
+                    bytes(
+                        (((d * 13 + 7 * x + 11 * y + 5 * f) % 256) + 256)
+                        % 256
+                        for x in range(w)
+                    )
+                    for y in range(h)
+                ]
+                for f in range(nf)
+            ]
+            payload = encode_gif_anim(
+                w, h, frames, [4 + f for f in range(nf)]
+            )
+            dw, dh, dec = decode_gif_anim(payload)
+            for fi, (delay, px) in enumerate(dec):
+                out["doc_id"].append(d)
+                out["frame_idx"].append(fi)
+                out["delay_cs"].append(delay)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["sum_pix"].append(sum(px))
+                out["sum_sq"].append(sum(v * v for v in px))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="Int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="Int32"),
+                "delay_cs": pd.Series(out["delay_cs"], dtype="Int32"),
+                "width": pd.Series(out["width"], dtype="Int32"),
+                "height": pd.Series(out["height"], dtype="Int32"),
+                "sum_pix": pd.Series(out["sum_pix"], dtype="Int64"),
+                "sum_sq": pd.Series(out["sum_sq"], dtype="Int64"),
+            }
+        )
+
+
+@query(
+    "q_video_frames",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   ((doc_id % 10) + 10) % 10 + 4 AS w,
+                   ((n_chars % 7) + 7) % 7 + 3 AS h,
+                   ((doc_id % 5) + 5) % 5 + 2 AS nf,
+                   (doc_id IS NOT NULL AND n_chars IS NOT NULL) AS ok
+            FROM documents),
+        px AS (
+            SELECT doc_id, w, h, f.i AS f,
+                   (((doc_id * 13 + 7 * x.i + 11 * y.i + 5 * f.i) % 256)
+                       + 256) % 256 AS v
+            FROM dims,
+                 generate_series(0, 12) x(i),
+                 generate_series(0, 9) y(i),
+                 generate_series(0, 5) f(i)
+            WHERE ok AND x.i < w AND y.i < h AND f.i < nf),
+        agg AS (
+            SELECT doc_id, f,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(sum(v) AS BIGINT) AS sum_pix,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq
+            FROM px
+            GROUP BY doc_id, f, w, h)
+        SELECT d.doc_id,
+               CAST(a.f AS INTEGER) AS frame_idx,
+               CAST(4 + a.f AS INTEGER) AS delay_cs,
+               a.width, a.height, a.sum_pix, a.sum_sq
+        FROM dims d
+        LEFT JOIN agg a ON d.ok AND d.doc_id = a.doc_id
+    """,
+    tags=("multimodal", "extension", "pandas-udf", "video", "frames"),
+)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-video roundtrip (X103): every document becomes a
+    deterministic 2..6-frame grayscale clip, encoded through the real
+    GIF89a animation writer (per-frame Graphic Control Extension
+    carrying the delay, NETSCAPE loop block, the certified LZW core)
+    and decoded back through the real reader, emitting ONE ROW PER
+    DECODED FRAME with the GCE delay and pixel statistics — the
+    frame-extraction stage a video training pipeline runs first,
+    with the cardinality explosion (row-exploding mapInPandas) that
+    distinguishes video from the scalar media queries.
+
+    The oracle recomputes every frame's statistics and the 4+f delay
+    schedule directly from the formula, so a hash-green row certifies
+    the GCE delay survived the container roundtrip AND the per-frame
+    LZW streams decode to exactly the encoded rasters.
+
+    Scale shape: ONE documents scan projecting (doc_id, n_chars),
+    one Arrow-batched stage; output rows are frame-granular but carry
+    only statistics — at 100 TB the codec work parallelizes over
+    clips and the result stays metadata-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_video_roundtrip_batches, schema=MM_VIDEO_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X104 — perceptual video near-dup over decoded animation frames (r13)
+
+_VID_W, _VID_H = 12, 9  # frame raster; 4x3 blocks -> 3x3 grid
+_VID_NF = 8  # frames -> 8 bits/frame -> 64-bit temporal signature
+_VID_TWIN_F = 5  # the retouched frame of the 4g+2 twin
+
+
+def _video_seed(d: int) -> int:
+    """Video seed CASE: docs 4g+1 / 4g+2 share seed 2g+1 (the planted
+    pair) — STRADDLING the image-twin half (4g, 4g+1) and the
+    audio-twin half (4g+2, 4g+3) of each group, so with all four
+    channels live the whole 4-doc group becomes ONE family on media
+    evidence alone; 4g / 4g+3 get unique seeds from a disjoint
+    range."""
+    return d // 4 * 2 + 1 if d % 4 in (1, 2) else 3000000 + 20 * d + 17
+
+
+def _video_frame_rows(d: int) -> list[list[bytes]]:
+    """The deterministic 8-frame 12x9 clip for doc d: quadratic
+    mixing with FRAME-VARYING spatial coefficients (a+2f, b+3f) — a
+    constant per-frame term would shift whole frames uniformly,
+    collapse every frame's within-frame comparisons to the same 8
+    bits, and leave only 256 distinct signatures corpus-wide
+    (measured: immediate false-pair storm); varying the x²/y²
+    coefficients per frame makes all 64 bits independent (measured:
+    0 false pairs / 1250 planted recalled / max band bucket 10 at
+    the 5000-doc sf0.1 scale).  The 4g+2 twin gets a +4 retouch on
+    frame {_VID_TWIN_F}'s block (1, 2)."""
+    s = _video_seed(d)
+    c, e = s % 239 + 3, s % 233 + 5
+    twin = d % 4 == 2
+    return [
+        [
+            bytes(
+                min(
+                    (x * x * (s % 251 + 1 + 2 * f)
+                     + y * y * (s % 241 + 2 + 3 * f)
+                     + x * y * c + (x // 4 + y // 3) * e
+                     + 7 * f + s) % 256
+                    + (4 if twin and f == _VID_TWIN_F
+                       and x // 4 == 1 and y // 3 == 2 else 0),
+                    255,
+                )
+                for x in range(_VID_W)
+            )
+            for y in range(_VID_H)
+        ]
+        for f in range(_VID_NF)
+    ]
+
+
+def _video_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: clip -> REAL GIF89a animation roundtrip ->
+    temporal signature over the DECODED frames: per frame a 3x3 grid
+    of block means and 8 adjacent-comparison bits (frame f owns bits
+    8f..8f+7) — dHash in space, frame-major in time.  Two 32-bit
+    halves in BIGINTs, the engine-neutral 64-bit convention."""
+    for pdf in batches:
+        ids: list[int] = []
+        his: list[int] = []
+        los: list[int] = []
+        for doc_id in pdf["doc_id"]:
+            if pd.isna(doc_id):
+                continue  # no id -> no clip; oracle filters likewise
+            d = int(doc_id)
+            _, _, dec = decode_gif_anim(
+                encode_gif_anim(
+                    _VID_W,
+                    _VID_H,
+                    _video_frame_rows(d),
+                    [4 + f for f in range(_VID_NF)],
+                )
+            )
+            bits = 0
+            for f, (_, px) in enumerate(dec):
+                g = [0] * 9
+                for y in range(_VID_H):
+                    row = px[y * _VID_W : (y + 1) * _VID_W]
+                    gj = y // 3
+                    for x in range(_VID_W):
+                        g[gj * 3 + x // 4] += row[x]
+                g = [v // 12 for v in g]
+                for k in range(8):
+                    if g[k] > g[k + 1]:
+                        bits |= 1 << (f * 8 + k)
+            ids.append(d)
+            his.append(bits >> 32)
+            los.append(bits & 0xFFFFFFFF)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="Int64"),
+                "dhash_hi": pd.Series(his, dtype="Int64"),
+                "dhash_lo": pd.Series(los, dtype="Int64"),
+            }
+        )
+
+
+def video_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, dhash_hi, dhash_lo) for every document's clip —
+    column-compatible with the image/audio fingerprint relations so
+    the banding/verify machinery (_image_band_rows /
+    _image_hamming_col) is shared verbatim.  Repartitions before the
+    codec stage (the mapInPandas scan-parallelism lesson,
+    image_fingerprints)."""
+    spark = docs.sparkSession
+    return (
+        docs.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            _video_fp_batches,
+            schema="doc_id bigint, dhash_hi bigint, dhash_lo bigint",
+        )
+    )
+
+
+# The full video fingerprint CTE chain (clip formula -> per-frame
+# grid -> temporal bits -> bands), namespaced v* so it composes with
+# the image/audio chains inside one statement (the X98 capstone).
+_VID_PIXEL_SQL = (
+    "(x.i*x.i*(s % 251 + 1 + 2*f.i) + y.i*y.i*(s % 241 + 2 + 3*f.i)"
+    " + x.i*y.i*(s % 239 + 3)"
+    " + (x.i // 4 + y.i // 3)*(s % 233 + 5) + 7*f.i + s) % 256"
+)
+
+_VID_FP_CTES = f"""vid AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 1 OR doc_id % 4 = 2
+                        THEN doc_id // 4 * 2 + 1
+                        ELSE 3000000 + 20 * doc_id + 17 END AS s
+            FROM documents WHERE doc_id IS NOT NULL),
+        vpx0 AS (
+            SELECT doc_id, f.i AS f, x.i AS x, y.i AS y,
+                   {_VID_PIXEL_SQL} AS p0
+            FROM vid,
+                 generate_series(0, {_VID_W - 1}) x(i),
+                 generate_series(0, {_VID_H - 1}) y(i),
+                 generate_series(0, {_VID_NF - 1}) f(i)),
+        vpx AS (
+            SELECT doc_id, f, x, y,
+                   CASE WHEN doc_id % 4 = 2 AND f = {_VID_TWIN_F}
+                             AND x // 4 = 1 AND y // 3 = 2
+                        THEN least(p0 + 4, 255) ELSE p0 END AS p
+            FROM vpx0),
+        vgrid AS (
+            SELECT doc_id, f, (y // 3) * 3 + (x // 4) AS k,
+                   CAST(sum(p) AS BIGINT) // 12 AS gv
+            FROM vpx GROUP BY 1, 2, 3),
+        vbits AS (
+            SELECT l.doc_id, l.f * 8 + l.k AS bit
+            FROM vgrid l JOIN vgrid r
+              ON r.doc_id = l.doc_id AND r.f = l.f AND r.k = l.k + 1
+            WHERE l.gv > r.gv),
+        vfp AS MATERIALIZED (
+            SELECT v.doc_id,
+                   CAST(coalesce(sum(CASE WHEN bit >= 32
+                            THEN CAST(1 AS BIGINT) << (bit - 32) END), 0)
+                        AS BIGINT) AS dhash_hi,
+                   CAST(coalesce(sum(CASE WHEN bit < 32
+                            THEN CAST(1 AS BIGINT) << bit END), 0)
+                        AS BIGINT) AS dhash_lo
+            FROM vid v LEFT JOIN vbits b ON v.doc_id = b.doc_id
+            GROUP BY 1),
+        vbands AS MATERIALIZED (
+            {_IMG_BANDS_SQL.replace("FROM fp", "FROM vfp")})"""
+
+_VID_PAIRS_SQL = _IMG_PAIRS_SQL.replace("bands", "vbands")
+
+
+@query(
+    "q_video_dedup",
+    oracle=f"""
+        WITH {_VID_FP_CTES}
+        {_VID_PAIRS_SQL}
+    """,
+    tags=("multimodal", "dedup", "video", "perceptual", "extension"),
+)
+def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs at Hamming <= {_IMG_HAMMING_K}
+    (X104): temporal perceptual signature over REAL-animation-codec
+    decoded frames (8 frames x 8 spatial-comparison bits), pigeonhole
+    banded candidates (each 16-bit band = 2 frames, so a retouched
+    frame disturbs at most one band), exact popcount verify — the
+    X89/X99 posture applied to the video modality, completing the
+    dedup matrix across ALL FOUR channels (text/image/audio/video).
+
+    Scale shape: identical to q_image_dedup — ONE documents scan
+    projecting doc_id, one Arrow-batched Python stage (animation
+    codec + 64-bit signature, 12 bytes of state per clip leaves the
+    stage), localCheckpoint so banding and both verify sides never
+    re-enter the codec, then the capped band equi-join.  At 100 TB
+    the fingerprint stage parallelizes over video bytes (frames never
+    leave the worker) and everything downstream moves 3 longs per
+    clip."""
+    from .dedup import _LSH_BUCKET_CAP, _all_bucket_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = video_fingerprints(docs).localCheckpoint(eager=False)
+    rows = _image_band_rows(fp)
+    hamming = _image_hamming_col()
+    return (
+        _all_bucket_pairs(rows, _LSH_BUCKET_CAP)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _IMG_HAMMING_K)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # X98 — multimodal dedup (text ∪ image evidence, one decision) (r12)
 
 # the image chain re-labeled so its CTE names cannot collide with the
 # text pipeline's (_PAIRS_CTE also defines a `bands`)
-_IMG_FP_CTES_I = _IMG_FP_CTES.replace("bands AS (", "ibands AS (")
+_IMG_FP_CTES_I = _IMG_FP_CTES.replace(
+    "bands AS MATERIALIZED (", "ibands AS MATERIALIZED ("
+)
 _IMG_PAIRS_SQL_I = _IMG_PAIRS_SQL.replace("bands", "ibands")
 
 
@@ -2298,22 +2788,26 @@ def _multimodal_dedup_oracle() -> str:
     return f"""
         WITH RECURSIVE {_PAIRS_CTE},
         {_IMG_FP_CTES_I},
-        ipairs AS ({_IMG_PAIRS_SQL_I}),
+        ipairs AS MATERIALIZED ({_IMG_PAIRS_SQL_I}),
         {_AUD_FP_CTES},
-        apairs AS ({_AUD_PAIRS_SQL}),
-        edges AS (
+        apairs AS MATERIALIZED ({_AUD_PAIRS_SQL}),
+        {_VID_FP_CTES},
+        vpairs AS MATERIALIZED ({_VID_PAIRS_SQL}),
+        edges AS MATERIALIZED (
             SELECT pa AS a, pb AS b FROM pairs
             UNION SELECT pb, pa FROM pairs
             UNION SELECT doc_a, doc_b FROM ipairs
             UNION SELECT doc_b, doc_a FROM ipairs
             UNION SELECT doc_a, doc_b FROM apairs
-            UNION SELECT doc_b, doc_a FROM apairs),
+            UNION SELECT doc_b, doc_a FROM apairs
+            UNION SELECT doc_a, doc_b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs),
         reach(src, dst) AS (
             SELECT a, b FROM edges
             UNION
             SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
         ),
-        lab AS (
+        lab AS MATERIALIZED (
             SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
             FROM (SELECT DISTINCT a FROM edges) e
             JOIN reach r ON r.src = e.a
@@ -2326,7 +2820,10 @@ def _multimodal_dedup_oracle() -> str:
             FROM ipairs p JOIN lab l ON l.n = p.doc_a GROUP BY 1),
         ac AS (
             SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_audio_pairs
-            FROM apairs p JOIN lab l ON l.n = p.doc_a GROUP BY 1)
+            FROM apairs p JOIN lab l ON l.n = p.doc_a GROUP BY 1),
+        vc AS (
+            SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_video_pairs
+            FROM vpairs p JOIN lab l ON l.n = p.doc_a GROUP BY 1)
         SELECT l.cluster_id,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(coalesce(min(tc.n_text_pairs), 0) AS BIGINT)
@@ -2335,17 +2832,22 @@ def _multimodal_dedup_oracle() -> str:
                  AS n_image_pairs,
                CAST(coalesce(min(ac.n_audio_pairs), 0) AS BIGINT)
                  AS n_audio_pairs,
+               CAST(coalesce(min(vc.n_video_pairs), 0) AS BIGINT)
+                 AS n_video_pairs,
                concat_ws('+',
                    CASE WHEN coalesce(min(tc.n_text_pairs), 0) > 0
                         THEN 'text' END,
                    CASE WHEN coalesce(min(ic.n_image_pairs), 0) > 0
                         THEN 'image' END,
                    CASE WHEN coalesce(min(ac.n_audio_pairs), 0) > 0
-                        THEN 'audio' END) AS modality
+                        THEN 'audio' END,
+                   CASE WHEN coalesce(min(vc.n_video_pairs), 0) > 0
+                        THEN 'video' END) AS modality
         FROM lab l
         LEFT JOIN tc ON tc.cluster_id = l.cluster_id
         LEFT JOIN ic ON ic.cluster_id = l.cluster_id
         LEFT JOIN ac ON ac.cluster_id = l.cluster_id
+        LEFT JOIN vc ON vc.cluster_id = l.cluster_id
         GROUP BY l.cluster_id
     """
 
@@ -2357,8 +2859,8 @@ def _multimodal_dedup_oracle() -> str:
           "extension"),
 )
 def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MULTIMODAL dedup (X98, three channels since r13) — the
-    capstone the X89/X99 family was built toward: one
+    """MULTIMODAL dedup (X98, FOUR channels since r13) — the
+    capstone the X89/X99/X104 family was built toward: one
     duplicate-family decision over the union of ALL evidence
     channels.  A scraped page re-hosted with paraphrased text keeps
     its images; a re-encoded gallery keeps its captions; a
@@ -2366,22 +2868,25 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses copies, so the edges of the cluster graph are the text
     MinHash-LSH pairs (q_dedup_near) UNION the perceptual image
     pairs (q_image_dedup) UNION the audio energy-signature pairs
-    (q_audio_dedup), and connected components make the keep-one
-    decision across modalities: a text-pair (a,b), an image-pair
-    (b,c), and an audio-pair (c,d) land a..d in ONE family.  Per
-    cluster: size, per-channel edge counts, and the modality
-    attribution ('text+image+audio' etc. via NULL-skipping
-    concat_ws) a curation review reads first.  The fixture plants
-    image twins at (4g, 4g+1) and audio twins at (4g+2, 4g+3), so
-    audio edges are DISJOINT from image edges by construction and
-    three-channel families require text evidence to bridge.
+    (q_audio_dedup) UNION the temporal video pairs (q_video_dedup),
+    and connected components make the keep-one decision across
+    modalities: a text-pair (a,b), an image-pair (b,c), and an
+    audio-pair (c,d) land a..d in ONE family.  Per cluster: size,
+    per-channel edge counts, and the modality attribution
+    ('text+image+audio+video' etc. via NULL-skipping concat_ws) a
+    curation review reads first.  The fixture plants image twins at
+    (4g, 4g+1), video twins at (4g+1, 4g+2), and audio twins at
+    (4g+2, 4g+3) — the video edge STRADDLES the halves, so each
+    4-doc group collapses into one family on media evidence alone
+    and the per-channel edge sets stay pairwise disjoint.
 
-    Scale shape: all three pair pipelines are the audited
+    Scale shape: all four pair pipelines are the audited
     capped/banded shapes (never all-pairs); the union is
     |pairs|-sized; components run pointer-doubling over edge-touched
     nodes only.  The oracle replays the ENTIRE composition — shingle
-    minhash bands, image fingerprint chain, audio energy chain, and
-    the transitive closure — relationally."""
+    minhash bands, image fingerprint chain, audio energy chain,
+    video temporal chain, and the transitive closure —
+    relationally."""
     from .dedup import connected_components, q_dedup_near
 
     tpairs = (
@@ -2399,7 +2904,17 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .localCheckpoint()
     )
-    edges = tpairs.unionByName(ipairs).unionByName(apairs).distinct()
+    vpairs = (
+        q_video_dedup(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    edges = (
+        tpairs.unionByName(ipairs)
+        .unionByName(apairs)
+        .unionByName(vpairs)
+        .distinct()
+    )
     nodes = (
         edges.select(F.col("a").alias("n"))
         .unionByName(edges.select(F.col("b").alias("n")))
@@ -2421,12 +2936,18 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(F.count("*").cast("bigint").alias("n_audio_pairs"))
     )
+    vc = (
+        vpairs.join(lab, vpairs["a"] == lab["n"])
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_video_pairs"))
+    )
     per = (
         lab.groupBy("cluster_id")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .join(tc, "cluster_id", "left")
         .join(ic, "cluster_id", "left")
         .join(ac, "cluster_id", "left")
+        .join(vc, "cluster_id", "left")
         .select(
             "cluster_id",
             "n_docs",
@@ -2439,10 +2960,13 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_audio_pairs", F.lit(0)).cast("bigint").alias(
                 "n_audio_pairs"
             ),
+            F.coalesce("n_video_pairs", F.lit(0)).cast("bigint").alias(
+                "n_video_pairs"
+            ),
         )
     )
     # concat_ws skips NULLs in BOTH engines, so the modality string
-    # composes channel flags without 2^3 CASE arms
+    # composes channel flags without 2^4 CASE arms
     return per.withColumn(
         "modality",
         F.concat_ws(
@@ -2450,6 +2974,7 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_text_pairs") > 0, "text"),
             F.when(F.col("n_image_pairs") > 0, "image"),
             F.when(F.col("n_audio_pairs") > 0, "audio"),
+            F.when(F.col("n_video_pairs") > 0, "video"),
         ),
     )
 
@@ -2464,22 +2989,26 @@ def _family_registry_oracle() -> str:
     return f"""
         WITH RECURSIVE {_PAIRS_CTE},
         {_IMG_FP_CTES_I},
-        ipairs AS ({_IMG_PAIRS_SQL_I}),
+        ipairs AS MATERIALIZED ({_IMG_PAIRS_SQL_I}),
         {_AUD_FP_CTES},
-        apairs AS ({_AUD_PAIRS_SQL}),
-        edges AS (
+        apairs AS MATERIALIZED ({_AUD_PAIRS_SQL}),
+        {_VID_FP_CTES},
+        vpairs AS MATERIALIZED ({_VID_PAIRS_SQL}),
+        edges AS MATERIALIZED (
             SELECT pa AS a, pb AS b FROM pairs
             UNION SELECT pb, pa FROM pairs
             UNION SELECT doc_a, doc_b FROM ipairs
             UNION SELECT doc_b, doc_a FROM ipairs
             UNION SELECT doc_a, doc_b FROM apairs
-            UNION SELECT doc_b, doc_a FROM apairs),
+            UNION SELECT doc_b, doc_a FROM apairs
+            UNION SELECT doc_a, doc_b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs),
         reach(src, dst) AS (
             SELECT a, b FROM edges
             UNION
             SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
         ),
-        lab AS (
+        lab AS MATERIALIZED (
             SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
             FROM (SELECT DISTINCT a FROM edges) e
             JOIN reach r ON r.src = e.a
@@ -2497,8 +3026,8 @@ def _family_registry_oracle() -> str:
 )
 def q_family_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental duplicate-family REGISTRY (X102, VERDICT r12 #7):
-    the three channels' edges (text LSH ∪ image dHash ∪ audio
-    energy pairs) folded into a MAINTAINED labeling in two
+    the four channels' edges (text LSH ∪ image dHash ∪ audio energy
+    ∪ video temporal pairs) folded into a MAINTAINED labeling in two
     interleaved batches — split by (a + b) parity, so families
     regularly need a chunk-2 edge to bridge two chunk-1 fragments —
     via streaming/jobs.family_registry_merge_fn: endpoints mapped to
@@ -2513,33 +3042,50 @@ def q_family_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering (same partition, same min-id representatives), the
     property that lets a 100 TB registry absorb daily edge deltas at
     |touched components| cost instead of re-clustering the corpus."""
+    from ..streaming import jobs as _jobs
+
+    return _jobs.family_registry_serve(
+        spark, _registry_store(spark, sf_dir)
+    )
+
+
+def _registry_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the 4-channel family-registry store for
+    ``sf_dir`` — labels at the returned path, the undirected edge
+    side-store at ``{path}_edges`` — via the content-tagged cache,
+    shared by q_family_registry (read-only serve) and
+    q_registry_purge (which COPIES both stores before mutating)."""
     import sys
 
     from ..streaming import jobs as _jobs
     from .dedup import q_dedup_near
     from .index_cache import cached
 
-    tpairs = q_dedup_near(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    )
-    ipairs = q_image_dedup(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    )
-    apairs = q_audio_dedup(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    )
-    edges = (
-        tpairs.unionByName(ipairs).unionByName(apairs)
-        .distinct()
-        .localCheckpoint()
-    )
-
     def _merge_chunks(store: str) -> None:
+        tpairs = q_dedup_near(spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        ipairs = q_image_dedup(spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        apairs = q_audio_dedup(spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        vpairs = q_video_dedup(spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        edges = (
+            tpairs.unionByName(ipairs)
+            .unionByName(apairs)
+            .unionByName(vpairs)
+            .distinct()
+            .localCheckpoint()
+        )
         merge = _jobs.family_registry_merge_fn(spark, store)
         merge(edges.where((F.col("a") + F.col("b")) % 2 == 0), 0)
         merge(edges.where((F.col("a") + F.col("b")) % 2 == 1), 1)
 
-    store = cached(
+    return cached(
         "family_registry",
         sf_dir,
         ("documents",),
@@ -2547,4 +3093,220 @@ def q_family_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         _merge_chunks,
         extra="2chunk-parity",
     )
+
+
+# ---------------------------------------------------------------------------
+# X105 — family-registry purge: deletes that can SPLIT families (r13)
+
+
+def _registry_purge_oracle() -> str:
+    from .dedup import _PAIRS_CTE
+
+    return f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        {_IMG_FP_CTES_I},
+        ipairs AS MATERIALIZED ({_IMG_PAIRS_SQL_I}),
+        {_AUD_FP_CTES},
+        apairs AS MATERIALIZED ({_AUD_PAIRS_SQL}),
+        {_VID_FP_CTES},
+        vpairs AS MATERIALIZED ({_VID_PAIRS_SQL}),
+        edges AS MATERIALIZED (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs
+            UNION SELECT doc_a, doc_b FROM ipairs
+            UNION SELECT doc_b, doc_a FROM ipairs
+            UNION SELECT doc_a, doc_b FROM apairs
+            UNION SELECT doc_b, doc_a FROM apairs
+            UNION SELECT doc_a, doc_b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs),
+        sedges AS MATERIALIZED (
+            SELECT a, b FROM edges
+            WHERE a % 10 <> 3 AND b % 10 <> 3),
+        reach(src, dst) AS (
+            SELECT a, b FROM sedges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN sedges e ON r.dst = e.a
+        ),
+        lab AS MATERIALIZED (
+            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
+            FROM (SELECT DISTINCT a FROM sedges) e
+            JOIN reach r ON r.src = e.a
+            GROUP BY e.a)
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+        FROM lab GROUP BY cluster_id
+    """
+
+
+@query(
+    "q_registry_purge",
+    oracle=_registry_purge_oracle(),
+    tags=("multimodal", "dedup", "iterative", "streaming", "serve",
+          "delete", "extension"),
+)
+def q_registry_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family-registry DELETE (X105) — the lifecycle closure the
+    other serving stores got in r12's X88, with the semantics labels
+    alone cannot express: tombstoning a doc can SPLIT its family,
+    because the family was only ever the transitive closure of the
+    evidence edges and the doc may be the bridge.  The registry's
+    merge therefore maintains an undirected edge side-store
+    (|pairs|-sized), and family_registry_purge recomputes components
+    over the SURVIVING edges of the touched clusters only — request-
+    sized broadcasts, pointer-doubling over |touched subgraph|,
+    untouched families rewritten verbatim, survivors that lose their
+    last edge dropping out entirely.
+
+    This query tombstones every doc_id ≡ 3 (mod 10) out of the
+    4-channel registry and serves the post-purge per-family report;
+    the oracle recomputes connected components FROM SCRATCH over the
+    edge set with those docs' edges removed — so a hash-green row
+    proves delete-then-serve lands on exactly the from-scratch
+    clustering of the surviving corpus (splits, shrinks, dropouts
+    and all), the invariant that lets a 100 TB registry honor
+    right-to-be-forgotten requests at |touched families| cost
+    instead of re-clustering the corpus."""
+    import sys
+
+    from ..streaming import jobs as _jobs
+    from .index_cache import cached
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _copy_and_purge(store: str) -> None:
+        # build (or reuse) the un-purged registry, then copy its two
+        # stores so the purge never mutates the shared cache
+        src = _registry_store(spark, sf_dir)
+        spark.read.parquet(src).write.mode("overwrite").parquet(store)
+        spark.read.parquet(f"{src}_edges").write.mode(
+            "overwrite"
+        ).parquet(f"{store}_edges")
+        _jobs.family_registry_purge(
+            spark, store, docs.where(F.col("doc_id") % 10 == 3)
+        )
+
+    store = cached(
+        "family_registry_purged",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], _jobs),
+        _copy_and_purge,
+        extra="mod10eq3",
+    )
     return _jobs.family_registry_serve(spark, store)
+
+
+# ---------------------------------------------------------------------------
+# X107 — audio + video standing gates: the X96 admission service for
+# every modality (r13).  media_prints_merge_fn / media_dedup_check
+# (streaming/jobs.py) are fingerprint-generic — all three modalities
+# ship 64-bit signatures as two 32-bit halves BY CONVENTION — so one
+# gate body serves image, audio, and video; what differs per modality
+# is only the codec+fingerprint stage and the planted-twin split.
+
+
+@query(
+    "q_audio_gate",
+    oracle=f"""
+        WITH {_AUD_FP_CTES}
+        SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc,
+               CAST(bit_count(xor(n.dhash_hi, c.dhash_hi))
+                  + bit_count(xor(n.dhash_lo, c.dhash_lo))
+                  AS INTEGER) AS hamming
+        FROM abands n JOIN abands c
+          ON n.bi = c.bi AND n.bv = c.bv
+        WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+          AND bit_count(xor(n.dhash_hi, c.dhash_hi))
+            + bit_count(xor(n.dhash_lo, c.dhash_lo))
+            <= {_IMG_HAMMING_K}
+    """,
+    tags=("multimodal", "dedup", "audio", "perceptual", "serve",
+          "extension"),
+)
+def q_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-dedup admission gate, SERVED (X107): ingest the even-id
+    half of the corpus into the perceptual fingerprint store (the
+    generic media_prints_merge_fn with audio_fingerprints — one
+    RIFF/PCM codec pass, 12 bytes per clip), then screen the odd-id
+    half as the "upload" batch (media_dedup_check): every
+    (new_doc, corpus_doc, hamming) pair within Hamming <=
+    {_IMG_HAMMING_K} of ingest history, ZERO decodes of stored
+    clips.  Every planted audio twin (doc 4g+3 re-leveling doc 4g+2)
+    straddles the even/odd split BY CONSTRUCTION, so the gate must
+    catch all of them; the oracle recomputes energies from the
+    signal formula and keeps exactly the cross-half band-collision
+    pairs — a hash-green row certifies codec, energy signature,
+    banding, popcount verify, AND the store/serve composition.
+
+    Scale shape: store build amortized (content-tagged cache), check
+    cost tracks upload volume, never corpus size."""
+    import sys
+
+    from ..streaming import jobs as _jobs
+    from .index_cache import cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter("doc_id % 2 = 0").select("doc_id")
+    uploads = docs.filter("doc_id % 2 = 1").select("doc_id")
+    store = cached(
+        "audio_prints",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], _jobs),
+        lambda p: _jobs.media_prints_merge_fn(
+            spark, p, audio_fingerprints
+        )(history, 0),
+    )
+    return _jobs.media_dedup_check(spark, store, uploads,
+                                   audio_fingerprints)
+
+
+@query(
+    "q_video_gate",
+    oracle=f"""
+        WITH {_VID_FP_CTES}
+        SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc,
+               CAST(bit_count(xor(n.dhash_hi, c.dhash_hi))
+                  + bit_count(xor(n.dhash_lo, c.dhash_lo))
+                  AS INTEGER) AS hamming
+        FROM vbands n JOIN vbands c
+          ON n.bi = c.bi AND n.bv = c.bv
+        WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+          AND bit_count(xor(n.dhash_hi, c.dhash_hi))
+            + bit_count(xor(n.dhash_lo, c.dhash_lo))
+            <= {_IMG_HAMMING_K}
+    """,
+    tags=("multimodal", "dedup", "video", "perceptual", "serve",
+          "extension"),
+)
+def q_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-dedup admission gate, SERVED (X107): ingest the even-id
+    half into the fingerprint store (media_prints_merge_fn with
+    video_fingerprints — one animation-codec pass, 12 bytes per
+    clip), screen the odd-id half (media_dedup_check).  Every
+    planted video twin (4g+1 odd, 4g+2 even) straddles the even/odd
+    split BY CONSTRUCTION; the oracle recomputes the temporal
+    signature from the clip formula and keeps exactly the cross-half
+    band-collision pairs.  With X96 (image) and the audio gate this
+    closes the admission-gate matrix: every media modality has a
+    standing store + served screen, all three sharing ONE generic
+    gate body — at 100 TB that is one service, three fingerprint
+    stages."""
+    import sys
+
+    from ..streaming import jobs as _jobs
+    from .index_cache import cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter("doc_id % 2 = 0").select("doc_id")
+    uploads = docs.filter("doc_id % 2 = 1").select("doc_id")
+    store = cached(
+        "video_prints",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], _jobs),
+        lambda p: _jobs.media_prints_merge_fn(
+            spark, p, video_fingerprints
+        )(history, 0),
+    )
+    return _jobs.media_dedup_check(spark, store, uploads,
+                                   video_fingerprints)

@@ -1760,22 +1760,26 @@ def contamination_check(
 _IMAGE_PRINTS_DDL = "doc_id BIGINT, dhash_hi BIGINT, dhash_lo BIGINT"
 
 
-def image_prints_merge_fn(spark: SparkSession, store_dir: str):
-    """Set-union merge of each micro-batch's image dHash fingerprints
-    (multimodal.image_fingerprints — the SAME codec + hash stage the
-    inline q_image_dedup runs) into the perceptual-fingerprint store.
-    A fingerprint is a pure function of the image bytes and the merge
+def media_prints_merge_fn(
+    spark: SparkSession, store_dir: str, fingerprints_fn
+):
+    """Set-union merge of each micro-batch's perceptual media
+    fingerprints into a prints store — MODALITY-GENERIC (X107):
+    ``fingerprints_fn(docs) -> (doc_id, dhash_hi, dhash_lo)`` is the
+    SAME codec + hash stage the modality's inline dedup query runs
+    (multimodal.image_fingerprints / audio_fingerprints /
+    video_fingerprints — all column-compatible by design).  A
+    fingerprint is a pure function of the media bytes and the merge
     is distinct-union, so the operation is IDEMPOTENT (no markers);
-    stage-rename commit guards readers.  12 bytes of state per image
-    makes the store a negligible fraction of any image corpus, and
-    checking a NEW image batch for near-duplicates of corpus history
-    never re-decodes a stored image (image_dedup_check below)."""
-    from ..operators.multimodal import image_fingerprints
+    stage-rename commit guards readers.  12 bytes of state per item
+    makes the store a negligible fraction of any media corpus, and
+    checking a NEW batch for near-duplicates of corpus history never
+    re-decodes stored media (media_dedup_check below)."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         _, fs, store_path, stage_path = _store_paths(spark, store_dir)
         _recover_store(fs, store_path, stage_path)
-        delta = image_fingerprints(batch_df.select("doc_id")).distinct()
+        delta = fingerprints_fn(batch_df.select("doc_id")).distinct()
         if fs.exists(store_path):
             merged = (
                 spark.read.schema(_IMAGE_PRINTS_DDL)
@@ -1789,6 +1793,14 @@ def image_prints_merge_fn(spark: SparkSession, store_dir: str):
         _commit_store(fs, store_path, stage_path)
 
     return merge
+
+
+def image_prints_merge_fn(spark: SparkSession, store_dir: str):
+    """The image instance of media_prints_merge_fn (the original
+    X96 entry point, kept as the named front door)."""
+    from ..operators.multimodal import image_fingerprints
+
+    return media_prints_merge_fn(spark, store_dir, image_fingerprints)
 
 
 def image_prints_maintenance(doc_stream: DataFrame, store_dir: str):
@@ -1806,31 +1818,34 @@ def image_prints_maintenance(doc_stream: DataFrame, store_dir: str):
     )
 
 
-def image_dedup_check(
-    spark: SparkSession, store_dir: str, docs: DataFrame
+def media_dedup_check(
+    spark: SparkSession, store_dir: str, docs: DataFrame, fingerprints_fn
 ) -> DataFrame:
-    """The SERVED image near-dup gate: for a NEW image batch, every
-    (new_doc, corpus_doc, hamming) pair within Hamming <=
-    multimodal._IMG_HAMMING_K of the maintained fingerprint store —
-    "is this upload a re-encoded/retouched copy of something we
-    already have?" answered with ZERO decodes of corpus history.
-    The batch pays one codec pass (its own images); candidates come
-    from the pigeonhole band equi-join of batch bands against store
-    bands — NO cap-drop here, matching inline q_image_dedup, whose
-    over-cap buckets route through the spillable self-join rather
-    than being dropped (perceptual recall is the product) — then
-    the exact popcount verify on candidates only.  For a batch ∪
-    store covering the corpus this equals the inline query's
-    cross-subset (pytest-pinned); a re-ingested id is excluded
-    (same doc_id is an update, not a duplicate)."""
+    """The SERVED media near-dup gate, MODALITY-GENERIC (X107): for
+    a NEW media batch, every (new_doc, corpus_doc, hamming) pair
+    within Hamming <= multimodal._IMG_HAMMING_K of the maintained
+    fingerprint store — "is this upload a re-encoded/retouched/
+    re-mastered copy of something we already have?" answered with
+    ZERO decodes of corpus history.  The batch pays one codec pass
+    (its own media); candidates come from the pigeonhole band
+    equi-join of batch bands against store bands — NO cap-drop here,
+    matching the inline dedup queries, whose over-cap buckets route
+    through the spillable self-join rather than being dropped
+    (perceptual recall is the product) — then the exact popcount
+    verify on candidates only.  For a batch ∪ store covering the
+    corpus this equals the inline query's cross-subset
+    (pytest-pinned); a re-ingested id is excluded (same doc_id is an
+    update, not a duplicate).  The banding/verify machinery is the
+    fingerprint-generic image one — all three modalities ship
+    64-bit signatures as two 32-bit halves BY CONVENTION, so one
+    gate body serves image, audio, and video."""
     from ..operators.multimodal import (
         _IMG_HAMMING_K,
         _image_band_rows,
         _image_hamming_col,
-        image_fingerprints,
     )
 
-    qf = image_fingerprints(docs.select("doc_id")).localCheckpoint(
+    qf = fingerprints_fn(docs.select("doc_id")).localCheckpoint(
         eager=False
     )
     store = spark.read.schema(_IMAGE_PRINTS_DDL).parquet(store_dir)
@@ -1847,6 +1862,16 @@ def image_dedup_check(
         .filter(F.col("hamming") <= _IMG_HAMMING_K)
         .distinct()
     )
+
+
+def image_dedup_check(
+    spark: SparkSession, store_dir: str, docs: DataFrame
+) -> DataFrame:
+    """The image instance of media_dedup_check (the original X96
+    entry point, kept as the named front door)."""
+    from ..operators.multimodal import image_fingerprints
+
+    return media_dedup_check(spark, store_dir, docs, image_fingerprints)
 
 
 def shard_manifest_maintenance(doc_stream: DataFrame, store_dir: str):
@@ -2170,6 +2195,7 @@ def loss_mask_serve(
 # X102 — incremental multimodal duplicate-family registry (r13)
 
 _FAMILY_DDL = "n BIGINT, cluster_id BIGINT"
+_FAMILY_EDGE_DDL = "a BIGINT, b BIGINT"
 
 
 def family_registry_merge_fn(spark: SparkSession, store_dir: str):
@@ -2196,7 +2222,17 @@ def family_registry_merge_fn(spark: SparkSession, store_dir: str):
     Retry-safety: IDEMPOTENT by construction, no markers — a
     redelivered batch's edges contract to self-loops against the
     labels they already produced, the touched set is empty, and the
-    rewrite is bit-identical.  Stage-rename commit guards readers."""
+    rewrite is bit-identical.  Stage-rename commit guards readers.
+
+    Since r13 the merge ALSO maintains an edge side-store at
+    ``{store_dir}_edges`` — the undirected (least, greatest) set
+    union of every accepted edge.  Labels alone cannot answer a
+    DELETE: removing a doc may SPLIT its family, and the split is a
+    function of the surviving edges (family_registry_purge reads
+    them).  The side-store is |pairs|-sized, its merge is a
+    union+distinct (idempotent), and it commits BEFORE the labels so
+    a crash between the two commits always leaves a state a retry
+    heals."""
     from ..operators.dedup import connected_components
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -2204,13 +2240,33 @@ def family_registry_merge_fn(spark: SparkSession, store_dir: str):
         _recover_store(fs, store_path, stage_path)
         e = (
             batch_df.select(
-                F.col("a").cast("bigint").alias("a"),
-                F.col("b").cast("bigint").alias("b"),
+                F.least("a", "b").cast("bigint").alias("a"),
+                F.greatest("a", "b").cast("bigint").alias("b"),
             )
-            .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .where(
+                F.col("a").isNotNull()
+                & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))
+            )
             .distinct()
             .localCheckpoint()
         )
+        # edge side-store first (see docstring for the crash order)
+        edir = f"{store_dir}_edges"
+        _, efs, estore, estage = _store_paths(spark, edir)
+        _recover_store(efs, estore, estage)
+        if efs.exists(estore):
+            eall = (
+                spark.read.schema(_FAMILY_EDGE_DDL)
+                .parquet(edir)
+                .unionByName(e)
+                .distinct()
+                .localCheckpoint()
+            )
+        else:
+            eall = e
+        eall.write.mode("overwrite").parquet(str(estage))
+        _commit_store(efs, estore, estage)
         if fs.exists(store_path):
             lab = (
                 spark.read.schema(_FAMILY_DDL)
@@ -2292,3 +2348,94 @@ def family_registry_serve(spark: SparkSession, store_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+def family_registry_purge(
+    spark: SparkSession, store_dir: str, tombstones: DataFrame
+) -> None:
+    """DELETE for the duplicate-family registry (X105) — the
+    lifecycle closure the other serving stores already have, with
+    the one semantics labels alone cannot express: removing a doc
+    may SPLIT its family (a path a—b—c loses b: a and c are no
+    longer duplicates of anything), so the purge recomputes
+    components over the SURVIVING edges of the touched clusters
+    only, read from the ``{store_dir}_edges`` side-store the merge
+    maintains.
+
+    Shape: tombstones are request-sized (broadcast); touched
+    clusters come from one label join; the subgraph recompute is
+    pointer-doubling over |touched clusters' surviving edges|, never
+    the registry; untouched clusters' labels are rewritten verbatim.
+    A tombstoned doc in NO cluster is a no-op by construction, and a
+    RERUN of the same purge is idempotent (its ids are already gone
+    from both stores, so the touched set is empty) — no markers, the
+    same argument as the merge.  Survivors that lose their last edge
+    drop OUT of the registry, preserving the pinned invariant:
+    registry == batch recompute over the surviving edge set.
+
+    Commit order: edges first, then labels — a crash between the two
+    leaves edges-new/labels-old, and the retry's touched-cluster
+    recompute over the already-purged edges heals the labels; the
+    reverse order could strand a split forever."""
+    from ..operators.dedup import connected_components
+
+    _, fs, store_path, stage_path = _store_paths(spark, store_dir)
+    _recover_store(fs, store_path, stage_path)
+    edir = f"{store_dir}_edges"
+    _, efs, estore, estage = _store_paths(spark, edir)
+    _recover_store(efs, estore, estage)
+    ts = (
+        tombstones.select(F.col("doc_id").cast("bigint").alias("n"))
+        .where(F.col("n").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = (
+        spark.read.schema(_FAMILY_DDL).parquet(store_dir).localCheckpoint()
+    )
+    edges = (
+        spark.read.schema(_FAMILY_EDGE_DDL).parquet(edir).localCheckpoint()
+    )
+    touched = (
+        lab.join(F.broadcast(ts), "n")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    surv = (
+        edges.join(
+            F.broadcast(ts.select(F.col("n").alias("a"))), "a", "left_anti"
+        )
+        .join(
+            F.broadcast(ts.select(F.col("n").alias("b"))), "b", "left_anti"
+        )
+        .select("a", "b")  # anti-joins rotate key columns to front
+        .localCheckpoint()
+    )
+    # an edge's endpoints share a cluster by invariant, so joining
+    # endpoint a to the labels classifies the whole edge
+    sub = (
+        surv.join(
+            lab.select(F.col("n").alias("a"), "cluster_id"), "a"
+        )
+        .join(F.broadcast(touched), "cluster_id", "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    nodes = (
+        sub.select(F.col("a").alias("n"))
+        .unionByName(sub.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    if sub.head(1):
+        relab = connected_components(sub, nodes)
+    else:
+        relab = spark.createDataFrame([], _FAMILY_DDL)
+    kept = lab.join(F.broadcast(touched), "cluster_id", "left_anti").select(
+        "n", "cluster_id"
+    )
+    new_lab = kept.unionByName(relab.select("n", "cluster_id"))
+    surv.write.mode("overwrite").parquet(str(estage))
+    _commit_store(efs, estore, estage)
+    new_lab.write.mode("overwrite").parquet(str(stage_path))
+    _commit_store(fs, store_path, stage_path)

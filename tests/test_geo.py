@@ -416,3 +416,66 @@ def test_geo_index_maintenance_replay_and_purge(spark, tmp_path):
     assert s_purged == [
         tuple(r) for r in proximity_search(spark, rebuilt, qrows).collect()
     ]
+
+
+def test_proximity_filtered_equals_postfilter_and_fails_fast(
+    spark, tmp_path
+):
+    """proximity_search(filters=) (X106): radius semantics make the
+    correctness contract exact — filtered results == post-filtered
+    unfiltered results (no starvation dimension, unlike top-k) — so
+    pin THAT equality, the per-query selectivity (different queries
+    get different categories), and the fail-fast on an index built
+    without the metadata column (a forced schema would read NULLs
+    and silently return zero rows — the r12 bm25 ADVICE class)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.operators.geo import (
+        _PROX_SERVE_QIDS,
+        build_geo_index,
+        proximity_search,
+        synth_points,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    pts = synth_points(
+        load_table(spark, "/root/testdata/sf0.001", "customer")
+    ).selectExpr("*", "CAST(id % 7 AS BIGINT) AS cat")
+    plain = str(tmp_path / "geo_plain")
+    meta = str(tmp_path / "geo_meta")
+    build_geo_index(pts, plain)
+    build_geo_index(pts, meta, meta=("cat",))
+    qrows = {
+        int(r["id"]): (float(r["lat"]), float(r["lon"]))
+        for r in pts.filter(
+            F.col("id").isin(list(_PROX_SERVE_QIDS))
+        ).collect()
+    }
+    filters = {qid: (qid + 1) % 7 for qid in qrows}
+    got = {
+        tuple(r)
+        for r in proximity_search(
+            spark, meta, qrows, filters=filters
+        ).collect()
+    }
+    unfiltered = proximity_search(spark, meta, qrows).collect()
+    want = {
+        tuple(r)
+        for r in unfiltered
+        if r["id"] % 7 == filters[r["qid"]]
+    }
+    assert got == want and got
+    assert got < {tuple(r) for r in unfiltered}  # really selective
+    # a filters-less call over the meta store is unchanged
+    assert {
+        tuple(r) for r in proximity_search(spark, meta, qrows).collect()
+    } == {
+        tuple(r) for r in proximity_search(spark, plain, qrows).collect()
+    }
+    with pytest.raises(ValueError, match="no metadata column"):
+        proximity_search(spark, plain, qrows, filters=filters)
+    with pytest.raises(ValueError, match="unknown qids"):
+        proximity_search(spark, meta, qrows, filters={999999: 0})

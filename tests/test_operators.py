@@ -3179,13 +3179,106 @@ def test_audio_dedup_finds_planted_twin_not_distinct(spark, sf_dir):
     assert _IMG_HAMMING_K == 3  # shared 4-band pigeonhole covers k<=3
 
 
+def test_gif_anim_codec_roundtrip_gce_and_rejects():
+    """encode_gif_anim / decode_gif_anim (X103): multi-frame
+    lossless roundtrip with per-frame GCE delays surviving the
+    container, the NETSCAPE extension skipped, a GCE governing
+    exactly one image (an 87a single-frame file decodes with delay
+    0), and the strict-profile rejects."""
+    import pytest
+
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        decode_gif_anim,
+        encode_gif_anim,
+        encode_gif_gray,
+    )
+
+    frames = [
+        [bytes((f * 37 + x * 7 + y * 11) % 256 for x in range(20))
+         for y in range(15)]
+        for f in range(5)
+    ]
+    delays = [3, 0, 250, 65535, 42]
+    payload = encode_gif_anim(20, 15, frames, delays)
+    w, h, dec = decode_gif_anim(payload)
+    assert (w, h) == (20, 15)
+    assert [d for d, _ in dec] == delays  # GCE delays roundtrip
+    for f, (_, px) in enumerate(dec):
+        assert px == b"".join(frames[f])  # LZW lossless per frame
+    # a plain GIF87a single image decodes as a 1-frame, delay-0 clip
+    single = encode_gif_gray(8, 8, [bytes(range(8))] * 8)
+    w, h, dec = decode_gif_anim(single)
+    assert (w, h, len(dec), dec[0][0]) == (8, 8, 1, 0)
+    assert dec[0][1] == bytes(range(8)) * 8
+    # KwKwK + table-reset stress: one frame large enough to reset
+    big = [bytes((x * x * 31 + y * 17) % 256 for x in range(120))
+           for y in range(80)]
+    payload = encode_gif_anim(120, 80, [big, big], [1, 2])
+    _, _, dec = decode_gif_anim(payload)
+    assert dec[0][1] == dec[1][1] == b"".join(big)
+    with pytest.raises(ValueError):
+        decode_gif_anim(b"NOTGIF" + bytes(40))
+    with pytest.raises(ValueError):
+        encode_gif_anim(4, 4, [], [])
+    # partial-frame rectangles are rejected (full-frame profile)
+    import struct
+
+    tampered = bytearray(encode_gif_anim(8, 8, [[bytes(8)] * 8], [1]))
+    i = tampered.index(0x2C, 13 + 768)
+    tampered[i + 5 : i + 7] = struct.pack("<H", 4)  # shrink width
+    with pytest.raises(ValueError):
+        decode_gif_anim(bytes(tampered))
+
+
+def test_video_dedup_finds_planted_twin_not_distinct(spark, sf_dir):
+    """q_video_dedup (X104): the retouched twin (doc 4g+2 = doc
+    4g+1's clip with one block of frame 5 boosted) is paired at
+    Hamming <= 2 for EVERY group, distinct-seed clips never pair
+    (frame-varying spatial coefficients — a constant per-frame term
+    would collapse all frames to one 8-bit signature and storm), and
+    the signature really crosses the animation codec (decoded frames
+    == synthesized frames — per-frame LZW losslessness is
+    load-bearing)."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        _VID_H,
+        _VID_NF,
+        _VID_W,
+        _video_frame_rows,
+        decode_gif_anim,
+        encode_gif_anim,
+        q_video_dedup,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q_video_dedup(spark, sf_dir).collect()
+    }
+    n_docs = 500  # sf0.001 documents table
+    planted = {(4 * g + 1, 4 * g + 2) for g in range(n_docs // 4)}
+    assert planted <= set(pairs)  # every twin found
+    assert all(pairs[p] <= 2 for p in planted)  # one block, <=2 bits
+    assert set(pairs) == planted  # nothing else pairs (measured 0
+    # false pairs / full recall at the 5000-doc sf0.1 scale too)
+    # codec is in the certified path: decoded == synthesized frames
+    rows = _video_frame_rows(9)
+    _, _, dec = decode_gif_anim(
+        encode_gif_anim(
+            _VID_W, _VID_H, rows, [4 + f for f in range(_VID_NF)]
+        )
+    )
+    assert len(dec) == _VID_NF
+    for f, (delay, px) in enumerate(dec):
+        assert delay == 4 + f and px == b"".join(rows[f])
+
+
 def test_multimodal_dedup_merges_channels(spark, sf_dir):
-    """q_multimodal_dedup (X98, three channels since r13): clusters
-    span evidence channels — cross-modal families exist (a text edge
-    meeting an image or audio edge in one component), single-channel
-    image AND audio families both exist (the planted twins are
-    disjoint halves of each 4-doc group), and each cluster carries
-    at least a spanning tree's worth of edges."""
+    """q_multimodal_dedup (X98, FOUR channels since r13): clusters
+    span evidence channels — the planted media twins (image at
+    (4g, 4g+1), video at (4g+1, 4g+2), audio at (4g+2, 4g+3)) chain
+    every 4-doc group into ONE family on media evidence alone, so
+    three-channel media families are the norm, text edges extend
+    them further, and each cluster carries at least a spanning
+    tree's worth of edges."""
     from open_street_map_data_wrangling_spark.operators.multimodal import (
         q_multimodal_dedup,
     )
@@ -3193,15 +3286,20 @@ def test_multimodal_dedup_merges_channels(spark, sf_dir):
     rows = q_multimodal_dedup(spark, sf_dir).collect()
     assert rows
     mods = {r["modality"] for r in rows}
-    assert "image" in mods and "audio" in mods
-    assert any("+" in m for m in mods)  # cross-modal families exist
+    assert "image+audio+video" in mods  # the chained 4-doc group
+    # no single-MEDIA family survives (the video edge straddles the
+    # halves of every group); text-only families remain legitimate
+    assert not mods & {"image", "audio", "video"}
     for r in rows:
         assert r["n_docs"] >= 2
         assert (
             r["n_text_pairs"] + r["n_image_pairs"] + r["n_audio_pairs"]
+            + r["n_video_pairs"]
             >= r["n_docs"] - 1
         )
-    # image-only clusters are exactly twin families on this fixture
+    # a pure media family is the whole 4-doc group: 1 edge/channel
     for r in rows:
-        if r["modality"] == "image":
-            assert r["n_docs"] == 2 and r["n_image_pairs"] == 1
+        if r["modality"] == "image+audio+video":
+            assert r["n_docs"] == 4
+            assert (r["n_image_pairs"], r["n_audio_pairs"],
+                    r["n_video_pairs"]) == (1, 1, 1)

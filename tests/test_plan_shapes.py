@@ -999,3 +999,27 @@ def test_jaccard_hist_candidate_bounded(plans):
     assert p.count("documents.parquet") == 0
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_registry_purge_serves_from_store_only(plans):
+    """q_registry_purge: delete-then-serve must read ONLY the purged
+    label store — one parquet scan, zero documents scans, no pair
+    pipeline and no purge machinery in the serve plan (the copy +
+    purge happened at build time, behind the cache)."""
+    p = plans("q_registry_purge")
+    assert "documents.parquet" not in p
+    assert p.count("Scan parquet") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_proximity_served_filtered_pushes_category(plans):
+    """q_proximity_served_filtered: the union of the queries'
+    required categories must reach the grid-store FileScan as a data
+    filter (the category rides in the index files) ON TOP of the
+    probe-superblock PartitionFilters — and the customer table stays
+    untouched at serve time."""
+    p = plans("q_proximity_served_filtered")
+    assert p.count("Scan parquet") == 1
+    assert "customer.parquet" not in p
+    assert "PartitionFilters" in p and "gbx" in p and "gby" in p
+    assert "cat" in p and "In(cat" in p

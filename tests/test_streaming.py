@@ -1940,3 +1940,116 @@ def test_family_registry_streams_to_batch_clustering(spark, tmp_path):
 
     want = Counter(cid for _, cid in batch)
     assert served == {(cid, n) for cid, n in want.items()}
+
+
+def test_family_registry_purge_splits_and_heals(spark, tmp_path):
+    """family_registry_purge (X105): tombstoning a bridge doc SPLITS
+    its family into the exact components of the surviving edges;
+    survivors that lose their last edge drop OUT of the registry;
+    unknown ids are a no-op; a re-run of the same purge is
+    idempotent; and the post-purge registry equals a from-scratch
+    batch clustering of the surviving edge set (the pinned
+    invariant, now under deletes)."""
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        connected_components,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        family_registry_merge_fn,
+        family_registry_purge,
+        family_registry_serve,
+    )
+
+    # two families: a path 1-2-3-4-5 (purging 3 splits it into
+    # {1,2} and {4,5}) and a triangle 10-11-12 (untouched); plus an
+    # edge 20-21 whose member 21 is purged (20 must drop out)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "a BIGINT, b BIGINT",
+    )
+    store = str(tmp_path / "registry")
+    family_registry_merge_fn(spark, store)(edges, 0)
+
+    tomb = spark.createDataFrame([(3,), (21,), (999,)], "doc_id BIGINT")
+    family_registry_purge(spark, store, tomb)
+
+    labels = {tuple(r) for r in spark.read.parquet(store).collect()}
+    surviving = spark.createDataFrame(
+        [(1, 2), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "a BIGINT, b BIGINT",
+    )
+    nodes = (
+        surviving.select(F.col("a").alias("n"))
+        .unionByName(surviving.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    batch = {
+        tuple(r)
+        for r in connected_components(surviving, nodes).collect()
+    }
+    assert labels == batch
+    assert labels == {(1, 1), (2, 1), (4, 4), (5, 4),
+                      (10, 10), (11, 10), (12, 10)}
+    # the edge side-store dropped every incident edge
+    surv_edges = {
+        tuple(r) for r in spark.read.parquet(f"{store}_edges").collect()
+    }
+    assert surv_edges == {(1, 2), (4, 5), (10, 11), (11, 12), (10, 12)}
+    # idempotent re-run: both stores bit-identical
+    family_registry_purge(spark, store, tomb)
+    assert {tuple(r) for r in spark.read.parquet(store).collect()} == labels
+    assert {
+        tuple(r) for r in spark.read.parquet(f"{store}_edges").collect()
+    } == surv_edges
+    served = {
+        tuple(r) for r in family_registry_serve(spark, store).collect()
+    }
+    assert served == {(1, 2), (4, 2), (10, 3)}
+
+
+def test_media_gates_audio_video_match_inline_cross_half(
+    spark, tmp_path
+):
+    """Generic media gate (X107): media_dedup_check with the audio /
+    video fingerprint stages returns exactly the inline dedup pairs
+    that cross the even/odd ingest split — one gate body, three
+    modalities (the image instance is pinned above); every planted
+    twin straddles the split by construction so the gate must catch
+    them all."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        audio_fingerprints,
+        q_audio_dedup,
+        q_video_dedup,
+        video_fingerprints,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        media_dedup_check,
+        media_prints_merge_fn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    for fp_fn, inline_q in (
+        (audio_fingerprints, q_audio_dedup),
+        (video_fingerprints, q_video_dedup),
+    ):
+        store = str(tmp_path / f"media_prints_{fp_fn.__name__}")
+        merge = media_prints_merge_fn(spark, store, fp_fn)
+        merge(old, 0)
+        merge(old.limit(40), 1)  # redelivered subset: set-union no-op
+        served = {
+            (r["new_doc"], r["corpus_doc"], r["hamming"])
+            for r in media_dedup_check(spark, store, new, fp_fn).collect()
+        }
+        inline = {tuple(r) for r in inline_q(spark, sf).collect()}
+        cross = {
+            (b if b % 2 == 1 else a, a if b % 2 == 1 else b, h)
+            for a, b, h in inline
+            if (a % 2) != (b % 2)
+        }
+        assert served == cross and served
