@@ -219,6 +219,9 @@ HEADLINE = (
     # audio/video admission gates (X107)
     "q_audio_gate",
     "q_video_gate",
+    # sequence packing + contamination blast radius (X108/X109)
+    "q_pack_sequences",
+    "q_contamination_radius",
 )
 
 

@@ -2875,3 +2875,98 @@ def span_mask(gram: DataFrame, dupg: DataFrame) -> DataFrame:
         .select("doc_id", "span_start", "span_end", "span_toks")
         .orderBy("doc_id", "span_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# X109 — contamination blast radius: k-hop reach over the dup graph
+# (r13).  A flagged doc's near-duplicates are paraphrase-chain
+# suspects, and THEIR near-duplicates are too: quarantine everything
+# within H hops of the flagged set, with the hop distance as the
+# review priority.
+
+_RADIUS_HOPS = 3
+
+
+def _contamination_radius_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        edges AS MATERIALIZED (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs),
+        seeds AS (
+            SELECT doc_id AS n FROM documents
+            WHERE doc_id IS NOT NULL AND doc_id % 97 = 0),
+        reach(n, hop) AS (
+            SELECT n, 0 FROM seeds
+            UNION
+            SELECT e.b, r.hop + 1
+            FROM reach r JOIN edges e ON e.a = r.n
+            WHERE r.hop < {_RADIUS_HOPS}
+        )
+        SELECT n AS doc_id, CAST(min(hop) AS INTEGER) AS hops
+        FROM reach GROUP BY n
+    """
+
+
+@query(
+    "q_contamination_radius",
+    oracle=_contamination_radius_oracle(),
+    tags=("dedup", "graph", "iterative", "contamination", "extension"),
+)
+def q_contamination_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination BLAST RADIUS (X109): every document within
+    {_RADIUS_HOPS} hops of a flagged set in the near-duplicate graph,
+    with its minimum hop distance — the quarantine list a curation
+    team actually pulls when an eval-set leak is found, because the
+    leak's near-dups are paraphrase suspects and near-dups OF those
+    are too (transitively diluted copies the direct pair check
+    misses).  Flagged set: doc_id ≡ 0 (mod 97) — the deterministic
+    stand-in for an external flag column.
+
+    Engine shape: FRONTIER BFS — each round joins only the NEWLY
+    discovered nodes against the edge relation (broadcast-sized
+    frontier at fixture scale, shuffle equi-join at 100 TB), anti-
+    joins the visited set so a node is labeled at its FIRST
+    (minimum) hop, and localCheckpoints both accumulators to keep
+    {_RADIUS_HOPS} rounds of lineage flat.  Work is O(edges touched
+    per round), never O(nodes²); the hop bound makes the plan depth
+    static.  The oracle replays seeds + symmetric edges + a
+    hop-bounded recursive closure and takes min(hop) — hash equality
+    proves frontier-BFS == global min-distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_dedup_near(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = (
+        docs.filter(
+            F.col("doc_id").isNotNull() & (F.col("doc_id") % 97 == 0)
+        )
+        .select(F.col("doc_id").alias("n"))
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    dist = seeds
+    frontier = seeds.select("n")
+    for h in range(1, _RADIUS_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["n"] == edges["a"])
+            .select(F.col("b").alias("n"))
+            .distinct()
+        )
+        newf = (
+            nxt.join(dist.select("n"), "n", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(newf).localCheckpoint()
+        frontier = newf.select("n")
+    return dist.select(
+        F.col("n").alias("doc_id"), F.col("hops").cast("int").alias("hops")
+    )

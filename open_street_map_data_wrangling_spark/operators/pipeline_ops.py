@@ -1968,3 +1968,111 @@ def q_loader_batches_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _loader_manifest(
         _ordered_token_prefix(keyed), _LOADER_BUDGET_MODEL
     )
+
+
+# ---------------------------------------------------------------------------
+# X108 — sequence packing: the concat-and-chunk manifest (r13)
+
+_PACK_LEN = 512  # tokens per packed training sequence
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   ('0x' || substr(md5('{_SHUF_SEED}:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM documents
+            WHERE doc_id IS NOT NULL),
+        r AS (
+            SELECT doc_id, n_tok,
+                   row_number() OVER (ORDER BY h, doc_id) AS pos,
+                   coalesce(sum(n_tok) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS toks_before
+            FROM h),
+        seg AS (
+            -- DuckDB's generate_series takes no lateral column
+            -- bounds, so enumerate a fixed span offset (docs are
+            -- <= 100 tokens; 0..8 covers 8 x {_PACK_LEN}) and keep
+            -- the offsets inside the doc's true sequence span
+            SELECT doc_id, pos,
+                   toks_before // {_PACK_LEN} + g.j AS seq_id,
+                   greatest(toks_before,
+                            (toks_before // {_PACK_LEN} + g.j)
+                                * {_PACK_LEN}) AS a,
+                   least(toks_before + n_tok,
+                         (toks_before // {_PACK_LEN} + g.j + 1)
+                             * {_PACK_LEN}) AS b,
+                   toks_before
+            FROM r, generate_series(0, 8) g(j)
+            WHERE toks_before // {_PACK_LEN} + g.j
+                  <= (toks_before + n_tok - 1) // {_PACK_LEN})
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(pos AS BIGINT) AS pos,
+               CAST(a - seq_id * {_PACK_LEN} AS BIGINT) AS seq_off,
+               CAST(a - toks_before AS BIGINT) AS doc_off,
+               CAST(b - a AS BIGINT) AS n_tok_seg
+        FROM seg
+        ORDER BY seq_id, seq_off
+    """,
+    tags=("pipeline", "extension", "training-order", "packing",
+          "prefix-sum"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest (X108) — the step AFTER the loader:
+    transformer trainers consume FIXED-LENGTH sequences, so the
+    epoch-ordered token stream is concatenated and chunked at
+    {_PACK_LEN} tokens (the standard concat-and-chunk packing: no
+    padding waste, documents split across sequence boundaries, the
+    attention/loss mask derives from the manifest).  One row per
+    (sequence, document) SEGMENT: which slice of which doc lands at
+    which offset of which packed sequence — exactly the manifest a
+    loader executes and an attribution audit reads (\"which docs are
+    in the sequence that produced this loss spike?\").
+
+    Engine side: the SHARED range-bucketed two-pass prefix sum
+    (_ordered_token_prefix — the X81/X82/X91 machinery, so packing
+    can never disagree with the loader about the order or the
+    offsets), then each doc EXPLODES into its covered sequence span
+    (F.sequence — a doc emits ceil(n_tok/{_PACK_LEN})+1 rows max,
+    never a per-token explosion).  The oracle replays with ONE
+    global window + a lateral generate_series; hash equality proves
+    the distributed offsets exact at every sequence boundary.  At
+    100 TB the manifest is |docs| + |sequences| rows — metadata-
+    sized — and no stage ever materializes a token."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = _epoch_keyed_tokens(
+        docs, F.size(F.split("text", " ")).cast("long")
+    )
+    ranked = _ordered_token_prefix(keyed)
+    L = _PACK_LEN
+    return (
+        ranked.withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"toks_before div {L}"),
+                    F.expr(f"(toks_before + n_tok - 1) div {L}"),
+                )
+            ),
+        )
+        .withColumn("a", F.expr(f"greatest(toks_before, seq_id * {L})"))
+        .withColumn(
+            "b",
+            F.expr(f"least(toks_before + n_tok, (seq_id + 1) * {L})"),
+        )
+        .select(
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.expr(f"a - seq_id * {L}").cast("bigint").alias("seq_off"),
+            F.expr("a - toks_before").cast("bigint").alias("doc_off"),
+            F.expr("b - a").cast("bigint").alias("n_tok_seg"),
+        )
+        .orderBy("seq_id", "seq_off")
+    )

