@@ -2852,6 +2852,51 @@ def _multimodal_dedup_oracle() -> str:
     """
 
 
+def _channel_pairs(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The four evidence-channel pair relations as (a, b) DataFrames
+    read from the content-tagged PAIR CACHE — the VERDICT r12 #6
+    index-build amortization applied to dedup evidence: the text
+    LSH, image dHash, audio energy, and video temporal pipelines are
+    pure functions of (corpus, code), three registry-family queries
+    (X98 capstone, X102 registry, X105 purge) consume the identical
+    relations, and re-running a codec pass per consumer was the
+    dominant capstone cost (measured 9.8 s -> ~3 s at sf0.1).  A
+    code or data change lands in a fresh token-named cache dir, so a
+    stale pair set can never alias onto the current oracle."""
+    import sys
+
+    from . import dedup as _dedup
+    from .index_cache import cached
+
+    def _builder(name):
+        def build(p: str) -> None:
+            src = {
+                "text": lambda: _dedup.q_dedup_near(spark, sf_dir),
+                "image": lambda: q_image_dedup(spark, sf_dir),
+                "audio": lambda: q_audio_dedup(spark, sf_dir),
+                "video": lambda: q_video_dedup(spark, sf_dir),
+            }[name]()
+            src.select(
+                F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+            ).write.mode("overwrite").parquet(p)
+
+        return build
+
+    out = {}
+    for name in ("text", "image", "audio", "video"):
+        path = cached(
+            f"pairs_{name}",
+            sf_dir,
+            ("documents",),
+            (sys.modules[__name__], _dedup),
+            _builder(name),
+        )
+        out[name] = spark.read.schema("a BIGINT, b BIGINT").parquet(path)
+    return out
+
+
 @query(
     "q_multimodal_dedup",
     oracle=_multimodal_dedup_oracle(),
@@ -2883,31 +2928,21 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: all four pair pipelines are the audited
     capped/banded shapes (never all-pairs); the union is
     |pairs|-sized; components run pointer-doubling over edge-touched
-    nodes only.  The oracle replays the ENTIRE composition — shingle
-    minhash bands, image fingerprint chain, audio energy chain,
-    video temporal chain, and the transitive closure —
-    relationally."""
-    from .dedup import connected_components, q_dedup_near
+    nodes only.  Since r13 the four pair relations come from the
+    content-tagged PAIR CACHE (_channel_pairs — the VERDICT r12 #6
+    amortization applied to evidence edges: pairs are as much a
+    maintained artifact as an index, and three registry-family
+    queries consume the identical relations), so a repeated run pays
+    only the |pairs|-sized reads + the components iteration; the
+    codec/LSH stages run once per (corpus, code) content tag.  The
+    oracle replays the ENTIRE composition — shingle minhash bands,
+    image fingerprint chain, audio energy chain, video temporal
+    chain, and the transitive closure — relationally."""
+    from .dedup import connected_components
 
-    tpairs = (
-        q_dedup_near(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint()
-    )
-    ipairs = (
-        q_image_dedup(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint()
-    )
-    apairs = (
-        q_audio_dedup(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint()
-    )
-    vpairs = (
-        q_video_dedup(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint()
+    pairs = _channel_pairs(spark, sf_dir)
+    tpairs, ipairs, apairs, vpairs = (
+        pairs["text"], pairs["image"], pairs["audio"], pairs["video"]
     )
     edges = (
         tpairs.unionByName(ipairs)
@@ -3058,26 +3093,15 @@ def _registry_store(spark: SparkSession, sf_dir: str) -> str:
     import sys
 
     from ..streaming import jobs as _jobs
-    from .dedup import q_dedup_near
     from .index_cache import cached
 
     def _merge_chunks(store: str) -> None:
-        tpairs = q_dedup_near(spark, sf_dir).select(
-            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-        )
-        ipairs = q_image_dedup(spark, sf_dir).select(
-            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-        )
-        apairs = q_audio_dedup(spark, sf_dir).select(
-            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-        )
-        vpairs = q_video_dedup(spark, sf_dir).select(
-            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-        )
+        pairs = _channel_pairs(spark, sf_dir)
         edges = (
-            tpairs.unionByName(ipairs)
-            .unionByName(apairs)
-            .unionByName(vpairs)
+            pairs["text"]
+            .unionByName(pairs["image"])
+            .unionByName(pairs["audio"])
+            .unionByName(pairs["video"])
             .distinct()
             .localCheckpoint()
         )

@@ -329,3 +329,40 @@ def test_meta_store_lifecycle_preserves_filter_columns(spark, tmp_path):
         labels[r["vec_id"]] == want[r["qid"]] for r in got
     )
     assert not any(_is_tomb(r["vec_id"]) for r in got)
+
+
+def test_purge_media_prints_audio_video(spark, tmp_path):
+    """X107 stores get the same delete story as the image one: the
+    prints purge is modality-agnostic (anti-join on doc_id over the
+    shared 12-byte print schema), equals a rebuild over the filtered
+    inputs, and the generic gate never names a purged id again —
+    for BOTH the audio and video fingerprint stages."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        audio_fingerprints,
+        video_fingerprints,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        media_dedup_check,
+        media_prints_merge_fn,
+        purge_image_prints,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    old = docs.filter("doc_id % 2 = 0").select("doc_id")
+    new = docs.filter("doc_id % 2 = 1").select("doc_id")
+    rows = lambda d: {tuple(r) for r in spark.read.parquet(d).collect()}
+    for tag, fp_fn in (
+        ("a", audio_fingerprints),
+        ("v", video_fingerprints),
+    ):
+        purged = str(tmp_path / f"{tag}_p")
+        rebuilt = str(tmp_path / f"{tag}_r")
+        media_prints_merge_fn(spark, purged, fp_fn)(old, 0)
+        purge_image_prints(spark, purged, old.filter(TOMB))
+        media_prints_merge_fn(spark, rebuilt, fp_fn)(
+            old.filter(f"NOT {TOMB}"), 0
+        )
+        assert rows(purged) == rows(rebuilt) and rows(purged)
+        gate = media_dedup_check(spark, purged, new, fp_fn).collect()
+        assert gate
+        assert not any(_is_tomb(r["corpus_doc"]) for r in gate)
