@@ -222,6 +222,8 @@ HEADLINE = (
     # sequence packing + contamination blast radius (X108/X109)
     "q_pack_sequences",
     "q_contamination_radius",
+    # ingest-time dedup composition (X110)
+    "q_ingest_registry",
 )
 
 

@@ -3334,3 +3334,117 @@ def q_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _jobs.media_dedup_check(spark, store, uploads,
                                    video_fingerprints)
+
+
+# ---------------------------------------------------------------------------
+# X110 — ingest-time dedup: gates feed the registry, end to end (r13)
+
+
+def _ingest_registry_oracle() -> str:
+    return f"""
+        WITH RECURSIVE
+        {_IMG_FP_CTES_I},
+        ipairs AS MATERIALIZED ({_IMG_PAIRS_SQL_I}),
+        {_AUD_FP_CTES},
+        apairs AS MATERIALIZED ({_AUD_PAIRS_SQL}),
+        {_VID_FP_CTES},
+        vpairs AS MATERIALIZED ({_VID_PAIRS_SQL}),
+        edges AS MATERIALIZED (
+            SELECT doc_a AS a, doc_b AS b FROM ipairs
+            UNION SELECT doc_b, doc_a FROM ipairs
+            UNION SELECT doc_a, doc_b FROM apairs
+            UNION SELECT doc_b, doc_a FROM apairs
+            UNION SELECT doc_a, doc_b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        lab AS MATERIALIZED (
+            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
+            FROM (SELECT DISTINCT a FROM edges) e
+            JOIN reach r ON r.src = e.a
+            GROUP BY e.a)
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+        FROM lab GROUP BY cluster_id
+    """
+
+
+@query(
+    "q_ingest_registry",
+    oracle=_ingest_registry_oracle(),
+    tags=("multimodal", "dedup", "streaming", "serve", "iterative",
+          "extension"),
+)
+def q_ingest_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME multimodal dedup, end to end (X110) — the
+    composition every standing piece was built for: the corpus
+    arrives in THREE WAVES (doc_id mod 3), and each wave flows
+    upload-style through the full admission machinery — per media
+    channel, the wave's fingerprints SET-UNION into the prints store
+    (media_prints_merge_fn), then the wave is screened against the
+    updated store (media_dedup_check: the post-ingest check sees
+    both corpus history AND the wave itself, so within-wave twins
+    surface too) — and the resulting evidence edges fold into the
+    maintained family registry (family_registry_merge_fn) the moment
+    they are discovered.  After the last wave, the served per-family
+    report must equal a FROM-SCRATCH clustering of all three media
+    channels over the whole corpus — the oracle recomputes exactly
+    that (image + audio + video chains, recursive closure), so a
+    hash-green row certifies the entire ingest pipeline: codecs,
+    fingerprint stores, gate checks, contracted-components merges,
+    and the serve, composed across waves, lose NO pair and invent
+    none.  (A pair's two docs always land in a common wave-check:
+    whichever wave arrives second sees the first in the store.)
+
+    Scale shape: every stage is the audited incremental one — wave
+    codec passes are wave-sized, gate joins are band equi-joins vs
+    12-byte prints, registry merges are |touched clusters|-sized;
+    nothing ever recomputes over the corpus.  At 100 TB this is the
+    ingest path: a day's uploads cost a day's codec work plus
+    band-join lookups, and \"which family is this upload in\" is
+    served from the registry at any moment."""
+    import sys
+
+    from ..streaming import jobs as _jobs
+    from . import dedup as _dedup
+    from .index_cache import cached
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _ingest(store: str) -> None:
+        reg = f"{store}/registry"
+        channels = (
+            ("image", image_fingerprints),
+            ("audio", audio_fingerprints),
+            ("video", video_fingerprints),
+        )
+        merge = _jobs.family_registry_merge_fn(spark, reg)
+        for wave in range(3):
+            batch = docs.filter(
+                F.col("doc_id").isNotNull()
+                & (F.col("doc_id") % 3 == wave)
+            ).select("doc_id")
+            for ci, (name, fp_fn) in enumerate(channels):
+                prints = f"{store}/prints_{name}"
+                _jobs.media_prints_merge_fn(spark, prints, fp_fn)(
+                    batch, wave
+                )
+                edges = _jobs.media_dedup_check(
+                    spark, prints, batch, fp_fn
+                ).select(
+                    F.col("new_doc").alias("a"),
+                    F.col("corpus_doc").alias("b"),
+                )
+                merge(edges, wave * 10 + ci)
+
+    store = cached(
+        "ingest_registry",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], _jobs, _dedup),
+        _ingest,
+        extra="3waves-media",
+    )
+    return _jobs.family_registry_serve(spark, f"{store}/registry")

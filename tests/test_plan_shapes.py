@@ -1025,3 +1025,15 @@ def test_proximity_served_filtered_pushes_category(plans):
     assert "customer.parquet" not in p
     assert "PartitionFilters" in p and "gbx" in p and "gby" in p
     assert "cat" in p and "In(cat" in p
+
+
+def test_ingest_registry_serves_from_store_only(plans):
+    """q_ingest_registry: after the 3-wave ingest (behind the
+    cache), the served report must read ONLY the maintained registry
+    labels — one parquet scan, zero documents scans, no codec or
+    gate machinery in the serve plan."""
+    p = plans("q_ingest_registry")
+    assert "documents.parquet" not in p
+    assert p.count("Scan parquet") == 1
+    assert "mapInPandas" not in p.lower()
+    assert "CartesianProduct" not in p
