@@ -224,6 +224,8 @@ HEADLINE = (
     "q_contamination_radius",
     # ingest-time dedup composition (X110)
     "q_ingest_registry",
+    # registry-served capstone report (X111)
+    "q_registry_report",
 )
 
 

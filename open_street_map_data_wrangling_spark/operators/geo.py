@@ -603,7 +603,15 @@ def proximity_search(
         block_pred = cond if block_pred is None else (block_pred | cond)
     ddl = _GEO_STORE_DDL
     if filters is not None:
-        if meta_col not in spark.read.parquet(store_dir).columns:
+        from pyspark.errors import AnalysisException
+
+        try:
+            store_cols = spark.read.parquet(store_dir).columns
+        except AnalysisException:
+            # empty store: no files to infer from, no row to mis-read
+            # — the explicit-schema read below returns zero rows
+            store_cols = None
+        if store_cols is not None and meta_col not in store_cols:
             raise ValueError(
                 f"geo index at {store_dir} has no metadata column "
                 f"{meta_col!r} — rebuild with build_geo_index(meta=...)"

@@ -3098,10 +3098,16 @@ def _registry_store(spark: SparkSession, sf_dir: str) -> str:
     def _merge_chunks(store: str) -> None:
         pairs = _channel_pairs(spark, sf_dir)
         edges = (
-            pairs["text"]
-            .unionByName(pairs["image"])
-            .unionByName(pairs["audio"])
-            .unionByName(pairs["video"])
+            pairs["text"].withColumn("channel", F.lit("text"))
+            .unionByName(
+                pairs["image"].withColumn("channel", F.lit("image"))
+            )
+            .unionByName(
+                pairs["audio"].withColumn("channel", F.lit("audio"))
+            )
+            .unionByName(
+                pairs["video"].withColumn("channel", F.lit("video"))
+            )
             .distinct()
             .localCheckpoint()
         )
@@ -3448,3 +3454,32 @@ def q_ingest_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra="3waves-media",
     )
     return _jobs.family_registry_serve(spark, f"{store}/registry")
+
+
+# ---------------------------------------------------------------------------
+# X111 — capstone report served from the maintained registry (r13)
+
+
+@query(
+    "q_registry_report",
+    oracle=_multimodal_dedup_oracle(),
+    tags=("multimodal", "dedup", "streaming", "serve", "extension"),
+)
+def q_registry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL multimodal-dedup report SERVED from the maintained
+    registry (X111): q_multimodal_dedup's exact output — per-family
+    size, per-channel evidence counts, modality attribution — but
+    computed from the label store plus the channel-tagged edge
+    side-store alone (jobs.family_registry_report): one |labels|
+    scan, one |edges| scan, zero pair pipelines, zero codec work,
+    zero documents scans.  The oracle IS the capstone oracle
+    (recomputing all four chains + transitive closure from scratch),
+    so a hash-green row proves the maintained store is SUFFICIENT
+    for the report a curation review actually reads — at 100 TB the
+    difference between \"rerun the dedup suite for the weekly
+    report\" and \"aggregate two metadata-sized stores\"."""
+    from ..streaming import jobs as _jobs
+
+    return _jobs.family_registry_report(
+        spark, _registry_store(spark, sf_dir)
+    )

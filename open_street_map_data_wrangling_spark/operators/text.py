@@ -3289,8 +3289,17 @@ def maxsim_search_many(
         )
     filters = filters or {}
     if filters:
-        actual = spark.read.parquet(f"{index_path}/postings").schema
-        if filter_col not in actual.names:
+        from pyspark.errors import AnalysisException
+
+        try:
+            actual = spark.read.parquet(f"{index_path}/postings").schema
+        except AnalysisException:
+            # an EMPTY index has no data files to infer from — there
+            # is no meta column to mis-read and no candidate either,
+            # so skip the guard and let the explicit-schema reads
+            # below return the correct zero rows
+            actual = None
+        if actual is not None and filter_col not in actual.names:
             raise ValueError(
                 f"maxsim_search_many: index at {index_path} has no meta "
                 f"column {filter_col!r} (built without meta?); filtered "

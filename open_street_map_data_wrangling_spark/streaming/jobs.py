@@ -2195,7 +2195,7 @@ def loss_mask_serve(
 # X102 — incremental multimodal duplicate-family registry (r13)
 
 _FAMILY_DDL = "n BIGINT, cluster_id BIGINT"
-_FAMILY_EDGE_DDL = "a BIGINT, b BIGINT"
+_FAMILY_EDGE_DDL = "a BIGINT, b BIGINT, channel STRING"
 
 
 def family_registry_merge_fn(spark: SparkSession, store_dir: str):
@@ -2226,7 +2226,11 @@ def family_registry_merge_fn(spark: SparkSession, store_dir: str):
 
     Since r13 the merge ALSO maintains an edge side-store at
     ``{store_dir}_edges`` — the undirected (least, greatest) set
-    union of every accepted edge.  Labels alone cannot answer a
+    union of every accepted edge, carrying the evidence ``channel``
+    when the producer supplies one (X111: the channel makes the
+    store sufficient for the FULL capstone report — per-family
+    per-channel counts + modality — served with zero pair-pipeline
+    work; see family_registry_report).  Labels alone cannot answer a
     DELETE: removing a doc may SPLIT its family, and the split is a
     function of the surviving edges (family_registry_purge reads
     them).  The side-store is |pairs|-sized, its merge is a
@@ -2238,10 +2242,16 @@ def family_registry_merge_fn(spark: SparkSession, store_dir: str):
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         _, fs, store_path, stage_path = _store_paths(spark, store_dir)
         _recover_store(fs, store_path, stage_path)
-        e = (
+        ch = (
+            F.col("channel").cast("string")
+            if "channel" in batch_df.columns
+            else F.lit("")  # channel-less producers still merge fine
+        )
+        ech = (
             batch_df.select(
                 F.least("a", "b").cast("bigint").alias("a"),
                 F.greatest("a", "b").cast("bigint").alias("b"),
+                ch.alias("channel"),
             )
             .where(
                 F.col("a").isNotNull()
@@ -2251,6 +2261,7 @@ def family_registry_merge_fn(spark: SparkSession, store_dir: str):
             .distinct()
             .localCheckpoint()
         )
+        e = ech.select("a", "b").distinct()
         # edge side-store first (see docstring for the crash order)
         edir = f"{store_dir}_edges"
         _, efs, estore, estage = _store_paths(spark, edir)
@@ -2259,12 +2270,12 @@ def family_registry_merge_fn(spark: SparkSession, store_dir: str):
             eall = (
                 spark.read.schema(_FAMILY_EDGE_DDL)
                 .parquet(edir)
-                .unionByName(e)
+                .unionByName(ech)
                 .distinct()
                 .localCheckpoint()
             )
         else:
-            eall = e
+            eall = ech
         eall.write.mode("overwrite").parquet(str(estage))
         _commit_store(efs, estore, estage)
         if fs.exists(store_path):
@@ -2350,6 +2361,59 @@ def family_registry_serve(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
+def family_registry_report(
+    spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """The FULL capstone report from the maintained registry alone
+    (X111): per family — size, per-channel evidence-edge counts, and
+    the modality attribution — exactly q_multimodal_dedup's output,
+    but computed from the label store + channel-tagged edge
+    side-store with ZERO pair-pipeline work: one |labels| scan, one
+    |edges| scan, an equi-join on the edge's least endpoint (both
+    endpoints share a cluster by invariant), a conditional-count
+    pivot over the four known channels.  Hash-equality with the
+    inline capstone is the q_registry_report correctness gate."""
+    lab = spark.read.schema(_FAMILY_DDL).parquet(store_dir)
+    edges = spark.read.schema(_FAMILY_EDGE_DDL).parquet(
+        f"{store_dir}_edges"
+    )
+    cc = edges.join(
+        lab.select(F.col("n").alias("a"), "cluster_id"), "a"
+    ).groupBy("cluster_id").agg(
+        *[
+            F.sum(F.when(F.col("channel") == c, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{c}_pairs")
+            for c in ("text", "image", "audio", "video")
+        ]
+    )
+    per = (
+        lab.groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(cc, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_docs",
+            *[
+                F.coalesce(f"n_{c}_pairs", F.lit(0))
+                .cast("bigint")
+                .alias(f"n_{c}_pairs")
+                for c in ("text", "image", "audio", "video")
+            ],
+        )
+    )
+    return per.withColumn(
+        "modality",
+        F.concat_ws(
+            "+",
+            F.when(F.col("n_text_pairs") > 0, "text"),
+            F.when(F.col("n_image_pairs") > 0, "image"),
+            F.when(F.col("n_audio_pairs") > 0, "audio"),
+            F.when(F.col("n_video_pairs") > 0, "video"),
+        ),
+    )
+
+
 def family_registry_purge(
     spark: SparkSession, store_dir: str, tombstones: DataFrame
 ) -> None:
@@ -2409,7 +2473,7 @@ def family_registry_purge(
         .join(
             F.broadcast(ts.select(F.col("n").alias("b"))), "b", "left_anti"
         )
-        .select("a", "b")  # anti-joins rotate key columns to front
+        .select("a", "b", "channel")  # anti-joins rotate keys to front
         .localCheckpoint()
     )
     # an edge's endpoints share a cluster by invariant, so joining

@@ -1037,3 +1037,17 @@ def test_ingest_registry_serves_from_store_only(plans):
     assert p.count("Scan parquet") == 1
     assert "mapInPandas" not in p.lower()
     assert "CartesianProduct" not in p
+
+
+def test_registry_report_serves_from_stores_only(plans):
+    """q_registry_report: the full capstone report must come from
+    the two maintained stores alone — the label store (scanned
+    twice: the n_docs aggregate and the edge-classification join,
+    each column-pruned) plus the channel-tagged edge side-store —
+    with no documents scan and no codec stage."""
+    p = plans("q_registry_report")
+    assert "documents.parquet" not in p
+    assert p.count("Scan parquet") == 3
+    assert p.count("_edges") == 1
+    assert "mapInPandas" not in p.lower()
+    assert "CartesianProduct" not in p

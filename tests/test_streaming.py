@@ -1990,16 +1990,19 @@ def test_family_registry_purge_splits_and_heals(spark, tmp_path):
     assert labels == batch
     assert labels == {(1, 1), (2, 1), (4, 4), (5, 4),
                       (10, 10), (11, 10), (12, 10)}
-    # the edge side-store dropped every incident edge
+    # the edge side-store dropped every incident edge (channel ""
+    # for these channel-less producer edges)
     surv_edges = {
-        tuple(r) for r in spark.read.parquet(f"{store}_edges").collect()
+        (r["a"], r["b"])
+        for r in spark.read.parquet(f"{store}_edges").collect()
     }
     assert surv_edges == {(1, 2), (4, 5), (10, 11), (11, 12), (10, 12)}
     # idempotent re-run: both stores bit-identical
     family_registry_purge(spark, store, tomb)
     assert {tuple(r) for r in spark.read.parquet(store).collect()} == labels
     assert {
-        tuple(r) for r in spark.read.parquet(f"{store}_edges").collect()
+        (r["a"], r["b"])
+        for r in spark.read.parquet(f"{store}_edges").collect()
     } == surv_edges
     served = {
         tuple(r) for r in family_registry_serve(spark, store).collect()
