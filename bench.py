@@ -226,6 +226,8 @@ HEADLINE = (
     "q_ingest_registry",
     # registry-served capstone report (X111)
     "q_registry_report",
+    # text admission gate (X112)
+    "q_text_gate",
 )
 
 

@@ -2970,3 +2970,69 @@ def q_contamination_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("n").alias("doc_id"), F.col("hops").cast("int").alias("hops")
     )
+
+
+# ---------------------------------------------------------------------------
+# X112 — text admission gate: q_dedup_near served from the band store
+# (r13).  Completes the gate matrix: text + image + audio + video.
+
+
+@query(
+    "q_text_gate",
+    oracle=f"""
+        WITH {SHINGLES_SQL_CTE},
+        mh AS (
+            SELECT doc_id,
+               {_MINHASH_COLS_SQL}
+            FROM ex GROUP BY doc_id),
+        bands AS ({_BAND_SQL}),
+        hot AS (
+            SELECT bi, bv FROM bands GROUP BY bi, bv
+            HAVING count(*) > {_LSH_BUCKET_CAP}),
+        kept AS (
+            SELECT * FROM bands ba WHERE NOT EXISTS
+                (SELECT 1 FROM hot h WHERE h.bi = ba.bi AND h.bv = ba.bv))
+        SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+        FROM kept n JOIN kept c
+          ON n.bi = c.bi AND n.bv = c.bv
+        WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+    """,
+    tags=("dedup", "lsh", "serve", "streaming", "extension"),
+)
+def q_text_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-dedup admission gate, SERVED (X112): ingest the even-id
+    half of the corpus into the MinHash band store
+    (contamination_bands_merge_fn — ~4 band rows per doc), then
+    screen the odd-id half as the "upload" batch
+    (jobs.text_dedup_check): every (new_doc, corpus_doc) LSH
+    candidate pair against ingest history, with inline
+    q_dedup_near's exact cap semantics (bucket sizes over store ∪
+    batch = the whole corpus on this split, over-cap buckets
+    dropped).  With X96 (image) and X107 (audio, video) this
+    completes the admission-gate matrix: every evidence channel has
+    a standing store + served screen.  The oracle recomputes
+    shingles → minhash → bands → cap prune and keeps exactly the
+    cross-half band collisions.
+
+    The deliberate asymmetry with the media gates (documented in
+    text_dedup_check): the LSH cap is a corpus-global statistic, so
+    the text gate equals inline only when store ∪ batch covers the
+    corpus — it screens uploads against a SETTLED history, while the
+    cap-free media gates are additionally wave-incremental
+    (q_ingest_registry)."""
+    import sys
+
+    from ..streaming import jobs as _jobs
+    from .index_cache import cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    uploads = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+    store = cached(
+        "text_bands_gate",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], _jobs),
+        lambda p: _jobs.contamination_bands_merge_fn(spark, p)(history, 0),
+    )
+    return _jobs.text_dedup_check(spark, store, uploads)

@@ -1748,12 +1748,60 @@ def contamination_check(
             ),
             ["bi", "bv"],
         )
+        .where(F.col("test_doc") != F.col("train_doc"))
         .select("test_doc", "train_doc")
         .distinct()
     )
     return pairs.groupBy("test_doc").agg(
         F.count("*").cast("bigint").alias("n_train_neardups"),
         F.min("train_doc").cast("bigint").alias("example_train_doc"),
+    )
+
+
+def text_dedup_check(
+    spark: SparkSession, store_dir: str, docs: DataFrame
+) -> DataFrame:
+    """The SERVED text near-dup gate (X112): for a NEW document
+    batch, every (new_doc, corpus_doc) MinHash-LSH candidate pair
+    against the maintained band store — contamination_check's
+    machinery at PAIR granularity, completing the admission-gate
+    matrix across all four evidence channels (text + the three
+    media gates).  Bucket-cap semantics follow inline q_dedup_near:
+    sizes count DISTINCT (doc, band) across store ∪ batch, over-cap
+    buckets dropped — so the gate EQUALS the inline query's
+    cross-subset exactly when store ∪ batch covers the corpus (the
+    even/odd q_text_gate fixture).  NOTE the deliberate asymmetry
+    with the media gates: the text cap is a CORPUS-GLOBAL statistic
+    (a bucket's hotness depends on documents not yet ingested), so
+    this gate is NOT wave-incremental the way the cap-free media
+    gates are — which is exactly why q_ingest_registry folds only
+    media edges; a standing text registry takes the inline pair
+    pipeline (X102's path), not this gate."""
+    from ..operators.dedup import _LSH_BUCKET_CAP, _lsh_bands, minhash_sigs
+
+    qb = _lsh_bands(
+        minhash_sigs(docs.select("doc_id", "text"))
+    ).localCheckpoint(eager=False)
+    store = spark.read.schema(_CONTAM_BANDS_DDL).parquet(store_dir)
+    sizes = (
+        store.select("doc_id", "bi", "bv")
+        .unionByName(qb.select("doc_id", "bi", "bv"))
+        .distinct()
+        .groupBy("bi", "bv")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= _LSH_BUCKET_CAP)
+        .select("bi", "bv")
+    )
+    return (
+        qb.select("bi", "bv", F.col("doc_id").alias("new_doc"))
+        .join(sizes.hint("shuffle_hash"), ["bi", "bv"])
+        .join(
+            store.select("bi", "bv", F.col("doc_id").alias("corpus_doc")),
+            ["bi", "bv"],
+        )
+        .where(F.col("new_doc") != F.col("corpus_doc"))
+        .select("new_doc", "corpus_doc")
+        .distinct()
     )
 
 
