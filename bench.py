@@ -228,6 +228,9 @@ HEADLINE = (
     "q_registry_report",
     # text admission gate (X112)
     "q_text_gate",
+    # real resize + frame-sample transcodes (X113/X114)
+    "q_image_thumbnail",
+    "q_video_sample",
 )
 
 

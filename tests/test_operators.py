@@ -3375,3 +3375,38 @@ def test_contamination_radius_is_min_distance(spark, sf_dir):
     assert set(seeds) <= set(got)
     assert max(got.values()) <= _RADIUS_HOPS
     assert any(h > 0 for h in got.values())  # radius really spreads
+
+
+def test_real_resize_and_frame_sample_transcodes():
+    """resize_gif_gray / sample_gif_frames (X113/X114): the real
+    transform plumbing — thumbnail pixels are exactly the source's
+    even-coordinate pixels (ceil dims keep 1-px edges), sampled
+    frames survive the standalone re-encode bit-exactly with their
+    GCE delays, and odd frame counts sample the right indices."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        decode_gif_gray_pixels,
+        encode_gif_anim,
+        encode_gif_gray,
+        resize_gif_gray,
+        sample_gif_frames,
+    )
+
+    rows = [bytes((x * 7 + y * 13) % 256 for x in range(11))
+            for y in range(7)]
+    thumb = resize_gif_gray(encode_gif_gray(11, 7, rows))
+    tw, th, px = decode_gif_gray_pixels(thumb)
+    assert (tw, th) == (6, 4)  # ceil(11/2), ceil(7/2)
+    for j in range(th):
+        for i in range(tw):
+            assert px[j * tw + i] == rows[2 * j][2 * i]
+    frames = [
+        [bytes((f * 31 + x + y) % 256 for x in range(5))
+         for y in range(4)]
+        for f in range(5)
+    ]
+    clip = encode_gif_anim(5, 4, frames, [7, 8, 9, 10, 11])
+    sampled = sample_gif_frames(clip, 2)
+    assert [(fi, d) for fi, d, _ in sampled] == [(0, 7), (2, 9), (4, 11)]
+    for fi, _, payload in sampled:
+        w, h, px = decode_gif_gray_pixels(payload)
+        assert (w, h) == (5, 4) and px == b"".join(frames[fi])
