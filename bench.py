@@ -231,6 +231,8 @@ HEADLINE = (
     # real resize + frame-sample transcodes (X113/X114)
     "q_image_thumbnail",
     "q_video_sample",
+    # report after the deletes (X115)
+    "q_purged_report",
 )
 
 

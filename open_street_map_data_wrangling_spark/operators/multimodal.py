@@ -3194,7 +3194,20 @@ def q_registry_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering of the surviving corpus (splits, shrinks, dropouts
     and all), the invariant that lets a 100 TB registry honor
     right-to-be-forgotten requests at |touched families| cost
-    instead of re-clustering the corpus."""
+    instead of re-clustering the corpus.  The copy-then-purge
+    composition lives behind the cache in _purged_registry_store
+    (shared with q_purged_report)."""
+    from ..streaming import jobs as _jobs
+
+    return _jobs.family_registry_serve(
+        spark, _purged_registry_store(spark, sf_dir)
+    )
+
+
+def _purged_registry_store(spark: SparkSession, sf_dir: str) -> str:
+    """The post-purge registry store path (the q_registry_purge
+    composition behind its cache) — shared with q_purged_report so
+    the delete and the report-after-delete read the same stores."""
     import sys
 
     from ..streaming import jobs as _jobs
@@ -3203,8 +3216,6 @@ def q_registry_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     def _copy_and_purge(store: str) -> None:
-        # build (or reuse) the un-purged registry, then copy its two
-        # stores so the purge never mutates the shared cache
         src = _registry_store(spark, sf_dir)
         spark.read.parquet(src).write.mode("overwrite").parquet(store)
         spark.read.parquet(f"{src}_edges").write.mode(
@@ -3214,7 +3225,7 @@ def q_registry_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, store, docs.where(F.col("doc_id") % 10 == 3)
         )
 
-    store = cached(
+    return cached(
         "family_registry_purged",
         sf_dir,
         ("documents",),
@@ -3222,7 +3233,6 @@ def q_registry_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copy_and_purge,
         extra="mod10eq3",
     )
-    return _jobs.family_registry_serve(spark, store)
 
 
 # ---------------------------------------------------------------------------
@@ -3751,4 +3761,113 @@ def q_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(_video_sample_batches, schema=MM_VSAMPLE_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X115 — the report after the deletes: X105 ∘ X111 composed (r13)
+
+
+def _purged_report_oracle() -> str:
+    from .dedup import _PAIRS_CTE
+
+    surv = "a % 10 <> 3 AND b % 10 <> 3"
+    return f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        {_IMG_FP_CTES_I},
+        ipairs AS MATERIALIZED ({_IMG_PAIRS_SQL_I}),
+        {_AUD_FP_CTES},
+        apairs AS MATERIALIZED ({_AUD_PAIRS_SQL}),
+        {_VID_FP_CTES},
+        vpairs AS MATERIALIZED ({_VID_PAIRS_SQL}),
+        st AS MATERIALIZED (
+            SELECT pa AS a, pb AS b FROM pairs
+            WHERE pa % 10 <> 3 AND pb % 10 <> 3),
+        si AS MATERIALIZED (
+            SELECT doc_a AS a, doc_b AS b FROM ipairs
+            WHERE doc_a % 10 <> 3 AND doc_b % 10 <> 3),
+        sa AS MATERIALIZED (
+            SELECT doc_a AS a, doc_b AS b FROM apairs
+            WHERE doc_a % 10 <> 3 AND doc_b % 10 <> 3),
+        sv AS MATERIALIZED (
+            SELECT doc_a AS a, doc_b AS b FROM vpairs
+            WHERE doc_a % 10 <> 3 AND doc_b % 10 <> 3),
+        edges AS MATERIALIZED (
+            SELECT a, b FROM st UNION SELECT b, a FROM st
+            UNION SELECT a, b FROM si UNION SELECT b, a FROM si
+            UNION SELECT a, b FROM sa UNION SELECT b, a FROM sa
+            UNION SELECT a, b FROM sv UNION SELECT b, a FROM sv),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        lab AS MATERIALIZED (
+            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
+            FROM (SELECT DISTINCT a FROM edges) e
+            JOIN reach r ON r.src = e.a
+            GROUP BY e.a),
+        tc AS (
+            SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_text_pairs
+            FROM st p JOIN lab l ON l.n = p.a GROUP BY 1),
+        ic AS (
+            SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_image_pairs
+            FROM si p JOIN lab l ON l.n = p.a GROUP BY 1),
+        ac AS (
+            SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_audio_pairs
+            FROM sa p JOIN lab l ON l.n = p.a GROUP BY 1),
+        vc AS (
+            SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_video_pairs
+            FROM sv p JOIN lab l ON l.n = p.a GROUP BY 1)
+        SELECT l.cluster_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(min(tc.n_text_pairs), 0) AS BIGINT)
+                 AS n_text_pairs,
+               CAST(coalesce(min(ic.n_image_pairs), 0) AS BIGINT)
+                 AS n_image_pairs,
+               CAST(coalesce(min(ac.n_audio_pairs), 0) AS BIGINT)
+                 AS n_audio_pairs,
+               CAST(coalesce(min(vc.n_video_pairs), 0) AS BIGINT)
+                 AS n_video_pairs,
+               concat_ws('+',
+                   CASE WHEN coalesce(min(tc.n_text_pairs), 0) > 0
+                        THEN 'text' END,
+                   CASE WHEN coalesce(min(ic.n_image_pairs), 0) > 0
+                        THEN 'image' END,
+                   CASE WHEN coalesce(min(ac.n_audio_pairs), 0) > 0
+                        THEN 'audio' END,
+                   CASE WHEN coalesce(min(vc.n_video_pairs), 0) > 0
+                        THEN 'video' END) AS modality
+        FROM lab l
+        LEFT JOIN tc ON tc.cluster_id = l.cluster_id
+        LEFT JOIN ic ON ic.cluster_id = l.cluster_id
+        LEFT JOIN ac ON ac.cluster_id = l.cluster_id
+        LEFT JOIN vc ON vc.cluster_id = l.cluster_id
+        GROUP BY l.cluster_id
+    """
+
+
+@query(
+    "q_purged_report",
+    oracle=_purged_report_oracle(),
+    tags=("multimodal", "dedup", "streaming", "serve", "delete",
+          "extension"),
+)
+def q_purged_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone report AFTER right-to-be-forgotten (X115 = X105
+    ∘ X111): tombstone doc_id ≡ 3 (mod 10) out of the 4-channel
+    registry, then serve the FULL per-family report — size,
+    per-channel counts, modality — from the purged stores alone.
+    The oracle recomputes every channel's pair pipeline, drops pairs
+    touching a tombstoned doc, re-clusters from scratch, and
+    re-derives the per-channel attribution — so one hash-green row
+    certifies that the purge's touched-cluster relabeling AND the
+    channel-preserving edge rewrite compose: after a delete, the
+    weekly report is still two metadata-sized store scans and still
+    exactly right (splits re-attributed, dropped channels'
+    modalities updated, dropout docs gone)."""
+    from ..streaming import jobs as _jobs
+
+    return _jobs.family_registry_report(
+        spark, _purged_registry_store(spark, sf_dir)
     )

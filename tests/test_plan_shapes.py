@@ -1051,3 +1051,16 @@ def test_registry_report_serves_from_stores_only(plans):
     assert p.count("_edges") == 1
     assert "mapInPandas" not in p.lower()
     assert "CartesianProduct" not in p
+
+
+def test_purged_report_serves_from_stores_only(plans):
+    """q_purged_report: after the cached copy+purge, the post-delete
+    report reads only the purged label store (twice, column-pruned)
+    plus the channel-tagged edge store — no documents scan, no codec
+    stage, no purge machinery."""
+    p = plans("q_purged_report")
+    assert "documents.parquet" not in p
+    assert p.count("Scan parquet") == 3
+    assert p.count("_edges") == 1
+    assert "mapInPandas" not in p.lower()
+    assert "CartesianProduct" not in p

@@ -2056,3 +2056,58 @@ def test_media_gates_audio_video_match_inline_cross_half(
             if (a % 2) != (b % 2)
         }
         assert served == cross and served
+
+
+def test_ingest_registry_wave_redelivery_is_noop(spark, tmp_path):
+    """X110 composition soak: replaying a whole ingest wave (prints
+    merges + gate checks + registry merges) after the pipeline has
+    completed leaves every store bit-identical — set-union prints,
+    deterministic gate output, and the contracted-components merge
+    are each idempotent, so their COMPOSITION is too (the property
+    that makes at-least-once delivery safe end to end)."""
+    from open_street_map_data_wrangling_spark.operators.multimodal import (
+        audio_fingerprints,
+        image_fingerprints,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        family_registry_merge_fn,
+        media_dedup_check,
+        media_prints_merge_fn,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    reg = str(tmp_path / "registry")
+    merge = family_registry_merge_fn(spark, reg)
+    channels = (
+        ("image", image_fingerprints),
+        ("audio", audio_fingerprints),
+    )
+
+    def run_wave(wave: int) -> None:
+        batch = docs.filter(
+            F.col("doc_id").isNotNull() & (F.col("doc_id") % 2 == wave)
+        ).select("doc_id")
+        for ci, (name, fp_fn) in enumerate(channels):
+            prints = str(tmp_path / f"prints_{name}")
+            media_prints_merge_fn(spark, prints, fp_fn)(batch, wave)
+            edges = media_dedup_check(spark, prints, batch, fp_fn).select(
+                F.col("new_doc").alias("a"),
+                F.col("corpus_doc").alias("b"),
+            )
+            merge(edges, wave * 10 + ci)
+
+    run_wave(0)
+    run_wave(1)
+    snap = lambda d: {tuple(r) for r in spark.read.parquet(d).collect()}
+    before = {
+        d: snap(str(tmp_path / d))
+        for d in ("registry", "registry_edges", "prints_image",
+                  "prints_audio")
+    }
+    assert all(before.values())
+    run_wave(1)  # full redelivery of the last wave
+    for d, rows in before.items():
+        assert snap(str(tmp_path / d)) == rows, d
