@@ -233,6 +233,8 @@ HEADLINE = (
     "q_video_sample",
     # report after the deletes (X115)
     "q_purged_report",
+    # multimodal blast radius served from the registry (X116)
+    "q_radius_served",
 )
 
 

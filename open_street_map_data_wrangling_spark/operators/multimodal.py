@@ -3871,3 +3871,105 @@ def q_purged_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jobs.family_registry_report(
         spark, _purged_registry_store(spark, sf_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# X116 — multimodal blast radius, served from the registry (r13)
+
+
+def _radius_served_oracle() -> str:
+    from .dedup import _PAIRS_CTE, _RADIUS_HOPS
+
+    return f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        {_IMG_FP_CTES_I},
+        ipairs AS MATERIALIZED ({_IMG_PAIRS_SQL_I}),
+        {_AUD_FP_CTES},
+        apairs AS MATERIALIZED ({_AUD_PAIRS_SQL}),
+        {_VID_FP_CTES},
+        vpairs AS MATERIALIZED ({_VID_PAIRS_SQL}),
+        edges AS MATERIALIZED (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs
+            UNION SELECT doc_a, doc_b FROM ipairs
+            UNION SELECT doc_b, doc_a FROM ipairs
+            UNION SELECT doc_a, doc_b FROM apairs
+            UNION SELECT doc_b, doc_a FROM apairs
+            UNION SELECT doc_a, doc_b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs),
+        seeds AS (
+            SELECT doc_id AS n FROM documents
+            WHERE doc_id IS NOT NULL AND doc_id % 97 = 0),
+        reach(n, hop) AS (
+            SELECT n, 0 FROM seeds
+            UNION
+            SELECT e.b, r.hop + 1
+            FROM reach r JOIN edges e ON e.a = r.n
+            WHERE r.hop < {_RADIUS_HOPS}
+        )
+        SELECT n AS doc_id, CAST(min(hop) AS INTEGER) AS hops
+        FROM reach GROUP BY n
+    """
+
+
+@query(
+    "q_radius_served",
+    oracle=_radius_served_oracle(),
+    tags=("multimodal", "dedup", "graph", "iterative", "serve",
+          "extension"),
+)
+def q_radius_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL blast radius, SERVED (X116 = X109 over X102's
+    store): every document within 3 hops of a flagged set in the
+    FOUR-CHANNEL duplicate graph — text LSH ∪ image dHash ∪ audio
+    energy ∪ video temporal edges — answered from the maintained
+    registry edge side-store alone: one |edges| scan, frontier BFS
+    (the X109 shape), ZERO pair pipelines and zero codec work at
+    query time.  Cross-modal chains matter here: a flagged doc's
+    video twin's audio twin is 2 hops away even though no single
+    channel connects them — the quarantine a text-only radius would
+    miss.  The oracle recomputes all four channels' pipelines and a
+    hop-bounded closure from scratch, so a hash-green row certifies
+    the maintained edges are COMPLETE (no pair lost across merges)
+    and the served BFS is exact min-distance."""
+    from ..streaming import jobs as _jobs
+    from .dedup import _RADIUS_HOPS
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = _registry_store(spark, sf_dir)
+    half = spark.read.schema(_jobs._FAMILY_EDGE_DDL).parquet(
+        f"{store}_edges"
+    ).select("a", "b")
+    edges = (
+        half.unionByName(
+            half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = (
+        docs.filter(
+            F.col("doc_id").isNotNull() & (F.col("doc_id") % 97 == 0)
+        )
+        .select(F.col("doc_id").alias("n"))
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    dist = seeds
+    frontier = seeds.select("n")
+    for h in range(1, _RADIUS_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["n"] == edges["a"])
+            .select(F.col("b").alias("n"))
+            .distinct()
+        )
+        newf = (
+            nxt.join(dist.select("n"), "n", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(newf).localCheckpoint()
+        frontier = newf.select("n")
+    return dist.select(
+        F.col("n").alias("doc_id"), F.col("hops").cast("int").alias("hops")
+    )
