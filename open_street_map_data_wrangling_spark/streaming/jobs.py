@@ -2551,3 +2551,28 @@ def family_registry_purge(
     _commit_store(efs, estore, estage)
     new_lab.write.mode("overwrite").parquet(str(stage_path))
     _commit_store(fs, store_path, stage_path)
+
+
+def family_registry_purge_maintenance(
+    tomb_stream: DataFrame, store_dir: str
+):
+    """Continuous delete processing for the family registry: each
+    micro-batch of tombstoned doc_ids flows through
+    family_registry_purge — touched-cluster recompute over the
+    surviving edges, untouched families untouched.  With
+    family_registry_maintenance (edge ingest) this closes the
+    registry's streaming lifecycle: adds and deletes both arrive as
+    streams, and the pinned invariant (registry == batch recompute
+    over surviving edges) holds at every micro-batch boundary.
+    Purge idempotency (already-purged ids contract to an empty
+    touched set) makes at-least-once delivery safe without markers.
+    Returns the StreamingQuery (caller stops it)."""
+    return (
+        tomb_stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: family_registry_purge(
+                tomb_stream.sparkSession, store_dir, batch_df
+            )
+        )
+        .option("checkpointLocation", f"{store_dir}_purge_ckpt")
+        .start()
+    )

@@ -2111,3 +2111,58 @@ def test_ingest_registry_wave_redelivery_is_noop(spark, tmp_path):
     run_wave(1)  # full redelivery of the last wave
     for d, rows in before.items():
         assert snap(str(tmp_path / d)) == rows, d
+
+
+def test_family_registry_purge_streams(spark, tmp_path):
+    """family_registry_purge_maintenance: tombstones arriving as a
+    STREAM purge the registry micro-batch by micro-batch, and after
+    any prefix of deletes the registry equals a from-scratch
+    clustering of the surviving edges (the pinned invariant at every
+    batch boundary — here checked after two delete batches that
+    split one family and dissolve another)."""
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        connected_components,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        family_registry_merge_fn,
+        family_registry_purge_maintenance,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21)],
+        "a BIGINT, b BIGINT",
+    )
+    store = str(tmp_path / "registry")
+    family_registry_merge_fn(spark, store)(edges, 0)
+
+    src = str(tmp_path / "tombs")
+    spark.createDataFrame([(3,)], "doc_id BIGINT").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id BIGINT").parquet(src)
+    q = family_registry_purge_maintenance(stream, store)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([(21,), (999,)], "doc_id BIGINT").write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    surviving = spark.createDataFrame(
+        [(1, 2), (4, 5), (10, 11), (11, 12)], "a BIGINT, b BIGINT"
+    )
+    nodes = (
+        surviving.select(F.col("a").alias("n"))
+        .unionByName(surviving.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    batch = {
+        tuple(r)
+        for r in connected_components(surviving, nodes).collect()
+    }
+    got = {tuple(r) for r in spark.read.parquet(store).collect()}
+    assert got == batch
+    assert got == {(1, 1), (2, 1), (4, 4), (5, 4), (10, 10), (11, 10),
+                   (12, 10)}
