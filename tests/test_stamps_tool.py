@@ -53,3 +53,41 @@ def test_update_stamps_is_idempotent_and_sound():
     assert all(
         isinstance(v, str) and len(v) == 16 for v in stamps.values()
     )
+
+
+def test_stamps_cover_every_green_registry_query():
+    """Round-open fold enforcement (VERDICT r13 item 1): every registry
+    query with a committed green CORRECTNESS row must carry a stamp.
+    If a new CORRECTNESS_r*.json lands and `tools/update_stamps.py`
+    was not re-run, this fails — the fold can no longer be forgotten.
+
+    Only COMMITTED correctness files count (same rule as the tool),
+    so a locally-generated verification file can't fail the suite.
+    """
+    committed = set(
+        subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            cwd=ROOT,
+        ).stdout.split()
+    )
+    green: set[str] = set()
+    for rel in committed:
+        rows = json.loads((ROOT / rel).read_text())
+        for n, rec in rows.items():
+            if isinstance(rec, dict) and (
+                rec.get("hash_match") is True or rec.get("err") == "no_oracle"
+            ):
+                green.add(n)
+
+    sys.path.insert(0, str(ROOT))
+    from open_street_map_data_wrangling_spark.plans import load_all_queries
+
+    registry = set(load_all_queries())
+    stamps = set(json.loads((ROOT / "STAMPS.json").read_text()))
+    missing = sorted((green & registry) - stamps)
+    assert not missing, (
+        "green registry queries missing from STAMPS.json — run "
+        f"`python tools/update_stamps.py`: {missing[:10]}"
+    )
