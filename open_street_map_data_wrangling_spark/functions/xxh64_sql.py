@@ -1,0 +1,339 @@
+"""DuckDB-SQL implementation of Spark's ``xxhash64`` expression —
+the r14 promotion of q_dedup_near_fast from rows-only to hash-green
+(VERDICT r13 #7).
+
+Spark's ``F.xxhash64(c1, c2, ...)`` folds XXH64 across its children
+with seed 42: ``h = 42; for c in children: h = XXH64(c, seed=h)``
+where a StringType child hashes its UTF-8 bytes through the full
+XXH64 byte algorithm, an IntegerType child the 4-byte specialization,
+and a LongType child the 8-byte specialization (Spark
+``sql/catalyst/expressions/XXH64.java`` — the public xxHash
+algorithm, Yann Collet).  DuckDB 1.0 has no xxhash64 builtin, so this
+module EMITS SQL that computes it exactly:
+
+* 64-bit wraparound arithmetic on HUGEINT (int128): products are
+  split 32/32 (``lo·lo + ((lo·hi + hi·lo) mod 2^32)·2^32 mod 2^64``)
+  so no intermediate exceeds int128; rotations are shift-add (the
+  rotated halves are disjoint bit ranges, so ``+`` is ``|``).
+* Sequential state chains (the stripe accumulator, the merge rounds,
+  the tail folds, the final avalanche) are expressed as
+  ``list_reduce`` folds, NEVER as chained lateral column aliases —
+  DuckDB inlines aliases textually, and a 20-step chain whose every
+  step references its predecessor 2–8 times explodes the expression
+  tree exponentially (measured: the alias form hangs the binder; the
+  fold form binds instantly and evaluates iteratively).
+* Strings are byte-decoded as ``ord`` over ``string_split(s, '')`` —
+  exact for the ASCII corpora the fixtures guarantee (the same
+  printable-ASCII precondition the BPE oracle documents); a non-ASCII
+  corpus would need a bytes-of-BLOB primitive DuckDB 1.0 lacks.
+
+Python twins of each specialization live here too (used by the
+pytest that pins SQL == Spark on randomized strings/lengths).
+"""
+
+from __future__ import annotations
+
+M = 1 << 64
+B32 = 1 << 32
+P1 = 0x9E3779B185EBCA87
+P2 = 0xC2B2AE3D27D4EB4F
+P3 = 0x165667B19E3779F9
+P4 = 0x85EBCA77C2B2AE63
+P5 = 0x27D4EB2F165667C5
+
+# ---------------------------------------------------------------------------
+# SQL fragment emitters (all args are SQL expressions; results are
+# parenthesized SQL expressions over HUGEINT values in [0, 2^64))
+
+
+def _mul(a: str, b: str) -> str:
+    """(a*b) mod 2^64, int128-safe via a ONE-SIDED 32-bit split:
+    ``a·b ≡ a·lo(b) + ((a·hi(b)) mod 2^32)·2^32  (mod 2^64)`` —
+    ``a·lo(b) < 2^96`` and ``a·hi(b) < 2^96`` both fit int128.  Each
+    operand is referenced TWICE (the first cut's two-sided split
+    referenced each four times, and since these expressions nest 5-6
+    levels deep the 4^k vs 2^k fan-out difference is ~60x in both SQL
+    text and per-row evaluation work — measured 76 s -> single-digit
+    seconds on the q_dedup_near_fast oracle at sf0.01)."""
+    return (
+        f"((({a}) * (({b}) % {B32})"
+        f" + ((({a}) * (({b}) // {B32})) % {B32}) * {B32}) % {M})"
+    )
+
+
+def _mulc(a: str, c: int) -> str:
+    """_mul with a CONSTANT multiplier: the split halves are emitted
+    as literals, so only ``a`` is referenced (twice)."""
+    lo, hi = c % B32, c // B32
+    return (
+        f"((({a}) * {lo}"
+        f" + ((({a}) * {hi}) % {B32}) * {B32}) % {M})"
+    )
+
+
+def _add(a: str, b: str) -> str:
+    return f"((({a}) + ({b})) % {M})"
+
+
+def _rot(x: str, r: int) -> str:
+    return f"(((({x}) * {1 << r}) % {M}) + (({x}) // {1 << (64 - r)}))"
+
+
+def _xor(a: str, b: str) -> str:
+    return f"xor(({a})::HUGEINT, ({b})::HUGEINT)"
+
+
+def _rnd(v: str, w: str) -> str:
+    """XXH64 round: rotl64(v + w*P2, 31) * P1."""
+    return _mulc(_rot(_add(v, _mulc(w, P2)), 31), P1)
+
+
+def _rnd0(v: str) -> str:
+    """round(0, v): rotl64(v*P2, 31) * P1."""
+    return _mulc(_rot(_mulc(v, P2), 31), P1)
+
+
+def _word8(bs: str, o: str) -> str:
+    """8-byte little-endian word at 0-based byte offset ``o``."""
+    return (
+        "("
+        + " + ".join(
+            f"({bs})[({o}) + {k + 1}] * {1 << (8 * k)}" for k in range(8)
+        )
+        + ")"
+    )
+
+
+def fmix_fold(h: str) -> str:
+    """Avalanche via a fold over step descriptors: the accumulator
+    is referenced a bounded number of times inside ONE lambda body
+    (iterative evaluation), so the expression tree stays linear in
+    the chain length."""
+    shift = (
+        f"CASE WHEN x.k = 33 THEN {1 << 33} "
+        f"WHEN x.k = 29 THEN {1 << 29} ELSE {1 << 32} END"
+    )
+    body = _mul(_xor("acc", f"(acc // ({shift}))"), "x.m")
+    # list_reduce has first-element-as-init semantics: steps ride as
+    # structs, the seed rides via list_prepend on a same-typed struct
+    # whose k=0 branch is impossible (k in {33,29,32} only)
+    return (
+        f"list_reduce(list_prepend({{'k': 0, 'm': ({h})::HUGEINT}}, "
+        f"[{{'k': 33, 'm': {P2}::HUGEINT}}, "
+        f"{{'k': 29, 'm': {P3}::HUGEINT}}, "
+        f"{{'k': 32, 'm': 1::HUGEINT}}]), "
+        f"(acc, x) -> {{'k': 0, 'm': {body.replace('acc', 'acc.m')}}}).m"
+    )
+
+
+def to_u64(x: str) -> str:
+    """Signed BIGINT expression -> u64 HUGEINT."""
+    return f"(((({x})::HUGEINT % {M}) + {M}) % {M})"
+
+
+def to_signed(x: str) -> str:
+    """u64 HUGEINT expression -> Spark's signed BIGINT value."""
+    return (
+        f"(CASE WHEN ({x}) >= {1 << 63} THEN ({x}) - {M} "
+        f"ELSE ({x}) END)::BIGINT"
+    )
+
+
+def xxh64_str_ctes(src: str, seed: int = 42) -> str:
+    """CTE chain computing ``xh(sh, shh)`` — u64 XXH64(utf8-bytes,
+    seed) per DISTINCT ``sh`` of ``src`` (callers join back on the
+    string; hashing each distinct shingle once is ~1.6x cheaper than
+    per-occurrence on the fixture corpora).  MATERIALIZED stages
+    bound alias duplication: byte list, length scalars, the 32-byte
+    stripe accumulator, the tail/avalanche."""
+    v1 = (seed + P1 + P2) % M
+    v2 = (seed + P2) % M
+    v3 = seed % M
+    v4 = (seed - P1) % M
+    stripe_el = (
+        "{'a': " + _word8("bs", "32*j") + "::HUGEINT, "
+        "'b': " + _word8("bs", "32*j + 8") + "::HUGEINT, "
+        "'c': " + _word8("bs", "32*j + 16") + "::HUGEINT, "
+        "'d': " + _word8("bs", "32*j + 24") + "::HUGEINT}"
+    )
+    stripe_lam = (
+        "{'a': " + _rnd("acc.a", "x.a") + ", 'b': " + _rnd("acc.b", "x.b")
+        + ", 'c': " + _rnd("acc.c", "x.c")
+        + ", 'd': " + _rnd("acc.d", "x.d") + "}"
+    )
+    init = (
+        f"{{'a': {v1}::HUGEINT, 'b': {v2}::HUGEINT, "
+        f"'c': {v3}::HUGEINT, 'd': {v4}::HUGEINT}}"
+    )
+    sva, svb, svc, svd = (f"struct_extract(sv, '{c}')" for c in "abcd")
+    h0 = _add(
+        _add(_add(_rot(sva, 1), _rot(svb, 7)), _rot(svc, 12)),
+        _rot(svd, 18),
+    )
+    merge_lam = _add(_mulc(_xor("acc", _rnd0("x")), P1), P4)
+    h_merged = (
+        f"CASE WHEN nst = 0 THEN {(seed + P5) % M}::HUGEINT ELSE "
+        f"list_reduce(list_prepend({h0}, [{sva}, {svb}, {svc}, {svd}]), "
+        f"(acc, x) -> {merge_lam}) END"
+    )
+    hl = f"(({h_merged}) + n) % {M}"
+    tail_lam = _add(
+        _mulc(_rot(_xor("acc", _rnd0("x")), 27), P1), str(P4)
+    )
+    ht = (
+        f"list_reduce(list_prepend(({hl})::HUGEINT, "
+        f"list_transform(range(0, tw), j -> "
+        + _word8("bs", "t0 + 8*j")
+        + f"::HUGEINT)), (acc, x) -> {tail_lam})"
+    )
+    u32 = "(bs[o4+1] + bs[o4+2]*256 + bs[o4+3]*65536 + bs[o4+4]*16777216)"
+    # ``ht`` is interpolated twice (the 4-byte mix and the ELSE arm):
+    # a bounded 2x duplication of the tail-fold tree, not a chain
+    h4 = (
+        f"CASE WHEN n - o4 >= 4 THEN "
+        + _add(
+            _mulc(_rot(_xor(f"({ht})", _mulc(u32, P1)), 23), P2),
+            str(P3),
+        )
+        + f" ELSE ({ht}) END"
+    )
+    byte_lam = _mulc(_rot(_xor("acc", _mulc("x", P5)), 11), P1)
+    hb = (
+        f"list_reduce(list_prepend(({h4})::HUGEINT, "
+        f"list_transform(range(ob, n), i -> bs[i+1])), "
+        f"(acc, x) -> {byte_lam})"
+    )
+    return f"""
+        xr AS MATERIALIZED (
+            SELECT sh,
+                   CASE WHEN sh = '' THEN []
+                        ELSE list_transform(string_split(sh, ''),
+                                            c -> ord(c)::HUGEINT)
+                   END AS bs
+            FROM (SELECT DISTINCT sh FROM {src})),
+        xb AS MATERIALIZED (
+            SELECT sh, bs,
+                   len(bs) AS n, n // 32 AS nst, nst * 32 AS t0,
+                   (n - t0) // 8 AS tw, t0 + ((n - t0) // 8) * 8 AS o4,
+                   o4 + CASE WHEN n - o4 >= 4 THEN 4 ELSE 0 END AS ob
+            FROM xr),
+        xs AS MATERIALIZED (
+            SELECT sh, bs, n, nst, t0, tw, o4, ob,
+                   CASE WHEN nst = 0 THEN NULL ELSE
+                       list_reduce(list_prepend({init},
+                           list_transform(range(0, nst),
+                                          j -> {stripe_el})),
+                           (acc, x) -> {stripe_lam})
+                   END AS sv
+            FROM xb),
+        xh AS MATERIALIZED (
+            SELECT sh, {fmix_fold('(' + hb + ')')} AS shh
+            FROM xs)"""
+
+
+def xxh64_int_expr(i: int, seedcol: str) -> str:
+    """u64 XXH64 4-byte specialization over a CONSTANT int ``i`` and
+    a seed expression/column (Spark hashInt)."""
+    g2 = _add(
+        _mulc(
+            _rot(
+                _xor(f"(({seedcol}) + {(P5 + 4) % M}) % {M}",
+                     str((i * P1) % M)),
+                23,
+            ),
+            P2,
+        ),
+        str(P3),
+    )
+    return fmix_fold(g2)
+
+
+def xxh64_long_expr(w: str, seed: str) -> str:
+    """u64 XXH64 8-byte specialization (Spark hashLong): ``w`` and
+    ``seed`` are u64 expressions.  ``seed`` is referenced ~8× through
+    the merge multiply's 32/32 split — keep the caller's seed
+    expression bounded (a column or one nesting level)."""
+    l1 = _xor(f"((({seed}) + {(P5 + 8) % M}) % {M})", _rnd0(w))
+    l2 = _add(_mulc(_rot(l1, 27), P1), P4)
+    return fmix_fold(l2)
+
+
+# ---------------------------------------------------------------------------
+# Python twins (pytest ground truth; mirror Spark's XXH64 exactly)
+
+
+def _py_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) % M
+
+
+def py_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * P2) % M
+    h ^= h >> 29
+    h = (h * P3) % M
+    h ^= h >> 32
+    return h
+
+
+def py_xxh64_bytes(data: bytes, seed: int) -> int:
+    n = len(data)
+    off = 0
+    if n >= 32:
+        vs = [
+            (seed + P1 + P2) % M,
+            (seed + P2) % M,
+            seed % M,
+            (seed - P1) % M,
+        ]
+        while off + 32 <= n:
+            for i in range(4):
+                w = int.from_bytes(
+                    data[off + 8 * i : off + 8 * i + 8], "little"
+                )
+                v = (vs[i] + w * P2) % M
+                vs[i] = (_py_rotl(v, 31) * P1) % M
+            off += 32
+        h = (
+            _py_rotl(vs[0], 1)
+            + _py_rotl(vs[1], 7)
+            + _py_rotl(vs[2], 12)
+            + _py_rotl(vs[3], 18)
+        ) % M
+        for v in vs:
+            rv = (_py_rotl((v * P2) % M, 31) * P1) % M
+            h = ((h ^ rv) * P1 + P4) % M
+    else:
+        h = (seed + P5) % M
+    h = (h + n) % M
+    while off + 8 <= n:
+        w = int.from_bytes(data[off : off + 8], "little")
+        rv = (_py_rotl((w * P2) % M, 31) * P1) % M
+        h = (_py_rotl(h ^ rv, 27) * P1 + P4) % M
+        off += 8
+    if off + 4 <= n:
+        w = int.from_bytes(data[off : off + 4], "little")
+        h = (_py_rotl(h ^ ((w * P1) % M), 23) * P2 + P3) % M
+        off += 4
+    while off < n:
+        h = (_py_rotl(h ^ ((data[off] * P5) % M), 11) * P1) % M
+        off += 1
+    return py_fmix(h)
+
+
+def py_xxh64_long(w: int, seed: int) -> int:
+    w %= M
+    h = (seed + P5 + 8) % M
+    rv = (_py_rotl((w * P2) % M, 31) * P1) % M
+    h = (_py_rotl(h ^ rv, 27) * P1 + P4) % M
+    return py_fmix(h)
+
+
+def py_xxh64_int(i: int, seed: int) -> int:
+    h = (seed + P5 + 4) % M
+    h ^= ((i % B32) * P1) % M
+    h = (_py_rotl(h, 23) * P2 + P3) % M
+    return py_fmix(h)
+
+
+def py_signed(x: int) -> int:
+    return x - M if x >= (1 << 63) else x

@@ -281,6 +281,60 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _capped_band_pairs(_lsh_bands(minhash_sigs(docs)))
 
 
+def near_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_near's edge list as a content-tagged parquet artifact
+    (VERDICT r13 #4): the LSH pair set is the shared input of ~14
+    downstream queries (keep-best, savings, clusters, graph family,
+    hard negatives, training corpus, family registry text channel),
+    and every one of them re-ran the full shingle→minhash→band
+    pipeline per call.  The build runs q_dedup_near itself — same
+    function the driver hash-verifies — and consumers read the tiny
+    (doc_a, doc_b) relation back.  The cache token hashes this module
+    plus functions/textfeat (the whole pair-pipeline closure) and the
+    documents input signature, so any edit anywhere in the pipeline
+    rebuilds.  q_dedup_near's own registry entry still executes the
+    live pipeline."""
+    import sys
+
+    from ..functions import textfeat
+    from .index_cache import cached
+
+    path = cached(
+        "lsh_pairs",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], textfeat),
+        lambda p: q_dedup_near(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(f"{p}/pairs"),
+    )
+    return spark.read.parquet(f"{path}/pairs")
+
+
+def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hashed_shingles(documents) as a content-tagged parquet artifact
+    — the DISTINCT (doc_id, shh) relation is recomputed (explode +
+    md5 + distinct shuffle) by the containment/jaccard/keep-best
+    family on every call; one build serves them all.  Same token
+    closure as near_pairs_cached."""
+    import sys
+
+    from ..functions import textfeat
+    from ..functions.textfeat import hashed_shingles
+    from .index_cache import cached
+
+    path = cached(
+        "doc_shingles",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], textfeat),
+        lambda p: hashed_shingles(load_table(spark, sf_dir, "documents"))
+        .write.mode("overwrite")
+        .parquet(f"{p}/shingles"),
+    )
+    return spark.read.parquet(f"{path}/shingles")
+
+
 # ---------------------------------------------------------------------------
 # X2b — SimHash fingerprint
 
@@ -753,7 +807,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the 3.7 s round-2 bench time)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
-        q_dedup_near(spark, sf_dir)
+        near_pairs_cached(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .localCheckpoint()
     )
@@ -891,25 +945,90 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_near_fast", oracle=None, tags=("dedup", "lsh", "extension"))
+def _near_fast_oracle() -> str:
+    """DuckDB twin of the xxhash64 LSH pipeline — the r14 promotion
+    of q_dedup_near_fast from rows-only to hash-green (VERDICT r13
+    #7).  DuckDB has no xxhash64 builtin, so functions/xxh64_sql.py
+    EMITS the algorithm itself: exact XXH64 over each shingle's
+    bytes (seed 42), the 4-byte specialization for the F.lit(i)
+    permutation index, the 8-byte specialization chained across the
+    two band minhashes — all in int128-safe mod-2^64 arithmetic with
+    sequential state chains as list_reduce folds.  The band
+    cap/bucket/pair tail is byte-identical to q_dedup_near's."""
+    from ..functions.xxh64_sql import (
+        to_signed,
+        to_u64,
+        xxh64_int_expr,
+        xxh64_long_expr,
+        xxh64_str_ctes,
+    )
+
+    # the 8 permutation hashes run once per DISTINCT shingle (xi),
+    # then join back to per-doc occurrences for the min aggregate
+    xi_cols = ",\n               ".join(
+        f"{to_signed(xxh64_int_expr(i, 'shh'))} AS h{i}"
+        for i in range(_N_HASHES)
+    )
+    mh_cols = ",\n               ".join(
+        f"min(h{i}) AS m{i}" for i in range(_N_HASHES)
+    )
+    band_branches = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {j} AS bi, "
+        + to_signed(
+            xxh64_long_expr(
+                to_u64(f"m{2 * j + 1}"),
+                xxh64_long_expr(to_u64(f"m{2 * j}"), "42"),
+            )
+        )
+        + " AS bv FROM mh"
+        for j in range(_BANDS)
+    )
+    return f"""
+        WITH {SHINGLES_SQL_CTE},
+        {xxh64_str_ctes('ex')},
+        xi AS MATERIALIZED (
+            SELECT sh,
+               {xi_cols}
+            FROM xh),
+        mh AS MATERIALIZED (
+            SELECT e.doc_id,
+               {mh_cols}
+            FROM ex e JOIN xi USING (sh) GROUP BY e.doc_id),
+        bands AS MATERIALIZED ({band_branches}),
+        hot AS (
+            SELECT bi, bv FROM bands GROUP BY bi, bv
+            HAVING count(*) > {_LSH_BUCKET_CAP}),
+        kept AS (
+            SELECT * FROM bands ba WHERE NOT EXISTS
+                (SELECT 1 FROM hot h WHERE h.bi = ba.bi AND h.bv = ba.bv))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    """
+
+
+@query(
+    "q_dedup_near_fast",
+    oracle=_near_fast_oracle(),
+    tags=("dedup", "lsh", "extension"),
+)
 def q_dedup_near_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash-LSH (X2): identical pipeline to q_dedup_near
     (including the hot-bucket cap) but with xxhash64 as the hash
     family — JVM-intrinsic, no hex strings through the shuffle (8
     longs instead of 8×32-char strings per doc).
 
-    DELIBERATELY rows-only (r09 decision, closing the r08 verdict's
-    promotion question): xxhash64 IS the point of this query — the
-    bench contrast between the engine-native hash family and the
-    cross-engine-reproducible md5 family is the number a deployment
-    uses to size the dedup pass, and porting it to md5 would erase
-    exactly that signal while duplicating q_dedup_near.  DuckDB has
-    no xxhash64, so no exact SQL twin can exist; the ALGORITHM is
-    hash-verified through the md5 twin, and this query's own output
-    is pinned by a bit-exact Python replay of the xxhash64 pipeline
-    on a controlled-collision corpus (tests/test_operators.py::
-    test_lsh_hash_families_find_identical_dup_groups: both families
-    recover the identical candidate-pair set)."""
+    HASH-GREEN as of r14 (formerly the one deliberately-rows-only
+    deterministic entry): the oracle re-implements Spark's xxhash64
+    in DuckDB SQL (functions/xxh64_sql.py — int128-safe mod-2^64
+    arithmetic, list_reduce state folds, the string/int/long
+    specializations of catalyst's XXH64), so the engine-native hash
+    family is now verified bit-for-bit cross-engine, not just
+    replayed in Python.  The bench contrast with the md5 twin
+    (q_dedup_near) is unchanged — the Spark side still shuffles 8
+    longs per doc instead of 8 hex strings.  The Python replay pin
+    (tests/test_operators.py::
+    test_lsh_hash_families_find_identical_dup_groups) remains."""
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(shingles_expr("text")).alias("sh"))
     mh = ex.groupBy("doc_id").agg(
@@ -1247,7 +1366,7 @@ def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     output.  Emits every candidate with its cosine and the agreement
     flag rather than filtering, so downstream policy (and the
     oracle) sees the full confusion surface."""
-    pairs = q_dedup_near(spark, sf_dir)
+    pairs = near_pairs_cached(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("a_emb"))
     eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("b_emb"))
@@ -2074,7 +2193,7 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE, so the whole composition is hash-checked."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
-        q_dedup_near(spark, sf_dir)
+        near_pairs_cached(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .localCheckpoint()
     )
@@ -2218,7 +2337,7 @@ def q_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     cand = (
-        q_dedup_near(spark, sf_dir)
+        near_pairs_cached(spark, sf_dir)
         .select("doc_a", "doc_b")
         .join(samp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(samp.withColumnRenamed("doc_id", "doc_b"), "doc_b")
@@ -2316,18 +2435,16 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH pair list, never an all-pairs intersection; the hashed
     shingle base is checkpoint-cut once and feeds the size aggregate
     and both join sides (zero visible corpus scans)."""
-    docs = load_table(spark, sf_dir, "documents")
     # the pair list feeds TWO consumers (the intersection build and
     # the final size join): checkpoint-cut so the whole LSH pipeline
     # isn't compiled twice — pairs are the bounded relation here
     pairs = (
-        q_dedup_near(spark, sf_dir)
+        near_pairs_cached(spark, sf_dir)
         .select(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
         .localCheckpoint(eager=False)
     )
-    from ..functions.textfeat import hashed_shingles
 
-    shd = hashed_shingles(docs).localCheckpoint(eager=False)
+    shd = shingles_cached(spark, sf_dir)
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     ia = pairs.join(shd.withColumnRenamed("doc_id", "pa"), "pa")
     inter = (
@@ -2444,7 +2561,7 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just the clustering."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
-        q_dedup_near(spark, sf_dir)
+        near_pairs_cached(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .localCheckpoint()
     )
@@ -2590,12 +2707,11 @@ def q_keep_best_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair relations are checkpoint-cut before fanning into the
     multi-consumer scoring/cluster stages."""
     docs = load_table(spark, sf_dir, "documents")
-    from ..functions.textfeat import hashed_shingles
 
-    lsh = q_dedup_near(spark, sf_dir).select(
+    lsh = near_pairs_cached(spark, sf_dir).select(
         F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
     )
-    shd = hashed_shingles(docs).localCheckpoint(eager=False)
+    shd = shingles_cached(spark, sf_dir)
     post = (
         shd.withColumn("pc", F.count("*").over(W.partitionBy("shh")))
         .filter(F.col("pc") <= _CONTAIN_POST_CAP)
@@ -2708,15 +2824,12 @@ def q_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair list and hashed-shingle base are each checkpoint-cut once;
     intersections are hash-keyed equi-joins against the pair list);
     the histogram is a 10-row aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
-    from ..functions.textfeat import hashed_shingles
-
     pairs = (
-        q_dedup_near(spark, sf_dir)
+        near_pairs_cached(spark, sf_dir)
         .select(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
         .localCheckpoint(eager=False)
     )
-    shd = hashed_shingles(docs).localCheckpoint(eager=False)
+    shd = shingles_cached(spark, sf_dir)
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     ia = pairs.join(shd.withColumnRenamed("doc_id", "pa"), "pa")
     inter = (
@@ -2934,7 +3047,7 @@ def q_contamination_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop-bounded recursive closure and takes min(hop) — hash equality
     proves frontier-BFS == global min-distance."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = q_dedup_near(spark, sf_dir).select(
+    pairs = near_pairs_cached(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     edges = (

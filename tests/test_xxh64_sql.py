@@ -1,0 +1,103 @@
+"""functions/xxh64_sql.py — the DuckDB re-implementation of Spark's
+xxhash64 must agree with the ENGINE, not just with itself: every
+specialization (string bytes, 4-byte int, 8-byte long, multi-column
+chaining) is pinned against F.xxhash64 on randomized inputs covering
+all length classes (empty, <8, =8, <32, =32 boundary, multi-stripe,
+every tail-remainder shape), plus the Python twins used as the fast
+in-test ground truth."""
+
+import random
+import string
+
+import duckdb
+from pyspark.sql import functions as F
+
+from open_street_map_data_wrangling_spark.functions.xxh64_sql import (
+    py_signed,
+    py_xxh64_bytes,
+    py_xxh64_int,
+    py_xxh64_long,
+    to_signed,
+    to_u64,
+    xxh64_int_expr,
+    xxh64_long_expr,
+    xxh64_str_ctes,
+)
+
+# every byte-length equivalence class of the algorithm: empty, pure
+# byte-tail, exact 4/8 chunks, every (stripe, 8-word, 4-chunk, bytes)
+# remainder combination around the 32-byte boundary, multi-stripe
+_LENGTHS = [0, 1, 3, 4, 5, 7, 8, 9, 12, 15, 16, 20, 31, 32, 33, 36,
+            40, 44, 47, 63, 64, 65, 96, 100, 127, 128, 200]
+
+
+def _corpus(seed: int = 20260816) -> list[str]:
+    rng = random.Random(seed)
+    alphabet = string.ascii_letters + string.digits + " .,;:!?'-"
+    return [
+        "".join(rng.choices(alphabet, k=k)) for k in _LENGTHS
+    ] + ["the quick brown fox jumps over the lazy dog"]
+
+
+def test_python_twins_match_spark(spark):
+    strs = _corpus()
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    rows = df.select(
+        "s",
+        F.xxhash64("s").alias("hs"),
+        F.xxhash64(F.col("s"), F.lit(3)).alias("hi"),
+    ).collect()
+    for r in rows:
+        u = py_xxh64_bytes(r["s"].encode(), 42)
+        assert py_signed(u) == r["hs"], repr(r["s"])
+        assert py_signed(py_xxh64_int(3, u)) == r["hi"], repr(r["s"])
+    lrows = spark.createDataFrame(
+        [(123456789012345, -987654321098765), (0, 0), (-1, 1),
+         (2**63 - 1, -(2**63))],
+        "a long, b long",
+    ).select("a", "b", F.xxhash64("a", "b").alias("h")).collect()
+    for r in lrows:
+        assert (
+            py_signed(py_xxh64_long(r["b"], py_xxh64_long(r["a"], 42)))
+            == r["h"]
+        )
+
+
+def test_sql_emitters_match_python_twins():
+    strs = _corpus(seed=7)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(
+            "({}, '{}')".format(i, s.replace("'", "''"))
+            for i, s in enumerate(strs)
+        )
+        + ") v(doc_id, sh)"
+    )
+    rows = con.execute(
+        f"WITH {xxh64_str_ctes('t')} SELECT t.doc_id, t.sh, xh.shh, "
+        f"{xxh64_int_expr(5, 'xh.shh')} AS h5 "
+        f"FROM xh JOIN t USING (sh) ORDER BY t.doc_id"
+    ).fetchall()
+    assert len(rows) == len(strs)
+    for _, s, shh, h5 in rows:
+        u = py_xxh64_bytes(s.encode(), 42)
+        assert int(shh) == u, repr(s)
+        assert int(h5) == py_xxh64_int(5, u), repr(s)
+    vals = [(123456789012345, -987654321098765), (0, 0), (-1, 1),
+            (2**63 - 1, -(2**63)), (42, 42)]
+    con.execute(
+        "CREATE TABLE l AS SELECT * FROM (VALUES "
+        + ",".join(f"(({a})::BIGINT, ({b})::BIGINT)" for a, b in vals)
+        + ") v(ra, rb)"
+    )
+    inner = xxh64_long_expr(to_u64("ra"), "42")
+    out = con.execute(
+        f"SELECT ra, rb, "
+        f"{to_signed(xxh64_long_expr(to_u64('rb'), 's1'))} AS bv "
+        f"FROM (SELECT ra, rb, {inner} AS s1 FROM l)"
+    ).fetchall()
+    for a, b, h in out:
+        assert int(h) == py_signed(
+            py_xxh64_long(b, py_xxh64_long(a, 42))
+        )
