@@ -3394,6 +3394,177 @@ def q_ingest_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X117 — FOUR-channel ingest-time dedup (r14, VERDICT r13 #3): the
+# text channel joins the per-wave fold.
+
+
+def _ingest_registry_full_oracle() -> str:
+    """Oracle for the four-channel ingest composition.  The media
+    chains are wave-order-INVARIANT (no caps), so they recompute
+    from scratch; the text chain caps buckets on a CUMULATIVE corpus
+    statistic, so the oracle replays the exact admission-time
+    semantics: an edge exists iff, at the LATER endpoint's wave, the
+    bucket's cumulative distinct-(doc, band) size is within the cap
+    (the three-wave unroll below — s0/s1/s2 are the store sizes the
+    gate actually consulted).  When no bucket crosses the cap
+    between waves this equals inline q_dedup_near's edge set (true
+    of the fixture — pinned in tests/test_streaming.py — and of any
+    corpus whose hot buckets are hot from the start)."""
+    from ..functions.textfeat import SHINGLES_SQL_CTE
+    from .dedup import _BAND_SQL, _LSH_BUCKET_CAP, _MINHASH_COLS_SQL
+
+    cap = _LSH_BUCKET_CAP
+    return f"""
+        WITH RECURSIVE
+        {SHINGLES_SQL_CTE},
+        mh AS MATERIALIZED (
+            SELECT doc_id,
+               {_MINHASH_COLS_SQL}
+            FROM ex GROUP BY doc_id),
+        tb AS MATERIALIZED ({_BAND_SQL}),
+        tsz AS MATERIALIZED (
+            SELECT bi, bv,
+                   count(*) FILTER (doc_id % 3 <= 0) AS s0,
+                   count(*) FILTER (doc_id % 3 <= 1) AS s1,
+                   count(*) AS s2
+            FROM tb GROUP BY bi, bv),
+        tpairs AS MATERIALIZED (
+            SELECT DISTINCT least(n.doc_id, c.doc_id) AS doc_a,
+                            greatest(n.doc_id, c.doc_id) AS doc_b
+            FROM tb n
+            JOIN tb c ON n.bi = c.bi AND n.bv = c.bv
+                     AND n.doc_id <> c.doc_id
+            JOIN tsz z ON z.bi = n.bi AND z.bv = n.bv
+            WHERE (n.doc_id % 3 = 0 AND c.doc_id % 3 = 0
+                   AND z.s0 <= {cap})
+               OR (n.doc_id % 3 = 1 AND c.doc_id % 3 <= 1
+                   AND z.s1 <= {cap})
+               OR (n.doc_id % 3 = 2 AND z.s2 <= {cap})),
+        {_IMG_FP_CTES_I},
+        ipairs AS MATERIALIZED ({_IMG_PAIRS_SQL_I}),
+        {_AUD_FP_CTES},
+        apairs AS MATERIALIZED ({_AUD_PAIRS_SQL}),
+        {_VID_FP_CTES},
+        vpairs AS MATERIALIZED ({_VID_PAIRS_SQL}),
+        edges AS MATERIALIZED (
+            SELECT doc_a AS a, doc_b AS b FROM tpairs
+            UNION SELECT doc_b, doc_a FROM tpairs
+            UNION SELECT doc_a, doc_b FROM ipairs
+            UNION SELECT doc_b, doc_a FROM ipairs
+            UNION SELECT doc_a, doc_b FROM apairs
+            UNION SELECT doc_b, doc_a FROM apairs
+            UNION SELECT doc_a, doc_b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        lab AS MATERIALIZED (
+            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
+            FROM (SELECT DISTINCT a FROM edges) e
+            JOIN reach r ON r.src = e.a
+            GROUP BY e.a)
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+        FROM lab GROUP BY cluster_id
+    """
+
+
+@query(
+    "q_ingest_registry_full",
+    oracle=_ingest_registry_full_oracle(),
+    tags=("multimodal", "dedup", "streaming", "serve", "iterative",
+          "text", "extension"),
+)
+def q_ingest_registry_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR-channel ingest-time dedup (X117) — closes the one
+    asymmetry q_ingest_registry documented: the TEXT channel now
+    folds into the family registry per wave too.  Each wave merges
+    its MinHash band rows into the maintained band store
+    (contamination_bands_merge_fn — the store the standing text gate
+    already keeps), then screens itself against the UPDATED store
+    (text_dedup_check: bucket caps computed over store ∪ batch =
+    the cumulative corpus so far, so the gate consults exactly the
+    statistic a from-scratch run over the ingested prefix would),
+    and the admitted (new_doc, corpus_doc) pairs fold into the
+    registry alongside the three media channels' edges — all four
+    evidence channels land the moment they are discovered.
+
+    Cap semantics under incremental ingest are ADMISSION-TIME: an
+    edge folds iff its bucket is within cap when its later endpoint
+    arrives, and a bucket that later turns hot does not retract
+    already-folded edges (production gates cannot un-admit).  The
+    oracle replays exactly that (three-wave unroll over cumulative
+    bucket sizes), so the hash check is semantics-exact, not
+    fixture-lucky; when no bucket crosses the cap mid-ingest —
+    true of the fixture, pinned in tests — the edge set equals
+    inline q_dedup_near's.
+
+    Scale shape: identical to q_ingest_registry (wave-sized codec +
+    band passes, store-sized equi-joins, |touched clusters| merges)
+    plus the text store's ~4 band rows × ~34 bytes per doc."""
+    import sys
+
+    from ..streaming import jobs as _jobs
+    from . import dedup as _dedup
+    from .index_cache import cached
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _ingest(store: str) -> None:
+        reg = f"{store}/registry"
+        channels = (
+            ("image", image_fingerprints),
+            ("audio", audio_fingerprints),
+            ("video", video_fingerprints),
+        )
+        merge = _jobs.family_registry_merge_fn(spark, reg)
+        tstore = f"{store}/prints_text"
+        for wave in range(3):
+            batch = docs.filter(
+                F.col("doc_id").isNotNull()
+                & (F.col("doc_id") % 3 == wave)
+            )
+            ids = batch.select("doc_id")
+            # text channel: merge the wave's bands FIRST (the store
+            # then IS the cumulative corpus), gate against it, fold
+            _jobs.contamination_bands_merge_fn(spark, tstore)(
+                batch.select("doc_id", "text"), wave
+            )
+            tedges = _jobs.text_dedup_check(
+                spark, tstore, batch.select("doc_id", "text")
+            ).select(
+                F.col("new_doc").alias("a"),
+                F.col("corpus_doc").alias("b"),
+                F.lit("text").alias("channel"),
+            )
+            merge(tedges, wave * 10 + 9)
+            for ci, (name, fp_fn) in enumerate(channels):
+                prints = f"{store}/prints_{name}"
+                _jobs.media_prints_merge_fn(spark, prints, fp_fn)(
+                    ids, wave
+                )
+                edges = _jobs.media_dedup_check(
+                    spark, prints, ids, fp_fn
+                ).select(
+                    F.col("new_doc").alias("a"),
+                    F.col("corpus_doc").alias("b"),
+                    F.lit(name).alias("channel"),
+                )
+                merge(edges, wave * 10 + ci)
+
+    store = cached(
+        "ingest_registry_full",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], _jobs, _dedup),
+        _ingest,
+        extra="3waves-allchannels",
+    )
+    return _jobs.family_registry_serve(spark, f"{store}/registry")
+
+
+# ---------------------------------------------------------------------------
 # X111 — capstone report served from the maintained registry (r13)
 
 

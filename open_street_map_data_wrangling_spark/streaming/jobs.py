@@ -2576,3 +2576,48 @@ def family_registry_purge_maintenance(
         .option("checkpointLocation", f"{store_dir}_purge_ckpt")
         .start()
     )
+
+
+def family_registry_compact(
+    spark: SparkSession, store_dir: str, target_files: int = 1
+) -> None:
+    """Small-file compaction for the family registry's two stores
+    (VERDICT r13 #5) — the OPTIMIZE step of the registry lifecycle
+    (merge → purge → COMPACT), same role as compact_ivfpq_index for
+    the ANN store: every micro-batch merge rewrites both stores at
+    the write parallelism of its union+distinct plan, so after many
+    batches each snapshot carries dozens of KB-sized part files and
+    a serve pays file-open cost instead of scan cost.  Compaction
+    rewrites each store's rows VERBATIM (no dedup, no filter — the
+    relation must be bit-identical, pinned in tests/test_streaming)
+    coalesced to ``target_files`` leaves, via the same stage-rename
+    commit every other rewrite uses, preserving any
+    ``_applied_``/``_purged_`` markers a store carries (the family
+    stores are marker-free today; the copy is the forward-safe
+    default the span-gram purge established).  Labels and edges are
+    committed independently — each store is internally consistent at
+    every instant, and compaction changes no rows, so there is no
+    cross-store ordering to protect.  At 100 TB a deployment sizes
+    ``target_files`` by bytes (≈1 GiB per file); the fixture default
+    folds each store to one leaf."""
+    edir = f"{store_dir}_edges"
+    jvm = spark._jvm
+    for path_str, ddl in ((edir, _FAMILY_EDGE_DDL), (store_dir, _FAMILY_DDL)):
+        _, fs, store_path, stage_path = _store_paths(spark, path_str)
+        _recover_store(fs, store_path, stage_path)
+        if not fs.exists(store_path):
+            continue
+        rows = (
+            spark.read.schema(ddl).parquet(path_str).localCheckpoint()
+        )
+        rows.coalesce(target_files).write.mode("overwrite").parquet(
+            str(stage_path)
+        )
+        for status in fs.listStatus(store_path):
+            name = status.getPath().getName()
+            if name.startswith(("_applied_", "_purged_")):
+                fs.create(
+                    jvm.org.apache.hadoop.fs.Path(f"{stage_path}/{name}"),
+                    True,
+                ).close()
+        _commit_store(fs, store_path, stage_path)

@@ -2166,3 +2166,173 @@ def test_family_registry_purge_streams(spark, tmp_path):
     assert got == batch
     assert got == {(1, 1), (2, 1), (4, 4), (5, 4), (10, 10), (11, 10),
                    (12, 10)}
+
+
+def test_family_registry_compact_is_row_identical_and_shrinks_files(
+    spark, tmp_path
+):
+    """family_registry_compact (r14): after a multi-batch merge soak
+    both stores carry many small part files; compaction must (1)
+    leave the label and edge RELATIONS bit-identical, (2) reduce the
+    data-file count to the target, (3) leave the store fully usable
+    — a post-compact merge and purge behave exactly as on the
+    uncompacted store."""
+    import os
+
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        family_registry_compact,
+        family_registry_merge_fn,
+        family_registry_purge,
+        family_registry_serve,
+    )
+
+    store = str(tmp_path / "registry")
+    merge = family_registry_merge_fn(spark, store)
+    batches = [
+        [(1, 2, "text"), (3, 4, "image")],
+        [(2, 3, "text"), (10, 11, "audio")],
+        [(11, 12, "video"), (5, 6, "text")],
+        [(4, 5, "image")],
+    ]
+    for i, b in enumerate(batches):
+        merge(
+            spark.createDataFrame(
+                b, "a BIGINT, b BIGINT, channel STRING"
+            ),
+            i,
+        )
+
+    def parts(d):
+        return [
+            f
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+
+    labels_before = {
+        tuple(r) for r in spark.read.parquet(store).collect()
+    }
+    edges_before = {
+        tuple(r) for r in spark.read.parquet(store + "_edges").collect()
+    }
+    n_label_files = len(parts(store))
+    n_edge_files = len(parts(store + "_edges"))
+
+    family_registry_compact(spark, store)
+
+    assert {
+        tuple(r) for r in spark.read.parquet(store).collect()
+    } == labels_before
+    assert {
+        tuple(r) for r in spark.read.parquet(store + "_edges").collect()
+    } == edges_before
+    assert len(parts(store)) == 1
+    assert len(parts(store + "_edges")) == 1
+    # the soak accumulated more than one leaf per store, so the
+    # compaction actually reduced something
+    assert n_label_files > 1 or n_edge_files > 1
+
+    # still a live store: a merge and a purge behave normally
+    merge(
+        spark.createDataFrame([(6, 10, "text")], "a BIGINT, b BIGINT, channel STRING"),
+        99,
+    )
+    served = {
+        tuple(r) for r in family_registry_serve(spark, store).collect()
+    }
+    assert (1, 9) in served  # 1..6 + 10..12 fused into one family
+    family_registry_purge(
+        spark, store, spark.createDataFrame([(6,)], "doc_id BIGINT")
+    )
+    served2 = {
+        tuple(r) for r in family_registry_serve(spark, store).collect()
+    }
+    assert (1, 5) in served2 and (10, 3) in served2
+
+
+def test_ingest_text_edges_admission_semantics_and_fixture_equality(
+    spark,
+):
+    """Two pins for q_ingest_registry_full's text channel (X117):
+
+    1. FIXTURE EQUALITY — on the driver fixture no LSH bucket
+       crosses the cap between waves, so the admission-time edge set
+       must equal inline q_dedup_near's (the claim the docstring
+       makes).
+    2. ADMISSION SEMANTICS — on a synthetic corpus engineered so a
+       bucket IS under cap at wave 0 and over cap at wave 2, the
+       wave-sequenced Spark machinery (contamination_bands_merge_fn
+       + text_dedup_check per wave) produces exactly the oracle's
+       three-wave unroll: wave-0 edges are kept (no retraction),
+       wave-2 edges from the now-hot bucket are dropped."""
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        _LSH_BUCKET_CAP,
+        q_dedup_near,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        contamination_bands_merge_fn,
+        text_dedup_check,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def wave_edges(docs, store):
+        out = set()
+        for wave in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == wave).select(
+                "doc_id", "text"
+            )
+            contamination_bands_merge_fn(spark, store)(batch, wave)
+            for r in text_dedup_check(spark, store, batch).collect():
+                a, b = r["new_doc"], r["corpus_doc"]
+                out.add((min(a, b), max(a, b)))
+        return out
+
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    with tempfile.TemporaryDirectory() as td:
+        seq = wave_edges(docs, f"{td}/bands")
+    inline = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_near(spark, sf).collect()
+    }
+    assert seq == inline  # claim 1
+
+    # claim 2: one shared text duplicated across cap+2 docs; two of
+    # them land in wave 0 (bucket size 2 <= cap: edge admitted), the
+    # rest arrive by wave 2 pushing every band bucket over cap
+    n_hot = _LSH_BUCKET_CAP + 2
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(n_hot)]
+    # plus an isolated pair in wave 1 (ids 301/304: both %3 == 1)
+    rows += [(301, "zeta eta theta iota"), (304, "zeta eta theta iota")]
+    sdocs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    with tempfile.TemporaryDirectory() as td:
+        got = wave_edges(sdocs, f"{td}/bands")
+    w0 = [i for i in range(n_hot) if i % 3 == 0]
+    w01 = [i for i in range(n_hot) if i % 3 <= 1]
+    expect = set()
+    # wave 0: bucket size = |w0| -> admitted iff within cap
+    if len(w0) <= _LSH_BUCKET_CAP:
+        expect |= {(a, b) for a in w0 for b in w0 if a < b}
+    # wave 1: cumulative size = |w01|
+    if len(w01) <= _LSH_BUCKET_CAP:
+        expect |= {
+            (min(a, b), max(a, b))
+            for a in w01
+            for b in w01
+            if a != b and a % 3 == 1 or b % 3 == 1
+            if min(a, b) != max(a, b)
+        }
+    # wave 2: cumulative size = n_hot > cap -> nothing admitted
+    expect.add((301, 304))
+    got_hot = {e for e in got if e != (301, 304)}
+    exp_hot = {e for e in expect if e != (301, 304)}
+    assert (301, 304) in got
+    assert got_hot == exp_hot
+    # the definitional property: wave-0 edges exist although the
+    # final bucket is hot (admission-time, no retraction), and no
+    # wave-2 doc of the hot bucket gained an edge
+    assert any(a % 3 == 0 and b % 3 == 0 for a, b in got_hot)
+    w2 = {i for i in range(n_hot) if i % 3 == 2}
+    assert not any(a in w2 or b in w2 for a, b in got_hot)
