@@ -224,6 +224,7 @@ HEADLINE = (
     "q_contamination_radius",
     # ingest-time dedup composition (X110)
     "q_ingest_registry",
+    "q_ingest_registry_full",
     # registry-served capstone report (X111)
     "q_registry_report",
     # text admission gate (X112)

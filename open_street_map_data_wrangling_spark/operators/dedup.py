@@ -2711,57 +2711,7 @@ def q_keep_best_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = near_pairs_cached(spark, sf_dir).select(
         F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
     )
-    shd = shingles_cached(spark, sf_dir)
-    post = (
-        shd.withColumn("pc", F.count("*").over(W.partitionBy("shh")))
-        .filter(F.col("pc") <= _CONTAIN_POST_CAP)
-        .select("doc_id", "shh")
-    )
-    ca, cb = post.alias("ca"), post.alias("cb")
-    ccand = (
-        ca.join(
-            cb,
-            (F.col("ca.shh") == F.col("cb.shh"))
-            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
-        )
-        .select(
-            F.col("ca.doc_id").alias("pa"),
-            F.col("cb.doc_id").alias("pb"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    ia = ccand.join(shd.withColumnRenamed("doc_id", "pa"), "pa")
-    inter = (
-        ia.join(
-            shd.select(F.col("doc_id").alias("pb"), "shh"), ["pb", "shh"]
-        )
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    cpairs = (
-        ccand.join(
-            sizes.select(
-                F.col("doc_id").alias("pa"), F.col("n_sh").alias("n_a")
-            ),
-            "pa",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("pb"), F.col("n_sh").alias("n_b")
-            ),
-            "pb",
-        )
-        .join(inter, ["pa", "pb"])
-        .filter(
-            F.expr(
-                f"greatest((n_inter * 10000) div n_a, "
-                f"(n_inter * 10000) div n_b) >= {_CONTAIN_MIN_BP}"
-            )
-        )
-        .select("pa", "pb")
-    )
+    cpairs = containment_edges_cached(spark, sf_dir)
     pairs = (
         lsh.unionByName(cpairs)
         .distinct()
@@ -2769,6 +2719,89 @@ def q_keep_best_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return _keep_best_policy(docs, pairs)
+
+
+def containment_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment-verified edge list (rare-shingle inverted
+    index -> capped co-posting candidates -> exact one-way
+    containment >= {_CONTAIN_MIN_BP} bp) as a content-tagged parquet
+    artifact — the r14 extension of the near_pairs cache to the
+    second edge family q_keep_best_containment folds.  Pure function
+    of (documents, this module, textfeat); pairs bounded cap^2/2 per
+    shingle by construction at any scale."""
+    import sys
+
+    from ..functions import textfeat
+    from .index_cache import cached
+
+    def build(p: str) -> None:
+        shd = shingles_cached(spark, sf_dir)
+        post = (
+            shd.withColumn(
+                "pc", F.count("*").over(W.partitionBy("shh"))
+            )
+            .filter(F.col("pc") <= _CONTAIN_POST_CAP)
+            .select("doc_id", "shh")
+        )
+        ca, cb = post.alias("ca"), post.alias("cb")
+        ccand = (
+            ca.join(
+                cb,
+                (F.col("ca.shh") == F.col("cb.shh"))
+                & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+            )
+            .select(
+                F.col("ca.doc_id").alias("pa"),
+                F.col("cb.doc_id").alias("pb"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        ia = ccand.join(shd.withColumnRenamed("doc_id", "pa"), "pa")
+        inter = (
+            ia.join(
+                shd.select(F.col("doc_id").alias("pb"), "shh"),
+                ["pb", "shh"],
+            )
+            .groupBy("pa", "pb")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        (
+            ccand.join(
+                sizes.select(
+                    F.col("doc_id").alias("pa"),
+                    F.col("n_sh").alias("n_a"),
+                ),
+                "pa",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("pb"),
+                    F.col("n_sh").alias("n_b"),
+                ),
+                "pb",
+            )
+            .join(inter, ["pa", "pb"])
+            .filter(
+                F.expr(
+                    f"greatest((n_inter * 10000) div n_a, "
+                    f"(n_inter * 10000) div n_b) >= {_CONTAIN_MIN_BP}"
+                )
+            )
+            .select("pa", "pb")
+            .write.mode("overwrite")
+            .parquet(f"{p}/edges")
+        )
+
+    path = cached(
+        "containment_edges",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], textfeat),
+        build,
+    )
+    return spark.read.parquet(f"{path}/edges")
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,15 @@ _RUNTIME_SQL_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalesces by BYTES; a CPU-dense byte-light merge aggregate
+    # (millions of compressed-long partial rows) collapses to one
+    # task under the 1MB default floor — the skew soak measured
+    # q_maxsim_batch's merge at 23.7 s in a single task on the Zipf
+    # fixture, and 64KB restored 16-way parallelism (37.2 s -> 9.0 s
+    # warm).  Lowering the floor only splits stages that would have
+    # been merged below 1MB, so tiny stages gain sub-ms scheduling
+    # overhead at worst (bench-validated: no regression).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64KB",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
 }
