@@ -225,6 +225,8 @@ HEADLINE = (
     # ingest-time dedup composition (X110)
     "q_ingest_registry",
     "q_ingest_registry_full",
+    "q_matryoshka_recall",
+    "q_vocab_coverage",
     # registry-served capstone report (X111)
     "q_registry_report",
     # text admission gate (X112)

@@ -1883,3 +1883,120 @@ def q_vec_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", F.round("__cos", 4).alias("cos_sim")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X118 — Matryoshka (MRL) truncation audit (r14)
+
+_MRL_QUERY_ID = 7  # fixed probe vector for the truncation audit
+_MRL_WIDTHS = (64, 32, 16, 8)  # full dim first — the recall baseline
+_MRL_Q = 100_000  # per-element fixed-point quantizer (exact < 2^53)
+
+
+def _mrl_oracle() -> str:
+    width_rows = ", ".join(f"({w})" for w in _MRL_WIDTHS)
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(x::DOUBLE * {_MRL_Q}) AS BIGINT))
+                     AS q
+            FROM embeddings WHERE embedding IS NOT NULL),
+        p AS (SELECT q AS pq FROM e WHERE vec_id = {_MRL_QUERY_ID}),
+        widths(w) AS (VALUES {width_rows}),
+        scored AS MATERIALIZED (
+            SELECT widths.w, e.vec_id,
+                   CAST(list_dot_product(
+                       (e.q[1:widths.w])::DOUBLE[],
+                       (p.pq[1:widths.w])::DOUBLE[]) AS BIGINT) AS s
+            FROM e, p, widths
+            WHERE e.vec_id <> {_MRL_QUERY_ID}),
+        tops AS (
+            SELECT w, vec_id,
+                   row_number() OVER (PARTITION BY w
+                                      ORDER BY s DESC, vec_id ASC) AS rn
+            FROM scored),
+        t10 AS (SELECT w, vec_id FROM tops WHERE rn <= 10),
+        base AS (SELECT vec_id FROM t10 WHERE w = {_MRL_WIDTHS[0]})
+        SELECT CAST(t.w AS INTEGER) AS width,
+               CAST(count(b.vec_id) AS BIGINT) AS hits,
+               count(b.vec_id) / 10.0 AS recall_at_10
+        FROM t10 t LEFT JOIN base b ON b.vec_id = t.vec_id
+        GROUP BY t.w
+        ORDER BY width DESC
+    """
+
+
+@query(
+    "q_matryoshka_recall",
+    oracle=_mrl_oracle(),
+    tags=("similarity", "embedding", "mrl", "audit", "extension"),
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (X118) — MRL-style embeddings are
+    served at a PREFIX of their trained dimension (half or quarter
+    width cuts the vector store and the dot-product cost by the same
+    factor); the number a deployment needs before flipping that
+    switch is how much of the full-width top-k the truncated scores
+    preserve.  For widths {_MRL_WIDTHS}: integer fixed-point dot
+    (round(x·10⁵), exact BIGINT sums — the q_int8_recall exactness
+    recipe without the per-dim scale, since truncation audits the
+    PREFIX, not the quantizer) of every vector's prefix against the
+    fixed probe's prefix, per-width top-10, and recall@10 vs the
+    full-width baseline.  One fold per width via zero-padded probe
+    literals — dot(prefix, prefix) == dot(full, zero-padded probe),
+    so every width shares one corpus scan and the slice never
+    materializes.
+
+    Scale shape: one embeddings scan, {len(_MRL_WIDTHS)} row-local
+    folds, per-width TakeOrderedAndProject heaps (10 rows each), a
+    40-row self-join.  Nothing shuffles at corpus volume."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = emb.filter(F.col("embedding").isNotNull())
+    prows = (
+        nn.filter(F.col("vec_id") == _MRL_QUERY_ID)
+        .select("embedding")
+        .collect()
+    )
+    if not prows:
+        return _empty_result(
+            emb, "width INT, hits BIGINT, recall_at_10 DOUBLE"
+        )
+    from .pq import _half_up
+
+    pq = [_half_up(float(x) * _MRL_Q) for x in prows[0]["embedding"]]
+    qx = (
+        f"transform(embedding, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {_MRL_Q}) AS BIGINT))"
+    )
+    tops = None
+    for w in _MRL_WIDTHS:
+        padded = pq[:w] + [0] * (len(pq) - w)
+        plit = "array(" + ", ".join(f"{int(v)}L" for v in padded) + ")"
+        score = (
+            f"aggregate(zip_with({qx}, {plit}, (a, b) -> a * b), "
+            "0L, (acc, v) -> acc + v)"
+        )
+        t = (
+            nn.filter(F.col("vec_id") != _MRL_QUERY_ID)
+            .select("vec_id", F.expr(score).cast("long").alias("s"))
+            .orderBy(F.desc("s"), F.asc("vec_id"))
+            .limit(10)
+            .select(F.lit(w).cast("int").alias("width"), "vec_id")
+        )
+        tops = t if tops is None else tops.unionByName(t)
+    tops = tops.localCheckpoint(eager=False)
+    base = tops.filter(F.col("width") == _MRL_WIDTHS[0]).select("vec_id")
+    return (
+        tops.join(
+            base.withColumn("__hit", F.lit(1)), "vec_id", "left"
+        )
+        .groupBy("width")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("hits"))
+        .select(
+            "width",
+            "hits",
+            (F.col("hits") / F.lit(10.0)).alias("recall_at_10"),
+        )
+        .orderBy(F.desc("width"))
+    )

@@ -4020,3 +4020,94 @@ def q_maxsim_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries=tuple((q, ts) for q, ts, _ in _MAXSIM_BATCH_FILTERED),
         filters={q: src for q, ts, src in _MAXSIM_BATCH_FILTERED},
     )
+
+
+# ---------------------------------------------------------------------------
+# X119 — tokenizer vocabulary coverage curve (r14)
+
+_VOCAB_CURVE_NS = (10, 100, 1000)  # candidate vocabulary sizes
+
+
+def _vocab_coverage_oracle() -> str:
+    branches = "\n            UNION ALL ".join(
+        f"SELECT CAST({n} AS BIGINT) AS top_n, "
+        f"CAST(count(*) FILTER (rk <= {n}) AS BIGINT) AS n_tokens_in_vocab, "
+        f"CAST(coalesce(sum(cnt) FILTER (rk <= {n}), 0) * 10000 "
+        f"// (SELECT t FROM total) AS BIGINT) AS coverage_bp "
+        f"FROM ranked"
+        for n in _VOCAB_CURVE_NS
+    )
+    return f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        counts AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok WHERE tok <> '' GROUP BY tok),
+        total AS (SELECT sum(cnt) AS t FROM counts),
+        ranked AS (
+            SELECT cnt,
+                   row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk
+            FROM counts)
+        SELECT * FROM ({branches}) ORDER BY top_n
+    """
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=_vocab_coverage_oracle(),
+    tags=("text", "tokenizer", "pipeline", "extension"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage curve (X119): what fraction of
+    all corpus token OCCURRENCES the top-N token types cover, for
+    candidate vocabulary sizes {_VOCAB_CURVE_NS} — the first number a
+    tokenizer design consults (coverage at the knee decides the
+    vocab budget; the complement is the OOV mass a fallback byte
+    encoder must absorb).  Exact integers end to end: counts are
+    exact, the rank order (count DESC, token ASC) is total, coverage
+    is basis points by integer division.
+
+    Scale shape: one corpus scan into a token-keyed count (map-side
+    combined), then a top-{max(_VOCAB_CURVE_NS)}
+    TakeOrderedAndProject heap — the global sort only ever sees the
+    CAPPED head (bounded by the constant, never vocab-sized: unique
+    tokens at 100 TB are billions, the heap is 1 000), one bounded
+    window over those rows, one scalar total, conditional sums
+    stacked into {len(_VOCAB_CURVE_NS)} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    head = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(
+        max(_VOCAB_CURVE_NS)
+    )
+    # the window runs over the <=1000-row capped head — bounded by
+    # the constant, so the single partition is a constant, not a
+    # scale hazard
+    w = W.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = head.withColumn("rk", F.row_number().over(w))
+    total = counts.agg(F.sum("cnt").alias("t"))
+    aggs = []
+    for n in _VOCAB_CURVE_NS:
+        aggs += [
+            F.sum(F.when(F.col("rk") <= n, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nv{n}"),
+            F.coalesce(
+                F.sum(F.when(F.col("rk") <= n, F.col("cnt"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"cov{n}"),
+        ]
+    one = ranked.agg(*aggs).crossJoin(F.broadcast(total))
+    stack = ", ".join(
+        f"CAST({n} AS BIGINT), nv{n}, CAST(cov{n} * 10000 div t AS BIGINT)"
+        for n in _VOCAB_CURVE_NS
+    )
+    return one.selectExpr(
+        f"stack({len(_VOCAB_CURVE_NS)}, {stack}) AS "
+        "(top_n, n_tokens_in_vocab, coverage_bp)"
+    ).orderBy("top_n")

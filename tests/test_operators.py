@@ -3373,3 +3373,86 @@ def test_real_resize_and_frame_sample_transcodes():
     for fi, _, payload in sampled:
         w, h, px = decode_gif_gray_pixels(payload)
         assert (w, h) == (5, 4) and px == b"".join(frames[fi])
+
+
+def test_matryoshka_recall_baseline_and_bounds(spark):
+    """q_matryoshka_recall (X118): the full-width row IS the baseline
+    (hits == 10, recall == 1.0); every truncated width reports
+    0 <= hits <= 10; all configured widths appear exactly once; and
+    the width-32 top-10 recomputed directly in Python from the same
+    integer quantization matches the reported hit count."""
+    from open_street_map_data_wrangling_spark.operators.similarity import (
+        _MRL_Q,
+        _MRL_QUERY_ID,
+        _MRL_WIDTHS,
+        q_matryoshka_recall,
+    )
+    from open_street_map_data_wrangling_spark.operators.pq import _half_up
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["width"]: r for r in q_matryoshka_recall(spark, sf).collect()}
+    assert set(rows) == set(_MRL_WIDTHS)
+    full = rows[_MRL_WIDTHS[0]]
+    assert full["hits"] == 10 and full["recall_at_10"] == 1.0
+    for w in _MRL_WIDTHS[1:]:
+        assert 0 <= rows[w]["hits"] <= 10
+
+    emb = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter("embedding IS NOT NULL")
+        .collect()
+    }
+    probe = emb[_MRL_QUERY_ID]
+    pq = [_half_up(x * _MRL_Q) for x in probe]
+
+    def top10(w):
+        scored = []
+        for vid, v in emb.items():
+            if vid == _MRL_QUERY_ID:
+                continue
+            s = sum(
+                _half_up(v[i] * _MRL_Q) * pq[i] for i in range(w)
+            )
+            scored.append((-s, vid))
+        return {vid for _, vid in sorted(scored)[:10]}
+
+    base = top10(_MRL_WIDTHS[0])
+    got32 = len(top10(32) & base)
+    assert rows[32]["hits"] == got32
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    """q_vocab_coverage (X119): coverage is non-decreasing in N,
+    n_tokens_in_vocab == min(N, |vocab|), and the N=10 coverage
+    equals a direct Python recount at sf0.001."""
+    from collections import Counter
+
+    from open_street_map_data_wrangling_spark.operators.text import (
+        q_vocab_coverage,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        (tuple(r) for r in q_vocab_coverage(spark, sf).collect())
+    )
+    assert [r[0] for r in rows] == [10, 100, 1000]
+    covs = [r[2] for r in rows]
+    assert covs == sorted(covs)
+    assert all(0 <= c <= 10000 for c in covs)
+
+    cnt = Counter()
+    for r in (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        for t in r["text"].split(" "):
+            if t:
+                cnt[t] += 1
+    total = sum(cnt.values())
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    for n, nv, bp in rows:
+        assert nv == min(n, len(ordered))
+        want = sum(c for _, c in ordered[:n]) * 10000 // total
+        assert bp == want, (n, bp, want)
