@@ -227,6 +227,7 @@ HEADLINE = (
     "q_ingest_registry_full",
     "q_matryoshka_recall",
     "q_vocab_coverage",
+    "q_registry_report_compacted",
     # registry-served capstone report (X111)
     "q_registry_report",
     # text admission gate (X112)

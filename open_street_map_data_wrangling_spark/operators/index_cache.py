@@ -79,17 +79,30 @@ def cached(
     """Return the path of the ``kind`` artifact for ``sf_dir``,
     building it via ``build_fn(path)`` only when no current-token
     build exists.  See the module docstring for the token contract."""
-    token = hashlib.md5(
-        (
-            _modules_sig(modules)
-            + "|"
-            + _input_sig(sf_dir, tables)
-            + "|"
-            + extra
-            + "|"
-            + os.path.abspath(sf_dir)
-        ).encode()
-    ).hexdigest()[:16]
+    input_sig = _input_sig(sf_dir, tables)
+    if ":absent" in input_sig:
+        # An input table has no file behind it — the pytest
+        # monkeypatch pattern (load_table patched to a synthetic
+        # DataFrame, sf_dir a placeholder).  The content token
+        # cannot see THAT data, so two tests patching different
+        # frames would alias onto one artifact; never reuse — build
+        # into a unique dir every call.  Real corpora always have
+        # files, so production caching is unaffected.
+        import uuid
+
+        token = uuid.uuid4().hex[:16]
+    else:
+        token = hashlib.md5(
+            (
+                _modules_sig(modules)
+                + "|"
+                + input_sig
+                + "|"
+                + extra
+                + "|"
+                + os.path.abspath(sf_dir)
+            ).encode()
+        ).hexdigest()[:16]
     path = os.path.join(
         tempfile.gettempdir(), f"osm_spark_idx_{kind}_{token}"
     )

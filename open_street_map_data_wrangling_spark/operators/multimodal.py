@@ -3011,6 +3011,35 @@ def q_family_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_4ch_registry(spark: SparkSession, sf_dir: str, store: str) -> None:
+    """Fold all four channels' evidence edges into a fresh family
+    registry at ``store`` (labels there, channel-tagged edges at
+    ``{store}_edges``) — two parity-split merge batches, so the
+    incremental contracted-components path is exercised, not just a
+    one-shot build.  Shared by _registry_store and the compacted
+    twin."""
+    from ..streaming import jobs as _jobs
+
+    pairs = _channel_pairs(spark, sf_dir)
+    edges = (
+        pairs["text"].withColumn("channel", F.lit("text"))
+        .unionByName(
+            pairs["image"].withColumn("channel", F.lit("image"))
+        )
+        .unionByName(
+            pairs["audio"].withColumn("channel", F.lit("audio"))
+        )
+        .unionByName(
+            pairs["video"].withColumn("channel", F.lit("video"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    merge = _jobs.family_registry_merge_fn(spark, store)
+    merge(edges.where((F.col("a") + F.col("b")) % 2 == 0), 0)
+    merge(edges.where((F.col("a") + F.col("b")) % 2 == 1), 1)
+
+
 def _registry_store(spark: SparkSession, sf_dir: str) -> str:
     """Build (or reuse) the 4-channel family-registry store for
     ``sf_dir`` — labels at the returned path, the undirected edge
@@ -3022,32 +3051,12 @@ def _registry_store(spark: SparkSession, sf_dir: str) -> str:
     from ..streaming import jobs as _jobs
     from .index_cache import cached
 
-    def _merge_chunks(store: str) -> None:
-        pairs = _channel_pairs(spark, sf_dir)
-        edges = (
-            pairs["text"].withColumn("channel", F.lit("text"))
-            .unionByName(
-                pairs["image"].withColumn("channel", F.lit("image"))
-            )
-            .unionByName(
-                pairs["audio"].withColumn("channel", F.lit("audio"))
-            )
-            .unionByName(
-                pairs["video"].withColumn("channel", F.lit("video"))
-            )
-            .distinct()
-            .localCheckpoint()
-        )
-        merge = _jobs.family_registry_merge_fn(spark, store)
-        merge(edges.where((F.col("a") + F.col("b")) % 2 == 0), 0)
-        merge(edges.where((F.col("a") + F.col("b")) % 2 == 1), 1)
-
     return cached(
         "family_registry",
         sf_dir,
         ("documents",),
         (sys.modules[__name__], _jobs),
-        _merge_chunks,
+        lambda store: _build_4ch_registry(spark, sf_dir, store),
         extra="2chunk-parity",
     )
 
@@ -3591,6 +3600,48 @@ def q_registry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jobs.family_registry_report(
         spark, _registry_store(spark, sf_dir)
     )
+
+
+@query(
+    "q_registry_report_compacted",
+    oracle=_multimodal_dedup_oracle(),
+    tags=("multimodal", "dedup", "streaming", "serve", "maintenance",
+          "extension"),
+)
+def q_registry_report_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone report served AFTER store compaction (X120) —
+    the driver-visible half of family_registry_compact (r14): build
+    the 4-channel registry incrementally, COMPACT both stores
+    (labels + channel-tagged edges folded to single leaves via the
+    stage-rename commit), then serve q_registry_report's exact
+    output from the compacted stores.  The oracle is the capstone
+    oracle (all four chains + transitive closure from scratch), so a
+    hash-green row proves compaction is row-exact through the
+    report a curation review reads — the OPTIMIZE step of the
+    registry lifecycle certified end to end, not just pytest-pinned.
+
+    Scale shape: the build is the amortized offline step; compaction
+    is two bounded rewrites (|labels| + |edges| rows); the serve is
+    the same two metadata-sized scans as q_registry_report, now with
+    one file-open per store instead of dozens."""
+    import sys
+
+    from ..streaming import jobs as _jobs
+    from .index_cache import cached
+
+    def _build(store: str) -> None:
+        _build_4ch_registry(spark, sf_dir, store)
+        _jobs.family_registry_compact(spark, store)
+
+    store = cached(
+        "family_registry",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__], _jobs),
+        _build,
+        extra="2chunk-parity-compacted",
+    )
+    return _jobs.family_registry_report(spark, store)
 
 
 # ---------------------------------------------------------------------------

@@ -194,7 +194,7 @@ def test_kcore_toy_path_vs_clique_and_fixpoint(spark, monkeypatch):
          (10, 11), (11, 12), (10, 12), (12, 13)],
         "doc_a long, doc_b long",
     )
-    monkeypatch.setattr(g, "q_dedup_near", lambda s, d: pairs)
+    monkeypatch.setattr(g, "near_pairs_cached", lambda s, d: pairs)
     got = {r["doc_id"]: r["core_deg"] for r in g.q_kcore(spark, "_").collect()}
     assert got == {10: 2, 11: 2, 12: 2}
 
