@@ -3128,11 +3128,18 @@ def _maxsim_batch_scored(
         f"CAST(conv(substring(__h, i * 2 + 1, 2), 16, 10) AS BIGINT)"
         f" - 128)"
     )
-    toksv = (
-        toks.withColumn("__h", F.md5("tok"))
-        .withColumn("tv", F.expr(lanes))
-        .drop("__h")
-    )
+    if "tv" in toks.columns:
+        # pre-laned relation (the r14 maxsim_toks cache ships tv):
+        # the md5 + 16 substr/conv per token row were paid once at
+        # build; bigint arrays roundtrip parquet exactly
+        toksv = toks
+        toks = toks.drop("tv")
+    else:
+        toksv = (
+            toks.withColumn("__h", F.md5("tok"))
+            .withColumn("tv", F.expr(lanes))
+            .drop("__h")
+        )
     qtv = (
         qt.withColumn("__h", F.md5("qtok"))
         .withColumn("qv", F.expr(lanes))
@@ -3249,12 +3256,20 @@ def q_maxsim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build_toks(p: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
+        lanes = (
+            f"transform(sequence(0, {_MAXSIM_DIM - 1}), i -> "
+            f"CAST(conv(substring(__h, i * 2 + 1, 2), 16, 10) AS BIGINT)"
+            f" - 128)"
+        )
         (
             docs.select(
                 "doc_id", F.explode(F.split("text", " ")).alias("tok")
             )
             .filter(F.col("tok") != "")
             .distinct()
+            .withColumn("__h", F.md5("tok"))
+            .withColumn("tv", F.expr(lanes))
+            .drop("__h")
             .write.mode("overwrite")
             .parquet(f"{p}/toks")
         )
@@ -3266,9 +3281,9 @@ def q_maxsim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_sys.modules[__name__],),
         _build_toks,
     )
-    toks = spark.read.schema("doc_id BIGINT, tok STRING").parquet(
-        f"{toks_path}/toks"
-    )
+    toks = spark.read.schema(
+        "doc_id BIGINT, tok STRING, tv ARRAY<BIGINT>"
+    ).parquet(f"{toks_path}/toks")
     qt = spark.createDataFrame(
         [(q, t) for q, ts in _MAXSIM_BATCH for t in ts],
         "qid long, qtok string",
