@@ -228,6 +228,7 @@ HEADLINE = (
     "q_matryoshka_recall",
     "q_vocab_coverage",
     "q_registry_report_compacted",
+    "q_dedup_weighting",
     # registry-served capstone report (X111)
     "q_registry_report",
     # text admission gate (X112)

@@ -2491,6 +2491,90 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X121 — dedup-aware loss weighting (r14)
+
+
+@query(
+    "q_dedup_weighting",
+    oracle=f"""
+        WITH RECURSIVE
+        {_PAIRS_CTE},
+        edges AS (SELECT pa AS a, pb AS b FROM pairs
+                  UNION SELECT pb, pa FROM pairs),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        lab AS (
+            SELECT e.a AS n, least(e.a, min(r.dst)) AS cluster_id
+            FROM (SELECT DISTINCT a FROM edges) e
+            JOIN reach r ON r.src = e.a
+            GROUP BY e.a),
+        sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT)
+                 AS cluster_id,
+               CAST(coalesce(sz.n, 1) AS BIGINT) AS family_size,
+               CAST(10000 // coalesce(sz.n, 1) AS BIGINT) AS weight_bp
+        FROM documents d
+        LEFT JOIN lab l ON l.n = d.doc_id
+        LEFT JOIN sz ON sz.cluster_id = l.cluster_id
+    """,
+    tags=("dedup", "pipeline", "weighting", "iterative", "extension"),
+)
+def q_dedup_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware loss weighting (X121) — the SOFT alternative to
+    dropping duplicates: keep every copy but down-weight each
+    duplicate family member so the family contributes ONE document's
+    worth of gradient (weight = 10000/|family| bp; singletons keep
+    10000).  Hard dedup throws away benign re-posts and boilerplate
+    variants a model may still want distributional signal from;
+    weighting preserves them at calibrated loss mass, and this
+    manifest is the per-doc column a training loader joins.
+
+    Composition: the cached LSH edge list → pointer-doubling
+    components over edge-touched nodes only → family sizes → one
+    LEFT join against the corpus (the singleton majority never
+    enters a shuffle wider than its own doc_id).  Integer bp weights
+    — exact cross-engine, and a family's total weight mass is
+    |family| · (10000 // |family|) ≈ 10000 by construction (floor
+    division, pinned in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        near_pairs_cached(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    lab = connected_components(pairs, nodes)
+    sz = lab.groupBy("cluster_id").agg(F.count("*").alias("__fam_n"))
+    fam = lab.join(sz, "cluster_id").select(
+        F.col("n").alias("__member"), "cluster_id", "__fam_n"
+    )
+    return (
+        docs.select("doc_id")
+        .join(fam, docs["doc_id"] == fam["__member"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id")
+            .cast("bigint")
+            .alias("cluster_id"),
+            F.coalesce("__fam_n", F.lit(1))
+            .cast("bigint")
+            .alias("family_size"),
+            F.expr("CAST(10000 div coalesce(__fam_n, 1) AS BIGINT)").alias(
+                "weight_bp"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # X67 — quality-ranked cluster representative (r10)
 
 # the keep-best policy tail (sized -> ranked -> final aggregate),

@@ -3456,3 +3456,38 @@ def test_vocab_coverage_monotone_and_exact(spark):
         assert nv == min(n, len(ordered))
         want = sum(c for _, c in ordered[:n]) * 10000 // total
         assert bp == want, (n, bp, want)
+
+
+def test_dedup_weighting_mass_and_singletons(spark):
+    """q_dedup_weighting (X121): every duplicate-family member
+    carries weight 10000 // |family| bp, singletons carry exactly
+    10000, family members agree on (cluster_id, family_size), and
+    the family sizes match the clustering q_dedup_clusters reports."""
+    from open_street_map_data_wrangling_spark.operators.dedup import (
+        q_dedup_clusters,
+        q_dedup_weighting,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_dedup_weighting(spark, sf).collect()
+    n_docs = (
+        spark.read.parquet(f"{sf}/documents.parquet").count()
+    )
+    assert len(rows) == n_docs
+    by_cluster = {}
+    for r in rows:
+        assert r["weight_bp"] == 10000 // r["family_size"]
+        if r["family_size"] == 1:
+            assert r["weight_bp"] == 10000
+            assert r["cluster_id"] == r["doc_id"]
+        else:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert len(members) == members[0]["family_size"]
+        assert len({m["family_size"] for m in members}) == 1
+    clusters = {}
+    for r in q_dedup_clusters(spark, sf).collect():
+        clusters.setdefault(r["cluster_id"], 0)
+        clusters[r["cluster_id"]] += 1
+    multi = {c: n for c, n in clusters.items() if n > 1}
+    assert {c: len(m) for c, m in by_cluster.items()} == multi
