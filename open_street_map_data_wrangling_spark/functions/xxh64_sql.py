@@ -25,7 +25,10 @@ module EMITS SQL that computes it exactly:
 * Strings are byte-decoded as ``ord`` over ``string_split(s, '')`` —
   exact for the ASCII corpora the fixtures guarantee (the same
   printable-ASCII precondition the BPE oracle documents); a non-ASCII
-  corpus would need a bytes-of-BLOB primitive DuckDB 1.0 lacks.
+  corpus would need a bytes-of-BLOB primitive DuckDB 1.0 lacks.  The
+  emitted CTE enforces the precondition with ``error()`` (byte length
+  vs char length), so a non-ASCII string fails LOUDLY at oracle time
+  instead of surfacing as a puzzling hash-mismatch row.
 
 Python twins of each specialization live here too (used by the
 pytest that pins SQL == Spark on randomized strings/lengths).
@@ -207,6 +210,9 @@ def xxh64_str_ctes(src: str, seed: int = 42) -> str:
         xr AS MATERIALIZED (
             SELECT sh,
                    CASE WHEN sh = '' THEN []
+                        WHEN octet_length(encode(sh)) <> length(sh)
+                        THEN error('xxh64_str_ctes: non-ASCII input '
+                                   || 'needs UTF-8 bytes, got: ' || sh)
                         ELSE list_transform(string_split(sh, ''),
                                             c -> ord(c)::HUGEINT)
                    END AS bs
@@ -233,12 +239,15 @@ def xxh64_str_ctes(src: str, seed: int = 42) -> str:
 
 def xxh64_int_expr(i: int, seedcol: str) -> str:
     """u64 XXH64 4-byte specialization over a CONSTANT int ``i`` and
-    a seed expression/column (Spark hashInt)."""
+    a seed expression/column (Spark hashInt).  ``i`` is reduced to its
+    unsigned 32-bit value first — Spark's hashInt multiplies
+    ``(input & 0xFFFFFFFFL) * P1``, so a negative int must wrap to
+    u32 before the multiply (mirrors ``py_xxh64_int``)."""
     g2 = _add(
         _mulc(
             _rot(
                 _xor(f"(({seedcol}) + {(P5 + 4) % M}) % {M}",
-                     str((i * P1) % M)),
+                     str(((i % B32) * P1) % M)),
                 23,
             ),
             P2,

@@ -26,19 +26,29 @@ A ``_built_<token>`` marker INSIDE the dir commits the build: written
 only after the build function returns, invisible to parquet readers
 (underscore prefix), and because the token is also in the DIR NAME a
 code/data change can never alias onto a stale dir — it lands in a
-fresh one.  A crash mid-build leaves no marker and the next call
-rebuilds with overwrite semantics.  Mutating consumers (the tombstone
-query purges its stores) get their own token via ``extra`` so shared
-read-only artifacts are never poisoned; re-running a cached
-build+purge composition is idempotent by those purges' contracts.
+fresh one.  Builds are CRASH- and RACE-safe via build-then-rename
+(r14 advice #2): the artifact is built into a per-process temp dir
+(pid + random suffix), the marker is written there, and the whole dir
+is ``os.rename``d into place — one atomic syscall on the same
+filesystem, so concurrent first-builders can never interleave writes
+into the published path; the rename loser discards its copy and reads
+the winner's.  A crash mid-build leaves only an orphan ``.build.*``
+temp dir, never a marked-but-corrupt artifact.  Mutating consumers
+(the tombstone query purges its stores) get their own token via
+``extra`` so shared read-only artifacts are never poisoned;
+re-running a cached build+purge composition is idempotent by those
+purges' contracts.
 """
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import inspect
 import os
+import shutil
 import tempfile
+import uuid
 from typing import Callable, Iterable
 
 
@@ -86,30 +96,65 @@ def cached(
         # DataFrame, sf_dir a placeholder).  The content token
         # cannot see THAT data, so two tests patching different
         # frames would alias onto one artifact; never reuse — build
-        # into a unique dir every call.  Real corpora always have
-        # files, so production caching is unaffected.
-        import uuid
+        # into a unique dir every call, and register it for atexit
+        # cleanup (single-use by construction, so monkeypatch-heavy
+        # test runs don't leak one dir per call).  Real corpora
+        # always have files, so production caching is unaffected.
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"osm_spark_idx_{kind}_ephemeral_{uuid.uuid4().hex[:16]}",
+        )
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_fn(path)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "_built_ephemeral"), "w"):
+            pass
+        return path
 
-        token = uuid.uuid4().hex[:16]
-    else:
-        token = hashlib.md5(
-            (
-                _modules_sig(modules)
-                + "|"
-                + input_sig
-                + "|"
-                + extra
-                + "|"
-                + os.path.abspath(sf_dir)
-            ).encode()
-        ).hexdigest()[:16]
+    token = hashlib.md5(
+        (
+            _modules_sig(modules)
+            + "|"
+            + input_sig
+            + "|"
+            + extra
+            + "|"
+            + os.path.abspath(sf_dir)
+        ).encode()
+    ).hexdigest()[:16]
     path = os.path.join(
         tempfile.gettempdir(), f"osm_spark_idx_{kind}_{token}"
     )
     marker = os.path.join(path, f"_built_{token}")
-    if not os.path.exists(marker):
-        build_fn(path)
-        os.makedirs(path, exist_ok=True)
-        with open(marker, "w"):
+    if os.path.exists(marker):
+        return path
+    # Build into a per-process temp dir, mark it, then publish with
+    # ONE atomic rename: concurrent first-builders each build their
+    # own copy and exactly one rename wins; the loser (rename raises
+    # because ``path`` now exists non-empty) discards its copy and
+    # reads the winner's marked artifact.  The builds are pure
+    # functions of the token, so the copies are interchangeable.
+    tmp = f"{path}.build.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    try:
+        build_fn(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, f"_built_{token}"), "w"):
             pass
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not os.path.exists(marker):
+                # ``path`` exists but is unmarked — a pre-r15 crash
+                # artifact (the old in-place protocol could leave
+                # one).  Swap it out and retry once; a second loss
+                # means a concurrent winner just published.
+                stale = f"{path}.stale.{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(path, stale)
+                    shutil.rmtree(stale, ignore_errors=True)
+                    os.rename(tmp, path)
+                except OSError:
+                    pass
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return path

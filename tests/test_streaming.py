@@ -2321,8 +2321,7 @@ def test_ingest_text_edges_admission_semantics_and_fixture_equality(
             (min(a, b), max(a, b))
             for a in w01
             for b in w01
-            if a != b and a % 3 == 1 or b % 3 == 1
-            if min(a, b) != max(a, b)
+            if (a % 3 == 1 or b % 3 == 1) and a != b
         }
     # wave 2: cumulative size = n_hot > cap -> nothing admitted
     expect.add((301, 304))

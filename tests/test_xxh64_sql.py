@@ -46,11 +46,15 @@ def test_python_twins_match_spark(spark):
         "s",
         F.xxhash64("s").alias("hs"),
         F.xxhash64(F.col("s"), F.lit(3)).alias("hi"),
+        F.xxhash64(F.col("s"), F.lit(-3)).alias("hn"),
     ).collect()
     for r in rows:
         u = py_xxh64_bytes(r["s"].encode(), 42)
         assert py_signed(u) == r["hs"], repr(r["s"])
         assert py_signed(py_xxh64_int(3, u)) == r["hi"], repr(r["s"])
+        # negative int: Spark masks (input & 0xFFFFFFFF) before the
+        # multiply — the twin must wrap to u32, not sign-extend
+        assert py_signed(py_xxh64_int(-3, u)) == r["hn"], repr(r["s"])
     lrows = spark.createDataFrame(
         [(123456789012345, -987654321098765), (0, 0), (-1, 1),
          (2**63 - 1, -(2**63))],
@@ -76,14 +80,18 @@ def test_sql_emitters_match_python_twins():
     )
     rows = con.execute(
         f"WITH {xxh64_str_ctes('t')} SELECT t.doc_id, t.sh, xh.shh, "
-        f"{xxh64_int_expr(5, 'xh.shh')} AS h5 "
+        f"{xxh64_int_expr(5, 'xh.shh')} AS h5, "
+        f"{xxh64_int_expr(-7, 'xh.shh')} AS hn "
         f"FROM xh JOIN t USING (sh) ORDER BY t.doc_id"
     ).fetchall()
     assert len(rows) == len(strs)
-    for _, s, shh, h5 in rows:
+    for _, s, shh, h5, hn in rows:
         u = py_xxh64_bytes(s.encode(), 42)
         assert int(shh) == u, repr(s)
         assert int(h5) == py_xxh64_int(5, u), repr(s)
+        # negative constant must wrap to u32 (mirrors Spark hashInt's
+        # (input & 0xFFFFFFFF) mask) — was latent-wrong before r15
+        assert int(hn) == py_xxh64_int(-7, u), repr(s)
     vals = [(123456789012345, -987654321098765), (0, 0), (-1, 1),
             (2**63 - 1, -(2**63)), (42, 42)]
     con.execute(
@@ -91,6 +99,15 @@ def test_sql_emitters_match_python_twins():
         + ",".join(f"(({a})::BIGINT, ({b})::BIGINT)" for a, b in vals)
         + ") v(ra, rb)"
     )
+    # non-ASCII precondition guard: the CTE must fail LOUDLY, not
+    # return a silently-wrong hash
+    con.execute("CREATE TABLE bad AS SELECT 'café' AS sh")
+    try:
+        con.execute(f"WITH {xxh64_str_ctes('bad')} SELECT * FROM xh")
+        raise AssertionError("non-ASCII input did not raise")
+    except duckdb.Error as e:
+        assert "non-ASCII" in str(e)
+
     inner = xxh64_long_expr(to_u64("ra"), "42")
     out = con.execute(
         f"SELECT ra, rb, "
