@@ -240,6 +240,12 @@ HEADLINE = (
     "q_purged_report",
     # multimodal blast radius served from the registry (X116)
     "q_radius_served",
+    # added round 15: typed PII audit, ANN range search, quality
+    # calibration, corpus datasheet (X122-X125)
+    "q_pii_audit",
+    "q_ann_range",
+    "q_quality_calibration",
+    "q_datasheet",
 )
 
 
@@ -580,6 +586,26 @@ def main() -> None:
                     ),
                     file=sys.stderr,
                 )
+    # Full-record persistence (VERDICT r14 #4): the driver's stdout
+    # window keeps only ~65-70 per-query pairs, so cross-round
+    # per-query regression analysis outside the control pair was
+    # window-limited.  Persist the COMPLETE record to
+    # BENCH_FULL_LATEST.json (overwritten per run) and append it to
+    # BENCH_HISTORY.jsonl — committed at each round-open, these carry
+    # the full per-query series the stdout line cannot.  Advisory:
+    # a persist failure must never take the benchmark down.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_FULL_LATEST.json"), "w") as fh:
+            json.dump(out, fh, sort_keys=True, indent=1)
+            fh.write("\n")
+        hist = dict(out)
+        hist["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as fh:
+            fh.write(json.dumps(hist, sort_keys=True) + "\n")
+    except OSError as exc:  # noqa: PERF203 - advisory only
+        print(f"bench: full-record persist skipped ({exc})", file=sys.stderr)
+
     # Three stdout lines, by design (VERDICT r12 #2): the driver's
     # capture keeps the TAIL of stdout, so the parseable compact line
     # must come LAST.  The full line is printed between two compact

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions import SHINGLES_SQL_CTE
 from ..plans.registry import query
@@ -449,3 +450,98 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     committing its output shards."""
     _, _, manifest = training_corpus(spark, sf_dir)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# X125 — corpus datasheet (per-source + overall, one ROLLUP pass)
+
+
+@query(
+    "q_datasheet",
+    oracle="""
+        WITH sig AS (
+            SELECT source, lang,
+                   len(string_split(text, ' ')) AS n_toks,
+                   CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+                        THEN 1 ELSE 0 END AS is_dup,
+                   CASE WHEN len(string_split(text, ' ')) >= 20
+                             AND 10000 * len(list_distinct(
+                                     string_split(text, ' ')))
+                                 // len(string_split(text, ' ')) >= 5000
+                        THEN 1 ELSE 0 END AS is_keep
+            FROM documents)
+        SELECT coalesce(source, '__all__') AS source_group,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS total_toks,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+               CAST(10000 * sum(is_dup) // count(*) AS BIGINT) AS dup_bp,
+               CAST(sum(is_keep) AS BIGINT) AS keep_docs,
+               CAST(10000 * sum(is_keep) // count(*) AS BIGINT) AS keep_bp
+        FROM sig
+        GROUP BY ROLLUP(source)
+        ORDER BY source_group
+    """,
+    tags=("pipeline", "quality", "extension"),
+)
+def q_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet (X125) — the "datasheets for datasets" summary
+    a release ships alongside the corpus: per-source AND overall rows
+    from ONE rollup pass, covering volume (docs, tokens), language
+    breadth, exact-duplicate exposure (corpus-wide md5 families, so a
+    source is charged for duplicates it shares with OTHER sources —
+    the number that matters for cross-source contamination), and the
+    structural keep rate (q_quality_tiers' gate).  Ratios in basis
+    points via exact integer division.
+
+    Engine side: rowwise signals at the scan; the dup flag is one
+    count-over-md5 window (shuffle by content hash — at 100 TB
+    identical to the exact-dedup shuffle, and a corpus that maintains
+    q_dedup_exact's family table joins it instead); then ROLLUP gives
+    per-source and grand-total rows in one aggregate, no second pass
+    and no union of two jobs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    sig = (
+        docs.select(
+            "source",
+            "lang",
+            F.md5("text").alias("__h"),
+            F.expr(f"size({toks})").cast("bigint").alias("n_toks"),
+            F.expr(
+                f"CASE WHEN size({toks}) >= 20 AND "
+                f"10000 * size(array_distinct({toks})) div size({toks}) >= 5000 "
+                "THEN 1 ELSE 0 END"
+            ).alias("is_keep"),
+        )
+        .withColumn(
+            "is_dup",
+            F.when(F.count("*").over(W.partitionBy("__h")) > 1, 1).otherwise(
+                0
+            ),
+        )
+        .drop("__h")
+    )
+    return (
+        sig.rollup("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_toks"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("is_dup").cast("bigint").alias("dup_docs"),
+            F.expr("10000 * sum(is_dup) div count(*)").alias("dup_bp"),
+            F.sum("is_keep").cast("bigint").alias("keep_docs"),
+            F.expr("10000 * sum(is_keep) div count(*)").alias("keep_bp"),
+        )
+        .select(
+            F.coalesce("source", F.lit("__all__")).alias("source_group"),
+            "n_docs",
+            "total_toks",
+            "n_langs",
+            "dup_docs",
+            "dup_bp",
+            "keep_docs",
+            "keep_bp",
+        )
+        .orderBy("source_group")
+    )

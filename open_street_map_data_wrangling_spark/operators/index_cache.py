@@ -27,15 +27,19 @@ only after the build function returns, invisible to parquet readers
 (underscore prefix), and because the token is also in the DIR NAME a
 code/data change can never alias onto a stale dir — it lands in a
 fresh one.  Builds are CRASH- and RACE-safe via build-then-rename
-(r14 advice #2): the artifact is built into a per-process temp dir
-(pid + random suffix), the marker is written there, and the whole dir
-is ``os.rename``d into place — one atomic syscall on the same
+(r14 advice #2): the artifact is built into a per-process temp path
+(pid + random suffix), the marker is written there, and the results
+are ``os.rename``d into place — atomic syscalls on the same
 filesystem, so concurrent first-builders can never interleave writes
 into the published path; the rename loser discards its copy and reads
-the winner's.  A crash mid-build leaves only an orphan ``.build.*``
-temp dir, never a marked-but-corrupt artifact.  Mutating consumers
-(the tombstone query purges its stores) get their own token via
-``extra`` so shared read-only artifacts are never poisoned;
+the winner's.  Build functions may create SIBLING artifacts at
+``{path}<suffix>`` (the family-registry edge side-store pattern,
+``{store}_edges``); the publish step renames every prefixed sibling
+first and the marker-carrying main dir LAST, so a crash mid-publish
+still leaves no marked-but-incomplete artifact set, and the next call
+rebuilds (sweeping any stale unmarked leftovers aside).  Mutating
+consumers (the tombstone query purges its stores) get their own token
+via ``extra`` so shared read-only artifacts are never poisoned;
 re-running a cached build+purge composition is idempotent by those
 purges' contracts.
 """
@@ -71,6 +75,19 @@ def _input_sig(sf_dir: str, tables: Iterable[str]) -> str:
     return ";".join(parts)
 
 
+def _rm_prefixed(parent: str, prefix: str) -> None:
+    """Remove every entry under ``parent`` whose name starts with
+    ``prefix`` — the main artifact dir plus any sibling artifacts a
+    build function created next to it (``{path}_edges`` etc.)."""
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for e in entries:
+        if e.startswith(prefix):
+            shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
+
+
 def _modules_sig(modules: Iterable) -> str:
     """Concatenated source of the builder-owning modules — the
     conservative invalidation key (any edit anywhere in the module
@@ -96,15 +113,15 @@ def cached(
         # DataFrame, sf_dir a placeholder).  The content token
         # cannot see THAT data, so two tests patching different
         # frames would alias onto one artifact; never reuse — build
-        # into a unique dir every call, and register it for atexit
-        # cleanup (single-use by construction, so monkeypatch-heavy
-        # test runs don't leak one dir per call).  Real corpora
-        # always have files, so production caching is unaffected.
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"osm_spark_idx_{kind}_ephemeral_{uuid.uuid4().hex[:16]}",
-        )
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        # into a unique dir every call, and register it (plus any
+        # sibling artifacts sharing its prefix) for atexit cleanup,
+        # so monkeypatch-heavy test runs don't leak one dir per
+        # call.  Real corpora always have files, so production
+        # caching is unaffected.
+        parent = tempfile.gettempdir()
+        base = f"osm_spark_idx_{kind}_ephemeral_{uuid.uuid4().hex[:16]}"
+        path = os.path.join(parent, base)
+        atexit.register(_rm_prefixed, parent, base)
         build_fn(path)
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "_built_ephemeral"), "w"):
@@ -122,39 +139,51 @@ def cached(
             + os.path.abspath(sf_dir)
         ).encode()
     ).hexdigest()[:16]
-    path = os.path.join(
-        tempfile.gettempdir(), f"osm_spark_idx_{kind}_{token}"
-    )
+    parent = tempfile.gettempdir()
+    final_base = f"osm_spark_idx_{kind}_{token}"
+    path = os.path.join(parent, final_base)
     marker = os.path.join(path, f"_built_{token}")
     if os.path.exists(marker):
         return path
-    # Build into a per-process temp dir, mark it, then publish with
-    # ONE atomic rename: concurrent first-builders each build their
-    # own copy and exactly one rename wins; the loser (rename raises
-    # because ``path`` now exists non-empty) discards its copy and
-    # reads the winner's marked artifact.  The builds are pure
-    # functions of the token, so the copies are interchangeable.
-    tmp = f"{path}.build.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    # Build under a per-process temp prefix, mark the main dir, then
+    # publish with atomic renames — siblings first, the
+    # marker-carrying main dir LAST, so the marker's existence always
+    # implies the complete artifact set.  Concurrent first-builders
+    # each build their own copy and exactly one publish wins; a loser
+    # (rename raises because the target exists non-empty) discards
+    # its copy and reads the winner's — the builds are pure functions
+    # of the token, so the copies are interchangeable.
+    tmp_base = f"{final_base}.build.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(parent, tmp_base)
     try:
         build_fn(tmp)
         os.makedirs(tmp, exist_ok=True)
         with open(os.path.join(tmp, f"_built_{token}"), "w"):
             pass
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            if not os.path.exists(marker):
-                # ``path`` exists but is unmarked — a pre-r15 crash
-                # artifact (the old in-place protocol could leave
-                # one).  Swap it out and retry once; a second loss
-                # means a concurrent winner just published.
-                stale = f"{path}.stale.{uuid.uuid4().hex[:8]}"
+        suffixes = sorted(
+            e[len(tmp_base):]
+            for e in os.listdir(parent)
+            if e.startswith(tmp_base) and e != tmp_base
+        )
+        for suffix in suffixes + [""]:
+            src = tmp + suffix
+            dst = path + suffix
+            if os.path.exists(marker):
+                break  # a concurrent winner published a complete set
+            try:
+                os.rename(src, dst)
+            except OSError:
+                # ``dst`` is occupied: either a stale unmarked
+                # leftover (pre-publish crash) or a concurrent
+                # winner's sibling.  Swap it aside and retry once; a
+                # second loss means the winner just landed.
+                stale = f"{dst}.stale.{uuid.uuid4().hex[:8]}"
                 try:
-                    os.rename(path, stale)
+                    os.rename(dst, stale)
                     shutil.rmtree(stale, ignore_errors=True)
-                    os.rename(tmp, path)
+                    os.rename(src, dst)
                 except OSError:
                     pass
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        _rm_prefixed(parent, tmp_base)
     return path

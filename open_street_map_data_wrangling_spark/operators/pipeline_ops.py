@@ -2076,3 +2076,171 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id", "seq_off")
     )
+
+
+# ---------------------------------------------------------------------------
+# X122 — typed PII audit with Luhn-validated card detection
+
+# Detector patterns use only RE2 ∩ Java-regex syntax (no lookarounds,
+# no backreferences) so Spark and DuckDB match identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_CARD = r"\b\d{16}\b"
+
+
+def _pii_aug_sql(div: str, st: str) -> str:
+    """The deterministic PII injection, shared verbatim by engine and
+    oracle (``div``/``st`` are the integer-division operator and the
+    string cast type: Spark ``div``/``STRING``, DuckDB ``//``/``VARCHAR``).  The fixture corpus is digit-free (q_redact's
+    precondition), so every detector hit below is one we planted —
+    which makes precision/recall EXACT, not estimated: the validators
+    must reject the planted invalid IPs (4th octet up to 299) and the
+    ~90% of planted cards whose doc_id-derived check digit fails Luhn."""
+    return (
+        "text"
+        f" || CASE WHEN doc_id % 7 = 0 THEN ' contact user'"
+        f" || CAST(doc_id AS {st}) || '@example.com' ELSE '' END"
+        f" || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-'"
+        f" || lpad(CAST(doc_id % 10000 AS {st}), 4, '0') ELSE '' END"
+        f" || CASE WHEN doc_id % 13 = 0 THEN ' ip 10.'"
+        f" || CAST(doc_id % 256 AS {st}) || '.'"
+        f" || CAST((doc_id {div} 256) % 256 AS {st}) || '.'"
+        f" || CAST(doc_id % 300 AS {st}) ELSE '' END"
+        f" || CASE WHEN doc_id % 17 = 0 THEN ' card '"
+        f" || lpad(CAST((doc_id * 2654435761) % 1000000000000000"
+        f"         AS {st}), 15, '0')"
+        f" || CAST(doc_id % 10 AS {st}) ELSE '' END"
+    )
+
+
+_PII_ORACLE = f"""
+    WITH aug AS (
+        SELECT source, {_pii_aug_sql('//', 'VARCHAR')} AS aug
+        FROM documents),
+    det AS (
+        SELECT source,
+               len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS emails,
+               len(regexp_extract_all(aug, '{_PII_PHONE}')) AS phones,
+               regexp_extract_all(aug, '{_PII_IP}') AS ip_cands,
+               regexp_extract_all(aug, '{_PII_CARD}') AS card_cands
+        FROM aug),
+    val AS (
+        SELECT source, emails, phones,
+               len(ip_cands) AS ips_found,
+               len(list_filter(ip_cands, c ->
+                   list_aggregate(list_transform(string_split(c, '.'),
+                                                 p -> p::INT <= 255),
+                                  'bool_and'))) AS ips_valid,
+               len(card_cands) AS cards_found,
+               len(list_filter(card_cands, c ->
+                   list_sum(list_transform(range(1, 17), i ->
+                       CASE WHEN i % 2 = 1 THEN
+                           CASE WHEN 2 * substring(c, i::INT, 1)::INT > 9
+                                THEN 2 * substring(c, i::INT, 1)::INT - 9
+                                ELSE 2 * substring(c, i::INT, 1)::INT END
+                       ELSE substring(c, i::INT, 1)::INT END))
+                   % 10 = 0)) AS cards_valid
+        FROM det)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(emails) AS BIGINT) AS emails,
+           CAST(sum(phones) AS BIGINT) AS phones,
+           CAST(sum(ips_found) AS BIGINT) AS ips_found,
+           CAST(sum(ips_valid) AS BIGINT) AS ips_valid,
+           CAST(sum(cards_found) AS BIGINT) AS cards_found,
+           CAST(sum(cards_valid) AS BIGINT) AS cards_valid,
+           CAST(sum(CASE WHEN emails + phones + ips_valid + cards_valid > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+    FROM val
+    GROUP BY source
+"""
+
+
+@query("q_pii_audit", oracle=_PII_ORACLE, tags=("pipeline", "text", "extension"))
+def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII audit (X122) — the scrub-gate every public training
+    pipeline runs before release (BigCode/Dolma-style): typed
+    detectors with per-type VALIDATION, not bare regex counts.  Four
+    detectors over the (deterministically PII-injected, see
+    _pii_aug_sql) corpus: email, NANP phone, IPv4 with per-octet
+    range validation, and 16-digit card candidates validated by the
+    Luhn checksum — the validators are what separate a PII gate from
+    grep, and both are exact integer computations the oracle replays.
+
+    Engine side: every stage is a rowwise built-in expression —
+    regexp_extract_all for candidates, F.filter + F.forall over the
+    split octets, F.aggregate over a 16-step F.sequence for Luhn —
+    so the whole audit pipelines inside the scan's WholeStageCodegen
+    span; the only shuffle is the final tiny groupBy(source).  At
+    100 TB this is a map-side pass with a 4-row reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "source", F.expr(_pii_aug_sql("div", "STRING")).alias("aug")
+    )
+
+    def _digit(c, i):
+        return F.substr(c, i, F.lit(1)).cast("int")
+
+    def _luhn_ok(c):
+        tot = F.aggregate(
+            F.sequence(F.lit(1), F.lit(16)),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                i % 2 == 1,
+                F.when(2 * _digit(c, i) > 9, 2 * _digit(c, i) - 9).otherwise(
+                    2 * _digit(c, i)
+                ),
+            ).otherwise(_digit(c, i)),
+        )
+        return tot % 10 == 0
+
+    def _ip_ok(c):
+        return F.forall(
+            F.transform(F.split(c, r"\."), lambda p: p.cast("int") <= 255),
+            lambda x: x,
+        )
+
+    det = aug.select(
+        "source",
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_EMAIL), F.lit(0))).alias(
+            "emails"
+        ),
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_PHONE), F.lit(0))).alias(
+            "phones"
+        ),
+        F.regexp_extract_all("aug", F.lit(_PII_IP), F.lit(0)).alias("ip_cands"),
+        F.regexp_extract_all("aug", F.lit(_PII_CARD), F.lit(0)).alias(
+            "card_cands"
+        ),
+    ).select(
+        "source",
+        "emails",
+        "phones",
+        F.size("ip_cands").alias("ips_found"),
+        F.size(F.filter("ip_cands", _ip_ok)).alias("ips_valid"),
+        F.size("card_cands").alias("cards_found"),
+        F.size(F.filter("card_cands", _luhn_ok)).alias("cards_valid"),
+    )
+    return det.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("emails").cast("bigint").alias("emails"),
+        F.sum("phones").cast("bigint").alias("phones"),
+        F.sum("ips_found").cast("bigint").alias("ips_found"),
+        F.sum("ips_valid").cast("bigint").alias("ips_valid"),
+        F.sum("cards_found").cast("bigint").alias("cards_found"),
+        F.sum("cards_valid").cast("bigint").alias("cards_valid"),
+        F.sum(
+            F.when(
+                F.col("emails")
+                + F.col("phones")
+                + F.col("ips_valid")
+                + F.col("cards_valid")
+                > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("docs_with_pii"),
+    )

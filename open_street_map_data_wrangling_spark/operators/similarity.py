@@ -2000,3 +2000,130 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("width"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X123 — epsilon-ball ANN range search (batched, IVF-pruned)
+
+_RANGE_QIDS = (3, 42, 77, 123)  # fixed demo probe vectors
+_RANGE_TAU = 0.25  # cosine radius: return ALL matches, not a top-k
+_RANGE_NPROBE = 2
+
+
+def _range_oracle() -> str:
+    qid_vals = ", ".join(f"({q})" for q in _RANGE_QIDS)
+    return f"""
+        WITH {_IVF_ASSIGN_SQL},
+        qs AS (
+            SELECT e.vec_id AS q_id, e.embedding AS qemb
+            FROM embeddings e
+            WHERE e.vec_id IN (SELECT v FROM (VALUES {qid_vals}) t(v))),
+        qrank AS (
+            SELECT q.q_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_cosine_similarity(
+                           c.cemb::DOUBLE[], q.qemb::DOUBLE[]) DESC,
+                       c.cid ASC) AS qrn
+            FROM cents c CROSS JOIN qs q),
+        probes AS (SELECT q_id, cid FROM qrank WHERE qrn <= {_RANGE_NPROBE})
+        SELECT p.q_id, e.vec_id,
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.qemb::DOUBLE[]), 4) AS cos_sim
+        FROM embeddings e
+        JOIN a1 ON e.vec_id = a1.vec_id
+        JOIN probes p ON a1.cid = p.cid
+        JOIN qs q ON q.q_id = p.q_id
+        WHERE e.vec_id <> p.q_id
+          AND list_cosine_similarity(
+                  e.embedding::DOUBLE[], q.qemb::DOUBLE[]) >= {_RANGE_TAU}
+        ORDER BY p.q_id, e.vec_id
+    """
+
+
+@query(
+    "q_ann_range",
+    oracle=_range_oracle(),
+    tags=("similarity", "extension", "ann"),
+)
+def q_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-ball range search (X123) — the ANN surface's missing
+    query shape: "everything within cosine {_RANGE_TAU} of each probe",
+    unbounded cardinality, where top-k serving (q_vec_topk, q_ivfpq_*)
+    caps the answer set by construction.  Range queries are what
+    radius-based dedup sweeps and recall audits actually issue.
+
+    Engine side: ONE embeddings scan, ZERO shuffles — the codebook
+    AND the {len(_RANGE_QIDS)}-probe batch ride as plan literals
+    (bounded collects, the q_ann_ivf class), each row computes its
+    IVF cell (row-local argmax fold) plus one cosine per probe, and a
+    filter-then-explode over a per-row struct array keeps exactly the
+    (probe, row) combinations where the row's cell is in that probe's
+    {_RANGE_NPROBE}-cell probe set and the cosine clears the radius.
+    Emitted rows ≈ sum over probes of |probed cells ∩ ball| — the
+    output IS the cost.  With cell-partitioned storage the union of
+    probe cells prunes at scan time; the per-row probe fan-out is
+    |batch|, a plan constant, never a join.  The oracle replays
+    assignment, probe ranking, and radius relationally; hash equality
+    at the raw-double threshold boundary holds because cosine_expr's
+    fold order matches DuckDB's list_cosine_similarity bit-for-bit
+    (the q_dedup_embedding precedent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = _collect_ivf_literals(emb, _RANGE_QIDS[0])
+    qrows = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(
+            F.col("vec_id").isin(list(_RANGE_QIDS))
+            & F.col("embedding").isNotNull()
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not qrows or not cents:
+        return _empty_result(
+            emb, "q_id BIGINT, vec_id BIGINT, cos_sim DOUBLE"
+        )
+    probes = {
+        qid: _rank_cells_py(cents, qv)[:_RANGE_NPROBE] for qid, qv in qrows
+    }
+    df = _with_cos_cols(emb, cents + [qv for _, qv in qrows])
+    cand_structs = ", ".join(
+        f"struct({cid} AS cid, __cos{cid} AS c)" for cid in range(len(cents))
+    )
+    cid_col = F.expr(
+        f"aggregate(array({cand_structs}), "
+        "struct(CAST(-1 AS INT) AS cid, CAST('-Infinity' AS DOUBLE) AS c), "
+        "(acc, x) -> IF(x.c > acc.c, x, acc)).cid"
+    )
+    per_probe = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("bigint").alias("q_id"),
+                F.col(f"__cos{len(cents) + j}").alias("cos_raw"),
+                F.col("__cid").isin([int(c) for c in probes[qid]]).alias(
+                    "hit"
+                ),
+            )
+            for j, (qid, _) in enumerate(qrows)
+        ]
+    )
+    return (
+        df.withColumn("__cid", cid_col)
+        .select(
+            "vec_id",
+            F.explode(
+                F.filter(
+                    per_probe,
+                    lambda x: x["hit"]
+                    & (x["cos_raw"] >= _RANGE_TAU)
+                    & (F.col("vec_id") != x["q_id"]),
+                )
+            ).alias("m"),
+        )
+        .select(
+            F.col("m.q_id").alias("q_id"),
+            "vec_id",
+            F.round("m.cos_raw", 4).alias("cos_sim"),
+        )
+        .orderBy("q_id", "vec_id")
+    )

@@ -4126,3 +4126,118 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_VOCAB_CURVE_NS)}, {stack}) AS "
         "(top_n, n_tokens_in_vocab, coverage_bp)"
     ).orderBy("top_n")
+
+
+# ---------------------------------------------------------------------------
+# X124 — quality-score calibration (reliability curve + per-bucket ECE)
+
+_CALIB_BUCKETS = 10
+
+
+@query(
+    "q_quality_calibration",
+    oracle=f"""
+        WITH sig AS (
+            SELECT doc_id,
+                   (6000 * len(list_filter(string_split(text, ' '),
+                                           t -> t IN ({_STOP_SQL})))
+                    + 1000 * (length(text)
+                              - (len(string_split(text, ' ')) - 1)))
+                       // len(string_split(text, ' ')) AS q_milli,
+                   CASE WHEN len(string_split(text, ' ')) >= 20
+                             AND 10000 * len(list_distinct(
+                                     string_split(text, ' ')))
+                                 // len(string_split(text, ' ')) >= 5000
+                        THEN 1 ELSE 0 END AS gold
+            FROM documents),
+        mm AS (SELECT min(q_milli) AS qlo, max(q_milli) AS qhi FROM sig),
+        scored AS (
+            SELECT CASE WHEN qhi = qlo THEN 0
+                        ELSE (10000 * (q_milli - qlo)) // (qhi - qlo)
+                   END AS pred_bp,
+                   gold, doc_id
+            FROM sig, mm),
+        bucketed AS (
+            SELECT ntile({_CALIB_BUCKETS})
+                       OVER (ORDER BY pred_bp, doc_id) AS bucket,
+                   pred_bp, gold
+            FROM scored)
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(pred_bp) // count(*) AS BIGINT) AS mean_pred_bp,
+               CAST(10000 * sum(gold) // count(*) AS BIGINT) AS gold_rate_bp,
+               CAST(abs(sum(pred_bp) // count(*)
+                        - 10000 * sum(gold) // count(*)) AS BIGINT)
+                 AS gap_bp
+        FROM bucketed
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    tags=("text", "quality", "pipeline", "extension"),
+)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score calibration (X124) — the reliability curve every
+    classifier-filtered corpus needs before its scores gate admission
+    (FineWeb-Edu-style): does a higher quality score actually mean a
+    higher keep probability?  The heuristic score (q_quality's
+    quality_milli) is min-max normalized to basis points, decile-
+    bucketed (ntile, doc_id tiebreak so both engines bucket
+    identically), and each bucket reports mean predicted score vs the
+    observed rate of the structural gold rule (q_quality_tiers' keep
+    gate) plus the absolute gap — the per-bucket term of expected
+    calibration error.  All integer arithmetic end to end.
+
+    Engine side: rowwise signals at the scan; one 2-value global
+    min/max broadcast (scalar agg cross join — the q_winsorize
+    class); ntile is ONE total-order window over (pred_bp, doc_id) —
+    at 100 TB the production substitute is the range-bucketed
+    two-pass rank (q_epoch_shuffle's machinery), and the bucket
+    boundaries land identically; final 10-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    q_milli = F.expr(
+        f"(6000 * CAST(size(filter({toks}, t -> t IN ({_STOP_SQL}))) AS BIGINT)"
+        f" + 1000 * CAST(length(text) - (size({toks}) - 1) AS BIGINT))"
+        f" div size({toks})"
+    )
+    gold = F.expr(
+        f"CASE WHEN size({toks}) >= 20 AND "
+        f"10000 * size(array_distinct({toks})) div size({toks}) >= 5000 "
+        f"THEN 1 ELSE 0 END"
+    )
+    sig = docs.select(
+        "doc_id", q_milli.alias("q_milli"), gold.alias("gold")
+    )
+    mm = sig.agg(
+        F.min("q_milli").alias("qlo"), F.max("q_milli").alias("qhi")
+    )
+    scored = sig.join(F.broadcast(mm)).select(
+        "doc_id",
+        "gold",
+        F.expr(
+            "CASE WHEN qhi = qlo THEN CAST(0 AS BIGINT) "
+            "ELSE (10000 * (q_milli - qlo)) div (qhi - qlo) END"
+        ).alias("pred_bp"),
+    )
+    w = W.orderBy("pred_bp", "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(_CALIB_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr("sum(pred_bp) div count(*)").alias("mean_pred_bp"),
+            F.expr("10000 * sum(gold) div count(*)").alias("gold_rate_bp"),
+            F.expr(
+                "abs(sum(pred_bp) div count(*)"
+                " - 10000 * sum(gold) div count(*))"
+            ).alias("gap_bp"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "mean_pred_bp",
+            "gold_rate_bp",
+            "gap_bp",
+        )
+        .orderBy("bucket")
+    )

@@ -5,8 +5,11 @@ rename loser must adopt the winner's artifact, and the ':absent'
 monkeypatch branch must not leak one dir per call."""
 
 import os
+from pathlib import Path
 
 import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
 
 from open_street_map_data_wrangling_spark.operators import index_cache
 from open_street_map_data_wrangling_spark.operators.index_cache import (
@@ -123,13 +126,42 @@ def test_stale_unmarked_dir_is_replaced(sf_dir):
     assert not os.path.exists(os.path.join(p, "stale.txt"))
 
 
+def test_sibling_artifacts_published_with_main_dir(sf_dir):
+    """Build functions may write sibling artifacts at {path}<suffix>
+    (the family-registry edge side-store pattern); the publish step
+    must carry every sibling to its final path, not just the marked
+    main dir."""
+
+    def build_with_edges(path):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "labels.txt"), "w") as f:
+            f.write("labels")
+        os.makedirs(path + "_edges", exist_ok=True)
+        with open(os.path.join(path + "_edges", "edges.txt"), "w") as f:
+            f.write("edges")
+
+    p = cached("tst_sib", sf_dir, ("t",), (index_cache,),
+               build_with_edges)
+    assert open(os.path.join(p, "labels.txt")).read() == "labels"
+    assert open(os.path.join(p + "_edges", "edges.txt")).read() == "edges"
+    # no orphan temp copies of either artifact
+    parent = os.path.dirname(p)
+    assert [d for d in os.listdir(parent)
+            if ".build." in d and d.startswith(os.path.basename(p))] == []
+    # second call is a cache hit serving both artifacts
+    calls = []
+    p2 = cached("tst_sib", sf_dir, ("t",), (index_cache,),
+                _build_counting(calls))
+    assert p2 == p and calls == []
+
+
 def test_absent_branch_unique_and_cleanup_registered(
     tmp_path, monkeypatch
 ):
     registered = []
     monkeypatch.setattr(
         index_cache.atexit, "register",
-        lambda fn, *a, **k: registered.append(a[0] if a else None),
+        lambda fn, *a, **k: registered.append(a),
     )
     calls = []
     empty = str(tmp_path / "nowhere")
@@ -139,8 +171,85 @@ def test_absent_branch_unique_and_cleanup_registered(
                 _build_counting(calls))
     assert p1 != p2  # never reused (data invisible to the token)
     assert len(calls) == 2
-    assert registered == [p1, p2]  # both queued for atexit cleanup
+    # both queued for prefix cleanup at exit (siblings included)
+    assert [os.path.join(a[0], a[1]) for a in registered] == [p1, p2]
     for p in (p1, p2):
-        import shutil
+        index_cache._rm_prefixed(os.path.dirname(p), os.path.basename(p))
 
-        shutil.rmtree(p, ignore_errors=True)
+
+def test_concurrent_first_builders_two_processes(tmp_path):
+    """The advice-item scenario, run for real: two PROCESSES
+    first-build the same token concurrently (slow builds, overlapping
+    windows).  The protocol's guarantee is per-DIRECTORY single-writer
+    coherence (each published dir was written whole by one process —
+    the old in-place protocol interleaved two writers inside one dir)
+    plus a complete served artifact set at one shared path.  Builds
+    are pure functions of the token in production, so WHICH process
+    authored each dir is immaterial; intra-dir mixing is the corrupt
+    state being excluded."""
+    import subprocess
+    import sys
+    import textwrap
+
+    corpus = tmp_path / "sf"
+    corpus.mkdir()
+    (corpus / "t.parquet").write_bytes(b"race fixture")
+    prog = textwrap.dedent(
+        """
+        import os, sys, time
+        sys.path.insert(0, {root!r})
+        from open_street_map_data_wrangling_spark.operators import (
+            index_cache,
+        )
+
+        def build(path):
+            tag = sys.argv[1]
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "a1.txt"), "w") as f:
+                f.write(tag)
+            time.sleep(1.0)  # hold the build window open
+            with open(os.path.join(path, "a2.txt"), "w") as f:
+                f.write(tag)
+            os.makedirs(path + "_side", exist_ok=True)
+            with open(os.path.join(path + "_side", "b1.txt"), "w") as f:
+                f.write(tag)
+            with open(os.path.join(path + "_side", "b2.txt"), "w") as f:
+                f.write(tag)
+
+        p = index_cache.cached(
+            "tst_mp", {sf!r}, ("t",), (index_cache,), build
+        )
+        # the served set is complete and each dir is single-writer
+        a1 = open(os.path.join(p, "a1.txt")).read()
+        a2 = open(os.path.join(p, "a2.txt")).read()
+        b1 = open(os.path.join(p + "_side", "b1.txt")).read()
+        b2 = open(os.path.join(p + "_side", "b2.txt")).read()
+        assert a1 == a2, f"interleaved main dir: {{a1}} vs {{a2}}"
+        assert b1 == b2, f"interleaved sibling dir: {{b1}} vs {{b2}}"
+        print(p)
+        """
+    ).format(root=str(ROOT), sf=str(corpus))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", prog, tag],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for tag in ("proc_one", "proc_two")
+    ]
+    outs = []
+    for pr in procs:
+        out, err = pr.communicate(timeout=120)
+        assert pr.returncode == 0, err[-800:]
+        outs.append(out.strip())
+    # both processes serve the SAME published path, still coherent
+    assert outs[0] == outs[1]
+    path = outs[0]
+    for fn in ("a1.txt", "a2.txt"):
+        assert open(os.path.join(path, fn)).read() in (
+            "proc_one", "proc_two",
+        )
+    index_cache._rm_prefixed(
+        os.path.dirname(path), os.path.basename(path)
+    )
