@@ -246,6 +246,8 @@ HEADLINE = (
     "q_ann_range",
     "q_quality_calibration",
     "q_datasheet",
+    # per-source token quota gate (X126)
+    "q_source_quota_gate",
 )
 
 

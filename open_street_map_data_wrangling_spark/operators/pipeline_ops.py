@@ -2244,3 +2244,149 @@ def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("docs_with_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X126 — per-source token quota gate across ingest waves
+
+_QUOTA_TOKENS = 800  # per-source token budget across the whole ingest
+_QUOTA_WAVES = 3
+
+
+@query(
+    "q_source_quota_gate",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id % {_QUOTA_WAVES} AS wave, source, doc_id,
+                   len(string_split(text, ' ')) AS toks
+            FROM documents),
+        p AS (
+            SELECT wave, source, toks,
+                   coalesce(sum(toks) OVER (
+                       PARTITION BY source ORDER BY wave, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS pre
+            FROM t),
+        a AS (
+            SELECT wave, source, toks,
+                   CASE WHEN pre < {_QUOTA_TOKENS} THEN 1 ELSE 0 END AS adm
+            FROM p),
+        g AS (
+            SELECT CAST(wave AS INTEGER) AS wave, source,
+                   CAST(sum(adm) AS BIGINT) AS n_admitted,
+                   CAST(count(*) - sum(adm) AS BIGINT) AS n_rejected,
+                   CAST(sum(adm * toks) AS BIGINT) AS wave_toks
+            FROM a GROUP BY 1, 2)
+        SELECT wave, source, n_admitted, n_rejected,
+               CAST(sum(wave_toks) OVER (
+                   PARTITION BY source ORDER BY wave) AS BIGINT)
+                 AS toks_admitted_cum
+        FROM g
+        ORDER BY wave, source
+    """,
+    tags=("pipeline", "streaming", "iterative", "extension"),
+)
+def q_source_quota_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token quota across ingest waves (X126) — the
+    CommonCrawl/Dolma per-domain cap as a STANDING gate: each source
+    may contribute at most {_QUOTA_TOKENS} tokens to the admitted
+    corpus, enforced greedily in arrival order ((wave, doc_id) — a
+    doc admits iff the tokens admitted from its source BEFORE it
+    stay under the quota), with the per-source running totals
+    MAINTAINED in a store between waves so wave N+1's decisions pay
+    |wave| + |sources|, never a corpus rescan.  Because an admitted
+    doc's exclusive prefix equals the raw prefix up to the cutoff
+    (rejections contribute nothing and the total freezes at the
+    first crossing), the three-wave stateful composition is exactly
+    replayed by ONE per-source window over (wave, doc_id) — the
+    oracle — so hash-green certifies the store discipline loses no
+    arrival-order information.
+
+    Scale shape: per wave, one shuffle by source for the in-wave
+    prefix window plus a broadcast-sized join against the
+    |sources|-row totals store; the ledger is |waves|x|sources|
+    rows.  At 100 TB the per-source window is the standard
+    shuffle-partitioned prefix; a skewed source is one partition's
+    sequential scan — the same posture as q_sessionize."""
+    import sys
+
+    from .index_cache import cached
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _gate(store: str) -> None:
+        from pyspark.sql.window import Window as W
+
+        totals = None  # (source, cum) — the maintained store
+        for wave in range(_QUOTA_WAVES):
+            batch = docs.filter(
+                F.col("doc_id") % _QUOTA_WAVES == wave
+            ).select(
+                "source",
+                "doc_id",
+                F.size(F.split("text", " ")).cast("bigint").alias("toks"),
+            )
+            if totals is None:
+                joined = batch.withColumn("cum", F.lit(0).cast("bigint"))
+            else:
+                joined = batch.join(totals, "source", "left").fillna(
+                    0, subset=["cum"]
+                )
+            w = (
+                W.partitionBy("source")
+                .orderBy("doc_id")
+                .rowsBetween(W.unboundedPreceding, -1)
+            )
+            pre = F.coalesce(F.sum("toks").over(w), F.lit(0))
+            adm = joined.withColumn(
+                "adm",
+                F.when(F.col("cum") + pre < _QUOTA_TOKENS, 1).otherwise(0),
+            )
+            ledger = adm.groupBy("source").agg(
+                F.sum("adm").cast("bigint").alias("n_admitted"),
+                (F.count("*") - F.sum("adm"))
+                .cast("bigint")
+                .alias("n_rejected"),
+                F.sum(F.col("adm") * F.col("toks"))
+                .cast("bigint")
+                .alias("wave_toks"),
+            )
+            ledger.withColumn(
+                "wave", F.lit(wave).cast("int")
+            ).write.mode("append").parquet(f"{store}/ledger")
+            totals = (
+                adm.groupBy("source")
+                .agg(
+                    (F.first("cum") + F.sum(F.col("adm") * F.col("toks")))
+                    .cast("bigint")
+                    .alias("cum")
+                )
+                .localCheckpoint()  # the store: |sources| rows
+            )
+
+    path = cached(
+        "source_quota",
+        sf_dir,
+        ("documents",),
+        (sys.modules[__name__],),
+        _gate,
+        extra=f"q{_QUOTA_TOKENS}w{_QUOTA_WAVES}",
+    )
+    led = spark.read.parquet(f"{path}/ledger")
+    from pyspark.sql.window import Window as W
+
+    cum_w = (
+        W.partitionBy("source")
+        .orderBy("wave")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        led.select(
+            "wave",
+            "source",
+            "n_admitted",
+            "n_rejected",
+            F.sum("wave_toks").over(cum_w).alias("toks_admitted_cum"),
+        )
+        .orderBy("wave", "source")
+    )

@@ -3631,3 +3631,48 @@ def test_ann_range_subset_of_bruteforce_ball(spark):
     n_got = len(got)
     n_ball = sum(len(b) for b in ball.values())
     assert 0 < n_got <= n_ball
+
+
+def test_source_quota_gate_cutoff_and_python_replay(spark):
+    """q_source_quota_gate (X126): the three-wave stateful gate must
+    equal a sequential greedy replay in arrival order, the quota must
+    actually bind (some source rejects), and no source's admitted
+    tokens may exceed quota + its boundary doc."""
+    from open_street_map_data_wrangling_spark.operators.pipeline_ops import (
+        _QUOTA_TOKENS,
+        _QUOTA_WAVES,
+        q_source_quota_gate,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = sorted(
+        (
+            (r["doc_id"] % _QUOTA_WAVES, r["doc_id"], r["source"],
+             len(r["text"].split(" ")))
+            for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+        )
+    )
+    state: dict = {}
+    expect: dict = {}
+    for wave, _did, src, toks in docs:
+        cum = state.get(src, 0)
+        adm = cum < _QUOTA_TOKENS
+        if adm:
+            state[src] = cum + toks
+        e = expect.setdefault(
+            (wave, src), {"n_admitted": 0, "n_rejected": 0, "wt": 0}
+        )
+        e["n_admitted" if adm else "n_rejected"] += 1
+        e["wt"] += toks if adm else 0
+    cumt: dict = {}
+    rows = q_source_quota_gate(spark, sf).collect()
+    assert len(rows) == len(expect)
+    for r in sorted(rows, key=lambda r: (r["wave"], r["source"])):
+        e = expect[(r["wave"], r["source"])]
+        cumt[r["source"]] = cumt.get(r["source"], 0) + e["wt"]
+        assert (r["n_admitted"], r["n_rejected"]) == (
+            e["n_admitted"], e["n_rejected"],
+        ), (r["wave"], r["source"])
+        assert r["toks_admitted_cum"] == cumt[r["source"]]
+    assert any(r["n_rejected"] > 0 for r in rows), "quota never bound"
+    assert any(r["n_admitted"] > 0 for r in rows)
