@@ -45,6 +45,12 @@ QUERIES = [
     "q_training_corpus",
     "q_sessionize",
     "q_top_users",
+    # r15 additions: the new per-source window/rollup operators (the
+    # fixture's Zipf source distribution is their hostile case) and
+    # the scan-heavy PII audit
+    "q_source_quota_gate",
+    "q_datasheet",
+    "q_pii_audit",
 ]
 
 
