@@ -253,3 +253,51 @@ def test_concurrent_first_builders_two_processes(tmp_path):
     index_cache._rm_prefixed(
         os.path.dirname(path), os.path.basename(path)
     )
+
+
+def test_cache_gc_groups_and_ages(tmp_path, monkeypatch):
+    """tools/cache_gc.py: a main dir and its siblings/temp copies form
+    ONE group keyed by the 16-hex token (they live or die together),
+    and a group survives if ANY member is fresh."""
+    import importlib.util
+    import sys
+    import time as _time
+
+    spec = importlib.util.spec_from_file_location(
+        "cache_gc", str(ROOT / "tools" / "cache_gc.py")
+    )
+    gc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gc)
+
+    tok = "ab12cd34ef56ab78"
+    names = [
+        f"osm_spark_idx_family_registry_{tok}",
+        f"osm_spark_idx_family_registry_{tok}_edges",
+        f"osm_spark_idx_family_registry_{tok}_edges_stage",
+        f"osm_spark_idx_family_registry_{tok}.build.99.deadbeef",
+    ]
+    keys = {gc._group_key(n) for n in names}
+    assert keys == {f"osm_spark_idx_family_registry_{tok}"}
+    assert gc._group_key(f"osm_spark_idx_source_quota_{tok}") != next(
+        iter(keys)
+    )
+
+    # age = max over the group: one fresh sibling keeps the set alive
+    old = tmp_path / f"osm_spark_idx_k_{tok}"
+    old.mkdir()
+    (old / "data.txt").write_text("x")
+    stale = _time.time() - 10 * 86400
+    os.utime(old / "data.txt", (stale, stale))
+    os.utime(old, (stale, stale))
+    fresh = tmp_path / f"osm_spark_idx_k_{tok}_edges"
+    fresh.mkdir()
+    (fresh / "data.txt").write_text("y")
+    monkeypatch.setattr(gc.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["cache_gc.py", "--days", "7"])
+    gc.main()
+    assert old.exists() and fresh.exists()
+    # age both stale -> the whole group goes
+    os.utime(fresh / "data.txt", (stale, stale))
+    os.utime(fresh, (stale, stale))
+    gc.main()
+    assert not old.exists() and not fresh.exists()
