@@ -248,6 +248,8 @@ HEADLINE = (
     "q_datasheet",
     # per-source token quota gate (X126)
     "q_source_quota_gate",
+    # time-decayed heavy hitters (X127)
+    "q_decayed_topk",
 )
 
 

@@ -610,3 +610,74 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X127 — time-decayed heavy hitters (integer halving decay)
+
+_DECAY_BUCKET_DAYS = 3  # halve a contribution every 3 days of age
+_DECAY_TOPK = 10
+
+
+@query(
+    "q_decayed_topk",
+    oracle=f"""
+        WITH ref AS (
+            SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS ref_us
+            FROM events),
+        w AS (
+            SELECT user_id,
+                   10000 // (1 << CAST(least(
+                       (ref.ref_us - epoch_us(CAST(ts AS TIMESTAMP)))
+                           // {86400000000 * _DECAY_BUCKET_DAYS},
+                       30) AS INTEGER)) AS wgt
+            FROM events, ref)
+        SELECT user_id,
+               CAST(sum(wgt) AS BIGINT) AS decayed_x10k,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM w
+        GROUP BY user_id
+        ORDER BY decayed_x10k DESC, user_id ASC
+        LIMIT {_DECAY_TOPK}
+    """,
+    tags=("sketch", "events", "extension", "topk"),
+)
+def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed heavy hitters (X127) — trending detection over the
+    event stream: each event contributes 10000 >> (age/{_DECAY_BUCKET_DAYS}d)
+    basis points, halving every {_DECAY_BUCKET_DAYS} days of age
+    relative to the stream head (max ts), so a recently-active user
+    outranks a historically-heavy one.  The decay is an INTEGER shift
+    (10000 // 2^bucket, bucket capped at 30) — no float pow, so both
+    engines score bit-identically, unlike the exponential-decay form
+    that needs transcendental math.
+
+    Engine side: one 1-row max(ts) aggregate re-enters broadcast (the
+    scalar-agg class), the per-event weight is a rowwise shift, and
+    the top-{_DECAY_TOPK} is a TakeOrderedAndProject over the
+    per-user aggregate — at 100 TB: scan + partial agg + k-row heap.
+    A streaming deployment maintains the per-(user, bucket) counts
+    incrementally and re-weights at serve time by shifting buckets —
+    the bucketed form is exactly what makes the decay maintainable
+    without rescoring history."""
+    events = load_table(spark, sf_dir, "events")
+    ref = events.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    bucket_us = 86400000000 * _DECAY_BUCKET_DAYS
+    return (
+        events.select("user_id", F.unix_micros("ts").alias("ts_us"))
+        .join(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.expr(
+                f"10000 div shiftleft(1L, CAST(least("
+                f"(ref_us - ts_us) div {bucket_us}, 30) AS INT))"
+            ).alias("wgt"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("wgt").cast("bigint").alias("decayed_x10k"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.desc("decayed_x10k"), F.asc("user_id"))
+        .limit(_DECAY_TOPK)
+    )
