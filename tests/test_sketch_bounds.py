@@ -268,3 +268,44 @@ def test_hll_oracle_matches_pure_python_replay_on_random_keys():
     # and the estimate is sane for 5k-ish distincts at m=256
     exact = len(set(keys))
     assert abs(got - exact) <= 0.2 * exact
+
+
+def test_decayed_topk_recency_beats_volume(spark):
+    """q_decayed_topk (X127): a recently-active user must outrank a
+    historically-heavier one once the old activity has decayed, and
+    the integer weights must equal the Python shift replay."""
+    import datetime as dt
+
+    from open_street_map_data_wrangling_spark.operators.sketches import (
+        _DECAY_BUCKET_DAYS,
+        q_decayed_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "ts"
+    ).collect()
+    ref = max(r["ts"] for r in rows)
+    expect: dict = {}
+    counts: dict = {}
+    for r in rows:
+        age_us = (ref - r["ts"]) // dt.timedelta(microseconds=1)
+        bucket = min(
+            age_us // (86400000000 * _DECAY_BUCKET_DAYS), 30
+        )
+        expect[r["user_id"]] = expect.get(r["user_id"], 0) + (
+            10000 >> bucket
+        )
+        counts[r["user_id"]] = counts.get(r["user_id"], 0) + 1
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = q_decayed_topk(spark, sf).collect()
+    assert [(r["user_id"], r["decayed_x10k"]) for r in got] == top
+    assert all(r["n_events"] == counts[r["user_id"]] for r in got)
+    # decay must be doing real work: the decayed top-10 ordering
+    # differs from the raw-count ordering for at least one position
+    raw_top = [
+        u for u, _ in sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:10]
+    ]
+    assert [r["user_id"] for r in got] != raw_top
