@@ -656,8 +656,10 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar-agg class), the per-event weight is a rowwise shift, and
     the top-{_DECAY_TOPK} is a TakeOrderedAndProject over the
     per-user aggregate — at 100 TB: scan + partial agg + k-row heap.
-    A streaming deployment maintains the per-(user, bucket) counts
-    incrementally and re-weights at serve time by shifting buckets —
+    The streaming deployment of the same decay is REAL: X128's
+    q_decayed_topk_served serves from the per-(user, bucket) count
+    store that streaming/jobs.decayed_topk_maintenance keeps
+    incremental, re-weighting at serve time by shifting buckets —
     the bucketed form is exactly what makes the decay maintainable
     without rescoring history."""
     events = load_table(spark, sf_dir, "events")
@@ -681,3 +683,131 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_x10k"), F.asc("user_id"))
         .limit(_DECAY_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X128 — decayed heavy hitters SERVED from the maintained bucket store
+
+_DECAY_BUCKET_US = 86400000000 * _DECAY_BUCKET_DAYS
+_DECAY_WAVES = 3
+
+
+def decayed_counts(events: DataFrame) -> DataFrame:
+    """Per-(user_id, bkt) event counts at absolute {_DECAY_BUCKET_DAYS}-day
+    bucket granularity — the MAINTAINABLE state behind the decayed
+    heavy-hitter serve: counts are additive across micro-batches
+    (streaming/jobs.decayed_counts_merge_fn folds a batch in with one
+    groupBy-sum), and the decay never touches the stored numbers
+    because age only enters at serve time as a bucket shift.  State
+    size is |active users| x |age buckets|, independent of event
+    volume."""
+    return (
+        events.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {_DECAY_BUCKET_US}").alias("bkt"),
+        )
+        .groupBy("user_id", "bkt")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def decayed_topk_from_store(
+    store: DataFrame, k: int = _DECAY_TOPK
+) -> DataFrame:
+    """Serve the time-decayed top-k from the maintained
+    (user_id, bkt, cnt) store: the reference bucket is the newest
+    bucket seen (1-row max broadcast — the scalar-agg class), every
+    stored bucket re-weights by ONE integer shift
+    (10000 >> min(ref_b - bkt, 30)), and the top-k is a
+    TakeOrderedAndProject over the per-user sum.  Serving cost is
+    |store| rows — the event history is never rescored, which is the
+    entire point of keeping the state bucketed."""
+    ref = store.agg(F.max("bkt").alias("ref_b"))
+    return (
+        store.join(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.expr(
+                "cnt * (10000 div shiftleft(1L, "
+                "CAST(least(ref_b - bkt, 30) AS INT)))"
+            ).alias("w"),
+            "cnt",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("w").cast("bigint").alias("decayed_x10k"),
+            F.sum("cnt").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.desc("decayed_x10k"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
+@query(
+    "q_decayed_topk_served",
+    oracle=f"""
+        WITH ref AS (
+            SELECT max(epoch_us(CAST(ts AS TIMESTAMP))
+                       // {_DECAY_BUCKET_US}) AS ref_b
+            FROM events),
+        w AS (
+            SELECT user_id,
+                   10000 // (1 << CAST(least(
+                       ref.ref_b - epoch_us(CAST(ts AS TIMESTAMP))
+                           // {_DECAY_BUCKET_US},
+                       30) AS INTEGER)) AS wgt
+            FROM events, ref)
+        SELECT user_id,
+               CAST(sum(wgt) AS BIGINT) AS decayed_x10k,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM w
+        GROUP BY user_id
+        ORDER BY decayed_x10k DESC, user_id ASC
+        LIMIT {_DECAY_TOPK}
+    """,
+    tags=("sketch", "events", "streaming", "extension", "topk"),
+)
+def q_decayed_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decayed heavy hitters served from the MAINTAINED store (X128)
+    — the standing-deployment twin of q_decayed_topk: the event
+    stream arrives in {_DECAY_WAVES} waves (event_id mod
+    {_DECAY_WAVES} — arrival simulation, same device as
+    q_source_quota_gate), each wave folds into the per-(user,
+    bucket) count store through the EXACT streaming merge
+    (streaming/jobs.decayed_counts_merge_fn — additive counts,
+    marker-gated against redelivery, stage-rename committed), and
+    the registered query serves the top-{_DECAY_TOPK} from the store
+    alone.  Ages here are bucket-aligned (newest bucket minus event
+    bucket, the form the store can answer without per-event
+    timestamps); the oracle replays exactly that over the raw events,
+    so hash-green certifies the maintained state loses nothing the
+    serve needs.
+
+    Scale shape: the build is one groupBy(user, bkt) per wave plus a
+    |store|-row merge; the SERVE plan never scans events — one store
+    scan, a 1-row newest-bucket broadcast, a rowwise shift, and a
+    TakeOrderedAndProject heap (pinned)."""
+    import sys
+
+    from ..streaming.jobs import decayed_counts_merge_fn
+    from .index_cache import cached
+
+    events = load_table(spark, sf_dir, "events")
+
+    def _build(store: str) -> None:
+        merge = decayed_counts_merge_fn(spark, f"{store}/counts")
+        for wave in range(_DECAY_WAVES):
+            merge(
+                events.filter(F.col("event_id") % _DECAY_WAVES == wave),
+                wave,
+            )
+
+    path = cached(
+        "decayed_counts",
+        sf_dir,
+        ("events",),
+        (sys.modules[__name__],),
+        _build,
+        extra=f"b{_DECAY_BUCKET_DAYS}w{_DECAY_WAVES}",
+    )
+    return decayed_topk_from_store(spark.read.parquet(f"{path}/counts"))

@@ -4132,6 +4132,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X124 — quality-score calibration (reliability curve + per-bucket ECE)
 
 _CALIB_BUCKETS = 10
+_CALIB_SUBB = 16  # doc_id sub-buckets inside one pred_bp value (skew guard)
 
 
 @query(
@@ -4181,18 +4182,33 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FineWeb-Edu-style): does a higher quality score actually mean a
     higher keep probability?  The heuristic score (q_quality's
     quality_milli) is min-max normalized to basis points, decile-
-    bucketed (ntile, doc_id tiebreak so both engines bucket
+    bucketed (ntile semantics, doc_id tiebreak so both engines bucket
     identically), and each bucket reports mean predicted score vs the
     observed rate of the structural gold rule (q_quality_tiers' keep
     gate) plus the absolute gap — the per-bucket term of expected
     calibration error.  All integer arithmetic end to end.
 
-    Engine side: rowwise signals at the scan; one 2-value global
+    Engine side: rowwise signals at the scan; one 4-value global
     min/max broadcast (scalar agg cross join — the q_winsorize
-    class); ntile is ONE total-order window over (pred_bp, doc_id) —
-    at 100 TB the production substitute is the range-bucketed
-    two-pass rank (q_epoch_shuffle's machinery), and the bucket
-    boundaries land identically; final 10-group aggregate."""
+    class).  The decile assignment is the range-bucketed TWO-PASS
+    RANK (q_epoch_shuffle's machinery, pipeline_ops.epoch_shuffle),
+    never a single-partition global window: the ordering key
+    (pred_bp, doc_id) is split into ordered range buckets — pred_bp
+    is already an integer in [0, 10000], and each pred_bp value is
+    sub-split into {_CALIB_SUBB} doc_id ranges so even a corpus
+    where every document lands on ONE score (the qhi = qlo
+    degenerate case) still fans out — per-bucket row_number windows
+    hashpartition on the bucket pair, and the bucket offsets come
+    from a VALUE-BOUNDED (≤ 10001 × {_CALIB_SUBB} rows, independent
+    of corpus size) count aggregate prefix-summed driver-side and
+    broadcast back.  Global rank = offset + in-bucket rank because
+    (pred_bp, dbkt) bucket order refines (pred_bp, doc_id) row
+    order; the rank→ntile arithmetic is SQL ntile's own definition
+    (first n mod B buckets take ceil(n/B) rows), so the boundaries
+    land bit-identically to the oracle's ntile; final 10-group
+    aggregate.  The corpus-sized signal relation is
+    localCheckpoint'd once so the counts pass and the rank pass
+    share one materialization."""
     docs = load_table(spark, sf_dir, "documents")
     toks = "split(text, ' ')"
     q_milli = F.expr(
@@ -4209,19 +4225,58 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", q_milli.alias("q_milli"), gold.alias("gold")
     )
     mm = sig.agg(
-        F.min("q_milli").alias("qlo"), F.max("q_milli").alias("qhi")
+        F.min("q_milli").alias("qlo"),
+        F.max("q_milli").alias("qhi"),
+        F.min("doc_id").alias("dlo"),
+        F.max("doc_id").alias("dhi"),
     )
-    scored = sig.join(F.broadcast(mm)).select(
-        "doc_id",
-        "gold",
-        F.expr(
-            "CASE WHEN qhi = qlo THEN CAST(0 AS BIGINT) "
-            "ELSE (10000 * (q_milli - qlo)) div (qhi - qlo) END"
-        ).alias("pred_bp"),
+    scored = (
+        sig.join(F.broadcast(mm))
+        .select(
+            "doc_id",
+            "gold",
+            F.expr(
+                "CASE WHEN qhi = qlo THEN CAST(0 AS BIGINT) "
+                "ELSE (10000 * (q_milli - qlo)) div (qhi - qlo) END"
+            ).alias("pred_bp"),
+            F.expr(
+                f"CAST((doc_id - dlo) div "
+                f"((dhi - dlo) div {_CALIB_SUBB} + 1) AS INT)"
+            ).alias("dbkt"),
+        )
+        .localCheckpoint()
     )
-    w = W.orderBy("pred_bp", "doc_id")
+    # pass 1: value-bounded bucket counts (<= 10001 * _CALIB_SUBB
+    # rows whatever the corpus size) -> driver-side prefix sum
+    counts = (
+        scored.groupBy("pred_bp", "dbkt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    counts.sort(key=lambda r: (r["pred_bp"], r["dbkt"]))
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((int(r["pred_bp"]), int(r["dbkt"]), acc))
+        acc += int(r["n"])
+    n_total = acc
+    offs = spark.createDataFrame(
+        offsets, "pred_bp BIGINT, dbkt INT, off BIGINT"
+    )
+    # pass 2: per-bucket rank + offset = the global (pred_bp, doc_id)
+    # rank; then ntile's own arithmetic maps rank -> decile
+    nq, nrem = divmod(n_total, _CALIB_BUCKETS)
+    cutoff = nrem * (nq + 1)
+    bucket_expr = (
+        f"CASE WHEN rk <= {cutoff} THEN (rk - 1) div {nq + 1} + 1 "
+        f"ELSE {nrem} + (rk - {cutoff} - 1) div {max(nq, 1)} + 1 END"
+    )
+    w = W.partitionBy("pred_bp", "dbkt").orderBy("doc_id")
     return (
-        scored.withColumn("bucket", F.ntile(_CALIB_BUCKETS).over(w))
+        scored.join(F.broadcast(offs), ["pred_bp", "dbkt"])
+        .withColumn(
+            "rk", F.col("off") + F.row_number().over(w).cast("long")
+        )
+        .withColumn("bucket", F.expr(bucket_expr))
         .groupBy("bucket")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),

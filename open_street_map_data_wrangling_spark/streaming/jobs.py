@@ -974,6 +974,72 @@ def drift_stats_maintenance(doc_stream: DataFrame, store_dir: str):
     )
 
 
+def decayed_counts_merge_fn(spark: SparkSession, store_dir: str):
+    """Additive per-(user_id, bkt) event-count merge — the state
+    behind the time-decayed heavy hitters (X127/X128): counts at
+    absolute 3-day-bucket granularity, so the decay NEVER touches
+    the stored numbers — age enters only at serve time as a bucket
+    shift (sketches.decayed_topk_from_store).  Counter addition is
+    not idempotent, so redelivery protection is the CMS discipline:
+    `_applied_<batch_id>` markers ride INSIDE the store dir and
+    commit atomically with the counts via the shared stage-rename
+    protocol.  The store stays |active users| x |age buckets| rows
+    whatever the event volume — the compaction that makes a standing
+    trending query affordable."""
+    from ..operators.sketches import decayed_counts
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        jvm, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{store_dir}/_applied_{batch_id}"
+        )
+        if fs.exists(marker):
+            return
+        delta = decayed_counts(batch_df)
+        prior_markers = []
+        if fs.exists(store_path):
+            for status in fs.listStatus(store_path):
+                name = status.getPath().getName()
+                if name.startswith("_applied_"):
+                    prior_markers.append(name)
+            merged = (
+                spark.read.parquet(store_dir)
+                .unionByName(delta)
+                .groupBy("user_id", "bkt")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        for name in prior_markers + [f"_applied_{batch_id}"]:
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(f"{stage_path}/{name}"), True
+            ).close()
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def decayed_topk_maintenance(stream: DataFrame, store_dir: str):
+    """Continuous trending-user state over the event stream: each
+    micro-batch folds its per-(user, bucket) counts into the store
+    additively (marker-gated against redelivery, see
+    decayed_counts_merge_fn).  The store IS the trending query's
+    state — sketches.decayed_topk_from_store turns it into the
+    decayed top-k at any moment without rescoring the event history,
+    and the streamed store equals decayed_counts() over everything
+    seen (pinned in tests/test_streaming.py, including under
+    replay).  Returns the StreamingQuery (caller stops it)."""
+    return (
+        stream.writeStream.foreachBatch(
+            decayed_counts_merge_fn(stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+
+
 def shard_manifest_merge_fn(spark: SparkSession, store_dir: str):
     """Incremental output-shard planning — pipeline_ops.q_shard_plan's
     granular (shard, source) manifest kept current as corpus chunks

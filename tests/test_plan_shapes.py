@@ -1064,3 +1064,97 @@ def test_purged_report_serves_from_stores_only(plans):
     assert p.count("_edges") == 1
     assert "mapInPandas" not in p.lower()
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# Round-15 operators (X122–X127) + the round-16 calibration rank fix
+
+
+def test_pii_audit_one_scan_one_exchange(plans):
+    """q_pii_audit: injection, all four regexp detectors, and both
+    validators (octet forall, Luhn aggregate fold) are rowwise
+    Projects inside the single documents scan's span; the ONLY
+    exchange is the final groupBy(source) hash aggregate."""
+    p = plans("q_pii_audit")
+    assert p.count("Scan parquet") == 1
+    assert p.count("documents.parquet") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+    assert "Join" not in p
+
+
+def test_ann_range_zero_joins_one_output_sort(plans):
+    """q_ann_range: the codebook and probe batch ride as plan
+    literals — one embeddings scan, zero joins, the probe explode is
+    a Generate, and the only exchange is the output sort of the
+    already-radius-filtered rows (output size IS the shuffle size)."""
+    p = plans("q_ann_range")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    assert "Generate" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Exchange rangepartitioning") == 1
+
+
+def test_quality_calibration_no_single_partition_window(plans):
+    """q_quality_calibration (the r15 `weak`, fixed r16): the decile
+    assignment must be the range-bucketed two-pass rank — a window
+    hashpartitioned on the (pred_bp, dbkt) bucket pair over the
+    localCheckpoint'd signal relation — NEVER the single-partition
+    global ntile that serializes the corpus through one task."""
+    import re
+
+    p = plans("q_quality_calibration")
+    assert "SinglePartition" not in p
+    assert re.search(r"hashpartitioning\(pred_bp", p)
+    assert "ExistingRDD" in p  # signals materialized once, shared
+
+
+def test_datasheet_single_scan_rollup(plans):
+    """q_datasheet: per-source AND grand-total rows from ONE
+    documents scan via Expand (rollup) — no second job, no union of
+    two aggregates."""
+    p = plans("q_datasheet")
+    assert p.count("Scan parquet") == 1
+    assert p.count("documents.parquet") == 1
+    assert "Expand" in p
+    assert "Union" not in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_source_quota_gate_ledger_only_plan(plans):
+    """q_source_quota_gate: the registered query plans over the
+    |waves|x|sources|-row ledger only (one parquet scan of the
+    cached store) — the wave machinery ran behind the content-tagged
+    cache; serving the gate report never rescans the corpus."""
+    p = plans("q_source_quota_gate")
+    assert "documents.parquet" not in p
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+
+
+def test_decayed_topk_heap_not_global_sort(plans):
+    """q_decayed_topk: one events scan + the 1-row max-ts scalar
+    aggregate re-entering as a broadcast (the only SinglePartition,
+    bounded by construction), rowwise integer shift decay, and the
+    top-10 via TakeOrderedAndProject — never a global sort."""
+    p = plans("q_decayed_topk")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange SinglePartition") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Sort " not in p or "rangepartitioning" not in p
+
+
+def test_decayed_topk_served_from_store_only(plans):
+    """q_decayed_topk_served (X128): the serve plan must read ONLY
+    the maintained (user, bucket) count store — zero events scans
+    (the stream folded in behind the cache), two store scans (the
+    1-row newest-bucket aggregate + the re-weight pass), and the
+    top-k via TakeOrderedAndProject."""
+    p = plans("q_decayed_topk_served")
+    assert "events.parquet" not in p
+    assert p.count("Scan parquet") == 2
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange SinglePartition") == 1

@@ -2335,3 +2335,104 @@ def test_ingest_text_edges_admission_semantics_and_fixture_equality(
     assert any(a % 3 == 0 and b % 3 == 0 for a, b in got_hot)
     w2 = {i for i in range(n_hot) if i % 3 == 2}
     assert not any(a in w2 or b in w2 for a, b in got_hot)
+
+
+def test_decayed_topk_maintenance_matches_batch_and_survives_replay(
+    spark, tmp_path
+):
+    """The trending-user state (X128): after every micro-batch the
+    per-(user, bucket) count store must equal decayed_counts() over
+    everything seen so far (streamed == batch, checked at BOTH
+    boundaries), the serve from the store must rank recency over
+    volume exactly as the batch-aligned decay does, a redelivered
+    batch must be a no-op ONLY because of the applied-batch marker
+    (counter addition double-counts — proven by deleting the
+    marker), and the stage-rename crash window must recover."""
+    from open_street_map_data_wrangling_spark.operators.sketches import (
+        decayed_counts,
+        decayed_topk_from_store,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        decayed_counts_merge_fn,
+        decayed_topk_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "decay_store")
+
+    def mk(first_id, n, user, day):
+        return spark.createDataFrame(
+            [
+                (first_id + i, f"2024-01-{day:02d} 10:00:00", user,
+                 "click", 1.0, "{}")
+                for i in range(n)
+            ],
+            "event_id long, ts_s string, user_id long,"
+            " event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+
+    # user 1: heavy but OLD (day 1); user 2: light but RECENT —
+    # 9 days apart = 3 decay buckets, so user 1's 8 events weigh
+    # 8 * (10000 >> 3) = 10000 < user 2's 2 * 10000 = 20000
+    b1 = mk(0, 8, 1, 1)
+    b2 = mk(100, 2, 2, 10)
+    b1.write.mode("overwrite").parquet(src)
+    stream = events_file_stream(spark, src)
+    q = decayed_topk_maintenance(stream, store)
+
+    def counts_of(path):
+        return {
+            (r.user_id, r.bkt): r.cnt
+            for r in spark.read.parquet(path).collect()
+        }
+
+    def expected_counts(df):
+        return {
+            (r.user_id, r.bkt): r.cnt for r in decayed_counts(df).collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        assert counts_of(store) == expected_counts(b1)
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    both = b1.unionByName(b2)
+    got = counts_of(store)
+    assert got == expected_counts(both)
+
+    # serve: recency beats volume, counts preserved
+    served = decayed_topk_from_store(spark.read.parquet(store)).collect()
+    assert [(r.user_id, r.decayed_x10k, r.n_events) for r in served] == [
+        (2, 20000, 2),
+        (1, 10000, 8),
+    ]
+
+    # redelivery with the marker present: no-op
+    decayed_counts_merge_fn(spark, store)(b2, batch_id=1)
+    assert counts_of(store) == got
+
+    # proof the MARKER is what saves us: drop it and the same replay
+    # double-counts batch 2
+    import glob
+    import os
+
+    for p in glob.glob(f"{store}/_applied_*"):
+        os.remove(p)
+    decayed_counts_merge_fn(spark, store)(b2, batch_id=1)
+    assert counts_of(store) != got
+
+    # mid-commit crash: store gone, complete stage present — the next
+    # merge must recover the staged state before reading anything
+    os.rename(store, f"{store}_stage")
+    decayed_counts_merge_fn(spark, store)(b1, batch_id=0)  # marker no-op
+    assert spark.read.parquet(store).count() > 0
