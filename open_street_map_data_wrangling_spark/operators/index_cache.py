@@ -165,6 +165,7 @@ def cached(
             for e in os.listdir(parent)
             if e.startswith(tmp_base) and e != tmp_base
         )
+        aborted = False
         for suffix in suffixes + [""]:
             src = tmp + suffix
             dst = path + suffix
@@ -175,15 +176,45 @@ def cached(
             except OSError:
                 # ``dst`` is occupied: either a stale unmarked
                 # leftover (pre-publish crash) or a concurrent
-                # winner's sibling.  Swap it aside and retry once; a
-                # second loss means the winner just landed.
+                # winner's piece.  Re-check the marker FIRST: if it
+                # appeared between the loop-top check and the rename,
+                # the occupant belongs to a winner's COMPLETE set —
+                # adopt it untouched (swapping it aside would delete
+                # a published artifact out from under a reader that
+                # already passed its marker check).
+                if os.path.exists(marker):
+                    break
                 stale = f"{dst}.stale.{uuid.uuid4().hex[:8]}"
                 try:
                     os.rename(dst, stale)
                     shutil.rmtree(stale, ignore_errors=True)
                     os.rename(src, dst)
                 except OSError:
-                    pass
+                    # Second loss.  If a winner repopulated ``dst``
+                    # the published set stays complete (our copies
+                    # are interchangeable) and the next iteration's
+                    # marker check decides; if ``dst`` is ABSENT we
+                    # swapped a sibling aside and could not replace
+                    # it — publishing the marker now would certify an
+                    # incomplete set, so abort the publish entirely.
+                    if not os.path.exists(dst):
+                        aborted = True
+                        break
+        if aborted:
+            # The shared location is in a raced, unmarked state this
+            # process cannot repair without deleting a concurrent
+            # winner's work.  Serve THIS call from a private
+            # ephemeral build (the ``:absent`` discipline); the next
+            # call finds either a winner's marker or rebuilds and
+            # publishes cleanly.
+            base = f"osm_spark_idx_{kind}_ephemeral_{uuid.uuid4().hex[:16]}"
+            epath = os.path.join(parent, base)
+            atexit.register(_rm_prefixed, parent, base)
+            build_fn(epath)
+            os.makedirs(epath, exist_ok=True)
+            with open(os.path.join(epath, "_built_ephemeral"), "w"):
+                pass
+            return epath
     finally:
         _rm_prefixed(parent, tmp_base)
     return path

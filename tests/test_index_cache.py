@@ -301,3 +301,121 @@ def test_cache_gc_groups_and_ages(tmp_path, monkeypatch):
     os.utime(fresh, (stale, stale))
     gc.main()
     assert not old.exists() and not fresh.exists()
+
+
+def test_publish_race_loser_adopts_mid_rename_winner(sf_dir, monkeypatch):
+    """The r15-advice race: a winner's marker-carrying dir lands
+    BETWEEN the loop-top marker check and our rename.  The loser's
+    except branch must RE-CHECK the marker and adopt the winner's
+    published set — never swap it aside and rmtree it (which left a
+    window where the published path was absent under a reader that
+    had already passed its marker check)."""
+    state = {}
+    real_rename = os.rename
+
+    def build(path):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "artifact.txt"), "w") as f:
+            f.write("loser")
+        state["final"] = path.split(".build.")[0]
+
+    def racing_rename(src, dst):
+        if dst == state.get("final") and "planted" not in state:
+            # the winner publishes its complete marked set exactly
+            # in the check->rename window, making our rename fail
+            token = os.path.basename(dst).rsplit("_", 1)[-1]
+            os.makedirs(dst, exist_ok=True)
+            with open(os.path.join(dst, "artifact.txt"), "w") as f:
+                f.write("winner")
+            with open(os.path.join(dst, f"_built_{token}"), "w"):
+                pass
+            state["planted"] = True
+            raise OSError(17, "File exists", dst)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(index_cache.os, "rename", racing_rename)
+    p = cached("tst_midrace", sf_dir, ("t",), (index_cache,), build)
+    assert p == state["final"]
+    # the winner's artifact survived INTACT — not swapped aside
+    assert open(os.path.join(p, "artifact.txt")).read() == "winner"
+    token = os.path.basename(p).rsplit("_", 1)[-1]
+    assert os.path.exists(os.path.join(p, f"_built_{token}"))
+
+
+def test_publish_abort_never_certifies_incomplete_set(
+    sf_dir, monkeypatch
+):
+    """The r15-advice incomplete-set hazard: if a sibling's
+    swap-aside succeeds but its reinstall fails and nobody
+    repopulated the slot, the publish must ABORT (no marker ever
+    written at the shared path — marker implies complete set) and
+    THIS call must be served from a private ephemeral build."""
+    state = {}
+    real_rename = os.rename
+
+    def build(path):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "artifact.txt"), "w") as f:
+            f.write("mine")
+        os.makedirs(path + "_side", exist_ok=True)
+        with open(os.path.join(path + "_side", "side.txt"), "w") as f:
+            f.write("side")
+        if "final" not in state:
+            state["final"] = path.split(".build.")[0]
+            # occupy the sibling slot with an unmarked stale dir so
+            # the first rename fails for a real reason
+            os.makedirs(state["final"] + "_side", exist_ok=True)
+            with open(
+                os.path.join(state["final"] + "_side", "stale.txt"), "w"
+            ) as f:
+                f.write("old")
+
+    def failing_rename(src, dst):
+        # both the initial install AND the post-swap retry of the
+        # sibling fail; the swap-aside itself (dst = *.stale.*)
+        # succeeds, leaving the slot empty — the abort case
+        if dst == state.get("final", "\0") + "_side":
+            raise OSError(13, "Permission denied", dst)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(index_cache.os, "rename", failing_rename)
+    p = cached("tst_abort", sf_dir, ("t",), (index_cache,), build)
+    # served from a private ephemeral build, complete and marked
+    assert "_ephemeral_" in os.path.basename(p)
+    assert open(os.path.join(p, "artifact.txt")).read() == "mine"
+    assert os.path.exists(os.path.join(p, "_built_ephemeral"))
+    # the shared path was NEVER marked: no incomplete set certified
+    final = state["final"]
+    token = os.path.basename(final).rsplit("_", 1)[-1]
+    assert not os.path.exists(os.path.join(final, f"_built_{token}"))
+
+
+def test_verify_local_preamble_runs_cache_gc(tmp_path, monkeypatch):
+    """The retention policy's call site: verify_local's main() must
+    invoke cache_gc.collect() so every correctness pass doubles as
+    the janitor tick (a stale-token artifact older than the 7-day
+    window is collected by that tick)."""
+    import importlib.util
+    import sys as _sys
+    import time as _time
+
+    spec = importlib.util.spec_from_file_location(
+        "cache_gc", str(ROOT / "tools" / "cache_gc.py")
+    )
+    gc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gc)
+
+    tok = "ffeeddccbbaa0099"
+    stale_dir = tmp_path / f"osm_spark_idx_dead_{tok}"
+    stale_dir.mkdir()
+    (stale_dir / "x.txt").write_text("x")
+    old = _time.time() - 30 * 86400
+    os.utime(stale_dir / "x.txt", (old, old))
+    os.utime(stale_dir, (old, old))
+    monkeypatch.setattr(gc.tempfile, "gettempdir", lambda: str(tmp_path))
+    n_rm, n_keep, _ = gc.collect()
+    assert n_rm == 1 and not stale_dir.exists()
+    # and the call site exists: verify_local imports + calls collect
+    src = (ROOT / "tools" / "verify_local.py").read_text()
+    assert "from cache_gc import collect" in src
+    assert "_gc_collect()" in src

@@ -56,3 +56,37 @@ def test_coverage_md_totals_match_registry():
         f"COVERAGE.md totals stale: says {m.groups()}, registry has "
         f"({n_total}, {n_oracle}, {n_rows_only})"
     )
+
+
+def test_bench_gate_flags_regressions_and_passes_noise():
+    """tools/bench_gate.py turns the per-query bench map into
+    enforcement (r15 verdict #8): a >1.5x regression on a
+    non-trivial query fails, sub-floor jitter and new/removed
+    queries never do."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_gate", str(ROOT / "tools" / "bench_gate.py")
+    )
+    bg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bg)
+
+    base = {"queries": {"q_a": 1.0, "q_b": 0.05, "q_gone": 0.5}}
+    cur = {"queries": {"q_a": 1.6, "q_b": 0.09, "q_new": 2.0}}
+    fails, notes = bg.gate(cur, base)
+    assert len(fails) == 1 and fails[0].startswith("q_a:")
+    assert any("q_new" in n for n in notes)
+    assert any("q_gone" in n for n in notes)
+    # within threshold -> clean pass
+    ok, _ = bg.gate({"queries": {"q_a": 1.4}}, {"queries": {"q_a": 1.0}})
+    assert ok == []
+    # the real artifact resolves a previous committed map (or is the
+    # first of its kind) without raising
+    import json
+
+    with open(ROOT / "BENCH_FULL_LATEST.json") as f:
+        current = json.load(f)
+    prev = bg.previous_committed_map(current)
+    if prev is not None:
+        fl, _ = bg.gate(current, prev)
+        assert isinstance(fl, list)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -79,6 +80,40 @@ def main() -> None:
     prior_commit, out_path = sys.argv[1], sys.argv[2]
     label = sys.argv[3] if len(sys.argv) > 3 else "control pair"
     prior_tree = f"/tmp/ctrl_{prior_commit[:8]}"
+    if os.path.isdir(prior_tree):
+        # Reuse ONLY a verified-clean checkout of the requested
+        # commit — an interrupted run, manual edits, or leftover
+        # build artifacts in the tree would silently bench the wrong
+        # code and skew the control ratio.
+        head = subprocess.run(
+            ["git", "-C", prior_tree, "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+        )
+        status = subprocess.run(
+            ["git", "-C", prior_tree, "status", "--porcelain"],
+            capture_output=True,
+            text=True,
+        )
+        want = subprocess.run(
+            ["git", "rev-parse", prior_commit],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+        if (
+            head.returncode != 0
+            or status.returncode != 0
+            or head.stdout.strip() != want
+            or status.stdout.strip()
+        ):
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", prior_tree],
+                cwd=REPO,
+                capture_output=True,
+            )
+            shutil.rmtree(prior_tree, ignore_errors=True)
     if not os.path.isdir(prior_tree):
         subprocess.run(
             ["git", "worktree", "add", "--detach", prior_tree, prior_commit],

@@ -1,0 +1,132 @@
+"""Per-query bench regression gate.
+
+    python tools/bench_gate.py [--threshold R] [--floor SEC]
+                               [current.json [baseline.json]]
+
+Diffs the working tree's full per-query bench map
+(``BENCH_FULL_LATEST.json``) against the PREVIOUS round's map and
+exits non-zero if any query regressed beyond the threshold — turning
+the 180+-query map into enforcement the way stamps and COVERAGE
+totals already are (r15 verdict #8).
+
+Baseline resolution: with no explicit baseline path, walk
+``git log -- BENCH_FULL_LATEST.json`` and take the NEWEST committed
+version whose content differs from the current map — i.e. "the
+previous round's map" even when the current one is already committed.
+If no differing version exists (first round with a map), the gate
+passes vacuously.
+
+Noise policy: single-process local bench times jitter by tens of ms,
+so a pure ratio would flag 0.05 s -> 0.09 s. A query only fails the
+gate when BOTH hold: time > threshold x baseline (default 1.5) AND
+baseline >= floor seconds (default 0.30 — below that the fixed Spark
+job overhead dominates and the ratio is noise).  Queries present in
+only one map are reported but never fail the gate (new/removed ops).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MAP = "BENCH_FULL_LATEST.json"
+
+
+def _queries(obj: dict) -> dict[str, float]:
+    qs = obj.get("queries", obj)
+    return {k: float(v) for k, v in qs.items()}
+
+
+def previous_committed_map(current: dict) -> dict | None:
+    """Newest committed BENCH_FULL_LATEST.json whose content differs
+    from ``current`` — the previous round's map."""
+    revs = subprocess.run(
+        ["git", "log", "--format=%H", "--", MAP],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    cur_q = _queries(current)
+    for rev in revs:
+        show = subprocess.run(
+            ["git", "show", f"{rev}:{MAP}"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        if show.returncode != 0:
+            continue
+        try:
+            cand = json.loads(show.stdout)
+        except ValueError:
+            continue
+        if _queries(cand) != cur_q:
+            return cand
+    return None
+
+
+def gate(
+    current: dict,
+    baseline: dict,
+    threshold: float = 1.5,
+    floor: float = 0.30,
+) -> tuple[list[str], list[str]]:
+    """Returns (failures, notes); the gate fails iff failures."""
+    cur, base = _queries(current), _queries(baseline)
+    failures, notes = [], []
+    for q in sorted(set(cur) & set(base)):
+        if base[q] >= floor and cur[q] > threshold * base[q]:
+            failures.append(
+                f"{q}: {base[q]:.3f}s -> {cur[q]:.3f}s "
+                f"({cur[q] / base[q]:.2f}x > {threshold}x)"
+            )
+    only_new = sorted(set(cur) - set(base))
+    only_old = sorted(set(base) - set(cur))
+    if only_new:
+        notes.append(f"new queries (not gated): {', '.join(only_new)}")
+    if only_old:
+        notes.append(f"dropped queries: {', '.join(only_old)}")
+    return failures, notes
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    threshold, floor = 1.5, 0.30
+    if "--threshold" in args:
+        i = args.index("--threshold")
+        threshold = float(args[i + 1])
+        del args[i : i + 2]
+    if "--floor" in args:
+        i = args.index("--floor")
+        floor = float(args[i + 1])
+        del args[i : i + 2]
+    cur_path = args[0] if args else os.path.join(REPO, MAP)
+    with open(cur_path) as f:
+        current = json.load(f)
+    if len(args) > 1:
+        with open(args[1]) as f:
+            baseline = json.load(f)
+    else:
+        baseline = previous_committed_map(current)
+        if baseline is None:
+            print("bench-gate: no differing committed map — vacuous pass")
+            return 0
+    failures, notes = gate(current, baseline, threshold, floor)
+    for n in notes:
+        print(f"bench-gate note: {n}")
+    if failures:
+        print(f"bench-gate FAIL ({len(failures)} regressions):")
+        for f_ in failures:
+            print(f"  {f_}")
+        return 1
+    n = len(set(_queries(current)) & set(_queries(baseline)))
+    print(f"bench-gate PASS: {n} common queries within {threshold}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

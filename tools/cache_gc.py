@@ -58,12 +58,18 @@ def _newest_mtime(path: str) -> float:
     return newest
 
 
-def main() -> None:
-    days = 7.0
-    dry = "--dry-run" in sys.argv
-    if "--days" in sys.argv:
-        days = float(sys.argv[sys.argv.index("--days") + 1])
-    parent = tempfile.gettempdir()
+def collect(
+    days: float = 7.0, dry: bool = False, parent: str | None = None
+) -> tuple[int, int, int]:
+    """Sweep stale artifact groups; returns (removed, kept, bytes).
+
+    This is the RETENTION POLICY's single entry point: artifacts
+    whose whole prefix group is older than ``days`` (default 7 — one
+    driver round plus slack) are deleted.  tools/verify_local.py runs
+    it in its preamble, so every correctness pass doubles as the
+    janitor tick and stale content-tagged artifacts can never
+    accumulate unbounded across rounds."""
+    parent = parent or tempfile.gettempdir()
     cutoff = time.time() - days * 86400
     groups: dict[str, list[str]] = {}
     for e in os.listdir(parent):
@@ -78,12 +84,16 @@ def main() -> None:
             n_keep += len(members)
             continue
         for p in paths:
-            size = sum(
-                os.stat(os.path.join(r, f)).st_size
-                for r, _, fs in os.walk(p)
-                for f in fs
-                if os.path.exists(os.path.join(r, f))
-            )
+            # per-file stat guarded by try/except (not an exists()
+            # pre-check, which is a TOCTOU: a concurrent deleter
+            # between check and stat would abort the sweep mid-walk)
+            size = 0
+            for r, _, fs in os.walk(p):
+                for f in fs:
+                    try:
+                        size += os.stat(os.path.join(r, f)).st_size
+                    except OSError:
+                        pass
             bytes_rm += size
             n_rm += 1
             if dry:
@@ -95,6 +105,15 @@ def main() -> None:
         f"{mode} {n_rm} entries ({bytes_rm / 1e6:.1f} MB), "
         f"kept {n_keep} (newer than {days:g} days)"
     )
+    return n_rm, n_keep, bytes_rm
+
+
+def main() -> None:
+    days = 7.0
+    dry = "--dry-run" in sys.argv
+    if "--days" in sys.argv:
+        days = float(sys.argv[sys.argv.index("--days") + 1])
+    collect(days=days, dry=dry)
 
 
 if __name__ == "__main__":

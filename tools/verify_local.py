@@ -127,6 +127,17 @@ def main():
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a]
 
+    # Retention-policy tick (documented in tools/cache_gc.py): every
+    # correctness pass sweeps index-cache artifacts whose whole
+    # prefix group is >7 days stale, so content-tagged dirs stranded
+    # by module edits can't accumulate unbounded across rounds.
+    try:
+        from cache_gc import collect as _gc_collect
+
+        _gc_collect()
+    except Exception as exc:  # GC must never block verification
+        print(f"cache-gc skipped: {exc}")
+
     specs = load_all_queries()
     if names:
         specs = {k: v for k, v in specs.items() if k in names}
