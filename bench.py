@@ -250,6 +250,16 @@ HEADLINE = (
     "q_source_quota_gate",
     # time-decayed heavy hitters (X127)
     "q_decayed_topk",
+    # added round 16: served decayed top-k (X128), served range
+    # search (X129), pareto front / AUC quality evals (X130-X131),
+    # embedding drift monitor (X132), Benford audit (X133)
+    "q_decayed_topk_served",
+    "q_ann_range_served",
+    "q_pareto_front",
+    "q_quality_auc",
+    "q_embedding_drift",
+    "q_benford",
+    "q_gini",
 )
 
 

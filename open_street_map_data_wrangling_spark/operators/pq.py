@@ -48,7 +48,15 @@ from pyspark.sql import functions as F
 from ..functions import cosine_expr
 from ..plans.registry import query
 from ..sources.catalog import load_table
-from .similarity import _IVF_ASSIGN_SQL, _empty_result, _ivf_qcells_sql
+from .similarity import (
+    _IVF_ASSIGN_SQL,
+    _RANGE_NPROBE,
+    _RANGE_QIDS,
+    _RANGE_TAU,
+    _empty_result,
+    _ivf_qcells_sql,
+    _range_oracle,
+)
 
 _M = 4  # subspaces
 _SUBDIM = 16  # dims per subspace (fixture embeddings are 64-dim)
@@ -994,6 +1002,19 @@ def build_ivfpq_index(
     ).withColumn("n_centroids", F.lit(int(c))).write.mode(
         "overwrite"
     ).parquet(f"{path}/seeds")
+    # probes/ — the standing range-search probe batch (_RANGE_QIDS),
+    # kept SEPARATE from seeds/ on purpose: seeds are MODEL
+    # PARAMETERS (purge_ivfpq_index refuses to forget them — that is
+    # a retrain), while probes are ordinary corpus rows a serving
+    # convenience caches; the purge rewrites probes/ like codes/, so
+    # a forgotten document's raw vector never lingers as a query
+    # template.  Bounded: |_RANGE_QIDS| rows.
+    emb.filter(
+        F.col("vec_id").isin([int(q) for q in _RANGE_QIDS])
+        & F.col("embedding").isNotNull()
+    ).select("vec_id", "embedding").write.mode("overwrite").parquet(
+        f"{path}/probes"
+    )
 
 
 def _load_ivfpq_seeds(
@@ -1130,6 +1151,130 @@ def q_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "vec_id", "adc_d2")
 
 
+def ann_range_search(
+    spark: SparkSession,
+    index_path: str,
+    query_ids: tuple[int, ...] = _RANGE_QIDS,
+    nprobe: int = _RANGE_NPROBE,
+    tau: float = _RANGE_TAU,
+) -> DataFrame:
+    """Epsilon-ball range search over the PERSISTED IVF index — the
+    serving twin of similarity.q_ann_range, completing the
+    build/serve matrix (top-k, batched, filtered, and now range).
+
+    Two bounded reads rebuild the plan literals — seeds/ for the
+    IVF centroids (model parameters) and probes/ for the standing
+    probe batch's raw vectors (ordinary corpus rows, rewritten by
+    purge_ivfpq_index so a forgotten document never lingers as a
+    query template) — probe cells are ranked driver-side, then ONE
+    partition-pruned scan of codes/
+    (PartitionFilters: cid IN the UNION of every probe's cells —
+    only |union| of the C partition directories are opened; the
+    per-directory raw vectors ride in codes/, so NO corpus scan).
+    Each scanned row computes one exact cosine per probe against the
+    riding embedding and a filter-then-explode keeps exactly the
+    (probe, row) combinations where the row's STORED cell is in that
+    probe's nprobe set and the cosine clears the radius — the stored
+    cid equals the inline argmax assignment (q_ivfpq_serve's oracle
+    proves codes cid == the relational a1), so served output is
+    row-identical to the inline derivation.  Cost at any scale:
+    |union probe cells| worth of index reads, output rows = the
+    answer itself."""
+    from .similarity import _rank_cells_py, _with_cos_cols
+
+    empty_ddl = "q_id BIGINT, vec_id BIGINT, cos_sim DOUBLE"
+    seeds = (
+        spark.read.schema(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT"
+        )
+        .parquet(f"{index_path}/seeds")
+        .collect()
+    )
+    if not seeds:
+        return spark.createDataFrame([], empty_ddl)
+    raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
+    c = int(seeds[0]["n_centroids"])
+    if c == 0 or not set(range(c)) <= raw.keys():
+        return spark.createDataFrame([], empty_ddl)
+    cents = [raw[i] for i in range(c)]
+    # probes absent from the corpus — or purged since the build —
+    # are absent from probes/ and contribute no rows: the same
+    # semantics as the inline isin() collect over the table
+    pvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in spark.read.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(f"{index_path}/probes")
+        .collect()
+    }
+    qrows = sorted(
+        (int(q), pvecs[int(q)]) for q in query_ids if int(q) in pvecs
+    )
+    if not qrows:
+        return spark.createDataFrame([], empty_ddl)
+    probes = {
+        qid: [int(x) for x in _rank_cells_py(cents, qv)[:nprobe]]
+        for qid, qv in qrows
+    }
+    union_cells = sorted({cell for cs in probes.values() for cell in cs})
+    codes = (
+        spark.read.parquet(f"{index_path}/codes")
+        .filter(F.col("cid").isin(union_cells))
+        .select("vec_id", "cid", "embedding")
+    )
+    scored = _with_cos_cols(codes, [qv for _, qv in qrows])
+    per_probe = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("bigint").alias("q_id"),
+                F.col(f"__cos{j}").alias("cos_raw"),
+                F.col("cid").isin(probes[qid]).alias("hit"),
+            )
+            for j, (qid, _) in enumerate(qrows)
+        ]
+    )
+    return (
+        scored.select(
+            "vec_id",
+            F.explode(
+                F.filter(
+                    per_probe,
+                    lambda x: x["hit"]
+                    & (x["cos_raw"] >= F.lit(float(tau)))
+                    & (F.col("vec_id") != x["q_id"]),
+                )
+            ).alias("m"),
+        )
+        .select(
+            F.col("m.q_id").alias("q_id"),
+            "vec_id",
+            F.round("m.cos_raw", 4).alias("cos_sim"),
+        )
+        .orderBy("q_id", "vec_id")
+    )
+
+
+@query(
+    "q_ann_range_served",
+    oracle=_range_oracle(),
+    tags=("similarity", "ann", "pq", "ivf", "extension"),
+)
+def q_ann_range_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search over the PERSISTED index (X129) — q_ann_range's
+    serving half, the shape a radius-based dedup sweep or recall
+    audit issues against a standing deployment.  ensure_ivfpq_index
+    amortizes the build (shared with every other ivfpq consumer of
+    this sf_dir); the answer itself is ann_range_search's single
+    partition-pruned codes scan — zero corpus scans, zero joins,
+    PartitionFilters on the probed cells (pinned in
+    tests/test_plan_shapes.py).  The oracle is the SAME relational
+    replay q_ann_range checks against, so a green row proves the
+    persisted artifacts answer range queries bit-identically to the
+    inline derivation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = ensure_ivfpq_index(emb, sf_dir)
+    return ann_range_search(spark, path)
+
+
 def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
     """Fold the maintenance history back into a single generation:
     rewrite codes/ keeping the LATEST row per vec_id (highest
@@ -1244,6 +1389,23 @@ def purge_ivfpq_index(
         str(stage_path)
     )
     _commit_store(fs, codes_path, stage_path)
+    # probes/ (the standing range-search batch) holds ORDINARY corpus
+    # rows, not model parameters — purge them like codes/, same
+    # stage-rename protocol, so a forgotten document's raw vector
+    # cannot linger as a query template (ann_range_search then skips
+    # the probe, exactly as if the row had never been ingested)
+    probes_path = jvm.org.apache.hadoop.fs.Path(f"{path}/probes")
+    pstage_path = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/probes_purge_stage"
+    )
+    if fs.exists(probes_path):
+        _recover_store(fs, probes_path, pstage_path)
+        spark.read.schema("vec_id BIGINT, embedding ARRAY<FLOAT>").parquet(
+            f"{path}/probes"
+        ).join(F.broadcast(dele), "vec_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(str(pstage_path))
+        _commit_store(fs, probes_path, pstage_path)
 
 
 # ---------------------------------------------------------------------------

@@ -2127,3 +2127,85 @@ def q_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "vec_id")
     )
+
+
+@query(
+    "q_embedding_drift",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id % 2 AS wave,
+                   unnest(range(0, len(embedding))) AS pos,
+                   -- ::DOUBLE first (the q_centroids finding): DuckDB
+                   -- multiplies FLOAT x INT in single precision
+                   CAST(round(unnest(embedding)::DOUBLE * 100000)
+                        AS BIGINT) AS qx
+            FROM embeddings),
+        w AS (
+            SELECT pos, wave, sum(qx) AS s, count(*) AS n
+            FROM q GROUP BY pos, wave),
+        p AS (
+            SELECT pos,
+                   max(CASE WHEN wave = 0 THEN s // n END) AS mean_a_q,
+                   max(CASE WHEN wave = 1 THEN s // n END) AS mean_b_q
+            FROM w GROUP BY pos)
+        SELECT CAST(pos AS BIGINT) AS dim,
+               CAST(mean_a_q AS BIGINT) AS mean_a_q,
+               CAST(mean_b_q AS BIGINT) AS mean_b_q,
+               CAST(abs(mean_a_q - mean_b_q) AS BIGINT) AS drift_q
+        FROM p ORDER BY dim
+    """,
+    tags=("similarity", "vector", "monitoring", "extension"),
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift (X132) — the embedding-space
+    monitor a standing ingest needs next to q_embedding_health's
+    norm envelope and q_quality_drift's score deltas: split the
+    corpus into two deterministic waves (vec_id parity — at
+    deployment, the ingest-batch column) and report each dimension's
+    fixed-point mean in both waves plus the absolute shift.  A new
+    encoder checkpoint, a silent preprocessing change, or a domain
+    mix shift shows up as a handful of dimensions with large drift_q
+    long before retrieval recall visibly degrades.
+
+    Components are quantized to 1e-5 fixed point BEFORE summing (the
+    q_centroids trick): integer sums are associative, so the result
+    is bit-identical regardless of partitioning — and the means
+    divide in integer space, keeping the whole output exactly
+    hash-checkable.  Engine side: one scan, posexplode to (wave,
+    dim, qx), groupBy (dim, wave) — 64 x 2 uniform keys, map-side
+    partials eat the corpus-sized fan-in — then the 128-row pivot to
+    one row per dimension.  Output is 64 rows at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 2).alias("wave"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "wave",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("x").cast("double") * 100000)
+        .cast("bigint")
+        .alias("qx"),
+    )
+    w = q.groupBy("pos", "wave").agg(
+        F.sum("qx").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        w.groupBy(F.col("pos").alias("dim"))
+        .agg(
+            F.expr(
+                "max(CASE WHEN wave = 0 THEN CAST(s div n AS BIGINT) END)"
+            ).alias("mean_a_q"),
+            F.expr(
+                "max(CASE WHEN wave = 1 THEN CAST(s div n AS BIGINT) END)"
+            ).alias("mean_b_q"),
+        )
+        .select(
+            "dim",
+            "mean_a_q",
+            "mean_b_q",
+            F.expr("CAST(abs(mean_a_q - mean_b_q) AS BIGINT)").alias(
+                "drift_q"
+            ),
+        )
+        .orderBy("dim")
+    )

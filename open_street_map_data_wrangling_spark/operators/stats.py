@@ -841,3 +841,194 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.round("m", 4).alias("median_val"), "mad"
         )
     )
+
+
+# first-significant-digit expectation, basis points:
+# floor(10000 * log10(1 + 1/d)) — precomputed so neither engine
+# evaluates log10 at query time (float libm differences)
+_BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791,
+               6: 669, 7: 579, 8: 511, 9: 457}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {bp}" for d, bp in _BENFORD_BP.items())
+    + " END"
+)
+
+
+@query(
+    "q_benford",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events),
+        d AS (
+            SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1)
+                        AS INTEGER) AS digit
+            FROM c WHERE cents > 0),
+        t AS (SELECT count(*) AS tot FROM d)
+        SELECT CAST(digit AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS n_vals,
+               CAST(10000 * count(*) // tot AS BIGINT) AS share_bp,
+               CAST({_BENFORD_CASE} AS BIGINT) AS benford_bp,
+               CAST(abs(10000 * count(*) // tot
+                        - ({_BENFORD_CASE})) AS BIGINT) AS dev_bp
+        FROM d, t
+        GROUP BY digit, tot
+        ORDER BY digit
+    """,
+    tags=("stats", "quality", "events", "extension"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (X133) — the classic anomaly screen
+    for a numeric measure column: the distribution of first
+    significant digits of event values against Benford's law
+    expectation, per digit, with the deviation in basis points.
+    Synthetic, truncated, or unit-mixed value columns drift from the
+    log-uniform staircase; a large dev_bp on a production feed is a
+    cheap tripwire before the values reach training.
+
+    Determinism: the digit comes from the DECIMAL STRING of the
+    integer cents (round(value·100) — both engines print BIGINTs
+    identically), never from float log10; the Benford expectations
+    are precomputed integer literals; shares are integer basis
+    points.  Engine side: ONE scan (never a second pass for the
+    total — the grand total is a window over the ALREADY-GROUPED
+    ≤ 9-row relation, bounded by construction, not by data), the
+    cents/digit expressions inside the scan's codegen span, a 9-key
+    groupBy with map-side partials — shuffle traffic is 9 rows at
+    any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("bigint").alias("cents")
+        )
+        .filter("cents > 0")
+        .select(
+            F.expr(
+                "CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+    )
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n_vals"))
+        .withColumn("tot", F.sum("n_vals").over(W.partitionBy()))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            "n_vals",
+            F.expr("CAST(10000 * n_vals div tot AS BIGINT)").alias(
+                "share_bp"
+            ),
+            F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("benford_bp"),
+            F.expr(
+                f"CAST(abs(10000 * n_vals div tot - ({_BENFORD_CASE}))"
+                " AS BIGINT)"
+            ).alias("dev_bp"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, count(*) AS cnt
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id),
+        by_v AS (
+            SELECT cnt AS v, count(*) AS m FROM per_user GROUP BY cnt),
+        pf AS (
+            SELECT v, m,
+                   coalesce(sum(m) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS r
+            FROM by_v),
+        tot AS (
+            SELECT sum(m) AS n, sum(v * m) AS t,
+                   sum(v * (m * r + m * (m + 1) // 2)) AS s
+            FROM pf)
+        SELECT CAST(n AS BIGINT) AS n_users,
+               CAST(t AS BIGINT) AS n_events,
+               CAST((10000 * (2 * s - (n + 1) * t)) // (n * t)
+                    AS BIGINT) AS gini_bp
+        FROM tot WHERE n IS NOT NULL AND n * t > 0
+    """,
+    tags=("stats", "quality", "events", "extension", "prefix-sum"),
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user contribution volume (X134) —
+    the inequality audit for any keyed activity column: gini_bp = 0
+    means uniform contribution, 10000 means one user owns the
+    corpus.  A rising Gini on an ingest feed flags bot floods or a
+    collapsed source mix the same way q_domain_mix's shares do, in
+    one number.  Exact integers end to end: with users ranked by
+    (count, user_id), ranks within one count value are CONSECUTIVE,
+    so Σ rank·x folds per DISTINCT count value — v·(m·r + m(m+1)/2)
+    with r = users below the value — and Gini's classic form
+    (2S − (n+1)T) / (nT) scales to basis points with truncating
+    division (terms bounded by n·T < 2^63 — beyond that the cast
+    widens to DECIMAL(38,0), same plan).
+
+    Engine side: events collapse to the per-user aggregate, then to
+    the per-DISTINCT-COUNT relation (≤ √(2T) rows by the partition
+    bound — ~1.4M at a trillion events), whose prefix is the
+    range-bucketed two-pass rank: `length(bin(v))` (integer
+    floor(log2)+1 — monotone in v, so bucket order refines value
+    order) splits the values into ≤ 64 ORDERED buckets, per-bucket
+    running sums window on hashpartitioning(bkt), offsets come from
+    the ≤ 64-row bucket-total collect prefix-summed driver-side.
+    NO single-partition exchange at any width; the oracle replays
+    the prefix with one plain window over the grouped relation."""
+    ev = load_table(spark, sf_dir, "events")
+    by_v = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(F.col("cnt").alias("v"))
+        .agg(F.count("*").alias("m"))
+        .withColumn("bkt", F.expr("length(bin(v))").cast("int"))
+    )
+    ddl = "n_users BIGINT, n_events BIGINT, gini_bp BIGINT"
+    btot = {
+        int(r["bkt"]): int(r["s"])
+        for r in by_v.groupBy("bkt").agg(F.sum("m").alias("s")).collect()
+    }
+    if not btot:
+        return spark.createDataFrame([], ddl)
+    offs, acc = {}, 0
+    for b in sorted(btot):
+        offs[b] = acc
+        acc += btot[b]
+    off_expr = (
+        "CASE bkt "
+        + " ".join(f"WHEN {b} THEN {offs[b]}L" for b in sorted(offs))
+        + " ELSE 0L END"
+    )
+    w = (
+        W.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        by_v.withColumn(
+            "r",
+            F.expr(off_expr)
+            + F.coalesce(F.sum("m").over(w), F.lit(0)),
+        )
+        .agg(
+            F.sum("m").alias("n"),
+            F.expr("sum(v * m)").alias("t"),
+            F.expr("sum(v * (m * r + m * (m + 1) div 2))").alias("s"),
+        )
+        .filter("n IS NOT NULL AND n * t > 0")
+        .select(
+            F.col("n").cast("bigint").alias("n_users"),
+            F.col("t").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST((10000 * (2 * s - (n + 1) * t)) div (n * t)"
+                " AS BIGINT)"
+            ).alias("gini_bp"),
+        )
+    )

@@ -4296,3 +4296,214 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# X130/X131: Pareto front + ranking quality of the heuristic score
+# ---------------------------------------------------------------------------
+
+# the shared (doc_id, n_tok, gold, pred_bp) relation: q_quality's
+# heuristic score min-max normalized to basis points plus the
+# structural gold keep rule — exactly q_quality_calibration's signal
+# CTEs with the token count carried along
+_QSIG_CTES = f"""sig AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   (6000 * len(list_filter(string_split(text, ' '),
+                                           t -> t IN ({_STOP_SQL})))
+                    + 1000 * (length(text)
+                              - (len(string_split(text, ' ')) - 1)))
+                       // len(string_split(text, ' ')) AS q_milli,
+                   CASE WHEN len(string_split(text, ' ')) >= 20
+                             AND 10000 * len(list_distinct(
+                                     string_split(text, ' ')))
+                                 // len(string_split(text, ' ')) >= 5000
+                        THEN 1 ELSE 0 END AS gold
+            FROM documents
+            WHERE text IS NOT NULL),
+        mm AS (SELECT min(q_milli) AS qlo, max(q_milli) AS qhi FROM sig),
+        scored AS (
+            SELECT doc_id, n_tok, gold,
+                   CASE WHEN qhi = qlo THEN 0
+                        ELSE (10000 * (q_milli - qlo)) // (qhi - qlo)
+                   END AS pred_bp
+            FROM sig, mm)"""
+
+
+def _quality_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, gold, pred_bp) — the Spark twin of _QSIG_CTES:
+    rowwise signals at the scan, one 2-value global min/max broadcast
+    (scalar agg cross join, the q_winsorize class), basis-point
+    min-max normalization.  Integer end to end; shared by
+    q_pareto_front and q_quality_auc (q_quality_calibration builds
+    the same relation inline with its doc_id range sub-bucket).
+    NULL-text rows are excluded up front — with text present every
+    signal is non-null, so the dominance/ranking comparisons never
+    see SQL NULL three-valued logic (which would diverge between the
+    NOT EXISTS oracle and the staircase)."""
+    docs = docs.filter(F.col("text").isNotNull())
+    toks = "split(text, ' ')"
+    q_milli = F.expr(
+        f"(6000 * CAST(size(filter({toks}, t -> t IN ({_STOP_SQL}))) AS BIGINT)"
+        f" + 1000 * CAST(length(text) - (size({toks}) - 1) AS BIGINT))"
+        f" div size({toks})"
+    )
+    gold = F.expr(
+        f"CASE WHEN size({toks}) >= 20 AND "
+        f"10000 * size(array_distinct({toks})) div size({toks}) >= 5000 "
+        f"THEN 1 ELSE 0 END"
+    )
+    sig = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tok"),
+        q_milli.alias("q_milli"),
+        gold.alias("gold"),
+    )
+    mm = sig.agg(F.min("q_milli").alias("qlo"), F.max("q_milli").alias("qhi"))
+    return sig.join(F.broadcast(mm)).select(
+        "doc_id",
+        "n_tok",
+        "gold",
+        F.expr(
+            "CASE WHEN qhi = qlo THEN CAST(0 AS BIGINT) "
+            "ELSE (10000 * (q_milli - qlo)) div (qhi - qlo) END"
+        ).alias("pred_bp"),
+    )
+
+
+@query(
+    "q_pareto_front",
+    oracle=f"""
+        WITH {_QSIG_CTES}
+        SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+               CAST(s.pred_bp AS BIGINT) AS pred_bp,
+               CAST(s.n_tok AS BIGINT) AS n_tok
+        FROM scored s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM scored u
+            WHERE u.pred_bp >= s.pred_bp AND u.n_tok >= s.n_tok
+              AND (u.pred_bp > s.pred_bp OR u.n_tok > s.n_tok))
+        ORDER BY pred_bp, doc_id
+    """,
+    tags=("text", "quality", "pipeline", "extension"),
+)
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front / skyline (X130) — the documents no other
+    document dominates on (quality score, length): the shortlist a
+    curation pass inspects when it wants "the best long docs and the
+    longest good docs" without committing to a single weighting.
+    Dominance is the standard strict skyline rule (≥ on both axes,
+    > on at least one); duplicate (score, length) points all survive.
+
+    Engine side: NEVER the quadratic NOT EXISTS the oracle declares —
+    the 2-D skyline is a staircase, computed in two bounded passes
+    over the VALUE-BOUNDED score axis: pred_bp ∈ [0, 10000] by
+    construction, so groupBy(pred_bp).max(n_tok) is ≤ 10001 rows
+    whatever the corpus size; the suffix-max staircase over those
+    rows folds driver-side (the q_quality_calibration prefix-sum
+    pattern), and survivors come back as ONE broadcast hash join
+    against the checkpointed scored relation — corpus scans: 1, the
+    only corpus-sized shuffle is none at all.  The oracle's NOT
+    EXISTS is the independent quadratic spec; hash equality proves
+    the staircase is the same set."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _quality_scored(docs).localCheckpoint()
+    byv = (
+        scored.groupBy("pred_bp")
+        .agg(F.max("n_tok").alias("nmax"))
+        .collect()
+    )
+    keep, best = [], None
+    for r in sorted(byv, key=lambda t: -int(t["pred_bp"])):
+        nmax = int(r["nmax"])
+        if best is None or nmax > best:
+            keep.append((int(r["pred_bp"]), nmax))
+        best = nmax if best is None else max(best, nmax)
+    if not keep:
+        return spark.createDataFrame(
+            [], "doc_id BIGINT, pred_bp BIGINT, n_tok BIGINT"
+        )
+    front = spark.createDataFrame(keep, "pred_bp BIGINT, nmax BIGINT")
+    return (
+        scored.join(
+            F.broadcast(front),
+            (scored["pred_bp"] == front["pred_bp"])
+            & (scored["n_tok"] == front["nmax"]),
+        )
+        .select("doc_id", scored["pred_bp"], "n_tok")
+        .orderBy("pred_bp", "doc_id")
+    )
+
+
+@query(
+    "q_quality_auc",
+    oracle=f"""
+        WITH {_QSIG_CTES},
+        by_v AS (
+            SELECT pred_bp, sum(gold) AS pos,
+                   count(*) - sum(gold) AS neg
+            FROM scored GROUP BY pred_bp),
+        cum AS (
+            SELECT pred_bp, pos, neg,
+                   coalesce(sum(neg) OVER (
+                       ORDER BY pred_bp
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cumneg
+            FROM by_v),
+        tot AS (
+            SELECT sum(pos) AS p, sum(neg) AS n,
+                   sum(pos * 2 * cumneg + pos * neg) AS num
+            FROM cum)
+        SELECT CAST(p AS BIGINT) AS n_pos,
+               CAST(n AS BIGINT) AS n_neg,
+               CAST(CASE WHEN p = 0 OR n = 0 THEN 5000
+                         ELSE (10000 * num) // (2 * p * n)
+                    END AS BIGINT) AS auc_bp
+        FROM tot WHERE p IS NOT NULL
+    """,
+    tags=("text", "quality", "pipeline", "extension"),
+)
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking quality of the heuristic score (X131) — exact AUC of
+    pred_bp against the structural gold keep rule, the
+    threshold-free complement to q_quality_calibration's ECE: does
+    the score ORDER documents correctly, before any decile choice?
+    AUC = P(random gold doc outranks random non-gold doc), ties at
+    half credit — computed exactly in integers as basis points:
+    auc_bp = 10000·(2·Σ_v pos_v·cumneg_<v + Σ_v pos_v·neg_v)
+    / (2·P·N), every term a BIGINT.
+
+    Engine side: ONE corpus scan into the VALUE-BOUNDED per-score
+    aggregate (pred_bp ∈ [0, 10000] ⇒ ≤ 10001 rows whatever the
+    corpus size — map-side partials eat the fan-in), then the
+    strictly-below negative prefix and the final ratio fold
+    driver-side over those ≤ 10001 rows (the q_quality_calibration
+    prefix-sum pattern; the pairwise O(P·N) comparison never
+    materializes anywhere).  The oracle replays the same per-value
+    accumulation with a window over the grouped relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    byv = (
+        _quality_scored(docs)
+        .groupBy("pred_bp")
+        .agg(
+            F.sum("gold").alias("pos"),
+            (F.count("*") - F.sum("gold")).alias("neg"),
+        )
+        .collect()
+    )
+    ddl = "n_pos BIGINT, n_neg BIGINT, auc_bp BIGINT"
+    if not byv:
+        return spark.createDataFrame([], ddl)
+    p_tot = n_tot = num = cum = 0
+    for r in sorted(byv, key=lambda t: int(t["pred_bp"])):
+        pos, neg = int(r["pos"]), int(r["neg"])
+        num += pos * 2 * cum + pos * neg
+        cum += neg
+        p_tot += pos
+        n_tot += neg
+    auc_bp = (
+        5000
+        if p_tot == 0 or n_tot == 0
+        else (10000 * num) // (2 * p_tot * n_tot)
+    )
+    return spark.createDataFrame([(p_tot, n_tot, auc_bp)], ddl)

@@ -1599,6 +1599,74 @@ def test_ivfpq_search_empty_index_explicit_schema(spark, tmp_path):
     assert served.columns == ["vec_id", "adc_d2"]
 
 
+def test_ann_range_served_matches_inline(spark, tmp_path):
+    """ann_range_search over a fresh persisted index must reproduce
+    the inline q_ann_range derivation row-for-row (same probes, same
+    radius, same rounded cosines), and the parametrized forms stay
+    consistent: a wider radius only ADDS rows, nprobe=C (no pruning)
+    is a superset of the default, and a probe id absent from the
+    corpus contributes nothing."""
+    from open_street_map_data_wrangling_spark.operators import pq
+    from open_street_map_data_wrangling_spark.operators import (
+        similarity as sim,
+    )
+    from open_street_map_data_wrangling_spark.sources.catalog import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    path = str(tmp_path / "ivfpq_range")
+    pq.build_ivfpq_index(emb, path)
+
+    inline = sorted(
+        (r["q_id"], r["vec_id"], r["cos_sim"])
+        for r in sim.q_ann_range(spark, sf).collect()
+    )
+    served = sorted(
+        (r["q_id"], r["vec_id"], r["cos_sim"])
+        for r in pq.ann_range_search(spark, path).collect()
+    )
+    assert served == inline and len(served) > 0
+
+    wider = {
+        (r["q_id"], r["vec_id"])
+        for r in pq.ann_range_search(spark, path, tau=0.0).collect()
+    }
+    assert {(q, v) for q, v, _ in served} <= wider and len(wider) > len(
+        served
+    )
+
+    c = int(
+        spark.read.parquet(f"{path}/seeds").head(1)[0]["n_centroids"]
+    )
+    unpruned = {
+        (r["q_id"], r["vec_id"])
+        for r in pq.ann_range_search(spark, path, nprobe=c).collect()
+    }
+    assert {(q, v) for q, v, _ in served} <= unpruned
+
+    ghost = pq.ann_range_search(spark, path, query_ids=(10**9,))
+    assert ghost.count() == 0
+    assert ghost.columns == ["q_id", "vec_id", "cos_sim"]
+
+
+def test_ann_range_search_empty_index_explicit_schema(spark, tmp_path):
+    """Empty-corpus build: fileless seeds/codes — ann_range_search
+    must serve the typed empty result, not die on schema inference
+    (the ivfpq_search precedent)."""
+    from open_street_map_data_wrangling_spark.operators import pq
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "ivfpq_range_empty")
+    pq.build_ivfpq_index(empty_emb, path)
+    served = pq.ann_range_search(spark, path)
+    assert served.count() == 0
+    assert served.columns == ["q_id", "vec_id", "cos_sim"]
+
+
 def test_text_index_merge_over_empty_bootstrap(spark, tmp_path):
     """r09 ADVICE: postings/ bootstrapped from an EMPTY corpus exists
     but is fileless; the first real micro-batch through
@@ -3676,3 +3744,46 @@ def test_source_quota_gate_cutoff_and_python_replay(spark):
         assert r["toks_admitted_cum"] == cumt[r["source"]]
     assert any(r["n_rejected"] > 0 for r in rows), "quota never bound"
     assert any(r["n_admitted"] > 0 for r in rows)
+
+
+def test_gini_matches_textbook_formula(spark, tmp_path):
+    """q_gini against the O(n log n) textbook computation (sort
+    counts ascending, G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)) on a
+    hand-built events table, plus the two boundary shapes: uniform
+    contribution → 0 bp, and near-total single-user ownership →
+    high bp."""
+    import pyspark.sql.functions as F
+
+    from open_street_map_data_wrangling_spark.plans.registry import (
+        load_all_queries,
+    )
+
+    q = load_all_queries()["q_gini"]
+
+    def run(counts):
+        rows = [
+            (u, i) for u, c in enumerate(counts) for i in range(c)
+        ]
+        sf = tmp_path / f"gini_{len(counts)}_{sum(counts)}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [(u, e) for u, e in rows], "user_id LONG, event_id LONG"
+        ).write.parquet(str(sf / "events.parquet"))
+        return {r["n_users"]: r for r in q.spark(spark, str(sf)).collect()}
+
+    def textbook(counts):
+        xs = sorted(counts)
+        n, t = len(xs), sum(xs)
+        s = sum((i + 1) * x for i, x in enumerate(xs))
+        return (10000 * (2 * s - (n + 1) * t)) // (n * t)
+
+    zipfish = [1, 1, 1, 2, 2, 3, 5, 8, 20, 57]
+    out = run(zipfish)[len(zipfish)]
+    assert out["n_events"] == sum(zipfish)
+    assert out["gini_bp"] == textbook(zipfish)
+
+    uniform = [7] * 12
+    assert run(uniform)[12]["gini_bp"] == 0 == textbook(uniform)
+
+    hog = [1] * 9 + [991]
+    assert run(hog)[10]["gini_bp"] == textbook(hog) > 8000

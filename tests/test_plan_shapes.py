@@ -1097,6 +1097,79 @@ def test_ann_range_zero_joins_one_output_sort(plans):
     assert p.count("Exchange rangepartitioning") == 1
 
 
+def test_ann_range_served_is_partition_pruned(plans):
+    """q_ann_range_served (X129): the persisted-index range-search
+    path must read ONLY the codes/ parquet — never the corpus — with
+    PartitionFilters on cid (the union of every probe's cells), zero
+    joins, the probe explode a Generate, and the only exchange the
+    output sort of the already-radius-filtered rows (exactly the
+    inline q_ann_range shape, minus the corpus scan)."""
+    p = plans("q_ann_range_served")
+    assert p.count("Scan parquet") == 1
+    assert "embeddings.parquet" not in p
+    assert "PartitionFilters" in p and "cid" in p
+    assert "Join" not in p
+    assert "Generate" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Exchange rangepartitioning") == 1
+
+
+def test_pareto_front_is_staircase_join_not_quadratic(plans):
+    """q_pareto_front (X130): the oracle declares the quadratic NOT
+    EXISTS; the engine must ship the staircase instead — the
+    checkpointed scored relation joined to the ≤10001-row broadcast
+    front.  No parquet scan in the returned plan (checkpoint-fed),
+    one BroadcastHashJoin, never a sort-merge or nested-loop self
+    join, no single-partition exchange."""
+    p = plans("q_pareto_front")
+    assert p.count("Scan parquet") == 0
+    assert "ExistingRDD" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_embedding_drift_one_scan_no_single_partition(plans):
+    """q_embedding_drift (X132): one embeddings scan, posexplode
+    Generate, hashpartitioned aggregates over the 64x2 key space —
+    no single-partition exchange anywhere."""
+    p = plans("q_embedding_drift")
+    assert p.count("Scan parquet") == 1
+    assert "Generate" in p
+    assert "Exchange hashpartitioning" in p
+    assert "Exchange SinglePartition" not in p
+    assert "Join" not in p
+
+
+def test_benford_single_scan_bounded_window(plans):
+    """q_benford (X133): exactly ONE events scan (the grand total is
+    a window over the ALREADY-GROUPED ≤9-row relation, never a
+    second corpus pass) with the scan pruned to the value column;
+    the only SinglePartition exchange feeds that bounded window."""
+    p = plans("q_benford")
+    assert p.count("Scan parquet") == 1
+    assert "ReadSchema: struct<value:double>" in p
+    assert p.count("Exchange SinglePartition") == 1
+    assert "Exchange hashpartitioning" in p
+    assert "Join" not in p
+
+
+def test_gini_two_pass_rank_no_global_window(plans):
+    """q_gini (X134): events collapse to per-user then per-distinct-
+    count aggregates; the prefix is the range-bucketed two-pass rank
+    (per-bucket running-sum window hashpartitioned on the log2
+    bucket, offsets from the ≤64-row collect) — the only
+    SinglePartition exchange is the final 1-row scalar aggregate
+    over the already-tiny relation, never a corpus-order window."""
+    p = plans("q_gini")
+    assert p.count("Scan parquet") == 1
+    assert "Exchange hashpartitioning" in p
+    assert p.count("Exchange SinglePartition") == 1
+    assert "Window" in p and "bkt" in p
+
+
 def test_quality_calibration_no_single_partition_window(plans):
     """q_quality_calibration (the r15 `weak`, fixed r16): the decile
     assignment must be the range-bucketed two-pass rank — a window

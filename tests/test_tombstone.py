@@ -366,3 +366,53 @@ def test_purge_media_prints_audio_video(spark, tmp_path):
         gate = media_dedup_check(spark, purged, new, fp_fn).collect()
         assert gate
         assert not any(_is_tomb(r["corpus_doc"]) for r in gate)
+
+
+def test_purge_ivfpq_probes_forgets_query_template(spark, tmp_path):
+    """probes/ (the standing range-search batch) holds ORDINARY
+    corpus rows, not model parameters: purging a probe id must
+    succeed, rewrite probes/ so the raw vector is gone, and make
+    ann_range_search skip that probe — exactly as if the row had
+    never been ingested — while the surviving probes' answers stay
+    identical to a filtered rebuild's."""
+    import math
+
+    import open_street_map_data_wrangling_spark.operators.pq as pq
+
+    emb = spark.createDataFrame(
+        [
+            (
+                i,
+                [
+                    float(math.sin(0.7 * i + 0.13 * d))
+                    for d in range(64)
+                ],
+            )
+            for i in range(200)
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    purged = str(tmp_path / "probes_purged")
+    rebuilt = str(tmp_path / "probes_rebuilt")
+    pq.build_ivfpq_index(emb, purged)
+    assert {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{purged}/probes").collect()
+    } == {3, 42, 77, 123}
+
+    dele = spark.createDataFrame([(42,)], "vec_id LONG")
+    pq.purge_ivfpq_index(spark, purged, dele)
+    pq.build_ivfpq_index(emb.filter("vec_id != 42"), rebuilt)
+
+    assert {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{purged}/probes").collect()
+    } == {3, 77, 123}
+    gone = pq.ann_range_search(spark, purged, query_ids=(42,))
+    assert gone.count() == 0
+    srv = lambda p: sorted(
+        tuple(r) for r in pq.ann_range_search(spark, p).collect()
+    )
+    assert srv(purged) == srv(rebuilt)
+    # and 42 is gone from the ANSWER side too (codes/ rewrite)
+    assert not any(v == 42 for _, v, _ in srv(purged))

@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = 50_000
 N_EVENTS = 1_000_000
+N_EMB = 20_000
 VOCAB = 2_000
 OUT = os.environ.get("SKEW_DIR", "/tmp/skewdata")
 
@@ -120,9 +121,30 @@ def main() -> None:
         " AS INT) AS STRING), '}') AS props",
     ).repartition(32, "event_id")
     events.write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+
+    # embeddings: 10x sf0.1 (20k x 64-dim float), with a HOT CLUSTER —
+    # 30% of vectors are one shared direction + 1% noise, so they all
+    # collapse into a handful of IVF cells (the hostile case for
+    # cell-pruned ANN: one probe cell holds ~a third of the corpus,
+    # and range probes into it emit thousands of rows).  Labels are
+    # Zipf over 5 values for the filtered-serving paths.  All values
+    # are md5-hash uniforms — rerunnable, no RNG state.
+    hot = f"{_u('id * 13 + 1')} < 0.3"
+    elem = (
+        f"CAST(CASE WHEN {hot} "
+        f"THEN {_u('d + 31337000000')} * 0.2 - 0.1"
+        f" + ({_u('id * 832 + d + 7')} * 0.02 - 0.01) "
+        f"ELSE {_u('id * 832 + d + 7')} * 2.0 - 1.0 END AS FLOAT)"
+    )
+    embeddings = spark.range(N_EMB).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(0, 63), d -> {elem}) AS embedding",
+        f"CAST(floor(pow(5.0, {_u('id * 13 + 2')})) - 1 AS INT) AS label",
+    ).repartition(32, "vec_id")
+    embeddings.write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
     print(
         f"wrote {OUT}: documents={out_docs.count()}, "
-        f"events={events.count()}"
+        f"events={events.count()}, embeddings={embeddings.count()}"
     )
 
 

@@ -51,6 +51,19 @@ QUERIES = [
     "q_source_quota_gate",
     "q_datasheet",
     "q_pii_audit",
+    # r16 additions (VERDICT r15 #5): the rewritten two-pass-rank
+    # calibration, the decayed heavy hitters (user 0's 20% of events
+    # is exactly their hot key) inline + served, and range search
+    # inline + served over the fixture's hot-cluster embeddings
+    # (30% of vectors collapse into a handful of IVF cells)
+    "q_quality_calibration",
+    "q_decayed_topk",
+    "q_decayed_topk_served",
+    "q_ann_range",
+    "q_ann_range_served",
+    # Gini concentration (X134): user 0's 20% ownership is its
+    # exact stress case (the per-distinct-count fold stays tiny)
+    "q_gini",
 ]
 
 
@@ -159,13 +172,16 @@ def _parse(f, stage_to_query, stage_tasks) -> None:
 
 def _report(stage_to_query, stage_tasks, wall, rows_out) -> list:
     lines = [
-        "# SKEW.md — straggler soak on the hostile Zipf fixture (r14)",
+        "# SKEW.md — straggler soak on the hostile Zipf fixture (r16)",
         "",
         f"Fixture: `{SKEW_DIR}` (tools/gen_skew_fixture.py — 50k docs /",
-        "1M events, 10x sf0.1; hot token in ~every doc, user 0 owns 20%",
-        "of events, 500-member verbatim duplicate family, 90/6/4 lang",
-        "skew, Zipf sources).  Session: local[32], AQE + skew-join ON,",
-        "task times = Executor Run Time from the event log.",
+        "1M events / 20k embeddings, 10x sf0.1; hot token in ~every",
+        "doc, user 0 owns 20% of events, 500-member verbatim duplicate",
+        "family, 90/6/4 lang skew, Zipf sources, 30% of vectors in one",
+        "hot IVF cluster).  Session: local[32], AQE + skew-join ON,",
+        "task times = Executor Run Time from the event log.  Cold",
+        "content-tagged caches: served queries' walls INCLUDE their",
+        "index build; ratios cover the build-side stages too.",
         "",
         "Per query, the WORST stage (largest max task time):",
         "",
