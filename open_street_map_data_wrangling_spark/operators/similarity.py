@@ -2176,19 +2176,38 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials eat the corpus-sized fan-in — then the 128-row pivot to
     one row per dimension.  Output is 64 rows at any corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        (F.col("vec_id") % 2).alias("wave"),
-        F.posexplode("embedding").alias("pos", "x"),
-    ).select(
-        "wave",
-        F.col("pos").cast("bigint").alias("pos"),
-        F.round(F.col("x").cast("double") * 100000)
-        .cast("bigint")
-        .alias("qx"),
+    return drift_from_sums(drift_wave_sums(emb))
+
+
+def drift_wave_sums(emb: DataFrame) -> DataFrame:
+    """(wave, pos, s, n) — the ADDITIVE state behind q_embedding_drift
+    and its streaming twin (streaming/jobs.emb_drift_merge_fn):
+    per-(ingest-wave, dimension) fixed-point component sums and
+    counts.  Integer sums are associative, so micro-batch deltas
+    merged by plain addition equal the one-shot batch aggregate —
+    the invariant the streaming maintenance pins."""
+    return (
+        emb.select(
+            (F.col("vec_id") % 2).alias("wave"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .select(
+            "wave",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.round(F.col("x").cast("double") * 100000)
+            .cast("bigint")
+            .alias("qx"),
+        )
+        .groupBy("wave", "pos")
+        .agg(F.sum("qx").alias("s"), F.count("*").alias("n"))
     )
-    w = q.groupBy("pos", "wave").agg(
-        F.sum("qx").alias("s"), F.count("*").alias("n")
-    )
+
+
+def drift_from_sums(w: DataFrame) -> DataFrame:
+    """The 128-row pivot from (wave, pos, s, n) sums to the drift
+    report — shared by the inline query and the store-served form
+    (embedding_drift_from_store), so both rebuild the identical
+    relation from whichever sums relation they hold."""
     return (
         w.groupBy(F.col("pos").alias("dim"))
         .agg(
@@ -2209,3 +2228,13 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def embedding_drift_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serve the drift report from the MAINTAINED sums store — zero
+    scans of the embeddings history; the store is 128 rows whatever
+    the corpus size (the X26/X40/X128 standing-monitor pattern)."""
+    sums = spark.read.schema(
+        "wave BIGINT, pos BIGINT, s BIGINT, n BIGINT"
+    ).parquet(store_dir)
+    return drift_from_sums(sums)

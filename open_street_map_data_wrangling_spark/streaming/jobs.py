@@ -1040,6 +1040,75 @@ def decayed_topk_maintenance(stream: DataFrame, store_dir: str):
     )
 
 
+def emb_drift_merge_fn(spark: SparkSession, store_dir: str):
+    """Additive per-(wave, dim) fixed-point sums merge — the state
+    behind the embedding-drift monitor (X132/X135): each micro-batch
+    of newly ingested vectors folds its quantized component sums and
+    counts into the store, so the standing drift report never
+    rescans the embeddings history.  Counter addition is not
+    idempotent, so redelivery protection is the CMS discipline:
+    `_applied_<batch_id>` markers ride INSIDE the store dir and
+    commit atomically with the sums via the shared stage-rename
+    protocol.  The store stays 2 x |dims| rows (128 here) whatever
+    the ingest volume."""
+    from ..operators.similarity import drift_wave_sums
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        jvm, fs, store_path, stage_path = _store_paths(spark, store_dir)
+        _recover_store(fs, store_path, stage_path)
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{store_dir}/_applied_{batch_id}"
+        )
+        if fs.exists(marker):
+            return
+        delta = drift_wave_sums(batch_df)
+        prior_markers = []
+        if fs.exists(store_path):
+            for status in fs.listStatus(store_path):
+                name = status.getPath().getName()
+                if name.startswith("_applied_"):
+                    prior_markers.append(name)
+            merged = (
+                spark.read.schema("wave BIGINT, pos BIGINT, s BIGINT, n BIGINT")
+                .parquet(store_dir)
+                .unionByName(delta)
+                .groupBy("wave", "pos")
+                .agg(
+                    F.sum("s").cast("bigint").alias("s"),
+                    F.sum("n").cast("bigint").alias("n"),
+                )
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(str(stage_path))
+        for name in prior_markers + [f"_applied_{batch_id}"]:
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(f"{stage_path}/{name}"), True
+            ).close()
+        _commit_store(fs, store_path, stage_path)
+
+    return merge
+
+
+def embedding_drift_maintenance(vec_stream: DataFrame, store_dir: str):
+    """Continuous embedding-drift state over a vector ingest stream:
+    each micro-batch folds its per-(wave, dim) quantized sums into
+    the store additively (marker-gated against redelivery, see
+    emb_drift_merge_fn).  similarity.embedding_drift_from_store
+    turns the store into the drift report at any moment with zero
+    history rescans, and the streamed store equals
+    drift_wave_sums() over everything seen (pinned in
+    tests/test_streaming.py, including under replay).  Returns the
+    StreamingQuery (caller stops it)."""
+    return (
+        vec_stream.writeStream.foreachBatch(
+            emb_drift_merge_fn(vec_stream.sparkSession, store_dir)
+        )
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+
+
 def shard_manifest_merge_fn(spark: SparkSession, store_dir: str):
     """Incremental output-shard planning — pipeline_ops.q_shard_plan's
     granular (shard, source) manifest kept current as corpus chunks

@@ -2436,3 +2436,100 @@ def test_decayed_topk_maintenance_matches_batch_and_survives_replay(
     os.rename(store, f"{store}_stage")
     decayed_counts_merge_fn(spark, store)(b1, batch_id=0)  # marker no-op
     assert spark.read.parquet(store).count() > 0
+
+
+def test_embedding_drift_maintenance_matches_batch_and_survives_replay(
+    spark, tmp_path
+):
+    """The embedding-drift state (X135): after every micro-batch the
+    per-(wave, dim) sums store must equal drift_wave_sums() over
+    everything seen so far (streamed == batch at BOTH boundaries),
+    the serve from the store must equal the inline drift report over
+    the full corpus, a redelivered batch must be a no-op ONLY
+    because of the applied-batch marker (sum addition double-counts
+    — proven by deleting the marker), and the stage-rename crash
+    window must recover."""
+    from open_street_map_data_wrangling_spark.operators.similarity import (
+        drift_from_sums,
+        drift_wave_sums,
+        embedding_drift_from_store,
+    )
+    from open_street_map_data_wrangling_spark.streaming.jobs import (
+        emb_drift_merge_fn,
+        embedding_drift_maintenance,
+    )
+
+    src = str(tmp_path / "vec_src")
+    store = str(tmp_path / "drift_store")
+
+    def mk(first_id, n):
+        return spark.createDataFrame(
+            [
+                (
+                    first_id + i,
+                    [
+                        float(((first_id + i) * 13 + d) % 7 - 3) / 4
+                        for d in range(8)
+                    ],
+                )
+                for i in range(n)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+
+    b1, b2 = mk(0, 6), mk(100, 5)
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = embedding_drift_maintenance(stream, store)
+
+    def sums_of(path):
+        return {
+            (r.wave, r.pos): (r.s, r.n)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    def expected(df):
+        return {
+            (r.wave, r.pos): (r.s, r.n)
+            for r in drift_wave_sums(df).collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        assert sums_of(store) == expected(b1)
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    both = b1.unionByName(b2)
+    got = sums_of(store)
+    assert got == expected(both) and got
+
+    # serve from the store == inline report over the full corpus
+    served = [
+        tuple(r)
+        for r in embedding_drift_from_store(spark, store).collect()
+    ]
+    inline = [
+        tuple(r) for r in drift_from_sums(drift_wave_sums(both)).collect()
+    ]
+    assert served == inline and len(served) == 8
+
+    # redelivery with the marker present: no-op
+    emb_drift_merge_fn(spark, store)(b2, batch_id=1)
+    assert sums_of(store) == got
+
+    # proof the MARKER is what saves us
+    import glob
+    import os
+
+    for p in glob.glob(f"{store}/_applied_*"):
+        os.remove(p)
+    emb_drift_merge_fn(spark, store)(b2, batch_id=1)
+    assert sums_of(store) != got
+
+    # mid-commit crash: store gone, complete stage present
+    os.rename(store, f"{store}_stage")
+    emb_drift_merge_fn(spark, store)(b1, batch_id=0)  # marker no-op
+    assert spark.read.parquet(store).count() > 0
