@@ -260,6 +260,8 @@ HEADLINE = (
     "q_embedding_drift",
     "q_benford",
     "q_gini",
+    "q_embedding_drift_served",
+    "q_gini_by_source",
 )
 
 

@@ -2129,9 +2129,7 @@ def q_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_embedding_drift",
-    oracle="""
+_DRIFT_ORACLE = """
         WITH q AS (
             SELECT vec_id % 2 AS wave,
                    unnest(range(0, len(embedding))) AS pos,
@@ -2153,7 +2151,12 @@ def q_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(mean_b_q AS BIGINT) AS mean_b_q,
                CAST(abs(mean_a_q - mean_b_q) AS BIGINT) AS drift_q
         FROM p ORDER BY dim
-    """,
+"""
+
+
+@query(
+    "q_embedding_drift",
+    oracle=_DRIFT_ORACLE,
     tags=("similarity", "vector", "monitoring", "extension"),
 )
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2238,3 +2241,55 @@ def embedding_drift_from_store(spark: SparkSession, store_dir: str) -> DataFrame
         "wave BIGINT, pos BIGINT, s BIGINT, n BIGINT"
     ).parquet(store_dir)
     return drift_from_sums(sums)
+
+
+_DRIFT_WAVES = 3  # ingest-arrival simulation for the served form
+
+
+@query(
+    "q_embedding_drift_served",
+    oracle=_DRIFT_ORACLE,
+    tags=("similarity", "vector", "monitoring", "streaming", "extension"),
+)
+def q_embedding_drift_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift served from the MAINTAINED store (X136) — the
+    standing-deployment twin of q_embedding_drift: vectors arrive in
+    3 ingest waves (vec_id mod 3 — arrival simulation,
+    the q_decayed_topk_served device; note the ingest slicing is
+    DELIBERATELY different from the report's A/B parity split, so a
+    green row also proves the sums are additive under arbitrary
+    batching), each wave folds into the per-(wave, dim) sums store
+    through the EXACT streaming merge
+    (streaming/jobs.emb_drift_merge_fn — additive integer sums,
+    marker-gated against redelivery, stage-rename committed), and
+    the registered query serves the report from the store alone.
+    The oracle is the SAME relational replay q_embedding_drift
+    checks against, so hash-green certifies the maintained state
+    loses nothing the report needs.
+
+    Scale shape: the build is one posexplode + groupBy per wave plus
+    a 128-row merge; the SERVE plan never scans embeddings — one
+    128-row store scan and the pivot."""
+    import sys
+
+    from ..streaming.jobs import emb_drift_merge_fn
+    from .index_cache import cached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build(store: str) -> None:
+        merge = emb_drift_merge_fn(spark, f"{store}/sums")
+        for wave in range(_DRIFT_WAVES):
+            merge(
+                emb.filter(F.col("vec_id") % _DRIFT_WAVES == wave), wave
+            )
+
+    path = cached(
+        "emb_drift_sums",
+        sf_dir,
+        ("embeddings",),
+        (sys.modules[__name__],),
+        _build,
+        extra=f"w{_DRIFT_WAVES}",
+    )
+    return embedding_drift_from_store(spark, f"{path}/sums")

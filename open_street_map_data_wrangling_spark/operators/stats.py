@@ -1032,3 +1032,88 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini_bp"),
         )
     )
+
+
+@query(
+    "q_gini_by_source",
+    oracle="""
+        WITH per_doc AS (
+            SELECT source, length(text) AS x
+            FROM documents
+            WHERE text IS NOT NULL AND source IS NOT NULL),
+        by_v AS (
+            SELECT source, x AS v, count(*) AS m
+            FROM per_doc GROUP BY source, x),
+        pf AS (
+            SELECT source, v, m,
+                   coalesce(sum(m) OVER (
+                       PARTITION BY source ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS r
+            FROM by_v),
+        tot AS (
+            SELECT source, sum(m) AS n, sum(v * m) AS t,
+                   sum(v * (m * r + m * (m + 1) // 2)) AS s
+            FROM pf GROUP BY source)
+        SELECT source,
+               CAST(n AS BIGINT) AS n_docs,
+               CAST(t AS BIGINT) AS n_chars,
+               CAST((10000 * (2 * s - (n + 1) * t)) // (n * t)
+                    AS BIGINT) AS gini_bp
+        FROM tot WHERE n * t > 0
+        ORDER BY source
+    """,
+    tags=("stats", "quality", "pipeline", "extension", "prefix-sum"),
+)
+def q_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini of document volume (X137) — q_gini's grouped
+    form over the corpus: how unequally is each source's character
+    volume spread over its documents?  A source whose volume
+    concentrates in a handful of giant documents behaves differently
+    under dedup, chunking, and token budgets than one with the same
+    byte count spread evenly — this is the per-source audit column
+    q_datasheet's volume numbers don't show.
+
+    Same per-DISTINCT-value fold as q_gini (ranks within one length
+    value are consecutive), but here the prefix never needs a driver
+    fold at all: document lengths are VALUE-BOUNDED by the maximum
+    document size, so the per-(source, length) relation is compact
+    by construction and the strictly-below prefix is one window
+    hashpartitioned on source — grouped Gini in two aggregates and
+    a window, no corpus-order anything, |sources| rows out."""
+    docs = load_table(spark, sf_dir, "documents")
+    by_v = (
+        docs.filter(
+            F.col("text").isNotNull() & F.col("source").isNotNull()
+        )
+        .select("source", F.length("text").cast("bigint").alias("v"))
+        .groupBy("source", "v")
+        .agg(F.count("*").alias("m"))
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        by_v.withColumn(
+            "r", F.coalesce(F.sum("m").over(w), F.lit(0))
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("m").alias("n"),
+            F.expr("sum(v * m)").alias("t"),
+            F.expr("sum(v * (m * r + m * (m + 1) div 2))").alias("s"),
+        )
+        .filter("n * t > 0")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("t").cast("bigint").alias("n_chars"),
+            F.expr(
+                "CAST((10000 * (2 * s - (n + 1) * t)) div (n * t)"
+                " AS BIGINT)"
+            ).alias("gini_bp"),
+        )
+        .orderBy("source")
+    )

@@ -1170,6 +1170,30 @@ def test_gini_two_pass_rank_no_global_window(plans):
     assert "Window" in p and "bkt" in p
 
 
+def test_embedding_drift_served_never_scans_corpus(plans):
+    """q_embedding_drift_served (X136): the registered plan serves
+    from the maintained 128-row sums store alone — one store scan,
+    never the embeddings corpus, no single-partition exchange."""
+    p = plans("q_embedding_drift_served")
+    assert p.count("Scan parquet") == 1
+    assert "embeddings.parquet" not in p
+    assert "Exchange SinglePartition" not in p
+    assert "Join" not in p
+
+
+def test_gini_by_source_grouped_prefix_no_global_order(plans):
+    """q_gini_by_source (X137): one documents scan, the per-source
+    prefix a window hashpartitioned on source over the compact
+    per-(source, length) relation — zero SinglePartition exchanges,
+    zero joins, the corpus never globally ordered."""
+    p = plans("q_gini_by_source")
+    assert p.count("Scan parquet") == 1
+    assert "Exchange hashpartitioning" in p
+    assert "Exchange SinglePartition" not in p
+    assert "Join" not in p
+    assert "Window" in p
+
+
 def test_quality_calibration_no_single_partition_window(plans):
     """q_quality_calibration (the r15 `weak`, fixed r16): the decile
     assignment must be the range-bucketed two-pass rank — a window
