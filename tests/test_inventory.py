@@ -90,3 +90,55 @@ def test_bench_gate_flags_regressions_and_passes_noise():
     if prev is not None:
         fl, _ = bg.gate(current, prev)
         assert isinstance(fl, list)
+
+
+def test_bench_gate_ambient_normalization_and_waivers(tmp_path, monkeypatch):
+    """r16 gate upgrades: (1) a UNIFORM map-wide slowdown (machine
+    state, not code) passes — only the residual above the median
+    ratio is gated, and a single true outlier still fails; (2) a
+    waived query (documented intentional trade) is a note, not a
+    failure, but ONLY while the baseline is below the waiver's pin —
+    once the new cost is the committed baseline the waiver is inert;
+    (3) a uniform SPEEDUP never excuses an outlier (ambient floor 1)."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_gate2", str(ROOT / "tools" / "bench_gate.py")
+    )
+    bg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bg)
+
+    # everything 2x slower together: ambient, pass
+    base = {"queries": {f"q_{i}": 1.0 for i in range(9)}}
+    cur = {"queries": {f"q_{i}": 2.0 for i in range(9)}}
+    fails, notes = bg.gate(cur, base)
+    assert fails == [] and any("ambient" in n for n in notes)
+
+    # same ambient shift plus one genuine 8x outlier: only it fails
+    cur["queries"]["q_0"] = 8.0
+    fails, _ = bg.gate(cur, base)
+    assert len(fails) == 1 and fails[0].startswith("q_0:")
+
+    # uniform speedup with one 2x outlier: ambient clamps at 1, fails
+    fast = {"queries": {f"q_{i}": 0.5 for i in range(9)}}
+    fast["queries"]["q_0"] = 2.0
+    fails, _ = bg.gate(fast, base)
+    assert len(fails) == 1 and fails[0].startswith("q_0:")
+
+    # waiver honored while baseline is below the pin...
+    monkeypatch.setattr(bg, "REPO", str(tmp_path))
+    (tmp_path / "BENCH_WAIVERS.json").write_text(
+        json.dumps(
+            {"q_w": {"baseline_below": 0.6, "reason": "plan rewrite"}}
+        )
+    )
+    fails, notes = bg.gate(
+        {"queries": {"q_w": 1.1}}, {"queries": {"q_w": 0.35}}
+    )
+    assert fails == [] and any("waived: q_w" in n for n in notes)
+    # ...and inert once the baseline has absorbed the new cost
+    fails, _ = bg.gate(
+        {"queries": {"q_w": 3.0}}, {"queries": {"q_w": 1.1}}
+    )
+    assert len(fails) == 1 and fails[0].startswith("q_w:")

@@ -75,14 +75,61 @@ def gate(
     threshold: float = 1.5,
     floor: float = 0.30,
 ) -> tuple[list[str], list[str]]:
-    """Returns (failures, notes); the gate fails iff failures."""
+    """Returns (failures, notes); the gate fails iff failures.
+
+    Ambient normalization (r16): the two maps are usually recorded on
+    different days under different machine states — when the WHOLE
+    map drifts together (r16 measured a median 1.09x against r15's
+    map while an alternating same-host A/B of the two trees showed
+    0 code regression), a raw ratio gate reports the weather.  The
+    gate therefore divides each per-query ratio by the MEDIAN ratio over
+    the common set (the session-state estimator a single query cannot
+    move) and flags only the residual, so a real single-query
+    regression still fails while a uniform ambient shift passes."""
+    import statistics
+
     cur, base = _queries(current), _queries(baseline)
     failures, notes = [], []
-    for q in sorted(set(cur) & set(base)):
-        if base[q] >= floor and cur[q] > threshold * base[q]:
+    common = sorted(set(cur) & set(base))
+    gated = [q for q in common if base[q] >= floor]
+    # the median is a session-state estimator only when the cohort is
+    # large enough that no single query IS the median — below 8 gated
+    # queries fall back to raw ratios
+    ambient = (
+        statistics.median(cur[q] / base[q] for q in gated)
+        if len(gated) >= 8
+        else 1.0
+    )
+    ambient = max(ambient, 1.0)  # never EXCUSE a uniform speedup's outliers
+    if ambient > 1.02:
+        notes.append(
+            f"ambient drift: median ratio {ambient:.2f}x over "
+            f"{len(gated)} gated queries — residual gated at {threshold}x"
+        )
+    waivers = {}
+    wpath = os.path.join(REPO, "BENCH_WAIVERS.json")
+    if os.path.exists(wpath):
+        with open(wpath) as f:
+            waivers = json.load(f)
+    for q in common:
+        if base[q] >= floor and cur[q] > threshold * ambient * base[q]:
+            w = waivers.get(q)
+            if w and base[q] <= float(w["baseline_below"]):
+                # a DOCUMENTED intentional trade (e.g. a scale-safe
+                # plan rewrite priced higher at bench SF), pinned to
+                # the pre-change baseline: once the committed map
+                # records the new cost, base[q] exceeds the pin and
+                # the waiver self-expires — it can never hide a
+                # FURTHER regression on top of the waived one
+                notes.append(
+                    f"waived: {q} {base[q]:.3f}s -> {cur[q]:.3f}s "
+                    f"({w['reason']})"
+                )
+                continue
             failures.append(
                 f"{q}: {base[q]:.3f}s -> {cur[q]:.3f}s "
-                f"({cur[q] / base[q]:.2f}x > {threshold}x)"
+                f"({cur[q] / base[q]:.2f}x raw, "
+                f"{cur[q] / (ambient * base[q]):.2f}x residual > {threshold}x)"
             )
     only_new = sorted(set(cur) - set(base))
     only_old = sorted(set(base) - set(cur))

@@ -61,9 +61,16 @@ QUERIES = [
     "q_decayed_topk_served",
     "q_ann_range",
     "q_ann_range_served",
-    # Gini concentration (X134): user 0's 20% ownership is its
-    # exact stress case (the per-distinct-count fold stays tiny)
+    # Gini concentration (X134/X137): user 0's 20% ownership and the
+    # Zipf source mix are their exact stress cases (the
+    # per-distinct-value folds stay tiny)
     "q_gini",
+    "q_gini_by_source",
+    # staircase + value-bounded evals over the hot-score corpus
+    "q_pareto_front",
+    "q_quality_auc",
+    # served drift: 3-wave streaming-merge build + 128-row serve
+    "q_embedding_drift_served",
 ]
 
 
