@@ -262,6 +262,7 @@ HEADLINE = (
     "q_gini",
     "q_embedding_drift_served",
     "q_gini_by_source",
+    "q_ks_drift",
 )
 
 

@@ -1117,3 +1117,111 @@ def q_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+        WITH c AS (
+            SELECT event_id % 2 AS wave,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL),
+        by_v AS (
+            SELECT v,
+                   sum(CASE WHEN wave = 0 THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN wave = 1 THEN 1 ELSE 0 END) AS b
+            FROM c GROUP BY v),
+        cum AS (
+            SELECT v,
+                   sum(a) OVER (ORDER BY v) AS ca,
+                   sum(b) OVER (ORDER BY v) AS cb
+            FROM by_v),
+        tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM by_v)
+        SELECT CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               CAST(10000 * max(abs(ca * nb - cb * na)) // (na * nb)
+                    AS BIGINT) AS ks_x10k
+        FROM cum, tot
+        GROUP BY na, nb
+        HAVING na > 0 AND nb > 0
+    """,
+    tags=("stats", "quality", "events", "extension", "prefix-sum"),
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift (X138) — the numeric-
+    distribution monitor completing the drift family (X40 quality
+    scores, X132 embedding dims): did the VALUE DISTRIBUTION of the
+    measure column shift between two ingest waves (event_id parity —
+    the ingest-batch column at deployment)?  KS = max CDF gap, exact
+    in integers: values quantize to cents, the gap is
+    |cumA·nB − cumB·nA| (cross-multiplied so no ratios exist until
+    the final basis-point division) — no libm, no float CDFs,
+    hash-identical cross-engine.
+
+    Engine side: one events scan collapses to the per-DISTINCT-cent
+    relation (VALUE-BOUNDED: |distinct cents| ≤ the measure's
+    quantized range, independent of event count), the inclusive CDF
+    prefix is the range-bucketed two-pass rank (per-bucket running
+    sums hashpartitioned on the integer log2 bucket, offsets from
+    the ≤64-row bucket-total collect — the q_gini machinery), and
+    the KS max is one scalar aggregate.  The oracle replays the
+    prefix with one plain window over the grouped relation."""
+    ev = load_table(spark, sf_dir, "events")
+    by_v = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            (F.col("event_id") % 2).alias("wave"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+        .groupBy("v")
+        .agg(
+            F.expr("sum(CASE WHEN wave = 0 THEN 1 ELSE 0 END)").alias("a"),
+            F.expr("sum(CASE WHEN wave = 1 THEN 1 ELSE 0 END)").alias("b"),
+        )
+        .withColumn("bkt", F.expr("length(bin(v))").cast("int"))
+    )
+    ddl = "n_a BIGINT, n_b BIGINT, ks_x10k BIGINT"
+    btot = {
+        int(r["bkt"]): (int(r["sa"]), int(r["sb"]))
+        for r in by_v.groupBy("bkt")
+        .agg(F.sum("a").alias("sa"), F.sum("b").alias("sb"))
+        .collect()
+    }
+    n_a = sum(sa for sa, _ in btot.values())
+    n_b = sum(sb for _, sb in btot.values())
+    if n_a == 0 or n_b == 0:
+        return spark.createDataFrame([], ddl)
+    offs, acc_a, acc_b = {}, 0, 0
+    for bkt in sorted(btot):
+        offs[bkt] = (acc_a, acc_b)
+        acc_a += btot[bkt][0]
+        acc_b += btot[bkt][1]
+    off_a = (
+        "CASE bkt "
+        + " ".join(f"WHEN {bkt} THEN {offs[bkt][0]}L" for bkt in sorted(offs))
+        + " ELSE 0L END"
+    )
+    off_b = (
+        "CASE bkt "
+        + " ".join(f"WHEN {bkt} THEN {offs[bkt][1]}L" for bkt in sorted(offs))
+        + " ELSE 0L END"
+    )
+    w = (
+        W.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        by_v.withColumn("ca", F.expr(off_a) + F.sum("a").over(w))
+        .withColumn("cb", F.expr(off_b) + F.sum("b").over(w))
+        .agg(
+            F.expr(f"max(abs(ca * {n_b}L - cb * {n_a}L))").alias("gap")
+        )
+        .select(
+            F.lit(n_a).cast("bigint").alias("n_a"),
+            F.lit(n_b).cast("bigint").alias("n_b"),
+            F.expr(
+                f"CAST(10000 * gap div ({n_a}L * {n_b}L) AS BIGINT)"
+            ).alias("ks_x10k"),
+        )
+    )

@@ -1194,6 +1194,19 @@ def test_gini_by_source_grouped_prefix_no_global_order(plans):
     assert "Window" in p
 
 
+def test_ks_drift_two_pass_prefix(plans):
+    """q_ks_drift (X138): one events scan collapsed to the value-
+    bounded per-cent relation; the inclusive CDF prefix is the
+    two-pass rank (bucket windows hashpartitioned on the log2
+    bucket); the only SinglePartition exchange is the final scalar
+    max over the already-tiny relation."""
+    p = plans("q_ks_drift")
+    assert p.count("Scan parquet") == 1
+    assert "Exchange hashpartitioning" in p
+    assert p.count("Exchange SinglePartition") == 1
+    assert "Window" in p and "bkt" in p
+
+
 def test_quality_calibration_no_single_partition_window(plans):
     """q_quality_calibration (the r15 `weak`, fixed r16): the decile
     assignment must be the range-bucketed two-pass rank — a window

@@ -71,6 +71,8 @@ QUERIES = [
     "q_quality_auc",
     # served drift: 3-wave streaming-merge build + 128-row serve
     "q_embedding_drift_served",
+    # KS value-distribution drift (X138)
+    "q_ks_drift",
 ]
 
 
