@@ -4150,7 +4150,8 @@ _CALIB_SUBB = 16  # doc_id sub-buckets inside one pred_bp value (skew guard)
                                      string_split(text, ' ')))
                                  // len(string_split(text, ' ')) >= 5000
                         THEN 1 ELSE 0 END AS gold
-            FROM documents),
+            FROM documents
+            WHERE text IS NOT NULL),
         mm AS (SELECT min(q_milli) AS qlo, max(q_milli) AS qhi FROM sig),
         scored AS (
             SELECT CASE WHEN qhi = qlo THEN 0
@@ -4221,7 +4222,12 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"10000 * size(array_distinct({toks})) div size({toks}) >= 5000 "
         f"THEN 1 ELSE 0 END"
     )
-    sig = docs.select(
+    # NULL-text rows are excluded up front (the _quality_scored
+    # convention): a score that does not exist cannot be calibrated,
+    # and a NULL ordering key would crash the driver-side offset sort
+    # while three-valued ntile NULL placement diverges between
+    # engines anyway (caught by the r16 null-payload sweep)
+    sig = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", q_milli.alias("q_milli"), gold.alias("gold")
     )
     mm = sig.agg(
