@@ -554,11 +554,19 @@ def q_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one documents scan projecting two ints per row, one
     Python stage (the codec is inherently Python-side work — exactly
-    what the mapInPandas seam is for), no shuffle at all before the
-    driver-side collect of the tiny result."""
+    what the mapInPandas seam is for), preceded by one two-int-per-row
+    fan-out exchange so the codec stage runs at full parallelism
+    (r16, guide §2.5/§4: the fixture parquet is 1-2 files and an
+    Arrow stage inherits scan parallelism — the image_fingerprints
+    lesson applied to the roundtrip queries; the payload is GENERATED
+    inside the worker, so the exchange moves two ints per row at any
+    scale)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "n_chars").mapInPandas(
-        _pixel_roundtrip_batches, schema=MM_PIXELS_SCHEMA
+    spark_ctx = docs.sparkSession.sparkContext
+    return (
+        docs.select("doc_id", "n_chars")
+        .repartition(spark_ctx.defaultParallelism)
+        .mapInPandas(_pixel_roundtrip_batches, schema=MM_PIXELS_SCHEMA)
     )
 
 
@@ -581,9 +589,9 @@ def encode_wav_pcm16(samples: list[int], rate: int = _PCM_RATE) -> bytes:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(rate)
-        w.writeframes(
-            b"".join(struct.pack("<h", int(s)) for s in samples)
-        )
+        # one bulk pack (r16, guide §4.2) — same bytes, same
+        # struct.error on out-of-range values as the per-sample form
+        w.writeframes(struct.pack(f"<{len(samples)}h", *map(int, samples)))
     return buf.getvalue()
 
 
@@ -607,13 +615,10 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int]:
         raw = w.readframes(n)
     if len(raw) != 2 * n:
         raise ValueError("WAV frame data length mismatch")
-    samples = struct.unpack(f"<{n}h", raw)
-    return (
-        n,
-        rate,
-        sum(abs(s) for s in samples),
-        sum(s * s for s in samples),
-    )
+    import numpy as np
+
+    s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    return (n, rate, int(np.abs(s).sum()), int((s * s).sum()))
 
 
 def decode_wav_samples(payload: bytes) -> tuple[int, int, tuple]:
@@ -739,11 +744,15 @@ def q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_image_pixels dims-level LEFT JOIN contract).
 
     Scale shape: one documents scan projecting two ints per row, one
-    Python stage (container codecs are inherently Python-side — the
-    mapInPandas seam), no shuffle before the driver collect."""
+    two-int fan-out exchange (r16, guide §2.5/§4 — the
+    image_fingerprints scan-parallelism lesson; the payload is
+    generated inside the worker), one Python stage."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "n_chars").mapInPandas(
-        _pcm_roundtrip_batches, schema=MM_PCM_SCHEMA
+    spark_ctx = docs.sparkSession.sparkContext
+    return (
+        docs.select("doc_id", "n_chars")
+        .repartition(spark_ctx.defaultParallelism)
+        .mapInPandas(_pcm_roundtrip_batches, schema=MM_PCM_SCHEMA)
     )
 
 
@@ -798,10 +807,16 @@ _JPEG_AC_VALS = tuple(
 )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def _jpeg_canonical_codes(bits, vals):
     """symbol -> (code, length) via the T.81 canonical construction
     (Figures C.1-C.3): counts per length, codes assigned in value
-    order, doubled between lengths."""
+    order, doubled between lengths.  lru_cache'd (r16, guide §4.5):
+    the tables are pure functions of (bits, vals) tuples and were
+    being rebuilt per image inside the codec stage."""
     codes = {}
     code = 0
     k = 0
@@ -814,19 +829,29 @@ def _jpeg_canonical_codes(bits, vals):
     return codes
 
 
+_JPEG_DCT_A = None
+
+
 def _jpeg_dct_matrix():
     """A[u, x] = c(u)/2 * cos((2x+1)*u*pi/16) — FDCT is A @ P @ A.T
-    over level-shifted pixels, IDCT is A.T @ S @ A (orthonormal)."""
-    import math
+    over level-shifted pixels, IDCT is A.T @ S @ A (orthonormal).
+    Built once per process (r16, guide §4.5): the matrix is a
+    constant and was being rebuilt per image inside the codec
+    stage."""
+    global _JPEG_DCT_A
+    if _JPEG_DCT_A is None:
+        import math
 
-    import numpy as np
+        import numpy as np
 
-    a = np.zeros((8, 8))
-    for u in range(8):
-        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
-        for x in range(8):
-            a[u, x] = cu / 2.0 * math.cos((2 * x + 1) * u * math.pi / 16)
-    return a
+        a = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+            for x in range(8):
+                a[u, x] = cu / 2.0 * math.cos((2 * x + 1) * u * math.pi / 16)
+        a.setflags(write=False)
+        _JPEG_DCT_A = a
+    return _JPEG_DCT_A
 
 
 class _JpegBitWriter:
@@ -987,9 +1012,12 @@ class _JpegBitReader:
         return v
 
 
+@functools.lru_cache(maxsize=64)
 def _jpeg_decode_tables(bits, vals):
     """(length, code) -> symbol decode map from the canonical
-    construction (the encoder map inverted)."""
+    construction (the encoder map inverted).  lru_cache'd (r16,
+    guide §4.5) — pure function of the parsed (bits, vals) tuples,
+    formerly rebuilt per DHT marker per image."""
     return {
         (ln, code): sym
         for sym, (code, ln) in _jpeg_canonical_codes(bits, vals).items()
@@ -1254,10 +1282,15 @@ def q_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract).
 
     Scale shape: one documents scan projecting two ints per row, one
-    Python stage, no shuffle before the driver collect."""
+    two-int fan-out exchange (r16, guide §2.5/§4 — the
+    image_fingerprints scan-parallelism lesson; the payload is
+    generated inside the worker), one Python stage."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "n_chars").mapInPandas(
-        _jpeg_roundtrip_batches, schema=MM_JPEG_SCHEMA
+    spark_ctx = docs.sparkSession.sparkContext
+    return (
+        docs.select("doc_id", "n_chars")
+        .repartition(spark_ctx.defaultParallelism)
+        .mapInPandas(_jpeg_roundtrip_batches, schema=MM_JPEG_SCHEMA)
     )
 
 
@@ -1273,6 +1306,8 @@ def q_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # block-constant restriction like the (inherently lossy) JPEG seam.
 
 _GIF_MCS = 8  # LZW minimum code size for a 256-color image
+# the 256-entry grayscale identity palette, built once (r16 §4.2)
+_GIF_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
 
 
 def _gif_lzw_compress(data: bytes) -> bytes:
@@ -1296,27 +1331,37 @@ def _gif_lzw_compress(data: bytes) -> bytes:
             nbits -= 8
 
     cw = _GIF_MCS + 1
-    table = {bytes([i]): i for i in range(256)}
+    # int-key dictionary (r16, guide §4.2): each table string is
+    # identified by its code, so the string (prefix + byte) is the
+    # key (prefix_code << 8) | byte — no per-input-byte ``bytes``
+    # allocation or O(len) concatenation.  Single-byte strings are
+    # their own codes (identity), so only multi-byte sequences live
+    # in the dict; the emitted code stream is byte-identical to the
+    # former bytes-keyed form.
+    table: dict[int, int] = {}
     next_code = eoi + 1
     put(clear, cw)
-    cur = data[:1]
+    if not data:  # mirror the bytes-keyed form's empty-input error
+        raise KeyError(b"")
+    cur = data[0]
     for b in data[1:]:
-        nxt = cur + bytes([b])
-        if nxt in table:
+        key = (cur << 8) | b
+        nxt = table.get(key)
+        if nxt is not None:
             cur = nxt
             continue
-        put(table[cur], cw)
-        table[nxt] = next_code
+        put(cur, cw)
+        table[key] = next_code
         next_code += 1
         if next_code == (1 << cw) + 1 and cw < 12:
             cw += 1
         if next_code == 4097:  # table full: reset (real GIF behavior)
             put(clear, cw)
-            table = {bytes([i]): i for i in range(256)}
+            table = {}
             next_code = eoi + 1
             cw = _GIF_MCS + 1
-        cur = bytes([b])
-    put(table[cur], cw)
+        cur = b
+    put(cur, cw)
     # The decoder's table lags the encoder's by one: while processing
     # this final data code it appends one more entry (index
     # next_code-1) and applies its width-bump rule BEFORE reading the
@@ -1356,13 +1401,27 @@ def encode_gif_gray(width: int, height: int, rows: list[bytes]) -> bytes:
     out = bytearray(b"GIF87a")
     # logical screen descriptor: global table, 8 bits/channel, 256
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
-    for i in range(256):  # grayscale identity palette
-        out += bytes((i, i, i))
+    out += _GIF_GRAY_PALETTE  # grayscale identity palette
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
     out.append(_GIF_MCS)
     out += _gif_subblocks(_gif_lzw_compress(b"".join(rows)))
     out += b"\x3b"  # trailer
     return bytes(out)
+
+
+_GIF_BASE_TABLES: dict[int, list] = {}
+
+
+def _gif_base_table(mcs: int) -> list:
+    """The initial LZW string table for ``mcs`` (single-byte entries
+    plus clear/EOI placeholders), built once per code size and
+    list.copy()'d per clear — the per-reset reconstruction cost was
+    256 ``bytes`` allocations per image (r16, guide §4.2)."""
+    t = _GIF_BASE_TABLES.get(mcs)
+    if t is None:
+        t = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+        _GIF_BASE_TABLES[mcs] = t
+    return t
 
 
 def _gif_lzw_decompress(data: bytes, mcs: int) -> bytearray:
@@ -1372,30 +1431,31 @@ def _gif_lzw_decompress(data: bytes, mcs: int) -> bytearray:
     r13 so the animation decoder shares the certified body."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     cw = mcs + 1
-    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)]
-    table += [b"", b""]  # clear, eoi placeholders
+    base = _gif_base_table(mcs)
+    table: list[bytes] = base.copy()
     acc = nbits = pos = 0
     prev = None
     pixels = bytearray()
+    n_data = len(data)
+    mask = (1 << cw) - 1
 
-    def read_code() -> int:
-        nonlocal acc, nbits, pos
+    # the read loop is inlined with local-variable state (r16, guide
+    # §4.2): the per-code function-call overhead dominated decode time
+    # at ~one call per emitted code; semantics are unchanged
+    while True:
         while nbits < cw:
-            if pos >= len(data):
+            if pos >= n_data:
                 raise ValueError("gif: truncated LZW stream")
             acc |= data[pos] << nbits
             pos += 1
             nbits += 8
-        code = acc & ((1 << cw) - 1)
+        code = acc & mask
         acc >>= cw
         nbits -= cw
-        return code
-
-    while True:
-        code = read_code()
         if code == clear:
-            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            table = base.copy()
             cw = mcs + 1
+            mask = (1 << cw) - 1
             prev = None
             continue
         if code == eoi:
@@ -1411,6 +1471,7 @@ def _gif_lzw_decompress(data: bytes, mcs: int) -> bytearray:
         if prev is not None and len(table) - 1 == (1 << cw) - 1 \
                 and cw < 12:
             cw += 1
+            mask = (1 << cw) - 1
         pixels += entry
         prev = entry
     return pixels
@@ -1455,12 +1516,12 @@ def decode_gif_gray_pixels(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("gif: local color table unsupported")
             if palette is None:
                 raise ValueError("gif: no color table")
-            gray = []
-            for i in range(len(palette) // 3):
-                r, g, bl = palette[3 * i : 3 * i + 3]
-                if not (r == g == bl):
-                    raise ValueError("gif: non-grayscale palette")
-                gray.append(r)
+            # slice-compare the three channel planes at C speed (r16,
+            # guide §4.2) — same grayscale validation, no per-entry
+            # Python loop
+            gray = palette[0::3]
+            if palette[1::3] != gray or palette[2::3] != gray:
+                raise ValueError("gif: non-grayscale palette")
             mcs = payload[off]
             off += 1
             data = bytearray()
@@ -1472,11 +1533,14 @@ def decode_gif_gray_pixels(payload: bytes) -> tuple[int, int, bytes]:
             pixels = _gif_lzw_decompress(bytes(data), mcs)
             if len(pixels) != width * height:
                 raise ValueError("gif: pixel count mismatch")
-            return (
-                int(width),
-                int(height),
-                bytes(gray[idx] for idx in pixels),
-            )
+            # palette application via bytes.translate (r16, guide
+            # §4.2) when the table is full-width; short palettes keep
+            # the indexing form (preserving the out-of-range error)
+            if len(gray) == 256:
+                mapped = bytes(pixels).translate(gray)
+            else:
+                mapped = bytes(gray[idx] for idx in pixels)
+            return (int(width), int(height), mapped)
         elif b == 0x3B:
             raise ValueError("gif: no image block")
         else:
@@ -1490,13 +1554,11 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, int, int]:
     reduction over decode_gif_gray_pixels so exactly ONE spec-walk
     body exists for both the roundtrip query and the perceptual
     fingerprint stage."""
+    import numpy as np
+
     width, height, px = decode_gif_gray_pixels(payload)
-    return (
-        width,
-        height,
-        sum(px),
-        sum(v * v for v in px),
-    )
+    a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+    return (width, height, int(a.sum()), int((a * a).sum()))
 
 
 MM_GIF_SCHEMA = (
@@ -1599,10 +1661,15 @@ def q_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows emit NULL features.
 
     Scale shape: one documents scan projecting two ints per row, one
-    Python stage, no shuffle before the driver collect."""
+    two-int fan-out exchange (r16, guide §2.5/§4 — the
+    image_fingerprints scan-parallelism lesson; the payload is
+    generated inside the worker), one Python stage."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "n_chars").mapInPandas(
-        _gif_roundtrip_batches, schema=MM_GIF_SCHEMA
+    spark_ctx = docs.sparkSession.sparkContext
+    return (
+        docs.select("doc_id", "n_chars")
+        .repartition(spark_ctx.defaultParallelism)
+        .mapInPandas(_gif_roundtrip_batches, schema=MM_GIF_SCHEMA)
     )
 
 
@@ -1654,22 +1721,22 @@ def _image_gray_rows(d: int) -> list[bytes]:
     """The deterministic 36x32 grayscale raster for doc d: quadratic
     mixing of four seed-derived coefficients (prime moduli keep
     distinct seeds producing distinct gradients), plus the +6 retouch
-    patch on block (2, 3) for the 4g+1 twin variant."""
+    patch on block (2, 3) for the 4g+1 twin variant.  Vectorized
+    (r16, guide §4.2): one int64 grid expression replaces the
+    per-pixel Python loop — exact integer arithmetic, same bytes."""
+    import numpy as np
+
     s = _image_seed(d)
     a, b, c, e = s % 251 + 1, s % 241 + 2, s % 239 + 3, s % 233 + 5
-    twin = d % 4 == 1
-    return [
-        bytes(
-            min(
-                (x * x * a + y * y * b + x * y * c
-                 + (x // 4 + y // 4) * e + s) % 256
-                + (6 if twin and x // 4 == 2 and y // 4 == 3 else 0),
-                255,
-            )
-            for x in range(_IMG_W)
-        )
-        for y in range(_IMG_H)
-    ]
+    x = np.arange(_IMG_W, dtype=np.int64)[None, :]
+    y = np.arange(_IMG_H, dtype=np.int64)[:, None]
+    px = (x * x * a + y * y * b + x * y * c
+          + (x // 4 + y // 4) * e + s) % 256
+    if d % 4 == 1:  # twin: +6 retouch on block (2, 3), clamped
+        patch = (x // 4 == 2) & (y // 4 == 3)
+        px = np.minimum(px + np.where(patch, 6, 0), 255)
+    rows = px.astype(np.uint8)
+    return [rows[j].tobytes() for j in range(_IMG_H)]
 
 
 def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1681,6 +1748,8 @@ def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids: list[int] = []
         his: list[int] = []
         los: list[int] = []
+        import numpy as np
+
         for doc_id in pdf["doc_id"]:
             if pd.isna(doc_id):
                 continue  # no id -> no image; oracle filters likewise
@@ -1688,23 +1757,21 @@ def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             w, h, px = decode_gif_gray_pixels(
                 encode_gif_gray(_IMG_W, _IMG_H, _image_gray_rows(d))
             )
-            grid = [
-                [
-                    sum(
-                        px[(4 * j + dy) * w + 4 * i + dx]
-                        for dy in range(4)
-                        for dx in range(4)
-                    )
-                    // 16
-                    for i in range(_IMG_GW)
-                ]
-                for j in range(_IMG_GH)
-            ]
-            bits = 0
-            for j in range(_IMG_GH):
-                for i in range(_IMG_GW - 1):
-                    if grid[j][i] > grid[j][i + 1]:
-                        bits |= 1 << (j * 8 + i)
+            # vectorized block means + comparison bits (r16, guide
+            # §4.2): reshape to (GH, 4, GW, 4) blocks, integer mean,
+            # one comparison per adjacent grid pair — exact twin of
+            # the former per-pixel Python loops
+            arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+            grid = (
+                arr.reshape(_IMG_GH, 4, _IMG_GW, 4).sum(axis=(1, 3))
+                // 16
+            )
+            gt = grid[:, :-1] > grid[:, 1:]
+            bitpos = (
+                np.arange(_IMG_GH)[:, None] * 8
+                + np.arange(_IMG_GW - 1)[None, :]
+            )
+            bits = int((gt.astype(np.uint64) << bitpos.astype(np.uint64)).sum())
             ids.append(d)
             his.append(bits >> 32)
             los.append(bits & 0xFFFFFFFF)
@@ -2077,18 +2144,18 @@ def _audio_samples(d: int) -> list[int]:
     (measured: 4 Hamming-0 collisions at sf0.1 with s%127-style
     coefficients; 0 with these — full-corpus sweep in
     tests/test_operators.py)."""
+    import numpy as np
+
     s = _audio_seed(d)
     a = 2 * (s % 509) + 3
     b = 2 * (s % 503) + 7
     c = 2 * (s % 499) + 11
-    twin = d % 4 == 3
-    out = []
-    for i in range(_AUD_WIN * _AUD_NWIN):
-        r = (i * i * a + i * b + (i // _AUD_WIN) * c + s) % 2048
-        if twin and i // _AUD_WIN == _AUD_TWIN_W:
-            r = min(r + 5, 2047)
-        out.append(r - 1024)
-    return out
+    i = np.arange(_AUD_WIN * _AUD_NWIN, dtype=np.int64)
+    w = i // _AUD_WIN
+    r = (i * i * a + i * b + w * c + s) % 2048
+    if d % 4 == 3:  # twin: +5 re-level on the planted window, clamped
+        r = np.where(w == _AUD_TWIN_W, np.minimum(r + 5, 2047), r)
+    return (r - 1024).tolist()
 
 
 def _audio_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2106,17 +2173,22 @@ def _audio_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             _, _, sm = decode_wav_samples(
                 encode_wav_pcm16(_audio_samples(d))
             )
-            eng = [
-                sum(
-                    abs(s)
-                    for s in sm[w * _AUD_WIN : (w + 1) * _AUD_WIN]
-                )
-                for w in range(_AUD_NWIN)
-            ]
-            bits = 0
-            for j in range(_AUD_NWIN - 1):
-                if eng[j] > eng[j + 1]:
-                    bits |= 1 << j
+            # vectorized window energies + comparison bits (r16,
+            # guide §4.2): exact integer twin of the former loops
+            import numpy as np
+
+            eng = (
+                np.abs(np.asarray(sm, dtype=np.int64))
+                .reshape(_AUD_NWIN, _AUD_WIN)
+                .sum(axis=1)
+            )
+            gt = eng[:-1] > eng[1:]
+            bits = int(
+                (
+                    gt.astype(np.uint64)
+                    << np.arange(_AUD_NWIN - 1, dtype=np.uint64)
+                ).sum()
+            )
             ids.append(d)
             his.append(bits >> 32)
             los.append(bits & 0xFFFFFFFF)
@@ -2264,8 +2336,7 @@ def encode_gif_anim(
         raise ValueError("gif-anim: frames/delays mismatch")
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
-    for i in range(256):  # grayscale identity palette
-        out += bytes((i, i, i))
+    out += _GIF_GRAY_PALETTE  # grayscale identity palette
     # NETSCAPE2.0 application extension: loop forever — a generic
     # extension the decoder must SKIP, exercising the 0x21 sub-block
     # walk on a block that is not a GCE.
@@ -2301,12 +2372,9 @@ def decode_gif_anim(payload: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
     n = 2 << (packed & 7)
     palette = payload[off : off + 3 * n]
     off += 3 * n
-    gray = []
-    for i in range(n):
-        r, g, b = palette[3 * i : 3 * i + 3]
-        if not (r == g == b):
-            raise ValueError("gif-anim: non-grayscale palette")
-        gray.append(r)
+    gray = palette[0::3]
+    if palette[1::3] != gray or palette[2::3] != gray:
+        raise ValueError("gif-anim: non-grayscale palette")
     frames: list[tuple[int, bytes]] = []
     delay = 0  # no GCE before an image -> delay 0 per spec
     while off < len(payload):
@@ -2342,7 +2410,10 @@ def decode_gif_anim(payload: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
             idx = _gif_lzw_decompress(bytes(data), mcs)
             if len(idx) != width * height:
                 raise ValueError("gif-anim: pixel count mismatch")
-            frames.append((delay, bytes(gray[i] for i in idx)))
+            if len(gray) == 256:
+                frames.append((delay, bytes(idx).translate(gray)))
+            else:
+                frames.append((delay, bytes(gray[i] for i in idx)))
             delay = 0  # a GCE governs exactly one image
         elif blk == 0x3B:
             break
@@ -2515,27 +2586,25 @@ def _video_frame_rows(d: int) -> list[list[bytes]]:
     0 false pairs / 1250 planted recalled / max band bucket 10 at
     the 5000-doc sf0.1 scale).  The 4g+2 twin gets a +4 retouch on
     frame {_VID_TWIN_F}'s block (1, 2)."""
+    import numpy as np
+
     s = _video_seed(d)
     c, e = s % 239 + 3, s % 233 + 5
     twin = d % 4 == 2
-    return [
-        [
-            bytes(
-                min(
-                    (x * x * (s % 251 + 1 + 2 * f)
-                     + y * y * (s % 241 + 2 + 3 * f)
-                     + x * y * c + (x // 4 + y // 3) * e
-                     + 7 * f + s) % 256
-                    + (4 if twin and f == _VID_TWIN_F
-                       and x // 4 == 1 and y // 3 == 2 else 0),
-                    255,
-                )
-                for x in range(_VID_W)
-            )
-            for y in range(_VID_H)
-        ]
-        for f in range(_VID_NF)
-    ]
+    x = np.arange(_VID_W, dtype=np.int64)[None, :]
+    y = np.arange(_VID_H, dtype=np.int64)[:, None]
+    base = x * y * c + (x // 4 + y // 3) * e + s
+    patch = (x // 4 == 1) & (y // 3 == 2)
+    frames = []
+    for f in range(_VID_NF):
+        px = (x * x * (s % 251 + 1 + 2 * f)
+              + y * y * (s % 241 + 2 + 3 * f)
+              + base + 7 * f) % 256
+        if twin and f == _VID_TWIN_F:
+            px = np.minimum(px + np.where(patch, 4, 0), 255)
+        rows = px.astype(np.uint8)
+        frames.append([rows[j].tobytes() for j in range(_VID_H)])
+    return frames
 
 
 def _video_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2560,18 +2629,25 @@ def _video_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                     [4 + f for f in range(_VID_NF)],
                 )
             )
+            import numpy as np
+
+            # vectorized per-frame 3x3 block means + comparison bits
+            # (r16, guide §4.2): exact integer twin of the former
+            # per-pixel Python loops
             bits = 0
             for f, (_, px) in enumerate(dec):
-                g = [0] * 9
-                for y in range(_VID_H):
-                    row = px[y * _VID_W : (y + 1) * _VID_W]
-                    gj = y // 3
-                    for x in range(_VID_W):
-                        g[gj * 3 + x // 4] += row[x]
-                g = [v // 12 for v in g]
-                for k in range(8):
-                    if g[k] > g[k + 1]:
-                        bits |= 1 << (f * 8 + k)
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                g = (
+                    arr.reshape(3, 3, 3, 4).sum(axis=(1, 3)).ravel()
+                    // 12
+                )
+                gt = g[:-1] > g[1:]
+                bits |= int(
+                    (
+                        gt.astype(np.uint64)
+                        << np.arange(8, dtype=np.uint64)
+                    ).sum()
+                ) << (f * 8)
             ids.append(d)
             his.append(bits >> 32)
             los.append(bits & 0xFFFFFFFF)
