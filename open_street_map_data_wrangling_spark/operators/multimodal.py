@@ -2959,33 +2959,42 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     lab = connected_components(edges, nodes)
-    tc = (
-        tpairs.join(lab, tpairs["a"] == lab["n"])
-        .groupBy("cluster_id")
-        .agg(F.count("*").cast("bigint").alias("n_text_pairs"))
+    # one tagged union + ONE lab join + ONE conditional aggregate
+    # replaces the former four per-channel join+agg diamonds (r16,
+    # guide §2.4 — operations keyed the same way share one exchange):
+    # each channel's pair rows carry a channel id, the a-endpoint is
+    # labelled once, and the per-cluster channel counts come out of a
+    # single groupBy as conditional sums — 4 joins + 4 aggregates
+    # collapse to 1 + 1 with identical counts.
+    tagged = (
+        tpairs.select("a", F.lit(0).alias("ch"))
+        .unionByName(ipairs.select("a", F.lit(1).alias("ch")))
+        .unionByName(apairs.select("a", F.lit(2).alias("ch")))
+        .unionByName(vpairs.select("a", F.lit(3).alias("ch")))
     )
-    ic = (
-        ipairs.join(lab, ipairs["a"] == lab["n"])
+    chan = (
+        tagged.join(lab, tagged["a"] == lab["n"])
         .groupBy("cluster_id")
-        .agg(F.count("*").cast("bigint").alias("n_image_pairs"))
-    )
-    ac = (
-        apairs.join(lab, apairs["a"] == lab["n"])
-        .groupBy("cluster_id")
-        .agg(F.count("*").cast("bigint").alias("n_audio_pairs"))
-    )
-    vc = (
-        vpairs.join(lab, vpairs["a"] == lab["n"])
-        .groupBy("cluster_id")
-        .agg(F.count("*").cast("bigint").alias("n_video_pairs"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("ch") == i, 1).otherwise(0))
+                .cast("bigint")
+                .alias(name)
+                for i, name in enumerate(
+                    (
+                        "n_text_pairs",
+                        "n_image_pairs",
+                        "n_audio_pairs",
+                        "n_video_pairs",
+                    )
+                )
+            ]
+        )
     )
     per = (
         lab.groupBy("cluster_id")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
-        .join(tc, "cluster_id", "left")
-        .join(ic, "cluster_id", "left")
-        .join(ac, "cluster_id", "left")
-        .join(vc, "cluster_id", "left")
+        .join(chan, "cluster_id", "left")
         .select(
             "cluster_id",
             "n_docs",

@@ -1602,10 +1602,13 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    firstdoc = shd.groupBy("shh").agg(F.min("doc_id").alias("first_doc"))
-    owner = firstdoc.join(
-        shd.select(F.col("doc_id").alias("first_doc"), "shh", "source"),
-        ["first_doc", "shh"],
+    # the owning source rides the SAME aggregate as the min-doc
+    # (struct min: doc_id is unique within a gram group, so the
+    # struct ordering never reaches the source field) — one
+    # gram-keyed exchange instead of the former groupBy + join-back
+    # pair, identical attribution (r16, guide §2.4)
+    owner = shd.groupBy("shh").agg(
+        F.min(F.struct("doc_id", "source"))["source"].alias("source")
     )
     novel = owner.groupBy("source").agg(F.count("*").alias("n_novel"))
     per_src = shd.groupBy("source").agg(

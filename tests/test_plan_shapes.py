@@ -924,12 +924,16 @@ def test_keep_best_group_limit_argmax(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_audio_pcm_single_scan_no_shuffle(plans):
-    """q_audio_pcm (X68, r10): one pruned documents scan into one
-    Arrow Python stage — no join, no shuffle."""
+def test_audio_pcm_single_scan_fanout(plans):
+    """q_audio_pcm (X68, r10; r16 fan-out): one pruned documents scan
+    feeding ONE round-robin fan-out exchange of two ints per row, then
+    the Arrow Python stage — the codec no longer inherits the scan's
+    1-2-file parallelism (guide §2.5/§4); still no join, and exactly
+    one exchange."""
     p = plans("q_audio_pcm")
     assert p.count("documents.parquet") == 1
-    assert "Exchange" not in p
+    assert p.count("Exchange") == 1
+    assert "roundrobin" in p.lower()
     assert "CartesianProduct" not in p
 
 
