@@ -639,70 +639,129 @@ def connected_components(edges_df, nodes_df, max_iters: int = 50):
     edges_df: (a, b) undirected pairs; nodes_df: (n). Returns
     (n, cluster_id = min node id in the component).
 
-    Three scale/latency properties (each was measured as a bench
-    regression when absent):
-    * `sym` is checkpointed ONCE — otherwise every iteration replays
-      the entire upstream pair-generation pipeline (for LSH input,
-      the full shingle→minhash→band job per round).
+    Scale/latency properties (each was measured as a bench regression
+    when absent; the r17 restructure is motivated by the job-count
+    profile — q_multimodal_dedup ran 121 jobs, ~9 AQE query-stage
+    jobs + 2 action jobs PER ROUND, and PERF_r16's scaling block
+    shows these queries are job-overhead-bound, 8 cores ~= 32):
+    * `sym` is checkpointed ONCE, pre-partitioned AND pre-sorted by
+      the probe key `b` — otherwise every iteration replays the
+      entire upstream pair-generation pipeline, and re-exchanges +
+      re-sorts the (larger) edge relation every round.  localCheckpoint
+      preserves outputPartitioning/outputOrdering, so every round's
+      propagation join consumes `sym` with ZERO exchange and ZERO
+      sort on the edge side (guide §2.4: two operations keyed the
+      same way share one exchange).
+    * Self-loops are folded into `sym`: min over (neighbors ∪ self)
+      IS least(own label, neighbor min), so the r16 shape's separate
+      left-join-back of the old label disappears — one join + its
+      exchange removed per round (guide §2.4).
     * Only edge-touched nodes iterate; the (usually enormous)
       singleton majority never enters a round and is re-attached with
       one left join at the end — at 100 TB the label table is sized
       by |dup pairs|, not |corpus|.
-    * The convergence probe filters the just-checkpointed update
-      (old label carried alongside new) instead of re-joining two
-      label snapshots — one cheap action per round, no extra join.
+    * ONE action per round (r16 paid three: eager checkpoint, probe,
+      and AQE stage jobs around both): the round result is
+      localCheckpoint(eager=False) and the round's single action is
+      an exact decimal sum of labels — computing the aggregate
+      computes every partition, which is exactly what materializes a
+      lazy local checkpoint.  Min-label propagation is monotone
+      (every new label <= old), so the label sum strictly decreases
+      until the fixpoint and "sum unchanged" == "converged"; decimal
+      (38,0) keeps the sum exact far beyond any feasible node count
+      (10^12 nodes x 2^63 max id ~ 10^31 < 10^38).
     * Pointer doubling: each round also compresses label <-
-      label(label) (one extra self-join INSIDE the same checkpoint
-      job, no extra action), so convergence takes O(log diameter)
-      rounds instead of O(diameter) — on a 100 TB corpus where one
-      boilerplate family chains thousands of documents, that is the
-      difference between ~12 rounds and ~thousands."""
+      L_prev(label) against the PREVIOUS round's checkpointed label
+      snapshot (the classical synchronous form), so convergence takes
+      O(log diameter) rounds instead of O(diameter) — on a 100 TB
+      corpus where one boilerplate family chains thousands of
+      documents, that is the difference between ~12 rounds and
+      ~thousands.  Compressing against the snapshot instead of the
+      round's own output matters for the plan: the self-join form
+      made Spark RECOMPUTE the entire propagation join+aggregate as
+      the parent side (its pushed isnotnull filters differ, which
+      defeats exchange reuse), doubling every round's compute; the
+      snapshot side is one ReusedExchange of the same labels-by-n
+      exchange the propagation join already materialized.
+    * The loop body runs under scale.iter_loop_conf (AQE suspended,
+      shuffle partitions derived from the |sym|+|nodes| the setup
+      actions measured, both restored on exit, OSMDW_ITER_AQE=true
+      opts back into AQE) — see that helper's docstring for the full
+      rationale."""
     from pyspark.sql import functions as F
+
+    from .scale import iter_loop_conf
+
+    spark = edges_df.sparkSession
 
     sym = (
         edges_df.unionByName(
             edges_df.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    n_edges = sym.count()  # materializes the checkpoint too
     labels = (
         sym.select(F.col("a").alias("n"))
         .distinct()
         .select("n", F.col("n").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.n)
-            .groupBy("a")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        stepped = labels.join(neighbor_min, labels.n == F.col("a"), "left").select(
-            "n",
-            F.col("label").alias("__old"),
-            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                "label"
-            ),
-        )
-        parent = stepped.select(
-            F.col("n").alias("label"), F.col("label").alias("__gl")
-        )
-        upd = (
-            stepped.join(parent, "label", "left")
-            .select(
-                "n",
-                "__old",
-                F.least(F.col("label"), F.coalesce(F.col("__gl"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
+    # one action: materializes the checkpoint, sizes the loop AND
+    # seeds the monotone convergence probe with the initial label sum
+    _init = labels.agg(
+        F.count("*"), F.sum(F.col("label").cast("decimal(38,0)"))
+    ).first()
+    n_nodes, init_sum = int(_init[0]), _init[1]
+    if n_nodes == 0:
+        return nodes_df.select("n", F.col("n").alias("cluster_id"))
+    with iter_loop_conf(spark, n_edges + n_nodes) as loop_sp:
+        # Self-loops make "min over neighbors" include the node's own
+        # label; pre-partition+sort by the probe key so every round's
+        # join reuses this one exchange (checkpoint preserves both).
+        symx = (
+            sym.unionByName(labels.select(F.col("n").alias("a"),
+                                          F.col("n").alias("b")))
+            .repartition(loop_sp, "b")
+            .sortWithinPartitions("b")
             .localCheckpoint()
         )
-        changed = upd.filter(F.col("label") != F.col("__old")).limit(1).count()
-        labels = upd.select("n", "label")
-        if changed == 0:
-            break
+        prev_sum = init_sum
+        for _ in range(max_iters):
+            upd0 = (
+                symx.join(labels, symx.b == labels.n)
+                .groupBy("a")
+                .agg(F.min("label").alias("label"))
+                .select(F.col("a").alias("n"), "label")
+            )
+            # pointer doubling against the previous snapshot: the
+            # parent relation is `labels` itself keyed by n, so its
+            # exchange is REUSED from the propagation join above
+            parent = labels.select(
+                F.col("n").alias("label"), F.col("label").alias("__gl")
+            )
+            upd = (
+                upd0.join(parent, "label", "left")
+                .select(
+                    "n",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("__gl"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            # ONE action: the aggregate computes (and thereby
+            # checkpoint-persists) every partition AND answers the
+            # convergence probe via the monotone exact label sum.
+            cur_sum = upd.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
+            labels = upd
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return (
         nodes_df.join(labels, "n", "left")
         .select("n", F.coalesce(F.col("label"), F.col("n")).alias("cluster_id"))

@@ -103,10 +103,22 @@ def pagerank_fixed(pairs: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     Every quantity is a positive integer, so the sum is exact and
     order-free — the replay test can assert bit equality instead of
     tolerance.  Per iteration: one join of the degree-annotated edge
-    list with the (N-row) rank table on src + one groupBy dst — both
-    shuffle on node id, so at scale the two exchanges co-locate and
-    the edge list's partitioning is reused across all T iterations.
+    list with the (N-row) rank table on src + one groupBy dst.
+
+    r17 round shape (guide §1.2/§2.4, scale.iter_loop_conf): the
+    edge list is partitioned+sorted by the join key ONCE (AQE sizes
+    that exchange from the data; checkpoint preserves partitioning
+    and ordering), then every round compiles under iter_loop_conf —
+    AQE off, shuffle width pinned to the edge list's materialized
+    width — with LAZY per-round checkpoints, so the fixed iteration
+    chain runs as stages of the CALLER's single action instead of
+    ~6 query-stage jobs per round (job-count profile: q_pagerank 41
+    jobs before, and at sf0.1 the query is job-overhead-bound).
+    The lazy checkpoints still truncate the logical plan per round,
+    so planning cost stays flat in the iteration count.
     """
+    from .scale import iter_loop_conf
+
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -117,37 +129,48 @@ def pagerank_fixed(pairs: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
-    edges_deg = edges.join(deg, "src").localCheckpoint()
+    edges_deg = (
+        edges.join(deg, "src")
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .localCheckpoint()
+    )
     nodes = deg.select(F.col("src").alias("doc_id")).localCheckpoint()
     # bounded scalar: N is one number — the 1-row broadcast crossJoin
     # convention (never a collect in the lazy path)
     n_row = nodes.agg(F.count("*").cast("bigint").alias("__n"))
-    p = (
-        nodes.crossJoin(F.broadcast(n_row))
-        .selectExpr("doc_id", f"CAST({_PR_SCALE} AS BIGINT) div __n AS base")
-        .selectExpr("doc_id", "base", "base AS pr")
-        .localCheckpoint()
-    )
-    for _ in range(iters):
-        inc = (
-            edges_deg.join(
-                p.select(F.col("doc_id").alias("src"), "pr"), "src"
-            )
-            .selectExpr("dst AS doc_id", "pr div deg AS share")
-            .groupBy("doc_id")
-            .agg(F.sum("share").cast("bigint").alias("inc"))
-        )
+    spark = edges_deg.sparkSession
+    with iter_loop_conf(
+        spark, parts=edges_deg.rdd.getNumPartitions()
+    ):
         p = (
-            p.select("doc_id", "base")
-            .join(inc, "doc_id", "left")
+            nodes.crossJoin(F.broadcast(n_row))
             .selectExpr(
-                "doc_id",
-                "base",
-                "CAST((15 * base + 85 * coalesce(inc, 0)) div 100 "
-                "AS BIGINT) AS pr",
+                "doc_id", f"CAST({_PR_SCALE} AS BIGINT) div __n AS base"
             )
-            .localCheckpoint()
+            .selectExpr("doc_id", "base", "base AS pr")
+            .localCheckpoint(eager=False)
         )
+        for _ in range(iters):
+            inc = (
+                edges_deg.join(
+                    p.select(F.col("doc_id").alias("src"), "pr"), "src"
+                )
+                .selectExpr("dst AS doc_id", "pr div deg AS share")
+                .groupBy("doc_id")
+                .agg(F.sum("share").cast("bigint").alias("inc"))
+            )
+            p = (
+                p.select("doc_id", "base")
+                .join(inc, "doc_id", "left")
+                .selectExpr(
+                    "doc_id",
+                    "base",
+                    "CAST((15 * base + 85 * coalesce(inc, 0)) div 100 "
+                    "AS BIGINT) AS pr",
+                )
+                .localCheckpoint(eager=False)
+            )
     return p.select("doc_id", "pr")
 
 
@@ -384,9 +407,16 @@ def label_propagation_fixed(pairs: DataFrame, iters: int = _LP_ITERS) -> DataFra
 
     Scale shape per round: one equi-join of the edge list with the
     N-row label table on src + one groupBy (dst, lab) + one
-    per-node window argmax — every exchange hashes on node id, so
-    the edge list's partitioning is reused across all T rounds;
-    per-round localCheckpoint keeps the plan flat."""
+    per-node window argmax.  r17: the edge list is partitioned +
+    sorted by the join key ONCE (checkpoint preserves both), and the
+    rounds compile lazily under scale.iter_loop_conf — AQE off,
+    width pinned to the edge list's materialized width — so the
+    fixed chain runs as stages of the caller's single action instead
+    of several query-stage jobs per round (job profile: q_label_prop
+    31 jobs before); lazy per-round checkpoints still keep the plan
+    flat."""
+    from .scale import iter_loop_conf
+
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -395,6 +425,8 @@ def label_propagation_fixed(pairs: DataFrame, iters: int = _LP_ITERS) -> DataFra
             )
         )
         .distinct()
+        .repartition("src")
+        .sortWithinPartitions("src")
         .localCheckpoint()
     )
     labels = (
@@ -403,34 +435,37 @@ def label_propagation_fixed(pairs: DataFrame, iters: int = _LP_ITERS) -> DataFra
         .select("doc_id", F.col("doc_id").alias("lab"))
         .localCheckpoint()
     )
-    for _ in range(iters):
-        cnt = (
-            edges.join(
-                labels.select(F.col("doc_id").alias("src"), "lab"), "src"
+    with iter_loop_conf(
+        edges.sparkSession, parts=edges.rdd.getNumPartitions()
+    ):
+        for _ in range(iters):
+            cnt = (
+                edges.join(
+                    labels.select(F.col("doc_id").alias("src"), "lab"), "src"
+                )
+                .groupBy(F.col("dst").alias("doc_id"), "lab")
+                .agg(F.count("*").cast("bigint").alias("c"))
             )
-            .groupBy(F.col("dst").alias("doc_id"), "lab")
-            .agg(F.count("*").cast("bigint").alias("c"))
-        )
-        pick = (
-            cnt.withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("doc_id").orderBy(
-                        F.desc("c"), F.asc("lab")
-                    )
-                ),
+            pick = (
+                cnt.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        W.partitionBy("doc_id").orderBy(
+                            F.desc("c"), F.asc("lab")
+                        )
+                    ),
+                )
+                .where(F.col("rn") == 1)
+                .select("doc_id", F.col("lab").alias("new_lab"))
             )
-            .where(F.col("rn") == 1)
-            .select("doc_id", F.col("lab").alias("new_lab"))
-        )
-        labels = (
-            labels.join(pick, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("new_lab", "lab").alias("lab"),
+            labels = (
+                labels.join(pick, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("new_lab", "lab").alias("lab"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint()
-        )
     return labels
 
 
@@ -508,23 +543,34 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each round is one degree aggregate + one
     self-equi-join of the shrinking edge list, all keyed on node id
     (co-partitioned round to round); the edge list only ever
-    SHRINKS, and localCheckpoint per round keeps the plan flat (the
-    connected_components discipline)."""
+    SHRINKS, and lazy localCheckpoint per round keeps the plan flat
+    (the connected_components discipline).  r17: the rounds compile
+    under scale.iter_loop_conf (AQE off, width from the
+    materialized edge partitioning) so the whole peel runs as
+    stages of the final aggregate's single action — with AQE on,
+    even LAZY checkpoints submit every exchange as its own
+    query-stage job at plan-compile time (job profile: 27 jobs
+    before)."""
+    from .scale import iter_loop_conf
+
     docs_pairs = near_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         docs_pairs.selectExpr("doc_a AS a", "doc_b AS b")
         .unionByName(docs_pairs.selectExpr("doc_b AS a", "doc_a AS b"))
-        .localCheckpoint(eager=False)
+        .repartition("a")
+        .sortWithinPartitions("a")
+        .localCheckpoint()
     )
-    for _t in range(_KCORE_ROUNDS):
-        deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= _KCORE_K).select("a")
-        edges = (
-            edges.join(keep, "a")
-            .join(keep.withColumnRenamed("a", "b"), "b")
-            .select("a", "b")
-            .localCheckpoint(eager=False)
-        )
+    with iter_loop_conf(spark, parts=edges.rdd.getNumPartitions()):
+        for _t in range(_KCORE_ROUNDS):
+            deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+            keep = deg.filter(F.col("deg") >= _KCORE_K).select("a")
+            edges = (
+                edges.join(keep, "a")
+                .join(keep.withColumnRenamed("a", "b"), "b")
+                .select("a", "b")
+                .localCheckpoint(eager=False)
+            )
     return edges.groupBy(F.col("a").alias("doc_id")).agg(
         F.count("*").cast("bigint").alias("core_deg")
     )

@@ -218,3 +218,29 @@ def cached(
     finally:
         _rm_prefixed(parent, tmp_base)
     return path
+
+
+def read_small_parquet(spark, path: str, schema_ddl: str, columns):
+    """Driver-side read of a TINY serving-artifact parquet (index
+    seeds, 1-row stats, request-sized probe lists — relations bounded
+    by the request or the model, never by the corpus).
+
+    r17 (guide §1.2, job-count): the serve paths previously paid one
+    whole Spark job (scan + collect) per such read, and the job-count
+    profile shows the slow serve queries are job-overhead-bound at
+    bench scale (PERF_r16: 8 cores ~= 32).  pyarrow reads the same
+    bytes on the driver with no job at all; any failure (filesystem
+    pyarrow cannot reach, missing path, schema drift) falls back to
+    the original Spark collect so error semantics and remote-store
+    support are unchanged.  Returns a list of dict rows either way.
+    """
+    cols = list(columns)
+    try:
+        import pyarrow.parquet as _pq
+
+        return _pq.read_table(path, columns=cols).to_pylist()
+    except Exception:
+        return [
+            r.asDict()
+            for r in spark.read.schema(schema_ddl).parquet(path).collect()
+        ]

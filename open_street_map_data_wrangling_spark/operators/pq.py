@@ -1020,19 +1020,21 @@ def build_ivfpq_index(
 def _load_ivfpq_seeds(
     spark: SparkSession, index_path: str, query_id: int
 ):
-    """Read the tiny seeds parquet (ONE bounded collect) and return
+    """Read the tiny seeds parquet (driver-side, no Spark job — r17
+    job-count cut via index_cache.read_small_parquet) and return
     (raw, c): raw = {vec_id: [float]} for the codebook/centroid/query
     seed rows, c = build-time centroid count.  Returns (None, 0) when
     the index was built from an empty corpus or the seeds don't cover
     the requested query id — callers serve typed-empty.  Shared by
     ivfpq_search and text.rrf_search so both rebuild identical plan
     literals from the one read serving already does."""
-    seeds = (
-        spark.read.schema(
-            "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT"
-        )
-        .parquet(f"{index_path}/seeds")
-        .collect()
+    from .index_cache import read_small_parquet
+
+    seeds = read_small_parquet(
+        spark,
+        f"{index_path}/seeds",
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT",
+        ("vec_id", "embedding", "n_centroids"),
     )
     if not seeds:
         return None, 0
@@ -1182,13 +1184,14 @@ def ann_range_search(
     answer itself."""
     from .similarity import _rank_cells_py, _with_cos_cols
 
+    from .index_cache import read_small_parquet
+
     empty_ddl = "q_id BIGINT, vec_id BIGINT, cos_sim DOUBLE"
-    seeds = (
-        spark.read.schema(
-            "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT"
-        )
-        .parquet(f"{index_path}/seeds")
-        .collect()
+    seeds = read_small_parquet(
+        spark,
+        f"{index_path}/seeds",
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT",
+        ("vec_id", "embedding", "n_centroids"),
     )
     if not seeds:
         return spark.createDataFrame([], empty_ddl)
@@ -1202,9 +1205,12 @@ def ann_range_search(
     # semantics as the inline isin() collect over the table
     pvecs = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
-        for r in spark.read.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
-        .parquet(f"{index_path}/probes")
-        .collect()
+        for r in read_small_parquet(
+            spark,
+            f"{index_path}/probes",
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+            ("vec_id", "embedding"),
+        )
     }
     qrows = sorted(
         (int(q), pvecs[int(q)]) for q in query_ids if int(q) in pvecs

@@ -20,11 +20,70 @@ layouts — the two write-time levers sources/sinks.py exposes.
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ..sources.catalog import load_table
+
+
+@contextlib.contextmanager
+def iter_loop_conf(
+    spark: SparkSession,
+    n_rows: int = 0,
+    rows_per_partition: int = 262144,
+    parts: int | None = None,
+):
+    """Session conf scoped to the BODY of an iterative round loop
+    (connected components, pagerank, label propagation, k-core):
+    suspends AQE and sets shuffle partitions derived from the
+    MEASURED size of the relation the rounds iterate over; restores
+    both on exit.  Yields the derived partition count.
+
+    Why (r17, guide §1.2/§2): the job-count profile showed every
+    AQE exchange inside a round becoming its own query-stage job
+    with a driver replanning barrier — q_multimodal_dedup ran 121
+    jobs, ~9 per round — and PERF_r16's scaling block (8 cores ~=
+    32 cores) proves these queries are job-overhead-bound, not
+    data-bound.  With AQE off a lazily-checkpointed round compiles
+    to a plain physical plan whose RDD materializes inside the
+    CALLER's single action (AQE's doExecute would instead submit
+    every stage eagerly, even for a lazy checkpoint).  What AQE was
+    contributing — post-shuffle sizing — is replaced by deriving
+    the partition count from the row count the setup action already
+    measured (~256k rows per partition, a few MB of fixed-width
+    rows), floored at 1 and capped at the session's configured
+    width so a small graph never over-fans relative to the
+    deployment's own setting: sf0.1 runs 1-partition rounds, a
+    100 TB corpus gets the full configured width.  The per-round
+    joins key on unique node ids and the aggregates are map-side
+    combined, so AQE's skew split has nothing to split inside these
+    loops.  Set OSMDW_ITER_AQE=true to keep AQE on instead (e.g. a
+    deployment that wants runtime skew handling in the rounds).
+
+    Pass ``parts`` to pin the width directly instead of deriving it
+    from a row count — e.g. to the materialized partition count of a
+    checkpointed edge list whose partitioning the rounds reuse (AQE
+    already sized that one from the data)."""
+    keep_aqe = os.environ.get("OSMDW_ITER_AQE", "").lower() in ("1", "true")
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if parts is not None:
+        loop_sp = max(1, int(parts))
+    else:
+        loop_sp = max(1, -(-int(n_rows) // rows_per_partition))
+        loop_sp = min(loop_sp, max(int(sp_before), 1))
+    if not keep_aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+    try:
+        yield loop_sp
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
 
 
 def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:

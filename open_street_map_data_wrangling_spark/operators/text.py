@@ -971,6 +971,38 @@ _SEARCH_TERMS = ("merge", "filter", "batch")  # fixed demo query (AND)
 _INDEX_BUCKETS = 64  # token-hash partition key of the persisted index
 
 
+def _tok_buckets(terms) -> list[int]:
+    """Partition buckets of the given index terms, computed on the
+    DRIVER with the pinned Python twin of Spark's xxhash64
+    (functions.xxh64_sql, equality with F.xxhash64 pytest-pinned on
+    every byte-length class) — pmod(xxhash64(tok), {_INDEX_BUCKETS})
+    exactly as build_text_index/build_bm25_index wrote the bkt
+    column.  r17 (guide §1.2 job-count): every serve path previously
+    paid a whole Spark job (createDataFrame + distinct + collect)
+    just to hash a handful of CONSTANT query terms; a pure function
+    of the request costs no job at any scale."""
+    from ..functions.xxh64_sql import py_signed, py_xxh64_bytes
+
+    out = {
+        py_signed(py_xxh64_bytes(t.encode("utf-8"), 42)) % _INDEX_BUCKETS
+        for t in terms
+    }
+    return sorted(out)
+
+
+def _read_index_stats(spark: SparkSession, stats_path: str):
+    """1-row index stats read, driver-side (no Spark job — r17
+    serve-path job-count cut; see index_cache.read_small_parquet)."""
+    from .index_cache import read_small_parquet
+
+    return read_small_parquet(
+        spark,
+        stats_path,
+        "n_docs BIGINT, total_toks BIGINT",
+        ("n_docs", "total_toks"),
+    )
+
+
 @query(
     "q_text_search",
     oracle=f"""
@@ -1062,19 +1094,9 @@ def text_search(
     the count-equals-arity intersection.  Returns (doc_id) hits;
     callers join metadata as q_text_search does.  Zero corpus
     scans."""
-    from pyspark.sql import Row
-
     if not terms:
         return spark.createDataFrame([], "doc_id BIGINT")
-    tdf = spark.createDataFrame([Row(tok=t) for t in set(terms)])
-    bkts = [
-        int(r["b"])
-        for r in tdf.select(
-            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
+    bkts = _tok_buckets(set(terms))
     post = (
         # explicit schema: an index built from an empty corpus has a
         # fileless postings dir; inference would raise where the
@@ -1444,28 +1466,14 @@ def bm25_search(
     inline q_bm25 compiles, and a k-row heap.  Zero corpus scans.
     Returns (rank, doc_id, score_fp) — callers join metadata like
     q_text_search does."""
-    from pyspark.sql import Row
-
-    stats = (
-        spark.read.schema("n_docs BIGINT, total_toks BIGINT")
-        .parquet(f"{index_path}/stats")
-        .collect()
-    )
+    stats = _read_index_stats(spark, f"{index_path}/stats")
     if not stats or not terms or int(stats[0]["total_toks"]) <= 0:
         return spark.createDataFrame(
             [], "rank INT, doc_id BIGINT, score_fp BIGINT"
         )
     n_docs, total_toks = int(stats[0]["n_docs"]), int(stats[0]["total_toks"])
     terms = tuple(dict.fromkeys(terms))  # dedupe, keep order
-    tdf = spark.createDataFrame([Row(tok=t) for t in terms])
-    bkts = [
-        int(r["b"])
-        for r in tdf.select(
-            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
+    bkts = _tok_buckets(terms)
     post = (
         spark.read.schema(
             "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, bkt INT"
@@ -2473,17 +2481,7 @@ def maxsim_search(
         return spark.createDataFrame(
             [], "rank INT, doc_id BIGINT, maxsim BIGINT"
         )
-    from pyspark.sql import Row
-
-    tdf = spark.createDataFrame([Row(tok=t) for t in terms])
-    bkts = [
-        int(r["b"])
-        for r in tdf.select(
-            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
+    bkts = _tok_buckets(terms)
     post_ddl = "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, bkt INT"
     cand = (
         spark.read.schema(post_ddl)
@@ -2661,7 +2659,7 @@ def bm25_search_many(
     idf into per-source idf.  The per-query equality rides the
     broadcast query-term table after the df window; queries absent
     from ``filters`` stay unfiltered (NULL rows)."""
-    from pyspark.sql import Row, Window as _Win
+    from pyspark.sql import Window as _Win
 
     queries = tuple((int(q), tuple(dict.fromkeys(ts))) for q, ts in queries)
     all_terms = tuple(dict.fromkeys(t for _, ts in queries for t in ts))
@@ -2669,25 +2667,13 @@ def bm25_search_many(
         return spark.createDataFrame(
             [], "qid BIGINT, rank INT, doc_id BIGINT, score_fp BIGINT"
         )
-    stats = (
-        spark.read.schema("n_docs BIGINT, total_toks BIGINT")
-        .parquet(f"{index_path}/stats")
-        .collect()
-    )
+    stats = _read_index_stats(spark, f"{index_path}/stats")
     if not stats or int(stats[0]["total_toks"]) <= 0:
         return spark.createDataFrame(
             [], "qid BIGINT, rank INT, doc_id BIGINT, score_fp BIGINT"
         )
     n_docs, total_toks = int(stats[0]["n_docs"]), int(stats[0]["total_toks"])
-    tdf = spark.createDataFrame([Row(tok=t) for t in all_terms])
-    bkts = [
-        int(r["b"])
-        for r in tdf.select(
-            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
+    bkts = _tok_buckets(all_terms)
     filters = filters or {}
     if filters:
         # Fail fast on a misconfigured index (ADVICE r12): forcing the
@@ -3319,8 +3305,6 @@ def maxsim_search_many(
     there is no idf-corruption hazard in any placement — candidates
     convention is chosen for coherence with the rest of the filtered
     matrix."""
-    from pyspark.sql import Row
-
     queries = tuple((int(q), tuple(dict.fromkeys(ts))) for q, ts in queries)
     all_terms = tuple(dict.fromkeys(t for _, ts in queries for t in ts))
     if not queries or not all_terms:
@@ -3346,15 +3330,7 @@ def maxsim_search_many(
                 f"search needs build_bm25_index(..., meta including "
                 f"{filter_col!r})"
             )
-    tdf = spark.createDataFrame([Row(tok=t) for t in all_terms])
-    bkts = [
-        int(r["b"])
-        for r in tdf.select(
-            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
+    bkts = _tok_buckets(all_terms)
     meta_ddl = f", {filter_col} STRING" if filters else ""
     post_ddl = (
         "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT"

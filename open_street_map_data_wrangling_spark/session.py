@@ -39,22 +39,23 @@ _RUNTIME_SQL_CONF: dict[str, str] = {
     # been merged below 1MB, so tiny stages gain sub-ms scheduling
     # overhead at worst (bench-validated: no regression).
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64KB",
-    # Join strategy (r16, guide §3.1/§9): let the planner pick
-    # shuffled-hash over sort-merge when its size conditions hold,
-    # and let AQE rewrite SMJ->SHJ when every post-shuffle partition
-    # is under the threshold.  SHJ skips both sides' sorts; SMJ only
-    # wins when both sides are huge AND memory-tight, which the
-    # 64MB-per-partition AQE bound excludes (a 64MB local hash map
-    # is safe on any executor this engine targets; SHJ spills since
-    # Spark 3.x).  Measured on the 16-query SMJ cohort at sf0.1:
-    # 0.81-0.91x on the window/clustering family, no repeatable
-    # regression (two independent A/B passes).  Env-overridable for
-    # cluster operators whose build sides exceed the bound.
+    # Join strategy: Spark defaults (prefer sort-merge; AQE SHJ
+    # rewrite off).  The r16 global shuffled-hash preference was
+    # REVERTED in r17: the rigorous interleaved control pair
+    # (BENCH_CONTROL_r16_opt.json) measured it as a net regression —
+    # 18 join-family queries 1.14-1.47x slower (q_training_corpus
+    # +0.58s, q_tpch_q3 1.47x) despite the builder's smaller A/B
+    # suggesting a win.  It also risks spilling hash builds on
+    # large-large candidate-pair joins at 100 TB where SMJ's sort is
+    # strictly safer.  If a specific operator provably wins under
+    # SHJ, apply a SHUFFLE_HASH hint there with its own control
+    # measurement, not a global default.  Env knobs kept so cluster
+    # operators can still experiment without a code change.
     "spark.sql.join.preferSortMergeJoin": os.environ.get(
-        "OSMDW_PREFER_SMJ", "false"
+        "OSMDW_PREFER_SMJ", "true"
     ),
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
-        "OSMDW_SHJ_LOCAL_MAP_THRESHOLD", "64MB"
+        "OSMDW_SHJ_LOCAL_MAP_THRESHOLD", "0"
     ),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",

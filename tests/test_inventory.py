@@ -142,3 +142,31 @@ def test_bench_gate_ambient_normalization_and_waivers(tmp_path, monkeypatch):
         {"queries": {"q_w": 3.0}}, {"queries": {"q_w": 1.1}}
     )
     assert len(fails) == 1 and fails[0].startswith("q_w:")
+
+
+def test_bench_gate_always_check_ignores_floor():
+    """r17 (VERDICT r16 #8): the codec-family queries fell below the
+    gate's 0.30 s floor after their r16 optimization — a regression
+    there must STILL fail the gate (with the 0.15 s absolute guard
+    keeping ms-jitter quiet)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_gate_ac", str(ROOT / "tools" / "bench_gate.py")
+    )
+    bg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bg)
+    assert "q_image_gif" in bg.ALWAYS_CHECK
+    # baseline below the floor; 4x regression above the abs guard
+    base = {"queries": {"q_image_gif": 0.20, "q_other": 0.20}}
+    cur = {"queries": {"q_image_gif": 0.80, "q_other": 0.80}}
+    failures, _ = bg.gate(cur, base)
+    assert any("q_image_gif" in f for f in failures)
+    # same ratio on a non-always-check query stays floored out
+    assert not any("q_other" in f for f in failures)
+    # jitter below the absolute guard never flags
+    failures2, _ = bg.gate(
+        {"queries": {"q_image_gif": 0.34}},
+        {"queries": {"q_image_gif": 0.20}},
+    )
+    assert failures2 == []

@@ -118,3 +118,81 @@ def test_sql_emitters_match_python_twins():
         assert int(h) == py_signed(
             py_xxh64_long(b, py_xxh64_long(a, 42))
         )
+
+
+def test_driver_side_tok_buckets_match_spark_expression(spark):
+    """r17 serve-path job cut: text._tok_buckets computes index
+    partition buckets on the driver with the Python xxh64 twin; it
+    must agree with the pmod(xxhash64(tok), N) expression the index
+    BUILDERS write, for the real demo query terms and a randomized
+    token corpus covering every length class."""
+    from pyspark.sql import functions as F
+
+    from open_street_map_data_wrangling_spark.operators import text as t
+
+    toks = sorted(
+        set(_corpus())
+        | set(t._SEARCH_TERMS)
+        | set(t._BM25_TERMS)
+        | {q for _, ts, _ in t._MAXSIM_BATCH_FILTERED for q in ts}
+    )
+    df = spark.createDataFrame([(s,) for s in toks], "tok string")
+    rows = df.select(
+        "tok",
+        F.pmod(F.xxhash64("tok"), F.lit(t._INDEX_BUCKETS)).alias("b"),
+    ).collect()
+    want = {r["tok"]: int(r["b"]) for r in rows}
+    for tok in toks:
+        assert t._tok_buckets([tok]) == [want[tok]], tok
+    # set form: dedup + sort
+    assert t._tok_buckets(toks) == sorted({want[x] for x in toks})
+
+
+def test_read_small_parquet_matches_spark_collect(spark, tmp_path):
+    """index_cache.read_small_parquet (driver-side pyarrow read of
+    tiny artifacts) must return the same rows as the Spark collect it
+    replaces — including the float32 array and empty-dir cases."""
+    from open_street_map_data_wrangling_spark.operators.index_cache import (
+        read_small_parquet,
+    )
+
+    p = str(tmp_path / "seeds")
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.25], 3), (2, [float("0.1"), -2.0], 3)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT",
+    )
+    df.write.mode("overwrite").parquet(p)
+    got = sorted(
+        read_small_parquet(
+            spark,
+            p,
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT",
+            ("vec_id", "embedding", "n_centroids"),
+        ),
+        key=lambda r: r["vec_id"],
+    )
+    want = sorted(
+        (r.asDict() for r in df.collect()), key=lambda r: r["vec_id"]
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert int(g["vec_id"]) == int(w["vec_id"])
+        assert int(g["n_centroids"]) == int(w["n_centroids"])
+        assert [float(x) for x in g["embedding"]] == [
+            float(x) for x in w["embedding"]
+        ]
+    # empty dir (build from empty corpus): Spark returns zero rows;
+    # the helper must too (pyarrow raises there -> Spark fallback)
+    e = str(tmp_path / "empty")
+    spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT"
+    ).write.mode("overwrite").parquet(e)
+    assert (
+        read_small_parquet(
+            spark,
+            e,
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, n_centroids INT",
+            ("vec_id", "embedding", "n_centroids"),
+        )
+        == []
+    )

@@ -34,6 +34,25 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MAP = "BENCH_FULL_LATEST.json"
 
+# r17 (VERDICT r16 #8): the r16 codec optimizations pushed these
+# queries BELOW the gate's 0.30 s noise floor and out of bench.py's
+# printed slowest-66 window — a regression there would be invisible
+# to both the driver line and the floored gate.  Always-checked
+# queries are gated regardless of the floor (with a 0.15 s absolute
+# guard so tens-of-ms jitter still cannot flag).  Append-only.
+ALWAYS_CHECK = frozenset(
+    {
+        "q_image_gif",
+        "q_image_jpeg",
+        "q_audio_pcm",
+        "q_image_pixels",
+        "q_video_sample",
+        "q_video_frames",
+        "q_image_thumbnail",
+    }
+)
+ALWAYS_CHECK_ABS_GUARD = 0.15  # seconds
+
 
 def _queries(obj: dict) -> dict[str, float]:
     qs = obj.get("queries", obj)
@@ -112,7 +131,11 @@ def gate(
         with open(wpath) as f:
             waivers = json.load(f)
     for q in common:
-        if base[q] >= floor and cur[q] > threshold * ambient * base[q]:
+        floored = base[q] >= floor or (
+            q in ALWAYS_CHECK
+            and cur[q] - base[q] > ALWAYS_CHECK_ABS_GUARD
+        )
+        if floored and cur[q] > threshold * ambient * base[q]:
             w = waivers.get(q)
             if w and base[q] <= float(w["baseline_below"]):
                 # a DOCUMENTED intentional trade (e.g. a scale-safe
