@@ -158,9 +158,18 @@ def train_bpe(
 
     State per round is the word-type table with each word as a
     space-delimited symbol sequence (leading/trailing space so the
-    merge regexp's lookarounds hold at the edges).  localCheckpoint
-    per round keeps the plan flat across iterations (the
-    connected-components discipline)."""
+    merge regexp's lookarounds hold at the edges).  LAZY
+    localCheckpoint per round keeps the plan flat across iterations
+    (the connected-components discipline), and the round's ONE
+    action — the top-pair collect, which training cannot avoid
+    because the winning merge feeds the next round's regexp as a
+    literal — is what materializes the previous round's rewrite
+    (r17, guide §1.2: one job per merge instead of an eager
+    checkpoint + AQE stage jobs + the collect).  The loop body runs
+    under scale.iter_loop_conf with the width pinned to the
+    checkpointed word-type table's own partitioning."""
+    from .scale import iter_loop_conf
+
     wf = (
         word_type_freqs(docs)
         .select(
@@ -172,43 +181,45 @@ def train_bpe(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(1, steps + 1):
-        top = (
-            # single-symbol words carry no pairs (and sequence(0, -1)
-            # would count DOWN in Spark — filter, don't guard)
-            wf.where(F.expr("size(split(trim(seq), ' ')) >= 2"))
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(split(trim(seq), ' ')) - 2),"
-                        " i -> struct(split(trim(seq), ' ')[i] AS l,"
-                        " split(trim(seq), ' ')[i + 1] AS r))"
-                    )
-                ).alias("p"),
-                "freq",
+    with iter_loop_conf(spark, parts=wf.rdd.getNumPartitions()):
+        for step in range(1, steps + 1):
+            top = (
+                # single-symbol words carry no pairs (and
+                # sequence(0, -1) would count DOWN in Spark —
+                # filter, don't guard)
+                wf.where(F.expr("size(split(trim(seq), ' ')) >= 2"))
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(split(trim(seq), ' ')) - 2),"
+                            " i -> struct(split(trim(seq), ' ')[i] AS l,"
+                            " split(trim(seq), ' ')[i + 1] AS r))"
+                        )
+                    ).alias("p"),
+                    "freq",
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").cast("bigint").alias("f"))
+                .orderBy(F.desc("f"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
             )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").cast("bigint").alias("f"))
-            .orderBy(F.desc("f"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["f"] < 2:
-            break
-        l, r, f = top[0]["l"], top[0]["r"], int(top[0]["f"])
-        merges.append((step, l, r, f))
-        pat = f"(?<= ){_java_quote(l)} {_java_quote(r)}(?= )"
-        # Java replacement strings treat BOTH '\' and '$' as escapes
-        # (Matcher.quoteReplacement quotes exactly these two); escaping
-        # only '$' silently dropped backslashes from merged symbols
-        # ("\x" -> "x"), diverging from the pure-Python replay.
-        # Backslash must be doubled FIRST or the '$' escape's own
-        # backslash would be re-escaped.
-        repl = (l + r).replace("\\", "\\\\").replace("$", "\\$")
-        wf = wf.select(
-            F.regexp_replace("seq", pat, repl).alias("seq"),
-            "freq",
-        ).localCheckpoint()
+            if not top or top[0]["f"] < 2:
+                break
+            l, r, f = top[0]["l"], top[0]["r"], int(top[0]["f"])
+            merges.append((step, l, r, f))
+            pat = f"(?<= ){_java_quote(l)} {_java_quote(r)}(?= )"
+            # Java replacement strings treat BOTH '\' and '$' as
+            # escapes (Matcher.quoteReplacement quotes exactly these
+            # two); escaping only '$' silently dropped backslashes
+            # from merged symbols ("\x" -> "x"), diverging from the
+            # pure-Python replay.  Backslash must be doubled FIRST or
+            # the '$' escape's own backslash would be re-escaped.
+            repl = (l + r).replace("\\", "\\\\").replace("$", "\\$")
+            wf = wf.select(
+                F.regexp_replace("seq", pat, repl).alias("seq"),
+                "freq",
+            ).localCheckpoint(eager=False)
     return (merges, wf) if return_state else merges
 
 

@@ -720,12 +720,15 @@ def connected_components(edges_df, nodes_df, max_iters: int = 50):
         # Self-loops make "min over neighbors" include the node's own
         # label; pre-partition+sort by the probe key so every round's
         # join reuses this one exchange (checkpoint preserves both).
+        # lazy: round 1's probe job materializes it (AQE is off in
+        # this scope, so the checkpoint compiles to a plain plan and
+        # nothing runs until that action)
         symx = (
             sym.unionByName(labels.select(F.col("n").alias("a"),
                                           F.col("n").alias("b")))
             .repartition(loop_sp, "b")
             .sortWithinPartitions("b")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         prev_sum = init_sum
         for _ in range(max_iters):

@@ -543,9 +543,11 @@ def build_geo_index(
     coded = geo_code_points(pts, radius_m, meta).withColumn(
         "__batch", F.lit(0)
     )
-    coded.write.mode("overwrite").partitionBy(
-        "gbx", "gby", "__batch"
-    ).parquet(path)
+    # REBALANCE before the partitioned write (r17, guide §6): file
+    # count stays O(occupied blocks), not O(write tasks x blocks)
+    coded.hint("rebalance", "gbx", "gby", "__batch").write.mode(
+        "overwrite"
+    ).partitionBy("gbx", "gby", "__batch").parquet(path)
 
 
 def proximity_search(

@@ -28,6 +28,7 @@ when each row carries megabytes of media.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from collections.abc import Iterator
 
@@ -807,16 +808,16 @@ _JPEG_AC_VALS = tuple(
 )
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=64)
 def _jpeg_canonical_codes(bits, vals):
     """symbol -> (code, length) via the T.81 canonical construction
     (Figures C.1-C.3): counts per length, codes assigned in value
     order, doubled between lengths.  lru_cache'd (r16, guide §4.5):
     the tables are pure functions of (bits, vals) tuples and were
-    being rebuilt per image inside the codec stage."""
+    being rebuilt per image inside the codec stage.  INVARIANT: the
+    returned dict is shared by every later call with the same key —
+    callers must treat it as read-only (mutating it would corrupt
+    the cache for every subsequent image)."""
     codes = {}
     code = 0
     k = 0
@@ -978,60 +979,27 @@ def encode_jpeg_gray(width: int, height: int, rows: list[bytes]) -> bytes:
     return bytes(out)
 
 
-class _JpegBitReader:
-    """Entropy-segment bit reader with byte-unstuffing; stops at any
-    non-stuffing marker (EOI)."""
-
-    def __init__(self, data: bytes, off: int):
-        self.data = data
-        self.off = off
-        self.acc = 0
-        self.nbits = 0
-
-    def bit(self) -> int:
-        if self.nbits == 0:
-            if self.off >= len(self.data):
-                raise ValueError("jpeg: truncated entropy segment")
-            b = self.data[self.off]
-            self.off += 1
-            if b == 0xFF:
-                nxt = self.data[self.off] if self.off < len(self.data) else None
-                if nxt == 0x00:
-                    self.off += 1  # stuffed FF
-                else:
-                    raise ValueError("jpeg: marker inside entropy data")
-            self.acc = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-
 @functools.lru_cache(maxsize=64)
 def _jpeg_decode_tables(bits, vals):
-    """(length, code) -> symbol decode map from the canonical
-    construction (the encoder map inverted).  lru_cache'd (r16,
-    guide §4.5) — pure function of the parsed (bits, vals) tuples,
-    formerly rebuilt per DHT marker per image."""
-    return {
-        (ln, code): sym
-        for sym, (code, ln) in _jpeg_canonical_codes(bits, vals).items()
-    }
+    """16-bit-peek Huffman LUT from the canonical construction:
+    lut[peek16] = (symbol << 5) | code_length for every 16-bit window
+    whose prefix is that code, 0 where no code of length <= 16
+    matches.  One array index replaces the former per-bit dict-probe
+    loop (r17, VERDICT item 5 — the entropy decoder was the last
+    bit-at-a-time Python in the JPEG path; differential-tested
+    byte-identical, ~4x on the entropy stage).  lru_cache'd (r16,
+    guide §4.5) — pure function of the parsed (bits, vals) tuples —
+    and the returned array is marked read-only, so accidental caller
+    mutation of the shared cache entry raises instead of corrupting
+    every subsequent image (r16 ADVICE)."""
+    import numpy as np
 
-
-def _jpeg_read_symbol(r: "_JpegBitReader", table) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | r.bit()
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("jpeg: invalid Huffman code")
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    for sym, (code, ln) in _jpeg_canonical_codes(bits, vals).items():
+        base = code << (16 - ln)
+        lut[base : base + (1 << (16 - ln))] = (sym << 5) | ln
+    lut.setflags(write=False)
+    return lut
 
 
 def _jpeg_extend(bits: int, cat: int) -> int:
@@ -1044,18 +1012,81 @@ def _jpeg_entropy_decode(
     data: bytes, off: int, n_blocks: int, dc_table, ac_table
 ) -> list[list[int]]:
     """Inverse of _jpeg_entropy_encode: n_blocks coefficient blocks
-    in natural order (DC prediction undone, zigzag unwound)."""
-    r = _JpegBitReader(data, off)
+    in natural order (DC prediction undone, zigzag unwound).
+
+    r17 bulk reader: the entropy segment is delimited (first 0xFF not
+    followed by a stuffing 0x00) and unstuffed ONCE with bytes.replace,
+    then decoding keeps an integer bit accumulator refilled a byte at
+    a time — each Huffman symbol is one 16-bit peek + one LUT index
+    (dc_table/ac_table from _jpeg_decode_tables), each value field one
+    masked shift, instead of the former per-BIT loop over a dict of
+    (length, code) probes.  Identical decode by construction
+    (differential-tested on randomized blocks incl. ZRL/EOB/category
+    extremes and stuffed-0xFF streams); truncated or marker-corrupted
+    segments still raise ValueError."""
+    n = len(data)
+    p = off
+    while True:
+        q = data.find(b"\xff", p)
+        if q == -1:
+            end = n
+            break
+        if q + 1 < n and data[q + 1] == 0x00:
+            p = q + 2
+            continue
+        end = q
+        break
+    seg = bytes(data[off:end]).replace(b"\xff\x00", b"\xff")
+    m = len(seg)
+    acc = 0
+    nbits = 0
+    pos = 0
+    zigzag = _JPEG_ZIGZAG
     pred = 0
     blocks = []
+
+    def read_sym(lut) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < 16 and pos < m:
+            acc = (acc << 8) | seg[pos]
+            pos += 1
+            nbits += 8
+        peek = (
+            (acc << (16 - nbits)) if nbits < 16 else (acc >> (nbits - 16))
+        ) & 0xFFFF
+        v = int(lut[peek])
+        if v == 0:
+            raise ValueError("jpeg: invalid Huffman code")
+        ln = v & 31
+        if ln > nbits:
+            raise ValueError("jpeg: truncated entropy segment")
+        nbits -= ln
+        acc &= (1 << nbits) - 1
+        return v >> 5
+
+    def read_bits(k: int) -> int:
+        nonlocal acc, nbits, pos
+        if k == 0:
+            return 0
+        while nbits < k:
+            if pos >= m:
+                raise ValueError("jpeg: truncated entropy segment")
+            acc = (acc << 8) | seg[pos]
+            pos += 1
+            nbits += 8
+        nbits -= k
+        out = (acc >> nbits) & ((1 << k) - 1)
+        acc &= (1 << nbits) - 1
+        return out
+
     for _ in range(n_blocks):
         zz = [0] * 64
-        cat = _jpeg_read_symbol(r, dc_table)
-        pred += _jpeg_extend(r.bits(cat), cat)
+        cat = read_sym(dc_table)
+        pred += _jpeg_extend(read_bits(cat), cat)
         zz[0] = pred
         k = 1
         while k < 64:
-            rs = _jpeg_read_symbol(r, ac_table)
+            rs = read_sym(ac_table)
             if rs == 0x00:  # EOB
                 break
             if rs == 0xF0:  # ZRL
@@ -1064,11 +1095,11 @@ def _jpeg_entropy_decode(
             k += rs >> 4
             if k > 63:
                 raise ValueError("jpeg: AC run past block end")
-            zz[k] = _jpeg_extend(r.bits(rs & 15), rs & 15)
+            zz[k] = _jpeg_extend(read_bits(rs & 15), rs & 15)
             k += 1
         blk = [0] * 64
         for k in range(64):
-            blk[_JPEG_ZIGZAG[k]] = zz[k]
+            blk[zigzag[k]] = zz[k]
         blocks.append(blk)
     return blocks
 
@@ -1153,14 +1184,19 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, int]:
             for k in range(64):
                 qn[_JPEG_ZIGZAG[k]] = q[k]
             a = _jpeg_dct_matrix()
-            img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
-            for i, blk in enumerate(blocks):
-                s = (np.array(blk, dtype=np.float64) * qn).reshape(8, 8)
-                p = np.round(a.T @ s @ a) + 128.0
-                by, bx = divmod(i, bw)
-                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    p, 0, 255
-                ).astype(np.int64)
+            # batched IDCT (r17): one stacked matmul pair over all
+            # blocks replaces the per-block Python loop — np.matmul
+            # broadcasts (8,8) @ (n,8,8), the same per-slice product
+            # as the loop (differential-tested identical stats);
+            # raster assembly is a transpose+reshape
+            s = np.array(blocks, dtype=np.float64).reshape(-1, 64) * qn
+            p = np.round(a.T @ s.reshape(-1, 8, 8) @ a) + 128.0
+            tiles = np.clip(p, 0, 255).astype(np.int64)
+            img = (
+                tiles.reshape(bh, bw, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw * 8)
+            )
             crop = img[:height, :width]
             return (
                 int(width),

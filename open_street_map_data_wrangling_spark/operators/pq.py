@@ -992,8 +992,12 @@ def build_ivfpq_index(
         )
         c = len(cents)
     hi = max(_K, c, _QUERY_ID + 1)
-    coded.withColumn(
-        "__batch", F.lit(0)
+    # REBALANCE on the partition keys before every partitioned codes/
+    # write (r17, guide §6): data-sized output files instead of one
+    # file per (write task x cell) — same discipline as the bm25
+    # postings writes.
+    coded.withColumn("__batch", F.lit(0)).hint(
+        "rebalance", "cid", "__batch"
     ).write.mode("overwrite").partitionBy("cid", "__batch").parquet(
         f"{path}/codes"
     )
@@ -1312,14 +1316,18 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
         .withColumn("__batch", F.lit(0))
     )
     stage = f"{path}/codes_compact_stage"
-    latest.write.mode("overwrite").partitionBy("cid", "__batch").parquet(stage)
+    latest.hint("rebalance", "cid", "__batch").write.mode(
+        "overwrite"
+    ).partitionBy("cid", "__batch").parquet(stage)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     codes_path = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
     fs = codes_path.getFileSystem(hconf)
-    spark.read.parquet(stage).write.mode("overwrite").partitionBy(
-        "cid", "__batch"
-    ).parquet(f"{path}/codes")
+    spark.read.parquet(stage).hint(
+        "rebalance", "cid", "__batch"
+    ).write.mode("overwrite").partitionBy("cid", "__batch").parquet(
+        f"{path}/codes"
+    )
     fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
 
 
@@ -1391,9 +1399,9 @@ def purge_ivfpq_index(
         spark.read.parquet(f"{path}/codes")
         .join(F.broadcast(dele), "vec_id", "left_anti")
     )
-    kept.write.mode("overwrite").partitionBy("cid", "__batch").parquet(
-        str(stage_path)
-    )
+    kept.hint("rebalance", "cid", "__batch").write.mode(
+        "overwrite"
+    ).partitionBy("cid", "__batch").parquet(str(stage_path))
     _commit_store(fs, codes_path, stage_path)
     # probes/ (the standing range-search batch) holds ORDINARY corpus
     # rows, not model parameters — purge them like codes/, same

@@ -1121,7 +1121,11 @@ def build_hardneg_index(emb: DataFrame, path: str) -> None:
         .filter(F.col("rk") <= _HARDNEG_CELL_CAP)
         .drop("rk")
     )
-    samp.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
+    # REBALANCE before the partitioned write (r17, guide §6): data-
+    # sized output files instead of one per (write task x cell)
+    samp.hint("rebalance", "cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{path}/cells")
     emb.filter(F.col("vec_id") < len(cents)).select(
         "vec_id", "embedding"
     ).withColumn("n_centroids", F.lit(len(cents))).write.mode(

@@ -1080,9 +1080,12 @@ def build_text_index(docs: DataFrame, path: str) -> None:
             F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).cast("int"),
         )
     )
-    post.write.mode("overwrite").partitionBy("bkt").parquet(
-        f"{path}/postings"
-    )
+    # REBALANCE before the partitioned write (r17, guide §6 — see
+    # build_bm25_index): data-sized output files instead of one tiny
+    # file per (write task x bucket).
+    post.hint("rebalance", "bkt").write.mode("overwrite").partitionBy(
+        "bkt"
+    ).parquet(f"{path}/postings")
 
 
 def text_search(
@@ -1366,9 +1369,17 @@ def build_bm25_index(
     filtered serving (bm25_search_many's per-query predicates);
     column pruning hides them from every unfiltered serve."""
     post = _bm25_postings(docs, meta=meta)
-    post.write.mode("overwrite").partitionBy("bkt").parquet(
-        f"{path}/postings"
-    )
+    # REBALANCE on the partition key before the partitioned write
+    # (r17, guide §6): without it every write task emits one file
+    # per bucket it happens to hold — 700+ tiny files at sf0.1
+    # (measured ~8 KB each), and every serve-time scan pays per-file
+    # open/footer cost.  The AQE rebalance sizes output partitions
+    # from the data (splitting hot buckets, coalescing small ones),
+    # so sf0.1 writes one file per bucket and a 100 TB build writes
+    # advisory-sized files — the same code either way.
+    post.hint("rebalance", "bkt").write.mode("overwrite").partitionBy(
+        "bkt"
+    ).parquet(f"{path}/postings")
     write_bm25_stats(post, path)
 
 
@@ -1444,7 +1455,9 @@ def purge_bm25_index(
         "doc_id",
         "left_anti",
     )
-    kept.write.mode("overwrite").partitionBy("bkt").parquet(str(stage_path))
+    kept.hint("rebalance", "bkt").write.mode("overwrite").partitionBy(
+        "bkt"
+    ).parquet(str(stage_path))
     _commit_store(fs, store_path, stage_path)
     write_bm25_stats(
         spark.read.parquet(f"{index_path}/postings"), index_path

@@ -180,7 +180,7 @@ def write_training_corpus(spark, sf_dir: str, path: str) -> None:
     _, placed, manifest = training_corpus(spark, sf_dir)
     placed.select(
         "doc_id", "lang", "source", "text", "n_tok", "bytes", "shard_id"
-    ).write.mode("overwrite").partitionBy("shard_id").parquet(
-        f"{path}/shards"
-    )
+    ).hint("rebalance", "shard_id").write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).parquet(f"{path}/shards")
     manifest.write.mode("overwrite").parquet(f"{path}/manifest")

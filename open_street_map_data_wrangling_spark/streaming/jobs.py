@@ -756,9 +756,9 @@ def ivfpq_codes_merge_fn(
         prev = bs.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
         bs.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
         try:
-            coded.write.mode("overwrite").partitionBy("cid", "__batch").parquet(
-                f"{index_path}/codes"
-            )
+            coded.hint("rebalance", "cid", "__batch").write.mode(
+                "overwrite"
+            ).partitionBy("cid", "__batch").parquet(f"{index_path}/codes")
         finally:
             bs.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -1218,9 +1218,9 @@ def text_index_merge_fn(spark: SparkSession, index_path: str):
             )
         else:
             merged = delta
-        merged.write.mode("overwrite").partitionBy("bkt").parquet(
-            str(stage_path)
-        )
+        merged.hint("rebalance", "bkt").write.mode("overwrite").partitionBy(
+            "bkt"
+        ).parquet(str(stage_path))
         _commit_store(fs, store_path, stage_path)
 
     return merge
@@ -1309,9 +1309,9 @@ def hardneg_cells_merge_fn(spark: SparkSession, index_path: str):
             .filter(F.col("rk") <= _HARDNEG_CELL_CAP)
             .drop("rk")
         )
-        merged.write.mode("overwrite").partitionBy("cid").parquet(
-            str(stage_path)
-        )
+        merged.hint("rebalance", "cid").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(str(stage_path))
         _commit_store(fs, cells_path, stage_path)
 
     return merge
@@ -1592,7 +1592,9 @@ def purge_text_index(
             "left_anti",
         )
     )
-    kept.write.mode("overwrite").partitionBy("bkt").parquet(str(stage_path))
+    kept.hint("rebalance", "bkt").write.mode("overwrite").partitionBy(
+        "bkt"
+    ).parquet(str(stage_path))
     _commit_store(fs, store_path, stage_path)
 
 
@@ -1679,9 +1681,9 @@ def geo_points_merge_fn(spark: SparkSession, store_dir: str):
         )
         bs.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
         try:
-            coded.write.mode("overwrite").partitionBy(
-                "gbx", "gby", "__batch"
-            ).parquet(store_dir)
+            coded.hint("rebalance", "gbx", "gby", "__batch").write.mode(
+                "overwrite"
+            ).partitionBy("gbx", "gby", "__batch").parquet(store_dir)
         finally:
             bs.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -1730,9 +1732,9 @@ def purge_geo_index(
             "left_anti",
         )
     )
-    kept.write.mode("overwrite").partitionBy(
-        "gbx", "gby", "__batch"
-    ).parquet(str(stage_path))
+    kept.hint("rebalance", "gbx", "gby", "__batch").write.mode(
+        "overwrite"
+    ).partitionBy("gbx", "gby", "__batch").parquet(str(stage_path))
     _commit_store(fs, store_path, stage_path)
 
 
@@ -2140,9 +2142,9 @@ def bm25_index_merge_fn(
             merged = kept.unionByName(delta)
         else:
             merged = delta
-        merged.write.mode("overwrite").partitionBy("bkt").parquet(
-            str(stage_path)
-        )
+        merged.hint("rebalance", "bkt").write.mode("overwrite").partitionBy(
+            "bkt"
+        ).parquet(str(stage_path))
         _commit_store(fs, store_path, stage_path)
         write_bm25_stats(
             spark.read.schema(ddl).parquet(f"{index_path}/postings"),
